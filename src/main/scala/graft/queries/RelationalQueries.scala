@@ -1,0 +1,145 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+/** Core relational operator coverage (SURVEY.md §2.1-§2.6) re-expressed over
+  * the driver's testdata tables. Each query demonstrates one operator family
+  * from the reference and is paired with DuckDB oracle SQL.
+  *
+  * Scale notes: every query here is either narrow (projection/filter — no
+  * shuffle, pushed into the parquet scan) or a single hash aggregation with
+  * map-side partial agg; sorts before the sink are for oracle determinism
+  * and would be dropped (or replaced by a top-k TakeOrdered) in production.
+  */
+object RelationalQueries extends QueryPack {
+
+  val queries: Map[String, Q] = Map(
+    // P1-P4: rename projection + IS NOT NULL filter (reference
+    // silver_gpu_timeseries.sql:7-37 shape) on the events table.
+    "q_project_rename" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(
+          col("event_id").as("metric_id"),
+          col("user_id").as("machine_id"),
+          col("event_type").as("metric_kind"),
+          col("value"))
+        .filter(col("value").isNotNull)
+        .orderBy("metric_id")),
+
+    // E1/E2/E6: CASE WHEN + arithmetic + comparison→int flag (reference
+    // silver_jobs.sql:25-28, score_cluster_anomalies.py:47).
+    "q_case_arith" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+            .as("net_price"),
+          when(col("l_returnflag") === "R", col("l_extendedprice"))
+            .otherwise(lit(null)).as("returned_price"),
+          (col("l_returnflag") === "R").cast("int").as("is_returned"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // A1-A3 + E3/E4: the reference's flagship gold daily aggregate
+    // (gold_cluster_util_daily.sql:5-31) — day-truncated groupBy with
+    // avg + exact interpolated p95. events.value plays gpu_util_pct.
+    "q_gold_daily" -> ((s, d) =>
+      Tables.events(s, d)
+        .filter(col("value").isNotNull)
+        .select(
+          to_date(date_trunc("day", col("ts"))).as("dt"),
+          col("value"))
+        .groupBy("dt")
+        .agg(
+          round(avg("value"), 6).as("avg_value"),
+          round(percentile(col("value"), lit(0.95)), 6).as("p95_value"),
+          count(lit(1)).as("n_events"))
+        .orderBy("dt")),
+
+    // A1 multi-key + filter pushdown: TPC-H Q1-shaped pricing summary.
+    "q1_pricing_summary" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("2000-09-02 00:00:00")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum("l_quantity"), 4).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          round(avg("l_quantity"), 6).as("avg_qty"),
+          round(avg("l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // A4: ungrouped summary aggregate (reference README.md:531-532).
+    "q_agg_summary" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .agg(
+          round(sum("l_quantity"), 4).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_price"),
+          count(lit(1)).as("total_rows"))),
+
+    // O1-O3: global sort + limit (top-k; Spark plans TakeOrderedAndProject —
+    // no full sort materialization).
+    "q_sort_limit" -> ((s, d) =>
+      Tables.orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)),
+
+    // A6: dbt `unique` test shape — duplicate keys (must be empty).
+    "q_check_unique" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderkey").agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1)
+        .orderBy("o_orderkey")),
+
+    // A7: dbt `not_null` test shape — count of violations.
+    "q_check_not_null" -> ((s, d) =>
+      Tables.orders(s, d)
+        .agg(
+          sum(col("o_orderkey").isNull.cast("long")).as("null_orderkey"),
+          sum(col("o_custkey").isNull.cast("long")).as("null_custkey"))))
+
+  val oracle: Map[String, String] = Map(
+    "q_project_rename" ->
+      """SELECT event_id AS metric_id, user_id AS machine_id,
+        |       event_type AS metric_kind, value
+        |FROM events WHERE value IS NOT NULL ORDER BY metric_id""".stripMargin,
+    "q_case_arith" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       round(l_extendedprice * (1 - l_discount), 4) AS net_price,
+        |       CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE NULL END AS returned_price,
+        |       CAST(l_returnflag = 'R' AS INT) AS is_returned
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_gold_daily" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS dt,
+        |       round(avg(value), 6) AS avg_value,
+        |       round(quantile_cont(value, 0.95), 6) AS p95_value,
+        |       count(*) AS n_events
+        |FROM events WHERE value IS NOT NULL GROUP BY 1 ORDER BY dt""".stripMargin,
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 4) AS sum_qty,
+        |       round(sum(l_extendedprice), 2) AS sum_base_price,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |       round(avg(l_quantity), 6) AS avg_qty,
+        |       round(avg(l_discount), 6) AS avg_disc,
+        |       count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_agg_summary" ->
+      """SELECT round(sum(l_quantity), 4) AS sum_qty,
+        |       round(sum(l_extendedprice), 2) AS sum_price,
+        |       count(*) AS total_rows
+        |FROM lineitem""".stripMargin,
+    "q_sort_limit" ->
+      """SELECT * FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q_check_unique" ->
+      """SELECT o_orderkey, count(*) AS n FROM orders
+        |GROUP BY o_orderkey HAVING count(*) > 1 ORDER BY o_orderkey""".stripMargin,
+    "q_check_not_null" ->
+      """SELECT sum(CAST(o_orderkey IS NULL AS BIGINT)) AS null_orderkey,
+        |       sum(CAST(o_custkey IS NULL AS BIGINT)) AS null_custkey
+        |FROM orders""".stripMargin)
+}
