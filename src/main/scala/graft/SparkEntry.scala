@@ -13,7 +13,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private val packs: Seq[QueryPack] = Seq(
-    RelationalQueries)
+    RelationalQueries,
+    JoinQueries,
+    AnalyticQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's gold daily-utilization aggregate re-expressed on the

@@ -1,0 +1,221 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window functions, multi-dimensional grouping, distinct aggregation and
+  * set operations (SURVEY.md §2.7 — absent from the reference, first-class
+  * here as the "efficiency marts" its README plans).
+  *
+  * Scale notes: every window below partitions by a key (customer) — one hash
+  * shuffle, then a per-partition sort; no global sort, no skew (customer
+  * cardinality scales with data). rollup/cube expand rows map-side then
+  * aggregate — fine as long as the grouping-key product stays small, which
+  * these (flag×status) do at any scale. Window ORDER BY always carries a
+  * unique tiebreak column so results are deterministic.
+  */
+object AnalyticQueries extends QueryPack {
+
+  private val perCust = Window
+    .partitionBy(col("o_custkey"))
+    .orderBy(col("o_orderdate"), col("o_orderkey"))
+
+  val queries: Map[String, Q] = Map(
+    // row_number / rank / dense_rank per customer by price.
+    "q_window_rank" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(
+          col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).as("rn"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"))
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // lag/lead: gap in days between a customer's consecutive orders.
+    "q_window_lag_lead" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(
+          col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          lag(col("o_orderdate"), 1).over(perCust).as("prev_date"),
+          lead(col("o_orderdate"), 1).over(perCust).as("next_date"),
+          datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(perCust))
+            .as("days_since_prev"))
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")),
+
+    // Running totals + sliding average (frame clauses).
+    "q_window_running" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          round(sum(col("o_totalprice"))
+            .over(perCust.rowsBetween(Window.unboundedPreceding, 0)), 2)
+            .as("running_spend"),
+          round(avg(col("o_totalprice"))
+            .over(perCust.rowsBetween(-2, 0)), 6)
+            .as("avg_last3"))
+        .orderBy("o_custkey", "o_orderkey")),
+
+    // Top-k per group: each customer's 3 priciest orders.
+    "q_window_topk_per_group" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // ROLLUP over (returnflag, linestatus) with grouping flags.
+    "q_rollup" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum("l_quantity"), 4).as("sum_qty"),
+          count(lit(1)).as("n"),
+          grouping(col("l_returnflag")).as("g_flag"),
+          grouping(col("l_linestatus")).as("g_status"))
+        .orderBy(col("g_flag"), col("g_status"),
+          coalesce(col("l_returnflag"), lit("")),
+          coalesce(col("l_linestatus"), lit("")))),
+
+    // CUBE over (orderstatus, orderpriority).
+    "q_cube" -> ((s, d) =>
+      Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          round(sum("o_totalprice"), 2).as("revenue"),
+          count(lit(1)).as("n"),
+          grouping(col("o_orderstatus")).as("g_status"),
+          grouping(col("o_orderpriority")).as("g_prio"))
+        .orderBy(col("g_status"), col("g_prio"),
+          coalesce(col("o_orderstatus"), lit("")),
+          coalesce(col("o_orderpriority"), lit("")))),
+
+    // Distinct aggregation: distinct suppliers/parts per return flag.
+    "q_distinct_agg" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_parts"),
+          round(sum_distinct(col("l_quantity")), 4).as("sum_distinct_qty"))
+        .orderBy("l_returnflag")),
+
+    // DISTINCT projection (reference has no distinct — NEW).
+    "q_distinct" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_linestatus"))
+        .distinct()
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // UNION ALL of two filtered projections + aggregate.
+    "q_set_union" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val hi = o.filter(col("o_totalprice") > 400000)
+        .select(col("o_custkey"), lit("hi").as("bucket"))
+      val lo = o.filter(col("o_totalprice") < 50000)
+        .select(col("o_custkey"), lit("lo").as("bucket"))
+      hi.unionAll(lo)
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), countDistinct(col("o_custkey")).as("n_cust"))
+        .orderBy("bucket")
+    }),
+
+    // INTERSECT: customers appearing in both value buckets.
+    "q_set_intersect" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      o.filter(col("o_totalprice") > 400000).select(col("o_custkey"))
+        .intersect(o.filter(col("o_totalprice") < 50000).select(col("o_custkey")))
+        .orderBy("o_custkey")
+    }),
+
+    // EXCEPT: high-value-only customers.
+    "q_set_except" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      o.filter(col("o_totalprice") > 400000).select(col("o_custkey"))
+        .except(o.filter(col("o_totalprice") < 50000).select(col("o_custkey")))
+        .orderBy("o_custkey")
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |       row_number() OVER w AS rn,
+        |       rank() OVER w AS rnk,
+        |       dense_rank() OVER w AS drnk
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_custkey, rn""".stripMargin,
+    "q_window_lag_lead" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |       lag(o_orderdate, 1) OVER w AS prev_date,
+        |       lead(o_orderdate, 1) OVER w AS next_date,
+        |       date_diff('day', lag(o_orderdate, 1) OVER w, o_orderdate) AS days_since_prev
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |         ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend,
+        |       round(avg(o_totalprice) OVER (PARTITION BY o_custkey
+        |         ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS avg_last3
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_window_topk_per_group" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |           ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 4) AS sum_qty,
+        |       count(*) AS n,
+        |       CAST(grouping(l_returnflag) AS TINYINT) AS g_flag,
+        |       CAST(grouping(l_linestatus) AS TINYINT) AS g_status
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY g_flag, g_status,
+        |         coalesce(l_returnflag, ''), coalesce(l_linestatus, '')""".stripMargin,
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |       round(sum(o_totalprice), 2) AS revenue,
+        |       count(*) AS n,
+        |       CAST(grouping(o_orderstatus) AS TINYINT) AS g_status,
+        |       CAST(grouping(o_orderpriority) AS TINYINT) AS g_prio
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY g_status, g_prio,
+        |         coalesce(o_orderstatus, ''), coalesce(o_orderpriority, '')""".stripMargin,
+    "q_distinct_agg" ->
+      """SELECT l_returnflag,
+        |       count(DISTINCT l_suppkey) AS n_supp,
+        |       count(DISTINCT l_partkey) AS n_parts,
+        |       round(sum(DISTINCT l_quantity), 4) AS sum_distinct_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_set_union" ->
+      """SELECT bucket, count(*) AS n, count(DISTINCT o_custkey) AS n_cust FROM (
+        |  SELECT o_custkey, 'hi' AS bucket FROM orders WHERE o_totalprice > 400000
+        |  UNION ALL
+        |  SELECT o_custkey, 'lo' AS bucket FROM orders WHERE o_totalprice < 50000) t
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q_set_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_totalprice < 50000
+        |ORDER BY o_custkey""".stripMargin,
+    "q_set_except" ->
+      """SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_totalprice < 50000
+        |ORDER BY o_custkey""".stripMargin)
+}

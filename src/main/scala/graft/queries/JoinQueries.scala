@@ -1,0 +1,169 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+/** Join coverage (SURVEY.md §2.5 — the reference documents these as intended
+  * but never implements them; they are first-class here). Every join is
+  * planned scale-first:
+  *  - dimension joins take an explicit `broadcast()` hint (region/nation/
+  *    part/supplier/customer are small dims — at 100 TB the fact side never
+  *    shuffles for these);
+  *  - the fact-fact join (lineitem ⋈ orders) shuffles on the join key once,
+  *    with AQE free to pick sort-merge vs shuffled-hash at runtime;
+  *  - the interval join anchors on an equi-key (orderkey) so the range
+  *    predicate is a post-join filter, NOT a cross product;
+  *  - the as-of join is expressed as union + running window (one shuffle on
+  *    user_id) instead of an O(n·m) inequality join.
+  */
+object JoinQueries extends QueryPack {
+
+  val queries: Map[String, Q] = Map(
+    // Broadcast dimension join: lineitem ⋈ part, agg by brand.
+    "q_join_broadcast_dim" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(
+          round(sum("l_quantity"), 4).as("sum_qty"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("p_brand")),
+
+    // Star-schema chain: orders ⋈ customer ⋈ nation ⋈ region, revenue by
+    // region/nation. All dims broadcast — the orders scan is the only big
+    // side and it never shuffles.
+    "q_join_star" -> ((s, d) =>
+      Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          round(sum("o_totalprice"), 2).as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("r_name", "n_name")),
+
+    // Fact-fact equi join (shuffle on l_orderkey/o_orderkey).
+    "q_join_fact_fact" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("o_orderpriority")),
+
+    // Left-semi join (EXISTS): customers holding a >300k order.
+    "q_join_semi" -> ((s, d) => {
+      val bigOrders = Tables.orders(s, d).filter(col("o_totalprice") > 300000)
+      Tables.customer(s, d)
+        .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    }),
+
+    // Left-anti join (NOT EXISTS): customers with no >300k order.
+    "q_join_anti" -> ((s, d) => {
+      val bigOrders = Tables.orders(s, d).filter(col("o_totalprice") > 300000)
+      Tables.customer(s, d)
+        .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    }),
+
+    // Interval/range join, equi-key anchored: lineitems shipped within 120
+    // days of the order date (the reference's intended jobs↔metrics interval
+    // attribution, SURVEY.md §2.5). The equi key keeps it a hash join; the
+    // BETWEEN is a cheap post-join filter.
+    "q_join_interval" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") >= col("o_orderdate") &&
+            col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 120 DAYS"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_shipped_120d"),
+          round(sum("l_quantity"), 4).as("qty_120d"))
+        .orderBy("o_orderpriority")),
+
+    // As-of join: for each 'error' event, the most recent preceding 'signup'
+    // timestamp of the same user. Spark-first formulation: tag + single
+    // running-max window over (user_id, ts) — one shuffle, no inequality
+    // join blowup. Deterministic tiebreak on event_id.
+    "q_join_asof" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("error", "signup"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      ev.withColumn("last_signup_ts",
+          max(when(col("event_type") === "signup", col("ts"))).over(w))
+        .filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"), col("last_signup_ts"))
+        .orderBy("event_id")
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "q_join_broadcast_dim" ->
+      """SELECT p_brand,
+        |       round(sum(l_quantity), 4) AS sum_qty,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q_join_star" ->
+      """SELECT r_name, n_name,
+        |       round(sum(o_totalprice), 2) AS revenue,
+        |       count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q_join_fact_fact" ->
+      """SELECT o_orderpriority,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_interval" ->
+      """SELECT o_orderpriority,
+        |       count(*) AS n_shipped_120d,
+        |       round(sum(l_quantity), 4) AS qty_120d
+        |FROM lineitem JOIN orders
+        |  ON l_orderkey = o_orderkey
+        | AND l_shipdate >= o_orderdate
+        | AND l_shipdate <= o_orderdate + INTERVAL 120 DAY
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_join_asof" ->
+      """WITH tagged AS (
+        |  SELECT event_id, user_id, ts, event_type FROM events
+        |  WHERE event_type IN ('error', 'signup')
+        |), w AS (
+        |  SELECT *, max(CASE WHEN event_type = 'signup' THEN ts END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_ts
+        |  FROM tagged)
+        |SELECT event_id, user_id, ts, last_signup_ts FROM w
+        |WHERE event_type = 'error' ORDER BY event_id""".stripMargin)
+}
