@@ -15,7 +15,9 @@ object SparkEntry {
   private val packs: Seq[QueryPack] = Seq(
     RelationalQueries,
     JoinQueries,
-    AnalyticQueries)
+    AnalyticQueries,
+    TextQueries,
+    DedupQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's gold daily-utilization aggregate re-expressed on the

@@ -1,0 +1,113 @@
+package graft.dedup
+
+import graft.text.TextFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus deduplication operators for training-data pipelines: exact
+  * (fingerprint groupBy), n-gram Jaccard, and MinHash+LSH near-dup.
+  *
+  * Scale design (the part that matters at 100 TB):
+  *  - exact dedup is a single hash aggregation on a 32-char fingerprint —
+  *    shuffle carries (hash, id) pairs only, never the text;
+  *  - Jaccard all-pairs goes through an inverted shingle index
+  *    (explode + self-equi-join on the shingle) — candidate pairs are only
+  *    generated for docs that SHARE a shingle, and `maxShingleFreq` drops
+  *    stop-shingles whose posting lists would blow up the join
+  *    quadratically (the standard df-cut in web-scale dedup);
+  *  - MinHash+LSH replaces the shingle index with b band buckets per doc:
+  *    candidate generation is an equi-join on (band, key) — the only
+  *    formulation whose shuffle is linear in corpus size; exact Jaccard is
+  *    then verified only on candidates via array_intersect, and the band
+  *    join carries (id, band, key) rows only — shingle arrays are re-joined
+  *    by id afterwards.
+  *
+  * Evaluation-cost note: the shingle/minhash expression trees are expensive,
+  * and Catalyst's CollapseProject will happily inline them into every
+  * downstream reference (evaluating the tokenizer dozens of times per row).
+  * Each expensive stage below therefore ends at a `repartition(id)`
+  * exchange: after an exchange the column is a plain attribute and
+  * re-references are free. The extra shuffles carry only (id, shingles) —
+  * linear, and negligible next to the evaluation blowup they prevent.
+  */
+object Dedup {
+
+  /** Exact-duplicate groups under case/whitespace normalization.
+    * Returns (fingerprint, canonical_id, n_copies) per group.
+    */
+  def exactGroups(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(fingerprint(col(textCol)).as("fp"), col(idCol))
+      .groupBy("fp")
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
+
+  /** (id, shingles) with the shingle expression materialized exactly once. */
+  private def shingled(docs: DataFrame, textCol: String, idCol: String,
+                       n: Int): DataFrame =
+    docs.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .repartition(col("id"))
+
+  /** Pairs (id_a < id_b) whose n-gram-shingle Jaccard ≥ threshold.
+    * `maxShingleFreq` drops shingles present in more docs than the cap
+    * (0 = no cap; keep 0 when oracle parity is required).
+    */
+  def jaccardPairs(docs: DataFrame, textCol: String, idCol: String,
+                   threshold: Double, n: Int = 3,
+                   maxShingleFreq: Int = 0): DataFrame = {
+    val t = shingled(docs, textCol, idCol, n).withColumn("n_sh", size(col("sh")))
+    val e0 = t.select(col("id"), col("n_sh"), explode(col("sh")).as("s"))
+    val e =
+      if (maxShingleFreq <= 0) e0
+      else {
+        val rare = e0.groupBy("s").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxShingleFreq).select("s")
+        e0.join(broadcast(rare), "s")
+      }
+    val a = e.select(col("id").as("ida"), col("n_sh").as("na"), col("s"))
+    val b = e.select(col("id").as("idb"), col("n_sh").as("nb"), col("s"))
+    a.join(b, a("s") === b("s") && col("ida") < col("idb"))
+      .groupBy("ida", "idb", "na", "nb")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("ida", "idb", "jaccard")
+  }
+
+  /** MinHash+LSH near-dup pairs: k-component signatures, b bands × r rows
+    * (k = b*r); candidates share ≥1 band bucket, then exact Jaccard ≥
+    * threshold verified on the candidate pairs only.
+    */
+  def minhashLshPairs(docs: DataFrame, textCol: String, idCol: String,
+                      threshold: Double, n: Int = 3,
+                      bands: Int = 4, r: Int = 3): DataFrame = {
+    val t = shingled(docs, textCol, idCol, n)
+    // bands directly from the sh attribute: band key b = md5 over the r
+    // signature components b*r .. b*r+r-1; sh is an attribute here (post-
+    // exchange), so the 12 references are free.
+    val bandKeys = transform(sequence(lit(0), lit(bands - 1)),
+      b => md5(concat_ws("|",
+        transform(sequence(b * r, b * r + r - 1),
+          i => array_min(transform(col("sh"),
+            s => md5(concat(i.cast("string"), lit(":"), s))))))))
+    val banded = t.select(col("id"),
+      posexplode(bandKeys).as(Seq("band", "key")))
+    val cand = banded.select(col("id").as("ida"), col("band"), col("key"))
+      .join(banded.select(col("id").as("idb"), col("band").as("band_b"),
+          col("key").as("key_b")),
+        col("band") === col("band_b") && col("key") === col("key_b") &&
+          col("ida") < col("idb"))
+      .select("ida", "idb")
+      .distinct()
+    cand
+      .join(t.select(col("id").as("ida"), col("sh").as("sha")), "ida")
+      .join(t.select(col("id").as("idb"), col("sh").as("shb")), "idb")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (size(col("sha")) + size(col("shb")) - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("ida", "idb", "jaccard")
+  }
+}

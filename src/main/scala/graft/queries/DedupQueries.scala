@@ -1,0 +1,104 @@
+package graft.queries
+
+import graft.Tables
+import graft.dedup.Dedup
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over the documents corpus: exact fingerprint
+  * dedup, n-gram Jaccard near-dup, and MinHash+LSH near-dup — each with a
+  * full DuckDB oracle (same md5-salted hash family on both sides).
+  * See graft.dedup.Dedup for the scale rationale.
+  */
+object DedupQueries extends QueryPack {
+
+  val queries: Map[String, Q] = Map(
+    // Exact duplicate groups under normalization (fingerprint groupBy).
+    "q_dedup_exact" -> ((s, d) =>
+      Dedup.exactGroups(Tables.documents(s, d), "text", "doc_id")
+        .orderBy("fp")),
+
+    // Corpus dup-rate summary: total docs vs distinct fingerprints.
+    "q_dedup_exact_stats" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(graft.text.TextFunctions.fingerprint(col("text")).as("fp"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("fp")).as("n_unique"),
+          (count(lit(1)) - countDistinct(col("fp"))).as("n_dups"))),
+
+    // n-gram Jaccard near-dup pairs via inverted shingle index.
+    "q_dedup_jaccard" -> ((s, d) =>
+      Dedup.jaccardPairs(Tables.documents(s, d), "text", "doc_id",
+          threshold = 0.8)
+        .orderBy("ida", "idb")),
+
+    // MinHash+LSH (12 hashes, 4 bands × 3 rows) with exact-Jaccard
+    // verification of candidates.
+    "q_dedup_minhash_lsh" -> ((s, d) =>
+      Dedup.minhashLshPairs(Tables.documents(s, d), "text", "doc_id",
+          threshold = 0.7)
+        .orderBy("ida", "idb")))
+
+  private val tokensSql =
+    """list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')"""
+  private val shinglesSql =
+    s"""CASE WHEN len(w) >= 3 THEN
+       | list_distinct(list_transform(generate_series(1, len(w) - 2),
+       |   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+       | ELSE [] END""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      s"""SELECT md5(array_to_string(w, ' ')) AS fp,
+        |       min(doc_id) AS canonical_id,
+        |       count(*) AS n_copies
+        |FROM (SELECT doc_id, $tokensSql AS w FROM documents)
+        |GROUP BY 1 ORDER BY fp""".stripMargin,
+    "q_dedup_exact_stats" ->
+      s"""SELECT count(*) AS n_docs,
+        |       count(DISTINCT md5(array_to_string(w, ' '))) AS n_unique,
+        |       count(*) - count(DISTINCT md5(array_to_string(w, ' '))) AS n_dups
+        |FROM (SELECT doc_id, $tokensSql AS w FROM documents)""".stripMargin,
+    "q_dedup_jaccard" ->
+      s"""WITH t AS (
+        |  SELECT doc_id AS id, $shinglesSql AS sh
+        |  FROM (SELECT doc_id, $tokensSql AS w FROM documents)),
+        |e AS (SELECT id, len(sh) AS n_sh, unnest(sh) AS s FROM t),
+        |p AS (
+        |  SELECT a.id AS ida, b.id AS idb, a.n_sh AS na, b.n_sh AS nb,
+        |         count(*) AS inter
+        |  FROM e a JOIN e b ON a.s = b.s AND a.id < b.id
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT ida, idb,
+        |       round(inter::DOUBLE / (na + nb - inter), 6) AS jaccard
+        |FROM p WHERE round(inter::DOUBLE / (na + nb - inter), 6) >= 0.8
+        |ORDER BY ida, idb""".stripMargin,
+    "q_dedup_minhash_lsh" ->
+      s"""WITH t AS (
+        |  SELECT doc_id AS id, $shinglesSql AS sh
+        |  FROM (SELECT doc_id, $tokensSql AS w FROM documents)),
+        |s AS (
+        |  SELECT id, sh,
+        |    list_transform(generate_series(0, 11),
+        |      i -> list_min(list_transform(sh, g -> md5(i::VARCHAR || ':' || g)))) AS sig
+        |  FROM t WHERE len(sh) > 0),
+        |banded AS (
+        |  SELECT id, sh, band,
+        |         md5(array_to_string(sig[band*3+1 : band*3+3], '|')) AS key
+        |  FROM s, unnest([0, 1, 2, 3]) AS u(band)),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS ida, b.id AS idb
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.key = b.key AND a.id < b.id),
+        |v AS (
+        |  SELECT c.ida, c.idb,
+        |         len(list_intersect(ta.sh, tb.sh)) AS inter,
+        |         len(ta.sh) AS na, len(tb.sh) AS nb
+        |  FROM cand c
+        |  JOIN t ta ON ta.id = c.ida
+        |  JOIN t tb ON tb.id = c.idb)
+        |SELECT ida, idb,
+        |       round(inter::DOUBLE / (na + nb - inter), 6) AS jaccard
+        |FROM v WHERE round(inter::DOUBLE / (na + nb - inter), 6) >= 0.7
+        |ORDER BY ida, idb""".stripMargin)
+}

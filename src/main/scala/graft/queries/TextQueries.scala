@@ -1,0 +1,117 @@
+package graft.queries
+
+import graft.Tables
+import graft.text.TextFunctions._
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the documents corpus (training-data
+  * pipeline surface: token stats, quality scoring, language ID,
+  * fingerprinting). All are narrow per-row transforms built from
+  * codegen'd higher-order functions — they scale embarrassingly (no
+  * shuffle except the final oracle-determinism sort).
+  */
+object TextQueries extends QueryPack {
+
+  val queries: Map[String, Q] = Map(
+    // Token counting + punctuation + word-length stats + content
+    // fingerprint per document.
+    "q_text_stats" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          tokenCount(col("text")).as("n_tokens"),
+          length(col("text")).as("n_chars_measured"),
+          punctRatio(col("text")).as("punct_ratio"),
+          avgWordLen(col("text")).as("avg_word_len"),
+          fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+
+    // Language-ID heuristic via marker-token counts, strict priority.
+    "q_text_langid" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          markerCount(col("text"), enMarkers).as("en_hits"),
+          markerCount(col("text"), frMarkers).as("fr_hits"),
+          markerCount(col("text"), esMarkers).as("es_hits"),
+          markerCount(col("text"), deMarkers).as("de_hits"),
+          langIdHeuristic(col("text")).as("lang_pred"))
+        .orderBy("doc_id")),
+
+    // Composite quality score (length/punct/stopword mix).
+    "q_text_quality" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"), col("lang"),
+          qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")),
+
+    // Corpus-level quality profile per source.
+    "q_text_quality_by_source" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("source"), qualityScore(col("text")).as("q"),
+          tokenCount(col("text")).as("nt"))
+        .groupBy("source")
+        .agg(
+          round(avg("q"), 6).as("avg_quality"),
+          round(percentile(col("q"), lit(0.5)), 6).as("median_quality"),
+          round(avg("nt"), 6).as("avg_tokens"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("source")))
+
+  private val tokensSql =
+    """list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')"""
+
+  val oracle: Map[String, String] = Map(
+    "q_text_stats" ->
+      s"""WITH t AS (SELECT doc_id, text, $tokensSql AS w FROM documents)
+        |SELECT doc_id,
+        |  len(w) AS n_tokens,
+        |  length(text) AS n_chars_measured,
+        |  round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
+        |        / greatest(length(text), 1), 6) AS punct_ratio,
+        |  round(list_sum(list_transform(w, x -> length(x)))::DOUBLE
+        |        / greatest(len(w), 1), 6) AS avg_word_len,
+        |  md5(array_to_string(w, ' ')) AS fp
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "q_text_langid" ->
+      s"""WITH t AS (SELECT doc_id, $tokensSql AS w FROM documents),
+        |c AS (SELECT doc_id,
+        |  len(list_filter(w, x -> x IN ('the','and','of','to','a','in'))) AS en_hits,
+        |  len(list_filter(w, x -> x IN ('le','la','et','les','des','un'))) AS fr_hits,
+        |  len(list_filter(w, x -> x IN ('el','los','que','y','de','un'))) AS es_hits,
+        |  len(list_filter(w, x -> x IN ('der','die','und','das','ein','zu'))) AS de_hits
+        |  FROM t)
+        |SELECT doc_id, en_hits, fr_hits, es_hits, de_hits,
+        |  CASE WHEN en_hits > 0 AND en_hits >= greatest(fr_hits, es_hits, de_hits) THEN 'en'
+        |       WHEN fr_hits > 0 AND fr_hits >= greatest(es_hits, de_hits) THEN 'fr'
+        |       WHEN es_hits > 0 AND es_hits >= de_hits THEN 'es'
+        |       WHEN de_hits > 0 THEN 'de'
+        |       ELSE 'und' END AS lang_pred
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "q_text_quality" ->
+      s"""WITH t AS (SELECT doc_id, lang, text, $tokensSql AS w FROM documents),
+        |q AS (SELECT doc_id, lang,
+        |  least(len(w)::DOUBLE / 100.0, 1.0) AS len_score,
+        |  least(round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
+        |        / greatest(length(text), 1), 6) * 10.0, 1.0) AS punct_pen,
+        |  least(len(list_filter(w, x -> x IN ('the','and','of','to','a','in')))::DOUBLE / 5.0, 1.0) AS stop_score
+        |  FROM t)
+        |SELECT doc_id, lang,
+        |  round(len_score * 0.5 + (1.0 - punct_pen) * 0.2 + stop_score * 0.3, 6) AS quality
+        |FROM q ORDER BY doc_id""".stripMargin,
+    "q_text_quality_by_source" ->
+      s"""WITH t AS (SELECT doc_id, source, text, $tokensSql AS w FROM documents),
+        |q AS (SELECT doc_id, source, len(w) AS nt,
+        |  round(least(len(w)::DOUBLE / 100.0, 1.0) * 0.5
+        |   + (1.0 - least(round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
+        |         / greatest(length(text), 1), 6) * 10.0, 1.0)) * 0.2
+        |   + least(len(list_filter(w, x -> x IN ('the','and','of','to','a','in')))::DOUBLE / 5.0, 1.0) * 0.3, 6) AS quality
+        |  FROM t)
+        |SELECT source,
+        |  round(avg(quality), 6) AS avg_quality,
+        |  round(quantile_cont(quality, 0.5), 6) AS median_quality,
+        |  round(avg(nt), 6) AS avg_tokens,
+        |  count(*) AS n_docs
+        |FROM q GROUP BY source ORDER BY source""".stripMargin)
+}

@@ -1,0 +1,106 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text-analysis building blocks for large-scale training-data
+  * pipelines: tokenization, quality scoring, language-ID heuristics,
+  * shingling, MinHash signatures and fingerprints.
+  *
+  * Everything here is composed from codegen'd built-ins (`split`, `filter`,
+  * `transform`, `aggregate`, `md5` …) — no Scala UDFs — so whole-stage
+  * codegen spans stay intact and the same logic is expressible 1:1 in the
+  * DuckDB oracle SQL. All hashing is md5-hex-based: deterministic and
+  * engine-independent (unlike Spark's murmur `hash()`, which has no DuckDB
+  * twin).
+  */
+object TextFunctions {
+
+  /** Lower-cased whitespace tokens, empties dropped. */
+  def tokens(text: Column): Column =
+    filter(split(lower(trim(text)), "\\s+"), t => t =!= "")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Ratio of punctuation chars to total length (explicit class — regex
+    * char-class semantics match across engines, unlike \p{Punct}).
+    */
+  def punctRatio(text: Column): Column = {
+    val punct = length(text) - length(regexp_replace(text, "[.,!?;:]", ""))
+    round(punct.cast("double") / greatest(length(text), lit(1)), 6)
+  }
+
+  def avgWordLen(text: Column): Column = {
+    val t = tokens(text)
+    round(
+      aggregate(t, lit(0L), (acc, w) => acc + length(w)).cast("double") /
+        greatest(size(t), lit(1)), 6)
+  }
+
+  /** Occurrences of any of `markers` among the tokens. */
+  def markerCount(text: Column, markers: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(markers.map(lit(_)): _*)))
+
+  val enMarkers = Seq("the", "and", "of", "to", "a", "in")
+  val frMarkers = Seq("le", "la", "et", "les", "des", "un")
+  val esMarkers = Seq("el", "los", "que", "y", "de", "un")
+  val deMarkers = Seq("der", "die", "und", "das", "ein", "zu")
+
+  /** n-gram-marker language ID heuristic with a strict priority order
+    * (en > fr > es > de > und) so ties resolve deterministically.
+    */
+  def langIdHeuristic(text: Column): Column = {
+    val en = markerCount(text, enMarkers)
+    val fr = markerCount(text, frMarkers)
+    val es = markerCount(text, esMarkers)
+    val de = markerCount(text, deMarkers)
+    when(en > 0 && en >= greatest(fr, es, de), "en")
+      .when(fr > 0 && fr >= greatest(es, de), "fr")
+      .when(es > 0 && es >= de, "es")
+      .when(de > 0, "de")
+      .otherwise("und")
+  }
+
+  /** Composite quality score in [0,1]: length saturation + punctuation
+    * sanity + stopword presence (proxy for natural prose).
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore  = least(tokenCount(text).cast("double") / 100.0, lit(1.0))
+    val punctPen  = least(punctRatio(text) * 10.0, lit(1.0))
+    val stopScore = least(markerCount(text, enMarkers).cast("double") / 5.0, lit(1.0))
+    round(lenScore * 0.5 + (lit(1.0) - punctPen) * 0.2 + stopScore * 0.3, 6)
+  }
+
+  /** Normalized content fingerprint: md5 over lower-cased,
+    * whitespace-collapsed text. Equal fingerprint ⇔ exact duplicate modulo
+    * case/whitespace.
+    */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", tokens(text)))
+
+  /** Word n-gram shingles (distinct), the unit for Jaccard/MinHash dedup. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val w = tokens(text)
+    when(size(w) >= n,
+      array_distinct(transform(
+        sequence(lit(0), size(w) - n),
+        i => concat_ws(" ", slice(w, i + 1, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** MinHash signature: k independent permutations simulated by salted md5;
+    * component i = lexicographic min of md5(i + ":" + shingle).
+    */
+  def minhashSignature(shingleCol: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(shingleCol,
+        s => md5(concat(i.cast("string"), lit(":"), s)))))
+
+  /** LSH band keys over a minhash signature: bands of `r` rows, each
+    * hashed to one bucket key. Docs sharing any band key are candidates.
+    */
+  def lshBands(sigCol: Column, bands: Int, r: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => md5(concat_ws("|",
+        slice(sigCol, b * r + 1, lit(r)))))
+}
