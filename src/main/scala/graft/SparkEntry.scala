@@ -17,7 +17,8 @@ object SparkEntry {
     JoinQueries,
     AnalyticQueries,
     TextQueries,
-    DedupQueries)
+    DedupQueries,
+    SimilarityQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's gold daily-utilization aggregate re-expressed on the

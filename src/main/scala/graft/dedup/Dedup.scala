@@ -110,4 +110,70 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("ida", "idb", "jaccard")
   }
+
+  /** 60-bit SimHash per document. Token hashes come from md5 hex digits
+    * (4 bits per digit, small-integer arithmetic only) so the identical
+    * value is computable in any engine — no engine-specific hash, no
+    * dynamic bit shifts. bit b of the result = majority vote of bit b
+    * across token hashes (strict majority; ties → 0).
+    */
+  def simhashDocs(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    // per-token 60-bit vector: 15 hex digits × 4 bits, MSB-first
+    val tokBits = transform(toks, t => {
+      val h = md5(t)
+      flatten(transform(sequence(lit(1), lit(15)), dpos => {
+        val v = conv(substr(h, dpos, lit(1)), 16, 10).cast("int")
+        array(
+          floor(v / 8).cast("int") % 2,
+          floor(v / 4).cast("int") % 2,
+          floor(v / 2).cast("int") % 2,
+          v % 2)
+      }))
+    })
+    val s1 = docs
+      .select(col(idCol).as("id"), tokBits.as("tb"), size(toks).as("n"))
+      .filter(col("n") > 0)
+      .repartition(col("id"))
+    // bit-position vote counts; tb is an attribute here (single reference)
+    val s2 = s1.select(col("id"), col("n"),
+        aggregate(col("tb"), array_repeat(lit(0), 60),
+          (acc, bv) => zip_with(acc, bv, (x, y) => x + y)).as("votes"))
+      .repartition(col("id"))
+    // votes is referenced 60× below — must be an attribute (barrier above)
+    s2.select(col("id"),
+      aggregate(sequence(lit(0), lit(59)), lit(0L),
+        (acc, b) => acc +
+          when(element_at(col("votes"), b + 1) * 2 > col("n"),
+            pow(lit(2.0), lit(59) - b).cast("long"))
+            .otherwise(lit(0L))).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, found via
+    * 4×15-bit chunk LSH (pigeonhole: distance ≤ 3 ⇒ some chunk equal) —
+    * an equi-join on (chunk_idx, chunk_value), never a cross product.
+    */
+  def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sh = simhashDocs(docs, textCol, idCol)
+    val chunks = array(
+      shiftright(col("simhash"), 0).bitwiseAND(lit(32767L)),
+      shiftright(col("simhash"), 15).bitwiseAND(lit(32767L)),
+      shiftright(col("simhash"), 30).bitwiseAND(lit(32767L)),
+      shiftright(col("simhash"), 45).bitwiseAND(lit(32767L)))
+    val e = sh.select(col("id"), col("simhash"),
+      posexplode(chunks).as(Seq("c", "v")))
+    val cand = e.select(col("id").as("ida"), col("simhash").as("ha"),
+        col("c"), col("v"))
+      .join(e.select(col("id").as("idb"), col("simhash").as("hb"),
+          col("c").as("cb"), col("v").as("vb")),
+        col("c") === col("cb") && col("v") === col("vb") &&
+          col("ida") < col("idb"))
+      .select("ida", "idb", "ha", "hb")
+      .dropDuplicates("ida", "idb")
+    cand
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("ida", "idb", "hamming")
+  }
 }

@@ -37,6 +37,13 @@ object DedupQueries extends QueryPack {
     "q_dedup_minhash_lsh" -> ((s, d) =>
       Dedup.minhashLshPairs(Tables.documents(s, d), "text", "doc_id",
           threshold = 0.7)
+        .orderBy("ida", "idb")),
+
+    // SimHash near-dups: 60-bit majority-vote hash, 4×15-bit chunk LSH,
+    // Hamming ≤ 3.
+    "q_dedup_simhash" -> ((s, d) =>
+      Dedup.simhashPairs(Tables.documents(s, d), "text", "doc_id",
+          maxHamming = 3)
         .orderBy("ida", "idb")))
 
   private val tokensSql =
@@ -100,5 +107,36 @@ object DedupQueries extends QueryPack {
         |SELECT ida, idb,
         |       round(inter::DOUBLE / (na + nb - inter), 6) AS jaccard
         |FROM v WHERE round(inter::DOUBLE / (na + nb - inter), 6) >= 0.7
+        |ORDER BY ida, idb""".stripMargin,
+    "q_dedup_simhash" ->
+      s"""WITH t AS (
+        |  SELECT doc_id AS id, w, len(w) AS n
+        |  FROM (SELECT doc_id, $tokensSql AS w FROM documents)
+        |  WHERE len(w) > 0),
+        |tb AS (
+        |  SELECT id, n,
+        |    list_transform(w, tk -> flatten(list_transform(generate_series(1, 15), d -> [
+        |      (('0x' || substr(md5(tk), d, 1))::INT // 8) % 2,
+        |      (('0x' || substr(md5(tk), d, 1))::INT // 4) % 2,
+        |      (('0x' || substr(md5(tk), d, 1))::INT // 2) % 2,
+        |      ('0x' || substr(md5(tk), d, 1))::INT % 2 ]))) AS tbits
+        |  FROM t),
+        |v AS (
+        |  SELECT id, n, list_reduce(tbits,
+        |    (x, y) -> list_transform(generate_series(1, 60), i -> x[i] + y[i])) AS votes
+        |  FROM tb),
+        |s AS (
+        |  SELECT id, list_sum(list_transform(generate_series(1, 60), b ->
+        |    CASE WHEN votes[b] * 2 > n THEN (2.0 ** (60 - b))::BIGINT ELSE 0 END))::BIGINT AS simhash
+        |  FROM v),
+        |e AS (
+        |  SELECT id, simhash, c, (simhash >> (15 * c)) & 32767 AS cv
+        |  FROM s, unnest([0, 1, 2, 3]) u(c)),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS ida, b.id AS idb,
+        |         a.simhash AS ha, b.simhash AS hb
+        |  FROM e a JOIN e b ON a.c = b.c AND a.cv = b.cv AND a.id < b.id)
+        |SELECT ida, idb, bit_count(xor(ha, hb))::INT AS hamming
+        |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
         |ORDER BY ida, idb""".stripMargin)
 }

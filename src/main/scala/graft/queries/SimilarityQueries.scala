@@ -1,0 +1,92 @@
+package graft.queries
+
+import graft.Tables
+import graft.similarity.VectorOps._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity-search surface: corpus stats, exact brute-force
+  * top-k (recall baseline), LSH-bucketed approximate top-k (the scale
+  * path), and cosine near-duplicate pairs. See graft.similarity.VectorOps
+  * for the scale rationale.
+  */
+object SimilarityQueries extends QueryPack {
+
+  private def corpus(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id").as("id"), asDouble(col("embedding")).as("vec"),
+        col("label"))
+
+  val queries: Map[String, Q] = Map(
+    // Norm/centroid profile per label.
+    "q_embed_stats" -> ((s, d) =>
+      corpus(s, d)
+        .select(col("label"),
+          round(l2norm(col("vec")), 8).as("nrm"),
+          element_at(col("vec"), 1).as("d0"))
+        .groupBy("label")
+        .agg(
+          count(lit(1)).as("n_vecs"),
+          round(avg("nrm"), 6).as("avg_norm"),
+          round(avg("d0"), 6).as("avg_dim0"))
+        .orderBy("label")),
+
+    // Exact top-5 neighbors for query vectors (vec_id < 10), brute force.
+    "q_ann_topk_brute" -> ((s, d) => {
+      val c = corpus(s, d)
+      topKBruteForce(c.filter(col("id") < 10), c, 5)
+        .orderBy("qid", "rn")
+    }),
+
+    // Approximate top-3 via sign-bit LSH buckets (8 bits).
+    "q_ann_bucketed" -> ((s, d) => {
+      val c = corpus(s, d)
+      topKBucketed(c.filter(col("id") < 10), c, 3)
+        .orderBy("qid", "rn")
+    }),
+
+    // Embedding-cosine near-duplicate pairs.
+    "q_embed_neardup" -> ((s, d) =>
+      nearDupPairs(corpus(s, d), 0.45)
+        .orderBy("ida", "idb")))
+
+  private val corpusSql =
+    "SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings"
+  private val bucketSql =
+    """array_to_string(list_transform(v[1:8],
+      | x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '')""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q_embed_stats" ->
+      s"""WITH c AS ($corpusSql)
+        |SELECT label, count(*) AS n_vecs,
+        |  round(avg(round(sqrt(list_sum(list_transform(v, x -> x*x))), 8)), 6) AS avg_norm,
+        |  round(avg(v[1]), 6) AS avg_dim0
+        |FROM c GROUP BY label ORDER BY label""".stripMargin,
+    "q_ann_topk_brute" ->
+      s"""WITH c AS ($corpusSql),
+        |p AS (
+        |  SELECT q.vec_id AS qid, b.vec_id AS vec_id,
+        |         round(list_cosine_similarity(q.v, b.v), 6) AS cos
+        |  FROM c q JOIN c b ON q.vec_id < 10 AND b.vec_id <> q.vec_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY qid
+        |        ORDER BY cos DESC, vec_id) AS rn FROM p)
+        |SELECT qid, rn, vec_id, cos FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
+    "q_ann_bucketed" ->
+      s"""WITH c AS (SELECT vec_id, v, $bucketSql AS bucket FROM ($corpusSql)),
+        |p AS (
+        |  SELECT q.vec_id AS qid, b.vec_id AS vec_id,
+        |         round(list_cosine_similarity(q.v, b.v), 6) AS cos
+        |  FROM c q JOIN c b ON q.bucket = b.bucket AND q.vec_id < 10
+        |                   AND b.vec_id <> q.vec_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY qid
+        |        ORDER BY cos DESC, vec_id) AS rn FROM p)
+        |SELECT qid, rn, vec_id, cos FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
+    "q_embed_neardup" ->
+      s"""WITH c AS ($corpusSql)
+        |SELECT a.vec_id AS ida, b.vec_id AS idb,
+        |       round(list_cosine_similarity(a.v, b.v), 6) AS cos
+        |FROM c a JOIN c b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.45
+        |ORDER BY ida, idb""".stripMargin)
+}
