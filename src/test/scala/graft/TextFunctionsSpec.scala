@@ -1,0 +1,86 @@
+package graft
+
+import graft.text.TextFunctions._
+import org.apache.spark.sql.functions._
+
+class TextFunctionsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column, text: String): T =
+    Seq(text).toDF("t").select(c.as("r")).collect()(0).getAs[T]("r")
+
+  /** Array columns come back as mutable.ArraySeq; normalize to List. */
+  private def arr(c: org.apache.spark.sql.Column, text: String): List[String] =
+    Seq(text).toDF("t").select(c.as("r")).collect()(0)
+      .getAs[scala.collection.Seq[String]]("r").toList
+
+  test("tokens lower-cases, trims, drops empties") {
+    val r = arr(tokens(col("t")), "  The  quick   Fox ")
+    assert(r == Seq("the", "quick", "fox"))
+  }
+
+  test("tokenCount of empty string is 0") {
+    assert(one[Int](tokenCount(col("t")), "") == 0)
+    assert(one[Int](tokenCount(col("t")), "a b c") == 3)
+  }
+
+  test("punctRatio counts only the explicit class") {
+    // "a,b." → 2 punct / 4 chars = 0.5
+    assert(one[Double](punctRatio(col("t")), "a,b.") == 0.5)
+    assert(one[Double](punctRatio(col("t")), "abcd") == 0.0)
+  }
+
+  test("avgWordLen averages token lengths") {
+    // "ab cdef" → (2+4)/2 = 3.0
+    assert(one[Double](avgWordLen(col("t")), "ab cdef") == 3.0)
+  }
+
+  test("langIdHeuristic picks dominant marker language, priority on ties") {
+    assert(one[String](langIdHeuristic(col("t")), "the cat and the dog") == "en")
+    assert(one[String](langIdHeuristic(col("t")), "le chat et la mer") == "fr")
+    assert(one[String](langIdHeuristic(col("t")), "el perro y los gatos") == "es")
+    assert(one[String](langIdHeuristic(col("t")), "der hund und die katze") == "de")
+    assert(one[String](langIdHeuristic(col("t")), "xyzzy qwerty") == "und")
+  }
+
+  test("fingerprint is invariant to case and whitespace, not content") {
+    val a = one[String](fingerprint(col("t")), "Hello   World")
+    val b = one[String](fingerprint(col("t")), "hello world")
+    val c = one[String](fingerprint(col("t")), "hello there")
+    assert(a == b)
+    assert(a != c)
+  }
+
+  test("shingles: distinct word n-grams; short docs yield empty array") {
+    val r = arr(shingles(col("t"), 3), "a b c d")
+    assert(r == Seq("a b c", "b c d"))
+    assert(arr(shingles(col("t"), 3), "a b").isEmpty)
+  }
+
+  test("minhash signature has k components and is deterministic") {
+    val c = minhashSignature(shingles(col("t"), 2), 8)
+    val r1 = arr(c, "a b c d e")
+    val r2 = arr(c, "a b c d e")
+    assert(r1.length == 8)
+    assert(r1 == r2)
+  }
+
+  test("lshBands: identical docs share all band keys, disjoint docs none") {
+    val sig = minhashSignature(shingles(col("t"), 2), 12)
+    val bandsC = lshBands(sig, 4, 3)
+    val x = arr(bandsC, "a b c d e f")
+    val y = arr(bandsC, "a b c d e f")
+    val z = arr(bandsC, "q r s t u v")
+    assert(x == y && x.length == 4)
+    assert(x.intersect(z).isEmpty)
+  }
+
+  test("qualityScore is in [0,1] and higher for natural prose") {
+    val prose = "the quick brown fox jumps over the lazy dog and runs to the forest"
+    val junk = "..... ,,,,, !!!!!"
+    val p = one[Double](qualityScore(col("t")), prose)
+    val j = one[Double](qualityScore(col("t")), junk)
+    assert(p >= 0.0 && p <= 1.0 && j >= 0.0 && j <= 1.0)
+    assert(p > j)
+  }
+}
