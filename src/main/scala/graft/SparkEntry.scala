@@ -18,7 +18,8 @@ object SparkEntry {
     AnalyticQueries,
     TextQueries,
     DedupQueries,
-    SimilarityQueries)
+    SimilarityQueries,
+    MlQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's gold daily-utilization aggregate re-expressed on the

@@ -20,7 +20,8 @@ class QueriesSmokeSpec extends SparkSpecBase {
     val names = Seq(
       graft.queries.RelationalQueries, graft.queries.JoinQueries,
       graft.queries.AnalyticQueries, graft.queries.TextQueries,
-      graft.queries.DedupQueries, graft.queries.SimilarityQueries)
+      graft.queries.DedupQueries, graft.queries.SimilarityQueries,
+      graft.queries.MlQueries)
       .flatMap(_.queries.keys)
     assert(names.distinct.length == names.length,
       s"duplicate query names: ${names.diff(names.distinct)}")
