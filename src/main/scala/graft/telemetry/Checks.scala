@@ -1,0 +1,60 @@
+package graft.telemetry
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Data-contract checks — the reference's dbt schema tests
+  * (dbt_project/gpu_telemetry/models/silver/silver.yml:4-23,
+  * models/gold/gold.yml:4-17) as fail-fast Spark assertions, run as a hard
+  * gate like `dbt test` with check=True (flow_full_refresh.py:48-54).
+  *
+  * Each check is one aggregation returning a violation COUNT — never a
+  * collect of rows — so the gate costs one pass over the table at any
+  * scale (and Catalyst fuses multiple counts over the same table into one
+  * scan when run through `runAll`).
+  */
+object Checks {
+
+  final case class Violation(table: String, check: String, count: Long) {
+    override def toString = s"$table.$check: $count violation(s)"
+  }
+
+  final class CheckFailedException(val violations: Seq[Violation])
+    extends RuntimeException(
+      s"data-contract checks failed: ${violations.mkString("; ")}")
+
+  /** count of NULLs per column, evaluated in ONE pass over df. */
+  def notNullViolations(df: DataFrame, table: String,
+                        cols: Seq[String]): Seq[Violation] = {
+    val row = df.agg(
+      count(lit(1)).as("_n"),
+      cols.map(c => sum(col(c).isNull.cast("long")).as(c)): _*).collect()(0)
+    cols.map(c => Violation(table, s"not_null($c)",
+      Option(row.getAs[Long](c)).getOrElse(0L))).filter(_.count > 0)
+  }
+
+  /** number of key values appearing more than once. */
+  def uniqueViolations(df: DataFrame, table: String,
+                       keyCols: Seq[String]): Seq[Violation] = {
+    val dups = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("_n")).filter(col("_n") > 1).count()
+    if (dups > 0) Seq(Violation(table, s"unique(${keyCols.mkString(",")})", dups))
+    else Nil
+  }
+
+  /** The reference's six tests over our silver/gold tables. Throws
+    * CheckFailedException on any violation (the dbt-test gate).
+    */
+  def runAll(silverJobs: DataFrame, silverGpuTimeseries: DataFrame,
+             goldClusterUtilDaily: DataFrame): Unit = {
+    val v =
+      notNullViolations(silverJobs, "silver_jobs", Seq("job_id", "user_id")) ++
+      uniqueViolations(silverJobs.select("job_id"), "silver_jobs", Seq("job_id")) ++
+      notNullViolations(silverGpuTimeseries, "silver_gpu_timeseries",
+        Seq("machine_id", "ts")) ++
+      notNullViolations(goldClusterUtilDaily, "gold_cluster_util_daily", Seq("dt")) ++
+      uniqueViolations(goldClusterUtilDaily.select("dt"),
+        "gold_cluster_util_daily", Seq("dt"))
+    if (v.nonEmpty) throw new CheckFailedException(v)
+  }
+}

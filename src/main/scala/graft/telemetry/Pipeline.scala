@@ -1,0 +1,64 @@
+package graft.telemetry
+
+import graft.ml.IsolationForest
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Full-refresh orchestration — the reference's Prefect flow
+  * (pipelines/flow_full_refresh.py:79-90: ingest → dbt run → dbt test →
+  * train → score) collapsed into one JVM. The reference pays five process
+  * spawns and a disk round-trip between every stage (SURVEY.md §3.1); here
+  * each stage hands the next a lazy DataFrame, Catalyst fuses across stage
+  * boundaries, and the only materializations are the intentional
+  * bronze/silver/gold parquet writes.
+  */
+object Pipeline {
+
+  final case class RefreshResult(bronzeCounts: Map[String, Long],
+                                 goldDays: Long, anomalies: Long,
+                                 modelPath: String)
+
+  /** Stage 2-3: bronze → silver → gold materialization (dbt run). Silver
+    * and gold are written as tables (materialized='table' in the
+    * reference); bronze stays a view over the ingested parquet.
+    */
+  def buildModels(spark: SparkSession, lakeDir: String): (DataFrame, DataFrame, DataFrame) = {
+    val jobs = Silver.jobs(Bronze.readBronze(spark, lakeDir, "bronze_job_events"))
+    val ts = Silver.gpuTimeseries(
+      Bronze.readBronze(spark, lakeDir, "bronze_machine_metrics"))
+    jobs.write.mode("overwrite").parquet(s"$lakeDir/silver/silver_jobs.parquet")
+    ts.write.mode("overwrite").parquet(s"$lakeDir/silver/silver_gpu_timeseries.parquet")
+    val tsStored = spark.read.parquet(s"$lakeDir/silver/silver_gpu_timeseries.parquet")
+    val gold = Gold.clusterUtilDaily(tsStored)
+    gold.write.mode("overwrite").parquet(s"$lakeDir/gold/gold_cluster_util_daily.parquet")
+    (spark.read.parquet(s"$lakeDir/silver/silver_jobs.parquet"),
+      tsStored,
+      spark.read.parquet(s"$lakeDir/gold/gold_cluster_util_daily.parquet"))
+  }
+
+  /** Stage 5: train + score (reference ml/train_cluster_anomaly_model.py,
+    * ml/score_cluster_anomalies.py) → `gold_cluster_util_daily_scored`.
+    */
+  def trainAndScore(spark: SparkSession, lakeDir: String, gold: DataFrame,
+                    nEstimators: Int = 100, contamination: Double = 0.05,
+                    seed: Long = 42L): DataFrame = {
+    val features = Seq("avg_gpu_util", "p95_gpu_util", "avg_cpu_util")
+    val model = IsolationForest.fit(gold, features, nEstimators,
+      contamination, seed)
+    model.save(spark, s"$lakeDir/ml/cluster_anomaly_iforest")
+    val scored = model.transform(gold)
+    scored.write.mode("overwrite")
+      .parquet(s"$lakeDir/gold/gold_cluster_util_daily_scored.parquet")
+    spark.read.parquet(s"$lakeDir/gold/gold_cluster_util_daily_scored.parquet")
+  }
+
+  /** The whole flow, fail-fast at the checks gate like the reference. */
+  def fullRefresh(spark: SparkSession, rawDir: String, lakeDir: String): RefreshResult = {
+    val counts = Bronze.ingestAll(spark, rawDir, lakeDir)            // F1 ingest
+    val (jobs, ts, gold) = buildModels(spark, lakeDir)               // dbt run
+    Checks.runAll(jobs, ts, gold)                                    // dbt test
+    val scored = trainAndScore(spark, lakeDir, gold)                 // train+score
+    RefreshResult(counts, gold.count(),
+      scored.filter(org.apache.spark.sql.functions.col("anomaly_flag") === 1).count(),
+      s"$lakeDir/ml/cluster_anomaly_iforest")
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import graft.telemetry._
+import java.nio.file.Files
+
+/** End-to-end full-refresh over tiny generated CSVs: the reference's whole
+  * flow (ingest → models → tests → train → score) in one run.
+  */
+class PipelineSpec extends SparkSpecBase {
+
+  private def writeCsvs(rawDir: String): Unit = {
+    val day0 = 86400L * 100
+    // 40 days × 12 metric rows/day; day 35 is a planted anomaly (gpu 99%).
+    val metrics = new StringBuilder(
+      "worker_name,machine,start_time,end_time,machine_cpu_iowait," +
+        "machine_cpu_kernel,machine_cpu_usr,machine_gpu,machine_load_1," +
+        "machine_net_receive,machine_num_worker,machine_cpu\n")
+    for (d <- 0 until 40; i <- 0 until 12) {
+      val ts = day0 + d * 86400L + i * 7000L
+      val gpu = if (d == 35) 99.0 else 30.0 + (i % 5)
+      val cpu = if (d == 35) 95.0 else 40.0 + (i % 7)
+      metrics.append(s"w$i,m${i % 4},${ts - 300},$ts,0.1,0.2,0.3,$gpu,1.5,100.0,2,$cpu\n")
+    }
+    Files.writeString(java.nio.file.Paths.get(s"$rawDir/pai_machine_metric.csv"),
+      metrics.toString)
+
+    val jobs = new StringBuilder("job_name,inst_id,user,status,start_time,end_time\n")
+    for (j <- 0 until 25) {
+      val st = day0 + j * 3600L
+      val end = if (j % 5 == 0) "" else (st + 1800L).toString
+      val status = if (j % 5 == 0) "Running" else "Terminated"
+      jobs.append(s"job$j,inst$j,user${j % 3},$status,$st,$end\n")
+    }
+    Files.writeString(java.nio.file.Paths.get(s"$rawDir/pai_job_table.csv"),
+      jobs.toString)
+  }
+
+  test("fullRefresh: ingest → silver/gold → checks → scored table") {
+    val base = Files.createTempDirectory("graft-pipeline").toString
+    val rawDir = s"$base/raw"; val lakeDir = s"$base/lake"
+    new java.io.File(rawDir).mkdirs()
+    writeCsvs(rawDir)
+
+    val res = Pipeline.fullRefresh(spark, rawDir, lakeDir)
+    assert(res.bronzeCounts("bronze_job_events") == 25)
+    assert(res.bronzeCounts("bronze_machine_metrics") == 480)
+    assert(res.goldDays == 40)
+    // planted anomalous day must be flagged (contamination 0.05 of 40 = 2)
+    val scored = spark.read.parquet(
+      s"$lakeDir/gold/gold_cluster_util_daily_scored.parquet")
+    val flaggedDays = scored.filter("anomaly_flag = 1")
+      .select("avg_gpu_util").collect().map(_.getDouble(0))
+    assert(res.anomalies >= 1 && flaggedDays.exists(_ > 90.0))
+    // model persisted and loadable
+    val m = graft.ml.IsolationForest.load(spark, res.modelPath)
+    assert(m.trees.size == 100)
+  }
+
+  test("checks gate throws on duplicate gold dt") {
+    import spark.implicits._
+    val jobs = Seq(("j1", "u1")).toDF("job_id", "user_id")
+    val ts = Seq(("m1", 1L)).toDF("machine_id", "ts")
+    val gold = Seq(("2024-01-01", 1.0), ("2024-01-01", 2.0)).toDF("dt", "avg")
+    val e = intercept[Checks.CheckFailedException] {
+      Checks.runAll(jobs, ts, gold)
+    }
+    assert(e.violations.exists(_.check.startsWith("unique(dt")))
+  }
+
+  test("checks gate throws on null job_id") {
+    import spark.implicits._
+    val jobs = Seq((Option.empty[String], "u1"), (Some("j2"), "u2"))
+      .toDF("job_id", "user_id")
+    val ts = Seq(("m1", 1L)).toDF("machine_id", "ts")
+    val gold = Seq(("2024-01-01", 1.0)).toDF("dt", "avg")
+    val e = intercept[Checks.CheckFailedException] {
+      Checks.runAll(jobs, ts, gold)
+    }
+    assert(e.violations.exists(_.check == "not_null(job_id)"))
+  }
+
+  test("bronze CSV read honors declared schema types") {
+    val base = Files.createTempDirectory("graft-bronze").toString
+    Files.writeString(java.nio.file.Paths.get(s"$base/j.csv"),
+      "job_name,inst_id,user,status,start_time,end_time\nj1,i1,u1,Running,100,\n")
+    val df = Bronze.readCsv(spark, s"$base/j.csv", Schemas.bronzeJobEvents)
+    val r = df.collect()(0)
+    assert(r.getAs[Long]("start_time") == 100L)
+    assert(r.isNullAt(r.fieldIndex("end_time"))) // empty → NULL long
+  }
+}
