@@ -1,0 +1,124 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming operators for the telemetry stream — the
+  * reference's "Streaming Simulation" future-work item (reference
+  * README.md:574-578) built natively: the same silver→gold daily
+  * utilization aggregate expressed over an unbounded source with
+  * event-time watermarks, plus stateful job sessionization and streaming
+  * dedup for the training-data pipeline.
+  *
+  * Everything here takes/returns DataFrames so the identical transform
+  * runs in batch (spark.read) and streaming (spark.readStream) — the
+  * Dataset API's unified-engine property; specs exercise the streaming
+  * path through MemoryStream.
+  *
+  * Scale notes: windowed aggregations keyed by (window, …) shuffle once
+  * per trigger with partial aggregation map-side; watermarks bound state
+  * (late rows beyond the watermark are dropped, window state is evicted
+  * at watermark + window), so executor state stays O(open windows), not
+  * O(stream history). Sessionization state is one small case class per
+  * open job, evicted on timeout.
+  */
+object StreamingTelemetry {
+
+  /** Tumbling event-time utilization aggregate over a metric stream with
+    * columns (ts: timestamp, machine_id, gpu_util_pct, cpu_util_pct).
+    * Streaming analogue of Gold.clusterUtilDaily — exact percentile is not
+    * incrementally computable, so the stream emits avg/max/count plus an
+    * approx p95 (t-digest-style sketch, mergeable ⇒ streamable).
+    */
+  def windowedUtilization(metrics: DataFrame, window: String = "1 day",
+                          watermark: String = "1 day"): DataFrame =
+    metrics
+      .filter(col("gpu_util_pct").isNotNull)
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window).as("w"))
+      .agg(
+        avg("gpu_util_pct").as("avg_gpu_util"),
+        percentile_approx(col("gpu_util_pct"), lit(0.95), lit(10000))
+          .as("p95_gpu_util"),
+        max("gpu_util_pct").as("max_gpu_util"),
+        avg("cpu_util_pct").as("avg_cpu_util"),
+        count(lit(1)).as("n_samples"))
+      .select(col("w.start").as("dt"), col("avg_gpu_util"),
+        col("p95_gpu_util"), col("max_gpu_util"), col("avg_cpu_util"),
+        col("n_samples"))
+
+  /** Per-machine rolling utilization over sliding windows (dashboard feed;
+    * reference README.md:565-572 future-work).
+    */
+  def machineUtilization(metrics: DataFrame, window: String = "1 hour",
+                         slide: String = "15 minutes",
+                         watermark: String = "2 hours"): DataFrame =
+    metrics
+      .filter(col("gpu_util_pct").isNotNull)
+      .withWatermark("ts", watermark)
+      .groupBy(col("machine_id"),
+        org.apache.spark.sql.functions.window(col("ts"), window, slide).as("w"))
+      .agg(avg("gpu_util_pct").as("avg_gpu_util"),
+        count(lit(1)).as("n_samples"))
+      .select(col("machine_id"), col("w.start").as("window_start"),
+        col("avg_gpu_util"), col("n_samples"))
+
+  /** Streaming exact-dedup on an id column within the watermark horizon:
+    * the training-data-pipeline "have I seen this document" filter. State
+    * is one entry per distinct id inside the horizon.
+    */
+  def dedupStream(rows: DataFrame, idCol: String, tsCol: String,
+                  watermark: String = "1 day"): DataFrame =
+    rows.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(idCol)
+
+  // ---- stateful sessionization (flatMapGroupsWithState) ----
+
+  final case class JobEvent(job_id: String, user_id: String, status: String,
+                            ts: java.sql.Timestamp)
+  final case class JobSessionState(start: Long, user_id: String)
+  final case class JobSession(job_id: String, user_id: String,
+                              start_ts: java.sql.Timestamp,
+                              end_ts: java.sql.Timestamp, run_time_sec: Long)
+
+  /** Reassemble job sessions from a stream of start/terminate events —
+    * the silver_jobs dimension (run_time_sec included) computed
+    * incrementally instead of by batch rebuild. One state entry per
+    * RUNNING job; with `timeout = Some(d)` a ProcessingTimeTimeout evicts
+    * jobs whose terminal event never arrives (crashed producers), emitting
+    * nothing for them. `None` keeps state until a terminal event (tests
+    * use this: timeout-check batches re-fire forever under
+    * processAllAvailable).
+    */
+  def jobSessions(events: Dataset[JobEvent],
+                  timeout: Option[String] = Some("1 hour")): Dataset[JobSession] = {
+    import events.sparkSession.implicits._
+    def update(jobId: String, evs: Iterator[JobEvent],
+               state: GroupState[JobSessionState]): Iterator[JobSession] = {
+      if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+      var out = List.empty[JobSession]
+      evs.toSeq.sortBy(_.ts.getTime).foreach { e =>
+        e.status match {
+          case "Running" =>
+            if (!state.exists) {
+              state.update(JobSessionState(e.ts.getTime, e.user_id))
+              timeout.foreach(state.setTimeoutDuration)
+            }
+          case "Terminated" | "Failed" if state.exists =>
+            val s = state.get
+            out ::= JobSession(jobId, s.user_id,
+              new java.sql.Timestamp(s.start), e.ts,
+              (e.ts.getTime - s.start) / 1000L)
+            state.remove()
+          case _ => ()
+        }
+      }
+      out.reverseIterator
+    }
+    events.groupByKey(_.job_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        timeout.map(_ => GroupStateTimeout.ProcessingTimeTimeout)
+          .getOrElse(GroupStateTimeout.NoTimeout))(update)
+  }
+}

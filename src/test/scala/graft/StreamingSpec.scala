@@ -1,0 +1,115 @@
+package graft
+
+import graft.streaming.StreamingTelemetry
+import graft.streaming.StreamingTelemetry.{JobEvent, JobSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+/** Top-level so Spark codegen sees a static constructor (nested test case
+  * classes carry an outer pointer and break the generated encoder code).
+  */
+case class StreamMetric(ts: Timestamp, machine_id: String,
+                        gpu_util_pct: java.lang.Double,
+                        cpu_util_pct: java.lang.Double)
+
+/** Streaming operators through MemoryStream sources: the same transforms
+  * must behave per their event-time/watermark/state contracts.
+  */
+class StreamingSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def ts(day: Int, hour: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-03-${day}%02d $hour%02d:00:00")
+
+  test("windowedUtilization aggregates per event-time day with watermark") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[StreamMetric]
+    val q = StreamingTelemetry.windowedUtilization(in.toDF(), "1 day", "1 day")
+      .writeStream.format("memory").queryName("daily_util")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        StreamMetric(ts(1, 1), "m1", 10.0, 1.0),
+        StreamMetric(ts(1, 2), "m1", 30.0, 3.0),
+        StreamMetric(ts(1, 3), "m2", null, 9.0), // null gpu filtered
+        StreamMetric(ts(2, 1), "m1", 50.0, 5.0))
+      q.processAllAvailable()
+      // advance watermark past day 1+2 so their windows close (append mode)
+      in.addData(StreamMetric(ts(5, 0), "m9", 1.0, 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("daily_util").orderBy("dt").collect()
+      assert(rows.length >= 2)
+      val d1 = rows(0)
+      assert(d1.getAs[Timestamp]("dt") == ts(1))
+      assert(d1.getAs[Double]("avg_gpu_util") == 20.0)
+      assert(d1.getAs[Long]("n_samples") == 2L)
+      assert(rows(1).getAs[Double]("avg_gpu_util") == 50.0)
+    } finally q.stop()
+  }
+
+  test("dedupStream drops same-id rows within the watermark horizon") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, String)]
+    val df = in.toDF().toDF("ts", "doc_id", "body")
+    val q = StreamingTelemetry.dedupStream(df, "doc_id", "ts", "1 day")
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (ts(1, 1), "a", "x"), (ts(1, 2), "a", "x-dup"), (ts(1, 3), "b", "y"))
+      q.processAllAvailable()
+      in.addData((ts(1, 4), "a", "x-dup2"), (ts(1, 5), "c", "z"))
+      q.processAllAvailable()
+      val ids = spark.table("deduped").select("doc_id")
+        .collect().map(_.getString(0)).sorted
+      assert(ids.toSeq == Seq("a", "b", "c"))
+    } finally q.stop()
+  }
+
+  test("jobSessions emits one session per completed job with duration") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[JobEvent]
+    val q = StreamingTelemetry.jobSessions(in.toDS(), timeout = None)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        JobEvent("j1", "alice", "Running", ts(1, 1)),
+        JobEvent("j2", "bob", "Running", ts(1, 2)))
+      q.processAllAvailable()
+      in.addData(
+        JobEvent("j1", "alice", "Terminated", ts(1, 3)),
+        JobEvent("j3", "carol", "Running", ts(1, 4))) // j3 never ends
+      q.processAllAvailable()
+      val sessions = spark.table("sessions").as[JobSession].collect()
+      assert(sessions.length == 1)
+      val s = sessions(0)
+      assert(s.job_id == "j1" && s.user_id == "alice")
+      assert(s.run_time_sec == 7200L) // 01:00 → 03:00
+    } finally q.stop()
+  }
+
+  test("machineUtilization computes sliding windows per machine") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[StreamMetric]
+    val q = StreamingTelemetry.machineUtilization(in.toDF(),
+        "1 hour", "30 minutes", "2 hours")
+      .writeStream.format("memory").queryName("machine_util")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        StreamMetric(ts(1, 1), "m1", 40.0, 1.0),
+        StreamMetric(ts(1, 1), "m1", 60.0, 1.0))
+      q.processAllAvailable()
+      in.addData(StreamMetric(ts(2, 0), "m1", 1.0, 1.0)) // advance watermark
+      q.processAllAvailable()
+      val rows = spark.table("machine_util")
+        .filter($"machine_id" === "m1" && $"n_samples" === 2).collect()
+      // hour-long window sliding by 30min → the 01:00 points appear in 2 windows
+      assert(rows.length == 2)
+      assert(rows.forall(_.getAs[Double]("avg_gpu_util") == 50.0))
+    } finally q.stop()
+  }
+}
