@@ -19,7 +19,8 @@ object SparkEntry {
     TextQueries,
     DedupQueries,
     SimilarityQueries,
-    MlQueries)
+    MlQueries,
+    MultimodalQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's gold daily-utilization aggregate re-expressed on the
