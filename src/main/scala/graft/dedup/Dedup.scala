@@ -1,5 +1,6 @@
 package graft.dedup
 
+import graft.functions.TextHashExpressions.{lshBandKeys, simhash60, wordShingles}
 import graft.text.TextFunctions._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -40,10 +41,15 @@ object Dedup {
       .groupBy("fp")
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
 
-  /** (id, shingles) with the shingle expression materialized exactly once. */
+  /** (id, shingles) with the shingle expression materialized exactly once.
+    * wordShingles is the native codegen'd twin of TextFunctions.shingles
+    * (bit-identical output; one JVM call per row instead of per-element
+    * interpreted lambdas).
+    */
   private def shingled(docs: DataFrame, textCol: String, idCol: String,
                        n: Int): DataFrame =
-    docs.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+    docs.select(col(idCol).as("id"),
+        wordShingles(tokens(col(textCol)), n).as("sh"))
       .filter(size(col("sh")) > 0)
       .repartition(col("id"))
 
@@ -83,16 +89,10 @@ object Dedup {
                       threshold: Double, n: Int = 3,
                       bands: Int = 4, r: Int = 3): DataFrame = {
     val t = shingled(docs, textCol, idCol, n)
-    // bands directly from the sh attribute: band key b = md5 over the r
-    // signature components b*r .. b*r+r-1; sh is an attribute here (post-
-    // exchange), so the 12 references are free.
-    val bandKeys = transform(sequence(lit(0), lit(bands - 1)),
-      b => md5(concat_ws("|",
-        transform(sequence(b * r, b * r + r - 1),
-          i => array_min(transform(col("sh"),
-            s => md5(concat(i.cast("string"), lit(":"), s))))))))
+    // ONE native expression computes the k=bands*r signature and all band
+    // keys per row — no per-band re-evaluation of the signature subtree.
     val banded = t.select(col("id"),
-      posexplode(bandKeys).as(Seq("band", "key")))
+      posexplode(lshBandKeys(col("sh"), bands, r)).as(Seq("band", "key")))
     val cand = banded.select(col("id").as("ida"), col("band"), col("key"))
       .join(banded.select(col("id").as("idb"), col("band").as("band_b"),
           col("key").as("key_b")),
@@ -117,37 +117,13 @@ object Dedup {
     * dynamic bit shifts. bit b of the result = majority vote of bit b
     * across token hashes (strict majority; ties → 0).
     */
-  def simhashDocs(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val toks = tokens(col(textCol))
-    // per-token 60-bit vector: 15 hex digits × 4 bits, MSB-first
-    val tokBits = transform(toks, t => {
-      val h = md5(t)
-      flatten(transform(sequence(lit(1), lit(15)), dpos => {
-        val v = conv(substr(h, dpos, lit(1)), 16, 10).cast("int")
-        array(
-          floor(v / 8).cast("int") % 2,
-          floor(v / 4).cast("int") % 2,
-          floor(v / 2).cast("int") % 2,
-          v % 2)
-      }))
-    })
-    val s1 = docs
-      .select(col(idCol).as("id"), tokBits.as("tb"), size(toks).as("n"))
-      .filter(col("n") > 0)
-      .repartition(col("id"))
-    // bit-position vote counts; tb is an attribute here (single reference)
-    val s2 = s1.select(col("id"), col("n"),
-        aggregate(col("tb"), array_repeat(lit(0), 60),
-          (acc, bv) => zip_with(acc, bv, (x, y) => x + y)).as("votes"))
-      .repartition(col("id"))
-    // votes is referenced 60× below — must be an attribute (barrier above)
-    s2.select(col("id"),
-      aggregate(sequence(lit(0), lit(59)), lit(0L),
-        (acc, b) => acc +
-          when(element_at(col("votes"), b + 1) * 2 > col("n"),
-            pow(lit(2.0), lit(59) - b).cast("long"))
-            .otherwise(lit(0L))).as("simhash"))
-  }
+  def simhashDocs(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    // Native expression: one md5 + bit-vote loop per row in plain JVM code
+    // (the HOF formulation needed two exchange barriers just to stop
+    // Catalyst re-inlining its 60-reference vote array; this needs none).
+    docs.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("id"), simhash60(col("toks")).as("simhash"))
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, found via
     * 4×15-bit chunk LSH (pigeonhole: distance ≤ 3 ⇒ some chunk equal) —

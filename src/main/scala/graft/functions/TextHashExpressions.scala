@@ -1,0 +1,285 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.security.MessageDigest
+
+/** Static helpers the generated code calls — one JVM method invocation per
+  * row keeps whole-stage codegen spans intact while the md5-heavy loops
+  * run as plain bytecode instead of per-element interpreted Catalyst
+  * lambdas (the HOF formulation re-enters the expression interpreter for
+  * EVERY array element; these are 20-40× faster on the dedup corpus).
+  *
+  * All outputs are BIT-IDENTICAL to the md5-hex SQL formulations in
+  * graft.text.TextFunctions / graft.dedup.Dedup oracle SQL — same md5 of
+  * UTF-8 bytes, same hex-digit bit extraction, same lexicographic min on
+  * hex strings — so DuckDB oracle parity is preserved.
+  */
+object TextHashOps {
+
+  private val hexChars = "0123456789abcdef".toCharArray
+
+  private def md5Hex(bytes: Array[Byte]): String = {
+    val d = MessageDigest.getInstance("MD5").digest(bytes)
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hexChars((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexChars(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** 60-bit SimHash over a token array: per-token md5, first 15 hex digits
+    * → 60 bits MSB-first, strict-majority vote per bit (ties → 0).
+    * Identical to Dedup.simhashDocs's SQL tree and its DuckDB oracle.
+    */
+  def simhash60(tokens: ArrayData): Long = {
+    val n = tokens.numElements()
+    val votes = new Array[Int](60)
+    var t = 0
+    while (t < n) {
+      val hex = md5Hex(tokens.getUTF8String(t).getBytes)
+      var d = 0
+      while (d < 15) {
+        val c = hex.charAt(d)
+        val v = if (c <= '9') c - '0' else c - 'a' + 10
+        val base = d * 4
+        votes(base) += (v >> 3) & 1
+        votes(base + 1) += (v >> 2) & 1
+        votes(base + 2) += (v >> 1) & 1
+        votes(base + 3) += v & 1
+        d += 1
+      }
+      t += 1
+    }
+    var h = 0L
+    var b = 0
+    while (b < 60) {
+      if (votes(b) * 2 > n) h |= 1L << (59 - b)
+      b += 1
+    }
+    h
+  }
+
+  /** k-component MinHash signature: component i = lexicographic min over
+    * shingles of md5Hex(i + ":" + shingle). Identical to
+    * TextFunctions.minhashSignature and the DuckDB oracle's
+    * list_min(list_transform(...)).
+    */
+  def minhashSignature(shingles: ArrayData, k: Int): ArrayData = {
+    val n = shingles.numElements()
+    val out = new Array[AnyRef](k)
+    var i = 0
+    while (i < k) {
+      val prefix = (i.toString + ":").getBytes("UTF-8")
+      var best: String = null
+      var s = 0
+      while (s < n) {
+        val sb = shingles.getUTF8String(s).getBytes
+        val buf = new Array[Byte](prefix.length + sb.length)
+        System.arraycopy(prefix, 0, buf, 0, prefix.length)
+        System.arraycopy(sb, 0, buf, prefix.length, sb.length)
+        val h = md5Hex(buf)
+        if (best == null || h.compareTo(best) < 0) best = h
+        s += 1
+      }
+      out(i) = UTF8String.fromString(best)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** LSH band keys over the k = bands*r MinHash signature: band b =
+    * md5Hex(sig[b*r] + "|" + … + sig[b*r+r-1]) — identical to
+    * TextFunctions.lshBands ∘ minhashSignature and the oracle's
+    * md5(array_to_string(sig[b*r+1 : b*r+r], '|')). Computing the
+    * signature inside ONE expression avoids Catalyst inlining the
+    * signature subtree once per band.
+    */
+  def lshBandKeys(shingles: ArrayData, bands: Int, r: Int): ArrayData = {
+    val sig = minhashSignature(shingles, bands * r)
+    val out = new Array[AnyRef](bands)
+    var b = 0
+    while (b < bands) {
+      val sb = new java.lang.StringBuilder()
+      var j = 0
+      while (j < r) {
+        if (j > 0) sb.append('|')
+        sb.append(sig.getUTF8String(b * r + j).toString)
+        j += 1
+      }
+      out(b) = UTF8String.fromString(md5Hex(sb.toString.getBytes("UTF-8")))
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Tokenize exactly like TextFunctions.tokens: trim ASCII spaces
+    * (StringTrim semantics), lower-case (UTF8String.toLowerCase — same
+    * code path Spark's Lower uses), split on java-regex \s+, drop
+    * empties.
+    */
+  def tokenize(text: UTF8String): Array[String] =
+    text.trim().toLowerCase().toString.split("\\s+").filter(_.nonEmpty)
+
+  /** One-pass token stats: (n_tokens, avg_word_len, fingerprint). Same
+    * values as TextFunctions.{tokenCount, avgWordLen (pre-round),
+    * fingerprint}: length in CODE POINTS (Spark's length()), md5 of the
+    * single-space token join.
+    */
+  def tokenStats(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val toks = tokenize(text)
+    var lenSum = 0L
+    var i = 0
+    while (i < toks.length) {
+      lenSum += toks(i).codePointCount(0, toks(i).length)
+      i += 1
+    }
+    val avg = lenSum.toDouble / math.max(toks.length, 1)
+    val fp = md5Hex(toks.mkString(" ").getBytes("UTF-8"))
+    org.apache.spark.sql.catalyst.InternalRow(
+      toks.length, avg, UTF8String.fromString(fp))
+  }
+
+  /** Distinct word n-grams joined by single spaces, first-occurrence
+    * order — identical to TextFunctions.shingles
+    * (array_distinct(transform(sequence, concat_ws(slice)))).
+    */
+  def shingles(tokens: ArrayData, n: Int): ArrayData = {
+    val nTok = tokens.numElements()
+    if (nTok < n) return new GenericArrayData(new Array[AnyRef](0))
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i <= nTok - n) {
+      val sb = new java.lang.StringBuilder()
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(tokens.getUTF8String(i + j).toString)
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[AnyRef](seen.size)
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = UTF8String.fromString(it.next()); o += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** simhash60(tokens: array<string>): bigint — native 60-bit SimHash. */
+case class SimHash60(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"simhash60 requires array<string>, got ${dt.catalogString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash60"
+  override def nullSafeEval(a: Any): Any =
+    TextHashOps.simhash60(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashOps.simhash60($c)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** minhash_sig(shingles: array<string>, k): array<string>. */
+case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig requires array<string>, got ${dt.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+  override def nullSafeEval(a: Any): Any =
+    TextHashOps.minhashSignature(a.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHashOps.minhashSignature($c, $k)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** lsh_band_keys(shingles: array<string>, bands, r): array<string>. */
+case class LshBandKeys(child: Expression, bands: Int, r: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"lsh_band_keys requires array<string>, got ${dt.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "lsh_band_keys"
+  override def nullSafeEval(a: Any): Any =
+    TextHashOps.lshBandKeys(a.asInstanceOf[ArrayData], bands, r)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHashOps.lshBandKeys($c, $bands, $r)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** word_shingles(tokens: array<string>, n): array<string>. */
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"word_shingles requires array<string>, got ${dt.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+  override def nullSafeEval(a: Any): Any =
+    TextHashOps.shingles(a.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashOps.shingles($c, $n)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** text_stats(text): struct<n_tokens int, avg_word_len double, fp string>
+  * — one tokenizer pass feeding three stats (the HOF formulation
+  * re-tokenizes per stat after CollapseProject inlining).
+  */
+case class TextStats(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"text_stats requires string, got ${dt.catalogString}")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("avg_word_len", DoubleType, nullable = false),
+    StructField("fp", StringType, nullable = false)))
+  override def prettyName: String = "text_stats"
+  override def nullSafeEval(a: Any): Any =
+    TextHashOps.tokenStats(a.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashOps.tokenStats($c)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object TextHashExpressions {
+  def simhash60(tokens: Column): Column =
+    GraftSqlBridge.column(SimHash60(GraftSqlBridge.expression(tokens)))
+  def textStats(text: Column): Column =
+    GraftSqlBridge.column(TextStats(GraftSqlBridge.expression(text)))
+  def minhashSig(shingles: Column, k: Int): Column =
+    GraftSqlBridge.column(MinHashSig(GraftSqlBridge.expression(shingles), k))
+  def lshBandKeys(shingles: Column, bands: Int, r: Int): Column =
+    GraftSqlBridge.column(LshBandKeys(GraftSqlBridge.expression(shingles), bands, r))
+  def wordShingles(tokens: Column, n: Int): Column =
+    GraftSqlBridge.column(WordShingles(GraftSqlBridge.expression(tokens), n))
+}

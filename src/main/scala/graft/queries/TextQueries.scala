@@ -14,16 +14,20 @@ object TextQueries extends QueryPack {
 
   val queries: Map[String, Q] = Map(
     // Token counting + punctuation + word-length stats + content
-    // fingerprint per document.
+    // fingerprint per document. One native tokenizer pass feeds the three
+    // token-derived stats (graft.functions.TextStats — bit-identical to
+    // the TextFunctions HOF versions, which remain the oracle semantics).
     "q_text_stats" -> ((s, d) =>
       Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          graft.functions.TextHashExpressions.textStats(col("text")).as("ts"))
         .select(
           col("doc_id"),
-          tokenCount(col("text")).as("n_tokens"),
+          col("ts.n_tokens").as("n_tokens"),
           length(col("text")).as("n_chars_measured"),
           punctRatio(col("text")).as("punct_ratio"),
-          avgWordLen(col("text")).as("avg_word_len"),
-          fingerprint(col("text")).as("fp"))
+          round(col("ts.avg_word_len"), 6).as("avg_word_len"),
+          col("ts.fp").as("fp"))
         .orderBy("doc_id")),
 
     // Language-ID heuristic via marker-token counts, strict priority.

@@ -1,0 +1,77 @@
+package graft
+
+import graft.functions.TextHashExpressions._
+import graft.text.TextFunctions
+import org.apache.spark.sql.functions._
+
+/** The native hash expressions must be bit-identical to their HOF
+  * (built-in-composed) twins in TextFunctions — the twins define the
+  * DuckDB-oracle semantics.
+  */
+class TextHashExprSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "a b c d e f g a b c d e f g",
+    "single",
+    "x y z").toDF("t")
+
+  test("wordShingles == TextFunctions.shingles") {
+    val cmp = docs.select(
+      wordShingles(TextFunctions.tokens(col("t")), 3).as("native"),
+      TextFunctions.shingles(col("t"), 3).as("hof")).collect()
+    cmp.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+  }
+
+  test("minhashSig == TextFunctions.minhashSignature") {
+    val sh = TextFunctions.shingles(col("t"), 2)
+    val cmp = docs.filter(size(sh) > 0).select(
+      minhashSig(sh, 12).as("native"),
+      TextFunctions.minhashSignature(sh, 12).as("hof")).collect()
+    assert(cmp.nonEmpty)
+    cmp.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+  }
+
+  test("lshBandKeys == TextFunctions.lshBands ∘ minhashSignature") {
+    val sh = TextFunctions.shingles(col("t"), 2)
+    val cmp = docs.filter(size(sh) > 0).select(
+      lshBandKeys(sh, 4, 3).as("native"),
+      TextFunctions.lshBands(TextFunctions.minhashSignature(sh, 12), 4, 3)
+        .as("hof")).collect()
+    cmp.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+  }
+
+  test("textStats == HOF tokenCount/avgWordLen/fingerprint on tricky inputs") {
+    val tricky = Seq(
+      "the quick brown fox", " \t leading  and\ttrailing \t ",
+      "UPPER Case MiXeD", "único über naïve café", "", "   ",
+      "a", "punct. heavy, text! here?").toDF("t")
+    val cmp = tricky.select(
+      textStats(col("t")).as("ts"),
+      TextFunctions.tokenCount(col("t")).as("nt"),
+      TextFunctions.avgWordLen(col("t")).as("awl"),
+      TextFunctions.fingerprint(col("t")).as("fp")).collect()
+    cmp.foreach { r =>
+      val ts = r.getStruct(0)
+      assert(ts.getInt(0) == r.getInt(1), s"n_tokens mismatch: $r")
+      assert(math.abs(ts.getDouble(1) -
+        BigDecimal(ts.getDouble(1)).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble) >= 0 &&
+        math.abs(BigDecimal(ts.getDouble(1)).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble - r.getDouble(2)) < 1e-12,
+        s"avg_word_len mismatch: $r")
+      assert(ts.getString(2) == r.getString(3), s"fp mismatch: $r")
+    }
+  }
+
+  test("simhash60 is deterministic, content-sensitive, and 60-bit") {
+    val h = docs.select(simhash60(TextFunctions.tokens(col("t"))).as("h"))
+      .collect().map(_.getLong(0))
+    assert(h.distinct.length == h.length)      // distinct docs → distinct hashes
+    assert(h.forall(v => v >= 0 && v < (1L << 60)))
+    val h2 = docs.select(simhash60(TextFunctions.tokens(col("t"))).as("h"))
+      .collect().map(_.getLong(0))
+    assert(h.toSeq == h2.toSeq)
+  }
+}
