@@ -42,6 +42,16 @@ object TextQueries extends QueryPack {
           langIdHeuristic(col("text")).as("lang_pred"))
         .orderBy("doc_id")),
 
+    // Rolling-hash fingerprint (order-sensitive) + BPE-ish sub-word token
+    // count per document.
+    "q_text_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          rollingHash(col("text")).as("rolling_fp"),
+          bpeTokenCount(col("text")).as("n_bpe_tokens"))
+        .orderBy("doc_id")),
+
     // Composite quality score (length/punct/stopword mix).
     "q_text_quality" -> ((s, d) =>
       Tables.documents(s, d)
@@ -93,6 +103,14 @@ object TextQueries extends QueryPack {
         |       WHEN de_hits > 0 THEN 'de'
         |       ELSE 'und' END AS lang_pred
         |FROM c ORDER BY doc_id""".stripMargin,
+    "q_text_fingerprint" ->
+      s"""WITH t AS (SELECT doc_id, text, $tokensSql AS w FROM documents)
+        |SELECT doc_id,
+        |  list_reduce(list_prepend(0::BIGINT, list_transform(w,
+        |    t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)),
+        |    (acc, th) -> (acc * 31 + th) % 1000000007) AS rolling_fp,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens
+        |FROM t ORDER BY doc_id""".stripMargin,
     "q_text_quality" ->
       s"""WITH t AS (SELECT doc_id, lang, text, $tokensSql AS w FROM documents),
         |q AS (SELECT doc_id, lang,

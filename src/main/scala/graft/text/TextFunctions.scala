@@ -78,6 +78,25 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", tokens(text)))
 
+  /** Polynomial rolling hash over the token stream:
+    * h = fold(h * B + tokenHash(t)) mod P, with tokenHash = first 8 md5
+    * hex digits as an int. Order-sensitive (unlike the set-based md5
+    * fingerprint) — equal only for token-identical documents — and
+    * engine-independent: every step stays < 2^63 (P ≈ 1e9+7, B = 31), so
+    * no overflow-semantics divergence between engines.
+    */
+  def rollingHash(text: Column, B: Long = 31L, P: Long = 1000000007L): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => (acc * B + conv(substring(md5(t), 1, 8), 16, 10).cast("long")) % P)
+
+  /** BPE-ish sub-word token count: runs of letters, runs of digits, and
+    * single other non-space characters each count as one token — the
+    * coarse pre-tokenization pass BPE vocabularies start from.
+    */
+  val bpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  def bpeTokenCount(text: Column): Column = regexp_count(text, lit(bpeTokenPattern))
+
   /** Word n-gram shingles (distinct), the unit for Jaccard/MinHash dedup. */
   def shingles(text: Column, n: Int = 3): Column = {
     val w = tokens(text)

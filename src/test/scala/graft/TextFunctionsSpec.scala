@@ -75,6 +75,22 @@ class TextFunctionsSpec extends SparkSpecBase {
     assert(x.intersect(z).isEmpty)
   }
 
+  test("rollingHash is order-sensitive; md5 fingerprint is not") {
+    val ab = one[Long](rollingHash(col("t")), "alpha beta")
+    val ba = one[Long](rollingHash(col("t")), "beta alpha")
+    val ab2 = one[Long](rollingHash(col("t")), "Alpha  Beta") // normalized
+    assert(ab != ba)
+    assert(ab == ab2)
+    assert(one[Long](rollingHash(col("t")), "") == 0L)
+  }
+
+  test("bpeTokenCount splits letter runs, digit runs, and single symbols") {
+    // hello | , | world | 42 | !
+    assert(one[Int](bpeTokenCount(col("t")), "hello, world42!") == 5)
+    assert(one[Int](bpeTokenCount(col("t")), "") == 0)
+    assert(one[Int](bpeTokenCount(col("t")), "abc def") == 2)
+  }
+
   test("qualityScore is in [0,1] and higher for natural prose") {
     val prose = "the quick brown fox jumps over the lazy dog and runs to the forest"
     val junk = "..... ,,,,, !!!!!"
