@@ -48,7 +48,17 @@ object SimilarityQueries extends QueryPack {
     // Embedding-cosine near-duplicate pairs.
     "q_embed_neardup" -> ((s, d) =>
       nearDupPairs(corpus(s, d), 0.45)
-        .orderBy("ida", "idb")))
+        .orderBy("ida", "idb")),
+
+    // IVF-Flat approximate top-3: data-adaptive coarse quantizer (16
+    // cells, 4 probes, deterministic k-means). The Lloyd iterations are
+    // not SQL-expressible in one query → rows-only check; IvfSpec pins
+    // recall vs the brute-force baseline.
+    "q_ann_ivf" -> ((s, d) => {
+      val c = corpus(s, d).select("id", "vec")
+      graft.similarity.Ivf.topKIvf(c.filter(col("id") < 10), c, 3)
+        .orderBy("qid", "rn")
+    }))
 
   private val corpusSql =
     "SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings"

@@ -1,0 +1,147 @@
+package graft.similarity
+
+import graft.functions.VectorExpressions.vecDot
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest-neighbor search: partition the
+  * corpus into `nlist` Voronoi cells around k-means centroids, then search
+  * only the `nprobe` cells nearest each query.
+  *
+  * This is the classic coarse-quantizer ANN layout (FAISS-style IVF-Flat).
+  * Versus the sign-bit LSH variant in VectorOps: LSH buckets are free to
+  * compute but data-oblivious; IVF cells adapt to the data distribution,
+  * so recall at equal candidate budget is higher on clustered embeddings.
+  *
+  * Scale design:
+  *  - k-means runs DISTRIBUTED: assignment is a map with the (tiny) k×dim
+  *    centroid matrix in the task closure; the update step is one
+  *    hash aggregation over (cell, dim) — shuffle carries k×dim partial
+  *    sums per map task, never vectors. Iterations are bounded (default 3;
+  *    Lloyd converges fast for coarse quantizers).
+  *  - Init is deterministic (k lowest-id vectors), so the whole index —
+  *    and therefore query results — is reproducible run-to-run.
+  *  - Search is an equi-join corpus⋈queries on cell id: the corpus
+  *    shuffles ONCE by cell; each cell ranks locally; no cross product.
+  *    Candidate count ≈ (nprobe/nlist) × corpus — the knob that trades
+  *    recall for cost.
+  */
+object Ivf {
+
+  /** Deterministic k-means (Lloyd) over (id, vec) rows. Returns the k×dim
+    * centroid matrix, ordered by centroid id.
+    *
+    * Init is farthest-first traversal (maxmin): start from the lowest-id
+    * vector, then repeatedly take the point farthest from the chosen set
+    * (ties broken by id). Deterministic, and unlike lowest-k-ids it can't
+    * seed every centroid inside one dense cluster. Costs k distributed
+    * max-passes — k is the (small) nlist, so this is bounded.
+    */
+  def kmeansFit(corpus: DataFrame, k: Int, iters: Int = 3): Array[Array[Double]] = {
+    val first = corpus.orderBy("id").limit(1).select("vec").collect()(0)
+      .getSeq[Double](0).toArray
+    val init = scala.collection.mutable.ArrayBuffer(first)
+    while (init.length < k) {
+      val chosen = init.toArray
+      val minDist = udf((v: Seq[Double]) => {
+        var best = Double.MaxValue
+        var c = 0
+        while (c < chosen.length) {
+          var d = 0.0; var i = 0
+          val cv = chosen(c)
+          val n = math.min(cv.length, v.length)
+          while (i < n) { val t = v(i) - cv(i); d += t * t; i += 1 }
+          if (d < best) best = d
+          c += 1
+        }
+        best
+      })
+      val far = corpus.withColumn("d", minDist(col("vec")))
+        .orderBy(col("d").desc, col("id")).limit(1)
+        .select("vec").collect()(0).getSeq[Double](0).toArray
+      init += far
+    }
+    var centroids: Array[Array[Double]] = init.toArray
+    var it = 0
+    while (it < iters) {
+      val assigned = assignCells(corpus, centroids)
+      // update: element-wise mean per cell — posexplode to (cell, dim,
+      // value), one hash agg; result is k×dim rows (tiny collect).
+      val sums = assigned
+        .select(col("cell"), posexplode(col("vec")).as(Seq("dim", "v")))
+        .groupBy("cell", "dim")
+        .agg(avg("v").as("mean"))
+        .collect()
+      val next = centroids.map(_.clone())
+      sums.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+      }
+      centroids = next
+      it += 1
+    }
+    centroids
+  }
+
+  /** Adds `cell` = index of the L2-nearest centroid. The centroid matrix
+    * rides in the UDF closure (k×dim doubles — broadcast with the task).
+    */
+  def assignCells(vectors: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
+    val cs = centroids
+    val nearest = udf((v: Seq[Double]) => {
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < cs.length) {
+        var d = 0.0; var i = 0
+        val cv = cs(c)
+        val n = math.min(cv.length, v.length)
+        while (i < n) { val t = v(i) - cv(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    })
+    vectors.withColumn("cell", nearest(col("vec")))
+  }
+
+  /** `nprobe` nearest cells per vector (for the query side). */
+  private def probeCells(vectors: DataFrame, centroids: Array[Array[Double]],
+                         nprobe: Int): DataFrame = {
+    val cs = centroids
+    val probes = udf((v: Seq[Double]) => {
+      cs.indices.map { c =>
+        var d = 0.0; var i = 0
+        val cv = cs(c)
+        val n = math.min(cv.length, v.length)
+        while (i < n) { val t = v(i) - cv(i); d += t * t; i += 1 }
+        (d, c)
+      }.sorted.take(nprobe).map(_._2)
+    })
+    vectors.withColumn("cell", explode(probes(col("vec"))))
+  }
+
+  /** Approximate top-k: index the corpus into nlist cells, probe nprobe
+    * cells per query, rank candidates exactly by rounded cosine with id
+    * tiebreak (deterministic). Input frames: (id, vec double-array).
+    */
+  def topKIvf(queries: DataFrame, corpus: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4,
+              kmeansIters: Int = 3): DataFrame = {
+    val centroids = kmeansFit(corpus, nlist, kmeansIters)
+    val c = assignCells(corpus, centroids)
+      .select(col("id").as("cid_"), col("vec").as("cvec"), col("cell"))
+      .withColumn("cnrm", sqrt(vecDot(col("cvec"), col("cvec"))))
+    val q = probeCells(queries, centroids, nprobe)
+      .select(col("id").as("qid"), col("vec").as("qvec"), col("cell"))
+      .withColumn("qnrm", sqrt(vecDot(col("qvec"), col("qvec"))))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("cid_"))
+    q.join(c, Seq("cell"))
+      .filter(col("qid") =!= col("cid_"))
+      .withColumn("cos",
+        round(vecDot(col("qvec"), col("cvec")) / (col("qnrm") * col("cnrm")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("rn"), col("cid_").as("vec_id"), col("cos"))
+  }
+}
