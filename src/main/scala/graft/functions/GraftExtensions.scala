@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SparkSessionExtensions entry point: registers graft's native Catalyst
+  * expressions as SQL functions, so `spark.sql("SELECT simhash60(...)")`
+  * works next to the DataFrame API. Enable with
+  *
+  *   .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+  *
+  * Integer parameters (k, bands, n, …) arrive as SQL literals and are
+  * bound at resolution time — the expressions themselves carry them as
+  * constructor fields, which keeps codegen free of per-row parameter
+  * reads.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intArg(e: Expression, fn: String, pos: Int): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: argument ${pos + 1} must be an integer literal, got $other")
+  }
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  private def register(ext: SparkSessionExtensions, name: String,
+                       usage: String, builder: FunctionBuilder): Unit =
+    ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    register(ext, "vec_dot",
+      "vec_dot(a array<double>, b array<double>) - dot product",
+      { case Seq(a, b) => VecDot(a, b) })
+    register(ext, "simhash60",
+      "simhash60(tokens array<string>) - 60-bit majority-vote SimHash",
+      { case Seq(t) => SimHash60(t) })
+    register(ext, "minhash_sig",
+      "minhash_sig(shingles array<string>, k int) - k-component MinHash signature",
+      { case Seq(s, k) => MinHashSig(s, intArg(k, "minhash_sig", 1)) })
+    register(ext, "lsh_band_keys",
+      "lsh_band_keys(shingles array<string>, bands int, r int) - LSH band bucket keys",
+      { case Seq(s, b, r) =>
+        LshBandKeys(s, intArg(b, "lsh_band_keys", 1), intArg(r, "lsh_band_keys", 2)) })
+    register(ext, "word_shingles",
+      "word_shingles(tokens array<string>, n int) - distinct word n-grams",
+      { case Seq(t, n) => WordShingles(t, intArg(n, "word_shingles", 1)) })
+    register(ext, "text_stats",
+      "text_stats(text string) - struct(n_tokens, avg_word_len, fp)",
+      { case Seq(t) => TextStats(t) })
+  }
+}

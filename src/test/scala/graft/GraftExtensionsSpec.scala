@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The extension-registered SQL functions must resolve and agree with
+  * their Column-API twins. Needs its own session (extensions bind at
+  * session build).
+  */
+class GraftExtensionsSpec extends SparkSpecBase {
+
+  // spark.sql.extensions is a STATIC conf — it only binds when the
+  // SparkContext itself is created, and the suite JVM shares one context.
+  // Bind the extensions through the constructor path instead (same thing
+  // a spark-submit --conf spark.sql.extensions=graft.functions.
+  // GraftExtensions startup does).
+  private lazy val extSpark: SparkSession =
+    org.apache.spark.sql.GraftSqlBridge.sessionWithExtensions(
+      spark.sparkContext, new graft.functions.GraftExtensions()(_))
+
+  test("vec_dot resolves in SQL and computes the dot product") {
+    val r = extSpark.sql(
+      "SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .collect()(0).getDouble(0)
+    assert(r == 11.0)
+  }
+
+  test("text functions resolve in SQL and match the Column API") {
+    val r = extSpark.sql(
+      """SELECT
+        |  simhash60(array('alpha', 'beta')) AS sh,
+        |  minhash_sig(array('a b', 'b c'), 4) AS mh,
+        |  lsh_band_keys(array('a b', 'b c'), 2, 2) AS bk,
+        |  word_shingles(array('a', 'b', 'c'), 2) AS ws,
+        |  text_stats('the quick fox').n_tokens AS nt
+        |""".stripMargin).collect()(0)
+    assert(r.getLong(0) >= 0L && r.getLong(0) < (1L << 60))
+    assert(r.getSeq[String](1).length == 4)
+    assert(r.getSeq[String](2).length == 2)
+    assert(r.getSeq[String](3) == Seq("a b", "b c"))
+    assert(r.getInt(4) == 3)
+    // cross-check simhash vs the Column API on the default session
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val viaColumn = Seq("alpha beta").toDF("t")
+      .select(graft.functions.TextHashExpressions.simhash60(
+        graft.text.TextFunctions.tokens(col("t")))).collect()(0).getLong(0)
+    assert(r.getLong(0) == viaColumn)
+  }
+
+  test("integer parameters must be literals") {
+    val e = intercept[Exception] {
+      extSpark.sql("SELECT minhash_sig(array('x'), CAST(rand()*4 AS INT))")
+        .collect()
+    }
+    assert(e.getMessage.contains("integer literal") ||
+      e.getMessage.contains("minhash_sig"))
+  }
+}
