@@ -20,7 +20,8 @@ object SparkEntry {
     DedupQueries,
     SimilarityQueries,
     MlQueries,
-    MultimodalQueries)
+    MultimodalQueries,
+    EventQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's gold daily-utilization aggregate re-expressed on the

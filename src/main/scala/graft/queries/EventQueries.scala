@@ -1,0 +1,95 @@
+package graft.queries
+
+import graft.Tables
+import graft.text.TextFunctions
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics surface: semi-structured JSON extraction, batch
+  * sessionization (the windowed twin of the streaming
+  * flatMapGroupsWithState sessionizer), and explode-based aggregation.
+  *
+  * Scale notes: JSON extraction is a narrow per-row transform (codegen'd
+  * JsonPath, no shuffle); sessionization shuffles once on user_id and
+  * computes both windows over that single exchange (same partitioning →
+  * no second shuffle); wordcount shuffles (token, 1) pairs with map-side
+  * partial aggregation — the explode never carries document text, only
+  * tokens.
+  */
+object EventQueries extends QueryPack {
+
+  val queries: Map[String, Q] = Map(
+    // Semi-structured: parse props JSON, extract k, profile per event type.
+    "q_json_extract" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_events"),
+          round(avg("k"), 6).as("avg_k"),
+          min("k").as("min_k"),
+          max("k").as("max_k"))
+        .orderBy("event_type")),
+
+    // Batch sessionization: per-user sessions split at >30-minute gaps;
+    // one shuffle (user_id), both window passes reuse it.
+    "q_sessionize" -> ((s, d) => {
+      val byUser = Window.partitionBy("user_id").orderBy("ts")
+      Tables.events(s, d)
+        .withColumn("gap_sec",
+          col("ts").cast("double") - lag(col("ts").cast("double"), 1)
+            .over(byUser))
+        .withColumn("is_new",
+          when(col("gap_sec").isNull || col("gap_sec") > 1800, 1).otherwise(0))
+        .withColumn("session_id", sum("is_new").over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          round(max(col("ts").cast("double")) - min(col("ts").cast("double")), 6)
+            .as("duration_sec"),
+          round(sum("value"), 4).as("session_value"))
+        .orderBy("user_id", "session_id")
+    }),
+
+    // Explode-based wordcount: top-100 corpus tokens.
+    "q_wordcount" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(100)))
+
+  val oracle: Map[String, String] = Map(
+    "q_json_extract" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 6) AS avg_k,
+        |  min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, value,
+        |         epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS gap_sec
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, ts, value,
+        |         CASE WHEN gap_sec IS NULL OR gap_sec > 1800 THEN 1 ELSE 0 END AS is_new
+        |  FROM g),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM f)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |       round(max(epoch(ts)) - min(epoch(ts)), 6) AS duration_sec,
+        |       round(sum(value), 4) AS session_value
+        |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "q_wordcount" ->
+      """SELECT token, count(*) AS n
+        |FROM (SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |        x -> x <> '')) AS token FROM documents)
+        |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin)
+}

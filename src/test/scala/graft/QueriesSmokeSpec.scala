@@ -21,7 +21,8 @@ class QueriesSmokeSpec extends SparkSpecBase {
       graft.queries.RelationalQueries, graft.queries.JoinQueries,
       graft.queries.AnalyticQueries, graft.queries.TextQueries,
       graft.queries.DedupQueries, graft.queries.SimilarityQueries,
-      graft.queries.MlQueries, graft.queries.MultimodalQueries)
+      graft.queries.MlQueries, graft.queries.MultimodalQueries,
+      graft.queries.EventQueries)
       .flatMap(_.queries.keys)
     assert(names.distinct.length == names.length,
       s"duplicate query names: ${names.diff(names.distinct)}")
