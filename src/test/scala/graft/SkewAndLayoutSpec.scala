@@ -1,0 +1,62 @@
+package graft
+
+import graft.operators.SkewJoin
+import graft.sources.Layouts
+import org.apache.spark.sql.functions._
+
+class SkewAndLayoutSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("saltedInnerJoin equals the plain join on skewed data") {
+    // key 1 is a heavy hitter: 5000 of 5100 rows
+    val big = ((1 to 5000).map(i => (1L, s"v$i")) ++
+      (1 to 100).map(i => ((i % 10 + 2).toLong, s"w$i"))).toDF("k", "payload")
+    val small = (1L to 12L).map(k => (k, s"dim$k")).toDF("k", "attr")
+    val plain = big.join(small, Seq("k")).groupBy("k")
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val salted = SkewJoin.saltedInnerJoin(big, small, "k", salts = 8)
+      .groupBy("k").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+    // the heavy key must actually spread across salt values
+    val saltSpread = big.withColumn("_salt",
+      pmod(monotonically_increasing_id(), lit(8L)).cast("int"))
+      .filter($"k" === 1L).select("_salt").distinct().count()
+    assert(saltSpread > 1, "salt did not spread the hot key")
+  }
+
+  test("heavyHitters surfaces the skewed key first") {
+    val df = ((1 to 500).map(_ => ("hot", 1)) ++
+      (1 to 50).map(i => (s"cold$i", 1))).toDF("k", "v")
+    val top = SkewJoin.heavyHitters(df, col("k"), 3).collect()
+    assert(top(0).getString(0) == "hot" && top(0).getLong(1) == 500L)
+  }
+
+  test("partitioned write prunes partitions in the scan plan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val df = Seq(
+      ("2024-01-01", 1L, 10.0), ("2024-01-01", 2L, 20.0),
+      ("2024-01-02", 3L, 30.0), ("2024-01-03", 4L, 40.0)
+    ).toDF("dt", "id", "v")
+    Layouts.writePartitioned(df, s"$dir/t", Seq("dt"))
+    val read = spark.read.parquet(s"$dir/t").filter($"dt" === "2024-01-02")
+    assert(read.count() == 1)
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(dt"), plan.take(800))
+  }
+
+  test("co-located join of identically bucketed tables has no exchange") {
+    spark.sql("DROP TABLE IF EXISTS bk_left")
+    spark.sql("DROP TABLE IF EXISTS bk_right")
+    val left = (1L to 1000L).map(i => (i, s"l$i")).toDF("k", "lv")
+    val right = (1L to 1000L).map(i => (i, s"r$i")).toDF("k", "rv")
+    Layouts.writeBucketed(left, "bk_left", "k", 4)
+    Layouts.writeBucketed(right, "bk_right", "k", 4)
+    val joined = Layouts.coLocatedJoin(spark, "bk_left", "bk_right", "k")
+    assert(joined.count() == 1000)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "bucketed join still shuffled:\n" + plan.take(1200))
+  }
+}
