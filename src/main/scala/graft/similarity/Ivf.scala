@@ -38,29 +38,31 @@ object Ivf {
     * seed every centroid inside one dense cluster. Costs k distributed
     * max-passes — k is the (small) nlist, so this is bounded.
     */
-  def kmeansFit(corpus: DataFrame, k: Int, iters: Int = 3): Array[Array[Double]] = {
-    val first = corpus.orderBy("id").limit(1).select("vec").collect()(0)
-      .getSeq[Double](0).toArray
-    val init = scala.collection.mutable.ArrayBuffer(first)
+  def kmeansFit(corpus: DataFrame, k: Int, iters: Int = 3,
+                initSample: Int = 1024): Array[Array[Double]] = {
+    // Farthest-first over a bounded deterministic sample (lowest ids),
+    // entirely on the driver: k distributed argmax passes collapse to one
+    // bounded collect (initSample × dim doubles). Lloyd then refines
+    // distributed, so init only needs coverage, not optimality.
+    val sample = corpus.orderBy("id").limit(math.max(k, initSample))
+      .select("vec").collect().map(_.getSeq[Double](0).toArray)
+    require(sample.length >= k, s"corpus smaller than k=$k")
+    val init = scala.collection.mutable.ArrayBuffer(sample(0))
+    val minD = Array.fill(sample.length)(Double.MaxValue)
     while (init.length < k) {
-      val chosen = init.toArray
-      val minDist = udf((v: Seq[Double]) => {
-        var best = Double.MaxValue
-        var c = 0
-        while (c < chosen.length) {
-          var d = 0.0; var i = 0
-          val cv = chosen(c)
-          val n = math.min(cv.length, v.length)
-          while (i < n) { val t = v(i) - cv(i); d += t * t; i += 1 }
-          if (d < best) best = d
-          c += 1
-        }
-        best
-      })
-      val far = corpus.withColumn("d", minDist(col("vec")))
-        .orderBy(col("d").desc, col("id")).limit(1)
-        .select("vec").collect()(0).getSeq[Double](0).toArray
-      init += far
+      val latest = init.last
+      var farIdx = 0; var farD = -1.0
+      var j = 0
+      while (j < sample.length) {
+        var d = 0.0; var i = 0
+        val v = sample(j)
+        val n = math.min(latest.length, v.length)
+        while (i < n) { val t = v(i) - latest(i); d += t * t; i += 1 }
+        if (d < minD(j)) minD(j) = d
+        if (minD(j) > farD) { farD = minD(j); farIdx = j }
+        j += 1
+      }
+      init += sample(farIdx)
     }
     var centroids: Array[Array[Double]] = init.toArray
     var it = 0

@@ -94,13 +94,46 @@ object VectorOps {
   /** All pairs (ida < idb) with cosine ≥ threshold (threshold applies to
     * the rounded value). Quadratic verification — at scale, bucket first
     * (see topKBucketed) and verify within buckets.
+    *
+    * Implementation: broadcast the corpus (id, vec, norm) and scan pairs
+    * in a mapPartitions loop. The declarative nested-loop-join
+    * formulation materializes every candidate pair as an UnsafeRow
+    * carrying both full vectors (~4M row copies × 0.5 KB on the 2k-vector
+    * fixture) and was ~10× slower for identical output; here only
+    * above-threshold pairs ever become rows. Broadcast bound: corpus must
+    * fit in executor memory (n×dim×8B — 1 GB ≈ 2M×64d); beyond that,
+    * bucket first.
     */
   def nearDupPairs(corpus: DataFrame, threshold: Double): DataFrame = {
-    val a = withNorm(corpus, "a")
-    val b = withNorm(corpus, "b")
-    a.join(b, col("aid") < col("bid"))
-      .withColumn("cos", pairCos("a", "b"))
-      .filter(col("cos") >= threshold)
-      .select(col("aid").as("ida"), col("bid").as("idb"), col("cos"))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val rows = corpus.select(col("id").cast("long"), col("vec")).rdd
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val all = rows.collect().sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(
+      all.map { case (id, v) =>
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += v(i) * v(i); i += 1 }
+        (id, v, math.sqrt(s))
+      })
+    val n = all.length
+    spark.sparkContext.parallelize(0 until n,
+        math.min(n, spark.sparkContext.defaultParallelism))
+      .flatMap { ai =>
+        val entries = bc.value
+        val (ida, va, na) = entries(ai)
+        (ai + 1 until n).iterator.flatMap { bi =>
+          val (idb, vb, nb) = entries(bi)
+          var dot = 0.0; var i = 0
+          val len = math.min(va.length, vb.length)
+          while (i < len) { dot += va(i) * vb(i); i += 1 }
+          // exactly Spark's round(): BigDecimal.valueOf (string-based,
+          // NOT the exact-binary constructor) + HALF_UP
+          val cos = java.math.BigDecimal.valueOf(dot / (na * nb))
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+          if (cos >= threshold) Some((ida, idb, cos)) else None
+        }
+      }
+      .toDF("ida", "idb", "cos")
   }
 }

@@ -49,6 +49,16 @@ class SkewAndLayoutSpec extends SparkSpecBase {
   test("co-located join of identically bucketed tables has no exchange") {
     spark.sql("DROP TABLE IF EXISTS bk_left")
     spark.sql("DROP TABLE IF EXISTS bk_right")
+    // in-memory catalog forgets tables across JVMs but warehouse dirs
+    // persist; stale dirs make saveAsTable fail LOCATION_ALREADY_EXISTS
+    for (t <- Seq("bk_left", "bk_right")) {
+      val dir = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir")
+          .stripPrefix("file:"), t)
+      if (dir.exists()) {
+        dir.listFiles().foreach(_.delete()); dir.delete()
+      }
+    }
     val left = (1L to 1000L).map(i => (i, s"l$i")).toDF("k", "lv")
     val right = (1L to 1000L).map(i => (i, s"r$i")).toDF("k", "rv")
     Layouts.writeBucketed(left, "bk_left", "k", 4)

@@ -91,6 +91,26 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("a fitted isolation forest scores a stream (same transform, unbounded input)") {
+    implicit val sql = spark.sqlContext
+    // fit on a batch of inliers
+    val train = Seq.fill(50)((10.0 + scala.util.Random.nextGaussian(), 5.0))
+      .toDF("f1", "f2")
+    val model = graft.ml.IsolationForest.fit(train, Seq("f1", "f2"), seed = 7L)
+    val in = MemoryStream[(Double, Double)]
+    val q = model.transform(in.toDF().toDF("f1", "f2"))
+      .writeStream.format("memory").queryName("scored_stream")
+      .outputMode("append").start()
+    try {
+      in.addData((10.0, 5.0), (500.0, -300.0)) // inlier + blatant outlier
+      q.processAllAvailable()
+      val rows = spark.table("scored_stream").orderBy("f1").collect()
+      assert(rows.length == 2)
+      assert(rows(0).getAs[Int]("anomaly_flag") == 0) // 10.0 inlier
+      assert(rows(1).getAs[Int]("anomaly_flag") == 1) // 500.0 outlier
+    } finally q.stop()
+  }
+
   test("machineUtilization computes sliding windows per machine") {
     implicit val sql = spark.sqlContext
     val in = MemoryStream[StreamMetric]
