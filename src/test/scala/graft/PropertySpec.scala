@@ -1,0 +1,107 @@
+package graft
+
+import graft.ml.IsolationForest
+import graft.telemetry.{Gold, Silver}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalacheck.Gen
+
+/** Property tests promised in SURVEY.md §5: invariants that must hold for
+  * ARBITRARY inputs, not just the fixtures. Raw ScalaCheck generators with
+  * fixed per-case seeds (the scalatestplus bridge isn't on the offline
+  * classpath) — 20 generated cases per property, reproducible.
+  */
+class PropertySpec extends SparkSpecBase {
+
+  private def cases[T](gen: Gen[T], n: Int = 20): Seq[T] =
+    (0 until n).flatMap { i =>
+      gen.apply(Gen.Parameters.default, org.scalacheck.rng.Seed(i.toLong))
+    }
+
+  private val jobSchema = StructType(Seq(
+    StructField("job_name", StringType),
+    StructField("inst_id", StringType),
+    StructField("user", StringType),
+    StructField("status", StringType),
+    StructField("start_time", LongType),
+    StructField("end_time", LongType)))
+
+  private val jobGen: Gen[(String, Long, Option[Long])] = for {
+    name <- Gen.identifier.map(_.take(8))
+    start <- Gen.choose(0L, 10_000_000L)
+    dur <- Gen.option(Gen.choose(0L, 500_000L))
+  } yield (name, start, dur.map(start + _))
+
+  test("run_time_sec is non-negative when end >= start, NULL when running") {
+    for (jobs <- cases(Gen.listOfN(30, jobGen)) if jobs.nonEmpty) {
+      {
+        val rows = jobs.map { case (n, st, end) =>
+          Row(n, s"i-$n", "u", end.fold("Running")(_ => "Terminated"),
+            st, end.orNull)
+        }
+        val df = spark.createDataFrame(
+          spark.sparkContext.parallelize(rows), jobSchema)
+        val out = Silver.jobs(df).collect()
+        out.foreach { r =>
+          val idx = r.fieldIndex("run_time_sec")
+          if (r.isNullAt(r.fieldIndex("end_time"))) assert(r.isNullAt(idx))
+          else assert(r.getLong(idx) >= 0)
+        }
+      }
+    }
+  }
+
+  private val metricGen: Gen[(Long, Option[Double], Double)] = for {
+    ts <- Gen.choose(0L, 86400L * 30)
+    gpu <- Gen.option(Gen.choose(0.0, 100.0))
+    cpu <- Gen.choose(0.0, 100.0)
+  } yield (ts, gpu, cpu)
+
+  test("gold daily: one row per distinct day, p95 between min and max") {
+    for (ms <- cases(Gen.listOfN(60, metricGen), 10) if ms.exists(_._2.isDefined)) {
+      {
+        import spark.implicits._
+        val df = ms.map { case (ts, gpu, cpu) =>
+          ("m1", "w1", ts, gpu.map(Double.box).orNull, cpu)
+        }.toDF("machine_id", "worker_name", "ts", "gpu_util_pct", "cpu_util_pct")
+          .selectExpr("machine_id", "worker_name", "ts",
+            "CAST(gpu_util_pct AS DOUBLE) gpu_util_pct", "cpu_util_pct")
+        val out = Gold.clusterUtilDaily(df).collect()
+        val validDays = ms.filter(_._2.isDefined).map(_._1 / 86400L).distinct
+        assert(out.length == validDays.length)
+        val byDay = ms.filter(_._2.isDefined).groupBy(_._1 / 86400L)
+        out.foreach { r =>
+          val vals = byDay(r.getTimestamp(0).toInstant.getEpochSecond / 86400L)
+            .flatMap(_._2)
+          val p95 = r.getDouble(r.fieldIndex("p95_gpu_util"))
+          assert(p95 >= vals.min - 1e-9 && p95 <= vals.max + 1e-9)
+        }
+      }
+    }
+  }
+
+  test("isolation forest: transform preserves rows, flags are 0/1, rate tracks contamination") {
+    import spark.implicits._
+    val rng = new scala.util.Random(3)
+    val data = Seq.fill(200)((rng.nextGaussian(), rng.nextGaussian())).toDF("a", "b")
+    val model = IsolationForest.fit(data, Seq("a", "b"), contamination = 0.1)
+    val scored = model.transform(data).collect()
+    assert(scored.length == 200)
+    val flags = scored.map(_.getAs[Int]("anomaly_flag"))
+    assert(flags.forall(f => f == 0 || f == 1))
+    val rate = flags.sum.toDouble / flags.length
+    assert(rate >= 0.02 && rate <= 0.25, s"flag rate $rate far from contamination 0.1")
+  }
+
+  test("scored output preserves dt uniqueness (contract of the scored table)") {
+    import spark.implicits._
+    val gold = (1 to 40).map(d =>
+      (s"2024-01-$d", 30.0 + d % 7, 50.0 + d % 11, 40.0 + d % 5))
+      .toDF("dt", "avg_gpu_util", "p95_gpu_util", "avg_cpu_util")
+    val model = IsolationForest.fit(gold,
+      Seq("avg_gpu_util", "p95_gpu_util", "avg_cpu_util"))
+    val scored = model.transform(gold)
+    assert(scored.count() == 40)
+    assert(scored.select("dt").distinct().count() == 40)
+  }
+}
