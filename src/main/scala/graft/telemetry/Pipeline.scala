@@ -22,17 +22,18 @@ object Pipeline {
     * reference); bronze stays a view over the ingested parquet.
     */
   def buildModels(spark: SparkSession, lakeDir: String): (DataFrame, DataFrame, DataFrame) = {
+    import graft.sources.Lake
     val jobs = Silver.jobs(Bronze.readBronze(spark, lakeDir, "bronze_job_events"))
     val ts = Silver.gpuTimeseries(
       Bronze.readBronze(spark, lakeDir, "bronze_machine_metrics"))
-    jobs.write.mode("overwrite").parquet(s"$lakeDir/silver/silver_jobs.parquet")
-    ts.write.mode("overwrite").parquet(s"$lakeDir/silver/silver_gpu_timeseries.parquet")
-    val tsStored = spark.read.parquet(s"$lakeDir/silver/silver_gpu_timeseries.parquet")
+    Lake.write(jobs, s"$lakeDir/silver/silver_jobs.parquet")
+    Lake.write(ts, s"$lakeDir/silver/silver_gpu_timeseries.parquet")
+    val tsStored = Lake.read(spark, s"$lakeDir/silver/silver_gpu_timeseries.parquet")
     val gold = Gold.clusterUtilDaily(tsStored)
-    gold.write.mode("overwrite").parquet(s"$lakeDir/gold/gold_cluster_util_daily.parquet")
-    (spark.read.parquet(s"$lakeDir/silver/silver_jobs.parquet"),
+    Lake.write(gold, s"$lakeDir/gold/gold_cluster_util_daily.parquet")
+    (Lake.read(spark, s"$lakeDir/silver/silver_jobs.parquet"),
       tsStored,
-      spark.read.parquet(s"$lakeDir/gold/gold_cluster_util_daily.parquet"))
+      Lake.read(spark, s"$lakeDir/gold/gold_cluster_util_daily.parquet"))
   }
 
   /** Stage 5: train + score (reference ml/train_cluster_anomaly_model.py,
@@ -46,9 +47,10 @@ object Pipeline {
       contamination, seed)
     model.save(spark, s"$lakeDir/ml/cluster_anomaly_iforest")
     val scored = model.transform(gold)
-    scored.write.mode("overwrite")
-      .parquet(s"$lakeDir/gold/gold_cluster_util_daily_scored.parquet")
-    spark.read.parquet(s"$lakeDir/gold/gold_cluster_util_daily_scored.parquet")
+    graft.sources.Lake.write(scored,
+      s"$lakeDir/gold/gold_cluster_util_daily_scored.parquet")
+    graft.sources.Lake.read(spark,
+      s"$lakeDir/gold/gold_cluster_util_daily_scored.parquet")
   }
 
   /** The whole flow, fail-fast at the checks gate like the reference. */
