@@ -96,6 +96,31 @@ object AnalyticQueries extends QueryPack {
           coalesce(col("o_orderstatus"), lit("")),
           coalesce(col("o_orderpriority"), lit("")))),
 
+    // Pivot (crosstab): documents per (source, lang), langs as columns.
+    // Explicit value list keeps the output schema static — at scale an
+    // inferred pivot would need an extra distinct pass over the data.
+    "q_pivot" -> ((s, d) =>
+      graft.Tables.documents(s, d)
+        .groupBy(col("source"))
+        .pivot("lang", Seq("en", "fr", "es", "de"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("en", "fr", "es", "de"))
+        .orderBy("source")),
+
+    // Sketch-based distinct (HLL++): approx user/type cardinalities per
+    // day. Sketches are mergeable → one pass, bounded memory, streamable;
+    // the exact twin (q_distinct_agg) is the accuracy baseline. Sketch
+    // estimates are engine-specific → rows-only check; ApproxDistinctSpec
+    // pins the error bound against exact.
+    "q_approx_distinct" -> ((s, d) =>
+      graft.Tables.events(s, d)
+        .groupBy(to_date(date_trunc("day", col("ts"))).as("dt"))
+        .agg(
+          approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+          approx_count_distinct(col("event_type"), 0.02).as("approx_types"),
+          count(lit(1)).as("n_events"))
+        .orderBy("dt")),
+
     // Distinct aggregation: distinct suppliers/parts per return flag.
     "q_distinct_agg" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -143,6 +168,14 @@ object AnalyticQueries extends QueryPack {
     }))
 
   val oracle: Map[String, String] = Map(
+    // pivot ≡ conditional aggregation — semantically identical crosstab
+    "q_pivot" ->
+      """SELECT source,
+        |  count(*) FILTER (lang = 'en') AS en,
+        |  count(*) FILTER (lang = 'fr') AS fr,
+        |  count(*) FILTER (lang = 'es') AS es,
+        |  count(*) FILTER (lang = 'de') AS de
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q_window_rank" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
         |       row_number() OVER w AS rn,
