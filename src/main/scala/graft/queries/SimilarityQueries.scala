@@ -50,6 +50,20 @@ object SimilarityQueries extends QueryPack {
       nearDupPairs(corpus(s, d), 0.45)
         .orderBy("ida", "idb")),
 
+    // Per-label centroids via the typed VectorAvg aggregate (one buffer
+    // per task per group crosses the shuffle, not n×dim exploded rows);
+    // exploded to (label, dim, mean) for the oracle compare.
+    "q_embed_centroids" -> ((s, d) =>
+      corpus(s, d)
+        .groupBy("label")
+        .agg(graft.functions.VectorAggregates.vectorAvgCol(col("vec"))
+          .as("centroid"))
+        .select(col("label"),
+          posexplode(col("centroid")).as(Seq("pos", "mval")))
+        .select(col("label"), (col("pos") + 1).as("d"),
+          round(col("mval"), 6).as("m"))
+        .orderBy("label", "d")),
+
     // IVF-Flat approximate top-3: data-adaptive coarse quantizer (16
     // cells, 4 probes, deterministic k-means). The Lloyd iterations are
     // not SQL-expressible in one query → rows-only check; IvfSpec pins
@@ -67,6 +81,11 @@ object SimilarityQueries extends QueryPack {
       | x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '')""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_embed_centroids" ->
+      s"""WITH c AS ($corpusSql)
+        |SELECT label, d, round(avg(v[d]), 6) AS m
+        |FROM c, generate_series(1, 64) AS g(d)
+        |GROUP BY label, d ORDER BY label, d""".stripMargin,
     "q_embed_stats" ->
       s"""WITH c AS ($corpusSql)
         |SELECT label, count(*) AS n_vecs,

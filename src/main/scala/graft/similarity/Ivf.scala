@@ -68,16 +68,18 @@ object Ivf {
     var it = 0
     while (it < iters) {
       val assigned = assignCells(corpus, centroids)
-      // update: element-wise mean per cell — posexplode to (cell, dim,
-      // value), one hash agg; result is k×dim rows (tiny collect).
-      val sums = assigned
-        .select(col("cell"), posexplode(col("vec")).as(Seq("dim", "v")))
-        .groupBy("cell", "dim")
-        .agg(avg("v").as("mean"))
+      // update: element-wise mean per cell via the typed VectorAvg
+      // aggregate — shuffle carries one (sums, count) buffer per task per
+      // cell, not n×dim exploded rows; result is k rows (tiny collect).
+      val means = assigned
+        .groupBy("cell")
+        .agg(graft.functions.VectorAggregates.vectorAvgCol(col("vec"))
+          .as("mean"))
         .collect()
       val next = centroids.map(_.clone())
-      sums.foreach { r =>
-        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+      means.foreach { r =>
+        val m = r.getSeq[Double](1)
+        if (m.nonEmpty) next(r.getInt(0)) = m.toArray
       }
       centroids = next
       it += 1
