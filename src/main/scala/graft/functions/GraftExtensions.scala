@@ -32,6 +32,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // whole-operator surface: top-k-per-key partial/final physical plan
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
     register(ext, "vec_dot",
       "vec_dot(a array<double>, b array<double>) - dot product",
       { case Seq(a, b) => VecDot(a, b) })

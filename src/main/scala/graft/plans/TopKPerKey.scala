@@ -1,0 +1,116 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, GraftSqlBridge, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+
+import scala.collection.mutable
+
+/** Whole-operator custom plan: exact top-k rows per key without sorting
+  * whole groups.
+  *
+  * The built-in formulation (`row_number().over(Window.partitionBy(...)
+  * .orderBy(...)) <= k`) shuffles EVERY row and fully sorts every
+  * partition before discarding all but k per key. This operator keeps a
+  * bounded k-heap per key and runs in two phases like partial
+  * aggregation: a map-side pass prunes each partition to ≤k rows per key
+  * BEFORE the exchange (shuffle volume drops from n to ≤ k·keys·
+  * partitions), then a final pass on the key-clustered side merges. For
+  * per-query ANN ranking (millions of candidates, k=10) the shuffle and
+  * the sort both collapse.
+  *
+  * Registered through GraftExtensions (injectPlannerStrategy) and also
+  * attachable per-session via TopKPerKey.install.
+  */
+final case class TopKPerKeyPlan(keys: Seq[Expression], order: Seq[SortOrder],
+                                k: Int, child: LogicalPlan)
+    extends UnaryNode {
+  require(k > 0, "k must be positive")
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(c: LogicalPlan): LogicalPlan =
+    copy(child = c)
+}
+
+final case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
+                                k: Int, partial: Boolean, child: SparkPlan)
+    extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) UnspecifiedDistribution :: Nil
+    else if (keys.isEmpty) AllTuples :: Nil
+    else ClusteredDistribution(keys) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] =
+    child.execute().mapPartitions { iter =>
+      val keyProj = UnsafeProjection.create(keys, child.output)
+      // ord.lt(a, b) ⇔ a sorts before b (a is "better")
+      val ord = GenerateOrdering.generate(order, child.output)
+      // max-heap: head = worst kept row, evicted first
+      val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
+      iter.foreach { row =>
+        val key = keyProj(row)
+        val heap = heaps.get(key) match {
+          case Some(h) => h
+          case None =>
+            val h = mutable.PriorityQueue.empty[InternalRow](ord)
+            heaps.put(key.copy(), h)
+            h
+        }
+        if (heap.size < k) heap.enqueue(row.copy())
+        else if (ord.lt(row, heap.head)) { heap.dequeue(); heap.enqueue(row.copy()) }
+      }
+      heaps.valuesIterator.flatMap(_.iterator)
+    }
+
+  override protected def withNewChildInternal(c: SparkPlan): SparkPlan =
+    copy(child = c)
+}
+
+/** Plans TopKPerKeyPlan as partial → exchange(keys) → final. */
+object TopKPerKeyStrategy extends org.apache.spark.sql.execution.SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKeyPlan(keys, order, k, child) =>
+      val planned = planLater(child)
+      TopKPerKeyExec(keys, order, k, partial = false,
+        TopKPerKeyExec(keys, order, k, partial = true, planned)) :: Nil
+    case _ => Nil
+  }
+}
+
+object TopKPerKey {
+
+  /** Make the strategy available on a session (idempotent). */
+  def install(spark: SparkSession): Unit = {
+    val strategies = spark.experimental.extraStrategies
+    if (!strategies.contains(TopKPerKeyStrategy))
+      spark.experimental.extraStrategies = strategies :+ TopKPerKeyStrategy
+  }
+
+  /** Top `k` rows per `keyCols` group, ordered by `orderCols`
+    * ((name, ascending?) — include a tiebreaker column for deterministic
+    * results). Output column set equals the input's; row order within the
+    * result is unspecified (sort afterwards if needed).
+    */
+  def perKey(df: DataFrame, keyCols: Seq[String],
+             orderCols: Seq[(String, Boolean)], k: Int): DataFrame = {
+    val spark = df.sparkSession
+    install(spark)
+    val plan = GraftSqlBridge.analyzed(df)
+    val attrByName = plan.output.map(a => a.name -> a).toMap
+    def attr(n: String): Attribute = attrByName.getOrElse(n,
+      throw new IllegalArgumentException(
+        s"column $n not in ${plan.output.map(_.name)}"))
+    val order = orderCols.map { case (n, asc) =>
+      SortOrder(attr(n), if (asc) Ascending else Descending)
+    }
+    GraftSqlBridge.ofRows(spark,
+      TopKPerKeyPlan(keyCols.map(attr), order, k, plan))
+  }
+}

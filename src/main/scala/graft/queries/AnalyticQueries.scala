@@ -96,6 +96,16 @@ object AnalyticQueries extends QueryPack {
           coalesce(col("o_orderstatus"), lit("")),
           coalesce(col("o_orderpriority"), lit("")))),
 
+    // Native top-k-per-key: the custom TopKPerKeyPlan/Exec operator
+    // (bounded heaps, map-side partial prune) — result must equal the
+    // window row_number formulation, which is the DuckDB oracle.
+    "q_topk_native" -> ((s, d) =>
+      graft.plans.TopKPerKey.perKey(graft.Tables.orders(s, d),
+          Seq("o_custkey"),
+          Seq(("o_totalprice", false), ("o_orderkey", true)), 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy("o_custkey", "o_orderkey")),
+
     // Pivot (crosstab): documents per (source, lang), langs as columns.
     // Explicit value list keeps the output schema static — at scale an
     // inferred pivot would need an extra distinct pass over the data.
@@ -168,6 +178,13 @@ object AnalyticQueries extends QueryPack {
     }))
 
   val oracle: Map[String, String] = Map(
+    "q_topk_native" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |        row_number() OVER (PARTITION BY o_custkey
+        |          ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |      FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, o_orderkey""".stripMargin,
     // pivot ≡ conditional aggregation — semantically identical crosstab
     "q_pivot" ->
       """SELECT source,
