@@ -34,6 +34,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     // whole-operator surface: top-k-per-key partial/final physical plan
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
+    // optimizer surface: rewrite row_number()<=k idiom onto that operator
+    ext.injectOptimizerRule(_ => graft.plans.TopKRewriteRule)
     register(ext, "vec_dot",
       "vec_dot(a array<double>, b array<double>) - dot product",
       { case Seq(a, b) => VecDot(a, b) })
