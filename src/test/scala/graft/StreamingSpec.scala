@@ -91,6 +91,47 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("file-stream replay of the events table matches the batch aggregate") {
+    // the reference's "streaming simulation" future-work item: replay a
+    // stored table through readStream and check the unified-engine
+    // property — identical transform, identical result as batch.
+    // file streams consume directories; stage the fixture into one
+    val dir = java.nio.file.Files.createTempDirectory("replay-src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("events.parquet"))
+    // raw parquet carries ts as INT64 nanos: read long (Tables.events
+    // already set the nanosAsLong conf on this session) and convert
+    val batchDf = Tables.events(spark, sfDir) // ensures conf is set
+    val rawSchema = org.apache.spark.sql.types.StructType(
+      batchDf.schema.fields.map(f =>
+        if (f.name == "ts") f.copy(dataType = org.apache.spark.sql.types.LongType)
+        else f))
+    val streamed = spark.readStream.schema(rawSchema)
+      .parquet(dir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .filter($"value".isNotNull)
+      .withWatermark("ts", "10 days")
+      .groupBy(window($"ts", "1 day").as("w"))
+      .agg(count(lit(1)).as("n"), sum($"value").as("sv"))
+      .select($"w.start".as("dt"), $"n", round($"sv", 4).as("sv"))
+    val q = streamed.writeStream.format("memory").queryName("replay")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val stream = spark.table("replay").collect()
+        .map(r => r.getTimestamp(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      val batch = Tables.events(spark, sfDir)
+        .filter($"value".isNotNull)
+        .groupBy(date_trunc("day", $"ts").as("dt"))
+        .agg(count(lit(1)).as("n"), round(sum($"value"), 4).as("sv"))
+        .collect()
+        .map(r => r.getTimestamp(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(stream == batch, s"stream/batch divergence")
+      assert(stream.nonEmpty)
+    } finally q.stop()
+  }
+
   test("a fitted isolation forest scores a stream (same transform, unbounded input)") {
     implicit val sql = spark.sqlContext
     // fit on a batch of inliers
