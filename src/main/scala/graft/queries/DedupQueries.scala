@@ -44,7 +44,16 @@ object DedupQueries extends QueryPack {
     "q_dedup_simhash" -> ((s, d) =>
       Dedup.simhashPairs(Tables.documents(s, d), "text", "doc_id",
           maxHamming = 3)
-        .orderBy("ida", "idb")))
+        .orderBy("ida", "idb")),
+
+    // Duplicate clusters: connected components over the MinHash near-dup
+    // pairs (min-label propagation), one canonical per cluster.
+    "q_dedup_clusters" -> ((s, d) => {
+      val pairs = Dedup.minhashLshPairs(Tables.documents(s, d), "text",
+        "doc_id", threshold = 0.7)
+      graft.dedup.Components.dupClusters(pairs.select("ida", "idb"))
+        .orderBy("id")
+    }))
 
   private val tokensSql =
     """list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')"""
@@ -108,6 +117,45 @@ object DedupQueries extends QueryPack {
         |       round(inter::DOUBLE / (na + nb - inter), 6) AS jaccard
         |FROM v WHERE round(inter::DOUBLE / (na + nb - inter), 6) >= 0.7
         |ORDER BY ida, idb""".stripMargin,
+    // same pair-generation CTEs as q_dedup_minhash_lsh, then a recursive
+    // reachability closure: component = min reachable id
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE t AS (
+        |  SELECT doc_id AS id, $shinglesSql AS sh
+        |  FROM (SELECT doc_id, $tokensSql AS w FROM documents)),
+        |sg AS (
+        |  SELECT id, sh,
+        |    list_transform(generate_series(0, 11),
+        |      i -> list_min(list_transform(sh, g -> md5(i::VARCHAR || ':' || g)))) AS sig
+        |  FROM t WHERE len(sh) > 0),
+        |banded AS (
+        |  SELECT id, sh, band,
+        |         md5(array_to_string(sig[band*3+1 : band*3+3], '|')) AS key
+        |  FROM sg, unnest([0, 1, 2, 3]) AS u(band)),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS ida, b.id AS idb
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.key = b.key AND a.id < b.id),
+        |v AS (
+        |  SELECT c.ida, c.idb,
+        |         len(list_intersect(ta.sh, tb.sh)) AS inter,
+        |         len(ta.sh) AS na, len(tb.sh) AS nb
+        |  FROM cand c
+        |  JOIN t ta ON ta.id = c.ida
+        |  JOIN t tb ON tb.id = c.idb),
+        |pairs AS (
+        |  SELECT ida, idb FROM v
+        |  WHERE round(inter::DOUBLE / (na + nb - inter), 6) >= 0.7),
+        |edges AS (
+        |  SELECT ida AS src, idb AS dst FROM pairs
+        |  UNION SELECT idb, ida FROM pairs),
+        |reach(id, root) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id),
+        |cc AS (SELECT id, min(root) AS component FROM reach GROUP BY id)
+        |SELECT id, component, CAST(id = component AS INT) AS is_canonical
+        |FROM cc ORDER BY id""".stripMargin,
     "q_dedup_simhash" ->
       s"""WITH t AS (
         |  SELECT doc_id AS id, w, len(w) AS n

@@ -1,0 +1,36 @@
+package graft
+
+import graft.dedup.Components
+
+class ComponentsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("connectedComponents labels each component with its min id") {
+    // components: {1,2,3,4} (chain), {10,11}, {20,21,22} (triangle)
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)
+    ).toDF("ida", "idb")
+    val cc = Components.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("long chains converge (diameter > a few rounds)") {
+    val edges = (1L until 30L).map(i => (i, i + 1)).toDF("ida", "idb")
+    val cc = Components.connectedComponents(edges, maxIter = 40).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.size == 30 && cc.values.forall(_ == 1L))
+  }
+
+  test("dupClusters marks exactly one canonical per cluster") {
+    val edges = Seq((5L, 6L), (6L, 7L), (100L, 101L)).toDF("ida", "idb")
+    val rows = Components.dupClusters(edges).collect()
+    val canonicals = rows.filter(_.getAs[Int]("is_canonical") == 1)
+      .map(_.getLong(0)).sorted
+    assert(canonicals.toSeq == Seq(5L, 100L))
+    assert(rows.length == 5)
+  }
+}
