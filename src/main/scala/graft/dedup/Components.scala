@@ -64,4 +64,18 @@ object Components {
   def dupClusters(pairs: DataFrame): DataFrame =
     connectedComponents(pairs)
       .withColumn("is_canonical", (col("id") === col("component")).cast("int"))
+
+  /** The cleaned corpus: documents that survive dedup. A doc is kept iff
+    * it is NOT a non-canonical member of a near-dup cluster (exact dups
+    * are jaccard-1.0 pairs, so they land in clusters too — one canonical
+    * survives per group). Anti-join keeps the big side unshuffled beyond
+    * the (tiny) drop-list broadcast.
+    */
+  def cleanCorpus(docs: DataFrame, pairs: DataFrame,
+                  idCol: String): DataFrame = {
+    val drop = dupClusters(pairs)
+      .filter(col("is_canonical") === 0)
+      .select(col("id").as(idCol))
+    docs.join(broadcast(drop), Seq(idCol), "left_anti")
+  }
 }

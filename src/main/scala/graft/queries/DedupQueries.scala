@@ -53,6 +53,18 @@ object DedupQueries extends QueryPack {
         "doc_id", threshold = 0.7)
       graft.dedup.Components.dupClusters(pairs.select("ida", "idb"))
         .orderBy("id")
+    }),
+
+    // End-to-end cleaned corpus: kept doc ids after dropping every
+    // non-canonical near-dup cluster member (broadcast anti-join).
+    "q_dedup_corpus_clean" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashLshPairs(docs, "text", "doc_id",
+        threshold = 0.7)
+      graft.dedup.Components
+        .cleanCorpus(docs, pairs.select("ida", "idb"), "doc_id")
+        .select("doc_id", "source", "lang")
+        .orderBy("doc_id")
     }))
 
   private val tokensSql =
@@ -62,6 +74,45 @@ object DedupQueries extends QueryPack {
        | list_distinct(list_transform(generate_series(1, len(w) - 2),
        |   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
        | ELSE [] END""".stripMargin
+
+  /** Recursive-CTE prefix shared by the cluster-based oracles: minhash
+    * pair generation + undirected reachability closure → cc(id, component).
+    */
+  private val clusterCte =
+    s"""WITH RECURSIVE t AS (
+      |  SELECT doc_id AS id, $shinglesSql AS sh
+      |  FROM (SELECT doc_id, $tokensSql AS w FROM documents)),
+      |sg AS (
+      |  SELECT id, sh,
+      |    list_transform(generate_series(0, 11),
+      |      i -> list_min(list_transform(sh, g -> md5(i::VARCHAR || ':' || g)))) AS sig
+      |  FROM t WHERE len(sh) > 0),
+      |banded AS (
+      |  SELECT id, sh, band,
+      |         md5(array_to_string(sig[band*3+1 : band*3+3], '|')) AS key
+      |  FROM sg, unnest([0, 1, 2, 3]) AS u(band)),
+      |cand AS (
+      |  SELECT DISTINCT a.id AS ida, b.id AS idb
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.key = b.key AND a.id < b.id),
+      |v AS (
+      |  SELECT c.ida, c.idb,
+      |         len(list_intersect(ta.sh, tb.sh)) AS inter,
+      |         len(ta.sh) AS na, len(tb.sh) AS nb
+      |  FROM cand c
+      |  JOIN t ta ON ta.id = c.ida
+      |  JOIN t tb ON tb.id = c.idb),
+      |pairs AS (
+      |  SELECT ida, idb FROM v
+      |  WHERE round(inter::DOUBLE / (na + nb - inter), 6) >= 0.7),
+      |edges AS (
+      |  SELECT ida AS src, idb AS dst FROM pairs
+      |  UNION SELECT idb, ida FROM pairs),
+      |reach(id, root) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id),
+      |cc AS (SELECT id, min(root) AS component FROM reach GROUP BY id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q_dedup_exact" ->
@@ -117,45 +168,16 @@ object DedupQueries extends QueryPack {
         |       round(inter::DOUBLE / (na + nb - inter), 6) AS jaccard
         |FROM v WHERE round(inter::DOUBLE / (na + nb - inter), 6) >= 0.7
         |ORDER BY ida, idb""".stripMargin,
-    // same pair-generation CTEs as q_dedup_minhash_lsh, then a recursive
-    // reachability closure: component = min reachable id
+    // minhash pair CTEs + recursive reachability closure
     "q_dedup_clusters" ->
-      s"""WITH RECURSIVE t AS (
-        |  SELECT doc_id AS id, $shinglesSql AS sh
-        |  FROM (SELECT doc_id, $tokensSql AS w FROM documents)),
-        |sg AS (
-        |  SELECT id, sh,
-        |    list_transform(generate_series(0, 11),
-        |      i -> list_min(list_transform(sh, g -> md5(i::VARCHAR || ':' || g)))) AS sig
-        |  FROM t WHERE len(sh) > 0),
-        |banded AS (
-        |  SELECT id, sh, band,
-        |         md5(array_to_string(sig[band*3+1 : band*3+3], '|')) AS key
-        |  FROM sg, unnest([0, 1, 2, 3]) AS u(band)),
-        |cand AS (
-        |  SELECT DISTINCT a.id AS ida, b.id AS idb
-        |  FROM banded a JOIN banded b
-        |    ON a.band = b.band AND a.key = b.key AND a.id < b.id),
-        |v AS (
-        |  SELECT c.ida, c.idb,
-        |         len(list_intersect(ta.sh, tb.sh)) AS inter,
-        |         len(ta.sh) AS na, len(tb.sh) AS nb
-        |  FROM cand c
-        |  JOIN t ta ON ta.id = c.ida
-        |  JOIN t tb ON tb.id = c.idb),
-        |pairs AS (
-        |  SELECT ida, idb FROM v
-        |  WHERE round(inter::DOUBLE / (na + nb - inter), 6) >= 0.7),
-        |edges AS (
-        |  SELECT ida AS src, idb AS dst FROM pairs
-        |  UNION SELECT idb, ida FROM pairs),
-        |reach(id, root) AS (
-        |  SELECT src, src FROM edges
-        |  UNION
-        |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id),
-        |cc AS (SELECT id, min(root) AS component FROM reach GROUP BY id)
+      s"""$clusterCte
         |SELECT id, component, CAST(id = component AS INT) AS is_canonical
         |FROM cc ORDER BY id""".stripMargin,
+    "q_dedup_corpus_clean" ->
+      s"""$clusterCte
+        |SELECT doc_id, source, lang FROM documents
+        |WHERE doc_id NOT IN (SELECT id FROM cc WHERE id <> component)
+        |ORDER BY doc_id""".stripMargin,
     "q_dedup_simhash" ->
       s"""WITH t AS (
         |  SELECT doc_id AS id, w, len(w) AS n
