@@ -28,12 +28,16 @@ object Components {
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     val e = edges.select(col("ida").as("src"), col("idb").as("dst"))
-    // undirected: both directions
+    // undirected: both directions. The edge/label frames are orders of
+    // magnitude smaller than the corpus (only near-dup members) — run the
+    // iteration narrow so each round isn't 32 near-empty tasks.
     val adj = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
+      .repartition(8, col("src"))
       .localCheckpoint(eager = true)
     var labels = adj.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
+      .repartition(8, col("id"))
       .localCheckpoint(eager = true)
     var iter = 0
     var converged = false
