@@ -60,6 +60,16 @@ object TextQueries extends QueryPack {
           qualityScore(col("text")).as("quality"))
         .orderBy("doc_id")),
 
+    // Deterministic stratified sampling: hash-mod membership per lang
+    // (reproducible across engines/runs — the oracle reproduces the
+    // EXACT sample, which rand()-based sampling never could).
+    "q_sample_stratified" -> ((s, d) =>
+      graft.sampling.Sampling.stratifiedSample(
+          Tables.documents(s, d), "doc_id", "lang",
+          Map("en" -> 0.5, "fr" -> 0.25), defaultFraction = 0.1)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")),
+
     // Corpus-level quality profile per source.
     "q_text_quality_by_source" -> ((s, d) =>
       Tables.documents(s, d)
@@ -111,6 +121,14 @@ object TextQueries extends QueryPack {
         |    (acc, th) -> (acc * 31 + th) % 1000000007) AS rolling_fp,
         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens
         |FROM t ORDER BY doc_id""".stripMargin,
+    "q_sample_stratified" ->
+      """SELECT doc_id, lang, source FROM (
+        |  SELECT doc_id, lang, source,
+        |    ('0x' || substr(md5('graft:' || doc_id::VARCHAR), 1, 8))::BIGINT % 10000 AS b
+        |  FROM documents)
+        |WHERE b < (CASE WHEN lang = 'en' THEN 5000
+        |                WHEN lang = 'fr' THEN 2500 ELSE 1000 END)
+        |ORDER BY doc_id""".stripMargin,
     "q_text_quality" ->
       s"""WITH t AS (SELECT doc_id, lang, text, $tokensSql AS w FROM documents),
         |q AS (SELECT doc_id, lang,

@@ -1,0 +1,59 @@
+package graft.sampling
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Reproducible sampling for training-data pipelines.
+  *
+  * RNG-based `df.sample` changes membership with partitioning, Spark
+  * version, and engine — poison for dataset lineage. These operators
+  * decide membership from a salted md5 of the row's ID: the same row is
+  * in or out forever, on any engine (the DuckDB oracle reproduces the
+  * exact sample), and downstream incremental runs see a stable
+  * membership function. This is the standard "hash-mod" systematic
+  * sampling used for corpus subsets and train/eval splits.
+  *
+  * Bucket = first 8 md5 hex digits of (salt:id) as an int, mod 10000
+  * (basis-point granularity). All narrow, codegen'd, shuffle-free.
+  */
+object Sampling {
+
+  private val buckets = 10000
+
+  /** 0..9999 bucket for a row id. */
+  def bucket(id: Column, salt: String): Column =
+    pmod(conv(substring(md5(concat(lit(salt), lit(":"),
+      id.cast("string"))), 1, 8), 16, 10).cast("long"), lit(buckets))
+
+  /** Keep ~fraction of rows, deterministically by id. */
+  def deterministicSample(df: DataFrame, idCol: String, fraction: Double,
+                          salt: String = "graft"): DataFrame =
+    df.filter(bucket(col(idCol), salt) < (fraction * buckets).toInt)
+
+  /** Stratified deterministic sample: per-stratum fractions (default
+    * keeps strata not listed). One narrow filter — no shuffle, no
+    * per-stratum passes.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+                       fractions: Map[String, Double],
+                       defaultFraction: Double = 1.0,
+                       salt: String = "graft"): DataFrame = {
+    val b = bucket(col(idCol), salt)
+    val threshold = fractions.foldLeft(
+      lit((defaultFraction * buckets).toInt)) { case (acc, (k, f)) =>
+      when(col(strataCol) === k, lit((f * buckets).toInt)).otherwise(acc)
+    }
+    df.filter(b < threshold)
+  }
+
+  /** Disjoint train/eval split by id hash: (train, eval) with
+    * evalFraction of the id space in eval. Stable under appends — a row
+    * never migrates between splits.
+    */
+  def trainEvalSplit(df: DataFrame, idCol: String, evalFraction: Double,
+                     salt: String = "graft-split"): (DataFrame, DataFrame) = {
+    val b = bucket(col(idCol), salt)
+    val cut = (evalFraction * buckets).toInt
+    (df.filter(b >= cut), df.filter(b < cut))
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import graft.sampling.Sampling
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private lazy val ids = (1L to 10000L).toDF("id")
+    .withColumn("stratum", when($"id" % 3 === 0, "a").otherwise("b"))
+
+  test("deterministicSample keeps a stable, roughly-right fraction") {
+    val s1 = Sampling.deterministicSample(ids, "id", 0.2)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val s2 = Sampling.deterministicSample(ids, "id", 0.2)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(s1 == s2)                              // reproducible
+    assert(math.abs(s1.size - 2000) < 150, s1.size) // ~20%
+    // monotone: a bigger fraction is a superset (same salt)
+    val s3 = Sampling.deterministicSample(ids, "id", 0.5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(s1.subsetOf(s3))
+  }
+
+  test("stratifiedSample applies per-stratum fractions") {
+    val out = Sampling.stratifiedSample(ids, "id", "stratum",
+      Map("a" -> 0.1, "b" -> 0.5))
+    val counts = out.groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val aTotal = 10000 / 3
+    val bTotal = 10000 - aTotal
+    assert(math.abs(counts("a") - aTotal * 0.1) < aTotal * 0.06, counts)
+    assert(math.abs(counts("b") - bTotal * 0.5) < bTotal * 0.06, counts)
+  }
+
+  test("trainEvalSplit is disjoint, exhaustive, and append-stable") {
+    val (train, eval) = Sampling.trainEvalSplit(ids, "id", 0.1)
+    val t = train.select("id").collect().map(_.getLong(0)).toSet
+    val e = eval.select("id").collect().map(_.getLong(0)).toSet
+    assert((t & e).isEmpty)
+    assert(t.size + e.size == 10000)
+    assert(math.abs(e.size - 1000) < 120, e.size)
+    // append stability: the same ids land in the same side on a superset
+    val more = (1L to 20000L).toDF("id")
+    val (_, eval2) = Sampling.trainEvalSplit(more, "id", 0.1)
+    val e2 = eval2.select("id").collect().map(_.getLong(0)).toSet
+    assert(e.subsetOf(e2))
+  }
+
+  test("GraftSession.local carries the posture configs and extensions") {
+    val s = GraftSession.builder("local[2]", 2).getOrCreate()
+    assert(s.conf.get("spark.sql.session.timeZone") == "UTC")
+    assert(s.conf.get("spark.sql.adaptive.enabled") == "true")
+    // extensions only bind at context creation; in this shared-context
+    // test we just assert the builder sets the conf key
+  }
+}
