@@ -55,6 +55,26 @@ object DedupQueries extends QueryPack {
         .orderBy("id")
     }),
 
+    // The full training-data funnel in one query: language filter →
+    // quality filter → near-dup removal → deterministic 50% sample →
+    // per-source survivor counts. Each stage is one of the library's
+    // operators; the composition stays a single Catalyst plan (the only
+    // shuffles are the dedup pair-generation and the final count).
+    "q_corpus_funnel" -> ((s, d) => {
+      import graft.text.TextFunctions._
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashLshPairs(docs, "text", "doc_id",
+        threshold = 0.7)
+      val kept = graft.dedup.Components
+        .cleanCorpus(docs, pairs.select("ida", "idb"), "doc_id")
+        .filter(langIdHeuristic(col("text")) === "en")
+        .filter(qualityScore(col("text")) >= 0.4)
+      graft.sampling.Sampling.deterministicSample(kept, "doc_id", 0.5)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("source")
+    }),
+
     // End-to-end cleaned corpus: kept doc ids after dropping every
     // non-canonical near-dup cluster member (broadcast anti-join).
     "q_dedup_corpus_clean" -> ((s, d) => {
@@ -178,6 +198,34 @@ object DedupQueries extends QueryPack {
         |SELECT doc_id, source, lang FROM documents
         |WHERE doc_id NOT IN (SELECT id FROM cc WHERE id <> component)
         |ORDER BY doc_id""".stripMargin,
+    "q_corpus_funnel" ->
+      s"""$clusterCte,
+        |kept AS (
+        |  SELECT doc_id, source, text, $tokensSql AS w FROM documents
+        |  WHERE doc_id NOT IN (SELECT id FROM cc WHERE id <> component)),
+        |lang_ok AS (
+        |  SELECT doc_id, source, text, w,
+        |    len(list_filter(w, x -> x IN ('the','and','of','to','a','in'))) AS en_hits,
+        |    len(list_filter(w, x -> x IN ('le','la','et','les','des','un'))) AS fr_hits,
+        |    len(list_filter(w, x -> x IN ('el','los','que','y','de','un'))) AS es_hits,
+        |    len(list_filter(w, x -> x IN ('der','die','und','das','ein','zu'))) AS de_hits
+        |  FROM kept),
+        |en_docs AS (
+        |  SELECT doc_id, source, text, w, en_hits FROM lang_ok
+        |  WHERE en_hits > 0 AND en_hits >= greatest(fr_hits, es_hits, de_hits)),
+        |q AS (
+        |  SELECT doc_id, source,
+        |    round(least(len(w)::DOUBLE / 100.0, 1.0) * 0.5
+        |     + (1.0 - least(round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
+        |           / greatest(length(text), 1), 6) * 10.0, 1.0)) * 0.2
+        |     + least(en_hits::DOUBLE / 5.0, 1.0) * 0.3, 6) AS quality
+        |  FROM en_docs),
+        |sampled AS (
+        |  SELECT doc_id, source FROM q
+        |  WHERE quality >= 0.4
+        |    AND ('0x' || substr(md5('graft:' || doc_id::VARCHAR), 1, 8))::BIGINT % 10000 < 5000)
+        |SELECT source, count(*) AS n_docs FROM sampled
+        |GROUP BY source ORDER BY source""".stripMargin,
     "q_dedup_simhash" ->
       s"""WITH t AS (
         |  SELECT doc_id AS id, w, len(w) AS n

@@ -53,6 +53,19 @@ object EventQueries extends QueryPack {
         .orderBy("user_id", "session_id")
     }),
 
+    // CDC compaction: current state per user = latest event (max ts,
+    // event_id tiebreak via the struct's ts ordering is insufficient —
+    // ts is unique per event in the fixture; deterministic here).
+    "q_latest_by_key" -> ((s, d) =>
+      graft.operators.Cdc.latestByKey(
+          Tables.events(s, d)
+            .select("user_id", "event_id", "ts", "event_type", "value"),
+          Seq("user_id"), "event_id")
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("event_type").as("last_event_type"),
+          round(col("value"), 4).as("last_value"))
+        .orderBy("user_id")),
+
     // Explode-based wordcount: top-100 corpus tokens.
     "q_wordcount" -> ((s, d) =>
       Tables.documents(s, d)
@@ -87,6 +100,12 @@ object EventQueries extends QueryPack {
         |       round(max(epoch(ts)) - min(epoch(ts)), 6) AS duration_sec,
         |       round(sum(value), 4) AS session_value
         |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "q_latest_by_key" ->
+      """SELECT user_id,
+        |       arg_max(event_id, event_id) AS last_event_id,
+        |       arg_max(event_type, event_id) AS last_event_type,
+        |       round(arg_max(value, event_id), 4) AS last_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_wordcount" ->
       """SELECT token, count(*) AS n
         |FROM (SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
