@@ -12,7 +12,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  private val packs: Seq[QueryPack] = Seq(
+  /** All query packs; public so the contract specs can verify name
+    * uniqueness across packs (queries.toMap would dedup silently).
+    */
+  val packs: Seq[QueryPack] = Seq(
     RelationalQueries,
     JoinQueries,
     AnalyticQueries,

@@ -17,13 +17,7 @@ class QueriesSmokeSpec extends SparkSpecBase {
 
   test("query names are unique across packs") {
     // flatMap(_.queries).toMap dedups silently; catch collisions explicitly
-    val names = Seq(
-      graft.queries.RelationalQueries, graft.queries.JoinQueries,
-      graft.queries.AnalyticQueries, graft.queries.TextQueries,
-      graft.queries.DedupQueries, graft.queries.SimilarityQueries,
-      graft.queries.MlQueries, graft.queries.MultimodalQueries,
-      graft.queries.EventQueries)
-      .flatMap(_.queries.keys)
+    val names = SparkEntry.packs.flatMap(_.queries.keys)
     assert(names.distinct.length == names.length,
       s"duplicate query names: ${names.diff(names.distinct)}")
   }
