@@ -69,9 +69,12 @@ object Dedup {
     val e =
       if (maxShingleFreq <= 0) e0
       else {
-        val rare = e0.groupBy("s").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= maxShingleFreq).select("s")
-        e0.join(broadcast(rare), "s")
+        // drop-list = FREQUENT shingles (tiny by Zipf — that's the point
+        // of the cut); broadcasting the rare set instead would ship
+        // nearly the whole vocabulary to every task.
+        val hot = e0.groupBy("s").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxShingleFreq).select("s")
+        e0.join(broadcast(hot), Seq("s"), "left_anti")
       }
     val a = e.select(col("id").as("ida"), col("n_sh").as("na"), col("s"))
     val b = e.select(col("id").as("idb"), col("n_sh").as("nb"), col("s"))
