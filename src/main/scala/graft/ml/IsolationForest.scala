@@ -134,12 +134,20 @@ object IsolationForest {
     sorted(lo) + (pos - lo) * (sorted(hi) - sorted(lo))
   }
 
-  /** Fit scaler + forest. Scaler stats (mean, population std — sklearn
-    * StandardScaler ddof=0) are computed DISTRIBUTED via Spark agg; only
-    * the ψ-row training sample is collected. Rows with any NULL feature
-    * are dropped (sklearn would raise; we filter). Input rows are sorted
-    * by the feature tuple before sampling so fit is deterministic
-    * regardless of partitioning.
+  /** Fit scaler + forest. EVERY driver boundary is bounded regardless of
+    * input size:
+    *  - scaler stats (mean, population std — sklearn StandardScaler
+    *    ddof=0): one distributed aggregation;
+    *  - tree samples: a deterministic pool of ≤ 16·maxSamples rows
+    *    selected by md5 order of the feature tuple (TakeOrdered — no full
+    *    sort, no full collect; unbiased w.r.t. feature values and stable
+    *    across partitioning), from which each tree draws its seeded
+    *    ψ-row subsample;
+    *  - offset_ (contamination quantile of train score_samples): scored
+    *    distributed through the model UDF, reduced with Spark's exact
+    *    interpolated `percentile` — same linear interpolation as
+    *    sklearn's np.percentile.
+    * Rows with any NULL feature are dropped (sklearn would raise).
     */
   def fit(df: DataFrame, featureCols: Seq[String], nEstimators: Int = 100,
           contamination: Double = 0.05, seed: Long = 42L,
@@ -153,29 +161,36 @@ object IsolationForest {
     val mean = stats.getSeq[Double](0).toArray
     val std = stats.getSeq[Double](1).toArray
 
-    // ψ-row sample: deterministic order, then seeded shuffle + take.
-    val all = feat.orderBy(featureCols.map(col): _*).collect()
+    // bounded deterministic sample pool (hash-ordered TakeOrdered)
+    val poolSize = maxSamples * 16
+    val sortCols = md5(concat_ws(",",
+      featureCols.map(c => col(c).cast("string")): _*)) +: featureCols.map(col)
+    val pool = feat
+      .orderBy(sortCols: _*)
+      .limit(poolSize)
+      .collect()
       .map(r => Array.tabulate(featureCols.length)(i =>
         if (std(i) > 0) (r.getDouble(i) - mean(i)) / std(i)
         else r.getDouble(i) - mean(i)))
     val rng = new Random(seed)
-    val psi = math.min(maxSamples, all.length)
+    val psi = math.min(maxSamples, pool.length)
     val heightLimit = math.ceil(math.log(math.max(psi, 2)) / math.log(2)).toInt
 
     val trees = Seq.tabulate(nEstimators) { _ =>
       val sample =
-        if (all.length <= psi) all
-        else rng.shuffle(all.toSeq).take(psi).toArray
+        if (pool.length <= psi) pool
+        else rng.shuffle(pool.toSeq).take(psi).toArray
       buildTree(sample, heightLimit, rng, featureCols.length)
     }
 
-    // offset_ = contamination-quantile of train score_samples
+    // offset_ distributed: score via UDF, exact interpolated percentile
     val m0 = Model(trees, psi, 0.0, featureCols, mean, std)
-    val trainScores = df.select(featureCols.map(c => col(c).cast("double")): _*)
-      .na.drop().collect()
-      .map(r => m0.scoreSamples(Array.tabulate(featureCols.length)(r.getDouble)))
-      .sorted
-    m0.copy(offset = quantile(trainScores, contamination))
+    val scoreUdf = udf((xs: Seq[Double]) => m0.scoreSamples(xs.toArray))
+    val offset = feat
+      .select(scoreUdf(array(featureCols.map(col): _*)).as("s"))
+      .agg(percentile(col("s"), lit(contamination)))
+      .collect()(0).getDouble(0)
+    m0.copy(offset = offset)
   }
 
   /** Recursive random-split tree build over the (already scaled) sample. */
