@@ -79,6 +79,20 @@ class PipelineSpec extends SparkSpecBase {
     assert(e.violations.exists(_.check == "not_null(job_id)"))
   }
 
+  test("Lake seam: write/read roundtrip through the configured format") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-lake").toString
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    graft.sources.Lake.write(df, s"$dir/t")
+    val back = graft.sources.Lake.read(spark, s"$dir/t")
+    assert(back.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    assert(graft.sources.Lake.format == "parquet") // this environment
+    // partitioned write path
+    graft.sources.Lake.write(df.withColumn("p", $"id" % 2),
+      s"$dir/tp", partitionBy = Seq("p"))
+    assert(graft.sources.Lake.read(spark, s"$dir/tp").count() == 2)
+  }
+
   test("bronze CSV read honors declared schema types") {
     val base = Files.createTempDirectory("graft-bronze").toString
     Files.writeString(java.nio.file.Paths.get(s"$base/j.csv"),
