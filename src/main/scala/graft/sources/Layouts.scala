@@ -41,4 +41,20 @@ object Layouts {
   def coLocatedJoin(spark: SparkSession, leftTable: String,
                     rightTable: String, key: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), Seq(key))
+
+  /** Partitioned write with rows SORTED within each task/file
+    * (`sortWithinPartitions` — no global sort, no extra shuffle). Sorted
+    * files give parquet row-group min/max stats that actually prune:
+    * a reader filtering `ts BETWEEN a AND b` skips whole row groups,
+    * and downstream sequential consumers (training-data loaders) get
+    * time-ordered streams without re-sorting.
+    */
+  def writeSortedPartitioned(df: DataFrame, path: String,
+                             partitionCols: Seq[String],
+                             sortCols: Seq[String]): Unit =
+    df.sortWithinPartitions((partitionCols ++ sortCols).map(
+        org.apache.spark.sql.functions.col): _*)
+      .write.mode("overwrite")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
 }

@@ -46,6 +46,25 @@ class SkewAndLayoutSpec extends SparkSpecBase {
     assert(plan.contains("PartitionFilters: [isnotnull(dt"), plan.take(800))
   }
 
+  test("sorted-partitioned write produces in-file ordered rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sorted").toString
+    val rng = new scala.util.Random(5)
+    val df = (1 to 2000).map(_ => (rng.nextInt(3), rng.nextLong().abs))
+      .toDF("p", "ts")
+    Layouts.writeSortedPartitioned(df, s"$dir/t", Seq("p"), Seq("ts"))
+    // every physical file must be internally sorted by ts
+    val files = new java.io.File(s"$dir/t").listFiles()
+      .filter(_.isDirectory).flatMap(_.listFiles())
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val ts = spark.read.parquet(f.getPath).select("ts")
+        .collect().map(_.getLong(0))
+      assert(ts.sameElements(ts.sorted), s"unsorted file ${f.getName}")
+    }
+    assert(spark.read.parquet(s"$dir/t").count() == 2000)
+  }
+
   test("co-located join of identically bucketed tables has no exchange") {
     spark.sql("DROP TABLE IF EXISTS bk_left")
     spark.sql("DROP TABLE IF EXISTS bk_right")
