@@ -131,6 +131,18 @@ object AnalyticQueries extends QueryPack {
           count(lit(1)).as("n_events"))
         .orderBy("dt")),
 
+    // Statistical aggregates: correlation / covariance / dispersion of
+    // price vs quantity per return flag (feature-engineering surface).
+    "q_stats_corr" -> ((s, d) =>
+      graft.Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(corr("l_quantity", "l_extendedprice"), 6).as("corr_qty_price"),
+          round(covar_pop("l_quantity", "l_extendedprice"), 4).as("covar_qty_price"),
+          round(var_pop("l_discount"), 8).as("var_discount"),
+          round(stddev_pop("l_tax"), 8).as("sd_tax"))
+        .orderBy("l_returnflag")),
+
     // Distinct aggregation: distinct suppliers/parts per return flag.
     "q_distinct_agg" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -185,6 +197,13 @@ object AnalyticQueries extends QueryPack {
         |          ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |      FROM orders)
         |WHERE rn <= 3 ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_stats_corr" ->
+      """SELECT l_returnflag,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        |  round(covar_pop(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+        |  round(var_pop(l_discount), 8) AS var_discount,
+        |  round(stddev_pop(l_tax), 8) AS sd_tax
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // pivot ≡ conditional aggregation — semantically identical crosstab
     "q_pivot" ->
       """SELECT source,
