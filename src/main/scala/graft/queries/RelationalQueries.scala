@@ -71,6 +71,21 @@ object RelationalQueries extends QueryPack {
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")),
 
+    // E3-E5 extension: calendar decomposition + date arithmetic (year/
+    // quarter/month/day, month-shift, month-end) — the rest of the date
+    // toolbox the reference's day-bucketing implies.
+    "q_date_parts" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          quarter(col("o_orderdate")).as("q"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          to_date(add_months(col("o_orderdate"), 3)).as("plus3m"),
+          last_day(col("o_orderdate")).as("month_end"))
+        .orderBy("o_orderkey")),
+
     // A4: ungrouped summary aggregate (reference README.md:531-532).
     "q_agg_summary" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -127,6 +142,13 @@ object RelationalQueries extends QueryPack {
         |       count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_date_parts" ->
+      """SELECT o_orderkey,
+        |  year(o_orderdate) AS y, quarter(o_orderdate) AS q,
+        |  month(o_orderdate) AS m, day(o_orderdate) AS dom,
+        |  CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m,
+        |  CAST(last_day(o_orderdate) AS DATE) AS month_end
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_agg_summary" ->
       """SELECT round(sum(l_quantity), 4) AS sum_qty,
         |       round(sum(l_extendedprice), 2) AS sum_price,
