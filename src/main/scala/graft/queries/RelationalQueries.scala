@@ -86,6 +86,20 @@ object RelationalQueries extends QueryPack {
           last_day(col("o_orderdate")).as("month_end"))
         .orderBy("o_orderkey")),
 
+    // String toolbox: case folding, slicing, replace, reverse, padding —
+    // the scalar-string surface (reference has none; NEW).
+    "q_string_funcs" -> ((s, d) =>
+      Tables.customer(s, d)
+        .select(
+          col("c_custkey"),
+          upper(col("c_name")).as("name_upper"),
+          substring(col("c_name"), 1, 8).as("name_prefix"),
+          regexp_replace(col("c_name"), "Customer", "Cst").as("name_short"),
+          reverse(col("c_mktsegment")).as("seg_rev"),
+          length(col("c_name")).as("name_len"),
+          lpad(col("c_custkey").cast("string"), 10, "0").as("key_padded"))
+        .orderBy("c_custkey")),
+
     // A4: ungrouped summary aggregate (reference README.md:531-532).
     "q_agg_summary" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -149,6 +163,15 @@ object RelationalQueries extends QueryPack {
         |  CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m,
         |  CAST(last_day(o_orderdate) AS DATE) AS month_end
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_string_funcs" ->
+      """SELECT c_custkey,
+        |  upper(c_name) AS name_upper,
+        |  substr(c_name, 1, 8) AS name_prefix,
+        |  replace(c_name, 'Customer', 'Cst') AS name_short,
+        |  reverse(c_mktsegment) AS seg_rev,
+        |  length(c_name) AS name_len,
+        |  lpad(c_custkey::VARCHAR, 10, '0') AS key_padded
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "q_agg_summary" ->
       """SELECT round(sum(l_quantity), 4) AS sum_qty,
         |       round(sum(l_extendedprice), 2) AS sum_price,
