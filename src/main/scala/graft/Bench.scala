@@ -23,22 +23,32 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+    // A failed query must NOT read as a fast one: record it as failed
+    // (negative sentinel duration + name in "failed") and keep going.
+    def run(name: String,
+            fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Boolean =
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+      catch {
+        case t: Throwable =>
+          System.err.println(s"BENCH FAIL $name: ${t.getClass.getName}: ${t.getMessage}")
+          false
+      }
 
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    ordered.foreach { case (_, fn) => run(fn) } // warm-up, untimed
+    ordered.foreach { case (name, fn) => run(name, fn) } // warm-up, untimed
 
     val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      run(fn)
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = run(name, fn)
+      val sec = (System.nanoTime() - t0) / 1e9
+      (name, if (ok) sec else -sec)
     }
+    val failed = results.collect { case (k, v) if v < 0 => s"\"" + k + "\"" }
+      .mkString("[", ",", "]")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2.abs).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -16,7 +16,10 @@ import org.apache.spark.sql.SparkSession
   * - 128 MB file-split target: parquet scan partitions that fit executor
   *   memory with room for the operator above them.
   * - graft extensions bound: native SQL functions, the TopKPerKey
-  *   planner strategy, and the row_number()<=k rewrite rule.
+  *   planner strategy, and the row_number()<=k rewrite rule (the rule
+  *   is opt-in via spark.graft.topk.rewrite.enabled — it swaps the
+  *   window sort's disk spill for bounded in-memory heaps, a
+  *   memory-profile change users must request).
   */
 object GraftSession {
 

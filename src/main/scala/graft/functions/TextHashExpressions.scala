@@ -91,6 +91,10 @@ object TextHashOps {
         if (best == null || h.compareTo(best) < 0) best = h
         s += 1
       }
+      // Zero shingles: md5 of the bare salt — deterministic and non-null,
+      // honoring the containsNull=false output contract (a null here
+      // would NPE lshBandKeys; empty arrays are legal SQL input).
+      if (best == null) best = md5Hex(prefix)
       out(i) = UTF8String.fromString(best)
       i += 1
     }

@@ -36,8 +36,18 @@ final case class TopKPerKeyPlan(keys: Seq[Expression], order: Seq[SortOrder],
     copy(child = c)
 }
 
+/** @param flushRows memory bound for the map-side (partial) pass: once the
+  *   heaps collectively retain this many rows, they are emitted downstream
+  *   and cleared — emitting more than k rows per key from the partial pass
+  *   is always safe because the final pass re-prunes after the exchange.
+  *   The final pass never flushes (it must see every row of a key before
+  *   emitting that key's top-k) but retains at most the rows it will
+  *   output for its partition: k·distinctKeysInPartition — the same
+  *   memory profile as a hash aggregate over the same keys.
+  */
 final case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
-                                k: Int, partial: Boolean, child: SparkPlan)
+                                k: Int, partial: Boolean, flushRows: Long,
+                                child: SparkPlan)
     extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
@@ -54,19 +64,40 @@ final case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
       val ord = GenerateOrdering.generate(order, child.output)
       // max-heap: head = worst kept row, evicted first
       val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
-      iter.foreach { row =>
-        val key = keyProj(row)
-        val heap = heaps.get(key) match {
-          case Some(h) => h
-          case None =>
-            val h = mutable.PriorityQueue.empty[InternalRow](ord)
-            heaps.put(key.copy(), h)
-            h
+      val bound = if (partial) flushRows else Long.MaxValue
+      new Iterator[InternalRow] {
+        private var kept = 0L
+        private var finished = false
+        private var drain: Iterator[InternalRow] = Iterator.empty
+        private def flushHeaps(): Iterator[InternalRow] = {
+          val rows = heaps.values.toVector
+          heaps.clear(); kept = 0L
+          rows.iterator.flatMap(_.iterator)
         }
-        if (heap.size < k) heap.enqueue(row.copy())
-        else if (ord.lt(row, heap.head)) { heap.dequeue(); heap.enqueue(row.copy()) }
+        private def fill(): Unit =
+          while (!drain.hasNext && !finished) {
+            if (!iter.hasNext) { drain = flushHeaps(); finished = true }
+            else {
+              var flushed = false
+              while (iter.hasNext && !flushed) {
+                val row = iter.next()
+                val key = keyProj(row)
+                val heap = heaps.get(key) match {
+                  case Some(h) => h
+                  case None =>
+                    val h = mutable.PriorityQueue.empty[InternalRow](ord)
+                    heaps.put(key.copy(), h)
+                    h
+                }
+                if (heap.size < k) { heap.enqueue(row.copy()); kept += 1 }
+                else if (ord.lt(row, heap.head)) { heap.dequeue(); heap.enqueue(row.copy()) }
+                if (kept >= bound) { drain = flushHeaps(); flushed = true }
+              }
+            }
+          }
+        override def hasNext: Boolean = { fill(); drain.hasNext }
+        override def next(): InternalRow = { fill(); drain.next() }
       }
-      heaps.valuesIterator.flatMap(_.iterator)
     }
 
   override protected def withNewChildInternal(c: SparkPlan): SparkPlan =
@@ -77,14 +108,30 @@ final case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
 object TopKPerKeyStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKeyPlan(keys, order, k, child) =>
+      val flushRows = SparkSession.getActiveSession
+        .flatMap(s => scala.util.Try(
+          s.conf.get(TopKPerKey.PartialFlushRowsKey).toLong).toOption)
+        .getOrElse(TopKPerKey.DefaultPartialFlushRows)
       val planned = planLater(child)
-      TopKPerKeyExec(keys, order, k, partial = false,
-        TopKPerKeyExec(keys, order, k, partial = true, planned)) :: Nil
+      TopKPerKeyExec(keys, order, k, partial = false, Long.MaxValue,
+        TopKPerKeyExec(keys, order, k, partial = true, flushRows, planned)) :: Nil
     case _ => Nil
   }
 }
 
 object TopKPerKey {
+
+  /** Map-side retained-row bound before a partial flush (see
+    * TopKPerKeyExec.flushRows). */
+  val PartialFlushRowsKey = "spark.graft.topk.partialFlushRows"
+  val DefaultPartialFlushRows: Long = 1L << 20
+
+  /** Opt-in switch for TopKRewriteRule: the automatic
+    * row_number()<=k → TopKPerKey re-plan changes the query's memory
+    * profile (bounded heaps instead of a spillable window sort), so it
+    * must be requested explicitly. The TopKPerKey.perKey API is always
+    * available regardless. */
+  val RewriteEnabledKey = "spark.graft.topk.rewrite.enabled"
 
   /** Make the strategy available on a session (idempotent). */
   def install(spark: SparkSession): Unit = {

@@ -39,7 +39,14 @@ object TopKRewriteRule extends Rule[LogicalPlan] {
       case _ => true // row_number ignores the frame; accept any
     }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // Opt-in: the rewrite trades the window sort's disk spill for bounded
+    // in-memory heaps — a memory-profile change users must ask for.
+    if (!conf.getConfString(TopKPerKey.RewriteEnabledKey, "false").toBoolean) plan
+    else rewrite(plan)
+  }
+
+  private def rewrite(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case p @ Project(projectList,
           Filter(cond,
             w @ Window(Seq(Alias(we: WindowExpression, _)), partitionSpec,

@@ -93,8 +93,8 @@ object EventQueries extends QueryPack {
         |  FROM g),
         |s AS (
         |  SELECT user_id, ts, value,
-        |         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |  FROM f)
         |SELECT user_id, session_id, count(*) AS n_events,
         |       round(max(epoch(ts)) - min(epoch(ts)), 6) AS duration_sec,

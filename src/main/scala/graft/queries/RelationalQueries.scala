@@ -184,7 +184,7 @@ object RelationalQueries extends QueryPack {
       """SELECT o_orderkey, count(*) AS n FROM orders
         |GROUP BY o_orderkey HAVING count(*) > 1 ORDER BY o_orderkey""".stripMargin,
     "q_check_not_null" ->
-      """SELECT sum(CAST(o_orderkey IS NULL AS BIGINT)) AS null_orderkey,
-        |       sum(CAST(o_custkey IS NULL AS BIGINT)) AS null_custkey
+      """SELECT CAST(sum(CAST(o_orderkey IS NULL AS BIGINT)) AS BIGINT) AS null_orderkey,
+        |       CAST(sum(CAST(o_custkey IS NULL AS BIGINT)) AS BIGINT) AS null_custkey
         |FROM orders""".stripMargin)
 }

@@ -112,8 +112,12 @@ object TextFunctions {
     */
   def minhashSignature(shingleCol: Column, k: Int): Column =
     transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(shingleCol,
-        s => md5(concat(i.cast("string"), lit(":"), s)))))
+      i => coalesce(
+        array_min(transform(shingleCol,
+          s => md5(concat(i.cast("string"), lit(":"), s)))),
+        // zero shingles → md5 of the bare salt (parity with the native
+        // MinHashSig expression; never a null signature component)
+        md5(concat(i.cast("string"), lit(":")))))
 
   /** LSH band keys over a minhash signature: bands of `r` rows, each
     * hashed to one bucket key. Docs sharing any band key are candidates.

@@ -33,6 +33,23 @@ class TextHashExprSpec extends SparkSpecBase {
     cmp.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
   }
 
+  test("empty shingle array: non-null signature, lshBandKeys doesn't NPE, parity holds") {
+    // "single" and "x y z" yield zero 4-shingles — legal public-SQL input.
+    val sh = TextFunctions.shingles(col("t"), 4)
+    val cmp = docs.filter(size(sh) === 0).select(
+      minhashSig(sh, 6).as("native"),
+      TextFunctions.minhashSignature(sh, 6).as("hof"),
+      lshBandKeys(sh, 3, 2).as("bands")).collect()
+    assert(cmp.nonEmpty)
+    cmp.foreach { r =>
+      val native = r.getSeq[String](0)
+      assert(native.forall(_ != null))
+      assert(native == r.getSeq[String](1))
+      val bands = r.getSeq[String](2)
+      assert(bands.length == 3 && bands.forall(_ != null))
+    }
+  }
+
   test("lshBandKeys == TextFunctions.lshBands ∘ minhashSignature") {
     val sh = TextFunctions.shingles(col("t"), 2)
     val cmp = docs.filter(size(sh) > 0).select(

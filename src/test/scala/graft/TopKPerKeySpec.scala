@@ -46,6 +46,30 @@ class TopKPerKeySpec extends SparkSpecBase {
     assert(top.toSeq == Seq(999L, 1000L))
   }
 
+  test("tiny partial flush bound still yields the exact answer") {
+    // Force the map-side heaps to flush constantly (bound of 3 retained
+    // rows across many keys): extra partial emissions are merged away by
+    // the final pass, so results must be identical to the window plan.
+    val prev = spark.conf.getOption(TopKPerKey.PartialFlushRowsKey)
+    spark.conf.set(TopKPerKey.PartialFlushRowsKey, "3")
+    try {
+      val df = (1 to 2000).map(i => (i % 97, i.toLong)).toDF("g", "v")
+        .repartition(4)
+      val native = TopKPerKey.perKey(df, Seq("g"), Seq(("v", false)), 2)
+        .collect().map(r => (r.getInt(0), r.getLong(1))).sorted.toSeq
+      val w = Window.partitionBy("g").orderBy(col("v").desc)
+      val window = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2).drop("rn")
+        .collect().map(r => (r.getInt(0), r.getLong(1))).sorted.toSeq
+      assert(native == window)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(TopKPerKey.PartialFlushRowsKey, v)
+        case None => spark.conf.unset(TopKPerKey.PartialFlushRowsKey)
+      }
+    }
+  }
+
   test("global top-k with no keys") {
     val df = (1 to 100).map(i => i.toLong).toDF("v")
     val top = TopKPerKey.perKey(df, Nil, Seq(("v", true)), 5)

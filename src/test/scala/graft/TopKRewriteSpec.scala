@@ -9,10 +9,22 @@ import org.apache.spark.sql.functions._
   */
 class TopKRewriteSpec extends SparkSpecBase {
 
-  // extension-bound session (rule + strategy injected)
-  private lazy val extSpark: SparkSession =
-    org.apache.spark.sql.GraftSqlBridge.sessionWithExtensions(
+  // extension-bound session (rule + strategy injected); the rewrite is
+  // opt-in per ADVICE (memory-profile change), so the spec enables it.
+  private lazy val extSpark: SparkSession = {
+    val s = org.apache.spark.sql.GraftSqlBridge.sessionWithExtensions(
       spark.sparkContext, new graft.functions.GraftExtensions()(_))
+    s.conf.set(graft.plans.TopKPerKey.RewriteEnabledKey, "true")
+    s
+  }
+
+  test("rewrite is off by default (opt-in conf)") {
+    val s = org.apache.spark.sql.GraftSqlBridge.sessionWithExtensions(
+      spark.sparkContext, new graft.functions.GraftExtensions()(_))
+    val plan = topkIdiom(s, keepRn = false)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("Window"), "rewrite fired without the conf")
+  }
 
   private def topkIdiom(s: SparkSession, keepRn: Boolean): DataFrame = {
     import s.implicits._
