@@ -25,8 +25,14 @@ object TextHashOps {
 
   private val hexChars = "0123456789abcdef".toCharArray
 
+  // MessageDigest.getInstance does a provider lookup — far too costly for
+  // a per-shingle hot loop; digest(bytes) resets the instance, so one
+  // per thread is safe to reuse.
+  private val md5Digest: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
   private def md5Hex(bytes: Array[Byte]): String = {
-    val d = MessageDigest.getInstance("MD5").digest(bytes)
+    val d = md5Digest.get().digest(bytes)
     val out = new Array[Char](32)
     var i = 0
     while (i < 16) {
@@ -76,6 +82,13 @@ object TextHashOps {
     */
   def minhashSignature(shingles: ArrayData, k: Int): ArrayData = {
     val n = shingles.numElements()
+    // extract shingle bytes once, not once per signature component
+    val shingleBytes = new Array[Array[Byte]](n)
+    var e = 0
+    while (e < n) {
+      shingleBytes(e) = shingles.getUTF8String(e).getBytes
+      e += 1
+    }
     val out = new Array[AnyRef](k)
     var i = 0
     while (i < k) {
@@ -83,7 +96,7 @@ object TextHashOps {
       var best: String = null
       var s = 0
       while (s < n) {
-        val sb = shingles.getUTF8String(s).getBytes
+        val sb = shingleBytes(s)
         val buf = new Array[Byte](prefix.length + sb.length)
         System.arraycopy(prefix, 0, buf, 0, prefix.length)
         System.arraycopy(sb, 0, buf, prefix.length, sb.length)
