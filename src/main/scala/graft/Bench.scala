@@ -5,13 +5,24 @@ import org.apache.spark.sql.SparkSession
   * every SparkEntry query at $SPARK_GRAFT_SF_DIR.
   *
   * Methodology: one untimed warm-up pass (JIT + codegen compilation +
-  * parquet footer/page cache — JMH-style steady state), then one timed
-  * pass. The noop sink forces full evaluation of every output column;
-  * count() would let Catalyst prune computed projections away. Session
-  * timezone pinned to UTC like Verify so timed plans match the
-  * correctness plans.
+  * parquet footer/page cache — JMH-style steady state), then THREE timed
+  * passes per query; the reported per-query figure is the MEDIAN of the
+  * three (a single timed pass cannot distinguish a real regression from a
+  * GC/page-cache transient hitting one stretch of the run — observed
+  * run-to-run band without medians was ~10%). All passes are also emitted
+  * under "passes" so consumers can see the spread. The noop sink forces
+  * full evaluation of every output column; count() would let Catalyst
+  * prune computed projections away. Session timezone pinned to UTC like
+  * Verify so timed plans match the correctness plans.
+  *
+  * A failed query must NOT read as a fast one: its name goes in "failed"
+  * and its duration is EXCLUDED from "value" (a partial total that
+  * silently included failure time would not be comparable across runs
+  * with different failure sets).
   */
 object Bench {
+  val timedPasses = 3
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -23,8 +34,6 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // A failed query must NOT read as a fast one: record it as failed
-    // (negative sentinel duration + name in "failed") and keep going.
     def run(name: String,
             fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Boolean =
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -37,18 +46,33 @@ object Bench {
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     ordered.foreach { case (name, fn) => run(name, fn) } // warm-up, untimed
 
-    val results = ordered.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = run(name, fn)
-      val sec = (System.nanoTime() - t0) / 1e9
-      (name, if (ok) sec else -sec)
+    // passes(name) = per-pass (seconds, ok)
+    val passes: Seq[Seq[(String, Double, Boolean)]] =
+      (1 to timedPasses).map { _ =>
+        ordered.map { case (name, fn) =>
+          val t0 = System.nanoTime()
+          val ok = run(name, fn)
+          (name, (System.nanoTime() - t0) / 1e9, ok)
+        }
+      }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    val failed = results.collect { case (k, v) if v < 0 => s"\"" + k + "\"" }
+    val byName = ordered.map { case (name, _) =>
+      val runs = passes.map(p => p.find(_._1 == name).get)
+      (name, median(runs.map(_._2)), runs.forall(_._3), runs.map(_._2))
+    }
+    val failed = byName.collect { case (k, _, ok, _) if !ok => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2.abs).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val qs = byName.map { case (k, med, ok, _) =>
+      "\"" + k + "\":" + (if (ok) med else -med)
+    }.mkString("{", ",", "}")
+    val allPasses = byName.map { case (k, _, _, runs) =>
+      "\"" + k + "\":" + runs.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val total = byName.collect { case (_, med, true, _) => med }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"passes":$allPasses,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -17,27 +17,34 @@ import org.apache.spark.sql.functions._
   * aggregation, both hash-partitioned on node id — the same key every
   * round, so AQE/exchange reuse keeps re-partitioning cheap. Lineage is
   * truncated with localCheckpoint every round (iterative DataFrames
-  * otherwise grow an unbounded plan). The convergence check is a
-  * count of changed labels — one action per round. For web-scale graphs
-  * swap in the large-star/small-star variant; the API stays the same.
+  * otherwise grow an unbounded plan). The round emits (id, label,
+  * changed) in ONE pass, so the convergence check is a scan of the
+  * just-checkpointed round output — no extra join, no second pass over
+  * the graph. For web-scale graphs swap in the large-star/small-star
+  * variant; the API stays the same.
   */
 object Components {
 
   /** (id, component) for every node in `edges` (ida, idb); component =
     * min node id reachable. Deterministic.
+    *
+    * `numPartitions` sizes the per-round shuffles: the edge/label frames
+    * are orders of magnitude smaller than the corpus (only near-dup
+    * members), so the default keeps the iteration narrow rather than
+    * spreading a few thousand rows over every core; raise it when the
+    * dup graph itself is large.
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20,
+                          numPartitions: Int = 8): DataFrame = {
     val e = edges.select(col("ida").as("src"), col("idb").as("dst"))
-    // undirected: both directions. The edge/label frames are orders of
-    // magnitude smaller than the corpus (only near-dup members) — run the
-    // iteration narrow so each round isn't 32 near-empty tasks.
+    // undirected: both directions
     val adj = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .repartition(8, col("src"))
+      .repartition(numPartitions, col("src"))
       .localCheckpoint(eager = true)
     var labels = adj.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-      .repartition(8, col("id"))
+      .repartition(numPartitions, col("id"))
       .localCheckpoint(eager = true)
     var iter = 0
     var converged = false
@@ -47,15 +54,18 @@ object Components {
         .join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"))
         .agg(min("label").as("nlabel"))
+      // one pass emits BOTH the new label and the changed flag; the
+      // convergence probe below then reads the just-materialized round
+      // output only — no separate join+count action per round
       val next = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nlabel"), col("label")))
-            .as("label"))
+            .as("label"),
+          (coalesce(col("nlabel"), col("label")) < col("label"))
+            .as("changed"))
         .localCheckpoint(eager = true)
-      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).count()
-      labels = next
-      converged = changed == 0
+      converged = next.filter(col("changed")).isEmpty
+      labels = next.drop("changed")
       iter += 1
     }
     labels.select(col("id"), col("label").as("component"))
@@ -72,14 +82,24 @@ object Components {
   /** The cleaned corpus: documents that survive dedup. A doc is kept iff
     * it is NOT a non-canonical member of a near-dup cluster (exact dups
     * are jaccard-1.0 pairs, so they land in clusters too — one canonical
-    * survives per group). Anti-join keeps the big side unshuffled beyond
-    * the (tiny) drop-list broadcast.
+    * survives per group).
+    *
+    * The anti-join is size-gated: below `broadcastDropLimit` rows the
+    * drop list broadcasts (big side stays unshuffled); above it, a
+    * shuffle anti-join — at 30-50% dup rate on a 100-TB corpus the drop
+    * list is itself huge and an unconditional broadcast would OOM every
+    * executor. The gate's count() is cheap: the cluster labels are
+    * already localCheckpointed, so it re-scans materialized rows, not
+    * the pair-generation lineage.
     */
-  def cleanCorpus(docs: DataFrame, pairs: DataFrame,
-                  idCol: String): DataFrame = {
+  def cleanCorpus(docs: DataFrame, pairs: DataFrame, idCol: String,
+                  broadcastDropLimit: Long = 1000000L): DataFrame = {
     val drop = dupClusters(pairs)
       .filter(col("is_canonical") === 0)
       .select(col("id").as(idCol))
-    docs.join(broadcast(drop), Seq(idCol), "left_anti")
+    if (drop.count() <= broadcastDropLimit)
+      docs.join(broadcast(drop), Seq(idCol), "left_anti")
+    else
+      docs.join(drop, Seq(idCol), "left_anti")
   }
 }

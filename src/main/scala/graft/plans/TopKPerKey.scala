@@ -108,9 +108,22 @@ final case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
 object TopKPerKeyStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKeyPlan(keys, order, k, child) =>
+      // fail loudly on a malformed conf value (a typo like "1e6" silently
+      // falling back to the default is worse than an error) and reject
+      // bounds that would degrade the partial pass to per-row flushing
       val flushRows = SparkSession.getActiveSession
-        .flatMap(s => scala.util.Try(
-          s.conf.get(TopKPerKey.PartialFlushRowsKey).toLong).toOption)
+        .flatMap(s => Option(s.conf.get(TopKPerKey.PartialFlushRowsKey, null)))
+        .map { v =>
+          val n =
+            try v.trim.toLong
+            catch {
+              case _: NumberFormatException => throw new IllegalArgumentException(
+                s"${TopKPerKey.PartialFlushRowsKey} must be a long, got '$v'")
+            }
+          if (n < math.max(k, 1)) throw new IllegalArgumentException(
+            s"${TopKPerKey.PartialFlushRowsKey} ($n) must be >= k ($k)")
+          n
+        }
         .getOrElse(TopKPerKey.DefaultPartialFlushRows)
       val planned = planLater(child)
       TopKPerKeyExec(keys, order, k, partial = false, Long.MaxValue,

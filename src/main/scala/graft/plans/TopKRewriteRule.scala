@@ -42,7 +42,10 @@ object TopKRewriteRule extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     // Opt-in: the rewrite trades the window sort's disk spill for bounded
     // in-memory heaps — a memory-profile change users must ask for.
-    if (!conf.getConfString(TopKPerKey.RewriteEnabledKey, "false").toBoolean) plan
+    // defensive parse: a value like "1" or "yes" must read as disabled,
+    // not explode the whole query with a raw NumberFormat-style error
+    if (!conf.getConfString(TopKPerKey.RewriteEnabledKey, "false")
+          .trim.equalsIgnoreCase("true")) plan
     else rewrite(plan)
   }
 

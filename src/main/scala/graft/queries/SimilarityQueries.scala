@@ -45,9 +45,16 @@ object SimilarityQueries extends QueryPack {
         .orderBy("qid", "rn")
     }),
 
-    // Embedding-cosine near-duplicate pairs.
+    // Embedding-cosine near-duplicate pairs — LSH-bucketed default (the
+    // scale path: linear shuffle, within-bucket verify).
     "q_embed_neardup" -> ((s, d) =>
       nearDupPairs(corpus(s, d), 0.45)
+        .orderBy("ida", "idb")),
+
+    // Exact all-pairs baseline (driver-broadcast O(n²) scan): the recall
+    // reference for the bucketed default above.
+    "q_embed_neardup_exact" -> ((s, d) =>
+      nearDupPairsBrute(corpus(s, d), 0.45)
         .orderBy("ida", "idb")),
 
     // Per-label centroids via the typed VectorAvg aggregate (one buffer
@@ -112,6 +119,13 @@ object SimilarityQueries extends QueryPack {
         |        ORDER BY cos DESC, vec_id) AS rn FROM p)
         |SELECT qid, rn, vec_id, cos FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
     "q_embed_neardup" ->
+      s"""WITH c AS (SELECT vec_id, v, $bucketSql AS bucket FROM ($corpusSql))
+        |SELECT a.vec_id AS ida, b.vec_id AS idb,
+        |       round(list_cosine_similarity(a.v, b.v), 6) AS cos
+        |FROM c a JOIN c b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.45
+        |ORDER BY ida, idb""".stripMargin,
+    "q_embed_neardup_exact" ->
       s"""WITH c AS ($corpusSql)
         |SELECT a.vec_id AS ida, b.vec_id AS idb,
         |       round(list_cosine_similarity(a.v, b.v), 6) AS cos

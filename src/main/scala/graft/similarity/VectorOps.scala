@@ -91,9 +91,32 @@ object VectorOps {
       .select(col("qid"), col("rn"), col("cid").as("vec_id"), col("cos"))
   }
 
-  /** All pairs (ida < idb) with cosine ≥ threshold (threshold applies to
-    * the rounded value). Quadratic verification — at scale, bucket first
-    * (see topKBucketed) and verify within buckets.
+  /** Near-duplicate pairs (ida < idb) with cosine ≥ threshold (threshold
+    * applies to the rounded value) — the DEFAULT, scale-safe path.
+    *
+    * Candidate generation is an LSH equi-join: both sides bucket on the
+    * sign-bit key (`signBucket`) and only same-bucket pairs are verified,
+    * so the shuffle is linear in corpus size and the pair work is
+    * sum-of-squares of bucket sizes, never corpus². Recall < 1 by
+    * construction (a pair split across buckets is missed) — that is the
+    * standard LSH trade; for an exact answer on a corpus that fits in
+    * executor memory use `nearDupPairsBrute`, and assert bucketed ⊆ brute
+    * as VectorOpsSpec does.
+    */
+  def nearDupPairs(corpus: DataFrame, threshold: Double,
+                   bits: Int = 8): DataFrame = {
+    val a = withNorm(corpus, "a").withColumn("bucket", signBucket(col("avec"), bits))
+    val b = withNorm(corpus, "b").withColumn("bucket", signBucket(col("bvec"), bits))
+    a.join(b, Seq("bucket"))
+      .filter(col("aid") < col("bid"))
+      .withColumn("cos", pairCos("a", "b"))
+      .filter(col("cos") >= threshold)
+      .select(col("aid").as("ida"), col("bid").as("idb"), col("cos"))
+  }
+
+  /** All pairs (ida < idb) with cosine ≥ threshold — EXACT quadratic
+    * verification, the recall baseline for `nearDupPairs`. Not the scale
+    * path: it is a driver collect + O(n²) scan by design.
     *
     * Implementation: broadcast the corpus (id, vec, norm) and scan pairs
     * in a mapPartitions loop. The declarative nested-loop-join
@@ -102,9 +125,9 @@ object VectorOps {
     * fixture) and was ~10× slower for identical output; here only
     * above-threshold pairs ever become rows. Broadcast bound: corpus must
     * fit in executor memory (n×dim×8B — 1 GB ≈ 2M×64d); beyond that,
-    * bucket first.
+    * use the bucketed default.
     */
-  def nearDupPairs(corpus: DataFrame, threshold: Double): DataFrame = {
+  def nearDupPairsBrute(corpus: DataFrame, threshold: Double): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val rows = corpus.select(col("id").cast("long"), col("vec")).rdd

@@ -25,6 +25,27 @@ class ComponentsSpec extends SparkSpecBase {
     assert(cc.size == 30 && cc.values.forall(_ == 1L))
   }
 
+  test("cleanCorpus broadcast and shuffle anti-join paths agree") {
+    val docs = (1L to 12L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // clusters {1,2,3} and {7,8}: drop 2,3,8 → keep 9 docs
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("ida", "idb")
+    val viaBroadcast = Components.cleanCorpus(docs, pairs, "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val viaShuffle = Components.cleanCorpus(docs, pairs, "doc_id",
+        broadcastDropLimit = 0L)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(viaBroadcast.toSeq == Seq(1L, 4L, 5L, 6L, 7L, 9L, 10L, 11L, 12L))
+    assert(viaShuffle.toSeq == viaBroadcast.toSeq)
+  }
+
+  test("connectedComponents honors numPartitions") {
+    val edges = Seq((1L, 2L), (3L, 4L)).toDF("ida", "idb")
+    val cc = Components.connectedComponents(edges, numPartitions = 2)
+    assert(cc.rdd.getNumPartitions <= 2)
+    assert(cc.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
+  }
+
   test("dupClusters marks exactly one canonical per cluster") {
     val edges = Seq((5L, 6L), (6L, 7L), (100L, 101L)).toDF("ida", "idb")
     val rows = Components.dupClusters(edges).collect()

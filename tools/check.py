@@ -46,9 +46,11 @@ def main(sf_dir: str, out_dir: str) -> int:
             # Mirror the driver's type-sensitive hashing: an int column on one
             # side vs float/object on the other (e.g. DuckDB HUGEINT -> float64)
             # must FAIL even when the values compare equal numerically.
+            # (datetime RESOLUTION diffs — ns vs us — share kind 'M' and
+            # never reach this branch, so no exemption is needed)
             for c in got.columns:
                 gk, ek = got[c].dtype.kind, exp[c].dtype.kind
-                if gk != ek and {gk, ek} - {"M", "m"}:  # datetime res diffs ok
+                if gk != ek:
                     status.append(f"DTYPE col {c}: got={got[c].dtype} exp={exp[c].dtype}")
             try:
                 pd.testing.assert_frame_equal(got, exp, check_dtype=False,
