@@ -3,9 +3,10 @@ package graft.functions
 import org.apache.spark.sql.{Column, GraftSqlBridge}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for vector math on `array<double>` columns.
   *
@@ -64,9 +65,94 @@ case class VecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Static helper the generated code calls for sign-LSH band keys — the
+  * whole B×r-hyperplane projection runs as one JVM loop per row (the
+  * declarative formulation would be a ~12k-node expression tree that
+  * Catalyst re-inlines per band).
+  *
+  * Hyperplane family: pseudo-random ±1 weights derived from md5 — weight
+  * w(j, i) for hyperplane j, 0-based dimension i is +1 iff the first hex
+  * digit of md5("j:i") is even, else −1. Fully deterministic and
+  * engine-independent: the DuckDB oracle rebuilds the identical matrix
+  * from the same md5 parity rule (SimilarityQueries' weight CTE). Band b
+  * (0-based) is the r-character '0'/'1' string of signs of hyperplanes
+  * j ∈ [b·r, b·r+r).
+  */
+object SignLshOps {
+
+  // weight matrices are a function of (nbits, dim) only — cache per shape
+  // (one per executor JVM; a 192×64 matrix is ~100 KB)
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
+
+  private def md5FirstNibbleEven(s: String): Boolean = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    ((d(0) >> 4) & 0xf) % 2 == 0
+  }
+
+  private def weights(nbits: Int, dim: Int): Array[Array[Double]] =
+    cache.computeIfAbsent((nbits, dim), { _ =>
+      Array.tabulate(nbits, dim)((j, i) =>
+        if (md5FirstNibbleEven(s"$j:$i")) 1.0 else -1.0)
+    })
+
+  /** All `bands` sign-LSH band keys for one vector (see scaladoc above). */
+  def bandKeys(vec: ArrayData, bands: Int, r: Int): ArrayData = {
+    val dim = vec.numElements()
+    val w = weights(bands * r, dim)
+    val v = new Array[Double](dim)
+    var i = 0
+    while (i < dim) { v(i) = vec.getDouble(i); i += 1 }
+    val out = new Array[AnyRef](bands)
+    var b = 0
+    while (b < bands) {
+      val key = new Array[Char](r)
+      var jj = 0
+      while (jj < r) {
+        val wj = w(b * r + jj)
+        var s = 0.0
+        var d = 0
+        while (d < dim) { s += v(d) * wj(d); d += 1 }
+        key(jj) = if (s >= 0) '1' else '0'
+        jj += 1
+      }
+      out(b) = UTF8String.fromString(new String(key))
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** sign_lsh_band_keys(vec: array<double>, bands, r): array<string> —
+  * OR-amplified random-hyperplane LSH keys for cosine near-dup search.
+  */
+case class SignLshBandKeys(child: Expression, bands: Int, r: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"sign_lsh_band_keys requires array<double>, got ${dt.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "sign_lsh_band_keys"
+  override def nullSafeEval(a: Any): Any =
+    SignLshOps.bandKeys(a.asInstanceOf[ArrayData], bands, r)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.SignLshOps.bandKeys($c, $bands, $r)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object VectorExpressions {
   /** `vec_dot(a, b)` as a Column — codegen'd dot product. */
   def vecDot(a: Column, b: Column): Column =
     GraftSqlBridge.column(VecDot(
       GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  /** `sign_lsh_band_keys(v, bands, r)` as a Column. */
+  def signLshBandKeys(v: Column, bands: Int, r: Int): Column =
+    GraftSqlBridge.column(SignLshBandKeys(
+      GraftSqlBridge.expression(v), bands, r))
 }
