@@ -32,6 +32,9 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
+      // TIMESTAMP(NANOS) parquet columns scan as long (Tables.events
+      // converts); session posture, NOT a loader-side conf mutation
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
 
   def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession =

@@ -27,16 +27,16 @@ object Tables {
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
 
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
-    * natively; read it as a long (legacy conf) and convert to a microsecond
-    * TimestampType (`ts div 1000` — truncation, matching how Spark casts
-    * nanos elsewhere). The conf is per-session and only affects NANOS
-    * columns, so other tables are untouched.
+    * natively; with `spark.sql.legacy.parquet.nanosAsLong` on (part of the
+    * GraftSession posture — a loader must not mutate session conf as a
+    * read side effect) the column scans as a long, converted here to a
+    * microsecond TimestampType (`ts div 1000` — truncation, matching how
+    * Spark casts nanos elsewhere). The conf only affects NANOS columns, so
+    * other tables are untouched.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(s: SparkSession, d: String): DataFrame =
     load(s, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-  }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

@@ -131,6 +131,18 @@ object AnalyticQueries extends QueryPack {
           count(lit(1)).as("n_events"))
         .orderBy("dt")),
 
+    // Exact daily twin of q_approx_distinct: same grouping, exact
+    // count-distincts — oracles the deterministic surface (dt, exact
+    // cardinalities, n_events) that the sketch query can't hash-check.
+    "q_distinct_daily" -> ((s, d) =>
+      graft.Tables.events(s, d)
+        .groupBy(to_date(date_trunc("day", col("ts"))).as("dt"))
+        .agg(
+          countDistinct(col("user_id")).as("n_users"),
+          countDistinct(col("event_type")).as("n_types"),
+          count(lit(1)).as("n_events"))
+        .orderBy("dt")),
+
     // Statistical aggregates: correlation / covariance / dispersion of
     // price vs quantity per return flag (feature-engineering surface).
     "q_stats_corr" -> ((s, d) =>
@@ -262,6 +274,12 @@ object AnalyticQueries extends QueryPack {
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY g_status, g_prio,
         |         coalesce(o_orderstatus, ''), coalesce(o_orderpriority, '')""".stripMargin,
+    "q_distinct_daily" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS dt,
+        |       count(DISTINCT user_id) AS n_users,
+        |       count(DISTINCT event_type) AS n_types,
+        |       count(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY dt""".stripMargin,
     "q_distinct_agg" ->
       """SELECT l_returnflag,
         |       count(DISTINCT l_suppkey) AS n_supp,

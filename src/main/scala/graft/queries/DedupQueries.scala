@@ -32,6 +32,19 @@ object DedupQueries extends QueryPack {
           threshold = 0.8)
         .orderBy("ida", "idb")),
 
+    // The 100-TB jaccard path: same inverted index with the df-cut
+    // engaged (shingles in > 5 docs dropped before the self-join — the
+    // posting lists that would otherwise make it quadratic). The cap
+    // sits above the fixture's dup-group sizes, so every uncapped pair
+    // survives while the df-6/7 stop-shingles are cut; intersection
+    // counts only surviving shingles but na/nb stay the full shingle
+    // counts (jaccard is a lower bound under the cut, identically on
+    // both engines).
+    "q_dedup_jaccard_capped" -> ((s, d) =>
+      Dedup.jaccardPairs(Tables.documents(s, d), "text", "doc_id",
+          threshold = 0.8, maxShingleFreq = 5)
+        .orderBy("ida", "idb")),
+
     // MinHash+LSH (12 hashes, 4 bands × 3 rows) with exact-Jaccard
     // verification of candidates.
     "q_dedup_minhash_lsh" -> ((s, d) =>
@@ -151,6 +164,27 @@ object DedupQueries extends QueryPack {
         |  SELECT doc_id AS id, $shinglesSql AS sh
         |  FROM (SELECT doc_id, $tokensSql AS w FROM documents)),
         |e AS (SELECT id, len(sh) AS n_sh, unnest(sh) AS s FROM t),
+        |p AS (
+        |  SELECT a.id AS ida, b.id AS idb, a.n_sh AS na, b.n_sh AS nb,
+        |         count(*) AS inter
+        |  FROM e a JOIN e b ON a.s = b.s AND a.id < b.id
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT ida, idb,
+        |       round(inter::DOUBLE / (na + nb - inter), 6) AS jaccard
+        |FROM p WHERE round(inter::DOUBLE / (na + nb - inter), 6) >= 0.8
+        |ORDER BY ida, idb""".stripMargin,
+    // Twin of jaccardPairs(maxShingleFreq = 5): the hot CTE computes
+    // shingle document frequency and the same df-cut is applied before
+    // the self-join; na/nb remain the uncut shingle counts.
+    "q_dedup_jaccard_capped" ->
+      s"""WITH t AS (
+        |  SELECT doc_id AS id, $shinglesSql AS sh
+        |  FROM (SELECT doc_id, $tokensSql AS w FROM documents)),
+        |e0 AS (SELECT id, len(sh) AS n_sh, unnest(sh) AS s FROM t),
+        |hot AS (
+        |  SELECT s FROM (SELECT s, count(*) AS df FROM e0 GROUP BY s)
+        |  WHERE df > 5),
+        |e AS (SELECT * FROM e0 WHERE s NOT IN (SELECT s FROM hot)),
         |p AS (
         |  SELECT a.id AS ida, b.id AS idb, a.n_sh AS na, b.n_sh AS nb,
         |         count(*) AS inter

@@ -27,6 +27,18 @@ object MlQueries extends QueryPack {
         count(lit(1)).cast("double").as("n_events"))
 
   val queries: Map[String, Q] = Map(
+    // The feature table itself, oracled: every input the forest consumes
+    // (dt, avg, exact p95, count) hash-checks against DuckDB, so the only
+    // unverified surface left in the anomaly pipeline is the forest's own
+    // scores (pinned by IsolationForestSpec instead).
+    "q_anomaly_features" -> ((s, d) =>
+      goldDaily(s, d)
+        .select(col("dt"),
+          round(col("avg_value"), 6).as("avg_value"),
+          round(col("p95_value"), 6).as("p95_value"),
+          col("n_events"))
+        .orderBy("dt")),
+
     // M1: StandardScaler semantics (mean/population-std standardization),
     // computed distributed — stats via window over the whole frame.
     "q_scaler_standardize" -> ((s, d) => {
@@ -73,6 +85,13 @@ object MlQueries extends QueryPack {
     }))
 
   val oracle: Map[String, String] = Map(
+    "q_anomaly_features" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS dt,
+        |       round(avg(value), 6) AS avg_value,
+        |       round(quantile_cont(value, 0.95), 6) AS p95_value,
+        |       count(*)::DOUBLE AS n_events
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY 1 ORDER BY dt""".stripMargin,
     "q_scaler_standardize" ->
       """WITH g AS (
         |  SELECT CAST(date_trunc('day', ts) AS DATE) AS dt,

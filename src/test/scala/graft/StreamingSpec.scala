@@ -100,9 +100,9 @@ class StreamingSpec extends SparkSpecBase {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sfDir/events.parquet"),
       dir.resolve("events.parquet"))
-    // raw parquet carries ts as INT64 nanos: read long (Tables.events
-    // already set the nanosAsLong conf on this session) and convert
-    val batchDf = Tables.events(spark, sfDir) // ensures conf is set
+    // raw parquet carries ts as INT64 nanos: read long (the nanosAsLong
+    // conf is session posture — SparkTestSession sets it) and convert
+    val batchDf = Tables.events(spark, sfDir)
     val rawSchema = org.apache.spark.sql.types.StructType(
       batchDf.schema.fields.map(f =>
         if (f.name == "ts") f.copy(dataType = org.apache.spark.sql.types.LongType)
