@@ -19,9 +19,17 @@ import org.apache.spark.sql.SparkSession
   * and its duration is EXCLUDED from "value" (a partial total that
   * silently included failure time would not be comparable across runs
   * with different failure sets).
+  *
+  * "bench_rev" versions the methodology so totals are only compared
+  * within a revision: rev 2 = median-of-3 + warm-up + failure exclusion
+  * (rev 1, rounds 1-2, was a single timed pass). The JSON line is also
+  * written to bench_last.json (override: SPARK_GRAFT_BENCH_OUT) so a
+  * truncated stdout capture can't lose the totals — round 3's committed
+  * artifact lost its tail that way.
   */
 object Bench {
   val timedPasses = 3
+  val benchRev = 2
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -73,7 +81,14 @@ object Bench {
       "\"" + k + "\":" + runs.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = byName.collect { case (_, med, true, _) => med }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"passes":$allPasses,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","bench_rev":$benchRev,"queries":$qs,"failed":$failed,"passes":$allPasses,"sf":"$sfDir"}"""
+    println(line)
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
+    catch { case t: Throwable =>
+      System.err.println(s"BENCH: could not write $outFile: ${t.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -88,15 +88,25 @@ object Components {
     * drop list broadcasts (big side stays unshuffled); above it, a
     * shuffle anti-join — at 30-50% dup rate on a 100-TB corpus the drop
     * list is itself huge and an unconditional broadcast would OOM every
-    * executor. The gate's count() is cheap: the cluster labels are
-    * already localCheckpointed, so it re-scans materialized rows, not
-    * the pair-generation lineage.
+    * executor. The limit is in rows because the key width is fixed and
+    * known (one id per row; at 16-byte ids the 1M default is ~16 MB —
+    * well under executor broadcast comfort); size it down for wide ids.
+    *
+    * The drop list is localCheckpointed BEFORE the gate's count, so the
+    * gate and the anti-join both read the same materialized rows — the
+    * cluster computation runs exactly once (the count previously re-ran
+    * the canonical-flag projection over the labels). NOTE: connected
+    * components is inherently iterative (actions per round), so calling
+    * cleanCorpus executes that iteration eagerly — this is not a fully
+    * lazy DataFrame constructor and never was; the checkpoint just pins
+    * its result.
     */
   def cleanCorpus(docs: DataFrame, pairs: DataFrame, idCol: String,
                   broadcastDropLimit: Long = 1000000L): DataFrame = {
     val drop = dupClusters(pairs)
       .filter(col("is_canonical") === 0)
       .select(col("id").as(idCol))
+      .localCheckpoint(eager = true)
     if (drop.count() <= broadcastDropLimit)
       docs.join(broadcast(drop), Seq(idCol), "left_anti")
     else

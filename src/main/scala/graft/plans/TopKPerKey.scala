@@ -105,12 +105,15 @@ final case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
 }
 
 /** Plans TopKPerKeyPlan as partial → exchange(keys) → final. */
-object TopKPerKeyStrategy extends org.apache.spark.sql.execution.SparkStrategy {
+object TopKPerKeyStrategy extends org.apache.spark.sql.execution.SparkStrategy
+    with org.apache.spark.internal.Logging {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKeyPlan(keys, order, k, child) =>
-      // fail loudly on a malformed conf value (a typo like "1e6" silently
-      // falling back to the default is worse than an error) and reject
-      // bounds that would degrade the partial pass to per-row flushing
+      // fail loudly on a MALFORMED conf value (a typo like "1e6" silently
+      // falling back to the default is worse than an error); a bound
+      // below k is a VALID-but-degenerate request (per-row flushing), so
+      // clamp to k with a warning instead of breaking the query — a
+      // working conf must not become a hard failure just because k grew
       val flushRows = SparkSession.getActiveSession
         .flatMap(s => Option(s.conf.get(TopKPerKey.PartialFlushRowsKey, null)))
         .map { v =>
@@ -120,9 +123,12 @@ object TopKPerKeyStrategy extends org.apache.spark.sql.execution.SparkStrategy {
               case _: NumberFormatException => throw new IllegalArgumentException(
                 s"${TopKPerKey.PartialFlushRowsKey} must be a long, got '$v'")
             }
-          if (n < math.max(k, 1)) throw new IllegalArgumentException(
-            s"${TopKPerKey.PartialFlushRowsKey} ($n) must be >= k ($k)")
-          n
+          val floor = math.max(k, 1).toLong
+          if (n < floor) {
+            logWarning(s"${TopKPerKey.PartialFlushRowsKey} ($n) < k ($k); " +
+              s"clamping to $floor — the partial heap must hold k rows")
+            floor
+          } else n
         }
         .getOrElse(TopKPerKey.DefaultPartialFlushRows)
       val planned = planLater(child)

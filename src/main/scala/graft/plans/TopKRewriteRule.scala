@@ -42,11 +42,17 @@ object TopKRewriteRule extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     // Opt-in: the rewrite trades the window sort's disk spill for bounded
     // in-memory heaps — a memory-profile change users must ask for.
-    // defensive parse: a value like "1" or "yes" must read as disabled,
-    // not explode the whole query with a raw NumberFormat-style error
-    if (!conf.getConfString(TopKPerKey.RewriteEnabledKey, "false")
-          .trim.equalsIgnoreCase("true")) plan
-    else rewrite(plan)
+    // Only true/false parse; anything else ("1", "yes", a typo) fails
+    // loudly — silently reading "yes" as DISABLED would leave the user
+    // believing the rewrite is on with no signal, the same
+    // malformed-conf posture as the flushRows parse in the strategy.
+    conf.getConfString(TopKPerKey.RewriteEnabledKey, "false")
+        .trim.toLowerCase match {
+      case "true"  => rewrite(plan)
+      case "false" => plan
+      case other   => throw new IllegalArgumentException(
+        s"${TopKPerKey.RewriteEnabledKey} must be true or false, got '$other'")
+    }
   }
 
   private def rewrite(plan: LogicalPlan): LogicalPlan = plan.transformUp {

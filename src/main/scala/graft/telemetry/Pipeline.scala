@@ -53,6 +53,32 @@ object Pipeline {
       s"$lakeDir/gold/gold_cluster_util_daily_scored.parquet")
   }
 
+  /** Export the scored table for external consumers — the reference's
+    * plot feed (notebooks/plot_daily_anomalies.py:14-24 reads the scored
+    * table and plots dt / avg_gpu_util / anomaly flags) re-expressed as
+    * an explicit sink: (dt, avg_gpu_util, anomaly_flag, anomaly_score),
+    * day-ordered. `format` is "csv" (header'd) or "json". The
+    * coalesce(1) is deliberate: the feed is one row per DAY (the
+    * upstream aggregation already collapsed the data), and a plot/BI
+    * consumer wants a single file — this is not a data-scale path.
+    */
+  def exportScored(spark: SparkSession, lakeDir: String, outPath: String,
+                   format: String = "csv"): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val scored = graft.sources.Lake.read(spark,
+      s"$lakeDir/gold/gold_cluster_util_daily_scored.parquet")
+    val feed = scored.select(col("dt"), col("avg_gpu_util"),
+      col("anomaly_flag"), col("anomaly_score")).orderBy("dt")
+    val w = feed.coalesce(1).write.mode("overwrite")
+    format match {
+      case "csv"  => w.option("header", "true").csv(outPath)
+      case "json" => w.json(outPath)
+      case other  => throw new IllegalArgumentException(
+        s"exportScored: unsupported format '$other' (expected csv or json)")
+    }
+    feed
+  }
+
   /** The whole flow, fail-fast at the checks gate like the reference. */
   def fullRefresh(spark: SparkSession, rawDir: String, lakeDir: String): RefreshResult = {
     val counts = Bronze.ingestAll(spark, rawDir, lakeDir)            // F1 ingest

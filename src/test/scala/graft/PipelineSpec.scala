@@ -54,6 +54,20 @@ class PipelineSpec extends SparkSpecBase {
     // model persisted and loadable
     val m = graft.ml.IsolationForest.load(spark, res.modelPath)
     assert(m.trees.size == 100)
+
+    // export sink: the plot feed round-trips through CSV with the exact
+    // reference columns and one row per gold day
+    val exportDir = s"$base/export_scored"
+    Pipeline.exportScored(spark, lakeDir, exportDir)
+    val back = spark.read.option("header", "true").option("inferSchema", "true")
+      .csv(exportDir)
+    assert(back.columns.toSeq ==
+      Seq("dt", "avg_gpu_util", "anomaly_flag", "anomaly_score"))
+    assert(back.count() == 40)
+    assert(back.filter("anomaly_flag = 1").count() == res.anomalies)
+    intercept[IllegalArgumentException] {
+      Pipeline.exportScored(spark, lakeDir, s"$base/export_bad", "xml")
+    }
   }
 
   test("checks gate throws on duplicate gold dt") {
