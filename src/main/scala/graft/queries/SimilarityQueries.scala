@@ -74,6 +74,14 @@ object SimilarityQueries extends QueryPack {
           round(col("mval"), 6).as("m"))
         .orderBy("label", "d")),
 
+    // Int8 symmetric quantization audit per vector: scale, quantized
+    // checksum/extremes, L1 reconstruction error (see
+    // VectorOps.quantizeInt8Stats).
+    "q_embed_quantize" -> ((s, d) =>
+      quantizeInt8Stats(corpus(s, d).select("id", "vec"))
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("vec_id")),
+
     // IVF-Flat approximate top-3: data-adaptive coarse quantizer (16
     // cells, 4 probes, deterministic k-means). The Lloyd iterations are
     // not SQL-expressible in one query → rows-only check; IvfSpec pins
@@ -158,5 +166,26 @@ object SimilarityQueries extends QueryPack {
         |       round(list_cosine_similarity(a.v, b.v), 6) AS cos
         |FROM c a JOIN c b ON a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.45
-        |ORDER BY ida, idb""".stripMargin)
+        |ORDER BY ida, idb""".stripMargin,
+    // Twin of VectorOps.quantizeInt8Stats: same scale, same round()
+    // tie rule (both engines round half away from zero on doubles),
+    // same element order in the error sum.
+    "q_embed_quantize" ->
+      s"""WITH c AS ($corpusSql),
+        |s AS (
+        |  SELECT vec_id, v,
+        |         list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+        |  FROM c),
+        |q AS (
+        |  SELECT vec_id, v, scale,
+        |         list_transform(v, x -> CAST(round(x / scale) AS BIGINT)) AS qv
+        |  FROM s WHERE scale > 0)
+        |SELECT vec_id,
+        |       round(scale, 8) AS scale8,
+        |       list_sum(qv)::BIGINT AS q_sum,
+        |       list_min(qv) AS q_min,
+        |       list_max(qv) AS q_max,
+        |       round(list_sum(list_transform(generate_series(1, len(v)),
+        |             i -> abs(qv[i] * scale - v[i]))), 6) AS recon_err
+        |FROM q ORDER BY vec_id""".stripMargin)
 }

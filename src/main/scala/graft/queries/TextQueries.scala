@@ -70,6 +70,43 @@ object TextQueries extends QueryPack {
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")),
 
+    // Sequence packing: concatenate-then-chunk assignment of docs to
+    // fixed 512-token training packs via one global window cumsum
+    // (graft.text.Packing — see its scaladoc for the 100-TB sharding
+    // posture), summarized per pack.
+    "q_seq_packing" -> ((s, d) =>
+      graft.text.Packing.packStats(Tables.documents(s, d), "doc_id",
+          "text", packTokens = 512)
+        .orderBy("pack_id")),
+
+    // TF-IDF top-5 terms per source: term frequency within source ×
+    // inverse source frequency (ln(n_sources/df)), ranked on the
+    // ROUNDED score with term tiebreak so both engines rank
+    // identically. Shuffles: one explode→(source,term) agg, one
+    // term-keyed df agg, one term join, one per-source window — each
+    // linear in vocabulary size; the scalar n_sources broadcasts.
+    "q_tfidf_top_terms" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val tf = docs
+        .select(col("source"), explode(tokens(col("text"))).as("term"))
+        .groupBy("source", "term")
+        .agg(count(lit(1)).as("tf"))
+      // tf has one row per (source, term), so counting rows per term IS
+      // the number of sources containing the term
+      val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val nSrc = docs.agg(countDistinct(col("source")).as("n_src"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("score").desc, col("term"))
+      tf.join(dfT, "term")
+        .crossJoin(broadcast(nSrc))
+        .withColumn("score",
+          round(col("tf") * log(col("n_src").cast("double") / col("df")), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select("source", "rn", "term", "tf", "df", "score")
+        .orderBy("source", "rn")
+    }),
+
     // Corpus-level quality profile per source.
     "q_text_quality_by_source" -> ((s, d) =>
       Tables.documents(s, d)
@@ -140,6 +177,33 @@ object TextQueries extends QueryPack {
         |SELECT doc_id, lang,
         |  round(len_score * 0.5 + (1.0 - punct_pen) * 0.2 + stop_score * 0.3, 6) AS quality
         |FROM q ORDER BY doc_id""".stripMargin,
+    "q_seq_packing" ->
+      s"""WITH t AS (SELECT doc_id, len($tokensSql) AS n_tokens FROM documents),
+        |p AS (
+        |  SELECT doc_id, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS tokens_before
+        |  FROM t)
+        |SELECT (tokens_before // 512)::BIGINT AS pack_id,
+        |       count(*) AS n_docs,
+        |       sum(n_tokens)::BIGINT AS n_tokens,
+        |       min(doc_id) AS first_doc,
+        |       max(doc_id) AS last_doc
+        |FROM p GROUP BY 1 ORDER BY pack_id""".stripMargin,
+    "q_tfidf_top_terms" ->
+      s"""WITH toks AS (SELECT source, unnest($tokensSql) AS term FROM documents),
+        |tf AS (SELECT source, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(DISTINCT source) AS n_src FROM documents),
+        |scored AS (
+        |  SELECT tf.source, tf.term, tf.tf, dfx.df,
+        |         round(tf.tf * ln(n.n_src::DOUBLE / dfx.df), 6) AS score
+        |  FROM tf JOIN dfx USING (term), n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY source
+        |        ORDER BY score DESC, term) AS rn FROM scored)
+        |SELECT source, rn, term, tf, df, score
+        |FROM r WHERE rn <= 5 ORDER BY source, rn""".stripMargin,
     "q_text_quality_by_source" ->
       s"""WITH t AS (SELECT doc_id, source, text, $tokensSql AS w FROM documents),
         |q AS (SELECT doc_id, source, len(w) AS nt,

@@ -136,6 +136,40 @@ object VectorOps {
       .select(col("ida"), col("idb"), col("cos"))
   }
 
+  /** Int8 symmetric per-vector quantization profile — the embedding
+    * compression step of a training/serving pipeline (store q = round(v /
+    * scale) with scale = max|v| / 127; 4-8× smaller, reconstruction
+    * v ≈ q·scale). Emits per-vector audit columns rather than the raw
+    * int8 payload so the result is engine-comparable: the quantized
+    * checksum/extremes and the L1 reconstruction error.
+    *
+    * By construction |v_i / scale| ≤ 127, so no clamp is needed; zero
+    * vectors (scale = 0) are excluded on both engines rather than
+    * special-cased. Narrow per-row transform — no shuffle, scales
+    * embarrassingly. The HOF lambdas here are interpreted, but at 64
+    * dims × one pass per row that is microseconds/row — a native
+    * expression would be over-engineering (contrast VecDot, which runs
+    * once per candidate PAIR).
+    */
+  def quantizeInt8Stats(corpus: DataFrame): DataFrame = {
+    val scale = array_max(transform(col("vec"), x => abs(x))) / lit(127.0)
+    val q = transform(col("vec"), x => round(x / col("scale")).cast("long"))
+    corpus
+      .select(col("id"), col("vec"), scale.as("scale"))
+      .filter(col("scale") > 0)
+      .withColumn("qv", q)
+      .select(
+        col("id"),
+        round(col("scale"), 8).as("scale8"),
+        aggregate(col("qv"), lit(0L), (acc, x) => acc + x).as("q_sum"),
+        array_min(col("qv")).as("q_min"),
+        array_max(col("qv")).as("q_max"),
+        round(aggregate(
+          zip_with(col("qv"), col("vec"),
+            (qi, vi) => abs(qi.cast("double") * col("scale") - vi)),
+          lit(0.0), (acc, x) => acc + x), 6).as("recon_err"))
+  }
+
   /** All pairs (ida < idb) with cosine ≥ threshold — EXACT quadratic
     * verification, the recall baseline for `nearDupPairs`. Not the scale
     * path: it is a driver collect + O(n²) scan by design.

@@ -1,0 +1,64 @@
+package graft.text
+
+import graft.text.TextFunctions.tokenCount
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing — the training-data step that concatenates a corpus
+  * in a deterministic order and slices it into fixed token-budget
+  * sequences ("packs"); every document is assigned to the pack its first
+  * token lands in.
+  *
+  * This is the prefix-sum ("concatenate then chunk") packing used when
+  * documents are joined with a separator token and cut into max-length
+  * training sequences. Unlike greedy bin packing (which closes a bin when
+  * the next item would overflow — inherently sequential state), the
+  * chunk boundary is a pure function of the exclusive prefix sum of token
+  * counts, so it is expressible as ONE window cumsum: distributed,
+  * deterministic, and oracle-checkable in any engine.
+  *
+  * Scale note: the window below has no partition key, which makes Spark
+  * range-partition by the order key — one global sort of (id, n_tokens)
+  * pairs (NOT the text; the projection drops it before the exchange).
+  * That is the honest cost of a globally-contiguous pack order. At 100 TB
+  * you don't want global contiguity anyway (packs are consumed
+  * shard-parallel): pre-shard the corpus and pack within shards by
+  * passing each shard's frame here, or add the shard key to a
+  * `Window.partitionBy` — the arithmetic is unchanged.
+  */
+object Packing {
+
+  /** Per-document pack assignment: (id, n_tokens, tokens_before,
+    * pack_id), ordered by `idCol`. `packTokens` is the per-pack token
+    * budget (sequence length).
+    */
+  def packBySize(docs: DataFrame, idCol: String, textCol: String,
+                 packTokens: Int): DataFrame = {
+    require(packTokens > 0, s"packTokens must be positive, got $packTokens")
+    val w = Window.orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col(idCol), tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("tokens_before",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      // integral `div`, not floor(double /): exact for every budget, and
+      // bit-identical to the oracle's `//`
+      .withColumn("pack_id", expr(s"tokens_before div $packTokens"))
+  }
+
+  /** Pack-level summary: docs per pack, token fill, id span. A full pack
+    * carries ~`packTokens` tokens (the last doc of a pack may spill into
+    * the next — by construction only the FIRST token position decides
+    * membership, matching the concatenate-then-chunk semantics).
+    */
+  def packStats(docs: DataFrame, idCol: String, textCol: String,
+                packTokens: Int): DataFrame =
+    packBySize(docs, idCol, textCol, packTokens)
+      .groupBy("pack_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        min(col(idCol)).as("first_doc"),
+        max(col(idCol)).as("last_doc"))
+}

@@ -86,6 +86,24 @@ class VectorOpsSpec extends SparkSpecBase {
     assert(recall >= 0.9, s"recall $recall < 0.9 (${banded.size}/${brute.size})")
   }
 
+  test("quantizeInt8Stats: hand-checked scale/extremes, zero vector excluded") {
+    // max|v| = 12.7 → scale 0.1; q = [127, -64, 0] (round(-6.35/0.1) =
+    // round(-63.5) → -64, half away from zero — the DuckDB tie rule too)
+    val df = Seq(
+      (1L, Seq(12.7, -6.35, 0.0)),
+      (2L, Seq(0.0, 0.0, 0.0))  // scale 0 → excluded
+    ).toDF("id", "vec")
+    val rows = VectorOps.quantizeInt8Stats(df).collect()
+    assert(rows.length == 1)
+    val r = rows(0)
+    assert(r.getLong(0) == 1L)
+    assert(math.abs(r.getDouble(1) - 0.1) < 1e-9)     // scale8
+    assert(r.getLong(2) == 63L)                        // q_sum
+    assert(r.getLong(3) == -64L && r.getLong(4) == 127L)
+    // recon err: |127*0.1-12.7| + |-64*0.1+6.35| + 0 = ~0.05
+    assert(math.abs(r.getDouble(5) - 0.05) < 1e-6)
+  }
+
   test("signBucket is deterministic on first `bits` dims") {
     val b = Seq((Seq(1.0, -2.0, 3.0, -4.0))).toDF("v")
       .select(VectorOps.signBucket($"v", 4).as("b")).collect()(0).getString(0)
