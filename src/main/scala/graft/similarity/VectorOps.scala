@@ -115,7 +115,16 @@ object VectorOps {
     */
   def nearDupPairs(corpus: DataFrame, threshold: Double,
                    bands: Int = 32, rowsPerBand: Int = 6): DataFrame = {
-    val t = withNorm(corpus, "")
+    // NO withNorm repartition barrier here (unlike the top-k paths): the
+    // barrier's full-vector corpus exchange costs more than it saves —
+    // without it the norm inlines into the verify projection and is
+    // recomputed per CANDIDATE (one extra VecDot per side), but those
+    // flops are cache-local while the exchange serializes every vector.
+    // Measured at sf0.1 (median-of-3, isolated): 1.53s with the barrier
+    // → 1.16s without; the same reasoning holds at scale because the
+    // barrier is O(corpus·dim) network while the recompute is
+    // O(candidates·dim) arithmetic.
+    val t = corpus.select(col("id"), col("vec"), l2norm(col("vec")).as("nrm"))
     val banded = t.select(col("id"),
       posexplode(graft.functions.VectorExpressions
         .signLshBandKeys(col("vec"), bands, rowsPerBand)).as(Seq("band", "key")))
