@@ -127,7 +127,35 @@ object RelationalQueries extends QueryPack {
       Tables.orders(s, d)
         .agg(
           sum(col("o_orderkey").isNull.cast("long")).as("null_orderkey"),
-          sum(col("o_custkey").isNull.cast("long")).as("null_custkey"))))
+          sum(col("o_custkey").isNull.cast("long")).as("null_custkey"))),
+
+    // dbt `accepted_values` test shape: per-value row counts outside the
+    // accepted domain (must be empty).
+    "q_check_accepted_values" -> ((s, d) =>
+      Tables.events(s, d)
+        .filter(col("event_type").isNotNull &&
+          !col("event_type").isin("click", "view", "purchase", "signup", "error"))
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+        .orderBy("event_type")),
+
+    // dbt `relationships` test shape: orphan-FK counts for the star
+    // schema's two load-bearing edges (must both be zero) — anti-join on
+    // keys only, parent side broadcast.
+    "q_check_relationships" -> ((s, d) => {
+      val orphanOrders = Tables.orders(s, d)
+        .select(col("o_custkey").as("fk")).filter(col("fk").isNotNull)
+        .join(broadcast(Tables.customer(s, d)
+          .select(col("c_custkey").as("fk")).distinct()), Seq("fk"), "left_anti")
+        .agg(count(lit(1)).as("orphans"))
+        .select(lit("orders.o_custkey->customer").as("edge"), col("orphans"))
+      val orphanLines = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("fk")).filter(col("fk").isNotNull)
+        .join(Tables.orders(s, d)
+          .select(col("o_orderkey").as("fk")).distinct(), Seq("fk"), "left_anti")
+        .agg(count(lit(1)).as("orphans"))
+        .select(lit("lineitem.l_orderkey->orders").as("edge"), col("orphans"))
+      orphanOrders.union(orphanLines).orderBy("edge")
+    }))
 
   val oracle: Map[String, String] = Map(
     "q_project_rename" ->
@@ -186,5 +214,21 @@ object RelationalQueries extends QueryPack {
     "q_check_not_null" ->
       """SELECT CAST(sum(CAST(o_orderkey IS NULL AS BIGINT)) AS BIGINT) AS null_orderkey,
         |       CAST(sum(CAST(o_custkey IS NULL AS BIGINT)) AS BIGINT) AS null_custkey
-        |FROM orders""".stripMargin)
+        |FROM orders""".stripMargin,
+    "q_check_accepted_values" ->
+      """SELECT event_type, count(*) AS n FROM events
+        |WHERE event_type IS NOT NULL
+        |  AND event_type NOT IN ('click', 'view', 'purchase', 'signup', 'error')
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_check_relationships" ->
+      """SELECT 'orders.o_custkey->customer' AS edge,
+        |       count(*) FILTER (o_custkey IS NOT NULL AND o_custkey NOT IN
+        |         (SELECT c_custkey FROM customer)) AS orphans
+        |FROM orders
+        |UNION ALL
+        |SELECT 'lineitem.l_orderkey->orders' AS edge,
+        |       count(*) FILTER (l_orderkey IS NOT NULL AND l_orderkey NOT IN
+        |         (SELECT o_orderkey FROM orders)) AS orphans
+        |FROM lineitem
+        |ORDER BY edge""".stripMargin)
 }

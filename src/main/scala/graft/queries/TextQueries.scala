@@ -70,6 +70,19 @@ object TextQueries extends QueryPack {
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")),
 
+    // Deterministic train/eval split (20% eval by id hash): per-split
+    // count + id checksum attest the EXACT membership cross-engine —
+    // a row never migrates between splits under appends.
+    "q_train_eval_split" -> ((s, d) => {
+      val (train, eval) = graft.sampling.Sampling.trainEvalSplit(
+        Tables.documents(s, d), "doc_id", evalFraction = 0.2)
+      train.select(lit("train").as("split"), col("doc_id"))
+        .union(eval.select(lit("eval").as("split"), col("doc_id")))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"))
+        .orderBy("split")
+    }),
+
     // Sequence packing: concatenate-then-chunk assignment of docs to
     // fixed 512-token training packs via one global window cumsum
     // (graft.text.Packing — see its scaladoc for the 100-TB sharding
@@ -177,6 +190,16 @@ object TextQueries extends QueryPack {
         |SELECT doc_id, lang,
         |  round(len_score * 0.5 + (1.0 - punct_pen) * 0.2 + stop_score * 0.3, 6) AS quality
         |FROM q ORDER BY doc_id""".stripMargin,
+    "q_train_eval_split" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5('graft-split:' || doc_id::VARCHAR), 1, 8))::BIGINT
+        |      % 10000 AS bkt
+        |  FROM documents)
+        |SELECT CASE WHEN bkt >= 2000 THEN 'train' ELSE 'eval' END AS split,
+        |       count(*) AS n_docs,
+        |       sum(doc_id)::BIGINT AS id_sum
+        |FROM b GROUP BY 1 ORDER BY split""".stripMargin,
     "q_seq_packing" ->
       s"""WITH t AS (SELECT doc_id, len($tokensSql) AS n_tokens FROM documents),
         |p AS (

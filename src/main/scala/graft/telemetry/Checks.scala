@@ -42,6 +42,34 @@ object Checks {
     else Nil
   }
 
+  /** dbt `accepted_values` shape: rows whose column value falls outside
+    * the accepted set. NULLs are not violations here (that is
+    * `not_null`'s job — dbt separates the two the same way).
+    */
+  def acceptedValuesViolations(df: DataFrame, table: String, colName: String,
+                               accepted: Seq[String]): Seq[Violation] = {
+    val n = df.filter(col(colName).isNotNull &&
+      !col(colName).isin(accepted: _*)).count()
+    if (n > 0) Seq(Violation(table, s"accepted_values($colName)", n)) else Nil
+  }
+
+  /** dbt `relationships` shape: child rows whose foreign key has no match
+    * in the parent — a LEFT ANTI join on the key columns only (the
+    * shuffle carries keys, never payloads; with a small parent Spark
+    * broadcasts it and the child side stays unshuffled).
+    */
+  def relationshipViolations(child: DataFrame, childTable: String,
+                             fkCol: String, parent: DataFrame,
+                             pkCol: String): Seq[Violation] = {
+    val orphans = child.select(col(fkCol)).filter(col(fkCol).isNotNull)
+      .join(parent.select(col(pkCol).as(fkCol)).distinct(),
+        Seq(fkCol), "left_anti")
+      .count()
+    if (orphans > 0)
+      Seq(Violation(childTable, s"relationships($fkCol -> $pkCol)", orphans))
+    else Nil
+  }
+
   /** The reference's six tests over our silver/gold tables. Throws
     * CheckFailedException on any violation (the dbt-test gate).
     */

@@ -93,6 +93,26 @@ class PipelineSpec extends SparkSpecBase {
     assert(e.violations.exists(_.check == "not_null(job_id)"))
   }
 
+  test("acceptedValues check counts out-of-domain rows, ignores NULLs") {
+    import spark.implicits._
+    val df = Seq(Some("a"), Some("b"), Some("zz"), None).toDF("v")
+    val v = Checks.acceptedValuesViolations(df, "t", "v", Seq("a", "b"))
+    assert(v == Seq(Checks.Violation("t", "accepted_values(v)", 1)))
+    assert(Checks.acceptedValuesViolations(df.filter("v IS NULL"),
+      "t", "v", Seq("a")).isEmpty)
+  }
+
+  test("relationships check counts FK orphans, ignores NULL keys") {
+    import spark.implicits._
+    val child = Seq(Some(1L), Some(2L), Some(9L), None).toDF("fk")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val v = Checks.relationshipViolations(child, "child", "fk", parent, "pk")
+    assert(v == Seq(Checks.Violation("child", "relationships(fk -> pk)", 1)))
+    val ok = Checks.relationshipViolations(
+      child.filter("fk < 3"), "child", "fk", parent, "pk")
+    assert(ok.isEmpty)
+  }
+
   test("Lake seam: write/read roundtrip through the configured format") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-lake").toString
