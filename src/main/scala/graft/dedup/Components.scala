@@ -35,13 +35,27 @@ object Components {
     * dup graph itself is large.
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20,
-                          numPartitions: Int = 8): DataFrame = {
+                          numPartitions: Int = 8,
+                          driverEdgeLimit: Long = 2000000L): DataFrame = {
     val e = edges.select(col("ida").as("src"), col("idb").as("dst"))
     // undirected: both directions
     val adj = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .repartition(numPartitions, col("src"))
       .localCheckpoint(eager = true)
+    // Scale-adaptive: a near-dup edge list is usually orders of magnitude
+    // smaller than the corpus, and a handful of distributed rounds (a
+    // join + agg + checkpoint ACTION each) costs seconds of fixed
+    // overhead that a driver union-find finishes in milliseconds. Below
+    // the edge limit (the count is a cheap scan of the checkpoint just
+    // materialized; 2M doubled edges ≈ 32 MB on the driver), solve
+    // in-memory — same min-label result, bit-identical. Above it, or for
+    // non-long ids, the distributed propagation below is the path — at
+    // 100 TB a dup-heavy corpus can exceed any driver bound.
+    val isLongKeyed = adj.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (isLongKeyed && adj.count() <= driverEdgeLimit)
+      return driverComponents(adj, numPartitions)
     var labels = adj.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .repartition(numPartitions, col("id"))
@@ -69,6 +83,34 @@ object Components {
       iter += 1
     }
     labels.select(col("id"), col("label").as("component"))
+  }
+
+  /** Driver union-find over a collected (src, dst) edge list — the
+    * small-graph fast path of `connectedComponents`. Union-by-min keeps
+    * every root the minimum id of its set, so labels match min-label
+    * propagation exactly.
+    */
+  private def driverComponents(adj: DataFrame, numPartitions: Int): DataFrame = {
+    val spark = adj.sparkSession
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    adj.collect().foreach { row =>
+      val s = row.getLong(0); val d = row.getLong(1)
+      if (!parent.contains(s)) parent(s) = s
+      if (!parent.contains(d)) parent(d) = d
+      val rs = find(s); val rd = find(d)
+      if (rs != rd) { if (rs < rd) parent(rd) = rs else parent(rs) = rd }
+    }
+    val labels = parent.keys.toArray.sorted.map(id => (id, find(id))).toSeq
+    // same partitioning contract as the distributed path
+    spark.createDataFrame(labels).toDF("id", "component")
+      .repartition(numPartitions, col("id"))
   }
 
   /** Cluster assignments for near-duplicate documents plus the canonical

@@ -46,6 +46,23 @@ class ComponentsSpec extends SparkSpecBase {
       Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
   }
 
+  test("driver union-find and distributed propagation agree exactly") {
+    val rnd = new scala.util.Random(7)
+    // random graph: 200 nodes, 150 edges → many components, some chains
+    val edges = (0 until 150)
+      .map(_ => (rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .toDF("ida", "idb")
+    val fast = Components.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val distributed = Components
+      .connectedComponents(edges, maxIter = 50, driverEdgeLimit = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == distributed)
+    assert(fast.nonEmpty)
+  }
+
   test("dupClusters marks exactly one canonical per cluster") {
     val edges = Seq((5L, 6L), (6L, 7L), (100L, 101L)).toDF("ida", "idb")
     val rows = Components.dupClusters(edges).collect()
