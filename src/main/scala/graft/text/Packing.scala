@@ -18,14 +18,17 @@ import org.apache.spark.sql.functions._
   * counts, so it is expressible as ONE window cumsum: distributed,
   * deterministic, and oracle-checkable in any engine.
   *
-  * Scale note: the window below has no partition key, which makes Spark
-  * range-partition by the order key — one global sort of (id, n_tokens)
-  * pairs (NOT the text; the projection drops it before the exchange).
-  * That is the honest cost of a globally-contiguous pack order. At 100 TB
-  * you don't want global contiguity anyway (packs are consumed
-  * shard-parallel): pre-shard the corpus and pack within shards by
+  * Scale note: the window below has no partition key, so Spark funnels
+  * the rows through a SINGLE partition (Exchange SinglePartition) — but
+  * only (id, n_tokens) pairs cross that wire; the text is tokenized away
+  * first (PlanSpec asserts both properties). That serialization point is
+  * the honest cost of a globally-contiguous pack order, fine up to
+  * billions of docs of metadata but NOT the 100-TB posture: you don't
+  * want global contiguity there anyway (packs are consumed
+  * shard-parallel), so pre-shard the corpus and pack within shards by
   * passing each shard's frame here, or add the shard key to a
-  * `Window.partitionBy` — the arithmetic is unchanged.
+  * `Window.partitionBy` — the arithmetic is unchanged and every shard
+  * packs in parallel.
   */
 object Packing {
 

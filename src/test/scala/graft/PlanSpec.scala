@@ -66,6 +66,52 @@ class PlanSpec extends SparkSpecBase {
     assert("Exchange hashpartitioning".r.findAllIn(p).length <= 1)
   }
 
+  test("banded near-dup never exchanges full vectors before candidate generation") {
+    val p = plan(q("q_embed_neardup"))
+    // the band-key join must be fed by projections of (id, band, key) —
+    // any RoundRobin/hash repartition of the vec column upstream of the
+    // join would be the corpus-wide vector shuffle we removed
+    val joinIdx = p.indexOf("SortMergeJoin")
+    val firstJoinRegion = if (joinIdx > 0) p.substring(0, joinIdx) else p
+    assert(!firstJoinRegion.contains("Exchange roundrobin"),
+      "unexpected round-robin exchange before band join")
+    // verify joins on the candidate ids must exist (re-join by id), and
+    // the whole plan must carry the band-key equi-join, not a cross product
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), "near-dup degraded to cross product")
+  }
+
+  test("TF-IDF broadcasts the scalar source count, aggregates partially") {
+    val p = plan(q("q_tfidf_top_terms"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "scalar n_src must broadcast, not shuffle")
+    assert("HashAggregate".r.findAllIn(p).length >= 4,
+      "tf/df aggregations lost their partial pass")
+  }
+
+  test("sequence packing funnels only (id, n_tokens) into the single-partition window") {
+    val p = plan(q("q_seq_packing"))
+    // an unpartitioned window is a SinglePartition exchange in Spark —
+    // the documented cost of global pack contiguity (shard to scale);
+    // there must be exactly one, and the text column must be tokenized
+    // away BEFORE it so only (doc_id, n_tokens) pairs cross the wire
+    assert("Exchange SinglePartition".r.findAllIn(p).length == 1,
+      s"expected exactly one single-partition exchange, plan:\n${p.take(1200)}")
+    // tree printing puts an operator's CONSUMERS before it: everything
+    // above the exchange line reads its output, so none of it may touch
+    // the raw text column (the tokenizing Project is the exchange's
+    // child, printed below — that is where text is allowed)
+    val exIdx = p.indexOf("Exchange SinglePartition")
+    assert(!p.substring(0, exIdx).contains("text#"),
+      "an operator above the window exchange still reads the text column")
+  }
+
+  test("FK relationship check broadcasts the parent side of the anti-join") {
+    val p = plan(q("q_check_relationships"))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      "orphan check must be a broadcast anti-join")
+  }
+
   test("exact dedup shuffles fingerprints, not text") {
     val p = plan(q("q_dedup_exact"))
     // the exchange partitions on the md5 fingerprint hash agg key; the
