@@ -66,6 +66,23 @@ object EventQueries extends QueryPack {
           round(col("value"), 4).as("last_value"))
         .orderBy("user_id")),
 
+    // Conversion attribution: purchases joined to the same user's clicks
+    // within the preceding 30 minutes. Runs the EXACT streaming operator
+    // (StreamingTelemetry.attributionJoin) on batch frames — the unified
+    // Dataset engine means one expression serves both, and this hash
+    // check plus StreamingSpec's stream/batch parity test together pin
+    // the streaming semantics to the DuckDB oracle.
+    "q_attribution" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      graft.streaming.StreamingTelemetry.attributionJoin(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "purchase"),
+          horizon = "30 minutes")
+        .select(col("user_id"), col("click_id"), col("purchase_id"),
+          round(col("value"), 4).as("purchase_value"))
+        .orderBy("user_id", "click_id", "purchase_id")
+    }),
+
     // Explode-based wordcount: top-100 corpus tokens.
     "q_wordcount" -> ((s, d) =>
       Tables.documents(s, d)
@@ -106,6 +123,15 @@ object EventQueries extends QueryPack {
         |       arg_max(event_type, event_id) AS last_event_type,
         |       round(arg_max(value, event_id), 4) AS last_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_attribution" ->
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+        |       round(p.value, 4) AS purchase_value
+        |FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') c
+        |JOIN (SELECT user_id, event_id, ts, value FROM events
+        |      WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTES
+        |ORDER BY c.user_id, click_id, purchase_id""".stripMargin,
     "q_wordcount" ->
       """SELECT token, count(*) AS n
         |FROM (SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),

@@ -73,6 +73,35 @@ object StreamingTelemetry {
     rows.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(idCol)
 
+  /** Stream-stream event-time interval join: attribute each purchase to
+    * the same user's clicks in the preceding `horizon` — the classic
+    * conversion-attribution join, computed incrementally on two unbounded
+    * inputs. Both sides carry watermarks, and the join condition bounds
+    * purchase_ts to [click_ts, click_ts + horizon]; together these let
+    * Spark evict click state as soon as no in-horizon purchase can still
+    * arrive and purchase state as soon as its interval closes, so join
+    * state is O(events inside the horizon), not O(stream history). The
+    * same expression runs as an ordinary interval join in batch —
+    * StreamingSpec asserts stream/batch parity on a replayed fixture.
+    */
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame,
+                      horizon: String = "30 minutes",
+                      watermark: String = "1 hour"): DataFrame = {
+    val c = clicks.select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val p = purchases.select(col("user_id").as("p_user"),
+        col("event_id").as("purchase_id"), col("ts").as("purchase_ts"),
+        col("value"))
+      .withWatermark("purchase_ts", watermark)
+    c.join(p,
+        col("user_id") === col("p_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $horizon"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"), col("value"))
+  }
+
   // ---- stateful sessionization (flatMapGroupsWithState) ----
 
   final case class JobEvent(job_id: String, user_id: String, status: String,

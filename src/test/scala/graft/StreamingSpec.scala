@@ -14,6 +14,9 @@ case class StreamMetric(ts: Timestamp, machine_id: String,
                         gpu_util_pct: java.lang.Double,
                         cpu_util_pct: java.lang.Double)
 
+case class StreamEvent(event_id: Long, ts: Timestamp, user_id: Long,
+                       event_type: String, value: java.lang.Double)
+
 /** Streaming operators through MemoryStream sources: the same transforms
   * must behave per their event-time/watermark/state contracts.
   */
@@ -46,6 +49,40 @@ class StreamingSpec extends SparkSpecBase {
       assert(d1.getAs[Double]("avg_gpu_util") == 20.0)
       assert(d1.getAs[Long]("n_samples") == 2L)
       assert(rows(1).getAs[Double]("avg_gpu_util") == 50.0)
+    } finally q.stop()
+  }
+
+  test("attributionJoin: stream-stream interval join matches batch exactly") {
+    implicit val sql = spark.sqlContext
+    def tm(h: Int, m: Int) = Timestamp.valueOf(f"2024-03-01 $h%02d:$m%02d:00")
+    val clicks = Seq(
+      StreamEvent(1L, tm(10, 0), 1L, "click", null),
+      StreamEvent(4L, tm(10, 0), 2L, "click", null))
+    val purchases = Seq(
+      StreamEvent(2L, tm(10, 10), 1L, "purchase", 9.99), // in horizon, u1
+      StreamEvent(3L, tm(11, 0), 1L, "purchase", 5.00),  // outside 30 min
+      StreamEvent(5L, tm(10, 20), 2L, "purchase", 1.00), // in horizon, u2
+      StreamEvent(6L, tm(10, 5), 3L, "purchase", 2.00))  // no click, u3
+    val cIn = MemoryStream[StreamEvent]
+    val pIn = MemoryStream[StreamEvent]
+    val q = StreamingTelemetry.attributionJoin(cIn.toDF(), pIn.toDF(),
+        horizon = "30 minutes", watermark = "1 hour")
+      .writeStream.format("memory").queryName("attributed")
+      .outputMode("append").start()
+    try {
+      cIn.addData(clicks: _*)
+      pIn.addData(purchases: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("attributed")
+        .select("click_id", "purchase_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == Set((1L, 2L), (4L, 5L)))
+      // identical expression over the same data as plain batch frames
+      val batch = StreamingTelemetry.attributionJoin(
+          clicks.toDF(), purchases.toDF(), "30 minutes", "1 hour")
+        .select("click_id", "purchase_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(batch == streamed, "stream/batch parity broken")
     } finally q.stop()
   }
 
