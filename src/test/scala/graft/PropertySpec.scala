@@ -104,4 +104,46 @@ class PropertySpec extends SparkSpecBase {
     assert(scored.count() == 40)
     assert(scored.select("dt").distinct().count() == 40)
   }
+
+  test("packing partitions every doc exactly once; fill never exceeds budget+straddle") {
+    import spark.implicits._
+    val docGen: Gen[List[Int]] = Gen.listOfN(40, Gen.choose(0, 30))
+    for (tokenCounts <- cases(docGen, n = 10) if tokenCounts.nonEmpty) {
+      val docs = tokenCounts.zipWithIndex
+        .map { case (nt, i) => (i.toLong, Seq.fill(nt)("w").mkString(" ")) }
+        .toDF("doc_id", "text")
+      val budget = 50
+      val stats = graft.text.Packing
+        .packStats(docs, "doc_id", "text", budget).collect()
+      // partition property: every doc in exactly one pack
+      assert(stats.map(_.getLong(1)).sum == tokenCounts.length)
+      // token conservation: packs carry exactly the corpus token count
+      assert(stats.map(_.getLong(2)).sum == tokenCounts.map(_.toLong).sum)
+      // fill bound: a pack holds < budget tokens that STARTED in it plus
+      // at most one straddling tail; since every doc here is ≤ 30 tokens,
+      // no pack can exceed budget + 30 - 1
+      assert(stats.forall(_.getLong(2) <= budget + 29),
+        stats.map(r => (r.getLong(0), r.getLong(2))).toSeq.toString)
+      // contiguity: pack ids of consecutive docs are non-decreasing
+      val perDoc = graft.text.Packing
+        .packBySize(docs, "doc_id", "text", budget)
+        .orderBy("doc_id").collect().map(_.getLong(3))
+      assert(perDoc.sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+    }
+  }
+
+  test("int8 quantization: error bounded by scale/2 per dimension, extremes in [-127,127]") {
+    import spark.implicits._
+    val vecGen: Gen[List[Double]] =
+      Gen.listOfN(16, Gen.choose(-100.0, 100.0))
+    for ((vec, i) <- cases(vecGen, n = 20).zipWithIndex if vec.exists(_ != 0.0)) {
+      val df = Seq((i.toLong, vec)).toDF("id", "vec")
+      val r = graft.similarity.VectorOps.quantizeInt8Stats(df).collect()(0)
+      val scale = vec.map(math.abs).max / 127.0
+      assert(r.getLong(3) >= -127L && r.getLong(4) <= 127L)
+      // round() is within half a step per dimension
+      assert(r.getDouble(5) <= 16 * scale / 2.0 + 1e-9,
+        s"recon_err ${r.getDouble(5)} vs bound ${16 * scale / 2.0}")
+    }
+  }
 }
