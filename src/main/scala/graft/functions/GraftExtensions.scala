@@ -55,5 +55,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register(ext, "text_stats",
       "text_stats(text string) - struct(n_tokens, avg_word_len, fp)",
       { case Seq(t) => TextStats(t) })
+    register(ext, "sign_lsh_band_keys",
+      "sign_lsh_band_keys(vec array<double>, bands int, r int) - banded " +
+        "random-hyperplane LSH keys for cosine near-dup search",
+      { case Seq(v, b, r) => SignLshBandKeys(v,
+        intArg(b, "sign_lsh_band_keys", 1), intArg(r, "sign_lsh_band_keys", 2)) })
   }
 }

@@ -47,6 +47,19 @@ class GraftExtensionsSpec extends SparkSpecBase {
     assert(r.getLong(0) == viaColumn)
   }
 
+  test("sign_lsh_band_keys resolves in SQL and matches the Column API") {
+    val fromSql = extSpark.sql(
+      "SELECT sign_lsh_band_keys(array(1.0d, -2.0d, 0.5d), 4, 3) AS k")
+      .collect()(0).getSeq[String](0)
+    assert(fromSql.length == 4 && fromSql.forall(_.length == 3))
+    import spark.implicits._
+    val fromCol = Seq(Seq(1.0, -2.0, 0.5)).toDF("v")
+      .select(graft.functions.VectorExpressions
+        .signLshBandKeys(org.apache.spark.sql.functions.col("v"), 4, 3).as("k"))
+      .collect()(0).getSeq[String](0)
+    assert(fromSql == fromCol)
+  }
+
   test("integer parameters must be literals") {
     val e = intercept[Exception] {
       extSpark.sql("SELECT minhash_sig(array('x'), CAST(rand()*4 AS INT))")
