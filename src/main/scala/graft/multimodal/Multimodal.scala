@@ -11,14 +11,15 @@ import org.apache.spark.sql.types._
   * `mapInPandas`: one iterator per partition, bounded batches, no
   * per-row closure dispatch).
   *
-  * ==== STUB BOUNDARY ====
-  * The actual codecs (JPEG decode, audio resample, video demux) are NOT
-  * implemented — this container has no image/audio libraries. Every codec
-  * call below goes through [[MediaCodecs]], which returns DETERMINISTIC
-  * FAKE payloads derived from the input bytes (so specs and oracle runs
-  * are stable). Swapping in real codecs changes ONLY MediaCodecs; the
-  * Spark plumbing (schemas, partitioning, batch shape, operator
-  * signatures) is production-shaped and tested.
+  * ==== CODEC BOUNDARY ====
+  * Every codec call goes through [[MediaCodecs]]. The IMAGE path is real
+  * (JDK ImageIO decode + pixel features + bilinear resize — PNG/JPEG/
+  * BMP/GIF, no external libraries); payloads ImageIO cannot decode fall
+  * back to deterministic hash-derived fakes so the synthetic fixtures
+  * stay reproducible. Video demux remains a deterministic stub (no JDK
+  * demuxer in this container). Swapping codecs changes ONLY MediaCodecs;
+  * the Spark plumbing (schemas, partitioning, batch shape, operator
+  * signatures) is production-shaped and tested either way.
   *
   * Scale notes: payload columns are heavy — every operator here projects
   * the binary column as late as possible and repartitions by `media_id`
@@ -152,19 +153,66 @@ object Multimodal {
           lit(null).cast("long").as("duration_ms")).as("meta"))
 }
 
-/** ==== STUBS ====
-  * Deterministic stand-ins for real codecs. Each function documents the
-  * real implementation it replaces. Replace the bodies (not the
-  * signatures) to go to production.
+/** ==== CODEC BOUNDARY ====
+  * The IMAGE path is REAL: payloads that the JDK's built-in ImageIO can
+  * decode (PNG, JPEG, BMP, GIF — no external libraries, headless-safe)
+  * get true pixel-level features and a true bilinear resize. Payloads
+  * ImageIO rejects fall back to a deterministic hash-derived fake, so
+  * the synthetic text-payload fixtures stay stable and specs/oracle runs
+  * are reproducible. The AUDIO/VIDEO paths remain deterministic stubs
+  * (the JDK ships no audio resampler or video demuxer); their real
+  * implementations replace only these bodies — operator signatures,
+  * schemas, partitioning and batching above are unchanged either way.
   */
 object MediaCodecs {
 
-  /** STUB for: JPEG/PNG decode + CNN/CLIP-style embedding. Real impl:
-    * decode to pixels, run a vision encoder, return its pooled output.
-    * Fake: dim floats derived from a rolling hash of the payload —
-    * deterministic, length-sensitive, content-sensitive.
+  private def decode(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    if (payload == null || payload.isEmpty) None
+    else
+      try Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload)))
+      catch { case _: java.io.IOException => None }
+
+  /** Image features. REAL for decodable images: [width, height, aspect,
+    * mean R, mean G, mean B, luma mean, luma stddev] (RGB/luma in 0-1),
+    * zero-padded or truncated to `dim` — the classic cheap image
+    * descriptor (a vision-encoder embedding would slot in here
+    * unchanged). Deterministic hash fake for undecodable payloads.
     */
-  def extractFeatures(payload: Array[Byte], dim: Int): Array[Float] = {
+  def extractFeatures(payload: Array[Byte], dim: Int): Array[Float] =
+    decode(payload) match {
+      case Some(img) =>
+        val w = img.getWidth; val h = img.getHeight
+        var r = 0.0; var g = 0.0; var b = 0.0
+        var luma = 0.0; var luma2 = 0.0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            val pr = ((p >> 16) & 0xff) / 255.0
+            val pg = ((p >> 8) & 0xff) / 255.0
+            val pb = (p & 0xff) / 255.0
+            r += pr; g += pg; b += pb
+            val l = 0.299 * pr + 0.587 * pg + 0.114 * pb
+            luma += l; luma2 += l * l
+            x += 1
+          }
+          y += 1
+        }
+        val n = (w.toLong * h).toDouble
+        val lm = luma / n
+        val full = Array(w.toFloat, h.toFloat, w.toFloat / h,
+          (r / n).toFloat, (g / n).toFloat, (b / n).toFloat,
+          lm.toFloat, math.sqrt(math.max(luma2 / n - lm * lm, 0.0)).toFloat)
+        java.util.Arrays.copyOf(full, dim)
+      case None => fakeFeatures(payload, dim)
+    }
+
+  /** Deterministic fallback: dim floats from a rolling hash of the bytes
+    * — length- and content-sensitive, engine-independent.
+    */
+  private def fakeFeatures(payload: Array[Byte], dim: Int): Array[Float] = {
     if (payload == null) return Array.fill(dim)(0.0f)
     val out = new Array[Float](dim)
     var h = 1125899906842597L // large prime seed
@@ -179,16 +227,33 @@ object MediaCodecs {
     out
   }
 
-  /** STUB for: image resize (e.g. Lanczos via libvips). Real impl returns
-    * re-encoded bytes at (width, height). Fake: prefix the payload with a
-    * tag so output ≠ input, deterministically.
+  /** Image resize. REAL for decodable images: bilinear Graphics2D scale
+    * re-encoded as PNG (swap in Lanczos/libvips for production quality).
+    * Tag-prefix fake for undecodable payloads (output ≠ input,
+    * deterministically).
     */
   def resizeImage(payload: Array[Byte], width: Int, height: Int): Array[Byte] =
-    s"resized:${width}x$height:".getBytes("UTF-8") ++ payload
+    decode(payload) match {
+      case Some(img) =>
+        val out = new java.awt.image.BufferedImage(width, height,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g2 = out.createGraphics()
+        g2.setRenderingHint(
+          java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g2.drawImage(img, 0, 0, width, height, null)
+        g2.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        bos.toByteArray
+      case None =>
+        s"resized:${width}x$height:".getBytes("UTF-8") ++ payload
+    }
 
   /** STUB for: video demux + frame sampling (ffmpeg). Real impl yields
     * every-nth decoded frame up to maxFrames. Fake: deterministic slices
-    * of the payload, one per "frame".
+    * of the payload, one per "frame". The JDK ships no video demuxer, so
+    * this boundary stays a stub in this environment.
     */
   def demuxFrames(payload: Array[Byte], everyNth: Int,
                   maxFrames: Int): Seq[Array[Byte]] = {

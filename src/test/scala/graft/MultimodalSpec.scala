@@ -62,6 +62,53 @@ class MultimodalSpec extends SparkSpecBase {
     assert(frames.forall(_.frame_payload.nonEmpty))
   }
 
+  // ---- real image path (JDK ImageIO) ----
+
+  /** In-memory PNG of size w×h filled with one RGB color. */
+  private def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("real PNG payloads get true pixel features (dims, aspect, mean color)") {
+    val red = MediaCodecs.extractFeatures(png(40, 20, 0xff0000), dim = 8)
+    assert(red(0) == 40f && red(1) == 20f && red(2) == 2.0f)
+    assert(math.abs(red(3) - 1.0f) < 1e-3)  // mean R
+    assert(red(4) < 1e-3 && red(5) < 1e-3)  // mean G, B
+    assert(red(7) < 1e-3)                   // uniform image → zero luma std
+    val grey = MediaCodecs.extractFeatures(png(8, 8, 0x808080), dim = 8)
+    assert(math.abs(grey(6) - 128f / 255f) < 1e-2) // luma mean
+  }
+
+  test("real PNG resize re-encodes at the requested dimensions") {
+    val out = MediaCodecs.resizeImage(png(40, 20, 0x00ff00), 10, 5)
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out))
+    assert(back != null && back.getWidth == 10 && back.getHeight == 5)
+    // pixel content survives the scale (still green)
+    val p = back.getRGB(5, 2)
+    assert(((p >> 8) & 0xff) > 200 && ((p >> 16) & 0xff) < 50)
+  }
+
+  test("imageFeatures runs the real decoder end-to-end on a PNG DataFrame") {
+    val rows = Seq(
+      ("img1", "image", png(16, 16, 0x0000ff)),
+      ("img2", "image", png(32, 8, 0xffffff)),
+      ("not_an_image", "image", "just text bytes".getBytes("UTF-8")))
+    val df = rows.toDF("media_id", "kind", "payload")
+    val feats = Multimodal.imageFeatures(df, dim = 8).collect()
+      .map(f => f.media_id -> f.feature).toMap
+    assert(feats("img1")(0) == 16f && feats("img1")(5) > 0.99f) // blue mean
+    assert(feats("img2")(0) == 32f && feats("img2")(1) == 8f)
+    // undecodable bytes deterministically fall back to the hash fake
+    assert(feats("not_an_image").toSeq ==
+      MediaCodecs.extractFeatures("just text bytes".getBytes("UTF-8"), 8).toSeq)
+  }
+
   test("codec stubs are deterministic and content-sensitive") {
     val a = MediaCodecs.extractFeatures("abc".getBytes, 4).toSeq
     val b = MediaCodecs.extractFeatures("abc".getBytes, 4).toSeq
