@@ -96,6 +96,27 @@ object Multimodal {
       }
   }
 
+  /** Audio decode + feature-extract: same batched per-partition shape as
+    * imageFeatures, WAV/PCM decoded for real by the JDK sound stack
+    * (MediaCodecs.extractAudioFeatures); payload dropped in-operator.
+    */
+  def audioFeatures(media: DataFrame, dim: Int = 8,
+                    batchSize: Int = 64): Dataset[MediaFeature] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "kind", "payload")
+      .repartition(col("media_id"))
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { r =>
+            MediaFeature(r.getString(0), r.getString(1),
+              MediaCodecs.extractAudioFeatures(
+                r.getAs[Array[Byte]]("payload"), dim))
+          }
+        }
+      }
+  }
+
   /** Resize: payload → payload with updated metadata. Output schema equals
     * input schema (chainable). The codec call is the stub; the metadata
     * update is real.
@@ -249,6 +270,59 @@ object MediaCodecs {
       case None =>
         s"resized:${width}x$height:".getBytes("UTF-8") ++ payload
     }
+
+  /** Audio features. REAL for payloads the JDK sound stack parses (WAV
+    * containers with PCM frames — no external libraries): [sample_rate,
+    * channels, duration_sec, rms, peak, zero_crossing_rate] over the
+    * decoded 16-bit samples, padded/truncated to `dim`. Other formats
+    * (mp3, flac — no JDK decoder) fall back to the deterministic hash
+    * fake, same policy as images.
+    */
+  def extractAudioFeatures(payload: Array[Byte], dim: Int): Array[Float] = {
+    if (payload == null || payload.isEmpty) return fakeFeatures(payload, dim)
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getEncoding !=
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            fmt.getSampleSizeInBits != 16)
+          return fakeFeatures(payload, dim)
+        val bytes = in.readAllBytes()
+        val n = bytes.length / 2
+        if (n == 0) return fakeFeatures(payload, dim)
+        var sum2 = 0.0; var peak = 0.0; var crossings = 0L
+        var prevNeg = false
+        var i = 0
+        while (i < n) {
+          val b0 = bytes(2 * i) & 0xff
+          val b1 = bytes(2 * i + 1) & 0xff
+          val raw = if (fmt.isBigEndian) (b0 << 8) | b1 else (b1 << 8) | b0
+          val s = raw.toShort / 32768.0
+          sum2 += s * s
+          if (math.abs(s) > peak) peak = math.abs(s)
+          val neg = s < 0
+          if (i > 0 && neg != prevNeg) crossings += 1
+          prevNeg = neg
+          i += 1
+        }
+        val frames = n / fmt.getChannels
+        val full = Array(
+          fmt.getSampleRate,
+          fmt.getChannels.toFloat,
+          frames / fmt.getSampleRate,
+          math.sqrt(sum2 / n).toFloat,
+          peak.toFloat,
+          crossings.toFloat / n)
+        java.util.Arrays.copyOf(full, dim)
+      } finally in.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException =>
+        fakeFeatures(payload, dim)
+      case _: java.io.IOException => fakeFeatures(payload, dim)
+    }
+  }
 
   /** STUB for: video demux + frame sampling (ffmpeg). Real impl yields
     * every-nth decoded frame up to maxFrames. Fake: deterministic slices

@@ -109,6 +109,52 @@ class MultimodalSpec extends SparkSpecBase {
       MediaCodecs.extractFeatures("just text bytes".getBytes("UTF-8"), 8).toSeq)
   }
 
+  // ---- real audio path (JDK javax.sound.sampled) ----
+
+  /** In-memory 16-bit mono PCM WAV: sine at `freq` Hz, `secs` long. */
+  private def wav(freq: Double, secs: Double, rate: Float = 8000f,
+                  amp: Double = 0.5): Array[Byte] = {
+    val n = (rate * secs).toInt
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val s = (math.sin(2 * math.Pi * freq * i / rate) * amp * 32767).toInt
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("real WAV payloads get true audio features (rate, duration, rms, zcr)") {
+    val f = MediaCodecs.extractAudioFeatures(wav(440.0, 1.0), dim = 8)
+    assert(f(0) == 8000f && f(1) == 1f)
+    assert(math.abs(f(2) - 1.0f) < 1e-2)                 // duration ≈ 1 s
+    assert(math.abs(f(3) - 0.5f / math.sqrt(2).toFloat) < 0.01) // sine rms
+    assert(math.abs(f(4) - 0.5f) < 0.01)                 // peak ≈ amp
+    // a 440 Hz sine crosses zero ~880 times/sec → zcr ≈ 880/8000
+    assert(math.abs(f(5) - 880f / 8000f) < 0.01)
+  }
+
+  test("audioFeatures runs distributed with WAV + fallback payloads") {
+    val rows = Seq(
+      ("a440", "audio", wav(440.0, 0.5)),
+      ("a220", "audio", wav(220.0, 0.5)),
+      ("noise", "audio", "not audio bytes".getBytes("UTF-8")))
+    val feats = Multimodal.audioFeatures(
+        rows.toDF("media_id", "kind", "payload"), dim = 8)
+      .collect().map(f => f.media_id -> f.feature).toMap
+    assert(feats.keySet == Set("a440", "a220", "noise"))
+    // zcr separates the two tones
+    assert(feats("a440")(5) > 1.8f * feats("a220")(5) - 0.02f)
+    assert(feats("noise").toSeq ==
+      MediaCodecs.extractFeatures("not audio bytes".getBytes("UTF-8"), 8).toSeq)
+  }
+
   test("codec stubs are deterministic and content-sensitive") {
     val a = MediaCodecs.extractFeatures("abc".getBytes, 4).toSeq
     val b = MediaCodecs.extractFeatures("abc".getBytes, 4).toSeq
