@@ -143,6 +143,35 @@ object AnalyticQueries extends QueryPack {
           count(lit(1)).as("n_events"))
         .orderBy("dt")),
 
+    // Fixed-width histogram of the event value distribution: integral
+    // bin arithmetic (floor of value/width) so both engines bucket
+    // identically; one partial-aggregated shuffle on the bin key.
+    "q_histogram" -> ((s, d) =>
+      graft.Tables.events(s, d)
+        .filter(col("value").isNotNull)
+        .select(floor(col("value") / 10.0).cast("long").as("bin"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("lo", col("bin") * 10.0)
+        .select("bin", "lo", "n")
+        .orderBy("bin")),
+
+    // Multi-quantile grid in ONE aggregation pass (the array form of
+    // percentile shares a single sorted buffer across the five points —
+    // five separate percentile calls would sort five times).
+    "q_quantile_grid" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(percentile(col("l_extendedprice"),
+          array(lit(0.1), lit(0.25), lit(0.5), lit(0.75), lit(0.9))).as("q"))
+        .select(col("l_returnflag"),
+          round(element_at(col("q"), 1), 4).as("p10"),
+          round(element_at(col("q"), 2), 4).as("p25"),
+          round(element_at(col("q"), 3), 4).as("p50"),
+          round(element_at(col("q"), 4), 4).as("p75"),
+          round(element_at(col("q"), 5), 4).as("p90"))
+        .orderBy("l_returnflag")),
+
     // Statistical aggregates: correlation / covariance / dispersion of
     // price vs quantity per return flag (feature-engineering surface).
     "q_stats_corr" -> ((s, d) =>
@@ -274,6 +303,20 @@ object AnalyticQueries extends QueryPack {
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY g_status, g_prio,
         |         coalesce(o_orderstatus, ''), coalesce(o_orderpriority, '')""".stripMargin,
+    "q_histogram" ->
+      """SELECT CAST(floor(value / 10.0) AS BIGINT) AS bin,
+        |       CAST(floor(value / 10.0) AS BIGINT) * 10.0 AS lo,
+        |       count(*) AS n
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY 1 ORDER BY bin""".stripMargin,
+    "q_quantile_grid" ->
+      """SELECT l_returnflag,
+        |       round(quantile_cont(l_extendedprice, 0.1), 4) AS p10,
+        |       round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+        |       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |       round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+        |       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_distinct_daily" ->
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS dt,
         |       count(DISTINCT user_id) AS n_users,
