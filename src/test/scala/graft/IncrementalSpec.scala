@@ -1,0 +1,97 @@
+package graft
+
+import graft.telemetry._
+import java.nio.file.{Files, Paths}
+
+/** Incremental maintenance must (a) produce EXACTLY the state a full
+  * rebuild over the combined raw data would, and (b) physically rewrite
+  * only the touched dt partitions.
+  */
+class IncrementalSpec extends SparkSpecBase {
+
+  private val day0 = 86400L * 100
+
+  private def metricsCsv(days: Seq[Int], rowsPerDay: Int,
+                         gpuOf: (Int, Int) => Double): String = {
+    val sb = new StringBuilder(
+      "worker_name,machine,start_time,end_time,machine_cpu_iowait," +
+        "machine_cpu_kernel,machine_cpu_usr,machine_gpu,machine_load_1," +
+        "machine_net_receive,machine_num_worker,machine_cpu\n")
+    for (d <- days; i <- 0 until rowsPerDay) {
+      val ts = day0 + d * 86400L + i * 7000L
+      sb.append(s"w$i,m${i % 4},${ts - 300},$ts,0.1,0.2,0.3,${gpuOf(d, i)}," +
+        s"1.5,100.0,2,50.0\n")
+    }
+    sb.toString
+  }
+
+  test("append touches only its days; result equals a full rebuild") {
+    val base = Files.createTempDirectory("graft-inc").toString
+    val rawDir = s"$base/raw"; val lakeDir = s"$base/lake"
+    new java.io.File(rawDir).mkdirs()
+
+    // history: days 0-9
+    Files.writeString(Paths.get(s"$rawDir/pai_machine_metric.csv"),
+      metricsCsv(0 until 10, 6, (d, i) => 30.0 + d + i))
+    Bronze.ingestTable(spark, rawDir, lakeDir,
+      Bronze.tables.find(_.name == "bronze_machine_metrics").get)
+    assert(Incremental.initPartitionedGold(spark, lakeDir) == 10L)
+
+    // snapshot the physical files of an untouched day's partition
+    val goldDir = s"$lakeDir/gold/gold_cluster_util_daily_part.parquet"
+    val untouchedPart = new java.io.File(goldDir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("dt="))
+      .sortBy(_.getName).head // earliest day — not in the batch below
+    val before = untouchedPart.listFiles().map(f =>
+      f.getName -> f.lastModified()).toMap
+
+    // new batch: more rows for existing day 7 + a brand-new day 12
+    val batchCsv = s"$base/batch.csv"
+    Files.writeString(Paths.get(batchCsv),
+      metricsCsv(Seq(7, 12), 6, (d, i) => 90.0 + i))
+    val res = Incremental.appendMetrics(spark, batchCsv, lakeDir)
+    assert(res.newRows == 12)
+    assert(res.affectedDays.size == 2 && res.goldRows == 2)
+
+    // (a) parity: partitioned gold == full rebuild over combined bronze
+    val incremental = Incremental.readPartitionedGold(spark, lakeDir)
+      .select("dt", "avg_gpu_util", "p95_gpu_util", "avg_cpu_util")
+      .orderBy("dt").collect().map(_.toSeq)
+    val rebuilt = Gold.clusterUtilDaily(Silver.gpuTimeseries(
+        Bronze.readBronze(spark, lakeDir, "bronze_machine_metrics")))
+      .select("dt", "avg_gpu_util", "p95_gpu_util", "avg_cpu_util")
+      .orderBy("dt").collect().map(_.toSeq)
+    assert(incremental.length == 11) // days 0-9 plus new day 12
+    assert(incremental.toSeq == rebuilt.toSeq, "incremental != full rebuild")
+
+    // (b) untouched partition files were not rewritten
+    val after = untouchedPart.listFiles().map(f =>
+      f.getName -> f.lastModified()).toMap
+    assert(after == before,
+      s"untouched partition ${untouchedPart.getName} was rewritten")
+
+    // day 7 now includes the 90+ readings — its avg must exceed history's
+    val day7 = Incremental.readPartitionedGold(spark, lakeDir)
+      .filter(org.apache.spark.sql.functions.col("dt") ===
+        new java.sql.Timestamp((day0 + 7 * 86400L) / 86400L * 86400L * 1000L))
+    assert(day7.count() == 1)
+    assert(day7.collect()(0).getAs[Double]("avg_gpu_util") > 40.0)
+  }
+
+  test("empty batch is a no-op on gold") {
+    val base = Files.createTempDirectory("graft-inc-empty").toString
+    val rawDir = s"$base/raw"; val lakeDir = s"$base/lake"
+    new java.io.File(rawDir).mkdirs()
+    Files.writeString(Paths.get(s"$rawDir/pai_machine_metric.csv"),
+      metricsCsv(0 until 3, 4, (d, i) => 30.0))
+    Bronze.ingestTable(spark, rawDir, lakeDir,
+      Bronze.tables.find(_.name == "bronze_machine_metrics").get)
+    Incremental.initPartitionedGold(spark, lakeDir)
+    val emptyCsv = s"$base/empty.csv"
+    Files.writeString(Paths.get(emptyCsv),
+      metricsCsv(Nil, 0, (_, _) => 0.0))
+    val res = Incremental.appendMetrics(spark, emptyCsv, lakeDir)
+    assert(res.newRows == 0 && res.affectedDays.isEmpty && res.goldRows == 0)
+    assert(Incremental.readPartitionedGold(spark, lakeDir).count() == 3)
+  }
+}
