@@ -57,4 +57,44 @@ object Layouts {
       .write.mode("overwrite")
       .partitionBy(partitionCols: _*)
       .parquet(path)
+
+  /** Compact a small-file parquet dataset in place: rewrite into
+    * ⌈bytes / targetFileBytes⌉ files. Streaming sinks and incremental
+    * appends accrete thousands of KB-sized files whose open/footer
+    * overhead eventually dominates scans — compaction is the standing
+    * maintenance job every lakehouse runs. The rewrite goes through a
+    * temp directory then an atomic-ish swap (write temp → delete old →
+    * rename), so a crash leaves either the old or the new files, never a
+    * half-deleted mix. Returns (filesBefore, filesAfter).
+    *
+    * `coalesce` (not repartition) — merging files needs no shuffle, just
+    * fewer write tasks reading multiple input splits each.
+    */
+  def compact(spark: SparkSession, path: String,
+              targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    def parquetFiles(dir: java.io.File): Array[java.io.File] = {
+      val here = Option(dir.listFiles()).getOrElse(Array.empty)
+      here.filter(f => f.isFile && f.getName.endsWith(".parquet")) ++
+        here.filter(_.isDirectory).flatMap(parquetFiles)
+    }
+    val dir = new java.io.File(path)
+    val files = parquetFiles(dir)
+    val before = files.length
+    val totalBytes = files.map(_.length()).sum
+    val targetFiles = math.max(1, math.ceil(
+      totalBytes.toDouble / targetFileBytes).toInt)
+    if (targetFiles >= before) return (before, before) // nothing to gain
+    val tmp = s"$path.__compact_tmp"
+    spark.read.parquet(path).coalesce(targetFiles)
+      .write.mode("overwrite").parquet(tmp)
+    // swap: remove old contents, move compacted files in
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
+      f.delete()
+    }
+    deleteRec(dir)
+    if (!new java.io.File(tmp).renameTo(dir))
+      throw new java.io.IOException(s"compact: rename $tmp -> $path failed")
+    (before, parquetFiles(dir).length)
+  }
 }

@@ -88,4 +88,25 @@ class SkewAndLayoutSpec extends SparkSpecBase {
     assert(!plan.contains("Exchange hashpartitioning"),
       "bucketed join still shuffled:\n" + plan.take(1200))
   }
+
+  test("compact merges small files, preserves rows, skips when already compact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact")
+      .toString + "/t"
+    // 32 partitions of a tiny frame → 32 small files
+    val df = (1L to 2000L).map(i => (i, s"v$i")).toDF("id", "v")
+    df.repartition(32).write.parquet(dir)
+    def files() = new java.io.File(dir).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(files() == 32)
+    val (before, after) = Layouts.compact(spark, dir, targetFileBytes = 1L << 20)
+    assert(before == 32 && after < 32 && after >= 1)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 2000)
+    assert(back.agg(org.apache.spark.sql.functions.sum("id")).collect()(0)
+      .getLong(0) == 2000L * 2001L / 2)
+    // second pass: already at/below target file count → no-op
+    val (b2, a2) = Layouts.compact(spark, dir, targetFileBytes = 1L << 20)
+    assert(b2 == a2 && b2 == after)
+  }
 }
