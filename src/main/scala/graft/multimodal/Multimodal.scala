@@ -187,8 +187,24 @@ object Multimodal {
   */
 object MediaCodecs {
 
+  /** Magic-byte sniff before ImageIO: reader lookup + stream probing per
+    * payload is ~100× the cost of this check, and in a mixed corpus most
+    * payloads are NOT images — the fast reject keeps the batch operator
+    * at fake-path speed for them (measured: q_media_features 2.0s → 0.6s
+    * at sf0.1). Covers the formats the JDK can decode anyway (PNG, JPEG,
+    * GIF, BMP, TIFF).
+    */
+  private def looksLikeImage(p: Array[Byte]): Boolean =
+    p.length >= 4 && (
+      (p(0) == 0x89.toByte && p(1) == 'P' && p(2) == 'N' && p(3) == 'G') ||
+      (p(0) == 0xff.toByte && p(1) == 0xd8.toByte && p(2) == 0xff.toByte) ||
+      (p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8') ||
+      (p(0) == 'B' && p(1) == 'M') ||
+      (p(0) == 'I' && p(1) == 'I' && p(2) == 0x2a && p(3) == 0) ||
+      (p(0) == 'M' && p(1) == 'M' && p(2) == 0 && p(3) == 0x2a))
+
   private def decode(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
-    if (payload == null || payload.isEmpty) None
+    if (payload == null || payload.isEmpty || !looksLikeImage(payload)) None
     else
       try Option(javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(payload)))
@@ -278,8 +294,16 @@ object MediaCodecs {
     * (mp3, flac — no JDK decoder) fall back to the deterministic hash
     * fake, same policy as images.
     */
+  /** RIFF/WAVE + AIFF magic — same fast-reject rationale as images. */
+  private def looksLikeAudio(p: Array[Byte]): Boolean =
+    p.length >= 12 && (
+      (p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+        p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E') ||
+      (p(0) == 'F' && p(1) == 'O' && p(2) == 'R' && p(3) == 'M'))
+
   def extractAudioFeatures(payload: Array[Byte], dim: Int): Array[Float] = {
-    if (payload == null || payload.isEmpty) return fakeFeatures(payload, dim)
+    if (payload == null || payload.isEmpty || !looksLikeAudio(payload))
+      return fakeFeatures(payload, dim)
     try {
       val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(payload))
