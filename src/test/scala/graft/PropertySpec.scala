@@ -132,6 +132,37 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("attribution join equals the brute-force pair filter on random streams") {
+    import spark.implicits._
+    val evGen: Gen[(Long, Long, Long, Boolean)] = for {
+      id <- Gen.choose(0L, 100000L)
+      user <- Gen.choose(1L, 5L)
+      t <- Gen.choose(0L, 7200L) // two hours of seconds
+      isClick <- Gen.oneOf(true, false)
+    } yield (id, user, t, isClick)
+    for (evs0 <- cases(Gen.listOfN(60, evGen), n = 5)) {
+      val evs = evs0.distinctBy(_._1) // unique event ids
+      val horizon = 1800L
+      def frame(rows: Seq[(Long, Long, Long, Boolean)]) = rows
+        .map { case (id, u, t, _) =>
+          (id, new java.sql.Timestamp(t * 1000L), u, 1.0) }
+        .toDF("event_id", "ts", "user_id", "value")
+      val clicks = evs.filter(_._4)
+      val purchases = evs.filterNot(_._4)
+      if (clicks.nonEmpty && purchases.nonEmpty) {
+        val got = graft.streaming.StreamingTelemetry.attributionJoin(
+            frame(clicks), frame(purchases), "30 minutes")
+          .select("click_id", "purchase_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val want = (for {
+          c <- clicks; p <- purchases
+          if c._2 == p._2 && p._3 >= c._3 && p._3 <= c._3 + horizon
+        } yield (c._1, p._1)).toSet
+        assert(got == want, s"attribution mismatch: got ${got.size}, want ${want.size}")
+      }
+    }
+  }
+
   test("int8 quantization: error bounded by scale/2 per dimension, extremes in [-127,127]") {
     import spark.implicits._
     val vecGen: Gen[List[Double]] =
