@@ -58,6 +58,43 @@ object Layouts {
       .partitionBy(partitionCols: _*)
       .parquet(path)
 
+  /** Z-order (Morton) interleave key over up to four integral columns,
+    * each quantized to `bitsPerCol` bits against caller-supplied [min,
+    * max] bounds. Sorting/clustering files by this key gives parquet
+    * row-group min/max stats that prune on EVERY participating column —
+    * the multi-dimensional analogue of `writeSortedPartitioned`'s
+    * single-column clustering (what table formats call OPTIMIZE ZORDER).
+    * Built from shiftleft/bitwiseOR only, so it stays inside whole-stage
+    * codegen.
+    *
+    * Bounds are explicit because normalization needs them and a scan to
+    * discover them would hide a job inside an expression; at scale they
+    * come from table stats. Values outside the bounds clamp.
+    */
+  def zorderKey(colsWithBounds: Seq[(org.apache.spark.sql.Column, Long, Long)],
+                bitsPerCol: Int = 16): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{greatest => fGreatest, least => fLeast, lit, shiftleft, shiftright, floor}
+    require(colsWithBounds.nonEmpty && colsWithBounds.size <= 4,
+      "zorderKey: 1-4 columns")
+    require(bitsPerCol * colsWithBounds.size <= 62,
+      s"zorderKey: ${colsWithBounds.size} cols × $bitsPerCol bits overflow a long")
+    val k = colsWithBounds.size
+    val levels = (1L << bitsPerCol) - 1
+    // quantize each column to [0, 2^bits)
+    val q = colsWithBounds.map { case (c, lo, hi) =>
+      require(hi > lo, s"zorderKey: empty bound [$lo, $hi]")
+      val clamped = fLeast(fGreatest(c.cast("long"), lit(lo)), lit(hi))
+      floor(((clamped - lit(lo)).cast("double") / lit((hi - lo).toDouble))
+        * lit(levels.toDouble)).cast("long")
+    }
+    // interleave: output bit (b*k + i) = bit b of column i
+    val terms = for {
+      b <- 0 until bitsPerCol
+      i <- 0 until k
+    } yield shiftleft(shiftright(q(i), b).bitwiseAND(lit(1L)), b * k + i)
+    terms.reduce(_.bitwiseOR(_))
+  }
+
   /** Compact a small-file parquet dataset in place: rewrite into
     * ⌈bytes / targetFileBytes⌉ files. Streaming sinks and incremental
     * appends accrete thousands of KB-sized files whose open/footer

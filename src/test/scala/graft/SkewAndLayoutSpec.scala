@@ -89,6 +89,36 @@ class SkewAndLayoutSpec extends SparkSpecBase {
       "bucketed join still shuffled:\n" + plan.take(1200))
   }
 
+  test("zorderKey interleaves bits (hand-checked) and clusters both dimensions") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 2 bits per column over [0,3]: value IS the quantized level.
+    // (x=2=0b10, y=1=0b01) → interleave bit b of x at 2b, y at 2b+1:
+    // bit0=x0=0, bit1=y0=1, bit2=x1=1, bit3=y1=0 → 0b0110 = 6
+    val one = Seq((2L, 1L)).toDF("x", "y")
+      .select(Layouts.zorderKey(
+        Seq((col("x"), 0L, 3L), (col("y"), 0L, 3L)), bitsPerCol = 2).as("z"))
+      .collect()(0).getLong(0)
+    assert(one == 6L)
+
+    // clustering property: sort a 16×16 grid by z; any contiguous run of
+    // 64 rows must span at most half of each axis range on average —
+    // versus a plain (x, y) sort where late-x runs span ALL of y.
+    val grid = (for (x <- 0L until 16L; y <- 0L until 16L) yield (x, y))
+      .toDF("x", "y")
+    val z = grid.select(col("x"), col("y"), Layouts.zorderKey(
+        Seq((col("x"), 0L, 15L), (col("y"), 0L, 15L)), bitsPerCol = 4).as("z"))
+      .orderBy("z").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(z.length == 256 && z.toSet.size == 256)
+    val spans = z.grouped(64).map { run =>
+      val xs = run.map(_._1); val ys = run.map(_._2)
+      (xs.max - xs.min) + (ys.max - ys.min)
+    }.toSeq
+    // each quarter of the z-curve is one 8×8-ish quadrant: combined span
+    // ~14-16, never the 15+15=30 a row-major sort's x-slices give on y
+    assert(spans.forall(_ <= 16), s"z-curve runs not clustered: $spans")
+  }
+
   test("compact merges small files, preserves rows, skips when already compact") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-compact")
