@@ -47,13 +47,35 @@ object Incremental {
   def readPartitionedGold(spark: SparkSession, lakeDir: String): DataFrame =
     spark.read.parquet(goldPartDir(lakeDir))
 
-  /** Fold one raw CSV batch of machine metrics into bronze + gold.
+  /** Fold one raw CSV batch of machine metrics into bronze + gold. */
+  def appendMetrics(spark: SparkSession, rawCsvPath: String,
+                    lakeDir: String): AppendResult =
+    appendMetricsFrame(
+      Bronze.readCsv(spark, rawCsvPath, Schemas.bronzeMachineMetrics), lakeDir)
+
+  /** Streaming twin: every micro-batch runs the same append-only-bronze +
+    * day-scoped-gold maintenance through foreachBatch. This is the
+    * standard streaming-upsert-into-partitioned-table pattern: the
+    * streaming engine provides ordering/retries per epoch, the batch
+    * maintenance provides the day-scoped rewrite — no separate streaming
+    * gold logic to keep in sync with batch.
+    */
+  def streamAppendMetrics(stream: org.apache.spark.sql.DataFrame,
+                          lakeDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        appendMetricsFrame(batch, lakeDir): Unit
+      }
+      .start()
+
+  /** Core maintenance over an already-loaded bronze-shaped batch.
     * Returns the batch size, the affected days, and the number of gold
     * rows rewritten (== affected days).
     */
-  def appendMetrics(spark: SparkSession, rawCsvPath: String,
-                    lakeDir: String): AppendResult = {
-    val batch = Bronze.readCsv(spark, rawCsvPath, Schemas.bronzeMachineMetrics)
+  def appendMetricsFrame(batch: DataFrame, lakeDir: String): AppendResult = {
+    val spark = batch.sparkSession
     val newRows = batch.count()
     // 1. append-only bronze: new files land next to history, no rewrite
     batch.write.mode("append")

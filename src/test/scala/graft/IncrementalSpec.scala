@@ -3,6 +3,14 @@ package graft
 import graft.telemetry._
 import java.nio.file.{Files, Paths}
 
+/** Top-level for Spark encoder codegen (see StreamingSpec note). */
+case class BronzeMetric(worker_name: String, machine: String,
+                        start_time: Long, end_time: Long,
+                        machine_cpu_iowait: Double, machine_cpu_kernel: Double,
+                        machine_cpu_usr: Double, machine_gpu: Double,
+                        machine_load_1: Double, machine_net_receive: Double,
+                        machine_num_worker: Double, machine_cpu: Double)
+
 /** Incremental maintenance must (a) produce EXACTLY the state a full
   * rebuild over the combined raw data would, and (b) physically rewrite
   * only the touched dt partitions.
@@ -76,6 +84,46 @@ class IncrementalSpec extends SparkSpecBase {
         new java.sql.Timestamp((day0 + 7 * 86400L) / 86400L * 86400L * 1000L))
     assert(day7.count() == 1)
     assert(day7.collect()(0).getAs[Double]("avg_gpu_util") > 40.0)
+  }
+
+  test("streaming micro-batches maintain the same gold as batch appends") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val base = Files.createTempDirectory("graft-inc-stream").toString
+    val rawDir = s"$base/raw"; val lakeDir = s"$base/lake"
+    new java.io.File(rawDir).mkdirs()
+    Files.writeString(Paths.get(s"$rawDir/pai_machine_metric.csv"),
+      metricsCsv(0 until 5, 4, (d, i) => 30.0 + d))
+    Bronze.ingestTable(spark, rawDir, lakeDir,
+      Bronze.tables.find(_.name == "bronze_machine_metrics").get)
+    Incremental.initPartitionedGold(spark, lakeDir)
+
+    def metric(d: Int, i: Int, gpu: Double) = {
+      val ts = day0 + d * 86400L + i * 7000L
+      BronzeMetric(s"w$i", s"m${i % 4}", ts - 300, ts,
+        0.1, 0.2, 0.3, gpu, 1.5, 100.0, 2.0, 50.0)
+    }
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[BronzeMetric]
+    val q = Incremental.streamAppendMetrics(in.toDF(), lakeDir,
+      s"$base/ckpt")
+    try {
+      in.addData(metric(2, 10, 80.0), metric(7, 0, 60.0)) // update + new day
+      q.processAllAvailable()
+      in.addData(metric(7, 1, 70.0)) // second micro-batch, same new day
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val incremental = Incremental.readPartitionedGold(spark, lakeDir)
+      .select("dt", "avg_gpu_util", "p95_gpu_util", "avg_cpu_util")
+      .orderBy("dt").collect().map(_.toSeq)
+    val rebuilt = Gold.clusterUtilDaily(Silver.gpuTimeseries(
+        Bronze.readBronze(spark, lakeDir, "bronze_machine_metrics")))
+      .select("dt", "avg_gpu_util", "p95_gpu_util", "avg_cpu_util")
+      .orderBy("dt").collect().map(_.toSeq)
+    assert(incremental.length == 6) // days 0-4 plus streamed day 7
+    assert(incremental.toSeq == rebuilt.toSeq,
+      "streamed incremental != full rebuild")
   }
 
   test("empty batch is a no-op on gold") {
