@@ -93,6 +93,38 @@ class PipelineSpec extends SparkSpecBase {
     assert(e.violations.exists(_.check == "not_null(job_id)"))
   }
 
+  test("efficiency marts aggregate jobs and utilization coherently") {
+    val base = Files.createTempDirectory("graft-marts").toString
+    val rawDir = s"$base/raw"; val lakeDir = s"$base/lake"
+    new java.io.File(rawDir).mkdirs()
+    writeCsvs(rawDir)
+    Pipeline.fullRefresh(spark, rawDir, lakeDir)
+    val jobs = spark.read.parquet(s"$lakeDir/silver/silver_jobs.parquet")
+    val gold = spark.read.parquet(s"$lakeDir/gold/gold_cluster_util_daily.parquet")
+
+    // user mart: 25 jobs over 3 users; every 5th is Running (0 hours,
+    // still counted); fixture has no Failed jobs
+    val usage = Marts.userUsageDaily(jobs).collect()
+    assert(usage.map(_.getAs[Long]("n_jobs")).sum == 25)
+    assert(usage.forall(_.getAs[Long]("n_failed") == 0L))
+    assert(usage.forall(_.getAs[Double]("failure_rate") == 0.0))
+    // terminated jobs run 1800s each → per-(user,day) hours are k*0.5
+    assert(usage.forall { r =>
+      val h = r.getAs[Double]("run_hours"); (h * 2) == math.floor(h * 2) })
+
+    // job-efficiency mart: one row per day with jobs; active ≤ allocated,
+    // efficiency == day's avg util / 100
+    val eff = Marts.jobEfficiencyDaily(jobs, gold).collect()
+    assert(eff.nonEmpty)
+    eff.foreach { r =>
+      val alloc = r.getAs[Double]("gpu_hours_allocated")
+      val active = r.getAs[Double]("gpu_hours_active")
+      assert(active <= alloc + 1e-9)
+      assert(r.getAs[Double]("efficiency") <= 1.0)
+      assert(math.abs(active - alloc * r.getAs[Double]("efficiency")) < 1e-6)
+    }
+  }
+
   test("acceptedValues check counts out-of-domain rows, ignores NULLs") {
     import spark.implicits._
     val df = Seq(Some("a"), Some("b"), Some("zz"), None).toDF("v")
