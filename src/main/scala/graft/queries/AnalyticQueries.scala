@@ -143,6 +143,18 @@ object AnalyticQueries extends QueryPack {
           count(lit(1)).as("n_events"))
         .orderBy("dt")),
 
+    // Ordered string aggregation (group-concat): per source, the sorted
+    // distinct language list as one string. collect_set → array_sort →
+    // array_join makes the concatenation order deterministic — the only
+    // way a string agg can be engine-comparable.
+    "q_group_concat" -> ((s, d) =>
+      graft.Tables.documents(s, d)
+        .groupBy("source")
+        .agg(
+          array_join(array_sort(collect_set(col("lang"))), ",").as("langs"),
+          countDistinct(col("lang")).as("n_langs"))
+        .orderBy("source")),
+
     // Fixed-width histogram of the event value distribution: integral
     // bin arithmetic (floor of value/width) so both engines bucket
     // identically; one partial-aggregated shuffle on the bin key.
@@ -303,6 +315,11 @@ object AnalyticQueries extends QueryPack {
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY g_status, g_prio,
         |         coalesce(o_orderstatus, ''), coalesce(o_orderpriority, '')""".stripMargin,
+    "q_group_concat" ->
+      """SELECT source,
+        |       string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs,
+        |       count(DISTINCT lang) AS n_langs
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q_histogram" ->
       """SELECT CAST(floor(value / 10.0) AS BIGINT) AS bin,
         |       CAST(floor(value / 10.0) AS BIGINT) * 10.0 AS lo,
