@@ -22,14 +22,40 @@ import org.apache.spark.sql.SparkSession
   *
   * "bench_rev" versions the methodology so totals are only compared
   * within a revision: rev 2 = median-of-3 + warm-up + failure exclusion
-  * (rev 1, rounds 1-2, was a single timed pass). The JSON line is also
+  * (rev 1, rounds 1-2, was a single timed pass); rev 3 adds the
+  * per-query "shuffle_mb" map (a task-metrics listener sums
+  * shuffle-write bytes over the LAST timed pass) — timing semantics are
+  * unchanged from rev 2. Shuffle bytes is the scale-limiting quantity a
+  * wall-clock number can't show: a query that is fast but shuffles the
+  * whole input won't survive a 100× scale-up, and this makes that
+  * visible per query. (Input bytes were considered and dropped: the
+  * local vectorized parquet path under-reports inputMetrics, and a
+  * misleading number is worse than none.) The JSON line is also
   * written to bench_last.json (override: SPARK_GRAFT_BENCH_OUT) so a
   * truncated stdout capture can't lose the totals — round 3's committed
   * artifact lost its tail that way.
   */
 object Bench {
   val timedPasses = 3
-  val benchRev = 2
+  val benchRev = 3
+
+  /** Sums task shuffle-write/input bytes per query name. Queries run
+    * sequentially, so a volatile current-name is race-free enough: tasks
+    * of query N finishing after N+1 started would misattribute, but the
+    * noop save() returns only after all its jobs complete.
+    */
+  private final class BytesListener
+      extends org.apache.spark.scheduler.SparkListener {
+    @volatile var current: String = ""
+    val shuffle = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    override def onTaskEnd(
+        t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val name = current
+      if (name.nonEmpty && t.taskMetrics != null)
+        shuffle.merge(name, t.taskMetrics.shuffleWriteMetrics.bytesWritten,
+          (a, b) => a + b)
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -55,15 +81,23 @@ object Bench {
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     ordered.foreach { case (name, fn) => run(name, fn) } // warm-up, untimed
 
-    // passes(name) = per-pass (seconds, ok)
+    val bytes = new BytesListener
+    spark.sparkContext.addSparkListener(bytes)
+
+    // passes(name) = per-pass (seconds, ok); the byte listener attributes
+    // only the LAST pass (maps reset before it) so bytes are per-run, not
+    // per-3-runs
     val passes: Seq[Seq[(String, Double, Boolean)]] =
-      (1 to timedPasses).map { _ =>
+      (1 to timedPasses).map { pass =>
+        if (pass == timedPasses) bytes.shuffle.clear()
         ordered.map { case (name, fn) =>
+          bytes.current = if (pass == timedPasses) name else ""
           val t0 = System.nanoTime()
           val ok = run(name, fn)
           (name, (System.nanoTime() - t0) / 1e9, ok)
         }
       }
+    bytes.current = ""
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
@@ -81,8 +115,13 @@ object Bench {
       "\"" + k + "\":" + runs.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = byName.collect { case (_, med, true, _) => med }.sum
+    def mb(m: java.util.concurrent.ConcurrentHashMap[String, Long]) =
+      ordered.map { case (k, _) =>
+        val v = m.getOrDefault(k, 0L) / 1048576.0
+        "\"" + k + "\":" + math.round(v * 10) / 10.0
+      }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","bench_rev":$benchRev,"queries":$qs,"failed":$failed,"passes":$allPasses,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","bench_rev":$benchRev,"queries":$qs,"failed":$failed,"passes":$allPasses,"shuffle_mb":${mb(bytes.shuffle)},"sf":"$sfDir"}"""
     println(line)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
