@@ -39,19 +39,33 @@ object Bench {
   val timedPasses = 3
   val benchRev = 3
 
-  /** Sums task shuffle-write/input bytes per query name. Queries run
-    * sequentially, so a volatile current-name is race-free enough: tasks
-    * of query N finishing after N+1 started would misattribute, but the
-    * noop save() returns only after all its jobs complete.
+  /** Sums task shuffle-write bytes per query name. Listener events are
+    * delivered ASYNCHRONOUSLY (AsyncEventQueue dispatch thread), so a
+    * query's tail events can arrive after the driver moved on — a
+    * volatile current-name read at delivery time would misattribute
+    * them. Attribution therefore binds at SUBMISSION time: onJobStart
+    * records stage → query from the job-group property (set by the
+    * driver before each run, captured in the event itself), and
+    * onTaskEnd looks its stage up — late delivery no longer matters.
+    * The driver drains the bus (GraftSqlBridge.drainListenerBus) before
+    * reading the map so the final query's tail is counted too.
     */
   private final class BytesListener
       extends org.apache.spark.scheduler.SparkListener {
-    @volatile var current: String = ""
+    private val stageToQuery =
+      new java.util.concurrent.ConcurrentHashMap[Int, String]()
     val shuffle = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    override def onJobStart(
+        j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+      val group = Option(j.properties)
+        .flatMap(p => Option(p.getProperty("spark.jobGroup.id"))).getOrElse("")
+      if (group.nonEmpty)
+        j.stageIds.foreach(sid => stageToQuery.put(sid, group))
+    }
     override def onTaskEnd(
         t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-      val name = current
-      if (name.nonEmpty && t.taskMetrics != null)
+      val name = stageToQuery.get(t.stageId)
+      if (name != null && t.taskMetrics != null)
         shuffle.merge(name, t.taskMetrics.shuffleWriteMetrics.bytesWritten,
           (a, b) => a + b)
     }
@@ -86,18 +100,22 @@ object Bench {
 
     // passes(name) = per-pass (seconds, ok); the byte listener attributes
     // only the LAST pass (maps reset before it) so bytes are per-run, not
-    // per-3-runs
+    // per-3-runs; attribution rides the job group set per query
     val passes: Seq[Seq[(String, Double, Boolean)]] =
       (1 to timedPasses).map { pass =>
         if (pass == timedPasses) bytes.shuffle.clear()
         ordered.map { case (name, fn) =>
-          bytes.current = if (pass == timedPasses) name else ""
+          if (pass == timedPasses)
+            spark.sparkContext.setJobGroup(name, name)
+          else spark.sparkContext.clearJobGroup()
           val t0 = System.nanoTime()
           val ok = run(name, fn)
           (name, (System.nanoTime() - t0) / 1e9, ok)
         }
       }
-    bytes.current = ""
+    spark.sparkContext.clearJobGroup()
+    // deliver every queued task event before reading the byte map
+    org.apache.spark.sql.GraftSqlBridge.drainListenerBus(spark.sparkContext)
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2

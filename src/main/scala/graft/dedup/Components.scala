@@ -48,10 +48,14 @@ object Components {
     // join + agg + checkpoint ACTION each) costs seconds of fixed
     // overhead that a driver union-find finishes in milliseconds. Below
     // the edge limit (the count is a cheap scan of the checkpoint just
-    // materialized; 2M doubled edges ≈ 32 MB on the driver), solve
-    // in-memory — same min-label result, bit-identical. Above it, or for
-    // non-long ids, the distributed propagation below is the path — at
-    // 100 TB a dup-heavy corpus can exceed any driver bound.
+    // materialized), solve in-memory — same min-label result,
+    // bit-identical. Driver footprint at the 2M default: the parent map
+    // holds one boxed entry per NODE (≤ 2 per edge, ~50 B each → low
+    // hundreds of MB worst case), and edges stream in partition-sized
+    // chunks via toLocalIterator rather than one whole-result collect.
+    // Above the limit, or for non-long ids, the distributed propagation
+    // below is the path — at 100 TB a dup-heavy corpus can exceed any
+    // driver bound.
     val isLongKeyed = adj.schema.fields.forall(
       _.dataType == org.apache.spark.sql.types.LongType)
     if (isLongKeyed && adj.count() <= driverEdgeLimit)
@@ -100,7 +104,9 @@ object Components {
       while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
       r
     }
-    adj.collect().foreach { row =>
+    // stream partitions to the driver instead of materializing the whole
+    // edge array next to the parent map (halves peak driver memory)
+    adj.toLocalIterator().forEachRemaining { row =>
       val s = row.getLong(0); val d = row.getLong(1)
       if (!parent.contains(s)) parent(s) = s
       if (!parent.contains(d)) parent(d) = d

@@ -21,6 +21,14 @@ object GraftSqlBridge {
   /** The analyzed logical plan behind a DataFrame. */
   def analyzed(df: DataFrame): LogicalPlan = df.queryExecution.analyzed
 
+  /** Block until the async listener bus has delivered every queued event
+    * (`listenerBus` is private[spark]; metric listeners need a drain
+    * point before their accumulations are read — a completed job's task
+    * events may still be in flight on the dispatch thread).
+    */
+  def drainListenerBus(sc: org.apache.spark.SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty(60000L)
+
   /** Build a session with the given extensions over an EXISTING
     * SparkContext. `spark.sql.extensions` is a static conf — builder
     * getOrCreate can only honor it when it creates the context — so

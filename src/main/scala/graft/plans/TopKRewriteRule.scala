@@ -42,16 +42,20 @@ object TopKRewriteRule extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     // Opt-in: the rewrite trades the window sort's disk spill for bounded
     // in-memory heaps — a memory-profile change users must ask for.
-    // Only true/false parse; anything else ("1", "yes", a typo) fails
-    // loudly — silently reading "yes" as DISABLED would leave the user
-    // believing the rewrite is on with no signal, the same
-    // malformed-conf posture as the flushRows parse in the strategy.
+    // Only true/false parse; anything else ("1", "yes", a typo) logs a
+    // loud warning and stays DISABLED. Not a throw: this rule runs on
+    // EVERY logical plan in the session, so throwing would turn one
+    // mistyped per-feature knob into a denial of all queries — unlike
+    // the flushRows parse in the strategy, which only fires on plans
+    // that actually use the operator.
     conf.getConfString(TopKPerKey.RewriteEnabledKey, "false")
         .trim.toLowerCase match {
       case "true"  => rewrite(plan)
       case "false" => plan
-      case other   => throw new IllegalArgumentException(
-        s"${TopKPerKey.RewriteEnabledKey} must be true or false, got '$other'")
+      case other   =>
+        logWarning(s"${TopKPerKey.RewriteEnabledKey} must be true or false, " +
+          s"got '$other' — top-k rewrite stays DISABLED")
+        plan
     }
   }
 

@@ -83,6 +83,10 @@ object Layouts {
     // quantize each column to [0, 2^bits)
     val q = colsWithBounds.map { case (c, lo, hi) =>
       require(hi > lo, s"zorderKey: empty bound [$lo, $hi]")
+      // hi - lo wraps negative past Long.MaxValue even when hi > lo —
+      // garbage keys with no error; reject rather than silently unsort
+      require(hi - lo > 0,
+        s"zorderKey: bound width [$lo, $hi] overflows Long — narrow the bounds")
       val clamped = fLeast(fGreatest(c.cast("long"), lit(lo)), lit(hi))
       floor(((clamped - lit(lo)).cast("double") / lit((hi - lo).toDouble))
         * lit(levels.toDouble)).cast("long")
@@ -95,43 +99,79 @@ object Layouts {
     terms.reduce(_.bitwiseOR(_))
   }
 
-  /** Compact a small-file parquet dataset in place: rewrite into
-    * ⌈bytes / targetFileBytes⌉ files. Streaming sinks and incremental
-    * appends accrete thousands of KB-sized files whose open/footer
-    * overhead eventually dominates scans — compaction is the standing
-    * maintenance job every lakehouse runs. The rewrite goes through a
-    * temp directory then an atomic-ish swap (write temp → delete old →
-    * rename), so a crash leaves either the old or the new files, never a
-    * half-deleted mix. Returns (filesBefore, filesAfter).
+  /** Compact a small-file parquet dataset in place: rewrite each LEAF
+    * data directory into ⌈bytes / targetFileBytes⌉ files. Streaming
+    * sinks and incremental appends accrete thousands of KB-sized files
+    * whose open/footer overhead eventually dominates scans — compaction
+    * is the standing maintenance job every lakehouse runs.
+    *
+    * Hive-partitioned layouts are compacted PER PARTITION, preserving
+    * the `col=value` directory tree (and therefore partition pruning and
+    * later dynamic-partition overwrites): each leaf's files are read
+    * without partition inference, coalesced, and swapped in place.
+    * Flattening a partitioned table would silently break every reader —
+    * the one-shot whole-dataset rewrite is only used for unpartitioned
+    * layouts.
+    *
+    * Swap discipline per leaf (local/HDFS rename semantics): write the
+    * compacted copy to `<leaf>.__compact_tmp`, rename the live dir aside
+    * to `<leaf>.__compact_old`, rename tmp into place, then delete the
+    * old copy. No reader ever sees a mix of old and new files; the one
+    * bad crash window (between the two renames) leaves nothing at the
+    * live path but the complete old copy recoverable at
+    * `.__compact_old`. On object stores, where rename is not a metadata
+    * operation, use a table format's commit protocol instead — this is
+    * the filesystem-native variant.
     *
     * `coalesce` (not repartition) — merging files needs no shuffle, just
-    * fewer write tasks reading multiple input splits each.
+    * fewer write tasks reading multiple input splits each. Returns
+    * (filesBefore, filesAfter) summed over leaves; leaves already at or
+    * below their target count are left untouched (idempotent).
     */
   def compact(spark: SparkSession, path: String,
               targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
-    def parquetFiles(dir: java.io.File): Array[java.io.File] = {
-      val here = Option(dir.listFiles()).getOrElse(Array.empty)
-      here.filter(f => f.isFile && f.getName.endsWith(".parquet")) ++
-        here.filter(_.isDirectory).flatMap(parquetFiles)
+    def dataFiles(dir: java.io.File): Array[java.io.File] =
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    def leafDirs(dir: java.io.File): Seq[java.io.File] = {
+      val partChildren = Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.contains("="))
+      if (partChildren.isEmpty) Seq(dir)
+      else partChildren.toSeq.flatMap(leafDirs)
     }
-    val dir = new java.io.File(path)
-    val files = parquetFiles(dir)
-    val before = files.length
-    val totalBytes = files.map(_.length()).sum
-    val targetFiles = math.max(1, math.ceil(
-      totalBytes.toDouble / targetFileBytes).toInt)
-    if (targetFiles >= before) return (before, before) // nothing to gain
-    val tmp = s"$path.__compact_tmp"
-    spark.read.parquet(path).coalesce(targetFiles)
-      .write.mode("overwrite").parquet(tmp)
-    // swap: remove old contents, move compacted files in
     def deleteRec(f: java.io.File): Unit = {
       Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
-      f.delete()
+      f.delete(); ()
     }
-    deleteRec(dir)
-    if (!new java.io.File(tmp).renameTo(dir))
-      throw new java.io.IOException(s"compact: rename $tmp -> $path failed")
-    (before, parquetFiles(dir).length)
+    def swap(live: java.io.File, tmp: java.io.File): Unit = {
+      val old = new java.io.File(live.getParentFile,
+        live.getName + ".__compact_old")
+      if (old.exists()) deleteRec(old)
+      if (!live.renameTo(old))
+        throw new java.io.IOException(s"compact: rename $live aside failed")
+      if (!tmp.renameTo(live)) {
+        old.renameTo(live) // best-effort rollback to the intact old copy
+        throw new java.io.IOException(s"compact: rename $tmp -> $live failed")
+      }
+      deleteRec(old)
+    }
+    var before = 0
+    var after = 0
+    leafDirs(new java.io.File(path)).foreach { leaf =>
+      val files = dataFiles(leaf)
+      before += files.length
+      val targetFiles = math.max(1, math.ceil(
+        files.map(_.length()).sum.toDouble / targetFileBytes).toInt)
+      if (files.isEmpty || targetFiles >= files.length) after += files.length
+      else {
+        val tmp = new java.io.File(leaf.getParentFile,
+          leaf.getName + ".__compact_tmp")
+        spark.read.parquet(leaf.toString).coalesce(targetFiles)
+          .write.mode("overwrite").parquet(tmp.toString)
+        swap(leaf, tmp)
+        after += dataFiles(leaf).length
+      }
+    }
+    (before, after)
   }
 }

@@ -59,16 +59,44 @@ object Incremental {
     * streaming engine provides ordering/retries per epoch, the batch
     * maintenance provides the day-scoped rewrite — no separate streaming
     * gold logic to keep in sync with batch.
+    *
+    * foreachBatch is AT-LEAST-ONCE: a sink failure mid-epoch or a
+    * restart replays the same batchId, and replaying an APPEND into
+    * bronze would double the rows permanently. A commit ledger under the
+    * lake (one marker file per batchId, written only after the epoch's
+    * maintenance fully succeeded) makes the sink idempotent: a replayed
+    * epoch whose marker exists is skipped — the same ledger-version
+    * pattern transactional table formats use for streaming writes.
     */
   def streamAppendMetrics(stream: org.apache.spark.sql.DataFrame,
                           lakeDir: String, checkpointDir: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        appendMetricsFrame(batch, lakeDir): Unit
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        commitOnce(lakeDir, batchId) { appendMetricsFrame(batch, lakeDir); () }
+        ()
       }
       .start()
+
+  /** Run `body` exactly once per (lake, batchId): the marker is written
+    * only AFTER body succeeded, so a mid-body crash replays it (the
+    * at-least-once side) while a replay of a committed epoch is skipped
+    * (the idempotence side). Returns false when skipped.
+    */
+  def commitOnce(lakeDir: String, batchId: Long)(body: => Unit): Boolean = {
+    val ledger = new java.io.File(s"$lakeDir/bronze/_stream_commits")
+    val marker = new java.io.File(ledger, batchId.toString)
+    if (marker.exists()) false
+    else {
+      body
+      ledger.mkdirs()
+      if (!marker.createNewFile())
+        throw new java.io.IOException(
+          s"stream commit marker $marker could not be created")
+      true
+    }
+  }
 
   /** Core maintenance over an already-loaded bronze-shaped batch.
     * Returns the batch size, the affected days, and the number of gold
@@ -99,13 +127,18 @@ object Incremental {
     val touchedGold = Gold.clusterUtilDaily(fullSilver)
 
     // 4. dynamic partition overwrite: replace exactly the touched dt
-    //    directories, leave every other partition's files untouched
-    touchedGold.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("dt")
-      .parquet(goldPartDir(lakeDir))
-
-    // one gold row per touched day — no need to re-run the aggregate
-    AppendResult(newRows, days.sortBy(_.getTime), days.size.toLong)
+    //    directories, leave every other partition's files untouched.
+    //    Cache so the post-write row count reads what was written instead
+    //    of re-running the aggregate — a touched day can legitimately
+    //    produce NO gold row (all its gpu_util values NULL: Silver keeps
+    //    the rows, Gold filters them), so days.size would overcount.
+    touchedGold.persist()
+    try {
+      touchedGold.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("dt")
+        .parquet(goldPartDir(lakeDir))
+      AppendResult(newRows, days.sortBy(_.getTime), touchedGold.count())
+    } finally { touchedGold.unpersist(); () }
   }
 }

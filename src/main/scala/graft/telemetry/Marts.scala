@@ -51,8 +51,12 @@ object Marts {
       .agg(
         count(lit(1)).as("n_jobs"),
         sum(col("run_time_sec")).cast("double").as("alloc_sec"))
+    // LEFT join: a day with jobs but no utilization row (telemetry gap,
+    // or every reading NULL) must still appear — with null efficiency,
+    // not silently vanish and make mart job totals disagree with silver
     jobs
-      .join(broadcast(goldDaily.select(col("dt"), col("avg_gpu_util"))), Seq("dt"))
+      .join(broadcast(goldDaily.select(col("dt"), col("avg_gpu_util"))),
+        Seq("dt"), "left")
       .select(
         col("dt"),
         col("n_jobs"),

@@ -126,6 +126,21 @@ class IncrementalSpec extends SparkSpecBase {
       "streamed incremental != full rebuild")
   }
 
+  test("commitOnce skips a replayed epoch but reruns an uncommitted one") {
+    val lakeDir = Files.createTempDirectory("graft-ledger").toString
+    var runs = 0
+    assert(Incremental.commitOnce(lakeDir, 7L) { runs += 1 })
+    assert(!Incremental.commitOnce(lakeDir, 7L) { runs += 1 }) // replay → skip
+    assert(runs == 1)
+    // a crash BEFORE the marker write replays the body (at-least-once in,
+    // exactly-once out)
+    intercept[RuntimeException] {
+      Incremental.commitOnce(lakeDir, 8L) { throw new RuntimeException("boom") }
+    }
+    assert(Incremental.commitOnce(lakeDir, 8L) { runs += 1 })
+    assert(runs == 2)
+  }
+
   test("empty batch is a no-op on gold") {
     val base = Files.createTempDirectory("graft-inc-empty").toString
     val rawDir = s"$base/raw"; val lakeDir = s"$base/lake"

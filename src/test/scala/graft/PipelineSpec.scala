@@ -125,6 +125,22 @@ class PipelineSpec extends SparkSpecBase {
     }
   }
 
+  test("efficiency mart keeps days that have jobs but no utilization row") {
+    import spark.implicits._
+    // one job on an epoch day with NO matching gold row: the day must
+    // survive the join with null efficiency, not vanish
+    val jobs = Seq(("j1", "i1", "u1", "Terminated", 86400L * 200, 86400L * 200 + 3600))
+      .toDF("job_name", "inst_id", "user", "status", "start_time", "end_time")
+    val silverJobs = Silver.jobs(jobs)
+    val emptyGold = Seq.empty[(java.sql.Timestamp, Double)]
+      .toDF("dt", "avg_gpu_util")
+    val eff = Marts.jobEfficiencyDaily(silverJobs, emptyGold).collect()
+    assert(eff.length == 1)
+    assert(eff(0).getAs[Long]("n_jobs") == 1L)
+    assert(eff(0).getAs[Double]("gpu_hours_allocated") == 1.0)
+    assert(eff(0).isNullAt(eff(0).fieldIndex("efficiency")))
+  }
+
   test("acceptedValues check counts out-of-domain rows, ignores NULLs") {
     import spark.implicits._
     val df = Seq(Some("a"), Some("b"), Some("zz"), None).toDF("v")

@@ -119,6 +119,29 @@ class SkewAndLayoutSpec extends SparkSpecBase {
     assert(spans.forall(_ <= 16), s"z-curve runs not clustered: $spans")
   }
 
+  test("compact preserves a hive-partitioned layout (per-leaf rewrite)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact-part")
+      .toString + "/t"
+    val df = (1L to 1200L).map(i => (i, i % 3, s"v$i")).toDF("id", "p", "v")
+    df.repartition(8).write.partitionBy("p").parquet(dir)
+    def partFiles(p: Long) = Option(new java.io.File(s"$dir/p=$p").listFiles())
+      .getOrElse(Array.empty).count(_.getName.endsWith(".parquet"))
+    assert(partFiles(0) > 1)
+    val (before, after) = Layouts.compact(spark, dir, targetFileBytes = 1L << 20)
+    assert(after < before)
+    // the p= directory tree survives and pruning still works
+    assert((0L to 2L).forall(p => new java.io.File(s"$dir/p=$p").isDirectory))
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 1200)
+    assert(back.filter(col("p") === 1).count() == 400)
+    val scan = back.filter(col("p") === 1)
+      .queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("p#"),
+      s"pruning lost after compaction:\n$scan")
+  }
+
   test("compact merges small files, preserves rows, skips when already compact") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-compact")

@@ -34,8 +34,12 @@ def main(old_path, new_path):
     only_old = sorted(set(oq) - set(nq))
     only_new = sorted(set(nq) - set(oq))
     co, cn = sum(oq[k] for k in common), sum(nq[k] for k in common)
-    print(f"common subset ({len(common)} queries): "
-          f"{co:.2f}s -> {cn:.2f}s  (x{cn / co:.2f})")
+    if co > 0:
+        print(f"common subset ({len(common)} queries): "
+              f"{co:.2f}s -> {cn:.2f}s  (x{cn / co:.2f})")
+    else:
+        print(f"no overlapping queries ({len(common)} common) — "
+              "only the added/removed breakdown below applies")
     if only_new:
         print(f"new-only queries ({len(only_new)}): "
               f"{sum(nq[k] for k in only_new):.2f}s total")
