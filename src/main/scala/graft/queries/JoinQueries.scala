@@ -111,6 +111,24 @@ object JoinQueries extends QueryPack {
         .filter(col("event_type") === "error")
         .select(col("event_id"), col("user_id"), col("ts"), col("last_signup_ts"))
         .orderBy("event_id")
+    }),
+
+    // The same as-of semantics through the NATIVE whole-operator plan
+    // (plans.AsOfJoin: key-clustered forward merge, one sorted pass per
+    // side, full right payload available) instead of the union + running
+    // window-max composition above. Same DuckDB oracle as q_join_asof —
+    // two independent formulations and a third engine agreeing.
+    "q_join_asof_native" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id").as("s_user"), col("ts").as("s_ts"))
+      graft.plans.AsOfJoin.asOf(errors, signups,
+          Seq("user_id"), Seq("s_user"), "ts", "s_ts")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("s_ts").as("last_signup_ts"))
+        .orderBy("event_id")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -165,5 +183,15 @@ object JoinQueries extends QueryPack {
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_ts
         |  FROM tagged)
         |SELECT event_id, user_id, ts, last_signup_ts FROM w
-        |WHERE event_type = 'error' ORDER BY event_id""".stripMargin)
+        |WHERE event_type = 'error' ORDER BY event_id""".stripMargin,
+    // identical semantics, independent DuckDB formulation (correlated
+    // max-subquery instead of the window) — fixture has no same-(user,ts)
+    // error/signup ties, so rts<=lts and the window frame agree
+    "q_join_asof_native" ->
+      """SELECT e.event_id, e.user_id, e.ts,
+        |  (SELECT max(s.ts) FROM events s
+        |   WHERE s.event_type = 'signup' AND s.user_id = e.user_id
+        |     AND s.ts <= e.ts) AS last_signup_ts
+        |FROM events e WHERE e.event_type = 'error'
+        |ORDER BY e.event_id""".stripMargin)
 }
