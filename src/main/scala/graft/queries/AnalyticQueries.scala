@@ -59,6 +59,25 @@ object AnalyticQueries extends QueryPack {
             .as("avg_last3"))
         .orderBy("o_custkey", "o_orderkey")),
 
+    // RANGE-frame window (value-based, not row-count): per user, event
+    // count and value sum over the trailing 1-hour event-time window —
+    // the "rolling rate/sum" shape rows-frames can't express when event
+    // spacing is irregular. Ordered on epoch seconds so the frame bound
+    // is plain numeric range arithmetic in both engines.
+    "q_window_range_1h" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts_sec"))
+        .rangeBetween(-3600L, 0L)
+      graft.Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          col("ts").cast("long").as("ts_sec"), col("value"))
+        .withColumn("n_events_1h", count(lit(1)).over(w))
+        .withColumn("sum_value_1h", round(sum(col("value")).over(w), 4))
+        .select("event_id", "user_id", "ts_sec", "n_events_1h", "sum_value_1h")
+        .orderBy("event_id")
+    }),
+
     // Top-k per group: each customer's 3 priciest orders.
     "q_window_topk_per_group" -> ((s, d) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -315,6 +334,18 @@ object AnalyticQueries extends QueryPack {
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY g_status, g_prio,
         |         coalesce(o_orderstatus, ''), coalesce(o_orderpriority, '')""".stripMargin,
+    "q_window_range_1h" ->
+      """WITH t AS (
+        |  SELECT event_id, user_id,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, value
+        |  FROM events)
+        |SELECT event_id, user_id, ts_sec,
+        |       count(*) OVER w AS n_events_1h,
+        |       round(sum(value) OVER w, 4) AS sum_value_1h
+        |FROM t
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
+        |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "q_group_concat" ->
       """SELECT source,
         |       string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs,

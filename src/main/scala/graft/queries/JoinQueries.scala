@@ -95,6 +95,26 @@ object JoinQueries extends QueryPack {
           round(sum("l_quantity"), 4).as("qty_120d"))
         .orderBy("o_orderpriority")),
 
+    // PURE range join (no equi key): errors paired with ANY user's
+    // purchases within ±60 s, via the binned operator
+    // (operators.RangeJoin — linear bin-keyed shuffle instead of the
+    // BroadcastNestedLoopJoin Spark would otherwise plan).
+    "q_join_range_pure" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"),
+          col("ts").cast("long").as("err_sec"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"),
+          col("ts").cast("long").as("p_sec"))
+      graft.operators.RangeJoin.pointsWithin(
+          errors, purchases, "err_sec", "p_sec", tolerance = 60L)
+        .groupBy("err_id")
+        .agg(count(lit(1)).as("n_nearby_purchases"),
+          min(col("p_id")).as("first_p_id"))
+        .orderBy("err_id")
+    }),
+
     // As-of join: for each 'error' event, the most recent preceding 'signup'
     // timestamp of the same user. Spark-first formulation: tag + single
     // running-max window over (user_id, ts) — one shuffle, no inequality
@@ -173,6 +193,16 @@ object JoinQueries extends QueryPack {
         | AND l_shipdate >= o_orderdate
         | AND l_shipdate <= o_orderdate + INTERVAL 120 DAY
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_join_range_pure" ->
+      """WITH e AS (
+        |  SELECT event_id AS err_id, CAST(floor(epoch(ts)) AS BIGINT) AS err_sec
+        |  FROM events WHERE event_type = 'error'),
+        |p AS (
+        |  SELECT event_id AS p_id, CAST(floor(epoch(ts)) AS BIGINT) AS p_sec
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT err_id, count(*) AS n_nearby_purchases, min(p_id) AS first_p_id
+        |FROM e JOIN p ON abs(err_sec - p_sec) <= 60
+        |GROUP BY err_id ORDER BY err_id""".stripMargin,
     "q_join_asof" ->
       """WITH tagged AS (
         |  SELECT event_id, user_id, ts, event_type FROM events
