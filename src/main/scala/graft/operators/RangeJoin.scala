@@ -44,4 +44,39 @@ object RangeJoin {
       .filter(abs(col(leftValCol) - col(rightValCol)) <= tolerance)
       .drop("__bin")
   }
+
+  /** All pairs of OVERLAPPING intervals ([lStart, lEnd] ∩ [rStart, rEnd]
+    * ≠ ∅, both ends inclusive) — the session-overlap / slot-matching
+    * join, again without any equi key. Both sides explode into every
+    * `binWidth`-wide bin their interval covers; overlapping intervals
+    * share at least one covered bin, so the equi-join on the bin finds
+    * every pair. Unlike `pointsWithin`, a pair CAN meet in several bins,
+    * so the result is deduplicated — callers must ensure input rows are
+    * distinct (or carry id columns).
+    *
+    * Choose `binWidth` near the typical interval length: the explode
+    * fan-out per row is interval/binWidth + 1 (cost of long intervals),
+    * while too-wide bins put non-overlapping pairs in the same bin
+    * (false candidates the exact filter then discards).
+    */
+  def intervalsOverlapping(left: DataFrame, right: DataFrame,
+                           lStart: String, lEnd: String,
+                           rStart: String, rEnd: String,
+                           binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty,
+      s"intervalsOverlapping: rename overlapping columns first: ${overlap.mkString(", ")}")
+    def bins(s: String, e: String): Column =
+      sequence(floor(col(s) / binWidth).cast("long"),
+        floor(col(e) / binWidth).cast("long"))
+    val l = left.filter(col(lStart) <= col(lEnd))
+      .withColumn("__bin", explode(bins(lStart, lEnd)))
+    val r = right.filter(col(rStart) <= col(rEnd))
+      .withColumn("__bin", explode(bins(rStart, rEnd)))
+    l.join(r, Seq("__bin"))
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
+      .drop("__bin")
+      .distinct()
+  }
 }

@@ -44,6 +44,33 @@ class RangeJoinSpec extends SparkSpecBase {
       s"range join degraded to a cross product:\n${p.take(800)}")
   }
 
+  test("interval overlap join equals brute force; touching endpoints count") {
+    val rnd = new scala.util.Random(9)
+    val left = (0 until 120).map { i =>
+      val s = rnd.nextInt(2000).toLong; (i.toLong, s, s + rnd.nextInt(150))
+    }.toDF("lid", "ls", "le")
+    val right = (0 until 120).map { i =>
+      val s = rnd.nextInt(2000).toLong; (i.toLong, s, s + rnd.nextInt(150))
+    }.toDF("rid", "rs", "re")
+    val got = RangeJoin.intervalsOverlapping(left, right,
+        "ls", "le", "rs", "re", binWidth = 100L)
+      .select("lid", "rid").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == got.toSet.size, "overlap join left duplicates")
+    val lv = left.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val rv = right.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = (for {
+      (li, ls, le) <- lv; (ri, rs, re) <- rv if ls <= re && rs <= le
+    } yield (li, ri)).toSet
+    assert(got.toSet == want)
+    // touching endpoints are overlaps (closed intervals)
+    val touch = RangeJoin.intervalsOverlapping(
+        Seq((1L, 0L, 10L)).toDF("lid", "ls", "le"),
+        Seq((2L, 10L, 20L)).toDF("rid", "rs", "re"),
+        "ls", "le", "rs", "re", 100L)
+    assert(touch.count() == 1)
+  }
+
   test("rejects non-positive tolerance and overlapping names") {
     val df = Seq((1L, 2L)).toDF("a", "b")
     intercept[IllegalArgumentException] {
