@@ -118,6 +118,54 @@ object Dedup {
       .select("ida", "idb", "jaccard")
   }
 
+  /** Cross-corpus EXACT contamination: eval-set documents whose
+    * normalized text also appears in the training corpus — the
+    * decontamination check every training pipeline runs against its
+    * benchmark/eval sets. One fingerprint equi-join; the shuffle carries
+    * (hash, id) pairs only. Column names are prefixed eval_/corpus_ so
+    * both sides' ids survive into the report.
+    */
+  def crossExactMatches(corpus: DataFrame, evalSet: DataFrame,
+                        textCol: String, idCol: String): DataFrame = {
+    val c = corpus.select(fingerprint(col(textCol)).as("fp"),
+      col(idCol).as("corpus_id"))
+    val e = evalSet.select(fingerprint(col(textCol)).as("fp"),
+      col(idCol).as("eval_id"))
+    e.join(c, "fp").select("eval_id", "corpus_id", "fp")
+  }
+
+  /** Cross-corpus NEAR contamination: eval docs sharing a MinHash band
+    * bucket with a corpus doc, verified by exact shingle Jaccard ≥
+    * threshold — catches paraphrased/partially-copied leakage that the
+    * exact check misses. Same banded structure as `minhashLshPairs`, but
+    * the band join is eval × corpus (the tiny eval side drives it) so
+    * candidate work is linear in the eval set, not the corpus.
+    */
+  def crossNearMatches(corpus: DataFrame, evalSet: DataFrame,
+                       textCol: String, idCol: String,
+                       threshold: Double, n: Int = 3,
+                       bands: Int = 4, r: Int = 3): DataFrame = {
+    val ct = shingled(corpus, textCol, idCol, n)
+    val et = shingled(evalSet, textCol, idCol, n)
+    def banded(t: DataFrame, p: String) = t.select(col("id").as(s"${p}_id"),
+      posexplode(lshBandKeys(col("sh"), bands, r)).as(Seq("band", "key")))
+    val cand = banded(et, "eval")
+      .join(banded(ct, "corpus").withColumnRenamed("band", "band_c")
+          .withColumnRenamed("key", "key_c"),
+        col("band") === col("band_c") && col("key") === col("key_c"))
+      .select("eval_id", "corpus_id")
+      .distinct()
+    cand
+      .join(et.select(col("id").as("eval_id"), col("sh").as("esh")), "eval_id")
+      .join(ct.select(col("id").as("corpus_id"), col("sh").as("csh")), "corpus_id")
+      .withColumn("inter", size(array_intersect(col("esh"), col("csh"))))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (size(col("esh")) + size(col("csh")) - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("eval_id", "corpus_id", "jaccard")
+  }
+
   /** 60-bit SimHash per document. Token hashes come from md5 hex digits
     * (4 bits per digit, small-integer arithmetic only) so the identical
     * value is computable in any engine — no engine-specific hash, no

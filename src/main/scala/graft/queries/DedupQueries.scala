@@ -59,6 +59,23 @@ object DedupQueries extends QueryPack {
           maxHamming = 3)
         .orderBy("ida", "idb")),
 
+    // Eval-set decontamination: near-duplicate leakage between a
+    // deterministic 15% eval split and the remaining training corpus —
+    // MinHash band candidates (eval side drives the join), exact-Jaccard
+    // verified. The check every training pipeline runs against its
+    // benchmark sets; exact-match leakage is the crossExactMatches
+    // operator (spec-covered — this fixture has no exact cross dups, and
+    // a query that can only return empty would prove nothing).
+    "q_contamination" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val b = graft.sampling.Sampling.bucket(col("doc_id"), "evalset")
+      Dedup.crossNearMatches(
+          corpus = docs.filter(b >= 1500),
+          evalSet = docs.filter(b < 1500),
+          "text", "doc_id", threshold = 0.7)
+        .orderBy("eval_id", "corpus_id")
+    }),
+
     // Duplicate clusters: connected components over the MinHash near-dup
     // pairs (min-label propagation), one canonical per cluster.
     "q_dedup_clusters" -> ((s, d) => {
@@ -222,6 +239,38 @@ object DedupQueries extends QueryPack {
         |       round(inter::DOUBLE / (na + nb - inter), 6) AS jaccard
         |FROM v WHERE round(inter::DOUBLE / (na + nb - inter), 6) >= 0.7
         |ORDER BY ida, idb""".stripMargin,
+    // Twin of crossNearMatches over the same 15% eval split: identical
+    // signature/band arithmetic, band join restricted to eval × corpus.
+    "q_contamination" ->
+      s"""WITH t0 AS (
+        |  SELECT doc_id AS id, $shinglesSql AS sh,
+        |    ('0x' || substr(md5('evalset:' || doc_id::VARCHAR), 1, 8))::BIGINT
+        |      % 10000 AS b
+        |  FROM (SELECT doc_id, $tokensSql AS w FROM documents)),
+        |sg AS (
+        |  SELECT id, sh, b,
+        |    list_transform(generate_series(0, 11),
+        |      i -> list_min(list_transform(sh, g -> md5(i::VARCHAR || ':' || g)))) AS sig
+        |  FROM t0 WHERE len(sh) > 0),
+        |banded AS (
+        |  SELECT id, b, band,
+        |         md5(array_to_string(sig[band*3+1 : band*3+3], '|')) AS key
+        |  FROM sg, unnest([0, 1, 2, 3]) AS u(band)),
+        |cand AS (
+        |  SELECT DISTINCT e.id AS eval_id, c.id AS corpus_id
+        |  FROM banded e JOIN banded c ON e.band = c.band AND e.key = c.key
+        |  WHERE e.b < 1500 AND c.b >= 1500),
+        |v AS (
+        |  SELECT cand.eval_id, cand.corpus_id,
+        |         len(list_intersect(te.sh, tc.sh)) AS inter,
+        |         len(te.sh) AS na, len(tc.sh) AS nb
+        |  FROM cand
+        |  JOIN t0 te ON te.id = cand.eval_id
+        |  JOIN t0 tc ON tc.id = cand.corpus_id)
+        |SELECT eval_id, corpus_id,
+        |       round(inter::DOUBLE / (na + nb - inter), 6) AS jaccard
+        |FROM v WHERE round(inter::DOUBLE / (na + nb - inter), 6) >= 0.7
+        |ORDER BY eval_id, corpus_id""".stripMargin,
     // minhash pair CTEs + recursive reachability closure
     "q_dedup_clusters" ->
       s"""$clusterCte

@@ -64,4 +64,41 @@ class DedupSpec extends SparkSpecBase {
       maxShingleFreq = 1).collect()
     assert(p.isEmpty)
   }
+
+  test("crossExactMatches finds eval docs copied into the corpus") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over it"),
+      (2L, "совершенно unrelated document body"),
+      (3L, "THE  Quick   Brown fox jumps over it") // normalized dup of 1
+    ).toDF("doc_id", "text")
+    val evalSet = Seq(
+      (100L, "the quick brown fox jumps over it"), // leaked verbatim
+      (101L, "clean eval question nobody saw")
+    ).toDF("doc_id", "text")
+    val got = Dedup.crossExactMatches(corpus, evalSet, "text", "doc_id")
+      .select("eval_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // eval 100 matches BOTH corpus copies (case/whitespace normalized)
+    assert(got == Set((100L, 1L), (100L, 3L)))
+  }
+
+  test("crossNearMatches flags paraphrased leakage, skips clean eval docs") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val corpus = Seq(
+      (1L, base),
+      (2L, "wholly different text about storage engines and columnar files")
+    ).toDF("doc_id", "text")
+    val evalSet = Seq(
+      (100L, base + " phi"),                       // near-dup of corpus 1
+      (101L, "independent eval prompt with fresh content words only")
+    ).toDF("doc_id", "text")
+    val got = Dedup.crossNearMatches(corpus, evalSet, "text", "doc_id",
+        threshold = 0.7).collect()
+    assert(got.length == 1)
+    assert(got(0).getLong(0) == 100L && got(0).getLong(1) == 1L)
+    assert(got(0).getDouble(2) >= 0.7)
+  }
 }
