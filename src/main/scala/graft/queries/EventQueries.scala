@@ -83,6 +83,26 @@ object EventQueries extends QueryPack {
         .orderBy("user_id", "click_id", "purchase_id")
     }),
 
+    // Ordered event funnel on first occurrences: of the users who signed
+    // up, how many later clicked, and of those how many later purchased
+    // — the classic product-analytics funnel as ONE aggregation pass
+    // (per-user conditional min-ts pivot, then stage predicates over the
+    // three minimums; no self-joins, no window).
+    "q_funnel_steps" -> ((s, d) => {
+      val firsts = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(
+          min(when(col("event_type") === "signup", col("ts"))).as("s_ts"),
+          min(when(col("event_type") === "click", col("ts"))).as("c_ts"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("p_ts"))
+      firsts.agg(
+        sum(col("s_ts").isNotNull.cast("long")).as("n_signup"),
+        sum((col("s_ts").isNotNull && col("c_ts") > col("s_ts"))
+          .cast("long")).as("n_then_click"),
+        sum((col("s_ts").isNotNull && col("c_ts") > col("s_ts") &&
+          col("p_ts") > col("c_ts")).cast("long")).as("n_then_purchase"))
+    }),
+
     // Explode-based wordcount: top-100 corpus tokens.
     "q_wordcount" -> ((s, d) =>
       Tables.documents(s, d)
@@ -132,6 +152,20 @@ object EventQueries extends QueryPack {
         |  ON c.user_id = p.user_id
         | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTES
         |ORDER BY c.user_id, click_id, purchase_id""".stripMargin,
+    "q_funnel_steps" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'signup' THEN ts END) AS s_ts,
+        |    min(CASE WHEN event_type = 'click' THEN ts END) AS c_ts,
+        |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS p_ts
+        |  FROM events GROUP BY user_id)
+        |SELECT
+        |  CAST(sum(CAST(s_ts IS NOT NULL AS BIGINT)) AS BIGINT) AS n_signup,
+        |  CAST(sum(CAST(s_ts IS NOT NULL AND c_ts > s_ts AS BIGINT)) AS BIGINT)
+        |    AS n_then_click,
+        |  CAST(sum(CAST(s_ts IS NOT NULL AND c_ts > s_ts AND p_ts > c_ts
+        |    AS BIGINT)) AS BIGINT) AS n_then_purchase
+        |FROM f""".stripMargin,
     "q_wordcount" ->
       """SELECT token, count(*) AS n
         |FROM (SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),

@@ -18,6 +18,21 @@ class TopKRewriteSpec extends SparkSpecBase {
     s
   }
 
+  test("malformed enable value warns and stays disabled, queries keep working") {
+    val s = org.apache.spark.sql.GraftSqlBridge.sessionWithExtensions(
+      spark.sparkContext, new graft.functions.GraftExtensions()(_))
+    s.conf.set(graft.plans.TopKPerKey.RewriteEnabledKey, "yes")
+    try {
+      // the rule runs on EVERY plan — a bad knob value must not become a
+      // session-wide query failure
+      val plan = topkIdiom(s, keepRn = false)
+        .queryExecution.optimizedPlan.toString
+      assert(plan.contains("Window"), "malformed conf silently ENABLED the rewrite")
+      import s.implicits._
+      assert(Seq(1, 2, 3).toDF("x").count() == 3) // unrelated query unaffected
+    } finally s.conf.unset(graft.plans.TopKPerKey.RewriteEnabledKey)
+  }
+
   test("rewrite is off by default (opt-in conf)") {
     val s = org.apache.spark.sql.GraftSqlBridge.sessionWithExtensions(
       spark.sparkContext, new graft.functions.GraftExtensions()(_))
