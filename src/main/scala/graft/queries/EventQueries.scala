@@ -53,6 +53,24 @@ object EventQueries extends QueryPack {
         .orderBy("user_id", "session_id")
     }),
 
+    // The NATIVE session-window operator (same 30-minute gap rule as the
+    // manual lag/cumsum q_sessionize — one shuffle, sessions assembled
+    // inside the aggregation). Boundary nuance: session_window treats a
+    // gap of EXACTLY the timeout as a new session (windows are
+    // half-open), the manual formulation keeps it — the oracle encodes
+    // the half-open rule; fixture timestamps are microsecond-valued so
+    // exact-boundary gaps cannot occur.
+    "q_sessionize_native" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("w"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          round(sum("value"), 4).as("session_value"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+          col("n_events"), col("session_value"))
+        .orderBy("user_id", "session_start")),
+
     // CDC compaction: current state per user = latest event (max ts,
     // event_id tiebreak via the struct's ts ordering is insufficient —
     // ts is unique per event in the fixture; deterministic here).
@@ -137,6 +155,25 @@ object EventQueries extends QueryPack {
         |       round(max(epoch(ts)) - min(epoch(ts)), 6) AS duration_sec,
         |       round(sum(value), 4) AS session_value
         |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "q_sessionize_native" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, value,
+        |         epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS gap_sec
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, ts, value,
+        |         CASE WHEN gap_sec IS NULL OR gap_sec >= 1800 THEN 1 ELSE 0 END AS is_new
+        |  FROM g),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM f)
+        |SELECT user_id, min(ts) AS session_start,
+        |       count(*) AS n_events,
+        |       round(sum(value), 4) AS session_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
     "q_latest_by_key" ->
       """SELECT user_id,
         |       arg_max(event_id, event_id) AS last_event_id,
