@@ -59,6 +59,27 @@ object AnalyticQueries extends QueryPack {
             .as("avg_last3"))
         .orderBy("o_custkey", "o_orderkey")),
 
+    // The remaining rank-family window functions in one pass: quartile
+    // bucket, relative rank, cumulative distribution, and an
+    // absolute-position value (2nd-highest price per priority) over a
+    // full frame. Unique (price desc, orderkey) ordering keeps every
+    // one deterministic.
+    "q_window_rank_family" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val wFull = w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      Tables.orders(s, d)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"),
+          nth_value(col("o_totalprice"), 2).over(wFull).as("second_highest"))
+        .orderBy("o_orderpriority", "o_orderkey")
+    }),
+
     // RANGE-frame window (value-based, not row-count): per user, event
     // count and value sum over the trailing 1-hour event-time window —
     // the "rolling rate/sum" shape rows-frames can't express when event
@@ -334,6 +355,20 @@ object AnalyticQueries extends QueryPack {
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY g_status, g_prio,
         |         coalesce(o_orderstatus, ''), coalesce(o_orderpriority, '')""".stripMargin,
+    "q_window_rank_family" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  ntile(4) OVER w AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume,
+        |  nth_value(o_totalprice, 2) OVER
+        |    (PARTITION BY o_orderpriority
+        |     ORDER BY o_totalprice DESC, o_orderkey
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    AS second_highest
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
     "q_window_range_1h" ->
       """WITH t AS (
         |  SELECT event_id, user_id,
