@@ -88,6 +88,26 @@ object Dedup {
       .select("ida", "idb", "jaccard")
   }
 
+  /** Exact-Jaccard verification of an LSH candidate-pair frame: join the
+    * (aIdCol, bIdCol) pairs back to their shingle sets and keep pairs at
+    * or above the threshold. ONE definition of the verify arithmetic
+    * (array_intersect / round-6) serves the self-dedup and the
+    * cross-corpus contamination paths — they must never diverge from
+    * each other or from the shared DuckDB oracle CTEs.
+    */
+  private def jaccardVerified(cand: DataFrame, aSide: DataFrame,
+                              bSide: DataFrame, aIdCol: String,
+                              bIdCol: String, threshold: Double): DataFrame =
+    cand
+      .join(aSide.select(col("id").as(aIdCol), col("sh").as("sha")), aIdCol)
+      .join(bSide.select(col("id").as(bIdCol), col("sh").as("shb")), bIdCol)
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (size(col("sha")) + size(col("shb")) - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(aIdCol, bIdCol, "jaccard")
+
   /** MinHash+LSH near-dup pairs: k-component signatures, b bands × r rows
     * (k = b*r); candidates share ≥1 band bucket, then exact Jaccard ≥
     * threshold verified on the candidate pairs only.
@@ -107,15 +127,7 @@ object Dedup {
           col("ida") < col("idb"))
       .select("ida", "idb")
       .distinct()
-    cand
-      .join(t.select(col("id").as("ida"), col("sh").as("sha")), "ida")
-      .join(t.select(col("id").as("idb"), col("sh").as("shb")), "idb")
-      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
-      .withColumn("jaccard",
-        round(col("inter").cast("double") /
-          (size(col("sha")) + size(col("shb")) - col("inter")), 6))
-      .filter(col("jaccard") >= threshold)
-      .select("ida", "idb", "jaccard")
+    jaccardVerified(cand, t, t, "ida", "idb", threshold)
   }
 
   /** Cross-corpus EXACT contamination: eval-set documents whose
@@ -155,15 +167,7 @@ object Dedup {
         col("band") === col("band_c") && col("key") === col("key_c"))
       .select("eval_id", "corpus_id")
       .distinct()
-    cand
-      .join(et.select(col("id").as("eval_id"), col("sh").as("esh")), "eval_id")
-      .join(ct.select(col("id").as("corpus_id"), col("sh").as("csh")), "corpus_id")
-      .withColumn("inter", size(array_intersect(col("esh"), col("csh"))))
-      .withColumn("jaccard",
-        round(col("inter").cast("double") /
-          (size(col("esh")) + size(col("csh")) - col("inter")), 6))
-      .filter(col("jaccard") >= threshold)
-      .select("eval_id", "corpus_id", "jaccard")
+    jaccardVerified(cand, et, ct, "eval_id", "corpus_id", threshold)
   }
 
   /** 60-bit SimHash per document. Token hashes come from md5 hex digits

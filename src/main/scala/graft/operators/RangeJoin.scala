@@ -23,6 +23,19 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** Inputs must be name-disjoint AND free of the internal bin column —
+    * withColumn would silently REPLACE a caller's `__bin` and the final
+    * drop would delete it from the output.
+    */
+  private def checkColumns(op: String, left: DataFrame,
+                           right: DataFrame): Unit = {
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty,
+      s"$op: rename overlapping columns first: ${overlap.mkString(", ")}")
+    require(!left.columns.contains("__bin") && !right.columns.contains("__bin"),
+      s"$op: __bin is reserved for the binning join — rename that column")
+  }
+
   /** All pairs with |leftValCol − rightValCol| ≤ tolerance, columns of
     * both sides carried through. Column names must be disjoint; the
     * value columns must be numeric (cast timestamps to long seconds
@@ -32,9 +45,7 @@ object RangeJoin {
                    leftValCol: String, rightValCol: String,
                    tolerance: Long): DataFrame = {
     require(tolerance > 0, s"tolerance must be positive, got $tolerance")
-    val overlap = left.columns.toSet.intersect(right.columns.toSet)
-    require(overlap.isEmpty,
-      s"pointsWithin: rename overlapping columns first: ${overlap.mkString(", ")}")
+    checkColumns("pointsWithin", left, right)
     def bin(c: Column): Column = floor(c / tolerance).cast("long")
     val l = left.withColumn("__bin",
       explode(array(bin(col(leftValCol)) - 1, bin(col(leftValCol)),
@@ -64,9 +75,7 @@ object RangeJoin {
                            rStart: String, rEnd: String,
                            binWidth: Long): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
-    val overlap = left.columns.toSet.intersect(right.columns.toSet)
-    require(overlap.isEmpty,
-      s"intervalsOverlapping: rename overlapping columns first: ${overlap.mkString(", ")}")
+    checkColumns("intervalsOverlapping", left, right)
     def bins(s: String, e: String): Column =
       sequence(floor(col(s) / binWidth).cast("long"),
         floor(col(e) / binWidth).cast("long"))

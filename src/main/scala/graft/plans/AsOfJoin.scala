@@ -26,8 +26,10 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
   * unlike the window trick). Unmatched left rows emit nulls on the
   * right (left-outer as-of).
   *
-  * Null timestamps follow SQL comparison semantics: a null on either
-  * side never matches.
+  * Null timestamps AND null keys follow SQL comparison semantics: a
+  * null on either side never matches (SQL equality never equates nulls,
+  * unlike the natural row ordering the merge uses internally — null
+  * keys are checked explicitly).
   */
 final case class AsOfJoinPlan(leftKeys: Seq[Expression],
                               rightKeys: Seq[Expression],
@@ -42,6 +44,14 @@ final case class AsOfJoinPlan(leftKeys: Seq[Expression],
   require(tsTypes.contains(leftTs.dataType) && rightTs.dataType == leftTs.dataType,
     s"as-of ts columns must both be timestamp or long, got " +
       s"${leftTs.dataType.catalogString}/${rightTs.dataType.catalogString}")
+  // mismatched key dtypes would hash equal values to different partitions
+  // AND make the ordering read the wrong byte layout — silently-wrong
+  // output, so reject up front like the ts types
+  leftKeys.zip(rightKeys).foreach { case (l, r) =>
+    require(l.dataType == r.dataType,
+      s"as-of key dtype mismatch: ${l.dataType.catalogString} vs " +
+        s"${r.dataType.catalogString} — cast one side first")
+  }
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -82,11 +92,22 @@ final case class AsOfJoinExec(leftKeys: Seq[Expression],
         // iterators reuse row buffers) and its key
         private var rRow: InternalRow = null
         private var rKey: UnsafeRow = null
-        private def advanceRight(): Unit =
-          if (ri.hasNext) {
-            rRow = ri.next().copy()
-            rKey = rKeyProj(rRow).copy()
-          } else { rRow = null; rKey = null }
+        private def advanceRight(): Unit = {
+          rRow = null; rKey = null
+          // SQL equality never matches null keys; skip them here (loop,
+          // not recursion — a run of null-keyed rows must not grow the
+          // stack) so the merge only ever compares fully-defined keys
+          var searching = true
+          while (searching && ri.hasNext) {
+            val candidate = ri.next()
+            val k = rKeyProj(candidate)
+            if (!k.anyNull) {
+              rRow = candidate.copy()
+              rKey = k.copy()
+              searching = false
+            }
+          }
+        }
         advanceRight()
 
         // latest right row with rts <= current left ts for the current key
@@ -98,6 +119,11 @@ final case class AsOfJoinExec(leftKeys: Seq[Expression],
         override def next(): InternalRow = {
           val l = li.next()
           val lKey = lKeyProj(l).copy()
+          if (lKey.anyNull) {
+            // null left key matches nothing (SQL equality semantics);
+            // the right cursor stays put for later left rows
+            return resultProj(joined(l, nullRight))
+          }
           if (matchKey != null && keyOrd.compare(matchKey, lKey) != 0) {
             matchRow = null; matchKey = null
           }

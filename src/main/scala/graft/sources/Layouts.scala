@@ -114,14 +114,19 @@ object Layouts {
     * layouts.
     *
     * Swap discipline per leaf (local/HDFS rename semantics): write the
-    * compacted copy to `<leaf>.__compact_tmp`, rename the live dir aside
-    * to `<leaf>.__compact_old`, rename tmp into place, then delete the
-    * old copy. No reader ever sees a mix of old and new files; the one
-    * bad crash window (between the two renames) leaves nothing at the
-    * live path but the complete old copy recoverable at
-    * `.__compact_old`. On object stores, where rename is not a metadata
-    * operation, use a table format's commit protocol instead — this is
-    * the filesystem-native variant.
+    * compacted copy to a DOT-PREFIXED sibling (`.<leaf>.__compact_tmp` —
+    * Spark's file listing ignores dot/underscore-prefixed paths, so
+    * neither the tmp copy nor the set-aside old copy is ever visible to
+    * a concurrent reader or mistaken for a partition directory), rename
+    * the live dir aside to `.<leaf>.__compact_old`, rename tmp into
+    * place, then delete the old copy. No reader ever sees a mix of old
+    * and new files; the one bad crash window (between the two renames)
+    * leaves nothing at the live path but the complete old copy
+    * recoverable at the hidden `.…__compact_old`. Stale hidden dirs from
+    * a crashed run are skipped by partition discovery and by this
+    * method's own leaf scan. On object stores, where rename is not a
+    * metadata operation, use a table format's commit protocol instead —
+    * this is the filesystem-native variant.
     *
     * `coalesce` (not repartition) — merging files needs no shuffle, just
     * fewer write tasks reading multiple input splits each. Returns
@@ -135,7 +140,8 @@ object Layouts {
         .filter(f => f.isFile && f.getName.endsWith(".parquet"))
     def leafDirs(dir: java.io.File): Seq[java.io.File] = {
       val partChildren = Option(dir.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isDirectory && f.getName.contains("="))
+        .filter(f => f.isDirectory && f.getName.contains("=") &&
+          !f.getName.startsWith(".") && !f.getName.startsWith("_"))
       if (partChildren.isEmpty) Seq(dir)
       else partChildren.toSeq.flatMap(leafDirs)
     }
@@ -145,7 +151,7 @@ object Layouts {
     }
     def swap(live: java.io.File, tmp: java.io.File): Unit = {
       val old = new java.io.File(live.getParentFile,
-        live.getName + ".__compact_old")
+        "." + live.getName + ".__compact_old")
       if (old.exists()) deleteRec(old)
       if (!live.renameTo(old))
         throw new java.io.IOException(s"compact: rename $live aside failed")
@@ -165,7 +171,7 @@ object Layouts {
       if (files.isEmpty || targetFiles >= files.length) after += files.length
       else {
         val tmp = new java.io.File(leaf.getParentFile,
-          leaf.getName + ".__compact_tmp")
+          "." + leaf.getName + ".__compact_tmp")
         spark.read.parquet(leaf.toString).coalesce(targetFiles)
           .write.mode("overwrite").parquet(tmp.toString)
         swap(leaf, tmp)

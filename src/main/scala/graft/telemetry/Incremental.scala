@@ -74,15 +74,22 @@ object Incremental {
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
-        commitOnce(lakeDir, batchId) { appendMetricsFrame(batch, lakeDir); () }
+        commitOnce(lakeDir, batchId) {
+          appendMetricsFrame(batch, lakeDir, Some(batchId)); ()
+        }
         ()
       }
       .start()
 
-  /** Run `body` exactly once per (lake, batchId): the marker is written
-    * only AFTER body succeeded, so a mid-body crash replays it (the
-    * at-least-once side) while a replay of a committed epoch is skipped
-    * (the idempotence side). Returns false when skipped.
+  /** Run `body` at most once per (lake, batchId) — the marker is written
+    * only AFTER body succeeded, so a committed epoch's replay is
+    * skipped. The marker alone cannot make a NON-idempotent body safe (a
+    * crash between body completion and marker write replays it): true
+    * exactly-once comes from this ledger COMBINED WITH the
+    * per-batch-prefixed bronze append (`appendMetricsFrame` with a
+    * batchId cleans its own prefix before re-appending) and the
+    * day-scoped gold overwrite being a deterministic rewrite. Returns
+    * false when skipped.
     */
   def commitOnce(lakeDir: String, batchId: Long)(body: => Unit): Boolean = {
     val ledger = new java.io.File(s"$lakeDir/bronze/_stream_commits")
@@ -98,16 +105,56 @@ object Incremental {
     }
   }
 
+  /** Idempotent bronze append for a replayable batch: the batch is
+    * staged to a hidden per-batch directory, any files from a PREVIOUS
+    * attempt of the same batch are deleted from bronze, and the staged
+    * part files are renamed in under a deterministic `batch-<id>-`
+    * prefix. A replay at ANY crash point first wipes its own prefix, so
+    * the batch's rows exist in bronze exactly once no matter how many
+    * times the epoch reruns.
+    */
+  private def appendBatchIdempotent(batch: DataFrame, bronzeDir: String,
+                                    batchId: Long): Unit = {
+    val dir = new java.io.File(bronzeDir)
+    val prefix = s"batch-$batchId-"
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith(prefix)).foreach(_.delete())
+    val staged = new java.io.File(dir.getParentFile,
+      s".staging_batch_$batchId")
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
+      f.delete(); ()
+    }
+    batch.write.mode("overwrite").parquet(staged.toString)
+    Option(staged.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .foreach { f =>
+        val target = new java.io.File(dir, prefix + f.getName)
+        if (!f.renameTo(target))
+          throw new java.io.IOException(s"append: rename $f -> $target failed")
+      }
+    deleteRec(staged)
+  }
+
   /** Core maintenance over an already-loaded bronze-shaped batch.
     * Returns the batch size, the affected days, and the number of gold
-    * rows rewritten (== affected days).
+    * rows actually rewritten — which can be FEWER than the affected
+    * days when a touched day's readings are all NULL (Silver keeps
+    * those rows, Gold filters them, so the day yields no gold row).
+    * `batchId` makes the bronze append replay-safe (streaming epochs);
+    * None appends plainly (one-shot CSV ingestion, no replay semantics).
     */
-  def appendMetricsFrame(batch: DataFrame, lakeDir: String): AppendResult = {
+  def appendMetricsFrame(batch: DataFrame, lakeDir: String,
+                         batchId: Option[Long] = None): AppendResult = {
     val spark = batch.sparkSession
     val newRows = batch.count()
-    // 1. append-only bronze: new files land next to history, no rewrite
-    batch.write.mode("append")
-      .parquet(s"$lakeDir/bronze/bronze_machine_metrics.parquet")
+    // 1. append-only bronze: new files land next to history, no rewrite;
+    //    replayable batches go through the idempotent prefixed path
+    val bronzeDir = s"$lakeDir/bronze/bronze_machine_metrics.parquet"
+    batchId match {
+      case Some(id) => appendBatchIdempotent(batch, bronzeDir, id)
+      case None => batch.write.mode("append").parquet(bronzeDir)
+    }
 
     // 2. which gold days does the batch touch? (bounded collect: one row
     //    per distinct day in the batch)

@@ -81,6 +81,29 @@ class AsOfJoinSpec extends SparkSpecBase {
     }
   }
 
+  test("null keys never match (SQL equality), mismatched key dtypes rejected") {
+    val l = Seq((Option("a"), 10L), (Option.empty[String], 10L))
+      .toDF("k", "lts")
+    val r = Seq((Option("a"), 5L, 1.0), (Option.empty[String], 5L, 2.0))
+      .toDF("rk", "rts", "pay")
+    val got = AsOfJoin.asOf(l, r, Seq("k"), Seq("rk"), "lts", "rts")
+      .orderBy("k").collect()
+    // "a" matches "a"; the null-keyed left row matches NOTHING even
+    // though a null-keyed right row with an eligible ts exists
+    assert(got.length == 2)
+    val nullRow = got.find(_.isNullAt(0)).get
+    assert(nullRow.isNullAt(nullRow.fieldIndex("pay")))
+    val aRow = got.find(r => !r.isNullAt(0)).get
+    assert(aRow.getAs[Double]("pay") == 1.0)
+    // int vs long keys would silently mis-hash — rejected up front
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(
+        Seq((1, 10L)).toDF("ik", "lts"),
+        Seq((1L, 5L)).toDF("lk", "rts"),
+        Seq("ik"), Seq("lk"), "lts", "rts").collect()
+    }
+  }
+
   test("empty right side yields all-null matches") {
     val got = AsOfJoin.asOf(trades, quotes.filter($"q_ts" < 0),
         Seq("sym"), Seq("sym_q"), "t_ts", "q_ts")

@@ -126,6 +126,37 @@ class IncrementalSpec extends SparkSpecBase {
       "streamed incremental != full rebuild")
   }
 
+  test("replayed batch append leaves each row in bronze exactly once") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-replay").toString
+    val rawDir = s"$base/raw"; val lakeDir = s"$base/lake"
+    new java.io.File(rawDir).mkdirs()
+    Files.writeString(Paths.get(s"$rawDir/pai_machine_metric.csv"),
+      metricsCsv(0 until 2, 3, (d, i) => 30.0))
+    Bronze.ingestTable(spark, rawDir, lakeDir,
+      Bronze.tables.find(_.name == "bronze_machine_metrics").get)
+    Incremental.initPartitionedGold(spark, lakeDir)
+    def metric(i: Int) = {
+      val ts = day0 + 5 * 86400L + i * 7000L
+      (s"w$i", s"m$i", ts - 300, ts, 0.1, 0.2, 0.3, 40.0, 1.5, 100.0, 2.0, 50.0)
+    }
+    val batch = Seq(metric(0), metric(1)).toDF(
+      "worker_name", "machine", "start_time", "end_time",
+      "machine_cpu_iowait", "machine_cpu_kernel", "machine_cpu_usr",
+      "machine_gpu", "machine_load_1", "machine_net_receive",
+      "machine_num_worker", "machine_cpu")
+    // simulate a crashed-then-replayed epoch: same batchId applied twice
+    // WITHOUT a commit marker in between (the at-least-once worst case)
+    Incremental.appendMetricsFrame(batch, lakeDir, batchId = Some(42L))
+    Incremental.appendMetricsFrame(batch, lakeDir, batchId = Some(42L))
+    val bronze = Bronze.readBronze(spark, lakeDir, "bronze_machine_metrics")
+    assert(bronze.count() == 6 + 2, "replay duplicated the batch rows")
+    // gold for the batch day is computed from the single copy
+    val day5 = Incremental.readPartitionedGold(spark, lakeDir)
+      .filter(org.apache.spark.sql.functions.col("avg_gpu_util") === 40.0)
+    assert(day5.count() == 1)
+  }
+
   test("commitOnce skips a replayed epoch but reruns an uncommitted one") {
     val lakeDir = Files.createTempDirectory("graft-ledger").toString
     var runs = 0

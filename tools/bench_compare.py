@@ -28,8 +28,14 @@ def load(path):
 
 def main(old_path, new_path):
     old, new = load(old_path), load(new_path)
-    oq = {k: abs(v) for k, v in old["queries"].items()}
-    nq = {k: abs(v) for k, v in new["queries"].items()}
+    # failed queries are stored as NEGATIVE medians so they can't read as
+    # fast runs — honor that here: they have no comparable timing at all
+    failed = set(old.get("failed", [])) | set(new.get("failed", []))
+    if failed:
+        print(f"excluded failed queries ({len(failed)}): "
+              f"{', '.join(sorted(failed))}")
+    oq = {k: v for k, v in old["queries"].items() if k not in failed}
+    nq = {k: v for k, v in new["queries"].items() if k not in failed}
     common = sorted(set(oq) & set(nq))
     only_old = sorted(set(oq) - set(nq))
     only_new = sorted(set(nq) - set(oq))
