@@ -129,6 +129,22 @@ object RelationalQueries extends QueryPack {
           sum(col("o_orderkey").isNull.cast("long")).as("null_orderkey"),
           sum(col("o_custkey").isNull.cast("long")).as("null_custkey"))),
 
+    // Data-profiling summary (describe()-style, deterministic): row and
+    // null counts, exact distincts, value ranges — the quality dashboard
+    // every table gets, in one aggregation pass.
+    "q_profile" -> ((s, d) =>
+      Tables.orders(s, d)
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("o_custkey").isNull.cast("long")).as("null_custkey"),
+          countDistinct(col("o_orderstatus")).as("n_status"),
+          countDistinct(col("o_orderpriority")).as("n_priorities"),
+          round(min(col("o_totalprice")), 2).as("min_price"),
+          round(max(col("o_totalprice")), 2).as("max_price"),
+          round(avg(col("o_totalprice")), 2).as("avg_price"),
+          min(col("o_orderdate")).as("first_date"),
+          max(col("o_orderdate")).as("last_date"))),
+
     // dbt `accepted_values` test shape: per-value row counts outside the
     // accepted domain (must be empty).
     "q_check_accepted_values" -> ((s, d) =>
@@ -214,6 +230,17 @@ object RelationalQueries extends QueryPack {
     "q_check_not_null" ->
       """SELECT CAST(sum(CAST(o_orderkey IS NULL AS BIGINT)) AS BIGINT) AS null_orderkey,
         |       CAST(sum(CAST(o_custkey IS NULL AS BIGINT)) AS BIGINT) AS null_custkey
+        |FROM orders""".stripMargin,
+    "q_profile" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(CAST(o_custkey IS NULL AS BIGINT)) AS BIGINT) AS null_custkey,
+        |  count(DISTINCT o_orderstatus) AS n_status,
+        |  count(DISTINCT o_orderpriority) AS n_priorities,
+        |  round(min(o_totalprice), 2) AS min_price,
+        |  round(max(o_totalprice), 2) AS max_price,
+        |  round(avg(o_totalprice), 2) AS avg_price,
+        |  min(o_orderdate) AS first_date,
+        |  max(o_orderdate) AS last_date
         |FROM orders""".stripMargin,
     "q_check_accepted_values" ->
       """SELECT event_type, count(*) AS n FROM events
