@@ -70,6 +70,20 @@ object TextQueries extends QueryPack {
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")),
 
+    // Dataset mixing: the per-SOURCE sampling weights a training-data
+    // recipe assigns (upsample high-quality sources, downsample the
+    // rest) applied as one deterministic stratified filter; output is
+    // the per-source surviving mixture. Same hash-mod membership as all
+    // sampling here — the oracle reproduces the exact row set.
+    "q_sample_mixture" -> ((s, d) =>
+      graft.sampling.Sampling.stratifiedSample(
+          Tables.documents(s, d), "doc_id", "source",
+          Map("src0" -> 0.9, "src1" -> 0.6, "src2" -> 0.3),
+          defaultFraction = 0.1, salt = "mixture")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"))
+        .orderBy("source")),
+
     // Deterministic train/eval split (20% eval by id hash): per-split
     // count + id checksum attest the EXACT membership cross-engine —
     // a row never migrates between splits under appends.
@@ -190,6 +204,19 @@ object TextQueries extends QueryPack {
         |SELECT doc_id, lang,
         |  round(len_score * 0.5 + (1.0 - punct_pen) * 0.2 + stop_score * 0.3, 6) AS quality
         |FROM q ORDER BY doc_id""".stripMargin,
+    "q_sample_mixture" ->
+      """WITH b AS (
+        |  SELECT doc_id, source,
+        |    ('0x' || substr(md5('mixture:' || doc_id::VARCHAR), 1, 8))::BIGINT
+        |      % 10000 AS bkt
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs, sum(doc_id)::BIGINT AS id_sum
+        |FROM b
+        |WHERE bkt < (CASE source WHEN 'src0' THEN 9000
+        |                         WHEN 'src1' THEN 6000
+        |                         WHEN 'src2' THEN 3000
+        |                         ELSE 1000 END)
+        |GROUP BY source ORDER BY source""".stripMargin,
     "q_train_eval_split" ->
       """WITH b AS (
         |  SELECT doc_id,
