@@ -146,6 +146,14 @@ object Bench {
     catch { case t: Throwable =>
       System.err.println(s"BENCH: could not write $outFile: ${t.getMessage}")
     }
+    // the driver artifact keeps only the LAST 2000 chars of stdout, and
+    // the full line above is far longer — so its head (with "value") was
+    // truncated away in rounds 3-4. A compact summary printed LAST makes
+    // the retained tail a self-contained, parseable metric object; the
+    // full per-query detail lives in `line` / bench_last.json.
+    val nFailed = byName.count(!_._3)
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","bench_rev":$benchRev,"n_queries":${byName.size},"n_failed":$nFailed,"sf":"$sfDir","detail":"$outFile"}""")
     spark.stop()
   }
 }

@@ -58,12 +58,21 @@ object Dedup {
       .repartition(col("id"))
 
   /** Pairs (id_a < id_b) whose n-gram-shingle Jaccard ≥ threshold.
-    * `maxShingleFreq` drops shingles present in more docs than the cap
-    * (0 = no cap; keep 0 when oracle parity is required).
+    * `maxShingleFreq` drops shingles present in more docs than the cap.
+    * The DEFAULT engages the cut: an uncapped inverted-index self-join is
+    * quadratic in the hottest posting list (a stop-shingle shared by k
+    * docs emits k² candidate rows), which is the one shape guaranteed to
+    * die at corpus scale — so the scale-safe plan is what a naive call
+    * gets. Under the cut, jaccard is a LOWER bound (intersection counts
+    * only surviving shingles; na/nb stay full set sizes). Pass 0
+    * explicitly to opt into exact-Jaccard semantics on corpora small
+    * enough to afford it; tune the cap to sit above the expected
+    * duplicate-group size (dup groups share ALL their shingles — a cap
+    * below the group size cuts the very shingles that link the group).
     */
   def jaccardPairs(docs: DataFrame, textCol: String, idCol: String,
                    threshold: Double, n: Int = 3,
-                   maxShingleFreq: Int = 0): DataFrame = {
+                   maxShingleFreq: Int = 5): DataFrame = {
     val t = shingled(docs, textCol, idCol, n).withColumn("n_sh", size(col("sh")))
     val e0 = t.select(col("id"), col("n_sh"), explode(col("sh")).as("s"))
     val e =

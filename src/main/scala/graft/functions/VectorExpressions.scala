@@ -97,13 +97,21 @@ object SignLshOps {
         if (md5FirstNibbleEven(s"$j:$i")) 1.0 else -1.0)
     })
 
-  /** All `bands` sign-LSH band keys for one vector (see scaladoc above). */
+  /** All `bands` sign-LSH band keys for one vector (see scaladoc above).
+    * Returns NULL (not a key) for vectors containing a null element: a
+    * null slot would silently read as 0.0 and yield a plausible-looking
+    * but arbitrary band key — the same any-null-in → null-out policy the
+    * scalar vector expressions follow.
+    */
   def bandKeys(vec: ArrayData, bands: Int, r: Int): ArrayData = {
     val dim = vec.numElements()
     val w = weights(bands * r, dim)
     val v = new Array[Double](dim)
     var i = 0
-    while (i < dim) { v(i) = vec.getDouble(i); i += 1 }
+    while (i < dim) {
+      if (vec.isNullAt(i)) return null
+      v(i) = vec.getDouble(i); i += 1
+    }
     val out = new Array[AnyRef](bands)
     var b = 0
     while (b < bands) {
@@ -136,11 +144,22 @@ case class SignLshBandKeys(child: Expression, bands: Int, r: Int)
   }
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "sign_lsh_band_keys"
+  // a non-null input vector can still produce a null result (any null
+  // ELEMENT → null output, see SignLshOps.bandKeys), so the expression
+  // is nullable regardless of the child and the codegen must branch on
+  // the helper's result instead of assuming it non-null
+  override def nullable: Boolean = true
   override def nullSafeEval(a: Any): Any =
     SignLshOps.bandKeys(a.asInstanceOf[ArrayData], bands, r)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev,
-      c => s"graft.functions.SignLshOps.bandKeys($c, $bands, $r)")
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("keys")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $tmp =
+         |  graft.functions.SignLshOps.bandKeys($c, $bands, $r);
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp; }
+       """.stripMargin
+    })
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }

@@ -203,12 +203,35 @@ object MediaCodecs {
       (p(0) == 'I' && p(1) == 'I' && p(2) == 0x2a && p(3) == 0) ||
       (p(0) == 'M' && p(1) == 'M' && p(2) == 0 && p(3) == 0x2a))
 
+  /** Decompression-bomb guard: a tiny payload can declare a huge canvas
+    * (PNG header says 50k×50k → a ~10 GB raster on decode) and stall or
+    * OOM an executor task. The reader API exposes the declared
+    * dimensions from the HEADER without decoding pixels — anything over
+    * the cap is rejected before allocation, falling back to the
+    * deterministic fake path like any other undecodable payload.
+    */
+  private val MaxPixels = 50L * 1000 * 1000
+
   private def decode(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
     if (payload == null || payload.isEmpty || !looksLikeImage(payload)) None
     else
-      try Option(javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(payload)))
-      catch { case _: java.io.IOException => None }
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) None
+          else {
+            val reader = readers.next()
+            try {
+              reader.setInput(iis)
+              if (reader.getWidth(0).toLong * reader.getHeight(0) > MaxPixels)
+                None
+              else Option(reader.read(0))
+            } finally reader.dispose()
+          }
+        } finally iis.close()
+      } catch { case _: java.io.IOException => None }
 
   /** Image features. REAL for decodable images: [width, height, aspect,
     * mean R, mean G, mean B, luma mean, luma stddev] (RGB/luma in 0-1),
@@ -316,8 +339,16 @@ object MediaCodecs {
         val bytes = in.readAllBytes()
         val n = bytes.length / 2
         if (n == 0) return fakeFeatures(payload, dim)
+        // RMS/peak run over ALL interleaved samples (channel-agnostic
+        // energy). Zero crossings must NOT: interleaved L/R samples
+        // alternate through the loop, so an off-center stereo image
+        // registers a spurious crossing per frame — ZCR is therefore
+        // computed on channel 0 only (sample indices ≡ 0 mod channels),
+        // normalized by FRAMES. For mono this is bit-identical to the
+        // single-stream formula.
+        val ch = fmt.getChannels
         var sum2 = 0.0; var peak = 0.0; var crossings = 0L
-        var prevNeg = false
+        var prevNeg = false; var ch0Seen = false
         var i = 0
         while (i < n) {
           val b0 = bytes(2 * i) & 0xff
@@ -326,19 +357,22 @@ object MediaCodecs {
           val s = raw.toShort / 32768.0
           sum2 += s * s
           if (math.abs(s) > peak) peak = math.abs(s)
-          val neg = s < 0
-          if (i > 0 && neg != prevNeg) crossings += 1
-          prevNeg = neg
+          if (i % ch == 0) {
+            val neg = s < 0
+            if (ch0Seen && neg != prevNeg) crossings += 1
+            prevNeg = neg
+            ch0Seen = true
+          }
           i += 1
         }
-        val frames = n / fmt.getChannels
+        val frames = n / ch
         val full = Array(
           fmt.getSampleRate,
-          fmt.getChannels.toFloat,
+          ch.toFloat,
           frames / fmt.getSampleRate,
           math.sqrt(sum2 / n).toFloat,
           peak.toFloat,
-          crossings.toFloat / n)
+          if (frames > 0) crossings.toFloat / frames else 0.0f)
         java.util.Arrays.copyOf(full, dim)
       } finally in.close()
     } catch {

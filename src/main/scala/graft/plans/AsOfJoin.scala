@@ -194,9 +194,20 @@ object AsOfJoin {
       s"asOf: rename overlapping columns first: ${overlap.mkString(", ")}")
     val lp = GraftSqlBridge.analyzed(left)
     val rp = GraftSqlBridge.analyzed(right)
+    // resolve names the way the session does (case-insensitive by
+    // default, case-sensitive under spark.sql.caseSensitive) instead of
+    // a hard-coded exact match — asOf(df, ..., "TS") must behave like
+    // df.select("TS"). Ambiguity under the resolver is an error, not a
+    // silent first-match.
+    val resolver = spark.sessionState.conf.resolver
     def attr(p: LogicalPlan, n: String): Attribute =
-      p.output.find(_.name == n).getOrElse(throw new IllegalArgumentException(
-        s"column $n not in ${p.output.map(_.name)}"))
+      p.output.filter(a => resolver(a.name, n)) match {
+        case Seq(one) => one
+        case Seq() => throw new IllegalArgumentException(
+          s"column $n not in ${p.output.map(_.name)}")
+        case many => throw new IllegalArgumentException(
+          s"column $n is ambiguous: matches ${many.map(_.name)}")
+      }
     GraftSqlBridge.ofRows(spark, AsOfJoinPlan(
       leftKeyCols.map(attr(lp, _)), rightKeyCols.map(attr(rp, _)),
       attr(lp, leftTsCol), attr(rp, rightTsCol), lp, rp))

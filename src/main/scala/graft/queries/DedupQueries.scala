@@ -26,10 +26,12 @@ object DedupQueries extends QueryPack {
           countDistinct(col("fp")).as("n_unique"),
           (count(lit(1)) - countDistinct(col("fp"))).as("n_dups"))),
 
-    // n-gram Jaccard near-dup pairs via inverted shingle index.
+    // n-gram Jaccard near-dup pairs via inverted shingle index —
+    // EXACT semantics (maxShingleFreq = 0 is the explicit opt-out of the
+    // df-cut, which is the library default).
     "q_dedup_jaccard" -> ((s, d) =>
       Dedup.jaccardPairs(Tables.documents(s, d), "text", "doc_id",
-          threshold = 0.8)
+          threshold = 0.8, maxShingleFreq = 0)
         .orderBy("ida", "idb")),
 
     // The 100-TB jaccard path: same inverted index with the df-cut

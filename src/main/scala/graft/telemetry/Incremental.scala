@@ -90,6 +90,16 @@ object Incremental {
     * batchId cleans its own prefix before re-appending) and the
     * day-scoped gold overwrite being a deterministic rewrite. Returns
     * false when skipped.
+    *
+    * OBJECT-STORE CAVEAT (same as Layouts.compact): this ledger and the
+    * staged-rename append below use `java.io.File` — correct on a local
+    * or HDFS-style filesystem where create/rename are atomic, WRONG on
+    * S3-style object stores where rename is copy+delete and
+    * createNewFile has no atomicity guarantee (two racing drivers can
+    * both "create" the marker). On an object store, swap this layer for
+    * a transactional table format's commit protocol (Delta/Iceberg
+    * transaction log) — the Lake seam is where that swap plugs in; the
+    * day-scoped-recompute logic above it is unchanged.
     */
   def commitOnce(lakeDir: String, batchId: Long)(body: => Unit): Boolean = {
     val ledger = new java.io.File(s"$lakeDir/bronze/_stream_commits")

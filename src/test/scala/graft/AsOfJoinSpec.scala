@@ -35,6 +35,18 @@ class AsOfJoinSpec extends SparkSpecBase {
       ("a", 99L, Some(3.0)), ("b", 15L, Some(9.0)), ("c", 50L, None)))
   }
 
+  test("column names resolve with the session resolver (case-insensitive)") {
+    // default spark.sql.caseSensitive=false: asOf must accept the same
+    // spellings df.select would
+    val upper = AsOfJoin.asOf(trades, quotes,
+        Seq("SYM"), Seq("SYM_Q"), "T_TS", "Q_TS")
+      .select($"sym", $"t_ts", $"price").orderBy("sym", "t_ts").collect()
+    val exact = AsOfJoin.asOf(trades, quotes,
+        Seq("sym"), Seq("sym_q"), "t_ts", "q_ts")
+      .select($"sym", $"t_ts", $"price").orderBy("sym", "t_ts").collect()
+    assert(upper.toSeq == exact.toSeq)
+  }
+
   test("whole right row rides along (multi-column payload)") {
     val q = quotes.withColumn("venue", concat(lit("v"), $"q_ts"))
     val got = AsOfJoin.asOf(trades.filter($"sym" === "a"), q,

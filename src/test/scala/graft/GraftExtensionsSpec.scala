@@ -60,6 +60,20 @@ class GraftExtensionsSpec extends SparkSpecBase {
     assert(fromSql == fromCol)
   }
 
+  test("sign_lsh_band_keys: a null ELEMENT yields null keys, not a fake key") {
+    // a null slot reading as 0.0 would produce a plausible-looking but
+    // arbitrary band key — any-null-in → null-out instead
+    val r = extSpark.sql(
+      "SELECT sign_lsh_band_keys(array(1.0d, cast(null as double)), 4, 3) AS k")
+      .collect()(0)
+    assert(r.isNullAt(0))
+    // whole-null vector also null (UnaryExpression default null handling)
+    val r2 = extSpark.sql(
+      "SELECT sign_lsh_band_keys(cast(null as array<double>), 4, 3) AS k")
+      .collect()(0)
+    assert(r2.isNullAt(0))
+  }
+
   test("integer parameters must be literals") {
     val e = intercept[Exception] {
       extSpark.sql("SELECT minhash_sig(array('x'), CAST(rand()*4 AS INT))")

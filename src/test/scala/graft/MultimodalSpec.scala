@@ -130,6 +130,63 @@ class MultimodalSpec extends SparkSpecBase {
     bos.toByteArray
   }
 
+  test("decompression-bomb guard: huge declared dims are rejected unread") {
+    // take a real 8×8 PNG and rewrite its IHDR to declare a 50000×50000
+    // canvas (2.5G pixels from a ~100-byte payload — the classic bomb),
+    // recomputing the chunk CRC so the reader trusts the header and the
+    // DIMENSION guard (not a checksum failure) is what rejects it
+    val bomb = png(8, 8, 0x123456).clone()
+    def putInt(off: Int, v: Int): Unit = {
+      bomb(off) = ((v >> 24) & 0xff).toByte
+      bomb(off + 1) = ((v >> 16) & 0xff).toByte
+      bomb(off + 2) = ((v >> 8) & 0xff).toByte
+      bomb(off + 3) = (v & 0xff).toByte
+    }
+    putInt(16, 50000); putInt(20, 50000)   // IHDR width, height
+    val crc = new java.util.zip.CRC32()
+    crc.update(bomb, 12, 17)               // chunk type + 13 data bytes
+    putInt(29, crc.getValue.toInt)
+    val f = MediaCodecs.extractFeatures(bomb, dim = 8)
+    // never decoded at the declared canvas: falls back to the hash fake
+    assert(f(0) != 50000f && f(1) != 50000f)
+    assert(f.toSeq == MediaCodecs.extractFeatures(bomb, 8).toSeq) // deterministic
+    // the unpatched sibling still takes the real path (guard not overbroad)
+    assert(MediaCodecs.extractFeatures(png(8, 8, 0x123456), 8)(0) == 8f)
+  }
+
+  /** In-memory 16-bit stereo PCM WAV: channel 0 = sine at `freq`,
+    * channel 1 = constant positive DC (never crosses zero).
+    */
+  private def stereoWav(freq: Double, secs: Double,
+                        rate: Float = 8000f): Array[Byte] = {
+    val n = (rate * secs).toInt
+    val pcm = new Array[Byte](n * 4)
+    for (i <- 0 until n) {
+      val s0 = (math.sin(2 * math.Pi * freq * i / rate) * 0.5 * 32767).toInt
+      val s1 = (0.3 * 32767).toInt
+      pcm(4 * i) = (s0 & 0xff).toByte
+      pcm(4 * i + 1) = ((s0 >> 8) & 0xff).toByte
+      pcm(4 * i + 2) = (s1 & 0xff).toByte
+      pcm(4 * i + 3) = ((s1 >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 2, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("stereo WAV: zcr tracks channel 0, not interleaved sign flips") {
+    val f = MediaCodecs.extractAudioFeatures(stereoWav(440.0, 1.0), dim = 8)
+    assert(f(1) == 2f)                       // channels
+    assert(math.abs(f(2) - 1.0f) < 1e-2)     // duration from FRAMES
+    // 440 Hz sine crosses ~880×/s → zcr ≈ 880/8000; the interleaved bug
+    // would register ~2 crossings per negative ch0 sample (~0.5)
+    assert(math.abs(f(5) - 880f / 8000f) < 0.01)
+  }
+
   test("real WAV payloads get true audio features (rate, duration, rms, zcr)") {
     val f = MediaCodecs.extractAudioFeatures(wav(440.0, 1.0), dim = 8)
     assert(f(0) == 8000f && f(1) == 1f)

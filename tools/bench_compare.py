@@ -66,9 +66,12 @@ def main(old_path, new_path):
             print(f"  {k:34s} {oq[k]:6.2f}s -> {nq[k]:6.2f}s ({d:+.2f})")
     else:
         print("no per-query movement beyond the noise floor")
-    drift = sum(1 for k in common if nq[k] > oq[k])
-    print(f"direction: {drift}/{len(common)} common queries slower — "
-          f"{'uniform drift (machine noise)' if drift > 0.8 * len(common) or drift < 0.2 * len(common) else 'mixed'}")
+    if common:
+        drift = sum(1 for k in common if nq[k] > oq[k])
+        print(f"direction: {drift}/{len(common)} common queries slower — "
+              f"{'uniform drift (machine noise)' if drift > 0.8 * len(common) or drift < 0.2 * len(common) else 'mixed'}")
+    else:
+        print("direction: no common queries to compare")
 
 
 if __name__ == "__main__":
