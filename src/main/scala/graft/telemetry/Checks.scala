@@ -10,8 +10,10 @@ import org.apache.spark.sql.functions._
   *
   * Each check is one aggregation returning a violation COUNT — never a
   * collect of rows — so the gate costs one pass over the table at any
-  * scale (and Catalyst fuses multiple counts over the same table into one
-  * scan when run through `runAll`).
+  * scale. Catalyst does NOT fuse separate actions into one scan (each
+  * collect/count is its own job), so `runAll` merges every table's
+  * checks into a SINGLE aggregation action per table — three jobs /
+  * three scans for the reference's six tests, asserted by PipelineSpec.
   */
 object Checks {
 
@@ -70,19 +72,55 @@ object Checks {
     else Nil
   }
 
+  /** not_null over `notNullCols` AND unique over `keyCol` in ONE
+    * aggregation action — one scan of df, one (partial-agg'd) shuffle on
+    * the key. The per-key aggregate carries the null tallies up through
+    * the final reduction, so adding the uniqueness check to a not_null
+    * pass costs no extra pass. Violation labels/counts are identical to
+    * running `notNullViolations` + `uniqueViolations` separately (null
+    * keys group together: a null-key group of size > 1 counts as one
+    * duplicate key, same as the standalone check).
+    */
+  def keyedTableViolations(df: DataFrame, table: String, keyCol: String,
+                           notNullCols: Seq[String]): Seq[Violation] = {
+    val others = notNullCols.filterNot(_ == keyCol)
+    val grouped = df.groupBy(col(keyCol)).agg(
+      count(lit(1)).as("_n"),
+      others.map(c => sum(col(c).isNull.cast("long")).as(c)): _*)
+    val finalAggs =
+      (if (notNullCols.contains(keyCol))
+         Seq(sum(when(col(keyCol).isNull, col("_n")).otherwise(lit(0L)))
+           .as(s"_null_$keyCol"))
+       else Nil) ++
+      others.map(c => sum(col(c)).as(s"_null_$c")) :+
+      count(when(col("_n") > 1, lit(1))).as("_dups")
+    val row = grouped.agg(finalAggs.head, finalAggs.tail: _*).collect()(0)
+    def n(name: String): Long =
+      Option(row.getAs[Long](name)).getOrElse(0L)
+    notNullCols.flatMap { c =>
+      val cnt = n(s"_null_$c")
+      if (cnt > 0) Seq(Violation(table, s"not_null($c)", cnt)) else Nil
+    } ++ {
+      val dups = n("_dups")
+      if (dups > 0) Seq(Violation(table, s"unique($keyCol)", dups)) else Nil
+    }
+  }
+
   /** The reference's six tests over our silver/gold tables. Throws
-    * CheckFailedException on any violation (the dbt-test gate).
+    * CheckFailedException on any violation (the dbt-test gate). Each
+    * table's checks run as ONE aggregation action — three jobs, one
+    * scan per table (the naive per-check layout was five jobs with
+    * silver_jobs and gold each scanned twice).
     */
   def runAll(silverJobs: DataFrame, silverGpuTimeseries: DataFrame,
              goldClusterUtilDaily: DataFrame): Unit = {
     val v =
-      notNullViolations(silverJobs, "silver_jobs", Seq("job_id", "user_id")) ++
-      uniqueViolations(silverJobs.select("job_id"), "silver_jobs", Seq("job_id")) ++
+      keyedTableViolations(silverJobs, "silver_jobs", "job_id",
+        Seq("job_id", "user_id")) ++
       notNullViolations(silverGpuTimeseries, "silver_gpu_timeseries",
         Seq("machine_id", "ts")) ++
-      notNullViolations(goldClusterUtilDaily, "gold_cluster_util_daily", Seq("dt")) ++
-      uniqueViolations(goldClusterUtilDaily.select("dt"),
-        "gold_cluster_util_daily", Seq("dt"))
+      keyedTableViolations(goldClusterUtilDaily, "gold_cluster_util_daily",
+        "dt", Seq("dt"))
     if (v.nonEmpty) throw new CheckFailedException(v)
   }
 }

@@ -70,6 +70,45 @@ class PipelineSpec extends SparkSpecBase {
     }
   }
 
+  test("runAll executes exactly one aggregation action per table (3 total)") {
+    import spark.implicits._
+    val jobs = Seq(("j1", "u1"), ("j2", "u2")).toDF("job_id", "user_id")
+    val ts = Seq(("m1", 1L)).toDF("machine_id", "ts")
+    val gold = Seq(("2024-01-01", 1.0), ("2024-01-02", 2.0)).toDF("dt", "avg")
+    val actions = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = { actions.incrementAndGet(); () }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      Checks.runAll(jobs, ts, gold)
+      // QueryExecutionListener delivery is async on the shared bus
+      org.apache.spark.sql.GraftSqlBridge.drainListenerBus(spark.sparkContext)
+      assert(actions.get() == 3)
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("merged per-table pass reports the same violations as the split checks") {
+    import spark.implicits._
+    // one null job_id, one null user_id, one duplicated job_id
+    val jobs = Seq(
+      (Option.empty[String], Some("u1")),
+      (Some("j2"), Option.empty[String]),
+      (Some("j3"), Some("u3")),
+      (Some("j3"), Some("u4"))).toDF("job_id", "user_id")
+    val merged = Checks.keyedTableViolations(
+      jobs, "silver_jobs", "job_id", Seq("job_id", "user_id"))
+    val split =
+      Checks.notNullViolations(jobs, "silver_jobs", Seq("job_id", "user_id")) ++
+      Checks.uniqueViolations(jobs.select("job_id"), "silver_jobs", Seq("job_id"))
+    assert(merged.toSet == split.toSet && merged.size == 3)
+  }
+
   test("checks gate throws on duplicate gold dt") {
     import spark.implicits._
     val jobs = Seq(("j1", "u1")).toDF("job_id", "user_id")
