@@ -55,6 +55,36 @@ object MlQueries extends QueryPack {
         .orderBy("dt")
     }),
 
+    // Alerting mart (reference README "Alerting / Notifications"): the
+    // new-days-since-last-run anti-join, oracled with a DETERMINISTIC
+    // alert rule (global z-score of the daily average, |z| > 1.3) in
+    // place of the forest flag so DuckDB can replay it. "Previously
+    // alerted" = the rule's firings in the first 20 days (a prior run's
+    // alerts table); the query returns only the NEW alert days. The
+    // ledger/idempotence half of alerting is AlertsSpec's job — this
+    // verifies the day-keyed anti-join + rule end-to-end.
+    "q_anomaly_alerts" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+      val z = goldDaily(s, d).select(
+        col("dt"),
+        col("avg_value").as("avg_gpu_util"),
+        ((col("avg_value") - avg("avg_value").over(w)) /
+          stddev_pop("avg_value").over(w)).as("z"),
+        date_add(min("dt").over(w), 19).as("cutoff"))
+        .withColumn("anomaly_flag", (abs(col("z")) > 1.3).cast("int"))
+      val prevAlerts = z
+        .filter(col("anomaly_flag") === 1 && col("dt") <= col("cutoff"))
+        .select(col("dt"), col("avg_gpu_util"),
+          col("z").as("anomaly_score"), lit(0L).as("detected_batch"))
+      graft.telemetry.Alerts.newAlerts(
+          z.withColumn("anomaly_score", col("z")), prevAlerts, batchId = 1L)
+        .select(col("dt"),
+          round(col("avg_gpu_util"), 6).as("avg_gpu_util"),
+          round(col("anomaly_score"), 6).as("z_score"))
+        .orderBy("dt")
+    }),
+
     // M2-M4 + E6/E7 + S7: fit isolation forest on the daily features
     // (driver-side, ψ≤256 by design), score distributed via UDF, emit the
     // reference's scored-table shape. Not SQL-expressible — no oracle.
@@ -92,6 +122,23 @@ object MlQueries extends QueryPack {
         |       count(*)::DOUBLE AS n_events
         |FROM events WHERE value IS NOT NULL
         |GROUP BY 1 ORDER BY dt""".stripMargin,
+    "q_anomaly_alerts" ->
+      """WITH g AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS dt,
+        |         avg(value) AS avg_value
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |z AS (
+        |  SELECT dt, avg_value,
+        |         (avg_value - avg(avg_value) OVER ()) /
+        |           stddev_pop(avg_value) OVER () AS z,
+        |         CAST(min(dt) OVER () + INTERVAL 19 DAY AS DATE) AS cutoff
+        |  FROM g),
+        |prev AS (SELECT dt FROM z WHERE abs(z) > 1.3 AND dt <= cutoff)
+        |SELECT dt, round(avg_value, 6) AS avg_gpu_util,
+        |       round(z, 6) AS z_score
+        |FROM z
+        |WHERE abs(z) > 1.3 AND dt NOT IN (SELECT dt FROM prev)
+        |ORDER BY dt""".stripMargin,
     "q_scaler_standardize" ->
       """WITH g AS (
         |  SELECT CAST(date_trunc('day', ts) AS DATE) AS dt,

@@ -101,8 +101,10 @@ object Incremental {
     * transaction log) — the Lake seam is where that swap plugs in; the
     * day-scoped-recompute logic above it is unchanged.
     */
-  def commitOnce(lakeDir: String, batchId: Long)(body: => Unit): Boolean = {
-    val ledger = new java.io.File(s"$lakeDir/bronze/_stream_commits")
+  def commitOnce(lakeDir: String, batchId: Long,
+                 ledgerName: String = "bronze/_stream_commits")
+                (body: => Unit): Boolean = {
+    val ledger = new java.io.File(s"$lakeDir/$ledgerName")
     val marker = new java.io.File(ledger, batchId.toString)
     if (marker.exists()) false
     else {
@@ -123,9 +125,11 @@ object Incremental {
     * the batch's rows exist in bronze exactly once no matter how many
     * times the epoch reruns.
     */
-  private def appendBatchIdempotent(batch: DataFrame, bronzeDir: String,
-                                    batchId: Long): Unit = {
+  private[telemetry] def appendBatchIdempotent(batch: DataFrame,
+                                               bronzeDir: String,
+                                               batchId: Long): Unit = {
     val dir = new java.io.File(bronzeDir)
+    dir.mkdirs() // first batch of a brand-new table: target must exist to rename into
     val prefix = s"batch-$batchId-"
     Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(_.getName.startsWith(prefix)).foreach(_.delete())
