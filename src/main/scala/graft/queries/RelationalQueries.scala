@@ -154,6 +154,27 @@ object RelationalQueries extends QueryPack {
         .groupBy("event_type").agg(count(lit(1)).as("n"))
         .orderBy("event_type")),
 
+    // Richer GPU-level metrics marts (reference README "Richer GPU-Level
+    // Metrics" future work): deterministic simulated temp/power/
+    // throttle/ECC columns over the telemetry-shaped events table
+    // (user_id plays machine_id, value plays gpu_util_pct), then the two
+    // sketched gold tables. Simulation rules live in GpuMetrics.enrich
+    // and are replayed bit-for-bit by the DuckDB oracle.
+    "q_hot_gpus" -> ((s, d) =>
+      graft.telemetry.GpuMetrics.hotGpus(
+          graft.telemetry.GpuMetrics.enrich(
+            Tables.events(s, d).filter(col("value").isNotNull),
+            "user_id", "event_id", "value"),
+          "user_id")
+        .orderBy("machine_id")),
+
+    "q_error_spikes" -> ((s, d) =>
+      graft.telemetry.GpuMetrics.errorSpikesDaily(
+          graft.telemetry.GpuMetrics.enrich(
+            Tables.events(s, d), "user_id", "event_id", "value"),
+          "ts")
+        .orderBy("dt")),
+
     // dbt `relationships` test shape: orphan-FK counts for the star
     // schema's two load-bearing edges (must both be zero) — anti-join on
     // keys only, parent side broadcast.
@@ -247,6 +268,43 @@ object RelationalQueries extends QueryPack {
         |WHERE event_type IS NOT NULL
         |  AND event_type NOT IN ('click', 'view', 'purchase', 'signup', 'error')
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_hot_gpus" ->
+      """WITH e AS (
+        |  SELECT user_id AS machine_id,
+        |         30 + 0.45 * value AS temp_c,
+        |         80 + 2.2 * value AS power_w,
+        |         CAST(value > 85 AS INT) AS throttled
+        |  FROM events WHERE value IS NOT NULL),
+        |m AS (
+        |  SELECT machine_id, count(*) AS n_samples,
+        |         round(avg(temp_c), 6) AS avg_temp_c,
+        |         round(max(temp_c), 6) AS max_temp_c,
+        |         round(avg(power_w), 6) AS avg_power_w,
+        |         round(avg(CAST(throttled AS DOUBLE)), 6) AS throttle_rate
+        |  FROM e GROUP BY 1)
+        |SELECT machine_id, n_samples, avg_temp_c, max_temp_c, avg_power_w,
+        |       throttle_rate,
+        |       CAST(avg_temp_c > 56.0 AS INT) AS is_hot,
+        |       CAST(throttle_rate > 0.2 AS INT) AS is_throttled
+        |FROM m WHERE avg_temp_c > 56.0 OR throttle_rate > 0.2
+        |ORDER BY machine_id""".stripMargin,
+    "q_error_spikes" ->
+      """WITH e AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS dt,
+        |         CASE substr(md5(user_id || ':' || CAST(event_id AS VARCHAR)), 1, 1)
+        |           WHEN 'f' THEN 3 WHEN 'e' THEN 1 ELSE 0 END AS ecc
+        |  FROM events),
+        |d AS (
+        |  SELECT dt, CAST(sum(ecc) AS BIGINT) AS total_ecc,
+        |         count(*) FILTER (ecc > 0) AS err_events
+        |  FROM e GROUP BY 1),
+        |z AS (
+        |  SELECT dt, total_ecc, err_events,
+        |         avg(total_ecc) OVER () AS mu,
+        |         stddev_pop(total_ecc) OVER () AS sd
+        |  FROM d)
+        |SELECT dt, total_ecc, err_events FROM z
+        |WHERE total_ecc > mu + sd ORDER BY dt""".stripMargin,
     "q_check_relationships" ->
       """SELECT 'orders.o_custkey->customer' AS edge,
         |       count(*) FILTER (o_custkey IS NOT NULL AND o_custkey NOT IN
