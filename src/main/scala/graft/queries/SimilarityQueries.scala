@@ -17,6 +17,29 @@ object SimilarityQueries extends QueryPack {
       .select(col("vec_id").as("id"), asDouble(col("embedding")).as("vec"),
         col("label"))
 
+  /** The fixture for the REALISTIC-threshold near-dup query: the corpus
+    * plus one deterministically perturbed copy of every vector
+    * (id + 100000). Even-id copies get weak ±0.05 elementwise noise
+    * (cosine to their original ≈ 0.92-0.95 on the unit-norm fixture —
+    * true near-dups a θ=0.8 run must find); odd-id copies get strong
+    * ±0.17 noise (cosine ≈ 0.34-0.76 — below θ, must NOT pair). Noise
+    * signs come from md5("p:<id>:<dim>") first-hex-digit parity, so the
+    * DuckDB oracle rebuilds the identical corpus. Non-planted pairs on
+    * the fixture max out at cosine ≈ 0.51, far from the threshold.
+    */
+  private[graft] def plantedCorpus(s: SparkSession, d: String): DataFrame = {
+    val base = corpus(s, d).select("id", "vec")
+    val alpha = when(col("id") % 2 === 0, lit(0.05)).otherwise(lit(0.17))
+    val perturbed = base.select(
+      (col("id") + 100000L).as("id"),
+      transform(col("vec"), (x, i) =>
+        x + alpha * when(
+          conv(substring(md5(concat(lit("p:"), col("id"), lit(":"), i)),
+            1, 1), 16, 10).cast("int") % 2 === 0, lit(1.0))
+          .otherwise(lit(-1.0))).as("vec"))
+    base.unionAll(perturbed)
+  }
+
   val queries: Map[String, Q] = Map(
     // Norm/centroid profile per label.
     "q_embed_stats" -> ((s, d) =>
@@ -58,6 +81,20 @@ object SimilarityQueries extends QueryPack {
     // reference for the bucketed default above.
     "q_embed_neardup_exact" -> ((s, d) =>
       nearDupPairsBrute(corpus(s, d), 0.45)
+        .orderBy("ida", "idb")),
+
+    // The SCALE-REPRESENTATIVE banded near-dup run: realistic threshold
+    // θ=0.8 with fewer, longer bands (16 × 12 — same 192 hyperplanes,
+    // regrouped) per the tuning law at VectorOps.nearDupPairs. At this
+    // threshold LSH has real separation (p1 ≈ 0.87 at the planted
+    // cos≈0.93 vs p2 ≲ 0.67 at the 0.51 background max), so candidate
+    // volume stays near-linear — unlike the θ=0.45 recall stress above,
+    // which is kept deliberately as LSH's worst regime. Runs on the
+    // planted corpus (the raw fixture has no pairs above cosine 0.6);
+    // the oracle rebuilds the perturbation AND the banded structure, so
+    // any band-miss is identical on both engines.
+    "q_embed_neardup_strict" -> ((s, d) =>
+      nearDupPairs(plantedCorpus(s, d), 0.8, bands = 16, rowsPerBand = 12)
         .orderBy("ida", "idb")),
 
     // Per-label centroids via the typed VectorAvg aggregate (one buffer
@@ -159,6 +196,45 @@ object SimilarityQueries extends QueryPack {
         |JOIN c va ON va.vec_id = p.ida
         |JOIN c vb ON vb.vec_id = p.idb
         |WHERE round(list_cosine_similarity(va.v, vb.v), 6) >= 0.45
+        |ORDER BY ida, idb""".stripMargin,
+    // Twin of nearDupPairs(plantedCorpus, 0.8, bands=16, r=12): the pert
+    // CTE rebuilds the md5-parity ±0.05/±0.17 perturbed copies, then the
+    // same hyperplane family regrouped as 16 bands × 12 rows (band =
+    // j // 12), any-band-equal candidates, rounded-cosine verify at 0.8.
+    "q_embed_neardup_strict" ->
+      s"""WITH c0 AS (SELECT vec_id, v FROM ($corpusSql)),
+        |pert AS (
+        |  SELECT vec_id + 100000 AS pid,
+        |         list_transform(generate_series(1, 64), i ->
+        |           v[i] + (CASE WHEN vec_id % 2 = 0 THEN 0.05 ELSE 0.17 END)
+        |                * (CASE WHEN ('0x' || substr(md5('p:' || vec_id || ':' || (i - 1)), 1, 1))::INT % 2 = 0
+        |                   THEN 1.0 ELSE -1.0 END)) AS pv
+        |  FROM c0),
+        |c AS (SELECT vec_id, v FROM c0
+        |      UNION ALL SELECT pid AS vec_id, pv AS v FROM pert),
+        |wt AS (
+        |  SELECT j, list(CASE WHEN ('0x' || substr(md5(j::VARCHAR || ':' || i::VARCHAR), 1, 1))::INT % 2 = 0
+        |                 THEN 1.0 ELSE -1.0 END ORDER BY i) AS wv
+        |  FROM generate_series(0, 191) g1(j), generate_series(0, 63) g2(i)
+        |  GROUP BY j),
+        |bits AS (
+        |  SELECT c.vec_id, wt.j // 12 AS band, wt.j AS j,
+        |         CASE WHEN list_sum(list_transform(generate_series(1, 64),
+        |              i -> c.v[i] * wt.wv[i])) >= 0 THEN '1' ELSE '0' END AS bit
+        |  FROM c, wt),
+        |ks AS (
+        |  SELECT vec_id, band, string_agg(bit, '' ORDER BY j) AS key
+        |  FROM bits GROUP BY vec_id, band),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb
+        |  FROM ks a JOIN ks b
+        |    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id)
+        |SELECT p.ida, p.idb,
+        |       round(list_cosine_similarity(va.v, vb.v), 6) AS cos
+        |FROM cand p
+        |JOIN c va ON va.vec_id = p.ida
+        |JOIN c vb ON vb.vec_id = p.idb
+        |WHERE round(list_cosine_similarity(va.v, vb.v), 6) >= 0.8
         |ORDER BY ida, idb""".stripMargin,
     "q_embed_neardup_exact" ->
       s"""WITH c AS ($corpusSql)

@@ -86,6 +86,26 @@ class VectorOpsSpec extends SparkSpecBase {
     assert(recall >= 0.9, s"recall $recall < 0.9 (${banded.size}/${brute.size})")
   }
 
+  test("strict 16×12 banding: recall ≥ 0.9 at θ=0.8 on the planted corpus") {
+    // the scale-representative regime: realistic threshold, longer bands
+    // (q_embed_neardup_strict's configuration) on the query's own
+    // planted fixture — weak-noise copies (cos ≈ 0.93) must be found,
+    // strong-noise copies (cos ≤ 0.76) and background pairs must not
+    val df = graft.queries.SimilarityQueries
+      .plantedCorpus(spark, sfDir).select("id", "vec")
+    def pairs(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(VectorOps.nearDupPairsBrute(df, 0.8))
+    val banded = pairs(
+      VectorOps.nearDupPairs(df, 0.8, bands = 16, rowsPerBand = 12))
+    assert(banded.subsetOf(brute), "LSH must never invent a pair")
+    assert(brute.nonEmpty, "fixture must plant above-threshold pairs")
+    // every true pair is a planted (id, id+100000) twin with an even id
+    assert(brute.forall { case (a, b) => b == a + 100000L && a % 2 == 0 })
+    val recall = (banded & brute).size.toDouble / brute.size
+    assert(recall >= 0.9, s"recall $recall < 0.9 (${banded.size}/${brute.size})")
+  }
+
   test("quantizeInt8Stats: hand-checked scale/extremes, zero vector excluded") {
     // max|v| = 12.7 → scale 0.1; q = [127, -64, 0] (round(-6.35/0.1) =
     // round(-63.5) → -64, half away from zero — the DuckDB tie rule too)
