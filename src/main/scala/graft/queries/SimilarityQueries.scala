@@ -30,13 +30,18 @@ object SimilarityQueries extends QueryPack {
   private[graft] def plantedCorpus(s: SparkSession, d: String): DataFrame = {
     val base = corpus(s, d).select("id", "vec")
     val alpha = when(col("id") % 2 === 0, lit(0.05)).otherwise(lit(0.17))
-    val perturbed = base.select(
-      (col("id") + 100000L).as("id"),
-      transform(col("vec"), (x, i) =>
-        x + alpha * when(
-          conv(substring(md5(concat(lit("p:"), col("id"), lit(":"), i)),
-            1, 1), 16, 10).cast("int") % 2 === 0, lit(1.0))
-          .otherwise(lit(-1.0))).as("vec"))
+    // Perturb FIRST (noise seeded by the BASE id), then re-alias the id in a
+    // second select. Doing both in one select makes the md5 seed capture the
+    // shifted id (p:100042 instead of p:42) and diverge from the oracle.
+    val perturbed = base
+      .select(
+        col("id"),
+        transform(col("vec"), (x, i) =>
+          x + alpha * when(
+            conv(substring(md5(concat(lit("p:"), col("id"), lit(":"), i)),
+              1, 1), 16, 10).cast("int") % 2 === 0, lit(1.0))
+            .otherwise(lit(-1.0))).as("vec"))
+      .select((col("id") + 100000L).as("id"), col("vec"))
     base.unionAll(perturbed)
   }
 

@@ -106,6 +106,33 @@ class VectorOpsSpec extends SparkSpecBase {
     assert(recall >= 0.9, s"recall $recall < 0.9 (${banded.size}/${brute.size})")
   }
 
+  test("plantedCorpus perturbation is pinned to BASE-id md5 parity") {
+    // Cross-engine pin: the DuckDB oracle seeds noise with the BASE id
+    // (md5("p:<base>:<dim>")), so this test recomputes the expected signs
+    // with java.security.MessageDigest — independent of Spark's md5 and of
+    // any Spark-vs-Spark recall test. It fails if the builder ever seeds
+    // with the shifted id again (the r5 alias-capture bug, 247-vs-241 rows).
+    def parity(seed: String): Double = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(seed.getBytes("UTF-8"))
+      val firstHex = (d(0) >> 4) & 0xf
+      if (firstHex % 2 == 0) 1.0 else -1.0
+    }
+    val df = graft.queries.SimilarityQueries.plantedCorpus(spark, sfDir)
+    val byId = df.filter(col("id").isin(0L, 1L, 100000L, 100001L))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    for ((baseId, alpha) <- Seq(0L -> 0.05, 1L -> 0.17)) {
+      val base = byId(baseId)
+      val pert = byId(baseId + 100000L)
+      assert(base.length == 64 && pert.length == 64)
+      base.indices.foreach { i =>
+        val want = base(i) + alpha * parity(s"p:$baseId:$i")
+        assert(math.abs(pert(i) - want) < 1e-12,
+          s"id $baseId dim $i: got ${pert(i)}, want $want")
+      }
+    }
+  }
+
   test("quantizeInt8Stats: hand-checked scale/extremes, zero vector excluded") {
     // max|v| = 12.7 → scale 0.1; q = [127, -64, 0] (round(-6.35/0.1) =
     // round(-63.5) → -64, half away from zero — the DuckDB tie rule too)
