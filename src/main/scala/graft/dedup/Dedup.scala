@@ -58,21 +58,25 @@ object Dedup {
       .repartition(col("id"))
 
   /** Pairs (id_a < id_b) whose n-gram-shingle Jaccard ≥ threshold.
-    * `maxShingleFreq` drops shingles present in more docs than the cap.
-    * The DEFAULT engages the cut: an uncapped inverted-index self-join is
-    * quadratic in the hottest posting list (a stop-shingle shared by k
-    * docs emits k² candidate rows), which is the one shape guaranteed to
-    * die at corpus scale — so the scale-safe plan is what a naive call
-    * gets. Under the cut, jaccard is a LOWER bound (intersection counts
-    * only surviving shingles; na/nb stay full set sizes). Pass 0
-    * explicitly to opt into exact-Jaccard semantics on corpora small
-    * enough to afford it; tune the cap to sit above the expected
-    * duplicate-group size (dup groups share ALL their shingles — a cap
-    * below the group size cuts the very shingles that link the group).
+    * `maxShingleFreq` is REQUIRED — both possible defaults are traps, so
+    * the caller must choose semantics explicitly:
+    *  - 0 = exact Jaccard. The uncapped inverted-index self-join is
+    *    quadratic in the hottest posting list (a stop-shingle shared by k
+    *    docs emits k² candidate rows) — affordable only when the corpus
+    *    is small or pre-filtered;
+    *  - > 0 = the df-cut: shingles present in more docs than the cap are
+    *    dropped before the self-join (the standard web-scale plan).
+    *    Under the cut jaccard is a LOWER bound (intersection counts only
+    *    surviving shingles; na/nb stay full set sizes), and the cap MUST
+    *    sit well above the expected duplicate-group size: dup groups
+    *    share ALL their shingles, so a group larger than the cap has
+    *    every linking shingle at df > cap and becomes invisible. For
+    *    web-scale boilerplate dedup that means caps in the thousands,
+    *    not single digits.
     */
   def jaccardPairs(docs: DataFrame, textCol: String, idCol: String,
-                   threshold: Double, n: Int = 3,
-                   maxShingleFreq: Int = 5): DataFrame = {
+                   threshold: Double, maxShingleFreq: Int,
+                   n: Int = 3): DataFrame = {
     val t = shingled(docs, textCol, idCol, n).withColumn("n_sh", size(col("sh")))
     val e0 = t.select(col("id"), col("n_sh"), explode(col("sh")).as("s"))
     val e =

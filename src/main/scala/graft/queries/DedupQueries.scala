@@ -27,8 +27,8 @@ object DedupQueries extends QueryPack {
           (count(lit(1)) - countDistinct(col("fp"))).as("n_dups"))),
 
     // n-gram Jaccard near-dup pairs via inverted shingle index —
-    // EXACT semantics (maxShingleFreq = 0 is the explicit opt-out of the
-    // df-cut, which is the library default).
+    // EXACT semantics (maxShingleFreq = 0; the parameter is required, so
+    // every caller picks exact-vs-df-cut explicitly).
     "q_dedup_jaccard" -> ((s, d) =>
       Dedup.jaccardPairs(Tables.documents(s, d), "text", "doc_id",
           threshold = 0.8, maxShingleFreq = 0)

@@ -137,7 +137,8 @@ object MlQueries extends QueryPack {
         |SELECT dt, round(avg_value, 6) AS avg_gpu_util,
         |       round(z, 6) AS z_score
         |FROM z
-        |WHERE abs(z) > 1.3 AND dt NOT IN (SELECT dt FROM prev)
+        |WHERE abs(z) > 1.3
+        |  AND NOT EXISTS (SELECT 1 FROM prev WHERE prev.dt = z.dt)
         |ORDER BY dt""".stripMargin,
     "q_scaler_standardize" ->
       """WITH g AS (

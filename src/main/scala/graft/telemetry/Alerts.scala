@@ -74,9 +74,15 @@ object Alerts {
                    batchId: Long): Long = {
     var inserted = 0L
     Incremental.commitOnce(lakeDir, batchId, "gold/_alert_commits") {
+      // Normalize dt to the declared TimestampType BEFORE the anti-join and
+      // the write: the day marts carry dt as DATE (to_date), and appending
+      // DATE parquet under a TIMESTAMP read schema breaks readAlerts with a
+      // parquet conversion error. Session timezone is UTC, so the cast is
+      // deterministic midnight-UTC.
+      val scoredTs = scored.withColumn("dt", col("dt").cast("timestamp"))
       val prev = readAlerts(spark, lakeDir)
         .filter(col("detected_batch") =!= lit(batchId))
-      val fresh = newAlerts(scored, prev, batchId).persist()
+      val fresh = newAlerts(scoredTs, prev, batchId).persist()
       try {
         inserted = fresh.count()
         if (inserted > 0)

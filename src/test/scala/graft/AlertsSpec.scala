@@ -53,6 +53,22 @@ class AlertsSpec extends SparkSpecBase {
     assert(all.map(_.getLong(3)).toSeq == Seq(0L, 0L, 1L))
   }
 
+  test("appendAlerts accepts DateType dt (day marts use to_date)") {
+    // regression: writing DATE parquet under the TIMESTAMP read schema
+    // used to break readAlerts with a parquet conversion error
+    val lake = Files.createTempDirectory("graft-alerts-date").toString
+    val sc = Seq(
+      (java.sql.Date.valueOf("2024-01-02"), 20.0, -0.6, 1),
+      (java.sql.Date.valueOf("2024-01-03"), 21.0, -0.7, 1))
+      .toDF("dt", "avg_gpu_util", "anomaly_score", "anomaly_flag")
+    assert(Alerts.appendAlerts(spark, lake, sc, batchId = 0L) == 2L)
+    val back = Alerts.readAlerts(spark, lake).orderBy("dt").collect()
+    assert(back.map(_.getTimestamp(0)).toSeq ==
+      Seq(ts("2024-01-02"), ts("2024-01-03")))
+    // a second batch re-scoring the same days (again as DATE) adds nothing
+    assert(Alerts.appendAlerts(spark, lake, sc, batchId = 1L) == 0L)
+  }
+
   test("crashed-attempt replay keeps its own orphaned rows (no alert loss)") {
     val lake = Files.createTempDirectory("graft-alerts-crash").toString
     val b0 = scored(("2024-01-02", 20.0, -0.6, 1))

@@ -23,7 +23,8 @@ class DedupSpec extends SparkSpecBase {
   }
 
   test("jaccardPairs finds the near-dup pair above threshold") {
-    val p = Dedup.jaccardPairs(docs, "body", "doc_id", threshold = 0.5)
+    val p = Dedup.jaccardPairs(docs, "body", "doc_id", threshold = 0.5,
+      maxShingleFreq = 0)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(p.contains((1L, 2L))) // exact dup → jaccard 1.0
     assert(p.contains((1L, 3L))) // one word differs in 13 → high overlap
@@ -31,7 +32,8 @@ class DedupSpec extends SparkSpecBase {
   }
 
   test("jaccard of exact dup is 1.0") {
-    val j = Dedup.jaccardPairs(docs, "body", "doc_id", threshold = 0.99)
+    val j = Dedup.jaccardPairs(docs, "body", "doc_id", threshold = 0.99,
+      maxShingleFreq = 0)
       .where($"ida" === 1 && $"idb" === 2).collect()
     assert(j.length == 1 && j(0).getAs[Double]("jaccard") == 1.0)
   }
