@@ -102,6 +102,30 @@ object StreamingTelemetry {
         col("click_ts"), col("purchase_ts"), col("value"))
   }
 
+  /** LIVE alerting: sink a stream of scored day rows (dt, avg_gpu_util,
+    * anomaly_score, anomaly_flag) into the alerts mart — the reference's
+    * "when new anomaly days are detected" trigger running continuously
+    * instead of per full-refresh. Each micro-batch goes through
+    * Alerts.appendAlerts keyed by foreachBatch's epoch id, so the path
+    * inherits the mart's two replay guarantees: a committed epoch's
+    * replay is ledger-skipped, and a crashed attempt's rewrite keeps its
+    * own rows (at-least-once epochs, exactly-once alert rows). A day that
+    * stays anomalous across triggers alerts only on the trigger that
+    * first sees it — the anti-join drops it afterwards.
+    */
+  def streamAlerts(scoredStream: DataFrame, lakeDir: String,
+                   checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    scoredStream.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.telemetry.Alerts.appendAlerts(
+          batch.sparkSession, lakeDir, batch, batchId)
+        ()
+      }
+      .start()
+
   // ---- stateful sessionization (flatMapGroupsWithState) ----
 
   final case class JobEvent(job_id: String, user_id: String, status: String,

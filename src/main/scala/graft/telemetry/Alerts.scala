@@ -28,6 +28,20 @@ object Alerts {
   private def alertsDir(lakeDir: String) =
     s"$lakeDir/gold/gold_anomaly_alerts.parquet"
 
+  private val ledgerName = "gold/_alert_commits"
+
+  /** Next unused alert batch id for NON-streaming callers (fullRefresh has
+    * no epoch counter of its own): one past the highest committed marker.
+    * Streaming callers pass foreachBatch's batchId instead — replays of a
+    * committed epoch must map to the SAME id, which a fresh id would break.
+    */
+  def nextBatchId(lakeDir: String): Long = {
+    val ledger = new java.io.File(s"$lakeDir/$ledgerName")
+    Option(ledger.listFiles()).getOrElse(Array.empty)
+      .flatMap(f => scala.util.Try(f.getName.toLong).toOption)
+      .foldLeft(-1L)(math.max) + 1
+  }
+
   /** (dt, avg_gpu_util, anomaly_score, detected_batch) — the scored
     * table's day + headline metric + model score, stamped with the batch
     * that first detected it.
@@ -73,7 +87,7 @@ object Alerts {
   def appendAlerts(spark: SparkSession, lakeDir: String, scored: DataFrame,
                    batchId: Long): Long = {
     var inserted = 0L
-    Incremental.commitOnce(lakeDir, batchId, "gold/_alert_commits") {
+    Incremental.commitOnce(lakeDir, batchId, ledgerName) {
       // Normalize dt to the declared TimestampType BEFORE the anti-join and
       // the write: the day marts carry dt as DATE (to_date), and appending
       // DATE parquet under a TIMESTAMP read schema breaks readAlerts with a

@@ -15,7 +15,7 @@ object Pipeline {
 
   final case class RefreshResult(bronzeCounts: Map[String, Long],
                                  goldDays: Long, anomalies: Long,
-                                 modelPath: String)
+                                 modelPath: String, newAlerts: Long)
 
   /** Stage 2-3: bronze → silver → gold materialization (dbt run). Silver
     * and gold are written as tables (materialized='table' in the
@@ -79,14 +79,21 @@ object Pipeline {
     feed
   }
 
-  /** The whole flow, fail-fast at the checks gate like the reference. */
+  /** The whole flow, fail-fast at the checks gate like the reference.
+    * After scoring, newly-anomalous days are appended to the alerts mart
+    * (the reference's "when new anomaly days are detected" trigger) — a
+    * rerun over the same data alerts nothing new, so the refresh is safe
+    * to schedule repeatedly.
+    */
   def fullRefresh(spark: SparkSession, rawDir: String, lakeDir: String): RefreshResult = {
     val counts = Bronze.ingestAll(spark, rawDir, lakeDir)            // F1 ingest
     val (jobs, ts, gold) = buildModels(spark, lakeDir)               // dbt run
     Checks.runAll(jobs, ts, gold)                                    // dbt test
     val scored = trainAndScore(spark, lakeDir, gold)                 // train+score
+    val newAlerts = Alerts.appendAlerts(spark, lakeDir, scored,      // alerting
+      Alerts.nextBatchId(lakeDir))
     RefreshResult(counts, gold.count(),
       scored.filter(org.apache.spark.sql.functions.col("anomaly_flag") === 1).count(),
-      s"$lakeDir/ml/cluster_anomaly_iforest")
+      s"$lakeDir/ml/cluster_anomaly_iforest", newAlerts)
   }
 }

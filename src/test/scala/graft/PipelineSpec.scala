@@ -55,6 +55,16 @@ class PipelineSpec extends SparkSpecBase {
     val m = graft.ml.IsolationForest.load(spark, res.modelPath)
     assert(m.trees.size == 100)
 
+    // alerting runs as part of the refresh: every flagged day alerted once
+    assert(res.newAlerts == res.anomalies)
+    val alerts = Alerts.readAlerts(spark, lakeDir)
+    assert(alerts.count() == res.anomalies)
+    // a second refresh over the same raw data re-flags the same days but
+    // alerts nothing new (day-keyed anti-join against the mart)
+    val res2 = Pipeline.fullRefresh(spark, rawDir, lakeDir)
+    assert(res2.newAlerts == 0L)
+    assert(Alerts.readAlerts(spark, lakeDir).count() == res.anomalies)
+
     // export sink: the plot feed round-trips through CSV with the exact
     // reference columns and one row per gold day
     val exportDir = s"$base/export_scored"

@@ -17,6 +17,9 @@ case class StreamMetric(ts: Timestamp, machine_id: String,
 case class StreamEvent(event_id: Long, ts: Timestamp, user_id: Long,
                        event_type: String, value: java.lang.Double)
 
+case class ScoredDay(dt: Timestamp, avg_gpu_util: Double,
+                     anomaly_score: Double, anomaly_flag: Int)
+
 /** Streaming operators through MemoryStream sources: the same transforms
   * must behave per their event-time/watermark/state contracts.
   */
@@ -49,6 +52,35 @@ class StreamingSpec extends SparkSpecBase {
       assert(d1.getAs[Double]("avg_gpu_util") == 20.0)
       assert(d1.getAs[Long]("n_samples") == 2L)
       assert(rows(1).getAs[Double]("avg_gpu_util") == 50.0)
+    } finally q.stop()
+  }
+
+  test("streamAlerts emits each anomalous day once across micro-batches") {
+    implicit val sql = spark.sqlContext
+    val lake = java.nio.file.Files.createTempDirectory("graft-salerts").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-salerts-ck").toString
+    val in = MemoryStream[ScoredDay]
+    val q = StreamingTelemetry.streamAlerts(in.toDF(), lake, ckpt)
+    try {
+      // trigger 1: one quiet day, one anomalous day → one alert
+      in.addData(
+        ScoredDay(ts(1), 50.0, -0.1, 0),
+        ScoredDay(ts(2), 20.0, -0.6, 1))
+      q.processAllAvailable()
+      val a1 = graft.telemetry.Alerts.readAlerts(spark, lake)
+      assert(a1.count() == 1)
+      // trigger 2: day 2 re-scored (still anomalous) + a NEW anomalous
+      // day → only the new day alerts; day 2 is anti-joined away
+      in.addData(
+        ScoredDay(ts(2), 20.0, -0.6, 1),
+        ScoredDay(ts(3), 19.0, -0.8, 1))
+      q.processAllAvailable()
+      val rows = graft.telemetry.Alerts.readAlerts(spark, lake)
+        .orderBy("dt").collect()
+      assert(rows.map(_.getTimestamp(0)).toSeq == Seq(ts(2), ts(3)))
+      // the batch-mart parity: same rows the batch appendAlerts would
+      // produce for the same two-batch history (AlertsSpec covers replay)
+      assert(rows.map(_.getLong(3)).toSeq == Seq(0L, 1L))
     } finally q.stop()
   }
 
