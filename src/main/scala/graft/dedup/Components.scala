@@ -7,21 +7,28 @@ import org.apache.spark.sql.functions._
   * turns near-duplicate PAIRS into duplicate CLUSTERS so a corpus can
   * keep one representative per cluster.
   *
-  * Algorithm: iterative min-label propagation. Every node starts labeled
-  * with its own id; each round a node takes the min of its label and its
-  * neighbors' labels; fixpoint ⇒ every node carries the min id of its
-  * component. Rounds needed ≈ graph diameter — near-dup clusters are
-  * small and dense, so a handful.
+  * Three paths, picked by scale:
+  *  - below `driverEdgeLimit` (long-keyed): driver union-find — a
+  *    near-dup edge list is usually orders of magnitude smaller than the
+  *    corpus, and milliseconds in one JVM beat seconds of per-round job
+  *    overhead;
+  *  - above it: alternating LARGE-STAR / SMALL-STAR (Kiveris et al.,
+  *    "Connected Components in MapReduce and Beyond", SoCC'14) — each
+  *    round hooks nodes directly onto the minimum of their closed
+  *    neighborhood, so label information travels MULTIPLE hops per round
+  *    and the round count is O(log diameter). A web-scale dup graph's
+  *    long boilerplate chains converge in a handful of rounds where
+  *    one-hop min-label propagation needs one round per hop;
+  *  - `minLabelComponents` (one-hop propagation, O(diameter) rounds) is
+  *    kept as the independently-implemented parity oracle for specs —
+  *    three implementations, one answer.
   *
-  * Scale notes: each round is one join (labels ⋈ edges) + one
-  * aggregation, both hash-partitioned on node id — the same key every
-  * round, so AQE/exchange reuse keeps re-partitioning cheap. Lineage is
-  * truncated with localCheckpoint every round (iterative DataFrames
-  * otherwise grow an unbounded plan). The round emits (id, label,
-  * changed) in ONE pass, so the convergence check is a scan of the
-  * just-checkpointed round output — no extra join, no second pass over
-  * the graph. For web-scale graphs swap in the large-star/small-star
-  * variant; the API stays the same.
+  * Scale notes: every round of each distributed path is joins +
+  * aggregations hash-partitioned on node id, with lineage truncated by an
+  * eager localCheckpoint per round (iterative DataFrames otherwise grow
+  * an unbounded plan). Star rounds shrink the edge set monotonically
+  * toward the star forest, so per-round cost falls as the iteration
+  * proceeds.
   */
 object Components {
 
@@ -43,23 +50,101 @@ object Components {
       .distinct()
       .repartition(numPartitions, col("src"))
       .localCheckpoint(eager = true)
-    // Scale-adaptive: a near-dup edge list is usually orders of magnitude
-    // smaller than the corpus, and a handful of distributed rounds (a
-    // join + agg + checkpoint ACTION each) costs seconds of fixed
-    // overhead that a driver union-find finishes in milliseconds. Below
-    // the edge limit (the count is a cheap scan of the checkpoint just
-    // materialized), solve in-memory — same min-label result,
-    // bit-identical. Driver footprint at the 2M default: the parent map
-    // holds one boxed entry per NODE (≤ 2 per edge, ~50 B each → low
-    // hundreds of MB worst case), and edges stream in partition-sized
-    // chunks via toLocalIterator rather than one whole-result collect.
-    // Above the limit, or for non-long ids, the distributed propagation
-    // below is the path — at 100 TB a dup-heavy corpus can exceed any
-    // driver bound.
+    // Scale-adaptive: below the edge limit (the count is a cheap scan of
+    // the checkpoint just materialized), solve in-memory — same min-label
+    // result, bit-identical. Driver footprint at the 2M default: the
+    // parent map holds one boxed entry per NODE (≤ 2 per edge, ~50 B each
+    // → low hundreds of MB worst case), and edges stream in
+    // partition-sized chunks via toLocalIterator rather than one
+    // whole-result collect. Above the limit, or for non-long ids, the
+    // O(log diameter) star iteration is the path — at 100 TB a dup-heavy
+    // corpus can exceed any driver bound.
     val isLongKeyed = adj.schema.fields.forall(
       _.dataType == org.apache.spark.sql.types.LongType)
     if (isLongKeyed && adj.count() <= driverEdgeLimit)
-      return driverComponents(adj, numPartitions)
+      driverComponents(adj, numPartitions)
+    else
+      largeSmallStar(e, maxIter, numPartitions)
+  }
+
+  private def bothDirections(e: DataFrame): DataFrame =
+    e.union(e.select(col("v").as("u"), col("u").as("v")))
+
+  /** Alternating large-star/small-star over edges (u, v) — the
+    * O(log diameter) distributed path.
+    *
+    * Per round:
+    *  - LARGE-STAR: for every node u with closed-neighborhood minimum m,
+    *    re-attach each strictly LARGER neighbor v directly to m. Larger
+    *    neighbors skip intermediate hops toward the minimum — this is
+    *    what makes convergence logarithmic.
+    *  - SMALL-STAR: key every surviving edge by its larger endpoint u;
+    *    with m the minimum over u and its smaller neighbors, attach u and
+    *    each smaller neighbor (except m itself) directly to m — the local
+    *    star around m.
+    *
+    * The fixpoint is a star forest whose centers are the component
+    * minima; labels read off as min over each node's closed neighborhood.
+    * Self-loops are dropped as they appear; both phases emit distinct
+    * edge sets, so the convergence probe (same count + empty exceptAll)
+    * is an exact set-equality check on the round's checkpointed output.
+    */
+  private[graft] def largeSmallStar(edges: DataFrame, maxIter: Int = 20,
+                                    numPartitions: Int = 8): DataFrame = {
+    var cur = edges.select(col("src").as("u"), col("dst").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .repartition(numPartitions, col("u"))
+      .localCheckpoint(eager = true)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // large-star
+      val adj = bothDirections(cur)
+      val lmins = adj.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val large = adj.join(lmins, "u")
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct()
+      // small-star: each edge exactly once, keyed by its larger endpoint
+      val sadj = bothDirections(large).where(col("v") < col("u"))
+      val smins = sadj.groupBy("u").agg(min("v").as("m")) // m < u here
+      val next = sadj.join(smins, "u")
+        .where(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(smins.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .repartition(numPartitions, col("u"))
+        .localCheckpoint(eager = true)
+      converged = next.count() == cur.count() && next.exceptAll(cur).isEmpty
+      cur = next
+      iter += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"largeSmallStar did not converge in $maxIter rounds — raise maxIter " +
+        "(needed rounds grow with log(component diameter), so this " +
+        "indicates a pathological graph or too small a bound)")
+    bothDirections(cur)
+      .groupBy(col("u").as("id"))
+      .agg(min("v").as("nmin"))
+      .select(col("id"), least(col("id"), col("nmin")).as("component"))
+  }
+
+  /** One-hop min-label propagation — O(graph diameter) rounds. Retained
+    * as the parity ORACLE for the star path (an independent formulation
+    * specs can cross-check) and as the readable textbook baseline; the
+    * production distributed path is `largeSmallStar`.
+    */
+  private[graft] def minLabelComponents(edges: DataFrame, maxIter: Int = 20,
+                                        numPartitions: Int = 8): DataFrame = {
+    val e = edges.select(col("ida").as("src"), col("idb").as("dst"))
+    val adj = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .repartition(numPartitions, col("src"))
+      .localCheckpoint(eager = true)
     var labels = adj.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .repartition(numPartitions, col("id"))
@@ -91,8 +176,8 @@ object Components {
 
   /** Driver union-find over a collected (src, dst) edge list — the
     * small-graph fast path of `connectedComponents`. Union-by-min keeps
-    * every root the minimum id of its set, so labels match min-label
-    * propagation exactly.
+    * every root the minimum id of its set, so labels match the
+    * distributed paths exactly.
     */
   private def driverComponents(adj: DataFrame, numPartitions: Int): DataFrame = {
     val spark = adj.sparkSession

@@ -63,6 +63,43 @@ class ComponentsSpec extends SparkSpecBase {
     assert(fast.nonEmpty)
   }
 
+  test("large/small-star matches min-label and union-find on random graphs") {
+    val rnd = new scala.util.Random(13)
+    // 300 nodes, 220 edges: a mix of singleton pairs, trees and cycles
+    val edges = (0 until 220)
+      .map(_ => (rnd.nextInt(300).toLong, rnd.nextInt(300).toLong))
+      .filter { case (a, b) => a != b }
+      .toDF("ida", "idb")
+    val unionFind = Components.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val star = Components
+      .connectedComponents(edges, driverEdgeLimit = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val minLabel = Components.minLabelComponents(edges, maxIter = 50)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == unionFind && minLabel == unionFind)
+    assert(star.nonEmpty)
+  }
+
+  test("large/small-star converges on a long chain in O(log diameter) rounds") {
+    // a 200-node chain has diameter 199: one-hop propagation needs ~200
+    // rounds, the star iteration a dozen — maxIter 15 FAILS for the
+    // former and passes for the latter, proving the logarithmic hop
+    val chain = (1L until 200L).map(i => (i, i + 1)).toDF("ida", "idb")
+    val star = Components
+      .connectedComponents(chain, maxIter = 15, driverEdgeLimit = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star.size == 200 && star.values.forall(_ == 1L))
+    // two disjoint chains keep distinct labels
+    val two = ((1L until 50L).map(i => (i, i + 1)) ++
+      (1000L until 1050L).map(i => (i, i + 1))).toDF("ida", "idb")
+    val cc = Components.connectedComponents(two, maxIter = 15,
+        driverEdgeLimit = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.filter(_._1 < 1000L).values.forall(_ == 1L))
+    assert(cc.filter(_._1 >= 1000L).values.forall(_ == 1000L))
+  }
+
   test("dupClusters marks exactly one canonical per cluster") {
     val edges = Seq((5L, 6L), (6L, 7L), (100L, 101L)).toDF("ida", "idb")
     val rows = Components.dupClusters(edges).collect()
