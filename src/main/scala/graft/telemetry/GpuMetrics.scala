@@ -37,16 +37,21 @@ object GpuMetrics {
   def enrich(df: DataFrame, machineCol: String, eventCol: String,
              utilCol: String): DataFrame = {
     val util: Column = col(utilCol)
+    // one md5 per row, guaranteed: both ecc branches test the same hoisted
+    // digit (relying on codegen subexpression elimination to fuse two
+    // md5(...) copies works but is not a contract)
+    val eccDigit = substring(md5(concat(col(machineCol), lit(":"),
+      col(eventCol).cast("string"))), 1, 1)
     df.withColumn("temp_c", lit(30.0) + lit(0.45) * util)
       .withColumn("power_w", lit(80.0) + lit(2.2) * util)
       .withColumn("mem_used_pct", least(lit(100.0), lit(1.1) * util))
       .withColumn("throttled", (util > 85).cast("int"))
+      .withColumn("_ecc_digit", eccDigit)
       .withColumn("ecc_errors",
-        when(substring(md5(concat(col(machineCol), lit(":"),
-          col(eventCol).cast("string"))), 1, 1) === "f", 3)
-          .when(substring(md5(concat(col(machineCol), lit(":"),
-            col(eventCol).cast("string"))), 1, 1) === "e", 1)
+        when(col("_ecc_digit") === "f", 3)
+          .when(col("_ecc_digit") === "e", 1)
           .otherwise(0))
+      .drop("_ecc_digit")
   }
 
   /** gold_hot_gpus: per-machine thermal/throttle profile, kept only for
