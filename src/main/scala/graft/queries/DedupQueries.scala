@@ -87,6 +87,20 @@ object DedupQueries extends QueryPack {
         .orderBy("id")
     }),
 
+    // The web-scale twin of q_dedup_clusters: the SAME pairs through the
+    // distributed large-star/small-star iteration (driverEdgeLimit = 0
+    // forces the path a 100-TB dup graph would take), against the same
+    // recursive-CTE oracle — cross-engine proof the O(log diameter)
+    // rounds land on identical labels, not just spec-level self-parity.
+    "q_dedup_clusters_star" -> ((s, d) => {
+      val pairs = Dedup.minhashLshPairs(Tables.documents(s, d), "text",
+        "doc_id", threshold = 0.7)
+      graft.dedup.Components
+        .connectedComponents(pairs.select("ida", "idb"), driverEdgeLimit = 0L)
+        .withColumn("is_canonical", (col("id") === col("component")).cast("int"))
+        .orderBy("id")
+    }),
+
     // The full training-data funnel in one query: language filter →
     // quality filter → near-dup removal → deterministic 50% sample →
     // per-source survivor counts. Each stage is one of the library's
@@ -275,6 +289,12 @@ object DedupQueries extends QueryPack {
         |ORDER BY eval_id, corpus_id""".stripMargin,
     // minhash pair CTEs + recursive reachability closure
     "q_dedup_clusters" ->
+      s"""$clusterCte
+        |SELECT id, component, CAST(id = component AS INT) AS is_canonical
+        |FROM cc ORDER BY id""".stripMargin,
+    // same oracle as q_dedup_clusters: the star iteration must land on
+    // the identical labels the recursive closure computes
+    "q_dedup_clusters_star" ->
       s"""$clusterCte
         |SELECT id, component, CAST(id = component AS INT) AS is_canonical
         |FROM cc ORDER BY id""".stripMargin,
