@@ -134,6 +134,53 @@ object TextQueries extends QueryPack {
         .orderBy("source", "rn")
     }),
 
+    // Gopher-style repetition signals: most-frequent-token share and
+    // duplicate-bigram share per doc — the boilerplate/keyword-stuffing
+    // detector that length/punct scoring misses. Distributed as explode +
+    // two keyed aggregations (linear shuffle), NOT a per-row O(n²) pass.
+    "q_text_repetition" -> ((s, d) =>
+      graft.text.Curation.repetitionStats(Tables.documents(s, d),
+          "text", "doc_id")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
+    // PII redaction audit over a corpus with DETERMINISTICALLY planted
+    // PII (the raw fixture has none, and a redaction query that can only
+    // return zero rows would prove nothing): plant an email on every 7th
+    // doc and a phone on every 11th, then count matches and fingerprint
+    // the redacted text — the fingerprint proves the replacement output,
+    // not just the counts, agrees cross-engine.
+    "q_text_redact" -> ((s, d) => {
+      import graft.text.Curation._
+      val emailRe = defaultPiiPatterns(0)._1
+      val phoneRe = defaultPiiPatterns(1)._1
+      val planted = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" contact user"), col("doc_id").cast("string"),
+              lit("@example.com now")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            concat(lit(" or call 555-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+              lit(" today")))
+            .otherwise(lit(""))).as("ptext"))
+      planted.select(col("doc_id"),
+          piiCount(col("ptext"), emailRe).as("n_emails"),
+          piiCount(col("ptext"), phoneRe).as("n_phones"),
+          md5(redact(col("ptext"))).as("redacted_fp"))
+        .filter(col("n_emails") + col("n_phones") > 0)
+        .orderBy("doc_id")
+    }),
+
+    // Token-window chunking (size 20, stride 16): the pretraining/RAG
+    // chunker. Fingerprints prove the window CONTENT agrees cross-engine.
+    "q_text_chunks" -> ((s, d) =>
+      graft.text.Curation.chunkTokens(Tables.documents(s, d),
+          "text", "doc_id", chunkSize = 20, stride = 16)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "chunk_idx")),
+
     // Corpus-level quality profile per source.
     "q_text_quality_by_source" -> ((s, d) =>
       Tables.documents(s, d)
@@ -151,6 +198,75 @@ object TextQueries extends QueryPack {
     """list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')"""
 
   val oracle: Map[String, String] = Map(
+    // twin of Curation.repetitionStats: token counts via unnest+group,
+    // bigram dup share via the scalar generate_series list (lateral
+    // generate_series can't take column bounds in DuckDB)
+    "q_text_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $tokensSql AS w FROM documents
+        |           WHERE len($tokensSql) > 0),
+        |tok AS (SELECT doc_id, unnest(w) AS tok FROM t),
+        |tc AS (
+        |  SELECT doc_id, sum(c)::BIGINT AS n_tokens, max(c) AS top_cnt
+        |  FROM (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |bc AS (
+        |  SELECT doc_id,
+        |    len(bgs) AS n_bigrams, len(list_distinct(bgs)) AS n_distinct
+        |  FROM (SELECT doc_id,
+        |          list_transform(generate_series(1, len(w) - 1),
+        |            i -> w[i] || ' ' || w[i + 1]) AS bgs
+        |        FROM t))
+        |SELECT tc.doc_id, tc.n_tokens,
+        |  round(tc.top_cnt::DOUBLE / tc.n_tokens, 6) AS top_token_frac,
+        |  coalesce(round((bc.n_bigrams - bc.n_distinct)::DOUBLE
+        |    / greatest(bc.n_bigrams, 1), 6), 0.0) AS dup_bigram_frac,
+        |  CAST(round(tc.top_cnt::DOUBLE / tc.n_tokens, 6) > 0.3
+        |    OR coalesce(round((bc.n_bigrams - bc.n_distinct)::DOUBLE
+        |         / greatest(bc.n_bigrams, 1), 6), 0.0) > 0.08 AS INT)
+        |    AS is_repetitive
+        |FROM tc LEFT JOIN bc ON tc.doc_id = bc.doc_id
+        |ORDER BY tc.doc_id""".stripMargin,
+    // twin of q_text_redact: identical planted PII, patterns, and
+    // replacement tags; 'g' makes DuckDB replace all matches like Spark
+    "q_text_redact" ->
+      s"""WITH planted AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 7 = 0
+        |      THEN ' contact user' || doc_id || '@example.com now' ELSE '' END ||
+        |    CASE WHEN doc_id % 11 = 0
+        |      THEN ' or call 555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+        |        || ' today' ELSE '' END AS ptext
+        |  FROM documents)
+        |SELECT doc_id,
+        |  length(regexp_extract_all(ptext,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+        |  length(regexp_extract_all(ptext, '\\b555-[0-9]{4}\\b')) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(ptext,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\\b555-[0-9]{4}\\b', '<PHONE>', 'g'),
+        |    '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g'))
+        |    AS redacted_fp
+        |FROM planted
+        |WHERE length(regexp_extract_all(ptext,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+        |  + length(regexp_extract_all(ptext, '\\b555-[0-9]{4}\\b')) > 0
+        |ORDER BY doc_id""".stripMargin,
+    // twin of Curation.chunkTokens(20, 16): same starts, same slices,
+    // same space-joined md5 fingerprints
+    "q_text_chunks" ->
+      s"""WITH t AS (SELECT doc_id, $tokensSql AS w FROM documents
+        |           WHERE len($tokensSql) > 0),
+        |ch AS (
+        |  SELECT doc_id,
+        |    generate_series(0, len(w) - 1, 16) AS starts,
+        |    list_transform(generate_series(0, len(w) - 1, 16),
+        |      s -> len(w[s + 1 : s + 20])) AS lens,
+        |    list_transform(generate_series(0, len(w) - 1, 16),
+        |      s -> md5(array_to_string(w[s + 1 : s + 20], ' '))) AS fps
+        |  FROM t)
+        |SELECT doc_id, unnest(starts) // 16 AS chunk_idx,
+        |       unnest(lens) AS n_chunk_tokens, unnest(fps) AS chunk_fp
+        |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
     "q_text_stats" ->
       s"""WITH t AS (SELECT doc_id, text, $tokensSql AS w FROM documents)
         |SELECT doc_id,

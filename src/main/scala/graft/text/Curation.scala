@@ -1,0 +1,121 @@
+package graft.text
+
+import graft.text.TextFunctions.tokens
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators beyond scoring: repetition-based quality
+  * signals, PII redaction, and token-window chunking — the remaining
+  * standard stages of a training-data pipeline (filter → redact → chunk).
+  *
+  * Scale design:
+  *  - repetitionStats is explode + two keyed aggregations (token counts,
+  *    bigram counts), both hash-partitioned on (doc, term) with map-side
+  *    partial aggregation — linear shuffle in corpus token count, never a
+  *    per-row O(n²) in-array pass;
+  *  - redact is a narrow per-row projection (codegen'd regexp_replace
+  *    chain, no UDF, no shuffle);
+  *  - chunkTokens is one generate-and-explode projection per doc — output
+  *    rows ≈ tokens/stride, no shuffle until whatever consumes the chunks.
+  */
+object Curation {
+
+  /** Demonstration redaction patterns (regex → replacement tag). Real
+    * deployments plug in their vetted pattern lists (and locale-specific
+    * phone formats); the patterns here keep to syntax shared by Java and
+    * RE2-family engines, so an external SQL engine computes identical
+    * redactions.
+    */
+  val defaultPiiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b555-[0-9]{4}\\b" -> "<PHONE>",
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b" -> "<IP>")
+
+  /** Replace every match of every pattern (in order) with its tag. */
+  def redact(text: Column,
+             patterns: Seq[(String, String)] = defaultPiiPatterns): Column =
+    patterns.foldLeft(text) { case (c, (re, tag)) =>
+      regexp_replace(c, re, tag)
+    }
+
+  /** Matches of one pattern in `text` (regexp_count is codegen'd). */
+  def piiCount(text: Column, pattern: String): Column =
+    regexp_count(text, lit(pattern))
+
+  /** Gopher-style repetition signals per document: total tokens, the most
+    * frequent token's share, and the duplicate-bigram share — the
+    * signals that catch boilerplate/keyword-stuffed documents that
+    * length/punctuation scoring misses. `is_repetitive` flags docs over
+    * either threshold.
+    *
+    * Docs with an empty token list are dropped (no signal to compute);
+    * single-token docs report dup_bigram_frac 0.
+    */
+  def repetitionStats(docs: DataFrame, textCol: String, idCol: String,
+                      topTokenThreshold: Double = 0.3,
+                      dupBigramThreshold: Double = 0.08): DataFrame = {
+    // one exchange materializes the tokenization; the token and bigram
+    // branches below both consume it (same CollapseProject trap as
+    // Dedup.shingled — see that scaladoc)
+    val t = docs
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("w"))
+      .filter(size(col("w")) > 0)
+      .repartition(col("id"))
+    val tokenCounts = t
+      .select(col("id"), explode(col("w")).as("tok"))
+      .groupBy("id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("id")
+      .agg(sum("c").as("n_tokens"), max("c").as("top_cnt"))
+    val bigramCounts = t
+      .select(col("id"),
+        explode(when(size(col("w")) >= 2,
+          transform(sequence(lit(1), size(col("w")) - 1),
+            i => concat_ws(" ",
+              element_at(col("w"), i), element_at(col("w"), i + 1))))
+          .otherwise(array().cast("array<string>"))).as("bigram"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        countDistinct("bigram").as("n_distinct"))
+    tokenCounts.join(bigramCounts, Seq("id"), "left")
+      .select(
+        col("id"),
+        col("n_tokens"),
+        round(col("top_cnt").cast("double") / col("n_tokens"), 6)
+          .as("top_token_frac"),
+        coalesce(
+          round((col("n_bigrams") - col("n_distinct")).cast("double") /
+            greatest(col("n_bigrams"), lit(1L)), 6), lit(0.0))
+          .as("dup_bigram_frac"))
+      .withColumn("is_repetitive",
+        (col("top_token_frac") > topTokenThreshold ||
+          col("dup_bigram_frac") > dupBigramThreshold).cast("int"))
+  }
+
+  /** Overlapping token-window chunks per document — the pretraining/RAG
+    * chunker: windows of `chunkSize` tokens starting every `stride`
+    * tokens (overlap = chunkSize - stride). The final window may be
+    * shorter; a document shorter than one window yields a single chunk.
+    * Emits (id, chunk_idx, n_chunk_tokens, chunk_fp) where chunk_fp is
+    * the md5 of the space-joined window (chunk text itself is
+    * reconstructable and usually not worth materializing ×overlap).
+    */
+  def chunkTokens(docs: DataFrame, textCol: String, idCol: String,
+                  chunkSize: Int = 20, stride: Int = 16): DataFrame = {
+    require(chunkSize > 0 && stride > 0,
+      s"chunkSize ($chunkSize) and stride ($stride) must be positive")
+    docs
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("w"))
+      .filter(size(col("w")) > 0)
+      .select(col("id"), posexplode(
+        transform(sequence(lit(0), size(col("w")) - 1, lit(stride)),
+          s => struct(
+            size(slice(col("w"), s + 1, lit(chunkSize)))
+              .as("n_chunk_tokens"),
+            md5(concat_ws(" ", slice(col("w"), s + 1, lit(chunkSize))))
+              .as("chunk_fp"))))
+        .as(Seq("chunk_idx", "ch")))
+      .select(col("id"), col("chunk_idx"),
+        col("ch.n_chunk_tokens").as("n_chunk_tokens"),
+        col("ch.chunk_fp").as("chunk_fp"))
+  }
+}

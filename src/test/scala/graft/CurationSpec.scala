@@ -1,0 +1,82 @@
+package graft
+
+import graft.text.Curation
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("repetitionStats: hand-computed token and bigram shares") {
+    val docs = Seq(
+      (1L, "a a a b"),          // top a: 3/4; bigrams (a a),(a a),(a b) → dup 1/3
+      (2L, "x y z"),            // all distinct: top 1/3, dup 0
+      (3L, "only"),             // single token: no bigrams → dup 0
+      (4L, "  ")                // empty after tokenize → dropped
+    ).toDF("doc_id", "body")
+    val got = Curation.repetitionStats(docs, "body", "doc_id")
+      .orderBy("id").collect()
+    assert(got.length == 3)
+    val d1 = got(0)
+    assert(d1.getAs[Long]("n_tokens") == 4L)
+    assert(d1.getAs[Double]("top_token_frac") == 0.75)
+    assert(d1.getAs[Double]("dup_bigram_frac") == 0.333333)
+    assert(d1.getAs[Int]("is_repetitive") == 1)
+    val d2 = got(1)
+    assert(d2.getAs[Double]("top_token_frac") == 0.333333)
+    assert(d2.getAs[Double]("dup_bigram_frac") == 0.0)
+    assert(d2.getAs[Int]("is_repetitive") == 1) // 1/3 > 0.3 threshold
+    val d3 = got(2)
+    assert(d3.getAs[Long]("n_tokens") == 1L)
+    assert(d3.getAs[Double]("dup_bigram_frac") == 0.0)
+    assert(d3.getAs[Double]("top_token_frac") == 1.0)
+  }
+
+  test("redact replaces every email/phone/ip occurrence with its tag") {
+    val df = Seq(
+      "mail a@b.co and c.d@e.org plus 555-1234 at 10.0.0.1 twice 555-0000"
+    ).toDF("t")
+    val r = df.select(Curation.redact($"t").as("r")).collect()(0).getString(0)
+    assert(r == "mail <EMAIL> and <EMAIL> plus <PHONE> at <IP> twice <PHONE>")
+    val counts = df.select(
+      Curation.piiCount($"t", Curation.defaultPiiPatterns(0)._1).as("e"),
+      Curation.piiCount($"t", Curation.defaultPiiPatterns(1)._1).as("p"),
+      Curation.piiCount($"t", Curation.defaultPiiPatterns(2)._1).as("i"))
+      .collect()(0)
+    assert(counts.getInt(0) == 2 && counts.getInt(1) == 2 && counts.getInt(2) == 1)
+    // clean text passes through untouched
+    val clean = Seq("no pii here at all").toDF("t")
+      .select(Curation.redact($"t")).collect()(0).getString(0)
+    assert(clean == "no pii here at all")
+  }
+
+  test("chunkTokens: window starts, lengths and final short chunk") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
+      (2L, "a b")                                      // shorter than one window
+    ).toDF("doc_id", "body")
+    val got = Curation.chunkTokens(docs, "body", "doc_id",
+        chunkSize = 4, stride = 3)
+      .orderBy("id", "chunk_idx").collect()
+    // doc 1: starts 0,3,6,9 → lens 4,4,4,1 ; doc 2: one chunk of 2
+    assert(got.map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq == Seq(
+      (1L, 0, 4), (1L, 1, 4), (1L, 2, 4), (1L, 3, 1), (2L, 0, 2)))
+    // overlapping windows have distinct fingerprints; fp is md5 of the
+    // space-joined window (hand-check the first one)
+    val fp0 = got(0).getString(3)
+    val want = java.security.MessageDigest.getInstance("MD5")
+      .digest("w1 w2 w3 w4".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    assert(fp0 == want)
+    assert(got.map(_.getString(3)).distinct.length == got.length)
+  }
+
+  test("chunkTokens rejects non-positive sizes") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "body")
+    intercept[IllegalArgumentException] {
+      Curation.chunkTokens(docs, "body", "doc_id", chunkSize = 0, stride = 3)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.chunkTokens(docs, "body", "doc_id", chunkSize = 4, stride = 0)
+    }
+  }
+}
