@@ -112,6 +112,39 @@ class PlanSpec extends SparkSpecBase {
       "orphan check must be a broadcast anti-join")
   }
 
+  test("chunking and redaction are shuffle-free projections") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.documents(spark, sfDir)
+    val chunks = graft.text.Curation.chunkTokens(docs, "text", "doc_id")
+    assert(!plan(chunks).contains("Exchange"),
+      "chunkTokens must be generate-and-explode with no shuffle")
+    val red = docs.select(graft.text.Curation.redact(col("text")))
+    assert(!plan(red).contains("Exchange"))
+  }
+
+  test("repetition stats aggregate partially and join the tiny stats by broadcast") {
+    val p = plan(graft.text.Curation.repetitionStats(
+      graft.Tables.documents(spark, sfDir), "text", "doc_id"))
+    assert(p.contains("partial_count"),
+      "term counts must aggregate map-side before the exchange")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      "token/bigram stat frames must join")
+    // every repartition exchange carries the tokenized (id, w) projection,
+    // never the raw text as an output column: the Project feeding each
+    // exchange ends with "AS w#N]" (text# appears only inside the
+    // tokenizer expression, not as a shuffled attribute)
+    val lines = p.linesIterator.toSeq
+    val exchangeAt = lines.zipWithIndex.collect {
+      case (l, i) if l.contains("Exchange hashpartitioning") => i
+    }
+    assert(exchangeAt.nonEmpty)
+    exchangeAt.foreach { i =>
+      val proj = lines.drop(i).find(_.contains("Project [")).get
+      assert("AS w#\\d+\\]\\s*$".r.findFirstIn(proj).isDefined,
+        s"exchange input must project tokens only, got: $proj")
+    }
+  }
+
   test("exact dedup shuffles fingerprints, not text") {
     val p = plan(q("q_dedup_exact"))
     // the exchange partitions on the md5 fingerprint hash agg key; the
