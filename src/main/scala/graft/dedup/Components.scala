@@ -44,27 +44,35 @@ object Components {
   def connectedComponents(edges: DataFrame, maxIter: Int = 20,
                           numPartitions: Int = 8,
                           driverEdgeLimit: Long = 2000000L): DataFrame = {
+    // canonical undirected edge set: one row per edge, smaller id first
+    // (both the union-find and the star iteration are direction-blind, so
+    // materializing the doubled adjacency here would be a wasted shuffle
+    // of 2|E| rows on exactly the web-scale path that can't afford it)
     val e = edges.select(col("ida").as("src"), col("idb").as("dst"))
-    // undirected: both directions
-    val adj = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
       .distinct()
       .repartition(numPartitions, col("src"))
       .localCheckpoint(eager = true)
     // Scale-adaptive: below the edge limit (the count is a cheap scan of
-    // the checkpoint just materialized), solve in-memory — same min-label
-    // result, bit-identical. Driver footprint at the 2M default: the
-    // parent map holds one boxed entry per NODE (≤ 2 per edge, ~50 B each
-    // → low hundreds of MB worst case), and edges stream in
-    // partition-sized chunks via toLocalIterator rather than one
-    // whole-result collect. Above the limit, or for non-long ids, the
-    // O(log diameter) star iteration is the path — at 100 TB a dup-heavy
-    // corpus can exceed any driver bound.
-    val isLongKeyed = adj.schema.fields.forall(
+    // the checkpoint just materialized; the limit counts adjacency rows,
+    // i.e. 2× the canonical edges, for continuity with earlier rounds),
+    // solve in-memory — same min-label result, bit-identical. Driver
+    // footprint at the 2M default: the parent map holds one boxed entry
+    // per NODE (≤ 2 per edge, ~50 B each → low hundreds of MB worst
+    // case), and edges stream in partition-sized chunks via
+    // toLocalIterator rather than one whole-result collect. Above the
+    // limit, or for non-long ids, the O(log diameter) star iteration is
+    // the path — at 100 TB a dup-heavy corpus can exceed any driver
+    // bound.
+    val isLongKeyed = e.schema.fields.forall(
       _.dataType == org.apache.spark.sql.types.LongType)
-    if (isLongKeyed && adj.count() <= driverEdgeLimit)
-      driverComponents(adj, numPartitions)
+    if (isLongKeyed && e.count() * 2 <= driverEdgeLimit)
+      driverComponents(e, numPartitions)
     else
-      largeSmallStar(e, maxIter, numPartitions)
+      starLoop(e.select(col("src").as("u"), col("dst").as("v")),
+        maxIter, numPartitions)
   }
 
   private def bothDirections(e: DataFrame): DataFrame =
@@ -90,10 +98,20 @@ object Components {
     * is an exact set-equality check on the round's checkpointed output.
     */
   private[graft] def largeSmallStar(edges: DataFrame, maxIter: Int = 20,
-                                    numPartitions: Int = 8): DataFrame = {
-    var cur = edges.select(col("src").as("u"), col("dst").as("v"))
-      .filter(col("u") =!= col("v"))
-      .distinct()
+                                    numPartitions: Int = 8): DataFrame =
+    starLoop(
+      edges.select(col("src").as("u"), col("dst").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct(),
+      maxIter, numPartitions)
+
+  /** The iteration itself; `edges` must already be self-loop-free and
+    * distinct (direction is irrelevant — round 1's large-star starts from
+    * the doubled adjacency it builds itself).
+    */
+  private def starLoop(edges: DataFrame, maxIter: Int,
+                       numPartitions: Int): DataFrame = {
+    var cur = edges
       .repartition(numPartitions, col("u"))
       .localCheckpoint(eager = true)
     var iter = 0
@@ -108,8 +126,10 @@ object Components {
         .select(col("v").as("u"), col("m").as("v"))
         .where(col("u") =!= col("v"))
         .distinct()
-      // small-star: each edge exactly once, keyed by its larger endpoint
-      val sadj = bothDirections(large).where(col("v") < col("u"))
+      // small-star: each edge exactly once, keyed by its larger endpoint —
+      // large's rows are already strictly larger→smaller oriented
+      // (u' = old v > m = v' by construction), so no re-orientation pass
+      val sadj = large
       val smins = sadj.groupBy("u").agg(min("v").as("m")) // m < u here
       val next = sadj.join(smins, "u")
         .where(col("v") =!= col("m"))

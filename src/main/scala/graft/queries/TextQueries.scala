@@ -220,9 +220,10 @@ object TextQueries extends QueryPack {
         |  round(tc.top_cnt::DOUBLE / tc.n_tokens, 6) AS top_token_frac,
         |  coalesce(round((bc.n_bigrams - bc.n_distinct)::DOUBLE
         |    / greatest(bc.n_bigrams, 1), 6), 0.0) AS dup_bigram_frac,
-        |  CAST(round(tc.top_cnt::DOUBLE / tc.n_tokens, 6) > 0.3
+        |  CAST(tc.n_tokens >= 5 AND (
+        |    round(tc.top_cnt::DOUBLE / tc.n_tokens, 6) > 0.3
         |    OR coalesce(round((bc.n_bigrams - bc.n_distinct)::DOUBLE
-        |         / greatest(bc.n_bigrams, 1), 6), 0.0) > 0.08 AS INT)
+        |         / greatest(bc.n_bigrams, 1), 6), 0.0) > 0.08) AS INT)
         |    AS is_repetitive
         |FROM tc LEFT JOIN bc ON tc.doc_id = bc.doc_id
         |ORDER BY tc.doc_id""".stripMargin,

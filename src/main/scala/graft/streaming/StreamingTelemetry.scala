@@ -120,8 +120,10 @@ object StreamingTelemetry {
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.telemetry.Alerts.appendAlerts(
-          batch.sparkSession, lakeDir, batch, batchId)
+        // epoch ids map into the stream-reserved id range so they cannot
+        // collide with fullRefresh's ledger markers / file prefixes
+        graft.telemetry.Alerts.appendAlerts(batch.sparkSession, lakeDir,
+          batch, graft.telemetry.Alerts.streamBatchId(batchId))
         ()
       }
       .start()

@@ -30,15 +30,36 @@ object Alerts {
 
   private val ledgerName = "gold/_alert_commits"
 
+  /** Streaming epoch ids are offset into their own id range so they can
+    * NEVER collide with refresh-allocated ids in the shared ledger, file
+    * prefixes, or detected_batch column. Without this, a stream starting
+    * on a lake whose refresh had committed marker 0 would ledger-skip its
+    * own epoch 0 (alerts silently lost), and a replayed stream epoch
+    * sharing a refresh batch's id would wipe that batch's files via the
+    * common `batch-<id>-` prefix. Epoch counters are far below 2^40;
+    * refresh ids count up from 0 and never reach it.
+    */
+  private[graft] val streamBatchBase: Long = 1L << 40
+
+  private[graft] def streamBatchId(epochId: Long): Long = {
+    require(epochId >= 0 && epochId < streamBatchBase,
+      s"stream epoch id $epochId outside [0, 2^40)")
+    streamBatchBase + epochId
+  }
+
   /** Next unused alert batch id for NON-streaming callers (fullRefresh has
-    * no epoch counter of its own): one past the highest committed marker.
-    * Streaming callers pass foreachBatch's batchId instead — replays of a
-    * committed epoch must map to the SAME id, which a fresh id would break.
+    * no epoch counter of its own): one past the highest committed
+    * refresh-range marker. Streaming markers (≥ streamBatchBase) are
+    * excluded — counting them would jump the refresh sequence into the
+    * stream range. Streaming callers pass foreachBatch's epoch through
+    * `streamBatchId` instead — replays of a committed epoch must map to
+    * the SAME id, which a fresh id would break.
     */
   def nextBatchId(lakeDir: String): Long = {
     val ledger = new java.io.File(s"$lakeDir/$ledgerName")
     Option(ledger.listFiles()).getOrElse(Array.empty)
       .flatMap(f => scala.util.Try(f.getName.toLong).toOption)
+      .filter(_ < streamBatchBase)
       .foldLeft(-1L)(math.max) + 1
   }
 

@@ -46,14 +46,18 @@ object Curation {
     * frequent token's share, and the duplicate-bigram share — the
     * signals that catch boilerplate/keyword-stuffed documents that
     * length/punctuation scoring misses. `is_repetitive` flags docs over
-    * either threshold.
+    * either threshold, but only at `minTokensForFlag` tokens and above:
+    * the shares are meaningless on very short docs (every all-distinct
+    * 3-token title has top share 1/3), which is why Gopher-style rules
+    * apply length floors before repetition cuts.
     *
     * Docs with an empty token list are dropped (no signal to compute);
     * single-token docs report dup_bigram_frac 0.
     */
   def repetitionStats(docs: DataFrame, textCol: String, idCol: String,
                       topTokenThreshold: Double = 0.3,
-                      dupBigramThreshold: Double = 0.08): DataFrame = {
+                      dupBigramThreshold: Double = 0.08,
+                      minTokensForFlag: Int = 5): DataFrame = {
     // one exchange materializes the tokenization; the token and bigram
     // branches below both consume it (same CollapseProject trap as
     // Dedup.shingled — see that scaladoc)
@@ -87,8 +91,9 @@ object Curation {
             greatest(col("n_bigrams"), lit(1L)), 6), lit(0.0))
           .as("dup_bigram_frac"))
       .withColumn("is_repetitive",
-        (col("top_token_frac") > topTokenThreshold ||
-          col("dup_bigram_frac") > dupBigramThreshold).cast("int"))
+        (col("n_tokens") >= minTokensForFlag &&
+          (col("top_token_frac") > topTokenThreshold ||
+            col("dup_bigram_frac") > dupBigramThreshold)).cast("int"))
   }
 
   /** Overlapping token-window chunks per document — the pretraining/RAG
@@ -103,6 +108,9 @@ object Curation {
                   chunkSize: Int = 20, stride: Int = 16): DataFrame = {
     require(chunkSize > 0 && stride > 0,
       s"chunkSize ($chunkSize) and stride ($stride) must be positive")
+    require(stride <= chunkSize,
+      s"stride ($stride) > chunkSize ($chunkSize) would silently drop the " +
+        "tokens between consecutive windows; a chunker must cover the stream")
     docs
       .select(col(idCol).as("id"), tokens(col(textCol)).as("w"))
       .filter(size(col("w")) > 0)

@@ -8,27 +8,33 @@ class CurationSpec extends SparkSpecBase {
 
   test("repetitionStats: hand-computed token and bigram shares") {
     val docs = Seq(
-      (1L, "a a a b"),          // top a: 3/4; bigrams (a a),(a a),(a b) → dup 1/3
+      (1L, "a a a a b"),        // top a: 4/5; bigrams (a a)×3,(a b) → dup 2/4
       (2L, "x y z"),            // all distinct: top 1/3, dup 0
       (3L, "only"),             // single token: no bigrams → dup 0
-      (4L, "  ")                // empty after tokenize → dropped
+      (4L, "  "),               // empty after tokenize → dropped
+      (5L, "v w x y z q r s")   // 8 varied tokens: clean long doc
     ).toDF("doc_id", "body")
     val got = Curation.repetitionStats(docs, "body", "doc_id")
       .orderBy("id").collect()
-    assert(got.length == 3)
+    assert(got.length == 4)
     val d1 = got(0)
-    assert(d1.getAs[Long]("n_tokens") == 4L)
-    assert(d1.getAs[Double]("top_token_frac") == 0.75)
-    assert(d1.getAs[Double]("dup_bigram_frac") == 0.333333)
+    assert(d1.getAs[Long]("n_tokens") == 5L)
+    assert(d1.getAs[Double]("top_token_frac") == 0.8)
+    assert(d1.getAs[Double]("dup_bigram_frac") == 0.5)
     assert(d1.getAs[Int]("is_repetitive") == 1)
     val d2 = got(1)
     assert(d2.getAs[Double]("top_token_frac") == 0.333333)
     assert(d2.getAs[Double]("dup_bigram_frac") == 0.0)
-    assert(d2.getAs[Int]("is_repetitive") == 1) // 1/3 > 0.3 threshold
+    // 1/3 > 0.3 but the doc sits under the length floor: a 3-token title
+    // is not "repetitive" no matter its shares
+    assert(d2.getAs[Int]("is_repetitive") == 0)
     val d3 = got(2)
     assert(d3.getAs[Long]("n_tokens") == 1L)
     assert(d3.getAs[Double]("dup_bigram_frac") == 0.0)
     assert(d3.getAs[Double]("top_token_frac") == 1.0)
+    assert(d3.getAs[Int]("is_repetitive") == 0)
+    val d5 = got(3)
+    assert(d5.getAs[Int]("is_repetitive") == 0) // long AND clean
   }
 
   test("redact replaces every email/phone/ip occurrence with its tag") {
@@ -77,6 +83,10 @@ class CurationSpec extends SparkSpecBase {
     }
     intercept[IllegalArgumentException] {
       Curation.chunkTokens(docs, "body", "doc_id", chunkSize = 4, stride = 0)
+    }
+    // stride > chunkSize would leave inter-window gaps uncovered
+    intercept[IllegalArgumentException] {
+      Curation.chunkTokens(docs, "body", "doc_id", chunkSize = 4, stride = 5)
     }
   }
 }

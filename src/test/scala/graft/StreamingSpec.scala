@@ -78,9 +78,38 @@ class StreamingSpec extends SparkSpecBase {
       val rows = graft.telemetry.Alerts.readAlerts(spark, lake)
         .orderBy("dt").collect()
       assert(rows.map(_.getTimestamp(0)).toSeq == Seq(ts(2), ts(3)))
-      // the batch-mart parity: same rows the batch appendAlerts would
-      // produce for the same two-batch history (AlertsSpec covers replay)
-      assert(rows.map(_.getLong(3)).toSeq == Seq(0L, 1L))
+      // stream epochs land in the stream-reserved id range (AlertsSpec
+      // covers replay; the range keeps them disjoint from refresh ids)
+      val base = graft.telemetry.Alerts.streamBatchBase
+      assert(rows.map(_.getLong(3)).toSeq == Seq(base, base + 1))
+    } finally q.stop()
+  }
+
+  test("streamAlerts epoch 0 still fires on a lake a fullRefresh already alerted") {
+    // regression: epoch ids and refresh ids used to share one ledger
+    // namespace — a committed refresh marker 0 made the stream's epoch 0
+    // a silent no-op (and a replayed epoch could wipe the refresh's files
+    // via the shared batch-0- prefix)
+    implicit val sql = spark.sqlContext
+    val lake = java.nio.file.Files.createTempDirectory("graft-salerts-mix").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-salerts-mix-ck").toString
+    // batch-side refresh alerts day 1 under refresh id 0
+    val batchScored = Seq(ScoredDay(ts(1), 20.0, -0.6, 1)).toDF()
+    assert(graft.telemetry.Alerts.appendAlerts(spark, lake, batchScored,
+      graft.telemetry.Alerts.nextBatchId(lake)) == 1L)
+    // stream epoch 0 carries a DIFFERENT anomalous day: must still alert
+    val in = MemoryStream[ScoredDay]
+    val q = StreamingTelemetry.streamAlerts(in.toDF(), lake, ckpt)
+    try {
+      in.addData(ScoredDay(ts(2), 19.0, -0.8, 1))
+      q.processAllAvailable()
+      val rows = graft.telemetry.Alerts.readAlerts(spark, lake)
+        .orderBy("dt").collect()
+      assert(rows.map(_.getTimestamp(0)).toSeq == Seq(ts(1), ts(2)))
+      assert(rows.map(_.getLong(3)).toSeq ==
+        Seq(0L, graft.telemetry.Alerts.streamBatchBase))
+      // and the refresh sequence stays in its own range afterwards
+      assert(graft.telemetry.Alerts.nextBatchId(lake) == 1L)
     } finally q.stop()
   }
 
