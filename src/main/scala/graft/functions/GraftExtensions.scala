@@ -60,5 +60,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "random-hyperplane LSH keys for cosine near-dup search",
       { case Seq(v, b, r) => SignLshBandKeys(v,
         intArg(b, "sign_lsh_band_keys", 1), intArg(r, "sign_lsh_band_keys", 2)) })
+    register(ext, "random_project",
+      "random_project(vec array<double>, k int) - Johnson-Lindenstrauss " +
+        "projection to k dims over the md5-parity hyperplane family",
+      { case Seq(v, k) => RandomProject(v, intArg(k, "random_project", 1)) })
   }
 }

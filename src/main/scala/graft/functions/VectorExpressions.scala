@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, GraftSqlBridge}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -130,6 +130,36 @@ object SignLshOps {
     }
     new GenericArrayData(out)
   }
+
+  /** Johnson-Lindenstrauss projection of one vector onto the first `k`
+    * md5-parity hyperplanes, scaled by 1/sqrt(k). Same null policy as
+    * bandKeys: any null element → null result. The weights cache is keyed
+    * (k, dim), and row j of weights(k, dim) is identical to row j of the
+    * band-key matrix — one deterministic hyperplane family serves both
+    * hashing and projection.
+    */
+  def project(vec: ArrayData, k: Int): ArrayData = {
+    val dim = vec.numElements()
+    val w = weights(k, dim)
+    val v = new Array[Double](dim)
+    var i = 0
+    while (i < dim) {
+      if (vec.isNullAt(i)) return null
+      v(i) = vec.getDouble(i); i += 1
+    }
+    val inv = 1.0 / math.sqrt(k.toDouble)
+    val out = new Array[Double](k)
+    var j = 0
+    while (j < k) {
+      val wj = w(j)
+      var s = 0.0
+      var d = 0
+      while (d < dim) { s += v(d) * wj(d); d += 1 }
+      out(j) = s * inv
+      j += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
 }
 
 /** sign_lsh_band_keys(vec: array<double>, bands, r): array<string> —
@@ -164,6 +194,43 @@ case class SignLshBandKeys(child: Expression, bands: Int, r: Int)
     copy(child = c)
 }
 
+/** Johnson-Lindenstrauss random projection to `k` dimensions using the
+  * SAME md5-parity ±1 hyperplane family as sign-LSH (projection j is
+  * hyperplane j), scaled by 1/sqrt(k) so expected pairwise distances and
+  * norms are preserved. The dimensionality-reduction step a 100-TB ANN
+  * pipeline runs before indexing: a 64→16 projection cuts index size and
+  * distance cost 4× at a bounded cosine distortion. Deterministic and
+  * engine-independent — an external SQL engine rebuilds the identical
+  * matrix from the md5 parity rule.
+  */
+case class RandomProject(child: Expression, k: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) if k > 0 => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckFailure(
+      s"random_project requires k > 0, got $k")
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"random_project requires array<double>, got ${dt.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "random_project"
+  // any null ELEMENT → null output (same policy as sign_lsh_band_keys)
+  override def nullable: Boolean = true
+  override def nullSafeEval(a: Any): Any =
+    SignLshOps.project(a.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("proj")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $tmp =
+         |  graft.functions.SignLshOps.project($c, $k);
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp; }
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object VectorExpressions {
   /** `vec_dot(a, b)` as a Column — codegen'd dot product. */
   def vecDot(a: Column, b: Column): Column =
@@ -174,4 +241,8 @@ object VectorExpressions {
   def signLshBandKeys(v: Column, bands: Int, r: Int): Column =
     GraftSqlBridge.column(SignLshBandKeys(
       GraftSqlBridge.expression(v), bands, r))
+
+  /** `random_project(v, k)` as a Column. */
+  def randomProject(v: Column, k: Int): Column =
+    GraftSqlBridge.column(RandomProject(GraftSqlBridge.expression(v), k))
 }

@@ -124,6 +124,23 @@ object SimilarityQueries extends QueryPack {
         .withColumnRenamed("id", "vec_id")
         .orderBy("vec_id")),
 
+    // Johnson-Lindenstrauss random projection 64→16 (the pre-ANN
+    // dimensionality-reduction step a 100-TB pipeline runs to cut index
+    // size and distance cost 4×): native codegen'd RandomProject over the
+    // md5-parity hyperplane family, exploded to (vec_id, d, p) so the
+    // oracle rebuilds the identical matrix in a CTE. k=16 keeps
+    // 1/sqrt(k) = 0.25 exact in binary, so both engines' scaling is
+    // bit-identical.
+    "q_embed_project" -> ((s, d) =>
+      corpus(s, d)
+        .select(col("id").as("vec_id"),
+          graft.functions.VectorExpressions.randomProject(col("vec"), 16)
+            .as("pv"))
+        .select(col("vec_id"), posexplode(col("pv")).as(Seq("pos", "pval")))
+        .select(col("vec_id"), (col("pos") + 1).as("d"),
+          round(col("pval"), 6).as("p"))
+        .orderBy("vec_id", "d")),
+
     // IVF-Flat approximate top-3: data-adaptive coarse quantizer (16
     // cells, 4 probes, deterministic k-means). The Lloyd iterations are
     // not SQL-expressible in one query → rows-only check; IvfSpec pins
@@ -241,6 +258,23 @@ object SimilarityQueries extends QueryPack {
         |JOIN c vb ON vb.vec_id = p.idb
         |WHERE round(list_cosine_similarity(va.v, vb.v), 6) >= 0.8
         |ORDER BY ida, idb""".stripMargin,
+    // Twin of RandomProject(k=16): the wt CTE rebuilds the first 16
+    // md5-parity hyperplanes; pval = <v, w_j> / sqrt(16) matches the
+    // expression's s * (1/sqrt(16)) exactly (0.25 is a binary power).
+    "q_embed_project" ->
+      s"""WITH c AS ($corpusSql),
+        |wt AS (
+        |  SELECT j, list(CASE WHEN ('0x' || substr(md5(j::VARCHAR || ':' || i::VARCHAR), 1, 1))::INT % 2 = 0
+        |                 THEN 1.0 ELSE -1.0 END ORDER BY i) AS wv
+        |  FROM generate_series(0, 15) g1(j), generate_series(0, 63) g2(i)
+        |  GROUP BY j),
+        |p AS (
+        |  SELECT c.vec_id, wt.j,
+        |         list_sum(list_transform(generate_series(1, 64),
+        |           i -> c.v[i] * wt.wv[i])) / sqrt(16.0) AS pval
+        |  FROM c, wt)
+        |SELECT vec_id, j + 1 AS d, round(pval, 6) AS p
+        |FROM p ORDER BY vec_id, d""".stripMargin,
     "q_embed_neardup_exact" ->
       s"""WITH c AS ($corpusSql)
         |SELECT a.vec_id AS ida, b.vec_id AS idb,

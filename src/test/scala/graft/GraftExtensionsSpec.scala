@@ -74,6 +74,19 @@ class GraftExtensionsSpec extends SparkSpecBase {
     assert(r2.isNullAt(0))
   }
 
+  test("random_project resolves in SQL and matches the Column API") {
+    val fromSql = extSpark.sql(
+      "SELECT random_project(array(1.0d, -2.0d, 0.5d), 4) AS p")
+      .collect()(0).getSeq[Double](0)
+    assert(fromSql.length == 4)
+    import spark.implicits._
+    val fromCol = Seq(Seq(1.0, -2.0, 0.5)).toDF("v")
+      .select(graft.functions.VectorExpressions
+        .randomProject(org.apache.spark.sql.functions.col("v"), 4).as("p"))
+      .collect()(0).getSeq[Double](0)
+    assert(fromSql == fromCol)
+  }
+
   test("integer parameters must be literals") {
     val e = intercept[Exception] {
       extSpark.sql("SELECT minhash_sig(array('x'), CAST(rand()*4 AS INT))")

@@ -151,6 +151,56 @@ class VectorOpsSpec extends SparkSpecBase {
     assert(math.abs(r.getDouble(5) - 0.05) < 1e-6)
   }
 
+  test("randomProject matches hand-computed md5-parity projection") {
+    // independent recomputation via MessageDigest (not Spark's md5), the
+    // same cross-engine pin style as the plantedCorpus test: w(j,i) = +1
+    // iff the first hex digit of md5("j:i") is even; p_j = <v,w_j>/sqrt(k)
+    def parity(seed: String): Double = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(seed.getBytes("UTF-8"))
+      if (((d(0) >> 4) & 0xf) % 2 == 0) 1.0 else -1.0
+    }
+    val v = Seq(1.0, 2.0, 3.0)
+    val k = 2
+    val want = (0 until k).map { j =>
+      v.zipWithIndex.map { case (x, i) => x * parity(s"$j:$i") }.sum /
+        math.sqrt(k.toDouble)
+    }
+    val got = Seq(Tuple1(v)).toDF("v")
+      .select(graft.functions.VectorExpressions.randomProject($"v", k).as("p"))
+      .collect()(0).getSeq[Double](0)
+    assert(got.length == k)
+    got.zip(want).foreach { case (g, w) => assert(math.abs(g - w) < 1e-12) }
+  }
+
+  test("randomProject nulls out on null input or null element") {
+    val dfNull = Seq(Tuple1(Option.empty[Seq[Double]])).toDF("v")
+    assert(dfNull.select(
+      graft.functions.VectorExpressions.randomProject($"v", 4))
+      .collect()(0).isNullAt(0))
+    val dfElem = Seq(Tuple1(Seq(Option(1.0), Option.empty[Double]))).toDF("v")
+    assert(dfElem.select(
+      graft.functions.VectorExpressions.randomProject($"v", 4))
+      .collect()(0).isNullAt(0))
+  }
+
+  test("randomProject signs agree with sign-LSH band keys (shared family)") {
+    // hyperplane j is the same row in both: the sign of projection j must
+    // equal bit j of the band-key string (bands=1, r=k reads rows 0..k-1)
+    val k = 8
+    val df = vecs.select($"id",
+      graft.functions.VectorExpressions.randomProject($"vec", k).as("p"),
+      graft.functions.VectorExpressions.signLshBandKeys($"vec", 1, k).as("keys"))
+    df.collect().foreach { r =>
+      val p = r.getSeq[Double](1)
+      val key = r.getSeq[String](2).head
+      p.zip(key).foreach { case (x, bit) =>
+        assert((x >= 0) == (bit == '1'),
+          s"id ${r.getLong(0)}: projection sign disagrees with band bit")
+      }
+    }
+  }
+
   test("signBucket is deterministic on first `bits` dims") {
     val b = Seq((Seq(1.0, -2.0, 3.0, -4.0))).toDF("v")
       .select(VectorOps.signBucket($"v", 4).as("b")).collect()(0).getString(0)
