@@ -141,6 +141,16 @@ object SimilarityQueries extends QueryPack {
           round(col("pval"), 6).as("p"))
         .orderBy("vec_id", "d")),
 
+    // Two-stage retrieval over the projection: shortlist-50 in 16-dim
+    // JL space (only (id, projection) crosses the stage-1 join), exact
+    // re-rank on the full vectors for the survivors. The scale shape of
+    // ANN serving; recall vs brute force is pinned in VectorOpsSpec.
+    "q_ann_projected" -> ((s, d) => {
+      val c = corpus(s, d).select("id", "vec")
+      topKProjected(c.filter(col("id") < 10), c, 3)
+        .orderBy("qid", "rn")
+    }),
+
     // IVF-Flat approximate top-3: data-adaptive coarse quantizer (16
     // cells, 4 probes, deterministic k-means). The Lloyd iterations are
     // not SQL-expressible in one query → rows-only check; IvfSpec pins
@@ -219,6 +229,40 @@ object SimilarityQueries extends QueryPack {
         |JOIN c vb ON vb.vec_id = p.idb
         |WHERE round(list_cosine_similarity(va.v, vb.v), 6) >= 0.45
         |ORDER BY ida, idb""".stripMargin,
+    // Twin of topKProjected(k=3, shortlist=50, kDim=16): the pv CTE
+    // rebuilds the 16-dim projection (same wt rows as random_project),
+    // stage 1 ranks by rounded projected cosine with cid tiebreak,
+    // stage 2 re-ranks the 50 survivors by rounded exact cosine.
+    "q_ann_projected" ->
+      s"""WITH c AS ($corpusSql),
+        |wt AS (
+        |  SELECT j, list(CASE WHEN ('0x' || substr(md5(j::VARCHAR || ':' || i::VARCHAR), 1, 1))::INT % 2 = 0
+        |                 THEN 1.0 ELSE -1.0 END ORDER BY i) AS wv
+        |  FROM generate_series(0, 15) g1(j), generate_series(0, 63) g2(i)
+        |  GROUP BY j),
+        |pv AS (
+        |  SELECT c.vec_id,
+        |         list(list_sum(list_transform(generate_series(1, 64),
+        |           i -> c.v[i] * wt.wv[i])) / sqrt(16.0) ORDER BY wt.j) AS pv
+        |  FROM c, wt GROUP BY c.vec_id),
+        |s1 AS (
+        |  SELECT q.vec_id AS qid, b.vec_id AS cid,
+        |         round(list_cosine_similarity(q.pv, b.pv), 6) AS pcos
+        |  FROM pv q JOIN pv b ON q.vec_id < 10 AND b.vec_id <> q.vec_id),
+        |sh AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY qid
+        |      ORDER BY pcos DESC, cid) AS prn FROM s1)
+        |  WHERE prn <= 50),
+        |s2 AS (
+        |  SELECT sh.qid, sh.cid,
+        |         round(list_cosine_similarity(qv.v, cv.v), 6) AS cos
+        |  FROM sh JOIN c qv ON qv.vec_id = sh.qid
+        |           JOIN c cv ON cv.vec_id = sh.cid),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY qid
+        |        ORDER BY cos DESC, cid) AS rn FROM s2)
+        |SELECT qid, rn, cid AS vec_id, cos FROM r WHERE rn <= 3
+        |ORDER BY qid, rn""".stripMargin,
     // Twin of nearDupPairs(plantedCorpus, 0.8, bands=16, r=12): the pert
     // CTE rebuilds the md5-parity ±0.05/±0.17 perturbed copies, then the
     // same hyperplane family regrouped as 16 bands × 12 rows (band =

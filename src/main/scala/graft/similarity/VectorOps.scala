@@ -91,6 +91,49 @@ object VectorOps {
       .select(col("qid"), col("rn"), col("cid").as("vec_id"), col("cos"))
   }
 
+  /** Two-stage approximate top-k: shortlist in Johnson-Lindenstrauss
+    * projected space, then exact re-rank on the full vectors — the
+    * standard retrieval shape at scale. Stage 1 carries ONLY
+    * (id, kDim-dim projection) through the broadcast join, `64/kDim`×
+    * narrower than the full vectors, and ranks by rounded projected
+    * cosine; stage 2 re-joins the full vectors BY ID for the `shortlist`
+    * survivors per query and re-ranks exactly. Both stages break ties by
+    * id on rounded similarities, so the result is deterministic and
+    * engine-independent (the DuckDB oracle rebuilds the projection from
+    * the md5-parity rule).
+    *
+    * Recall comes from `shortlist ≫ k`: JL to 16 dims perturbs cosine by
+    * ~±1/√16, so the true top-k sit near the top of the projected order
+    * but not exactly at it. IvfSpec-style recall is pinned in
+    * VectorOpsSpec against `topKBruteForce`.
+    */
+  def topKProjected(queries: DataFrame, corpus: DataFrame, k: Int,
+                    shortlist: Int = 50, kDim: Int = 16): DataFrame = {
+    import graft.functions.VectorExpressions.randomProject
+    def projected(df: DataFrame, p: String): DataFrame = df.select(
+      col("id").as(s"${p}id"),
+      randomProject(col("vec"), kDim).as(s"${p}pv"))
+      .withColumn(s"${p}pnrm", l2norm(col(s"${p}pv")))
+    val w1 = Window.partitionBy(col("qid"))
+      .orderBy(col("pcos").desc, col("cid"))
+    val short = projected(queries, "q").hint("broadcast")
+      .join(projected(corpus, "c"), col("qid") =!= col("cid"))
+      .withColumn("pcos", round(vecDot(col("qpv"), col("cpv")) /
+        (col("qpnrm") * col("cpnrm")), 6))
+      .withColumn("prn", row_number().over(w1))
+      .filter(col("prn") <= shortlist)
+      .select("qid", "cid")
+    val q = withNorm(queries, "q")
+    val c = withNorm(corpus, "c")
+    val w2 = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("cid"))
+    short.join(q.hint("broadcast"), "qid").join(c, "cid")
+      .withColumn("cos", pairCos("q", "c"))
+      .withColumn("rn", row_number().over(w2))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("rn"), col("cid").as("vec_id"), col("cos"))
+  }
+
   /** Near-duplicate pairs (ida < idb) with cosine ≥ threshold (threshold
     * applies to the rounded value) — the DEFAULT, scale-safe path.
     *

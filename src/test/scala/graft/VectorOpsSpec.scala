@@ -201,6 +201,43 @@ class VectorOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("topKProjected finds every planted twin as top-1 (shortlist 10)") {
+    // the regime the two-stage shape exists for: real near-dups at
+    // cos≈0.93 survive the 64→16 JL projection far above the ≤0.51
+    // background, so even a small shortlist keeps them for the exact
+    // re-rank (measured hit rate 1.0 at shortlist=10 on this fixture)
+    val planted = graft.queries.SimilarityQueries
+      .plantedCorpus(spark, sfDir).select("id", "vec")
+    val q = planted.filter(col("id") % 2 === 0 && col("id") < 100000L)
+    val top1 = VectorOps.topKProjected(q, planted, 1, shortlist = 10)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("vec_id")))
+    assert(top1.nonEmpty)
+    val hit = top1.count { case (qid, nid) => nid == qid + 100000L }
+    assert(hit.toDouble / top1.length >= 0.95,
+      s"planted top-1 hit rate ${hit.toDouble / top1.length} < 0.95")
+  }
+
+  test("topKProjected re-rank cosines are exact (agree with brute force)") {
+    // stage 2 must produce the same rounded cosine the exact baseline
+    // computes for any (query, neighbor) pair it returns
+    val c = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("id"),
+        VectorOps.asDouble(col("embedding")).as("vec"))
+    val q = c.filter(col("id") < 10)
+    val bruteCos = VectorOps.topKBruteForce(q, c, 100)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("vec_id")) ->
+        r.getAs[Double]("cos")).toMap
+    val proj = VectorOps.topKProjected(q, c, 3, shortlist = 50).collect()
+    assert(proj.nonEmpty)
+    proj.foreach { r =>
+      val key = (r.getLong(0), r.getAs[Long]("vec_id"))
+      bruteCos.get(key).foreach { bc =>
+        assert(bc == r.getAs[Double]("cos"),
+          s"$key: projected re-rank cos ${r.getAs[Double]("cos")} != brute $bc")
+      }
+    }
+  }
+
   test("signBucket is deterministic on first `bits` dims") {
     val b = Seq((Seq(1.0, -2.0, 3.0, -4.0))).toDF("v")
       .select(VectorOps.signBucket($"v", 4).as("b")).collect()(0).getString(0)
