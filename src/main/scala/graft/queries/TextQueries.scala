@@ -181,6 +181,15 @@ object TextQueries extends QueryPack {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id", "chunk_idx")),
 
+    // CCNet-style bigram-LM quality scoring: per-doc average negative
+    // log-likelihood under the corpus's own bigram model (see
+    // graft.text.LmScore for the 100-TB shuffle shape). The model-based
+    // sibling of the rule-based qualityScore filter.
+    "q_text_lm_score" -> ((s, d) =>
+      graft.text.LmScore.scoreDocs(Tables.documents(s, d))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
     // Corpus-level quality profile per source.
     "q_text_quality_by_source" -> ((s, d) =>
       Tables.documents(s, d)
@@ -268,6 +277,27 @@ object TextQueries extends QueryPack {
         |SELECT doc_id, unnest(starts) // 16 AS chunk_idx,
         |       unnest(lens) AS n_chunk_tokens, unnest(fps) AS chunk_fp
         |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
+    // twin of LmScore.scoreDocs: same bigram construction, exact integer
+    // counts, ln on the identical c_bg/c_ctx ratio, weighted avg rounded
+    // to 6 on both engines
+    "q_text_lm_score" ->
+      s"""WITH t AS (SELECT doc_id, $tokensSql AS w FROM documents),
+        |bgs AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i + 1])) AS bg
+        |  FROM t),
+        |bgc AS (SELECT bg, count(*) AS c_bg FROM bgs GROUP BY bg),
+        |ctx AS (SELECT split_part(bg, ' ', 1) AS w1, sum(c_bg) AS c_ctx
+        |        FROM bgc GROUP BY 1),
+        |pd AS (SELECT doc_id, bg, count(*) AS m FROM bgs GROUP BY 1, 2),
+        |j AS (
+        |  SELECT pd.doc_id, pd.m,
+        |         -ln(bgc.c_bg::DOUBLE / ctx.c_ctx) AS nll
+        |  FROM pd JOIN bgc USING (bg)
+        |          JOIN ctx ON ctx.w1 = split_part(pd.bg, ' ', 1))
+        |SELECT doc_id, sum(m)::BIGINT AS n_bigrams,
+        |       round(sum(m * nll) / sum(m), 6) AS avg_nll
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_text_stats" ->
       s"""WITH t AS (SELECT doc_id, text, $tokensSql AS w FROM documents)
         |SELECT doc_id,

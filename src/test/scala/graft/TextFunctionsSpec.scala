@@ -99,4 +99,34 @@ class TextFunctionsSpec extends SparkSpecBase {
     assert(p >= 0.0 && p <= 1.0 && j >= 0.0 && j <= 1.0)
     assert(p > j)
   }
+
+  test("LmScore.scoreDocs matches a hand-computed bigram model") {
+    // corpus: "a b a b" + "a b c" → c("a b")=3, c("b a")=1, c("b c")=1;
+    // contexts: c_ctx(a)=3, c_ctx(b)=2.
+    //   doc 1: nll = (2·ln(3/3) + 1·ln(2/1)) / 3 = ln2/3 ≈ 0.231049
+    //   doc 2: nll = (ln(3/3) + ln(2/1)) / 2 = ln2/2 ≈ 0.346574
+    // doc 3 has one token → no bigrams → absent from the output
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val got = graft.text.LmScore.scoreDocs(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == Set(1L, 2L))
+    assert(got(1L)._1 == 3L)
+    assert(math.abs(got(1L)._2 - math.log(2.0) / 3) < 1e-6)
+    assert(got(2L)._1 == 2L)
+    assert(math.abs(got(2L)._2 - math.log(2.0) / 2) < 1e-6)
+  }
+
+  test("LmScore ranks repetitive text as more probable than shuffled text") {
+    // the filter property: under a model trained on mostly-regular text,
+    // a document of unseen-order tokens scores a higher avg nll
+    import spark.implicits._
+    val regular = (1L to 20L).map(i => (i, "the cat sat on the mat"))
+    val weird = Seq((99L, "mat the on sat cat the"))
+    val docs = (regular ++ weird).toDF("doc_id", "text")
+    val nll = graft.text.LmScore.scoreDocs(docs)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(nll(99L) > nll(1L))
+  }
 }
