@@ -190,6 +190,12 @@ object TextQueries extends QueryPack {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
 
+    // Tokenizer-budget curve: smallest frequency-ranked vocab reaching
+    // 50/75/90/95/99% cumulative token coverage (Curation.vocabCoverage;
+    // exact integer cum/total so both engines agree bit-for-bit).
+    "q_vocab_coverage" -> ((s, d) =>
+      graft.text.Curation.vocabCoverage(Tables.documents(s, d))),
+
     // Corpus-level quality profile per source.
     "q_text_quality_by_source" -> ((s, d) =>
       Tables.documents(s, d)
@@ -277,6 +283,23 @@ object TextQueries extends QueryPack {
         |SELECT doc_id, unnest(starts) // 16 AS chunk_idx,
         |       unnest(lens) AS n_chunk_tokens, unnest(fps) AS chunk_fp
         |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
+    // twin of Curation.vocabCoverage: same (count desc, token) rank
+    // order, same exact cum/total coverage
+    "q_vocab_coverage" ->
+      s"""WITH tok AS (SELECT unnest($tokensSql) AS tok FROM documents),
+        |c AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+        |r AS (SELECT tok, c,
+        |        row_number() OVER (ORDER BY c DESC, tok) AS rank,
+        |        sum(c) OVER (ORDER BY c DESC, tok
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM c),
+        |tot AS (SELECT sum(c) AS total FROM c),
+        |t AS (SELECT unnest([0.5, 0.75, 0.9, 0.95, 0.99]::DOUBLE[]) AS target),
+        |j AS (SELECT t.target, r.rank, r.cum::DOUBLE / tot.total AS coverage
+        |      FROM r, tot, t WHERE r.cum::DOUBLE / tot.total >= t.target)
+        |SELECT target, min(rank) AS vocab_size,
+        |       round(min_by(coverage, rank), 6) AS coverage
+        |FROM j GROUP BY target ORDER BY target""".stripMargin,
     // twin of LmScore.scoreDocs: same bigram construction, exact integer
     // counts, ln on the identical c_bg/c_ctx ratio, weighted avg rounded
     // to 6 on both engines

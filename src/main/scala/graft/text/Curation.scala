@@ -2,6 +2,7 @@ package graft.text
 
 import graft.text.TextFunctions.tokens
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation operators beyond scoring: repetition-based quality
@@ -125,5 +126,42 @@ object Curation {
       .select(col("id"), col("chunk_idx"),
         col("ch.n_chunk_tokens").as("n_chunk_tokens"),
         col("ch.chunk_fp").as("chunk_fp"))
+  }
+
+  /** Tokenizer-budget curve: for each coverage target, the smallest
+    * frequency-ranked vocabulary whose cumulative token share reaches it
+    * — the sizing question every tokenizer build answers before training
+    * ("how many entries cover 99% of the stream?").
+    *
+    * One explode → token-count aggregation (map-side partials, linear
+    * shuffle), then a global cumulative window over the VOCABULARY — a
+    * single-partition exchange of one row per distinct token, which is
+    * fine because vocabulary ≪ corpus (a 10M-entry vocab is ~100 MB; if
+    * that ever bounds, rank by range partitioner instead). Coverage is
+    * exact integer cum/total, so both engines agree bit-for-bit;
+    * rank ties break by token string.
+    */
+  def vocabCoverage(docs: DataFrame, textCol: String = "text",
+                    targets: Seq[Double] = Seq(0.5, 0.75, 0.9, 0.95, 0.99))
+      : DataFrame = {
+    require(targets.nonEmpty && targets.forall(t => t > 0 && t <= 1.0),
+      s"coverage targets must be in (0, 1]: $targets")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val counts = docs.select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val order = Window.orderBy(col("c").desc, col("tok"))
+    val ranked = counts
+      .withColumn("rank", row_number().over(order))
+      .withColumn("cum", sum("c").over(
+        order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(counts.agg(sum("c").as("total"))))
+      .withColumn("coverage", col("cum").cast("double") / col("total"))
+    ranked.join(broadcast(targets.toDF("target")),
+        col("coverage") >= col("target"))
+      .groupBy("target")
+      .agg(min("rank").as("vocab_size"),
+        round(min_by(col("coverage"), col("rank")), 6).as("coverage"))
+      .orderBy("target")
   }
 }

@@ -89,4 +89,26 @@ class CurationSpec extends SparkSpecBase {
       Curation.chunkTokens(docs, "body", "doc_id", chunkSize = 4, stride = 5)
     }
   }
+
+  test("vocabCoverage matches a hand-ranked vocabulary") {
+    // tokens a×3 b×2 c×1, total 6: rank 1 covers 3/6 = 0.5, rank 2
+    // covers 5/6 ≈ 0.833333, rank 3 covers 1.0
+    val docs = Seq((1L, "a a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val got = Curation.vocabCoverage(docs, targets = Seq(0.5, 0.8, 1.0))
+      .collect()
+      .map(r => r.getDouble(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    assert(got(0.5) == (1, 0.5))
+    assert(got(0.8) == (2, 0.833333))
+    assert(got(1.0) == (3, 1.0))
+  }
+
+  test("vocabCoverage rejects out-of-range targets") {
+    val docs = Seq((1L, "a b")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Curation.vocabCoverage(docs, targets = Seq(0.5, 1.5))
+    }
+    intercept[IllegalArgumentException] {
+      Curation.vocabCoverage(docs, targets = Seq.empty)
+    }
+  }
 }
