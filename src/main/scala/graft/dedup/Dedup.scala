@@ -143,6 +143,47 @@ object Dedup {
     jaccardVerified(cand, t, t, "ida", "idb", threshold)
   }
 
+  /** Span-level duplication profile — the document-granular reading of
+    * exact-substring dedup (Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better"): shingle every document into w-token
+    * spans, mark a span duplicated when it also occurs in ANOTHER
+    * document, and report each doc's duplicated-span fraction. Near-dup
+    * pair detection misses partial copies (a page quoting three
+    * paragraphs of another is no near-dup); this is the signal that
+    * catches them, and the fraction is what a trimming/dropping policy
+    * thresholds on.
+    *
+    * Distributed shape: explode to (span, id) — spans are per-doc
+    * distinct already (`wordShingles`) — then one span-keyed window
+    * counts each span's document frequency and one id-keyed aggregation
+    * rolls up per doc: two linear shuffles, no self-join, no candidate
+    * blow-up (unlike `jaccardPairs` this never builds pairs). At 100 TB
+    * swap the span STRING for a 64/128-bit span hash before the exchange
+    * (the string is kept here so the DuckDB oracle is exact; collision
+    * risk of a 64-bit hash at corpus scale is the standard trade).
+    *
+    * Returns (id, n_spans, n_dup_spans, dup_frac) for docs with ≥ w
+    * tokens.
+    */
+  def spanDupStats(docs: DataFrame, textCol: String, idCol: String,
+                   w: Int = 5): DataFrame = {
+    // no `shingled` barrier here: that exchange exists to share the
+    // tokenizer across 2-3 consumers, but this pipeline consumes the
+    // spans exactly once (the explode generator evaluates wordShingles
+    // once per row already) — the extra (id, spans) shuffle would be
+    // pure cost
+    val e = docs.select(col(idCol).as("id"),
+        explode(wordShingles(tokens(col(textCol)), w)).as("s"))
+    val win = org.apache.spark.sql.expressions.Window.partitionBy("s")
+    e.withColumn("sdf", count(lit(1)).over(win))
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("sdf") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+      .withColumn("dup_frac",
+        round(col("n_dup_spans").cast("double") / col("n_spans"), 6))
+  }
+
   /** Cross-corpus EXACT contamination: eval-set documents whose
     * normalized text also appears in the training corpus — the
     * decontamination check every training pipeline runs against its

@@ -61,6 +61,15 @@ object DedupQueries extends QueryPack {
           maxHamming = 3)
         .orderBy("ida", "idb")),
 
+    // Span-level duplication profile (Lee-et-al-style substring dedup at
+    // doc granularity): per doc, the fraction of its 5-token spans that
+    // also occur in another document — the partial-copy signal pair
+    // dedup misses. Two linear shuffles, no self-join (Dedup.spanDupStats).
+    "q_dup_spans" -> ((s, d) =>
+      Dedup.spanDupStats(Tables.documents(s, d), "text", "doc_id", w = 5)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
     // Eval-set decontamination: near-duplicate leakage between a
     // deterministic 15% eval split and the remaining training corpus —
     // MinHash band candidates (eval side drives the join), exact-Jaccard
@@ -140,6 +149,11 @@ object DedupQueries extends QueryPack {
        | list_distinct(list_transform(generate_series(1, len(w) - 2),
        |   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
        | ELSE [] END""".stripMargin
+  private val spans5Sql =
+    s"""CASE WHEN len(w) >= 5 THEN
+       | list_distinct(list_transform(generate_series(1, len(w) - 4),
+       |   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))
+       | ELSE [] END""".stripMargin
 
   /** Recursive-CTE prefix shared by the cluster-based oracles: minhash
     * pair generation + undirected reachability closure → cc(id, component).
@@ -181,6 +195,19 @@ object DedupQueries extends QueryPack {
       |cc AS (SELECT id, min(root) AS component FROM reach GROUP BY id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // twin of Dedup.spanDupStats(w=5): per-doc-distinct 5-token spans,
+    // span df across docs, duplicated = df >= 2
+    "q_dup_spans" ->
+      s"""WITH t AS (SELECT doc_id AS id, $spans5Sql AS sh
+        |           FROM (SELECT doc_id, $tokensSql AS w FROM documents)),
+        |e AS (SELECT id, unnest(sh) AS s FROM t WHERE len(sh) > 0),
+        |d AS (SELECT s, count(*) AS sdf FROM e GROUP BY s)
+        |SELECT e.id AS doc_id, count(*) AS n_spans,
+        |  sum(CASE WHEN d.sdf >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_spans,
+        |  round(sum(CASE WHEN d.sdf >= 2 THEN 1 ELSE 0 END)::DOUBLE
+        |        / count(*), 6) AS dup_frac
+        |FROM e JOIN d USING (s)
+        |GROUP BY e.id ORDER BY doc_id""".stripMargin,
     "q_dedup_exact" ->
       s"""SELECT md5(array_to_string(w, ' ')) AS fp,
         |       min(doc_id) AS canonical_id,

@@ -151,6 +151,15 @@ object SimilarityQueries extends QueryPack {
         .orderBy("qid", "rn")
     }),
 
+    // SemDeDup-style semantic dedup on the planted corpus: sign-bucket
+    // coarse clusters, greedy keep-lowest-id prune at cosine ≥ 0.8 —
+    // the drop list (id, dup_of, cos). Catches the planted twins whose
+    // weak noise keeps them in their original's bucket; the oracle
+    // rebuilds buckets and the min-neighbor choice exactly.
+    "q_semantic_dedup" -> ((s, d) =>
+      semanticDedup(plantedCorpus(s, d), 0.8, bits = 8)
+        .orderBy("id")),
+
     // IVF-Flat approximate top-3: data-adaptive coarse quantizer (16
     // cells, 4 probes, deterministic k-means). The Lloyd iterations are
     // not SQL-expressible in one query → rows-only check; IvfSpec pins
@@ -302,6 +311,30 @@ object SimilarityQueries extends QueryPack {
         |JOIN c vb ON vb.vec_id = p.idb
         |WHERE round(list_cosine_similarity(va.v, vb.v), 6) >= 0.8
         |ORDER BY ida, idb""".stripMargin,
+    // Twin of semanticDedup(plantedCorpus, 0.8, bits=8): same perturbed
+    // corpus as the strict near-dup oracle, bucket = sign string of the
+    // first 8 dims, pairs within bucket only, per-victim min earlier
+    // neighbor via min_by — the identical greedy drop list.
+    "q_semantic_dedup" ->
+      s"""WITH c0 AS (SELECT vec_id, v FROM ($corpusSql)),
+        |pert AS (
+        |  SELECT vec_id + 100000 AS pid,
+        |         list_transform(generate_series(1, 64), i ->
+        |           v[i] + (CASE WHEN vec_id % 2 = 0 THEN 0.05 ELSE 0.17 END)
+        |                * (CASE WHEN ('0x' || substr(md5('p:' || vec_id || ':' || (i - 1)), 1, 1))::INT % 2 = 0
+        |                   THEN 1.0 ELSE -1.0 END)) AS pv
+        |  FROM c0),
+        |c AS (SELECT vec_id, v FROM c0
+        |      UNION ALL SELECT pid AS vec_id, pv AS v FROM pert),
+        |bk AS (SELECT vec_id, v, $bucketSql AS bucket FROM c),
+        |p AS (
+        |  SELECT a.vec_id AS ida, b.vec_id AS idb,
+        |         round(list_cosine_similarity(a.v, b.v), 6) AS cos
+        |  FROM bk a JOIN bk b
+        |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        |SELECT idb AS id, min(ida) AS dup_of, min_by(cos, ida) AS cos
+        |FROM p WHERE cos >= 0.8
+        |GROUP BY idb ORDER BY id""".stripMargin,
     // Twin of RandomProject(k=16): the wt CTE rebuilds the first 16
     // md5-parity hyperplanes; pval = <v, w_j> / sqrt(16) matches the
     // expression's s * (1/sqrt(16)) exactly (0.25 is a binary power).

@@ -196,6 +196,25 @@ object TextQueries extends QueryPack {
     "q_vocab_coverage" -> ((s, d) =>
       graft.text.Curation.vocabCoverage(Tables.documents(s, d))),
 
+    // Per-source cap (corpus balancing): keep the 20 best-quality docs
+    // per source (quality desc, doc_id tiebreak — Sampling.capPerKey),
+    // summarized as kept-count/id-checksum/quality cutoff per source.
+    // The fixture has ~25 docs per source, so the cap genuinely drops
+    // rows and the cutoff is a real interior quantile.
+    "q_source_cap" -> ((s, d) => {
+      val q = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          qualityScore(col("text")).as("q"))
+      graft.sampling.Sampling
+        .capPerKey(q, "source", 20, col("q").desc, col("doc_id"))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_kept"),
+          sum("doc_id").as("id_sum"),
+          round(min("q"), 6).as("cutoff_quality"))
+        .orderBy("source")
+    }),
+
     // Corpus-level quality profile per source.
     "q_text_quality_by_source" -> ((s, d) =>
       Tables.documents(s, d)
@@ -424,6 +443,24 @@ object TextQueries extends QueryPack {
         |        ORDER BY score DESC, term) AS rn FROM scored)
         |SELECT source, rn, term, tf, df, score
         |FROM r WHERE rn <= 5 ORDER BY source, rn""".stripMargin,
+    // twin of q_source_cap: identical quality formula to q_text_quality,
+    // same (quality DESC, doc_id) window rank, cap 20
+    "q_source_cap" ->
+      s"""WITH t AS (SELECT doc_id, source, text, $tokensSql AS w FROM documents),
+        |q AS (SELECT doc_id, source,
+        |  round(least(len(w)::DOUBLE / 100.0, 1.0) * 0.5
+        |   + (1.0 - least(round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
+        |         / greatest(length(text), 1), 6) * 10.0, 1.0)) * 0.2
+        |   + least(len(list_filter(w, x -> x IN ('the','and','of','to','a','in')))::DOUBLE / 5.0, 1.0) * 0.3, 6) AS quality
+        |  FROM t),
+        |r AS (SELECT doc_id, source, quality,
+        |        row_number() OVER (PARTITION BY source
+        |          ORDER BY quality DESC, doc_id) AS rn
+        |      FROM q)
+        |SELECT source, count(*) AS n_kept, sum(doc_id)::BIGINT AS id_sum,
+        |       round(min(quality), 6) AS cutoff_quality
+        |FROM r WHERE rn <= 20
+        |GROUP BY source ORDER BY source""".stripMargin,
     "q_text_quality_by_source" ->
       s"""WITH t AS (SELECT doc_id, source, text, $tokensSql AS w FROM documents),
         |q AS (SELECT doc_id, source, len(w) AS nt,

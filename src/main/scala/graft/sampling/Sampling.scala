@@ -56,4 +56,29 @@ object Sampling {
     val cut = (evalFraction * buckets).toInt
     (df.filter(b >= cut), df.filter(b < cut))
   }
+
+  /** Per-key cap — the corpus-balancing step that keeps at most `k` rows
+    * per key, preferring by `ord` (e.g. quality desc with an id
+    * tiebreak for determinism). This is the web-pipeline "cap every
+    * domain at N pages" guard: without it a single boilerplate-heavy
+    * domain dominates the training mixture no matter how the sampling
+    * weights are set.
+    *
+    * One hash exchange on the key, then a per-partition window — rows
+    * beyond the cap never survive the filter. Skew note: a
+    * pathologically hot key sorts inside one partition; if a key's row
+    * count can exceed partition memory, route through the bounded-heap
+    * `plans.TopKPerKey` operator instead (same semantics, O(k) state) —
+    * this window form is the composable default because it accepts an
+    * arbitrary ordering and keeps all columns.
+    */
+  def capPerKey(df: DataFrame, keyCol: String, k: Int,
+                ord: Column*): DataFrame = {
+    require(ord.nonEmpty, "capPerKey needs a deterministic ordering")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(ord: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
 }

@@ -188,6 +188,47 @@ object VectorOps {
       .select(col("ida"), col("idb"), col("cos"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic deduplication"):
+    * coarse-cluster the embedding space, then within each cluster drop
+    * every vector that has an EARLIER (lower-id) neighbor at or above the
+    * cosine threshold. This is the one-pass greedy prune — cheaper and
+    * more aggressive than connected-components clustering (a vector is
+    * dropped even when its earlier neighbor was itself dropped), and the
+    * standard way to thin semantically-redundant regions of a corpus
+    * that near-dup TEXT dedup cannot see.
+    *
+    * Clusters are deterministic sign-bit LSH buckets over the first
+    * `bits` dimensions (`signBucket` — axis-aligned, reproducible in any
+    * engine, so the DuckDB oracle rebuilds them exactly) standing in for
+    * SemDeDup's k-means cells; 2^bits plays the role of k. Pairs are
+    * generated only WITHIN a bucket: one bucket-keyed exchange (shared by
+    * both join sides via ReuseExchange), pair work bounded by the sum of
+    * squared bucket sizes. At 100 TB, size `bits` so corpus/2^bits rows
+    * fit a partition, and pre-split any pathological bucket (vectors
+    * hugging the axes) on a second hyperplane family.
+    *
+    * Returns the DROP LIST (id, dup_of, cos): `dup_of` = the minimum
+    * earlier similar id, `cos` the rounded cosine to it. Materialize the
+    * pruned corpus with a `Components.cleanCorpus`-style anti-join.
+    */
+  def semanticDedup(corpus: DataFrame, threshold: Double,
+                    bits: Int = 8): DataFrame = {
+    val t = corpus.select(col("id"), col("vec"),
+      l2norm(col("vec")).as("nrm"), signBucket(col("vec"), bits).as("bucket"))
+    val a = t.select(col("bucket"), col("id").as("aid"),
+      col("vec").as("avec"), col("nrm").as("anrm"))
+    val b = t.select(col("bucket"), col("id").as("bid"),
+      col("vec").as("bvec"), col("nrm").as("bnrm"))
+    a.join(b, Seq("bucket"))
+      .filter(col("aid") < col("bid"))
+      .withColumn("cos", pairCos("a", "b"))
+      .filter(col("cos") >= threshold)
+      .groupBy("bid")
+      .agg(min("aid").as("dup_of"), min_by(col("cos"), col("aid")).as("cos"))
+      .select(col("bid").as("id"), col("dup_of"), col("cos"))
+  }
+
   /** Int8 symmetric per-vector quantization profile — the embedding
     * compression step of a training/serving pipeline (store q = round(v /
     * scale) with scale = max|v| / 127; 4-8× smaller, reconstruction

@@ -103,4 +103,22 @@ class DedupSpec extends SparkSpecBase {
     assert(got(0).getLong(0) == 100L && got(0).getLong(1) == 1L)
     assert(got(0).getDouble(2) >= 0.7)
   }
+
+  test("spanDupStats: shared 5-token span counted, within-doc repeats once") {
+    val d = Seq(
+      (1L, "one two three four five alpha beta"),   // 7 tokens → 3 spans
+      (2L, "one two three four five gamma delta"),  // shares span #1 with d1
+      (3L, "totally unrelated text with nothing shared here at"), // 8 → 4 spans
+      (4L, "x y z w v x y z w v")  // 10 tokens, 6 windows but 5 DISTINCT spans
+    ).toDF("doc_id", "text")
+    val got = Dedup.spanDupStats(d, "text", "doc_id", w = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(1L) == ((3L, 1L, 0.333333)))  // only "one..five" duplicated
+    assert(got(2L) == ((3L, 1L, 0.333333)))
+    assert(got(3L) == ((4L, 0L, 0.0)))
+    // the repeated window inside doc 4 dedups per-doc and does NOT make
+    // the doc self-duplicated
+    assert(got(4L) == ((5L, 0L, 0.0)))
+  }
 }

@@ -145,6 +145,46 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("span-dup stats: two linear shuffles, no pair join, text never shuffled") {
+    val p = plan(q("q_dup_spans"))
+    assert(!p.contains("CartesianProduct") && !p.contains("Join"),
+      "span stats must not build candidate pairs")
+    // span-df window (by s) + per-doc rollup (by id) + the final orderBy:
+    // no other exchange may appear (a third hash exchange means the
+    // explode stopped fusing or a barrier crept back in)
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges == 2, s"expected 2 hash exchanges, got $hashExchanges")
+    // every hash exchange carries (id, span) rows — the raw text column
+    // is projected away inside the generator's input, never shuffled
+    val lines = p.linesIterator.toSeq
+    lines.zipWithIndex.collect {
+      case (l, i) if l.contains("Exchange hashpartitioning") => i
+    }.foreach { i =>
+      val below = lines.drop(i + 1).take(3).mkString("\n")
+      assert(!"Exchange.*text#".r.findFirstIn(lines(i)).isDefined &&
+        !below.contains("text#") || below.contains("AS s#") ||
+        below.contains("Generate"),
+        s"exchange input leaks raw text:\n$below")
+    }
+  }
+
+  test("semantic dedup joins within buckets only (equi-join, no cross product)") {
+    val p = plan(q("q_semantic_dedup"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "bucket join degraded to a cross product")
+    assert(p.contains("bucket"), "join must key on the LSH bucket")
+  }
+
+  test("per-source cap reuses the window exchange for the rollup") {
+    val p = plan(q("q_source_cap"))
+    // window partitionBy(source) and groupBy(source) share one hash
+    // exchange: Window preserves child partitioning, so the aggregate
+    // must not re-shuffle
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges == 1, s"expected 1 hash exchange, got $hashExchanges")
+  }
+
   test("exact dedup shuffles fingerprints, not text") {
     val p = plan(q("q_dedup_exact"))
     // the exchange partitions on the md5 fingerprint hash agg key; the

@@ -33,6 +33,20 @@ class SamplingSpec extends SparkSpecBase {
     assert(math.abs(counts("b") - bTotal * 0.5) < bTotal * 0.06, counts)
   }
 
+  test("capPerKey keeps k rows per key by the given ordering") {
+    val df = Seq(
+      ("a", 1L, 0.9), ("a", 2L, 0.8), ("a", 3L, 0.8), ("a", 4L, 0.1),
+      ("b", 5L, 0.5)
+    ).toDF("src", "id", "q")
+    val kept = Sampling.capPerKey(df, "src", 2, $"q".desc, $"id")
+      .select("id").collect().map(_.getLong(0)).toSet
+    // tie at q=0.8 broken by id (2 beats 3); key b is under the cap
+    assert(kept == Set(1L, 2L, 5L))
+    // all original columns survive, helper rank column does not
+    assert(Sampling.capPerKey(df, "src", 2, $"q".desc, $"id")
+      .columns.toSeq == Seq("src", "id", "q"))
+  }
+
   test("trainEvalSplit is disjoint, exhaustive, and append-stable") {
     val (train, eval) = Sampling.trainEvalSplit(ids, "id", 0.1)
     val t = train.select("id").collect().map(_.getLong(0)).toSet

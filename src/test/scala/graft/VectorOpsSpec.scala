@@ -133,6 +133,25 @@ class VectorOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("semanticDedup drops greedily against earlier ids within a bucket") {
+    // angles 0°, 25°, 50° in the (+,+) quadrant — one sign bucket.
+    // cos(0°,25°) = cos(25°,50°) ≈ 0.906 ≥ 0.8; cos(0°,50°) ≈ 0.643 < 0.8.
+    // -25° has cosine 0.906 to vector 0 but lives in bucket "10" — bucket
+    // blindness is the accepted approximation, it must NOT be dropped.
+    def v(deg: Double) = {
+      val r = math.toRadians(deg); Seq(math.cos(r), math.sin(r))
+    }
+    val corpus = Seq((0L, v(0)), (1L, v(25)), (2L, v(50)), (3L, v(-25)))
+      .toDF("id", "vec")
+    val drops = VectorOps.semanticDedup(corpus, 0.8, bits = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 2 drops against 1 even though 1 itself dropped — the greedy
+    // SemDeDup rule (earlier neighbor, surviving or not), NOT connected
+    // components (which would put 0,1,2 in one cluster anyway) and NOT
+    // transitive-closure-free pair filtering.
+    assert(drops == Map(1L -> 0L, 2L -> 1L))
+  }
+
   test("quantizeInt8Stats: hand-checked scale/extremes, zero vector excluded") {
     // max|v| = 12.7 → scale 0.1; q = [127, -64, 0] (round(-6.35/0.1) =
     // round(-63.5) → -64, half away from zero — the DuckDB tie rule too)
