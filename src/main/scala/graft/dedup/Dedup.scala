@@ -200,6 +200,36 @@ object Dedup {
     e.join(c, "fp").select("eval_id", "corpus_id", "fp")
   }
 
+  /** crossExactMatches with a Bloom pre-filter — the 100-TB posture for
+    * decontamination. The equi-join above is already eval-driven, but it
+    * still shuffles EVERY corpus fingerprint; at 100 TB that exchange is
+    * the whole job. Here a Bloom filter of the (small) eval fingerprint
+    * set is built once (distributed treeAggregate, merged on the driver,
+    * ~1.2 bytes/item at 1% fpp — a 10M-row eval suite is ~12 MB) and
+    * broadcast as a narrow boolean prefilter ahead of the join: ≥99% of
+    * corpus rows drop BEFORE the exchange, never shuffling at all. False
+    * positives (the ~1%) survive only to the exact join, so the RESULT is
+    * bit-identical to crossExactMatches — which is why the same oracle
+    * verifies both. The membership test is a driver-object UDF, the one
+    * place a UDF is the right tool: no built-in expression carries a
+    * broadcast BloomFilter, and it gates rows off the shuffle path rather
+    * than sitting in a per-row compute loop.
+    */
+  def crossExactMatchesBloom(corpus: DataFrame, evalSet: DataFrame,
+                             textCol: String, idCol: String,
+                             fpp: Double = 0.01): DataFrame = {
+    val e = evalSet.select(fingerprint(col(textCol)).as("fp"),
+      col(idCol).as("eval_id"))
+    val nEval = math.max(e.count(), 1L)
+    val bloom = e.stat.bloomFilter("fp", nEval, fpp)
+    val bc = corpus.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((fp: String) => bc.value.mightContainString(fp))
+    val c = corpus.select(fingerprint(col(textCol)).as("fp"),
+      col(idCol).as("corpus_id"))
+      .filter(mightContain(col("fp")))
+    e.join(c, "fp").select("eval_id", "corpus_id", "fp")
+  }
+
   /** Cross-corpus NEAR contamination: eval docs sharing a MinHash band
     * bucket with a corpus doc, verified by exact shingle Jaccard ≥
     * threshold — catches paraphrased/partially-copied leakage that the

@@ -192,6 +192,34 @@ object TextHashOps {
     while (it.hasNext) { out(o) = UTF8String.fromString(it.next()); o += 1 }
     new GenericArrayData(out)
   }
+
+  // Deflater construction does native zlib setup; reset() re-arms an
+  // existing stream, so one per thread. Fixed level (6) pins the output
+  // length for a given zlib — the ratio is deterministic per runtime.
+  private val deflater: ThreadLocal[java.util.zip.Deflater] =
+    ThreadLocal.withInitial(() =>
+      new java.util.zip.Deflater(6, /* nowrap = */ true))
+
+  /** DEFLATE compression ratio (compressed bytes / raw UTF-8 bytes,
+    * rounded to 6 dp) — the Gopher/CCNet-family entropy signal: natural
+    * prose sits around 0.3-0.6, keyword-stuffed or boilerplate text
+    * compresses far below it, and random/encrypted bytes land near (or
+    * above) 1.0. Empty text reports 1.0 (no evidence of redundancy).
+    * Raw deflate (nowrap) excludes the 6-byte zlib header/checksum so
+    * short strings aren't dominated by framing.
+    */
+  def deflateRatio(text: UTF8String): Double = {
+    val bytes = text.getBytes
+    if (bytes.length == 0) return 1.0
+    val d = deflater.get()
+    d.reset()
+    d.setInput(bytes)
+    d.finish()
+    val buf = new Array[Byte](8192)
+    var total = 0L
+    while (!d.finished()) total += d.deflate(buf)
+    math.rint(total.toDouble / bytes.length * 1e6) / 1e6
+  }
 }
 
 /** simhash60(tokens: array<string>): bigint — native 60-bit SimHash. */
@@ -288,9 +316,32 @@ case class TextStats(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** deflate_ratio(text: string): double — compression-ratio entropy
+  * signal (see TextHashOps.deflateRatio). Not oracle-able: DuckDB ships
+  * no zlib SQL surface, so queries over it are rows-only checked; the
+  * spec pins behavior on constructed low/high-entropy fixtures instead.
+  */
+case class DeflateRatio(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"deflate_ratio requires string, got ${dt.catalogString}")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "deflate_ratio"
+  override def nullSafeEval(a: Any): Any =
+    TextHashOps.deflateRatio(a.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashOps.deflateRatio($c)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object TextHashExpressions {
   def simhash60(tokens: Column): Column =
     GraftSqlBridge.column(SimHash60(GraftSqlBridge.expression(tokens)))
+  def deflateRatio(text: Column): Column =
+    GraftSqlBridge.column(DeflateRatio(GraftSqlBridge.expression(text)))
   def textStats(text: Column): Column =
     GraftSqlBridge.column(TextStats(GraftSqlBridge.expression(text)))
   def minhashSig(shingles: Column, k: Int): Column =

@@ -87,6 +87,25 @@ object DedupQueries extends QueryPack {
         .orderBy("eval_id", "corpus_id")
     }),
 
+    // Bloom-prefiltered exact decontamination (crossExactMatchesBloom):
+    // result is bit-identical to the plain fingerprint join — the Bloom
+    // broadcast only gates corpus rows off the shuffle path, false
+    // positives die in the exact join — so the DuckDB oracle verifies
+    // the whole pipeline including the prefilter's soundness. The raw
+    // fixture has zero exact cross-split dups (all 500 fingerprints are
+    // distinct), so the eval set is PLANTED: every 10th doc re-cased to
+    // upper (fingerprints are case/whitespace-normalized, so each copy
+    // must match exactly its source and nothing else).
+    "q_contamination_bloom" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val planted = docs.filter(col("doc_id") % 10 === 3)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          upper(col("text")).as("text"))
+      Dedup.crossExactMatchesBloom(corpus = docs, evalSet = planted,
+          "text", "doc_id")
+        .orderBy("eval_id", "corpus_id")
+    }),
+
     // Duplicate clusters: connected components over the MinHash near-dup
     // pairs (min-label propagation), one canonical per cluster.
     "q_dedup_clusters" -> ((s, d) => {
@@ -284,6 +303,23 @@ object DedupQueries extends QueryPack {
         |ORDER BY ida, idb""".stripMargin,
     // Twin of crossNearMatches over the same 15% eval split: identical
     // signature/band arithmetic, band join restricted to eval × corpus.
+    // twin of q_contamination_bloom: the Bloom prefilter is semantically
+    // invisible (FPs die in the exact join), so the oracle is the plain
+    // fingerprint equi-join over the same planted upper-cased eval set
+    "q_contamination_bloom" ->
+      s"""WITH fpc AS (
+        |  SELECT doc_id AS corpus_id,
+        |    md5(array_to_string($tokensSql, ' ')) AS fp
+        |  FROM documents),
+        |fpe AS (
+        |  SELECT doc_id + 100000 AS eval_id,
+        |    md5(array_to_string(list_filter(
+        |      string_split_regex(lower(trim(upper(text))), '\\s+'),
+        |      x -> x <> ''), ' ')) AS fp
+        |  FROM documents WHERE doc_id % 10 = 3)
+        |SELECT eval_id, corpus_id, fp
+        |FROM fpe JOIN fpc USING (fp)
+        |ORDER BY eval_id, corpus_id""".stripMargin,
     "q_contamination" ->
       s"""WITH t0 AS (
         |  SELECT doc_id AS id, $shinglesSql AS sh,

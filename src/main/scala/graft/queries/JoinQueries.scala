@@ -149,6 +149,55 @@ object JoinQueries extends QueryPack {
         .select(col("event_id"), col("user_id"), col("ts"),
           col("s_ts").as("last_signup_ts"))
         .orderBy("event_id")
+    }),
+
+    // TPC-H Q3 shape (shipping-priority top-k): selective dim filter →
+    // broadcast into the fact-fact join → agg → global top-10. The
+    // plan to check at 100 TB: both date filters push into the parquet
+    // scans, customer broadcasts (it is the ONLY small side), lineitem ⋈
+    // orders shuffles once on orderkey, and the final order-by-limit is
+    // TakeOrderedAndProject — never a full sort of the aggregate.
+    "q_tpch_q3" -> ((s, d) => {
+      val cut = lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00"))
+      val cust = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING")
+      Tables.lineitem(s, d).filter(col("l_shipdate") > cut)
+        .join(Tables.orders(s, d).filter(col("o_orderdate") < cut),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q5 shape (local-supplier volume): the 6-way join whose whole
+    // point is join ORDER — lineitem ⋈ orders is the one fact-fact
+    // shuffle; customer/supplier/nation/region all broadcast, and the
+    // same-nation constraint (c_nationkey = s_nationkey) rides the
+    // supplier broadcast join instead of forming a second shuffle.
+    "q_tpch_q5" -> ((s, d) => {
+      val lo = lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00"))
+      val hi = lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00"))
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d)
+            .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -223,5 +272,31 @@ object JoinQueries extends QueryPack {
         |   WHERE s.event_type = 'signup' AND s.user_id = e.user_id
         |     AND s.ts <= e.ts) AS last_signup_ts
         |FROM events e WHERE e.event_type = 'error'
-        |ORDER BY e.event_id""".stripMargin)
+        |ORDER BY e.event_id""".stripMargin,
+    "q_tpch_q3" ->
+      """SELECT l_orderkey, o_orderdate,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+    "q_tpch_q5" ->
+      """SELECT n_name,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin)
 }

@@ -215,6 +215,98 @@ object TextQueries extends QueryPack {
         .orderBy("source")
     }),
 
+    // Per-source TOKEN budget (Sampling.tokenBudgetPerKey): each source
+    // contributes at most 800 tokens, filled greedily in deterministic
+    // hash order — the token-level mixture knob (doc caps weigh a tweet
+    // and a book the same; training loss is paid per token). Fixture
+    // sources carry ~1300-1550 tokens, so the budget genuinely cuts.
+    "q_token_budget" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          tokenCount(col("text")).as("n_tok"),
+          graft.sampling.Sampling.bucket(col("doc_id"), "budget").as("b"))
+      graft.sampling.Sampling
+        .tokenBudgetPerKey(docs, "source", "n_tok", budget = 800L,
+          col("b"), col("doc_id"))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_tok").as("kept_tokens"),
+          sum("doc_id").as("id_sum"))
+        .orderBy("source")
+    }),
+
+    // Adaptive per-language quality gate: keep each language's top
+    // quartile by quality — thresholds that FLOAT with the language
+    // (a fixed global cutoff over-filters whichever language the scorer
+    // is hardest on). Rank-based membership (quality desc, doc_id
+    // tiebreak over the already-rounded score) so the cut is integer
+    // logic both engines reproduce exactly — a value-interpolated
+    // quantile threshold would put the boundary doc at the mercy of
+    // last-bit float disagreement.
+    "q_quality_gate" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("quality").desc, col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          qualityScore(col("text")).as("quality"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("lang")))
+        .filter(col("rn") * 4 <= col("n"))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_kept"),
+          round(min("quality"), 6).as("min_quality"),
+          sum("doc_id").as("id_sum"))
+        .orderBy("lang")
+    }),
+
+    // DEFLATE compression-ratio entropy signal (native DeflateRatio
+    // expression — Gopher-family): boilerplate compresses far below
+    // natural prose. The raw fixture is all mid-entropy (ratios
+    // 0.39-0.91), so every 13th doc is REPLACED by stamped-out
+    // repetition of its own prefix — the flag must fire on exactly
+    // those. No DuckDB zlib surface → rows-only check; the spec pins
+    // low/high-entropy behavior on constructed fixtures.
+    "q_text_compress" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          when(col("doc_id") % 13 === 0,
+            repeat(substring(col("text"), 1, 40), 40))
+            .otherwise(col("text")).as("ptext"))
+        .select(col("doc_id"), col("source"),
+          graft.functions.TextHashExpressions.deflateRatio(col("ptext"))
+            .as("deflate_ratio"))
+        .withColumn("is_low_entropy",
+          (col("deflate_ratio") < 0.35).cast("int"))
+        .orderBy("doc_id")),
+
+    // Count-min-sketch heavy hitters: the fixed-memory frequency sketch
+    // for streams/corpora whose vocabulary doesn't fit an exact groupBy
+    // — a (depth × width) counter grid replaces per-key state, built by
+    // one distributed pass (counter sums commute, so the estimate is
+    // deterministic under any partitioning/merge order; seed pinned).
+    // Output: the exact top-20 tokens with exact vs sketch counts —
+    // overcount ≥ 0 by construction (CMS never undercounts), bounded by
+    // eps·total w.h.p. The exact agg exists here only as ground truth;
+    // at 100 TB only the sketch pass runs. Sketch estimates have no
+    // DuckDB surface → rows-only; SketchSpec pins the bounds.
+    "q_heavy_hitters" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("tok"))
+      val cms = toks.stat.countMinSketch("tok",
+        eps = 0.001, confidence = 0.99, seed = 42)
+      val bc = s.sparkContext.broadcast(cms)
+      val est = udf((t: String) => bc.value.estimateCount(t))
+      toks.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("tok"))
+        .limit(20)
+        .withColumn("est_cnt", est(col("tok")))
+        .withColumn("overcount", col("est_cnt") - col("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("tok"))
+    }),
+
     // Corpus-level quality profile per source.
     "q_text_quality_by_source" -> ((s, d) =>
       Tables.documents(s, d)
@@ -445,6 +537,43 @@ object TextQueries extends QueryPack {
         |FROM r WHERE rn <= 5 ORDER BY source, rn""".stripMargin,
     // twin of q_source_cap: identical quality formula to q_text_quality,
     // same (quality DESC, doc_id) window rank, cap 20
+    // twin of Sampling.tokenBudgetPerKey: same md5 bucket order, same
+    // greedy fill-to-budget (kept iff tokens consumed BEFORE the doc
+    // are under budget)
+    "q_token_budget" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, source, len($tokensSql) AS n_tok,
+        |    ('0x' || substr(md5('budget:' || doc_id::VARCHAR), 1, 8))::BIGINT
+        |      % 10000 AS b
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tok,
+        |    sum(n_tok) OVER (PARTITION BY source ORDER BY b, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT source, count(*) AS n_docs, sum(n_tok)::BIGINT AS kept_tokens,
+        |  sum(doc_id)::BIGINT AS id_sum
+        |FROM c WHERE cum - n_tok < 800
+        |GROUP BY source ORDER BY source""".stripMargin,
+    // twin of q_quality_gate: same rounded quality, same rank-based
+    // top-quartile cut (rn*4 <= n — integer logic, no float threshold)
+    "q_quality_gate" ->
+      s"""WITH t AS (SELECT doc_id, lang, text, $tokensSql AS w FROM documents),
+        |q AS (SELECT doc_id, lang,
+        |  round(least(len(w)::DOUBLE / 100.0, 1.0) * 0.5
+        |   + (1.0 - least(round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
+        |         / greatest(length(text), 1), 6) * 10.0, 1.0)) * 0.2
+        |   + least(len(list_filter(w, x -> x IN ('the','and','of','to','a','in')))::DOUBLE / 5.0, 1.0) * 0.3, 6) AS quality
+        |  FROM t),
+        |r AS (SELECT doc_id, lang, quality,
+        |        row_number() OVER (PARTITION BY lang
+        |          ORDER BY quality DESC, doc_id) AS rn,
+        |        count(*) OVER (PARTITION BY lang) AS n
+        |      FROM q)
+        |SELECT lang, count(*) AS n_kept, round(min(quality), 6) AS min_quality,
+        |       sum(doc_id)::BIGINT AS id_sum
+        |FROM r WHERE rn * 4 <= n
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "q_source_cap" ->
       s"""WITH t AS (SELECT doc_id, source, text, $tokensSql AS w FROM documents),
         |q AS (SELECT doc_id, source,

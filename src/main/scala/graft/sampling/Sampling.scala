@@ -81,4 +81,33 @@ object Sampling {
       .filter(col("__rn") <= k)
       .drop("__rn")
   }
+
+  /** Per-key TOKEN budget — the mixture knob training recipes actually
+    * turn: each source contributes at most `budget` tokens (not docs),
+    * because loss is paid per token and a source of 10-page documents
+    * otherwise outweighs a source of tweets at equal doc caps. Greedy
+    * prefix in `ord` order: a doc is kept iff the tokens consumed BEFORE
+    * it are under budget, so the last kept doc may overshoot (standard
+    * fill-to-budget; an under-fill variant is `<= budget - weight`).
+    * Keep `ord` a deterministic hash (e.g. `bucket(id, salt)` with an id
+    * tiebreak) and membership is engine- and append-stable like every
+    * sampler here.
+    *
+    * Same plan shape as capPerKey — one hash exchange on the key, one
+    * running-sum window — and the same skew note: this must stay a
+    * window (the cut depends on a running sum, not a rank), so a key
+    * whose rows exceed partition memory needs a pre-cap by capPerKey
+    * with k ≈ budget / min-plausible-doc-tokens first.
+    */
+  def tokenBudgetPerKey(df: DataFrame, keyCol: String, weightCol: String,
+                        budget: Long, ord: Column*): DataFrame = {
+    require(ord.nonEmpty, "tokenBudgetPerKey needs a deterministic ordering")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(ord: _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("__cum", sum(col(weightCol)).over(w))
+      .filter(col("__cum") - col(weightCol) < budget)
+      .drop("__cum")
+  }
 }

@@ -194,4 +194,46 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.substring(0, exchangeIdx).contains("text#") ||
       p.substring(0, exchangeIdx).indexOf("md5") >= 0)
   }
+
+  test("tpch q3: customer broadcasts, top-10 is TakeOrdered not a full sort") {
+    val p = plan(q("q_tpch_q3"))
+    assert(p.contains("BroadcastHashJoin"), "customer must broadcast")
+    assert(p.contains("TakeOrderedAndProject"),
+      "order-by-limit degraded to a full sort")
+    // both date filters reach the parquet scans
+    assert(p.contains("GreaterThan(l_shipdate") &&
+      p.contains("LessThan(o_orderdate"), "date filters not pushed")
+  }
+
+  test("tpch q5: all four dims broadcast, no cross product") {
+    val p = plan(q("q_tpch_q5"))
+    // ≥4: the four dims always broadcast; at spec scale the filtered
+    // orders side may ALSO fit under the threshold (a fifth broadcast),
+    // which at 100 TB reverts to the one fact-fact shuffle by size
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 4, p.take(800))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("token budget reuses the window exchange for the rollup") {
+    val p = plan(q("q_token_budget"))
+    // window partitionBy(source) and groupBy(source) share one exchange,
+    // same invariant as q_source_cap; text is tokenized before the
+    // exchange so only (doc_id, source, n_tok, b) ever shuffles
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges == 1, s"expected 1 hash exchange, got $hashExchanges")
+    val exchangeIdx = p.indexOf("Exchange hashpartitioning")
+    assert(!p.substring(0, exchangeIdx).contains("text#") ||
+      p.substring(0, exchangeIdx).indexOf("size") >= 0)
+  }
+
+  test("bloom decontamination gates the corpus side below the join") {
+    val p = plan(q("q_contamination_bloom"))
+    // the UDF membership gate must survive into the physical plan on the
+    // corpus side — that is the entire point of the operator (at spec
+    // scale the fp join itself broadcasts, so there may be no exchange
+    // to sit under; at 100 TB the same filter precedes the join shuffle)
+    assert(p.contains("UDF"), "bloom membership filter missing")
+    assert("BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin".r
+      .findAllIn(p).nonEmpty, "fp equi-join missing")
+  }
 }

@@ -47,6 +47,26 @@ class SamplingSpec extends SparkSpecBase {
       .columns.toSeq == Seq("src", "id", "q"))
   }
 
+  test("tokenBudgetPerKey fills each key to the budget in order") {
+    val df = Seq(
+      // key a: ordered by id → cum before: 0, 300, 700 — id 3 starts at
+      // 700 < 800 and overshoots (greedy fill), id 4 starts at 1200 ≥ 800
+      ("a", 1L, 300L), ("a", 2L, 400L), ("a", 3L, 500L), ("a", 4L, 100L),
+      // key b: entirely under budget
+      ("b", 5L, 200L), ("b", 6L, 200L)
+    ).toDF("src", "id", "n_tok")
+    val kept = Sampling.tokenBudgetPerKey(df, "src", "n_tok", 800L, $"id")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 3L, 5L, 6L))
+    // helper cumsum column does not leak
+    assert(Sampling.tokenBudgetPerKey(df, "src", "n_tok", 800L, $"id")
+      .columns.toSeq == Seq("src", "id", "n_tok"))
+    // a zero budget still keeps each key's first row? No — nothing
+    // precedes the first row (0 < 0 is false), so it keeps none.
+    assert(Sampling.tokenBudgetPerKey(df, "src", "n_tok", 0L, $"id")
+      .count() == 0)
+  }
+
   test("trainEvalSplit is disjoint, exhaustive, and append-stable") {
     val (train, eval) = Sampling.trainEvalSplit(ids, "id", 0.1)
     val t = train.select("id").collect().map(_.getLong(0)).toSet

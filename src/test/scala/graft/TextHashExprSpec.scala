@@ -91,4 +91,26 @@ class TextHashExprSpec extends SparkSpecBase {
       .collect().map(_.getLong(0))
     assert(h.toSeq == h2.toSeq)
   }
+
+  test("deflateRatio separates boilerplate from high-entropy text") {
+    val rng = new scala.util.Random(42)
+    val fixtures = Seq(
+      "rep"  -> ("lorem ipsum dolor sit amet " * 40),      // pure boilerplate
+      "rand" -> Seq.fill(200)(rng.alphanumeric.take(8).mkString).mkString(" "),
+      "one"  -> "a",                                        // shorter than any deflate frame
+      "empty" -> "")
+    val out = fixtures.toDF("k", "t")
+      .select(col("k"), deflateRatio(col("t")).as("r"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out("rep") < 0.1, out)      // repetition collapses
+    assert(out("rand") > 0.5, out)     // incompressible stays near/above 1
+    assert(out("rep") < out("rand"))
+    assert(out("one") >= 1.0)          // framing overhead dominates 1 byte
+    assert(out("empty") == 1.0)        // defined no-evidence value
+    // deterministic across evaluations (ThreadLocal deflater reset works)
+    val again = fixtures.toDF("k", "t")
+      .select(col("k"), deflateRatio(col("t")).as("r"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out == again)
+  }
 }
