@@ -143,6 +143,58 @@ object Dedup {
     jaccardVerified(cand, t, t, "ida", "idb", threshold)
   }
 
+  /** Persistable MinHash band index: one (id, band, key) row per band per
+    * doc — the artifact an ONGOING dedup pipeline stores in the lake so
+    * arriving batches never re-shingle, re-sign, or re-shuffle the
+    * historical corpus. ~bands rows × ~40 B per doc (a 10B-doc corpus at
+    * 4 bands is ~1.6 TB — lake-cheap next to re-banding 100 TB of text
+    * per batch). Write it partitioned/bucketed by `key` so the batch
+    * join below prunes.
+    */
+  def bandIndex(docs: DataFrame, textCol: String, idCol: String,
+                n: Int = 3, bands: Int = 4, r: Int = 3): DataFrame =
+    shingled(docs, textCol, idCol, n)
+      .select(col("id"),
+        posexplode(lshBandKeys(col("sh"), bands, r)).as(Seq("band", "key")))
+
+  /** Incremental near-dup detection: all pairs with ≥1 side in the NEW
+    * batch — exactly `minhashLshPairs(corpus ∪ newDocs)` minus the
+    * old-old pairs already found when earlier batches arrived (ids must
+    * be globally unique across batches). The new batch bands itself and
+    * probes the stored index; the historical corpus is touched ONLY via
+    * a candidate-id semi-join that re-shingles the handful of matched
+    * docs. Work per batch is linear in batch size + candidates, not in
+    * corpus size — the difference between an hourly job and re-running
+    * corpus-wide dedup 24× a day.
+    */
+  def incrementalNearDups(corpus: DataFrame, newDocs: DataFrame,
+                          index: DataFrame, textCol: String, idCol: String,
+                          threshold: Double, n: Int = 3,
+                          bands: Int = 4, r: Int = 3): DataFrame = {
+    val nt = shingled(newDocs, textCol, idCol, n)
+    val newBands = nt.select(col("id"),
+      posexplode(lshBandKeys(col("sh"), bands, r)).as(Seq("band", "key")))
+    // new docs probe the union so new-new pairs surface too; ida < idb
+    // canonicalization dedups the new-new candidates seen from both ends
+    val cand = newBands.select(col("id").as("ida"),
+        col("band"), col("key"))
+      .join(index.unionByName(newBands)
+          .select(col("id").as("idb"), col("band").as("band_b"),
+            col("key").as("key_b")),
+        col("band") === col("band_b") && col("key") === col("key_b") &&
+          col("ida") =!= col("idb"))
+      .select(least(col("ida"), col("idb")).as("a"),
+        greatest(col("ida"), col("idb")).as("b"))
+      .distinct()
+    val candIds = cand
+      .select(explode(array(col("a"), col("b"))).as(idCol)).distinct()
+    val oldNeeded = corpus.join(candIds, Seq(idCol), "left_semi")
+    val allSh = shingled(oldNeeded, textCol, idCol, n).unionByName(nt)
+    jaccardVerified(
+      cand.select(col("a").as("ida"), col("b").as("idb")),
+      allSh, allSh, "ida", "idb", threshold)
+  }
+
   /** Span-level duplication profile — the document-granular reading of
     * exact-substring dedup (Lee et al. 2022, "Deduplicating Training Data
     * Makes Language Models Better"): shingle every document into w-token

@@ -87,6 +87,40 @@ object DedupQueries extends QueryPack {
         .orderBy("eval_id", "corpus_id")
     }),
 
+    // Incremental near-dup detection (Dedup.incrementalNearDups): docs
+    // with doc_id % 5 == 0 play the arriving batch, the rest the
+    // historical corpus with its persisted band index — output is every
+    // near-dup pair touching the batch, which must equal the full-corpus
+    // LSH pairs restricted to ≥1 new side (the oracle computes exactly
+    // that, so the index probe provably loses nothing vs re-running
+    // corpus-wide dedup).
+    "q_dedup_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val old = docs.filter(col("doc_id") % 5 =!= 0)
+      val fresh = docs.filter(col("doc_id") % 5 === 0)
+      Dedup.incrementalNearDups(old, fresh,
+          Dedup.bandIndex(old, "text", "doc_id"),
+          "text", "doc_id", threshold = 0.7)
+        .orderBy("ida", "idb")
+    }),
+
+    // Dedup-aware train/eval split (Sampling.leakageSafeSplit): split
+    // membership hashes the near-dup CLUSTER so paraphrase leakage
+    // between train and eval is structurally impossible; summarized as
+    // per-split count + id checksum (exact membership cross-engine).
+    "q_leakage_split" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashLshPairs(docs, "text", "doc_id",
+        threshold = 0.7)
+      val (train, eval) = graft.sampling.Sampling.leakageSafeSplit(
+        docs, "doc_id", pairs.select("ida", "idb"), evalFraction = 0.2)
+      train.select(lit("train").as("split"), col("doc_id"))
+        .union(eval.select(lit("eval").as("split"), col("doc_id")))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"))
+        .orderBy("split")
+    }),
+
     // Bloom-prefiltered exact decontamination (crossExactMatchesBloom):
     // result is bit-identical to the plain fingerprint join — the Bloom
     // broadcast only gates corpus rows off the shuffle path, false
@@ -303,6 +337,55 @@ object DedupQueries extends QueryPack {
         |ORDER BY ida, idb""".stripMargin,
     // Twin of crossNearMatches over the same 15% eval split: identical
     // signature/band arithmetic, band join restricted to eval × corpus.
+    // twin of q_dedup_incremental: the full-corpus LSH pairs restricted
+    // to pairs touching the batch (doc_id % 5 = 0) — band keys are
+    // per-doc, so index ∪ fresh-bands ≡ banding the whole corpus and
+    // the incremental probe must reproduce this set exactly
+    "q_dedup_incremental" ->
+      s"""WITH t AS (
+        |  SELECT doc_id AS id, $shinglesSql AS sh
+        |  FROM (SELECT doc_id, $tokensSql AS w FROM documents)),
+        |s AS (
+        |  SELECT id, sh,
+        |    list_transform(generate_series(0, 11),
+        |      i -> list_min(list_transform(sh, g -> md5(i::VARCHAR || ':' || g)))) AS sig
+        |  FROM t WHERE len(sh) > 0),
+        |banded AS (
+        |  SELECT id, sh, band,
+        |         md5(array_to_string(sig[band*3+1 : band*3+3], '|')) AS key
+        |  FROM s, unnest([0, 1, 2, 3]) AS u(band)),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS ida, b.id AS idb
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.key = b.key AND a.id < b.id),
+        |v AS (
+        |  SELECT c.ida, c.idb,
+        |         len(list_intersect(ta.sh, tb.sh)) AS inter,
+        |         len(ta.sh) AS na, len(tb.sh) AS nb
+        |  FROM cand c
+        |  JOIN t ta ON ta.id = c.ida
+        |  JOIN t tb ON tb.id = c.idb)
+        |SELECT ida, idb,
+        |       round(inter::DOUBLE / (na + nb - inter), 6) AS jaccard
+        |FROM v WHERE round(inter::DOUBLE / (na + nb - inter), 6) >= 0.7
+        |  AND (ida % 5 = 0 OR idb % 5 = 0)
+        |ORDER BY ida, idb""".stripMargin,
+    // twin of q_leakage_split: cluster labels from the same recursive
+    // closure, split membership by md5 of the cluster label (falling
+    // back to the doc's own id for singletons)
+    "q_leakage_split" ->
+      s"""$clusterCte,
+        |lab AS (
+        |  SELECT d.doc_id, coalesce(cc.component, d.doc_id) AS grp
+        |  FROM documents d LEFT JOIN cc ON cc.id = d.doc_id),
+        |sp AS (
+        |  SELECT doc_id,
+        |    CASE WHEN ('0x' || substr(md5('graft-split:' || grp::VARCHAR), 1, 8))::BIGINT
+        |           % 10000 < 2000
+        |      THEN 'eval' ELSE 'train' END AS split
+        |  FROM lab)
+        |SELECT split, count(*) AS n_docs, sum(doc_id)::BIGINT AS id_sum
+        |FROM sp GROUP BY split ORDER BY split""".stripMargin,
     // twin of q_contamination_bloom: the Bloom prefilter is semantically
     // invisible (FPs die in the exact join), so the oracle is the plain
     // fingerprint equi-join over the same planted upper-cased eval set

@@ -57,6 +57,35 @@ object Sampling {
     (df.filter(b >= cut), df.filter(b < cut))
   }
 
+  /** Dedup-aware train/eval split: membership hashes the doc's duplicate
+    * CLUSTER, not the doc itself, so near-duplicates always land in the
+    * same split. The plain `trainEvalSplit` silently leaks here — two
+    * near-identical docs hash independently, one lands in train and one
+    * in eval, and the model is scored on paraphrases of its own training
+    * data. `pairs` is any near-dup pair set (ida, idb) from the dedup
+    * family above; singleton docs keep their own id as the group label,
+    * which degrades to exactly `trainEvalSplit` when `pairs` is empty.
+    * Same append-stability as the other samplers, with one addition: a
+    * NEW doc that duplicates an existing one joins that doc's split.
+    *
+    * Cost on top of the hash filter: the components run over the pair
+    * graph (tiny next to the corpus — only docs WITH a near-dup appear)
+    * and one join of the corpus against that label table.
+    */
+  def leakageSafeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+                       evalFraction: Double, salt: String = "graft-split")
+      : (DataFrame, DataFrame) = {
+    val comp = graft.dedup.Components.connectedComponents(pairs)
+      .select(col("id").as(idCol), col("component").as("__grp0"))
+    val labeled = df.join(comp, Seq(idCol), "left")
+      .withColumn("__grp", coalesce(col("__grp0"), col(idCol)))
+      .drop("__grp0")
+    val b = bucket(col("__grp"), salt)
+    val cut = (evalFraction * buckets).toInt
+    (labeled.filter(b >= cut).drop("__grp"),
+      labeled.filter(b < cut).drop("__grp"))
+  }
+
   /** Per-key cap — the corpus-balancing step that keeps at most `k` rows
     * per key, preferring by `ord` (e.g. quality desc with an id
     * tiebreak for determinism). This is the web-pipeline "cap every

@@ -121,4 +121,31 @@ class DedupSpec extends SparkSpecBase {
     // the doc self-duplicated
     assert(got(4L) == ((5L, 0L, 0.0)))
   }
+
+  test("incrementalNearDups == full-batch pairs minus old-old pairs") {
+    // old corpus: 1,2 are dups of each other; new batch: 5 dups 1 (and
+    // therefore 2), 6 dups 7 (new-new), 8 unrelated
+    val old = Seq(
+      (1L, "The quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "the QUICK brown fox jumps over the lazy dog near the river bank"),
+      (4L, "completely different content about gpu clusters and telemetry data")
+    ).toDF("doc_id", "body")
+    val fresh = Seq(
+      (5L, "The quick brown fox jumps over the lazy dog near the river bank"),
+      (6L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"),
+      (7L, "alpha beta gamma delta epsilon zeta eta theta iota kappa mu"),
+      (8L, "nothing in common with anything else in either batch at all")
+    ).toDF("doc_id", "body")
+    def pairSet(df: DataFrame) = df.select("ida", "idb")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val incr = pairSet(Dedup.incrementalNearDups(old, fresh,
+      Dedup.bandIndex(old, "body", "doc_id"), "body", "doc_id", 0.7))
+    val full = pairSet(Dedup.minhashLshPairs(
+      old.unionByName(fresh), "body", "doc_id", 0.7))
+    val oldOld = pairSet(Dedup.minhashLshPairs(old, "body", "doc_id", 0.7))
+    assert(incr == (full -- oldOld), s"incr=$incr full=$full oldOld=$oldOld")
+    // must include old-new (1,5) and new-new (6,7), and never re-report (1,2)
+    assert(incr.contains((1L, 5L)) && incr.contains((6L, 7L)))
+    assert(!incr.contains((1L, 2L)))
+  }
 }

@@ -47,6 +47,26 @@ class SamplingSpec extends SparkSpecBase {
       .columns.toSeq == Seq("src", "id", "q"))
   }
 
+  test("leakageSafeSplit keeps near-dup pairs in one split") {
+    val docs = (1L to 2000L).toDF("id")
+    // chain 1-2, 2-3 (one cluster), plus 10-11; everything else singleton
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("ida", "idb")
+    val (train, eval) = Sampling.leakageSafeSplit(docs, "id", pairs, 0.3)
+    val t = train.select("id").collect().map(_.getLong(0)).toSet
+    val e = eval.select("id").collect().map(_.getLong(0)).toSet
+    assert((t & e).isEmpty && t.size + e.size == 2000)
+    // the leakage property: no pair straddles the splits
+    Seq(Set(1L, 2L, 3L), Set(10L, 11L)).foreach { cluster =>
+      assert(cluster.subsetOf(t) || cluster.subsetOf(e),
+        s"cluster $cluster split across train/eval")
+    }
+    // singletons fall back to the plain id-hash split (same salt)
+    val (_, plainEval) = Sampling.trainEvalSplit(docs, "id", 0.3)
+    val pe = plainEval.select("id").collect().map(_.getLong(0)).toSet
+    val clustered = Set(1L, 2L, 3L, 10L, 11L)
+    assert((e -- clustered) == (pe -- clustered))
+  }
+
   test("tokenBudgetPerKey fills each key to the budget in order") {
     val df = Seq(
       // key a: ordered by id → cum before: 0, 300, 700 — id 3 starts at
