@@ -282,6 +282,26 @@ object TextQueries extends QueryPack {
           (col("deflate_ratio") < 0.35).cast("int"))
         .orderBy("doc_id")),
 
+    // Temperature-scaled mixture (alpha = 0.5): per-source keep rates
+    // ∝ sqrt(w_min/w_source) flatten the token distribution toward the
+    // mT5/XLM-R temperature target — the smallest source keeps all its
+    // docs, heavy sources are cut. sqrt is IEEE-correctly-rounded, so
+    // the oracle reproduces the EXACT thresholds and membership.
+    "q_temperature_mix" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          tokenCount(col("text")).as("n_tok"))
+      graft.sampling.Sampling
+        .temperatureSample(tok, "doc_id", "source", "n_tok")
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_tok").as("kept_tokens"),
+          sum("doc_id").as("id_sum"),
+          min("thr").as("thr"))
+        .orderBy("source")
+    }),
+
     // Count-min-sketch heavy hitters: the fixed-memory frequency sketch
     // for streams/corpora whose vocabulary doesn't fit an exact groupBy
     // — a (depth × width) counter grid replaces per-key state, built by
@@ -537,6 +557,24 @@ object TextQueries extends QueryPack {
         |FROM r WHERE rn <= 5 ORDER BY source, rn""".stripMargin,
     // twin of q_source_cap: identical quality formula to q_text_quality,
     // same (quality DESC, doc_id) window rank, cap 20
+    // twin of Sampling.temperatureSample(alpha=0.5): identical integer
+    // inputs → identical IEEE sqrt → identical thresholds + membership
+    "q_temperature_mix" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, source, len($tokensSql) AS n_tok FROM documents),
+        |s AS (SELECT source, sum(n_tok)::DOUBLE AS w FROM t GROUP BY source),
+        |m AS (SELECT min(w) AS w_min FROM s),
+        |f AS (SELECT source,
+        |        CAST(floor(round(sqrt(w_min / w), 6) * 10000) AS BIGINT) AS thr
+        |      FROM s, m),
+        |k AS (
+        |  SELECT t.doc_id, t.source, t.n_tok, f.thr
+        |  FROM t JOIN f USING (source)
+        |  WHERE ('0x' || substr(md5('temp:' || doc_id::VARCHAR), 1, 8))::BIGINT
+        |          % 10000 < f.thr)
+        |SELECT source, count(*) AS n_docs, sum(n_tok)::BIGINT AS kept_tokens,
+        |       sum(doc_id)::BIGINT AS id_sum, min(thr) AS thr
+        |FROM k GROUP BY source ORDER BY source""".stripMargin,
     // twin of Sampling.tokenBudgetPerKey: same md5 bucket order, same
     // greedy fill-to-budget (kept iff tokens consumed BEFORE the doc
     // are under budget)

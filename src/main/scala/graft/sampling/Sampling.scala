@@ -57,6 +57,43 @@ object Sampling {
     (df.filter(b >= cut), df.filter(b < cut))
   }
 
+  /** Temperature-scaled mixture fractions: per-key sampling rates that
+    * flatten a skewed corpus toward `alpha` (the mT5/XLM-R temperature
+    * knob — target share ∝ natural share^alpha; alpha 1 keeps the
+    * natural mix, alpha → 0 approaches uniform). Down-sampling only:
+    * f_key = (w_min / w_key)^(1-alpha), so the smallest key keeps
+    * everything and heavy keys are cut toward the flattened target.
+    * Returns (key, fraction rounded to 4 decimals as an integer
+    * basis-point threshold) for `bucket(...) < thr` membership.
+    *
+    * Cross-engine reproducibility: at the default alpha = 0.5 the rate
+    * is sqrt(w_min/w) — IEEE sqrt is correctly rounded, so DuckDB and
+    * the JVM agree bit-for-bit and the oracle reproduces the EXACT
+    * sample. Other alphas go through pow (libm, last-bit variance);
+    * fine in production, not oracle-grade.
+    */
+  def temperatureThresholds(df: DataFrame, keyCol: String,
+                            weightCol: String, alpha: Double = 0.5)
+      : DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1]: $alpha")
+    val totals = df.groupBy(keyCol)
+      .agg(sum(col(weightCol)).cast("double").as("__w"))
+    val ratio = col("__w_min") / col("__w")
+    val frac = if (alpha == 0.5) sqrt(ratio) else pow(ratio, 1.0 - alpha)
+    totals
+      .crossJoin(broadcast(totals.agg(min("__w").as("__w_min"))))
+      .select(col(keyCol),
+        floor(round(frac, 6) * buckets).cast("long").as("thr"))
+  }
+
+  /** Apply temperatureThresholds as a deterministic hash-mod filter. */
+  def temperatureSample(df: DataFrame, idCol: String, keyCol: String,
+                        weightCol: String, alpha: Double = 0.5,
+                        salt: String = "temp"): DataFrame =
+    df.join(broadcast(temperatureThresholds(df, keyCol, weightCol, alpha)),
+        keyCol)
+      .filter(bucket(col(idCol), salt) < col("thr"))
+
   /** Dedup-aware train/eval split: membership hashes the doc's duplicate
     * CLUSTER, not the doc itself, so near-duplicates always land in the
     * same split. The plain `trainEvalSplit` silently leaks here — two

@@ -128,6 +128,60 @@ object StreamingTelemetry {
       }
       .start()
 
+  /** LIVE near-dup detection: each micro-batch of documents probes the
+    * PERSISTED band index (Dedup.incrementalNearDups) — the streaming
+    * twin of the batch band-index pipeline. Per batch: emit every
+    * near-dup pair touching the batch, then append the batch's band keys
+    * and text to the lake. The historical corpus is never re-banded and
+    * dedup state lives in the lake rather than executor memory, so the
+    * stream restarts cold with zero state rebuild and the SAME lake
+    * tables serve both this stream and ad-hoc batch dedup.
+    *
+    * Exactly-once rows under at-least-once epochs WITHOUT a ledger:
+    * every sink writes to a `batch=<epoch>` partition directory with
+    * overwrite, so a replayed epoch rewrites its own partition
+    * idempotently (partition discovery reassembles the full table on
+    * read). Same local-filesystem rename caveat as Incremental
+    * (Incremental.scala:94-104) — on S3-style stores, point the dirs at
+    * a table format.
+    */
+  def streamNearDups(docs: DataFrame, corpusDir: String, indexDir: String,
+                     pairsDir: String, checkpointDir: String,
+                     textCol: String = "text", idCol: String = "doc_id",
+                     threshold: Double = 0.7)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.persist()
+        try {
+          // a crashed attempt of THIS epoch may already have written its
+          // batch=N partitions; excluding them from the history read
+          // (partition-pruned, so free) keeps the replay bit-identical
+          // instead of pairing the batch against its own stale copy
+          def history(dir: String): Option[DataFrame] =
+            if (new java.io.File(dir).exists())
+              Some(spark.read.parquet(dir)
+                .filter(col("batch") =!= batchId).drop("batch"))
+            else None
+          val pairs = (history(corpusDir), history(indexDir)) match {
+            case (Some(corpus), Some(index)) =>
+              graft.dedup.Dedup.incrementalNearDups(
+                corpus, b, index, textCol, idCol, threshold)
+            case _ => // first batch: nothing to probe, dedup it against itself
+              graft.dedup.Dedup.minhashLshPairs(b, textCol, idCol, threshold)
+          }
+          pairs.write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
+          graft.dedup.Dedup.bandIndex(b, textCol, idCol)
+            .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+          b.write.mode("overwrite").parquet(s"$corpusDir/batch=$batchId")
+        } finally b.unpersist()
+        ()
+      }
+      .start()
+
   // ---- stateful sessionization (flatMapGroupsWithState) ----
 
   final case class JobEvent(job_id: String, user_id: String, status: String,

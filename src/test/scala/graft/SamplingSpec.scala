@@ -47,6 +47,21 @@ class SamplingSpec extends SparkSpecBase {
       .columns.toSeq == Seq("src", "id", "q"))
   }
 
+  test("temperatureThresholds flatten toward the small keys") {
+    val df = Seq(
+      ("big", 1L, 9000L), ("mid", 2L, 1000L), ("small", 3L, 90L)
+    ).toDF("src", "id", "n_tok")
+    val thr = Sampling.temperatureThresholds(df, "src", "n_tok")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(thr("small") == 10000L)                  // min key keeps all
+    assert(thr("mid") == 3000L)                     // sqrt(90/1000) = .3
+    assert(thr("big") == 1000L)                     // sqrt(90/9000) = .1
+    // alpha = 1 keeps the natural mixture (every threshold full)
+    val nat = Sampling.temperatureThresholds(df, "src", "n_tok", alpha = 1.0)
+      .collect().map(_.getLong(1))
+    assert(nat.forall(_ == 10000L))
+  }
+
   test("leakageSafeSplit keeps near-dup pairs in one split") {
     val docs = (1L to 2000L).toDF("id")
     // chain 1-2, 2-3 (one cluster), plus 10-11; everything else singleton

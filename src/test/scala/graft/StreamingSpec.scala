@@ -85,6 +85,43 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streamNearDups maintains the band index across batches, pairs == batch dedup") {
+    implicit val sql = spark.sqlContext
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val (corpus, index, pairs, ckpt) =
+      (tmp("graft-snd-c"), tmp("graft-snd-i"), tmp("graft-snd-p"), tmp("graft-snd-k"))
+    // dirs must not pre-exist or the first batch thinks it has history
+    Seq(corpus, index, pairs).foreach(d => new java.io.File(d).delete())
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingTelemetry.streamNearDups(
+      in.toDF().toDF("doc_id", "text"), corpus, index, pairs, ckpt)
+    val b1 = Seq(
+      (1L, "The quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "the QUICK brown fox jumps over the lazy dog near the river bank"),
+      (4L, "completely different content about gpu clusters and telemetry data"))
+    val b2 = Seq(
+      (5L, "The quick brown fox jumps over the lazy dog near the river bank"),
+      (6L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"),
+      (7L, "alpha beta gamma delta epsilon zeta eta theta iota kappa mu"))
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      val streamed = spark.read.parquet(pairs)
+        .select("ida", "idb")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = graft.dedup.Dedup.minhashLshPairs(
+        (b1 ++ b2).toDF("doc_id", "text"), "text", "doc_id", 0.7)
+        .select("ida", "idb")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // batch-1 pairs land in epoch 0, cross/new pairs in epoch 1 —
+      // together exactly the one-shot batch result, nothing double-counted
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+      assert(spark.read.parquet(pairs).count() == streamed.size)
+      // the lake now holds band keys for every doc (4 bands each)
+      assert(spark.read.parquet(index).count() == 6 * 4)
+    } finally q.stop()
+  }
+
   test("streamAlerts epoch 0 still fires on a lake a fullRefresh already alerted") {
     // regression: epoch ids and refresh ids used to share one ledger
     // namespace — a committed refresh marker 0 made the stream's epoch 0
