@@ -25,7 +25,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   private def info(name: String, usage: String) =
-    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      "", "", "", "", "", "", "built-in")
 
   private def register(ext: SparkSessionExtensions, name: String,
                        usage: String, builder: FunctionBuilder): Unit =

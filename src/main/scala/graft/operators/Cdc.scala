@@ -21,12 +21,13 @@ object Cdc {
     */
   def latestByKey(log: DataFrame, keyCols: Seq[String],
                   orderCol: String): DataFrame = {
-    val payload = struct(log.columns.map(col): _*)
-    val others = log.columns.filterNot(keyCols.contains)
+    val cols = log.columns.toIndexedSeq
+    val payload = struct(cols.map(col): _*)
+    val others = cols.filterNot(keyCols.contains)
     log.groupBy(keyCols.map(col): _*)
       .agg(max_by(payload, col(orderCol)).as("_latest"))
       .select(keyCols.map(col) ++
         others.map(c => col(s"_latest.$c").as(c)): _*)
-      .select(log.columns.map(col): _*)
+      .select(cols.map(col): _*)
   }
 }

@@ -327,6 +327,28 @@ object TextQueries extends QueryPack {
         .orderBy(col("exact_cnt").desc, col("tok"))
     }),
 
+    // Data card: the per-source release profile (docs, token mass,
+    // length distribution, quality, language mix, low-quality share) in
+    // ONE aggregation over one narrow projection — each signal is a
+    // one-pass aggregate of per-row expressions, so the whole card costs
+    // a single scan + single exchange at any corpus size.
+    "q_corpus_report" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("source"),
+          tokenCount(col("text")).as("nt"),
+          qualityScore(col("text")).as("q"),
+          (langIdHeuristic(col("text")) === "en").cast("int").as("is_en"))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("nt").as("n_tokens"),
+          round(avg("nt"), 6).as("avg_tokens"),
+          round(percentile(col("nt"), lit(0.5)), 6).as("p50_tokens"),
+          round(avg("q"), 6).as("avg_quality"),
+          round(avg((col("q") < 0.4).cast("int")), 6).as("low_quality_frac"),
+          round(avg("is_en"), 6).as("en_frac"))
+        .orderBy("source")),
+
     // Corpus-level quality profile per source.
     "q_text_quality_by_source" -> ((s, d) =>
       Tables.documents(s, d)
@@ -557,6 +579,30 @@ object TextQueries extends QueryPack {
         |FROM r WHERE rn <= 5 ORDER BY source, rn""".stripMargin,
     // twin of q_source_cap: identical quality formula to q_text_quality,
     // same (quality DESC, doc_id) window rank, cap 20
+    // twin of q_corpus_report: same per-row signals (tokens, quality,
+    // en-vote), one grouped aggregation; quantile_cont matches Spark's
+    // exact interpolated percentile
+    "q_corpus_report" ->
+      s"""WITH t AS (SELECT doc_id, source, text, $tokensSql AS w FROM documents),
+        |sig AS (SELECT source, len(w) AS nt,
+        |  round(least(len(w)::DOUBLE / 100.0, 1.0) * 0.5
+        |   + (1.0 - least(round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
+        |         / greatest(length(text), 1), 6) * 10.0, 1.0)) * 0.2
+        |   + least(len(list_filter(w, x -> x IN ('the','and','of','to','a','in')))::DOUBLE / 5.0, 1.0) * 0.3, 6) AS q,
+        |  CASE WHEN len(list_filter(w, x -> x IN ('the','and','of','to','a','in'))) > 0
+        |         AND len(list_filter(w, x -> x IN ('the','and','of','to','a','in')))
+        |           >= greatest(len(list_filter(w, x -> x IN ('le','la','et','les','des','un'))),
+        |                       len(list_filter(w, x -> x IN ('el','los','que','y','de','un'))),
+        |                       len(list_filter(w, x -> x IN ('der','die','und','das','ein','zu'))))
+        |    THEN 1 ELSE 0 END AS is_en
+        |  FROM t)
+        |SELECT source, count(*) AS n_docs, sum(nt)::BIGINT AS n_tokens,
+        |  round(avg(nt), 6) AS avg_tokens,
+        |  round(quantile_cont(nt, 0.5), 6) AS p50_tokens,
+        |  round(avg(q), 6) AS avg_quality,
+        |  round(avg(CASE WHEN q < 0.4 THEN 1 ELSE 0 END), 6) AS low_quality_frac,
+        |  round(avg(is_en), 6) AS en_frac
+        |FROM sig GROUP BY source ORDER BY source""".stripMargin,
     // twin of Sampling.temperatureSample(alpha=0.5): identical integer
     // inputs → identical IEEE sqrt → identical thresholds + membership
     "q_temperature_mix" ->
