@@ -177,4 +177,55 @@ class PropertySpec extends SparkSpecBase {
         s"recon_err ${r.getDouble(5)} vs bound ${16 * scale / 2.0}")
     }
   }
+
+  test("token budget: kept ≤ budget + one overshoot doc, kept set monotone in budget") {
+    import spark.implicits._
+    val rowGen: Gen[List[(String, Long, Long)]] = Gen.listOfN(40, for {
+      key <- Gen.oneOf("a", "b", "c")
+      id <- Gen.choose(1L, 1000000L)
+      w <- Gen.choose(1L, 500L)
+    } yield (key, id, w))
+    for (rows0 <- cases(rowGen, n = 10) if rows0.nonEmpty) {
+      val rows = rows0.distinctBy(_._2) // ids must be unique
+      val df = rows.toDF("key", "id", "w")
+      val maxW = rows.map(_._3).max
+      def kept(budget: Long): Map[String, Seq[Long]] = graft.sampling.Sampling
+        .tokenBudgetPerKey(df, "key", "w", budget,
+          org.apache.spark.sql.functions.col("id"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+      val k1 = kept(800L)
+      // per-key kept weight never exceeds budget + (last doc's overshoot)
+      val weightOf = rows.map(r => r._2 -> r._3).toMap
+      k1.foreach { case (key, ids) =>
+        val tot = ids.map(weightOf).sum
+        assert(tot < 800L + maxW, s"key $key kept $tot")
+      }
+      // monotone: a larger budget keeps a superset per key
+      val k2 = kept(1600L)
+      k1.foreach { case (key, ids) =>
+        assert(ids.toSet.subsetOf(k2.getOrElse(key, Nil).toSet))
+      }
+    }
+  }
+
+  test("temperature thresholds: in (0, 10000], monotone non-increasing in weight") {
+    import spark.implicits._
+    val wGen: Gen[List[Long]] = Gen.listOfN(8, Gen.choose(1L, 100000L))
+    for (ws <- cases(wGen, n = 10) if ws.nonEmpty) {
+      val df = ws.zipWithIndex.map { case (w, i) => (s"k$i", 1L, w) }
+        .toDF("key", "id", "w")
+      val thr = graft.sampling.Sampling
+        .temperatureThresholds(df, "key", "w")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val byKey = ws.zipWithIndex.map { case (w, i) => s"k$i" -> w }.toMap
+      thr.values.foreach(t => assert(t > 0 && t <= 10000, thr))
+      // heavier key → no larger threshold
+      for (a <- byKey.keys; b <- byKey.keys if byKey(a) < byKey(b))
+        assert(thr(a) >= thr(b), s"$a(${byKey(a)}) vs $b(${byKey(b)}): $thr")
+      // the lightest key keeps everything
+      val minKey = byKey.minBy(kv => (kv._2, kv._1))._1
+      assert(thr(minKey) == 10000L)
+    }
+  }
 }
