@@ -121,6 +121,19 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(aIdCol, bIdCol, "jaccard")
 
+  /** (id, band, key) rows for a shingled frame — the ONE banding
+    * derivation shared by batch pairing, the persisted index, and the
+    * incremental probe: those three must stay bit-identical or the
+    * index-probe algebra silently breaks, so they all call this.
+    * lshBandKeys computes the k=bands*r signature and all band keys in
+    * one native expression — no per-band re-evaluation of the
+    * signature subtree.
+    */
+  private def bandKeyRows(shingledDocs: DataFrame, bands: Int,
+                          r: Int): DataFrame =
+    shingledDocs.select(col("id"),
+      posexplode(lshBandKeys(col("sh"), bands, r)).as(Seq("band", "key")))
+
   /** MinHash+LSH near-dup pairs: k-component signatures, b bands × r rows
     * (k = b*r); candidates share ≥1 band bucket, then exact Jaccard ≥
     * threshold verified on the candidate pairs only.
@@ -129,10 +142,7 @@ object Dedup {
                       threshold: Double, n: Int = 3,
                       bands: Int = 4, r: Int = 3): DataFrame = {
     val t = shingled(docs, textCol, idCol, n)
-    // ONE native expression computes the k=bands*r signature and all band
-    // keys per row — no per-band re-evaluation of the signature subtree.
-    val banded = t.select(col("id"),
-      posexplode(lshBandKeys(col("sh"), bands, r)).as(Seq("band", "key")))
+    val banded = bandKeyRows(t, bands, r)
     val cand = banded.select(col("id").as("ida"), col("band"), col("key"))
       .join(banded.select(col("id").as("idb"), col("band").as("band_b"),
           col("key").as("key_b")),
@@ -153,9 +163,7 @@ object Dedup {
     */
   def bandIndex(docs: DataFrame, textCol: String, idCol: String,
                 n: Int = 3, bands: Int = 4, r: Int = 3): DataFrame =
-    shingled(docs, textCol, idCol, n)
-      .select(col("id"),
-        posexplode(lshBandKeys(col("sh"), bands, r)).as(Seq("band", "key")))
+    bandKeyRows(shingled(docs, textCol, idCol, n), bands, r)
 
   /** Incremental near-dup detection: all pairs with ≥1 side in the NEW
     * batch — exactly `minhashLshPairs(corpus ∪ newDocs)` minus the
@@ -172,8 +180,7 @@ object Dedup {
                           threshold: Double, n: Int = 3,
                           bands: Int = 4, r: Int = 3): DataFrame = {
     val nt = shingled(newDocs, textCol, idCol, n)
-    val newBands = nt.select(col("id"),
-      posexplode(lshBandKeys(col("sh"), bands, r)).as(Seq("band", "key")))
+    val newBands = bandKeyRows(nt, bands, r)
     // new docs probe the union so new-new pairs surface too; ida < idb
     // canonicalization dedups the new-new candidates seen from both ends
     val cand = newBands.select(col("id").as("ida"),
@@ -270,8 +277,13 @@ object Dedup {
   def crossExactMatchesBloom(corpus: DataFrame, evalSet: DataFrame,
                              textCol: String, idCol: String,
                              fpp: Double = 0.01): DataFrame = {
+    // the eval projection feeds three actions (size count, BF build,
+    // final join); persisted so the eval lineage runs once, not three
+    // times — it stays cached (small by contract: it IS the eval suite),
+    // matching the broadcast BF's own lifetime
     val e = evalSet.select(fingerprint(col(textCol)).as("fp"),
       col(idCol).as("eval_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nEval = math.max(e.count(), 1L)
     val bloom = e.stat.bloomFilter("fp", nEval, fpp)
     val bc = corpus.sparkSession.sparkContext.broadcast(bloom)

@@ -56,6 +56,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register(ext, "text_stats",
       "text_stats(text string) - struct(n_tokens, avg_word_len, fp)",
       { case Seq(t) => TextStats(t) })
+    register(ext, "deflate_ratio",
+      "deflate_ratio(text string) - DEFLATE compressed/raw byte ratio " +
+        "(low = repetitive/boilerplate, ~1 = high-entropy)",
+      { case Seq(t) => DeflateRatio(t) })
     register(ext, "sign_lsh_band_keys",
       "sign_lsh_band_keys(vec array<double>, bands int, r int) - banded " +
         "random-hyperplane LSH keys for cosine near-dup search",

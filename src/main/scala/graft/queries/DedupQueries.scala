@@ -335,8 +335,6 @@ object DedupQueries extends QueryPack {
         |       round(inter::DOUBLE / (na + nb - inter), 6) AS jaccard
         |FROM v WHERE round(inter::DOUBLE / (na + nb - inter), 6) >= 0.7
         |ORDER BY ida, idb""".stripMargin,
-    // Twin of crossNearMatches over the same 15% eval split: identical
-    // signature/band arithmetic, band join restricted to eval × corpus.
     // twin of q_dedup_incremental: the full-corpus LSH pairs restricted
     // to pairs touching the batch (doc_id % 5 = 0) — band keys are
     // per-doc, so index ∪ fresh-bands ≡ banding the whole corpus and
@@ -403,6 +401,8 @@ object DedupQueries extends QueryPack {
         |SELECT eval_id, corpus_id, fp
         |FROM fpe JOIN fpc USING (fp)
         |ORDER BY eval_id, corpus_id""".stripMargin,
+    // Twin of crossNearMatches over the same 15% eval split: identical
+    // signature/band arithmetic, band join restricted to eval × corpus.
     "q_contamination" ->
       s"""WITH t0 AS (
         |  SELECT doc_id AS id, $shinglesSql AS sh,

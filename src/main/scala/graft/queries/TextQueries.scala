@@ -362,6 +362,17 @@ object TextQueries extends QueryPack {
           count(lit(1)).as("n_docs"))
         .orderBy("source")))
 
+  /** DuckDB twin of TextFunctions.qualityScore over a CTE exposing
+    * (text, w) — interpolated everywhere the oracle needs the score so
+    * the formula cannot drift between queries (it must also stay in
+    * lockstep with the Scala side).
+    */
+  private val qualitySql =
+    """round(least(len(w)::DOUBLE / 100.0, 1.0) * 0.5
+      |   + (1.0 - least(round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
+      |         / greatest(length(text), 1), 6) * 10.0, 1.0)) * 0.2
+      |   + least(len(list_filter(w, x -> x IN ('the','and','of','to','a','in')))::DOUBLE / 5.0, 1.0) * 0.3, 6)""".stripMargin
+
   private val tokensSql =
     """list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')"""
 
@@ -577,18 +588,13 @@ object TextQueries extends QueryPack {
         |        ORDER BY score DESC, term) AS rn FROM scored)
         |SELECT source, rn, term, tf, df, score
         |FROM r WHERE rn <= 5 ORDER BY source, rn""".stripMargin,
-    // twin of q_source_cap: identical quality formula to q_text_quality,
-    // same (quality DESC, doc_id) window rank, cap 20
     // twin of q_corpus_report: same per-row signals (tokens, quality,
     // en-vote), one grouped aggregation; quantile_cont matches Spark's
     // exact interpolated percentile
     "q_corpus_report" ->
       s"""WITH t AS (SELECT doc_id, source, text, $tokensSql AS w FROM documents),
         |sig AS (SELECT source, len(w) AS nt,
-        |  round(least(len(w)::DOUBLE / 100.0, 1.0) * 0.5
-        |   + (1.0 - least(round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
-        |         / greatest(length(text), 1), 6) * 10.0, 1.0)) * 0.2
-        |   + least(len(list_filter(w, x -> x IN ('the','and','of','to','a','in')))::DOUBLE / 5.0, 1.0) * 0.3, 6) AS q,
+        |  $qualitySql AS q,
         |  CASE WHEN len(list_filter(w, x -> x IN ('the','and','of','to','a','in'))) > 0
         |         AND len(list_filter(w, x -> x IN ('the','and','of','to','a','in')))
         |           >= greatest(len(list_filter(w, x -> x IN ('le','la','et','les','des','un'))),
@@ -611,7 +617,8 @@ object TextQueries extends QueryPack {
         |s AS (SELECT source, sum(n_tok)::DOUBLE AS w FROM t GROUP BY source),
         |m AS (SELECT min(w) AS w_min FROM s),
         |f AS (SELECT source,
-        |        CAST(floor(round(sqrt(w_min / w), 6) * 10000) AS BIGINT) AS thr
+        |        greatest(CAST(floor(round(sqrt(w_min / w), 6) * 10000) AS BIGINT),
+        |                 1) AS thr
         |      FROM s, m),
         |k AS (
         |  SELECT t.doc_id, t.source, t.n_tok, f.thr
@@ -644,10 +651,7 @@ object TextQueries extends QueryPack {
     "q_quality_gate" ->
       s"""WITH t AS (SELECT doc_id, lang, text, $tokensSql AS w FROM documents),
         |q AS (SELECT doc_id, lang,
-        |  round(least(len(w)::DOUBLE / 100.0, 1.0) * 0.5
-        |   + (1.0 - least(round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
-        |         / greatest(length(text), 1), 6) * 10.0, 1.0)) * 0.2
-        |   + least(len(list_filter(w, x -> x IN ('the','and','of','to','a','in')))::DOUBLE / 5.0, 1.0) * 0.3, 6) AS quality
+        |  $qualitySql AS quality
         |  FROM t),
         |r AS (SELECT doc_id, lang, quality,
         |        row_number() OVER (PARTITION BY lang
@@ -658,13 +662,12 @@ object TextQueries extends QueryPack {
         |       sum(doc_id)::BIGINT AS id_sum
         |FROM r WHERE rn * 4 <= n
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    // twin of q_source_cap: identical quality formula to q_text_quality,
+    // same (quality DESC, doc_id) window rank, cap 20
     "q_source_cap" ->
       s"""WITH t AS (SELECT doc_id, source, text, $tokensSql AS w FROM documents),
         |q AS (SELECT doc_id, source,
-        |  round(least(len(w)::DOUBLE / 100.0, 1.0) * 0.5
-        |   + (1.0 - least(round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
-        |         / greatest(length(text), 1), 6) * 10.0, 1.0)) * 0.2
-        |   + least(len(list_filter(w, x -> x IN ('the','and','of','to','a','in')))::DOUBLE / 5.0, 1.0) * 0.3, 6) AS quality
+        |  $qualitySql AS quality
         |  FROM t),
         |r AS (SELECT doc_id, source, quality,
         |        row_number() OVER (PARTITION BY source
@@ -677,10 +680,7 @@ object TextQueries extends QueryPack {
     "q_text_quality_by_source" ->
       s"""WITH t AS (SELECT doc_id, source, text, $tokensSql AS w FROM documents),
         |q AS (SELECT doc_id, source, len(w) AS nt,
-        |  round(least(len(w)::DOUBLE / 100.0, 1.0) * 0.5
-        |   + (1.0 - least(round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
-        |         / greatest(length(text), 1), 6) * 10.0, 1.0)) * 0.2
-        |   + least(len(list_filter(w, x -> x IN ('the','and','of','to','a','in')))::DOUBLE / 5.0, 1.0) * 0.3, 6) AS quality
+        |  $qualitySql AS quality
         |  FROM t)
         |SELECT source,
         |  round(avg(quality), 6) AS avg_quality,

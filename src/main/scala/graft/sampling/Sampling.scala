@@ -76,14 +76,22 @@ object Sampling {
                             weightCol: String, alpha: Double = 0.5)
       : DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1]: $alpha")
+    // a key with zero total weight has nothing to contribute AND would
+    // poison every other key's rate (w_min = 0 ⇒ all fractions 0, the
+    // whole corpus silently dropped) — excluded before the min
     val totals = df.groupBy(keyCol)
       .agg(sum(col(weightCol)).cast("double").as("__w"))
+      .filter(col("__w") > 0)
     val ratio = col("__w_min") / col("__w")
     val frac = if (alpha == 0.5) sqrt(ratio) else pow(ratio, 1.0 - alpha)
     totals
       .crossJoin(broadcast(totals.agg(min("__w").as("__w_min"))))
+      // floor of a sub-basis-point rate is 0 = "key silently excluded",
+      // which breaches the down-sampling-only contract — clamp to ≥ 1
+      // (a pathologically heavy key keeps at least 1 bp of its rows)
       .select(col(keyCol),
-        floor(round(frac, 6) * buckets).cast("long").as("thr"))
+        greatest(floor(round(frac, 6) * buckets), lit(1L))
+          .cast("long").as("thr"))
   }
 
   /** Apply temperatureThresholds as a deterministic hash-mod filter. */
@@ -114,13 +122,15 @@ object Sampling {
       : (DataFrame, DataFrame) = {
     val comp = graft.dedup.Components.connectedComponents(pairs)
       .select(col("id").as(idCol), col("component").as("__grp0"))
+    val originalCols = df.columns.toIndexedSeq.map(col)
     val labeled = df.join(comp, Seq(idCol), "left")
       .withColumn("__grp", coalesce(col("__grp0"), col(idCol)))
-      .drop("__grp0")
     val b = bucket(col("__grp"), salt)
     val cut = (evalFraction * buckets).toInt
-    (labeled.filter(b >= cut).drop("__grp"),
-      labeled.filter(b < cut).drop("__grp"))
+    // the using-join hoists idCol to the front; restore the caller's
+    // column order so this is a drop-in for trainEvalSplit
+    (labeled.filter(b >= cut).select(originalCols: _*),
+      labeled.filter(b < cut).select(originalCols: _*))
   }
 
   /** Per-key cap — the corpus-balancing step that keeps at most `k` rows

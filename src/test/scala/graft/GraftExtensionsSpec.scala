@@ -31,13 +31,15 @@ class GraftExtensionsSpec extends SparkSpecBase {
         |  minhash_sig(array('a b', 'b c'), 4) AS mh,
         |  lsh_band_keys(array('a b', 'b c'), 2, 2) AS bk,
         |  word_shingles(array('a', 'b', 'c'), 2) AS ws,
-        |  text_stats('the quick fox').n_tokens AS nt
+        |  text_stats('the quick fox').n_tokens AS nt,
+        |  deflate_ratio(repeat('lorem ipsum ', 50)) AS dr
         |""".stripMargin).collect()(0)
     assert(r.getLong(0) >= 0L && r.getLong(0) < (1L << 60))
     assert(r.getSeq[String](1).length == 4)
     assert(r.getSeq[String](2).length == 2)
     assert(r.getSeq[String](3) == Seq("a b", "b c"))
     assert(r.getInt(4) == 3)
+    assert(r.getDouble(5) > 0.0 && r.getDouble(5) < 0.2) // boilerplate collapses
     // cross-check simhash vs the Column API on the default session
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -63,10 +63,15 @@ class SamplingSpec extends SparkSpecBase {
   }
 
   test("leakageSafeSplit keeps near-dup pairs in one split") {
+    // id deliberately NOT the first column: the split must hand back the
+    // caller's column order (the using-join hoists the key internally)
     val docs = (1L to 2000L).toDF("id")
+      .select(($"id" % 7).as("meta"), $"id")
     // chain 1-2, 2-3 (one cluster), plus 10-11; everything else singleton
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("ida", "idb")
     val (train, eval) = Sampling.leakageSafeSplit(docs, "id", pairs, 0.3)
+    assert(train.columns.toSeq == Seq("meta", "id"))
+    assert(eval.columns.toSeq == Seq("meta", "id"))
     val t = train.select("id").collect().map(_.getLong(0)).toSet
     val e = eval.select("id").collect().map(_.getLong(0)).toSet
     assert((t & e).isEmpty && t.size + e.size == 2000)
