@@ -85,6 +85,44 @@ object MlQueries extends QueryPack {
         .orderBy("dt")
     }),
 
+    // Robust MAD anomaly detection: flag a day when its deviation from
+    // the TRAILING-window median exceeds 3× the window's median absolute
+    // deviation — the outlier-resistant twin of the z-score detector
+    // (one bad day inflates a stddev and masks the next anomaly; it
+    // barely moves a median). MAD needs a median OF deviations FROM the
+    // window's own median, which no single window aggregate expresses —
+    // so the window collects its ≤14 values once and both medians run as
+    // array expressions. The median is written out explicitly
+    // ((lo+hi)/2, not quantile_cont) on BOTH engines: interpolation
+    // formulas differ in final-ulp arithmetic, and the unrounded med/mad
+    // feed a comparison, so the two sides must share the exact float ops.
+    // State per row is bounded by the window length — scales as any
+    // sliding-window aggregate.
+    "q_anomaly_robust" -> ((s, d) => {
+      def arrMedian(a: org.apache.spark.sql.Column) = {
+        val srt = sort_array(a)
+        val n = size(srt)
+        when(n % 2 === 1, element_at(srt, ((n + 1) / 2).cast("int")))
+          .otherwise((element_at(srt, (n / 2).cast("int")) +
+            element_at(srt, (n / 2).cast("int") + 1)) / 2.0)
+      }
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy("dt").rowsBetween(-14, -1)
+      goldDaily(s, d).select(col("dt"), col("avg_value"))
+        .withColumn("hist", collect_list("avg_value").over(w))
+        .filter(size(col("hist")) >= 7)
+        .withColumn("med", arrMedian(col("hist")))
+        .withColumn("mad", arrMedian(transform(col("hist"),
+          v => abs(v - col("med")))))
+        .select(col("dt"),
+          round(col("avg_value"), 6).as("avg_value"),
+          round(col("med"), 6).as("med"),
+          round(col("mad"), 6).as("mad"),
+          (abs(col("avg_value") - col("med")) > col("mad") * 3.0)
+            .cast("int").as("anomaly_flag"))
+        .orderBy("dt")
+    }),
+
     // M2-M4 + E6/E7 + S7: fit isolation forest on the daily features
     // (driver-side, ψ≤256 by design), score distributed via UDF, emit the
     // reference's scored-table shape. Not SQL-expressible — no oracle.
@@ -122,6 +160,40 @@ object MlQueries extends QueryPack {
         |       count(*)::DOUBLE AS n_events
         |FROM events WHERE value IS NOT NULL
         |GROUP BY 1 ORDER BY dt""".stripMargin,
+    // twin of q_anomaly_robust: same trailing list window, same EXPLICIT
+    // interpolated-median arithmetic (list_sort + (lo+hi)/2) so the
+    // unrounded med/mad comparison agrees bit-for-bit
+    "q_anomaly_robust" ->
+      """WITH g AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS dt,
+        |         avg(value) AS avg_value
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |h AS (
+        |  SELECT dt, avg_value,
+        |    list(avg_value) OVER (ORDER BY dt
+        |      ROWS BETWEEN 14 PRECEDING AND 1 PRECEDING) AS hist
+        |  FROM g),
+        |m AS (
+        |  SELECT dt, avg_value, hist, list_sort(hist) AS s
+        |  FROM h WHERE len(hist) >= 7),
+        |m2 AS (
+        |  SELECT dt, avg_value, hist,
+        |    CASE WHEN len(s) % 2 = 1 THEN s[(len(s)+1)//2]
+        |         ELSE (s[len(s)//2] + s[len(s)//2 + 1]) / 2.0 END AS med
+        |  FROM m),
+        |m3 AS (
+        |  SELECT dt, avg_value, med,
+        |    list_sort(list_transform(hist, v -> abs(v - med))) AS sd
+        |  FROM m2),
+        |m4 AS (
+        |  SELECT dt, avg_value, med,
+        |    CASE WHEN len(sd) % 2 = 1 THEN sd[(len(sd)+1)//2]
+        |         ELSE (sd[len(sd)//2] + sd[len(sd)//2 + 1]) / 2.0 END AS mad
+        |  FROM m3)
+        |SELECT dt, round(avg_value, 6) AS avg_value, round(med, 6) AS med,
+        |  round(mad, 6) AS mad,
+        |  CAST(abs(avg_value - med) > mad * 3.0 AS INT) AS anomaly_flag
+        |FROM m4 ORDER BY dt""".stripMargin,
     "q_anomaly_alerts" ->
       """WITH g AS (
         |  SELECT CAST(date_trunc('day', ts) AS DATE) AS dt,
