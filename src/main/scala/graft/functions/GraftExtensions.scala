@@ -60,6 +60,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "deflate_ratio(text string) - DEFLATE compressed/raw byte ratio " +
         "(low = repetitive/boilerplate, ~1 = high-entropy)",
       { case Seq(t) => DeflateRatio(t) })
+    register(ext, "nfc_normalize",
+      "nfc_normalize(text string) - Unicode NFC canonical composition",
+      { case Seq(t) => NfcNormalize(t) })
     register(ext, "sign_lsh_band_keys",
       "sign_lsh_band_keys(vec array<double>, bands int, r int) - banded " +
         "random-hyperplane LSH keys for cosine near-dup search",

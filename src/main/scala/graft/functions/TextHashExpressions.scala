@@ -208,6 +208,22 @@ object TextHashOps {
     * Raw deflate (nowrap) excludes the 6-byte zlib header/checksum so
     * short strings aren't dominated by framing.
     */
+  /** Unicode NFC normalization — the canonical-composition pass every
+    * multilingual corpus runs before hashing/dedup: "é" as one code
+    * point and "e"+combining-acute are the SAME text but different
+    * bytes, so un-normalized fingerprints split identical documents.
+    * java.text.Normalizer implements the Unicode spec, as does DuckDB's
+    * nfc_normalize (utf8proc) — identical outputs, so this is
+    * oracle-exact.
+    */
+  def nfcNormalize(text: UTF8String): UTF8String = {
+    val s = text.toString
+    // the common case (already-NFC ASCII/Latin) skips the rewrite
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) text
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
   def deflateRatio(text: UTF8String): Double = {
     val bytes = text.getBytes
     if (bytes.length == 0) return 1.0
@@ -337,11 +353,33 @@ case class DeflateRatio(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** nfc_normalize(text string): string — Unicode canonical composition
+  * (see TextHashOps.nfcNormalize). Same name and semantics as DuckDB's
+  * built-in, so oracle SQL reads identically.
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"nfc_normalize requires string, got ${dt.catalogString}")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+  override def nullSafeEval(a: Any): Any =
+    TextHashOps.nfcNormalize(a.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashOps.nfcNormalize($c)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object TextHashExpressions {
   def simhash60(tokens: Column): Column =
     GraftSqlBridge.column(SimHash60(GraftSqlBridge.expression(tokens)))
   def deflateRatio(text: Column): Column =
     GraftSqlBridge.column(DeflateRatio(GraftSqlBridge.expression(text)))
+  def nfcNormalize(text: Column): Column =
+    GraftSqlBridge.column(NfcNormalize(GraftSqlBridge.expression(text)))
   def textStats(text: Column): Column =
     GraftSqlBridge.column(TextStats(GraftSqlBridge.expression(text)))
   def minhashSig(shingles: Column, k: Int): Column =

@@ -151,6 +151,26 @@ object JoinQueries extends QueryPack {
         .orderBy("event_id")
     }),
 
+    // Salted equi-join (operators.SkewJoin): the skew defense — the big
+    // side's rows scatter across `salts` sub-keys, the small side
+    // replicates ×salts, so one hot key spreads over `salts` reducers
+    // instead of stalling a single straggler task. Semantics must be
+    // EXACTLY the plain inner join (salting is a physical rewrite), so
+    // the oracle is the unsalted SQL — the proof the rewrite is sound.
+    "q_join_salted" -> ((s, d) =>
+      graft.operators.SkewJoin.saltedInnerJoin(
+          Tables.lineitem(s, d),
+          Tables.supplier(s, d)
+            .withColumnRenamed("s_suppkey", "l_suppkey"),
+          "l_suppkey", salts = 8)
+        .groupBy(col("s_name"))
+        .agg(
+          round(sum("l_quantity"), 4).as("sum_qty"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("s_name")),
+
     // TPC-H Q3 shape (shipping-priority top-k): selective dim filter →
     // broadcast into the fact-fact join → agg → global top-10. The
     // plan to check at 100 TB: both date filters push into the parquet
@@ -273,6 +293,14 @@ object JoinQueries extends QueryPack {
         |     AND s.ts <= e.ts) AS last_signup_ts
         |FROM events e WHERE e.event_type = 'error'
         |ORDER BY e.event_id""".stripMargin,
+    // unsalted twin of q_join_salted: salting must be result-invisible
+    "q_join_salted" ->
+      """SELECT s_name,
+        |       round(sum(l_quantity), 4) AS sum_qty,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name ORDER BY s_name""".stripMargin,
     "q_tpch_q3" ->
       """SELECT l_orderkey, o_orderdate,
         |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue

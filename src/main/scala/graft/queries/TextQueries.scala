@@ -302,6 +302,29 @@ object TextQueries extends QueryPack {
         .orderBy("source")
     }),
 
+    // Unicode NFC normalization audit (native NfcNormalize — same name
+    // and spec as DuckDB's built-in): decomposed sequences ("e"+combining
+    // acute) are the SAME text as their precomposed forms but different
+    // bytes, so un-normalized fingerprints split identical docs. The
+    // ASCII fixture is NFC-trivial, so every 9th doc gets PLANTED
+    // decomposed suffixes — byte length must shrink and the normalized
+    // fingerprint must agree cross-engine on exactly those docs.
+    "q_text_normalize" -> ((s, d) => {
+      val nfc = graft.functions.TextHashExpressions.nfcNormalize _
+      val planted = Tables.documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 9 === 0,
+          concat(col("text"),
+            lit(" cafe\u0301 nai\u0308ve re\u0301sume\u0301")))
+          .otherwise(col("text")).as("ptext"))
+      planted.select(col("doc_id"),
+          octet_length(col("ptext")).cast("long").as("raw_bytes"),
+          octet_length(nfc(col("ptext"))).cast("long").as("nfc_bytes"),
+          md5(nfc(col("ptext"))).as("nfc_fp"))
+        .withColumn("changed",
+          (col("raw_bytes") =!= col("nfc_bytes")).cast("int"))
+        .orderBy("doc_id")
+    }),
+
     // Count-min-sketch heavy hitters: the fixed-memory frequency sketch
     // for streams/corpora whose vocabulary doesn't fit an exact groupBy
     // — a (depth × width) counter grid replaces per-key state, built by
@@ -588,6 +611,23 @@ object TextQueries extends QueryPack {
         |        ORDER BY score DESC, term) AS rn FROM scored)
         |SELECT source, rn, term, tf, df, score
         |FROM r WHERE rn <= 5 ORDER BY source, rn""".stripMargin,
+    // twin of q_text_normalize: identical decomposed plants (chr() =
+    // the \u escapes), DuckDB's utf8proc NFC vs the JVM's — same spec,
+    // same bytes; strlen is bytes on both sides
+    "q_text_normalize" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 9 = 0
+        |      THEN text || ' cafe' || chr(769) || ' nai' || chr(776) ||
+        |           've re' || chr(769) || 'sume' || chr(769)
+        |      ELSE text END AS ptext
+        |  FROM documents)
+        |SELECT doc_id,
+        |  strlen(ptext) AS raw_bytes,
+        |  strlen(nfc_normalize(ptext)) AS nfc_bytes,
+        |  md5(nfc_normalize(ptext)) AS nfc_fp,
+        |  CAST(strlen(ptext) <> strlen(nfc_normalize(ptext)) AS INT) AS changed
+        |FROM p ORDER BY doc_id""".stripMargin,
     // twin of q_corpus_report: same per-row signals (tokens, quality,
     // en-vote), one grouped aggregation; quantile_cont matches Spark's
     // exact interpolated percentile

@@ -92,6 +92,21 @@ class TextHashExprSpec extends SparkSpecBase {
     assert(h.toSeq == h2.toSeq)
   }
 
+  test("nfcNormalize composes decomposed sequences; NFC text passes through") {
+    val cases = Seq(
+      "café" -> "café",          // e + combining acute → é
+      "naïve" -> "naïve",        // i + combining diaeresis → ï
+      "plain ascii" -> "plain ascii",       // already NFC: identity
+      "café" -> "café")           // precomposed stays put
+    val out = cases.map(_._1).toDF("t")
+      .select(nfcNormalize(col("t")).as("n")).collect().map(_.getString(0))
+    assert(out.toSeq == cases.map(_._2))
+    // the fingerprints of decomposed and precomposed forms now agree
+    val fps = Seq("café", "café").toDF("t")
+      .select(md5(nfcNormalize(col("t")))).collect().map(_.getString(0))
+    assert(fps(0) == fps(1))
+  }
+
   test("deflateRatio separates boilerplate from high-entropy text") {
     val rng = new scala.util.Random(42)
     val fixtures = Seq(
