@@ -84,6 +84,41 @@ object EventQueries extends QueryPack {
           round(col("value"), 4).as("last_value"))
         .orderBy("user_id")),
 
+    // Whole-row MERGE upsert (Cdc.upsertByKey): updated rows win on key
+    // collision, new keys insert, untouched rows pass the anti-join —
+    // the logical MERGE INTO every CDC sink runs (a table format adds
+    // file pruning on top; the semantics are exactly this and the
+    // oracle checks them).
+    "q_merge_upsert" -> ((s, d) => {
+      val target = Tables.customer(s, d)
+      val updates = target.filter(col("c_custkey") % 4 === 1)
+        .select(col("c_custkey"), upper(col("c_name")).as("c_name"),
+          col("c_nationkey"),
+          round(col("c_acctbal") + 1000.0, 2).as("c_acctbal"),
+          col("c_mktsegment"))
+      val inserts = target.filter(col("c_custkey") % 97 === 0)
+        .select((col("c_custkey") + 1000000L).as("c_custkey"),
+          col("c_name"), col("c_nationkey"), col("c_acctbal"),
+          col("c_mktsegment"))
+      graft.operators.Cdc.upsertByKey(target,
+          updates.unionByName(inserts), Seq("c_custkey"))
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    }),
+
+    // SCD Type 2 (Cdc.scd2): the purchase log becomes a versioned
+    // history — [valid_from, valid_to) intervals per user with the open
+    // current version flagged. One window exchange; event_id tiebreak
+    // makes same-timestamp versions deterministic.
+    "q_scd2" -> ((s, d) =>
+      graft.operators.Cdc.scd2(
+          Tables.events(s, d).filter(col("event_type") === "purchase")
+            .select("user_id", "event_id", "ts"),
+          Seq("user_id"), "ts", tiebreak = Seq("event_id"))
+        .select(col("user_id"), col("event_id"), col("valid_from"),
+          col("valid_to"), col("is_current"))
+        .orderBy("user_id", "valid_from", "event_id")),
+
     // Conversion attribution: purchases joined to the same user's clicks
     // within the preceding 30 minutes. Runs the EXACT streaming operator
     // (StreamingTelemetry.attributionJoin) on batch frames — the unified
@@ -180,6 +215,31 @@ object EventQueries extends QueryPack {
         |       arg_max(event_type, event_id) AS last_event_type,
         |       round(arg_max(value, event_id), 4) AS last_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // twin of q_merge_upsert: updates+inserts take precedence, the rest
+    // of the target passes through the NOT IN (key is non-null)
+    "q_merge_upsert" ->
+      """WITH upd AS (
+        |  SELECT c_custkey, upper(c_name) AS c_name,
+        |         round(c_acctbal + 1000.0, 2) AS c_acctbal
+        |  FROM customer WHERE c_custkey % 4 = 1
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_name, c_acctbal
+        |  FROM customer WHERE c_custkey % 97 = 0)
+        |SELECT c_custkey, c_name, c_acctbal FROM upd
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE c_custkey NOT IN (SELECT c_custkey FROM upd)
+        |ORDER BY c_custkey""".stripMargin,
+    // twin of q_scd2: lead() over (ts, event_id) gives the next
+    // version's start; null lead = open current version
+    "q_scd2" ->
+      """SELECT user_id, event_id, ts AS valid_from,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS valid_to,
+        |  CAST(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    IS NULL AS INT) AS is_current
+        |FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id, valid_from, event_id""".stripMargin,
     "q_attribution" ->
       """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
         |       round(p.value, 4) AS purchase_value
