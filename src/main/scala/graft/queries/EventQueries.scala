@@ -84,6 +84,24 @@ object EventQueries extends QueryPack {
           round(col("value"), 4).as("last_value"))
         .orderBy("user_id")),
 
+    // Retention cohorts: users grouped by first-seen day, then distinct
+    // active users counted k days after their cohort day — the matrix
+    // behind every retention curve. Two aggregations (first-seen, then
+    // cohort×offset) and one join; the cohort table is one row per user
+    // and joins broadcast-or-shuffled by size, both linear.
+    "q_retention_cohorts" -> ((s, d) => {
+      val days = Tables.events(s, d)
+        .select(col("user_id"),
+          to_date(date_trunc("day", col("ts"))).as("day"))
+        .distinct()
+      val cohorts = days.groupBy("user_id").agg(min("day").as("cohort"))
+      days.join(cohorts, "user_id")
+        .groupBy(col("cohort"),
+          datediff(col("day"), col("cohort")).cast("long").as("k"))
+        .agg(countDistinct("user_id").as("n_active"))
+        .orderBy("cohort", "k")
+    }),
+
     // Whole-row MERGE upsert (Cdc.upsertByKey): updated rows win on key
     // collision, new keys insert, untouched rows pass the anti-join —
     // the logical MERGE INTO every CDC sink runs (a table format adds
@@ -215,6 +233,17 @@ object EventQueries extends QueryPack {
         |       arg_max(event_type, event_id) AS last_event_type,
         |       round(arg_max(value, event_id), 4) AS last_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // twin of q_retention_cohorts: same distinct-activity → first-seen →
+    // cohort×offset aggregation chain
+    "q_retention_cohorts" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        |  FROM events),
+        |first AS (SELECT user_id, min(day) AS cohort FROM act GROUP BY user_id)
+        |SELECT f.cohort, datediff('day', f.cohort, a.day) AS k,
+        |       count(DISTINCT a.user_id) AS n_active
+        |FROM act a JOIN first f ON a.user_id = f.user_id
+        |GROUP BY 1, 2 ORDER BY cohort, k""".stripMargin,
     // twin of q_merge_upsert: updates+inserts take precedence, the rest
     // of the target passes through the NOT IN (key is non-null)
     "q_merge_upsert" ->
