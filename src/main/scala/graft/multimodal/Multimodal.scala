@@ -121,6 +121,60 @@ object Multimodal {
     * input schema (chainable). The codec call is the stub; the metadata
     * update is real.
     */
+  /** Per-image 64-bit perceptual hash (MediaCodecs.perceptualHash) —
+    * same batched mapPartitions shape as imageFeatures; payload dropped
+    * in-operator, so everything downstream shuffles 16 bytes per image.
+    */
+  def perceptualHashes(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "kind", "payload")
+      .repartition(col("media_id"))
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { r =>
+            (r.getString(0), r.getString(1),
+              MediaCodecs.perceptualHash(r.getAs[Array[Byte]]("payload")))
+          }
+        }
+      }
+      .toDF("media_id", "kind", "phash")
+  }
+
+  /** Image near-dup pairs by perceptual hash: Hamming(phash) ≤
+    * `maxHamming`. Chunk LSH turns it into an equi-join: the hash
+    * splits into 4×16-bit chunks used as bucket keys, and candidates
+    * verify with the exact codegen'd bit_count(xor). Pigeonhole
+    * guarantee: a pair differing in ≤ 3 bits cannot touch all 4 chunks,
+    * so recall is EXACT for maxHamming ≤ 3; larger budgets recall a
+    * pair only if some chunk survives untouched (the standard LSH
+    * trade — raise chunks for a harder guarantee). No pairwise scan of
+    * the corpus, shuffles carry (id, 16-bit key) rows only — the image
+    * twin of the SimHash text path.
+    */
+  def phashNearDups(media: DataFrame, maxHamming: Int = 8): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64)
+    val hashes = perceptualHashes(media)
+    // (x >> n) & 0xffff extracts bits regardless of the arithmetic
+    // shift's sign fill — the mask keeps only the low 16
+    val chunked = hashes.select(col("media_id"), col("phash"),
+      posexplode(array((0 until 4).map(c =>
+        expr(s"(phash >> ${c * 16}) & 65535")): _*)).as(Seq("chunk", "key")))
+    val cand = chunked.select(col("media_id").as("ida"),
+        col("phash").as("ha"), col("chunk"), col("key"))
+      .join(chunked.select(col("media_id").as("idb"),
+          col("phash").as("hb"), col("chunk").as("chunk_b"),
+          col("key").as("key_b")),
+        col("chunk") === col("chunk_b") && col("key") === col("key_b") &&
+          col("ida") < col("idb"))
+      .select("ida", "idb", "ha", "hb")
+      .distinct()
+    cand
+      .withColumn("hamming", expr("bit_count(ha ^ hb)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("ida", "idb", "hamming")
+  }
+
   def resizeImages(media: DataFrame, width: Int, height: Int): DataFrame = {
     val resize = udf((payload: Array[Byte]) =>
       if (payload == null) null
@@ -286,6 +340,75 @@ object MediaCodecs {
     while (d < dim) { out(d) = out(d) / math.max(payload.length, 1); d += 1 }
     out
   }
+
+  /** 64-bit average-hash (aHash). REAL for decodable images: grayscale
+    * block-average down to 8×8, threshold each cell against the mean →
+    * 64 bits MSB-first (row-major). The standard cheap perceptual
+    * fingerprint: re-encodes, small crops/noise, and resizes move only
+    * a few bits, so near-duplicate images sit within a small Hamming
+    * distance (dHash/pHash slot in here unchanged if gradients or DCT
+    * are wanted). Deterministic byte-hash fake for undecodable
+    * payloads — distinct fakes collide nowhere, so stub payloads never
+    * produce false near-dup pairs.
+    */
+  def perceptualHash(payload: Array[Byte]): Long =
+    decode(payload) match {
+      case Some(img) =>
+        val w = img.getWidth; val h = img.getHeight
+        val cells = new Array[Double](64)
+        // block-average the full image into the 8×8 grid (integer block
+        // bounds; every pixel lands in exactly one cell)
+        var y = 0
+        while (y < h) {
+          val cy = math.min(y * 8 / h, 7)
+          var x = 0
+          while (x < w) {
+            val cx = math.min(x * 8 / w, 7)
+            val rgb = img.getRGB(x, y)
+            val luma = 0.299 * ((rgb >> 16) & 0xff) +
+              0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+            cells(cy * 8 + cx) += luma
+            x += 1
+          }
+          y += 1
+        }
+        // normalize by per-cell pixel counts (blocks differ by ±1 pixel)
+        val counts = new Array[Int](64)
+        var yy = 0
+        while (yy < h) {
+          val cy = math.min(yy * 8 / h, 7)
+          var xx = 0
+          while (xx < w) {
+            counts(cy * 8 + math.min(xx * 8 / w, 7)) += 1; xx += 1
+          }
+          yy += 1
+        }
+        var i = 0
+        var mean = 0.0
+        while (i < 64) {
+          cells(i) = if (counts(i) > 0) cells(i) / counts(i) else 0.0
+          mean += cells(i); i += 1
+        }
+        mean /= 64
+        var bits = 0L
+        i = 0
+        while (i < 64) {
+          if (cells(i) > mean) bits |= (1L << (63 - i))
+          i += 1
+        }
+        bits
+      case None =>
+        // deterministic fake: FNV-ish over the bytes — unrelated stubs
+        // land far apart in Hamming space
+        var hsh = -3750763034362895579L // FNV-1a 64 offset basis
+        if (payload != null) {
+          var i = 0
+          while (i < payload.length) {
+            hsh ^= payload(i); hsh *= 1099511628211L; i += 1
+          }
+        }
+        hsh
+    }
 
   /** Image resize. REAL for decodable images: bilinear Graphics2D scale
     * re-encoded as PNG (swap in Lanczos/libvips for production quality).

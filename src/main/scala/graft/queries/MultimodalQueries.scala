@@ -24,6 +24,29 @@ object MultimodalQueries extends QueryPack {
         .orderBy("media_id")
     }),
 
+    // Perceptual-hash image dedup (aHash + 16-bit-chunk LSH + exact
+    // bit_count verify). The text-derived payloads aren't decodable, so
+    // they take the deterministic fake-hash path — meaning only EXACT
+    // payload copies can pair, and every 10th doc is PLANTED as a copy
+    // of another doc's payload: the operator must find exactly those
+    // pairs at Hamming 0. MultimodalSpec drives the REAL decoder path
+    // (gradient PNGs, small perturbations) where Hamming is graded.
+    "q_media_phash" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val base = docs.select(col("doc_id").as("b_id"),
+        col("text").as("b_text"))
+      val planted = docs
+        .select(col("doc_id"), col("text"),
+          when(col("doc_id") % 10 === 7, col("doc_id") - 7)
+            .otherwise(col("doc_id")).as("payload_src"))
+        .join(base, col("payload_src") === col("b_id"), "left")
+        .select(col("doc_id"), coalesce(col("b_text"), col("text")).as("ptext"))
+      Multimodal.phashNearDups(
+          Multimodal.fromStringColumn(planted, "doc_id", "ptext"),
+          maxHamming = 3)
+        .orderBy("ida", "idb")
+    }),
+
     // frame-sample: rows explode per sampled frame; frame bytes stay small.
     "q_media_frames" -> ((s, d) => {
       val media = Multimodal.fromStringColumn(

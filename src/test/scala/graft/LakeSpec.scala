@@ -49,6 +49,26 @@ class LakeSpec extends SparkSpecBase {
     }
   }
 
+  test("columnar non-parquet format (orc) round-trips with pushdown intact") {
+    val dir = Files.createTempDirectory("graft-lake-orc").toString
+    val df = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "v", "x")
+    withFormat("orc") {
+      Lake.write(df, s"$dir/t")
+      val files = new java.io.File(s"$dir/t").listFiles()
+        .map(_.getName).filter(_.startsWith("part-"))
+      assert(files.nonEmpty && files.forall(_.endsWith(".orc")),
+        s"expected orc part files, got ${files.toSeq}")
+      val back = Lake.read(spark, s"$dir/t").filter($"id" > 1L)
+      assert(back.collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
+      // ORC is a pushdown-capable columnar source like parquet — the
+      // filter must reach the scan, not sit in a post-filter only
+      val plan = back.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters") &&
+        plan.contains("GreaterThan(id"), plan.take(800))
+    }
+  }
+
   test("format is restored and parquet remains the environment default") {
     assert(Lake.format == "parquet")
   }

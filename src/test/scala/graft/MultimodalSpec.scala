@@ -219,4 +219,51 @@ class MultimodalSpec extends SparkSpecBase {
     assert(a == b && a != c)
     assert(MediaCodecs.extractFeatures(null, 4).toSeq == Seq(0f, 0f, 0f, 0f))
   }
+
+  /** PNG with per-pixel color from f(x, y) — textured test images (a
+    * UNIFORM image aHashes to 0 by construction, so gradients are the
+    * honest fixtures).
+    */
+  private def texPng(w: Int, h: Int)(f: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, f(x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("perceptualHash: re-encode-stable, perturbation-local, pattern-sensitive") {
+    val grad = texPng(32, 32)((x, _) => (x * 255 / 31) << 16)
+    val gradCopy = texPng(32, 32)((x, _) => (x * 255 / 31) << 16)
+    // same gradient with one 4×4 corner block blacked out
+    val gradDinged = texPng(32, 32)((x, y) =>
+      if (x >= 28 && y < 4) 0 else (x * 255 / 31) << 16)
+    val vertical = texPng(32, 32)((_, y) => (y * 255 / 31) << 8)
+    val h1 = MediaCodecs.perceptualHash(grad)
+    assert(h1 == MediaCodecs.perceptualHash(gradCopy)) // deterministic encode
+    val dinged = MediaCodecs.perceptualHash(gradDinged)
+    val hv = MediaCodecs.perceptualHash(vertical)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h1, dinged) <= 3, s"local edit moved ${ham(h1, dinged)} bits")
+    assert(ham(h1, hv) > 8, s"orthogonal patterns too close: ${ham(h1, hv)}")
+    // undecodable payloads: deterministic fake, no accidental zero
+    val f1 = MediaCodecs.perceptualHash("not an image".getBytes)
+    assert(f1 == MediaCodecs.perceptualHash("not an image".getBytes))
+    assert(f1 != MediaCodecs.perceptualHash("not an imagf".getBytes))
+  }
+
+  test("phashNearDups pairs the copy and the dinged variant, not the orthogonal pattern") {
+    import spark.implicits._
+    val grad = texPng(32, 32)((x, _) => (x * 255 / 31) << 16)
+    val dinged = texPng(32, 32)((x, y) =>
+      if (x >= 28 && y < 4) 0 else (x * 255 / 31) << 16)
+    val vertical = texPng(32, 32)((_, y) => (y * 255 / 31) << 8)
+    val media = Seq(
+      ("a", "image", grad), ("b", "image", dinged), ("c", "image", vertical)
+    ).toDF("media_id", "kind", "payload")
+    val pairs = Multimodal.phashNearDups(media, maxHamming = 3)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs == Set(("a", "b")), pairs)
+  }
 }
