@@ -154,12 +154,16 @@ object Multimodal {
     */
   def phashNearDups(media: DataFrame, maxHamming: Int = 8): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64)
-    val hashes = perceptualHashes(media)
-    // (x >> n) & 0xffff extracts bits regardless of the arithmetic
-    // shift's sign fill — the mask keeps only the low 16
+    // contentless payloads (failed fetches) all hash to one stub value —
+    // pairing them as "duplicates" is noise, so they don't enter the join
+    val hashes = perceptualHashes(
+      media.filter(col("payload").isNotNull && length(col("payload")) > 0))
+    // same 4-chunk builder formulation as Dedup.simhashPairs; the & mask
+    // keeps the low 16 bits regardless of the arithmetic shift's sign fill
+    val chunks = array((0 until 4).map(c =>
+      shiftright(col("phash"), c * 16).bitwiseAND(lit(0xffffL))): _*)
     val chunked = hashes.select(col("media_id"), col("phash"),
-      posexplode(array((0 until 4).map(c =>
-        expr(s"(phash >> ${c * 16}) & 65535")): _*)).as(Seq("chunk", "key")))
+      posexplode(chunks).as(Seq("chunk", "key")))
     val cand = chunked.select(col("media_id").as("ida"),
         col("phash").as("ha"), col("chunk"), col("key"))
       .join(chunked.select(col("media_id").as("idb"),
@@ -168,9 +172,9 @@ object Multimodal {
         col("chunk") === col("chunk_b") && col("key") === col("key_b") &&
           col("ida") < col("idb"))
       .select("ida", "idb", "ha", "hb")
-      .distinct()
+      .dropDuplicates("ida", "idb")
     cand
-      .withColumn("hamming", expr("bit_count(ha ^ hb)"))
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
       .filter(col("hamming") <= maxHamming)
       .select("ida", "idb", "hamming")
   }
@@ -348,40 +352,32 @@ object MediaCodecs {
     * a few bits, so near-duplicate images sit within a small Hamming
     * distance (dHash/pHash slot in here unchanged if gradients or DCT
     * are wanted). Deterministic byte-hash fake for undecodable
-    * payloads — distinct fakes collide nowhere, so stub payloads never
-    * produce false near-dup pairs.
+    * payloads — distinct payloads (including null vs empty) hash apart,
+    * so only exact stub copies can pair; phashNearDups additionally
+    * drops contentless payloads before pairing.
     */
   def perceptualHash(payload: Array[Byte]): Long =
     decode(payload) match {
       case Some(img) =>
         val w = img.getWidth; val h = img.getHeight
         val cells = new Array[Double](64)
-        // block-average the full image into the 8×8 grid (integer block
-        // bounds; every pixel lands in exactly one cell)
+        val counts = new Array[Int](64)
+        // block-average the full image into the 8×8 grid in ONE pixel
+        // pass (integer block bounds; every pixel lands in exactly one
+        // cell; blocks differ in size by ±1 pixel, hence the counts)
         var y = 0
         while (y < h) {
           val cy = math.min(y * 8 / h, 7)
           var x = 0
           while (x < w) {
-            val cx = math.min(x * 8 / w, 7)
+            val cell = cy * 8 + math.min(x * 8 / w, 7)
             val rgb = img.getRGB(x, y)
-            val luma = 0.299 * ((rgb >> 16) & 0xff) +
+            cells(cell) += 0.299 * ((rgb >> 16) & 0xff) +
               0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
-            cells(cy * 8 + cx) += luma
+            counts(cell) += 1
             x += 1
           }
           y += 1
-        }
-        // normalize by per-cell pixel counts (blocks differ by ±1 pixel)
-        val counts = new Array[Int](64)
-        var yy = 0
-        while (yy < h) {
-          val cy = math.min(yy * 8 / h, 7)
-          var xx = 0
-          while (xx < w) {
-            counts(cy * 8 + math.min(xx * 8 / w, 7)) += 1; xx += 1
-          }
-          yy += 1
         }
         var i = 0
         var mean = 0.0
@@ -399,9 +395,14 @@ object MediaCodecs {
         bits
       case None =>
         // deterministic fake: FNV-ish over the bytes — unrelated stubs
-        // land far apart in Hamming space
+        // land far apart in Hamming space; identical stub payloads hash
+        // equal (exact copies are real duplicates), and the length/null
+        // mix-in keeps null vs empty vs content distinct
         var hsh = -3750763034362895579L // FNV-1a 64 offset basis
-        if (payload != null) {
+        if (payload == null) hsh ^= 0x9e3779b97f4a7c15L
+        else {
+          hsh ^= payload.length
+          hsh *= 1099511628211L
           var i = 0
           while (i < payload.length) {
             hsh ^= payload(i); hsh *= 1099511628211L; i += 1

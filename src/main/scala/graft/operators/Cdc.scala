@@ -34,9 +34,12 @@ object Cdc {
   /** Whole-row upsert — MERGE WHEN MATCHED UPDATE / WHEN NOT MATCHED
     * INSERT, parquet-era formulation: updates win on key collision,
     * untouched target rows pass through an anti-join. Schemas must
-    * match (unionByName enforces it). The anti-join shuffles on the key
-    * (or broadcasts when the update batch is small — the common CDC
-    * case, and Catalyst picks that automatically); a table format's
+    * match (unionByName enforces it), and `updates` must be KEY-UNIQUE:
+    * like SQL MERGE's multiple-match error, two update rows for one key
+    * have no defined winner — here they would BOTH survive. Compact a
+    * raw CDC batch with `latestByKey` first. The anti-join shuffles on
+    * the key (or broadcasts when the update batch is small — the common
+    * CDC case, and Catalyst picks that automatically); a table format's
     * MERGE INTO adds file-level pruning on top, which is why `Lake`
     * keeps the format seam — the LOGICAL operation is exactly this.
     */

@@ -251,6 +251,22 @@ class MultimodalSpec extends SparkSpecBase {
     val f1 = MediaCodecs.perceptualHash("not an image".getBytes)
     assert(f1 == MediaCodecs.perceptualHash("not an image".getBytes))
     assert(f1 != MediaCodecs.perceptualHash("not an imagf".getBytes))
+    // null, empty, and content stubs are three DIFFERENT hashes — failed
+    // fetches must not pair with each other as hamming-0 "duplicates"
+    val fNull = MediaCodecs.perceptualHash(null)
+    val fEmpty = MediaCodecs.perceptualHash(Array.emptyByteArray)
+    assert(fNull != fEmpty && fNull != f1 && fEmpty != f1)
+  }
+
+  test("phashNearDups drops contentless payloads from pairing") {
+    import spark.implicits._
+    val media = Seq(
+      ("n1", "image", null.asInstanceOf[Array[Byte]]),
+      ("n2", "image", null.asInstanceOf[Array[Byte]]),
+      ("e1", "image", Array.emptyByteArray),
+      ("e2", "image", Array.emptyByteArray)
+    ).toDF("media_id", "kind", "payload")
+    assert(Multimodal.phashNearDups(media, maxHamming = 8).count() == 0)
   }
 
   test("phashNearDups pairs the copy and the dinged variant, not the orthogonal pattern") {
