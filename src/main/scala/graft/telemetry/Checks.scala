@@ -123,4 +123,31 @@ object Checks {
         "dt", Seq("dt"))
     if (v.nonEmpty) throw new CheckFailedException(v)
   }
+
+  /** ZERO-COST contract observability: attach row/null counters to a
+    * frame with `Dataset.observe`, so the metrics ride the NEXT action's
+    * job instead of a dedicated validation scan. The dedicated-scan
+    * checks above are the gate (they can abort a pipeline); this is the
+    * monitor — a production write emits its quality counters from the
+    * write job itself, which at 100 TB is the difference between "free"
+    * and "scan everything twice". Read `observation.get` AFTER an action
+    * on the returned frame:
+    *
+    * {{{
+    * val (df, obs) = Checks.observed(silver, "silver", Seq("job_id"))
+    * df.write.parquet(out)                  // the one and only job
+    * val nulls = obs.get("null_job_id")     // counters from that job
+    * }}}
+    *
+    * Streaming twin: the same `observe` call on a streaming frame
+    * surfaces the counters in every `StreamingQueryProgress.observedMetrics`
+    * micro-batch report.
+    */
+  def observed(df: DataFrame, name: String, notNullCols: Seq[String])
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation(name)
+    val metrics = count(lit(1)).as("rows") +:
+      notNullCols.map(c => sum(col(c).isNull.cast("long")).as(s"null_$c"))
+    (df.observe(obs, metrics.head, metrics.tail: _*), obs)
+  }
 }

@@ -90,4 +90,18 @@ class TelemetrySpec extends SparkSpecBase {
       exactPercentile = false).collect()(0).getAs[Double]("p95_gpu_util")
     assert(math.abs(exact - approx) <= 1.5)
   }
+
+  test("Checks.observed reports row/null counters from the action's own job") {
+    import spark.implicits._
+    val df = Seq((Some(1L), "a"), (None, "b"), (Some(3L), null))
+      .toDF("k", "v")
+    val (observed, obs) = graft.telemetry.Checks.observed(
+      df, "t", Seq("k", "v"))
+    // the ONLY action is this collect — the counters ride its job
+    assert(observed.count() == 3)
+    val m = obs.get
+    assert(m("rows") == 3L)
+    assert(m("null_k") == 1L)
+    assert(m("null_v") == 1L)
+  }
 }
