@@ -87,6 +87,35 @@ object Ivf {
     centroids
   }
 
+  /** Persist a trained coarse quantizer (one parquet row per centroid
+    * dim-ordered) so arriving batches and query services reuse the SAME
+    * cell geometry instead of refitting — the index posture every FAISS
+    * deployment uses: fit once on a sample, assign forever. Cell
+    * assignments stay comparable across batches only while the centroids
+    * are fixed, which is exactly what makes an incremental IVF (append
+    * new vectors' cells to the inverted lists) possible at all.
+    */
+  def saveCentroids(spark: org.apache.spark.sql.SparkSession,
+                    centroids: Array[Array[Double]], path: String): Unit = {
+    import spark.implicits._
+    centroids.zipWithIndex
+      .map { case (v, i) => (i, v.toSeq) }.toSeq
+      .toDF("centroid_id", "vec")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a quantizer written by saveCentroids, ordered by centroid id
+    * (bit-identical to what was saved — doubles round-trip parquet
+    * exactly).
+    */
+  def loadCentroids(spark: org.apache.spark.sql.SparkSession,
+                    path: String): Array[Array[Double]] =
+    spark.read.parquet(path)
+      .orderBy("centroid_id")
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+
   /** Adds `cell` = index of the L2-nearest centroid. The centroid matrix
     * rides in the UDF closure (k×dim doubles — broadcast with the task).
     */

@@ -64,4 +64,20 @@ class IvfSpec extends SparkSpecBase {
     assert(r1.map(_.toSeq).toSeq == r2.map(_.toSeq).toSeq)
     assert(r1.map(_.getAs[Int]("rn")).toSeq == Seq(1, 2, 3))
   }
+
+  test("centroids round-trip the lake bit-identically; assignments stay stable") {
+    val cents = Ivf.kmeansFit(corpus, k = 3)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-cent").toString
+    Ivf.saveCentroids(spark, cents, s"$dir/c")
+    val back = Ivf.loadCentroids(spark, s"$dir/c")
+    assert(back.length == cents.length)
+    cents.zip(back).foreach { case (a, b) => assert(a.toSeq == b.toSeq) }
+    // a later batch assigned with the LOADED quantizer lands in the same
+    // cells — the property incremental IVF maintenance depends on
+    val a1 = Ivf.assignCells(corpus, cents)
+      .select("id", "cell").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val a2 = Ivf.assignCells(corpus, back)
+      .select("id", "cell").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a1 == a2)
+  }
 }
