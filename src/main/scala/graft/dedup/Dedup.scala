@@ -101,6 +101,49 @@ object Dedup {
       .select("ida", "idb", "jaccard")
   }
 
+  /** Exact-Jaccard pairs via PREFIX FILTERING (the AllPairs/PPJoin
+    * family — Chaudhuri et al. ICDE'06, Bayardo et al. WWW'07):
+    * identical output to `jaccardPairs(..., maxShingleFreq = 0)` with
+    * far fewer candidates and NO recall loss. Every doc's shingles are
+    * ordered by a global total order (corpus df ascending, shingle
+    * tiebreak — rarest first); a pair with Jaccard ≥ t must share a
+    * shingle inside each side's first (n − ⌈t·n⌉ + 1) shingles, so only
+    * that prefix enters the self-join. Rare-first ordering means
+    * candidate pairs meet on LOW-df shingles — short posting lists —
+    * while the stop-shingles that make the naive index quadratic sit at
+    * the end of the order and mostly never get indexed. Unlike the
+    * df-cut this is lossless: verification sees full shingle sets, and
+    * the df-rank pass is one extra vocabulary-sized aggregation + join.
+    *
+    * The prefix bound uses ceil(t·n − 1e-9): thresholds carry ≤ 6
+    * decimals, so the epsilon only cancels a float round-UP at exact
+    * integer boundaries (it can never cross a true boundary — gaps are
+    * ≥ 1e-6). Erring long keeps exactness; one shingle short would
+    * silently lose pairs.
+    */
+  def jaccardPairsPrefix(docs: DataFrame, textCol: String, idCol: String,
+                         threshold: Double, n: Int = 3): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1]: $threshold")
+    val t = shingled(docs, textCol, idCol, n)
+    val e = t.select(col("id"), size(col("sh")).as("n_sh"),
+      explode(col("sh")).as("s"))
+    val dfc = e.groupBy("s").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("df"), col("s"))
+    val prefix = e.join(dfc, "s")
+      .withColumn("pos", row_number().over(w))
+      .filter(col("pos") <=
+        col("n_sh") - ceil(col("n_sh") * threshold - 1e-9) + 1)
+      .select("id", "s")
+    val cand = prefix.select(col("id").as("ida"), col("s"))
+      .join(prefix.select(col("id").as("idb"), col("s").as("sb")),
+        col("s") === col("sb") && col("ida") < col("idb"))
+      .select("ida", "idb")
+      .distinct()
+    jaccardVerified(cand, t, t, "ida", "idb", threshold)
+  }
+
   /** Exact-Jaccard verification of an LSH candidate-pair frame: join the
     * (aIdCol, bIdCol) pairs back to their shingle sets and keep pairs at
     * or above the threshold. ONE definition of the verify arithmetic

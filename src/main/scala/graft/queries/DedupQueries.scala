@@ -34,6 +34,15 @@ object DedupQueries extends QueryPack {
           threshold = 0.8, maxShingleFreq = 0)
         .orderBy("ida", "idb")),
 
+    // The LOSSLESS fast exact path: prefix filtering (AllPairs/PPJoin
+    // family) must reproduce q_dedup_jaccard's result bit-for-bit — the
+    // two queries share one oracle — while indexing only each doc's
+    // rarest (n − ⌈0.8n⌉ + 1) shingles.
+    "q_dedup_jaccard_prefix" -> ((s, d) =>
+      Dedup.jaccardPairsPrefix(Tables.documents(s, d), "text", "doc_id",
+          threshold = 0.8)
+        .orderBy("ida", "idb")),
+
     // The 100-TB jaccard path: same inverted index with the df-cut
     // engaged (shingles in > 5 docs dropped before the self-join — the
     // posting lists that would otherwise make it quadratic). The cap
@@ -211,6 +220,25 @@ object DedupQueries extends QueryPack {
   /** Recursive-CTE prefix shared by the cluster-based oracles: minhash
     * pair generation + undirected reachability closure → cc(id, component).
     */
+  /** Exact Jaccard ≥ 0.8 pairs — the shared oracle for the naive
+    * inverted-index path and the prefix-filtered path (identical
+    * results by the prefix-filter correctness guarantee).
+    */
+  private lazy val exactJaccardOracleSql =
+    s"""WITH t AS (
+      |  SELECT doc_id AS id, $shinglesSql AS sh
+      |  FROM (SELECT doc_id, $tokensSql AS w FROM documents)),
+      |e AS (SELECT id, len(sh) AS n_sh, unnest(sh) AS s FROM t),
+      |p AS (
+      |  SELECT a.id AS ida, b.id AS idb, a.n_sh AS na, b.n_sh AS nb,
+      |         count(*) AS inter
+      |  FROM e a JOIN e b ON a.s = b.s AND a.id < b.id
+      |  GROUP BY 1, 2, 3, 4)
+      |SELECT ida, idb,
+      |       round(inter::DOUBLE / (na + nb - inter), 6) AS jaccard
+      |FROM p WHERE round(inter::DOUBLE / (na + nb - inter), 6) >= 0.8
+      |ORDER BY ida, idb""".stripMargin
+
   private val clusterCte =
     s"""WITH RECURSIVE t AS (
       |  SELECT doc_id AS id, $shinglesSql AS sh
@@ -272,20 +300,11 @@ object DedupQueries extends QueryPack {
         |       count(DISTINCT md5(array_to_string(w, ' '))) AS n_unique,
         |       count(*) - count(DISTINCT md5(array_to_string(w, ' '))) AS n_dups
         |FROM (SELECT doc_id, $tokensSql AS w FROM documents)""".stripMargin,
-    "q_dedup_jaccard" ->
-      s"""WITH t AS (
-        |  SELECT doc_id AS id, $shinglesSql AS sh
-        |  FROM (SELECT doc_id, $tokensSql AS w FROM documents)),
-        |e AS (SELECT id, len(sh) AS n_sh, unnest(sh) AS s FROM t),
-        |p AS (
-        |  SELECT a.id AS ida, b.id AS idb, a.n_sh AS na, b.n_sh AS nb,
-        |         count(*) AS inter
-        |  FROM e a JOIN e b ON a.s = b.s AND a.id < b.id
-        |  GROUP BY 1, 2, 3, 4)
-        |SELECT ida, idb,
-        |       round(inter::DOUBLE / (na + nb - inter), 6) AS jaccard
-        |FROM p WHERE round(inter::DOUBLE / (na + nb - inter), 6) >= 0.8
-        |ORDER BY ida, idb""".stripMargin,
+    "q_dedup_jaccard" -> exactJaccardOracleSql,
+    // SAME oracle as q_dedup_jaccard on purpose: prefix filtering is a
+    // lossless candidate-pruning rewrite, so the cross-engine hash
+    // must be identical to the naive inverted index's
+    "q_dedup_jaccard_prefix" -> exactJaccardOracleSql,
     // Twin of jaccardPairs(maxShingleFreq = 5): the hot CTE computes
     // shingle document frequency and the same df-cut is applied before
     // the self-join; na/nb remain the uncut shingle counts.

@@ -122,6 +122,28 @@ class DedupSpec extends SparkSpecBase {
     assert(got(4L) == ((5L, 0L, 0.0)))
   }
 
+  test("jaccardPairsPrefix == exact jaccardPairs on randomized corpora") {
+    val rng = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    // random docs + planted near-dup copies (one word changed)
+    val base = (1L to 30L).map { i =>
+      (i, Seq.fill(8 + rng.nextInt(8))(vocab(rng.nextInt(vocab.size)))
+        .mkString(" "))
+    }
+    val copies = base.take(8).map { case (i, t) =>
+      (i + 100L, t.split(" ").updated(0, "changed").mkString(" "))
+    }
+    val df = (base ++ copies).toDF("doc_id", "body")
+    for (thr <- Seq(0.5, 0.7, 0.8)) {
+      def pairs(d: DataFrame) = d.select("ida", "idb", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val exact = pairs(Dedup.jaccardPairs(df, "body", "doc_id", thr, 0))
+      val pref = pairs(Dedup.jaccardPairsPrefix(df, "body", "doc_id", thr))
+      assert(pref == exact, s"thr=$thr prefix=$pref exact=$exact")
+    }
+  }
+
   test("incrementalNearDups == full-batch pairs minus old-old pairs") {
     // old corpus: 1,2 are dups of each other; new batch: 5 dups 1 (and
     // therefore 2), 6 dups 7 (new-new), 8 unrelated
