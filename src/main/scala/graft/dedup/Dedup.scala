@@ -115,6 +115,19 @@ object Dedup {
     * df-cut this is lossless: verification sees full shingle sets, and
     * the df-rank pass is one extra vocabulary-sized aggregation + join.
     *
+    * CORRECTNESS holds under ANY fixed global shingle order; the order
+    * only tunes candidate volume, so `dfOrder` picks the cost profile:
+    *  - true (the Zipf/web-scale path): order by corpus df ascending —
+    *    prefixes meet on RARE shingles with short posting lists, and the
+    *    stop-shingles that make the naive index quadratic mostly never
+    *    index. Costs one vocabulary aggregation + a per-doc ranking
+    *    window (an extra keyed shuffle of the shingle stream).
+    *  - false: plain lexicographic order — the prefix is computed
+    *    per-row from the sorted shingle array, completely shuffle-free.
+    *    On a corpus WITHOUT hot shingles (uniform df) candidates are
+    *    statistically the same and this is strictly cheaper; under skew
+    *    a hot shingle can land in many prefixes and re-grow the join.
+    *
     * The prefix bound uses ceil(t·n − 1e-9): thresholds carry ≤ 6
     * decimals, so the epsilon only cancels a float round-UP at exact
     * integer boundaries (it can never cross a true boundary — gaps are
@@ -122,26 +135,53 @@ object Dedup {
     * silently lose pairs.
     */
   def jaccardPairsPrefix(docs: DataFrame, textCol: String, idCol: String,
-                         threshold: Double, n: Int = 3): DataFrame = {
+                         threshold: Double, n: Int = 3,
+                         dfOrder: Boolean = true): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0, 1]: $threshold")
     val t = shingled(docs, textCol, idCol, n)
-    val e = t.select(col("id"), size(col("sh")).as("n_sh"),
-      explode(col("sh")).as("s"))
-    val dfc = e.groupBy("s").agg(count(lit(1)).as("df"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("id").orderBy(col("df"), col("s"))
-    val prefix = e.join(dfc, "s")
-      .withColumn("pos", row_number().over(w))
-      .filter(col("pos") <=
-        col("n_sh") - ceil(col("n_sh") * threshold - 1e-9) + 1)
-      .select("id", "s")
-    val cand = prefix.select(col("id").as("ida"), col("s"))
-      .join(prefix.select(col("id").as("idb"), col("s").as("sb")),
+    val prefixLen =
+      size(col("sh")) - ceil(size(col("sh")) * threshold - 1e-9) + 1
+    // each prefix row carries its doc's full shingle array SORTED, so
+    // the pair verify runs INLINE on the prefix join's output (the
+    // PPJoin shape): no re-join of candidates back to the corpus, no
+    // exchange of arrays beyond the prefix rows themselves, and the
+    // ≥-threshold filter runs BEFORE the pair distinct so only
+    // surviving pairs ever shuffle again. Sorted arrays let the native
+    // sorted_intersect_count verify by linear merge — measured ~4×
+    // cheaper per candidate than the hash-set array_intersect.
+    val sorted = t.select(col("id"), array_sort(col("sh")).as("sh"))
+    val prefix = if (dfOrder) {
+      val e = sorted.select(col("id"), col("sh"), explode(col("sh")).as("s"))
+      val dfc = e.groupBy("s").agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("id").orderBy(col("df"), col("s"))
+      e.join(dfc, "s")
+        .withColumn("pos", row_number().over(w))
+        .filter(col("pos") <= prefixLen)
+        .select("id", "sh", "s")
+    } else
+      sorted.select(col("id"), col("sh"),
+        explode(slice(col("sh"), lit(1), prefixLen.cast("int"))).as("s"))
+    // one s-keyed exchange BOTH join sides reuse (same ReuseExchange
+    // trick as shingled()): without it each side re-sorts, re-explodes,
+    // and re-ships the carried arrays separately
+    val prefixByKey = prefix.repartition(col("s"))
+    val joined = prefixByKey.select(col("id").as("ida"), col("sh").as("sha"),
+        col("s"))
+      .join(prefixByKey.select(col("id").as("idb"), col("sh").as("shb"),
+          col("s").as("sb")),
         col("s") === col("sb") && col("ida") < col("idb"))
-      .select("ida", "idb")
+    joined
+      .withColumn("inter",
+        graft.functions.TextHashExpressions.sortedIntersectCount(
+          col("sha"), col("shb")))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (size(col("sha")) + size(col("shb")) - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("ida", "idb", "jaccard")
       .distinct()
-    jaccardVerified(cand, t, t, "ida", "idb", threshold)
   }
 
   /** Exact-Jaccard verification of an LSH candidate-pair frame: join the

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, GraftSqlBridge}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -193,6 +193,24 @@ object TextHashOps {
     new GenericArrayData(out)
   }
 
+  /** Intersection size of two SORTED string arrays by linear merge —
+    * no per-row hash set, no boxing. Callers must pass arrays sorted in
+    * UTF8String binary order (Spark's array_sort order for strings);
+    * unsorted input silently undercounts, so this stays behind
+    * operators that sort by construction.
+    */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < na && j < nb) {
+      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (cmp == 0) { c += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    c
+  }
+
   // Deflater construction does native zlib setup; reset() re-arms an
   // existing stream, so one per thread. Fixed level (6) pins the output
   // length for a given zlib — the ratio is deterministic per runtime.
@@ -373,7 +391,36 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** sorted_intersect_count(a: array<string>, b: array<string>): int —
+  * linear-merge intersection size; BOTH inputs must be sorted (see
+  * TextHashOps.sortedIntersectCount).
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"sorted_intersect_count requires two array<string>, got " +
+          s"${l.catalogString}, ${r.catalogString}")
+    }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sorted_intersect_count"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextHashOps.sortedIntersectCount(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.TextHashOps.sortedIntersectCount($a, $b)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}
+
 object TextHashExpressions {
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    GraftSqlBridge.column(SortedIntersectCount(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
   def simhash60(tokens: Column): Column =
     GraftSqlBridge.column(SimHash60(GraftSqlBridge.expression(tokens)))
   def deflateRatio(text: Column): Column =

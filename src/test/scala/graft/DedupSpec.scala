@@ -135,12 +135,13 @@ class DedupSpec extends SparkSpecBase {
       (i + 100L, t.split(" ").updated(0, "changed").mkString(" "))
     }
     val df = (base ++ copies).toDF("doc_id", "body")
-    for (thr <- Seq(0.5, 0.7, 0.8)) {
+    for (thr <- Seq(0.5, 0.7, 0.8); byDf <- Seq(true, false)) {
       def pairs(d: DataFrame) = d.select("ida", "idb", "jaccard").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
       val exact = pairs(Dedup.jaccardPairs(df, "body", "doc_id", thr, 0))
-      val pref = pairs(Dedup.jaccardPairsPrefix(df, "body", "doc_id", thr))
-      assert(pref == exact, s"thr=$thr prefix=$pref exact=$exact")
+      val pref = pairs(Dedup.jaccardPairsPrefix(df, "body", "doc_id", thr,
+        dfOrder = byDf))
+      assert(pref == exact, s"thr=$thr dfOrder=$byDf prefix=$pref exact=$exact")
     }
   }
 

@@ -92,6 +92,19 @@ class TextHashExprSpec extends SparkSpecBase {
     assert(h.toSeq == h2.toSeq)
   }
 
+  test("sortedIntersectCount == size(array_intersect) on sorted inputs") {
+    val pairs = Seq(
+      (Seq("a", "b", "c", "d"), Seq("b", "d", "e")),
+      (Seq("a"), Seq("a")),
+      (Seq("a", "b"), Seq("c", "d")),          // disjoint
+      (Seq[String](), Seq("a")),                // empty side
+      (Seq("x", "y", "z"), Seq("x", "y", "z"))) // identical
+    val cmp = pairs.toDF("a", "b").select(
+      sortedIntersectCount(col("a"), col("b")).as("native"),
+      size(array_intersect(col("a"), col("b"))).as("builtin")).collect()
+    cmp.foreach(r => assert(r.getInt(0) == r.getInt(1), r))
+  }
+
   test("nfcNormalize composes decomposed sequences; NFC text passes through") {
     val cases = Seq(
       "café" -> "café",          // e + combining acute → é
