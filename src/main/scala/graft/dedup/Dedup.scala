@@ -326,6 +326,55 @@ object Dedup {
         round(col("n_dup_spans").cast("double") / col("n_spans"), 6))
   }
 
+  /** Span REMOVAL — the transformation spanDupStats only profiles
+    * (Lee et al. 2022's exact-substring dedup, document-granular): drop
+    * every token covered by a w-token span that also occurs in ANOTHER
+    * document, keep the rest in order. Boilerplate repeated across docs
+    * disappears from all of them; unique prose survives untouched.
+    *
+    * Shape: positions ride the explode (posexplode over the w-gram
+    * transform), span df is one distinct + one keyed aggregation, and
+    * coverage is a bounded explode (≤ w rows per duplicated span) into
+    * a (id, pos) anti-join — every shuffle linear in corpus token
+    * count, never a pair join. Reassembly sorts each doc's surviving
+    * (pos, token) structs inside one aggregation. Docs shorter than w
+    * tokens have no spans and pass through whole; a doc whose every
+    * token is covered comes back with empty clean_text (row preserved —
+    * a dropped row would silently change corpus counts downstream).
+    */
+  def stripDupSpans(docs: DataFrame, textCol: String, idCol: String,
+                    w: Int = 5): DataFrame = {
+    val tok = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("tk"))
+    val spans = tok.select(col("id"),
+      posexplode(when(size(col("tk")) >= w,
+        transform(sequence(lit(0), size(col("tk")) - w),
+          i => concat_ws(" ", slice(col("tk"), i + 1, lit(w)))))
+        .otherwise(array().cast("array<string>"))).as(Seq("start", "s")))
+    // df counts DOCS containing the span (per-doc distinct — same
+    // definition as spanDupStats), not occurrences
+    val sdf = spans.select("id", "s").distinct()
+      .groupBy("s").agg(count(lit(1)).as("sdf"))
+    val covered = spans.join(sdf.filter(col("sdf") >= 2), "s")
+      .select(col("id"),
+        explode(sequence(col("start"), col("start") + (w - 1))).as("pos"))
+      .distinct()
+    val kept = tok
+      .select(col("id"), posexplode(col("tk")).as(Seq("pos", "t")))
+      .join(covered, Seq("id", "pos"), "left_anti")
+      .groupBy("id")
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("t")))),
+          x => x("t"))).as("clean_text"),
+        count(lit(1)).as("n_kept_tokens"))
+    tok.select(col("id"), size(col("tk")).as("n_tokens"))
+      .join(kept, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_tokens"),
+        coalesce(col("n_kept_tokens"), lit(0L)).as("n_kept_tokens"))
+  }
+
   /** Cross-corpus EXACT contamination: eval-set documents whose
     * normalized text also appears in the training corpus — the
     * decontamination check every training pipeline runs against its

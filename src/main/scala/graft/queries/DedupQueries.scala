@@ -83,6 +83,15 @@ object DedupQueries extends QueryPack {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
 
+    // Span REMOVAL (the transformation q_dup_spans only profiles): every
+    // token covered by a 5-token span occurring in another document is
+    // dropped, the rest reassembled in order (Dedup.stripDupSpans). All
+    // shuffles linear in corpus token count — no pair join anywhere.
+    "q_strip_spans" -> ((s, d) =>
+      Dedup.stripDupSpans(Tables.documents(s, d), "text", "doc_id", w = 5)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
     // Eval-set decontamination: near-duplicate leakage between a
     // deterministic 15% eval split and the remaining training corpus —
     // MinHash band candidates (eval side drives the join), exact-Jaccard
@@ -293,6 +302,44 @@ object DedupQueries extends QueryPack {
         |        / count(*), 6) AS dup_frac
         |FROM e JOIN d USING (s)
         |GROUP BY e.id ORDER BY doc_id""".stripMargin,
+    // twin of Dedup.stripDupSpans(w=5): span occurrences with start
+    // positions, per-doc-distinct df, covered positions strt..strt+4
+    // for spans with df >= 2, anti-join against the token stream,
+    // positional reassembly; fully-covered and sub-5-token docs keep
+    // their row with the same coalesce defaults as the Spark side
+    "q_strip_spans" ->
+      s"""WITH tok AS (SELECT doc_id AS id, $tokensSql AS w FROM documents),
+        |sp0 AS (
+        |  SELECT id, unnest(list_transform(generate_series(1, len(w) - 4),
+        |    i -> {'strt': i - 1,
+        |          's': w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]})) AS u
+        |  FROM tok WHERE len(w) >= 5),
+        |sp AS (SELECT id, u.strt AS strt, u.s AS s FROM sp0),
+        |sdf AS (
+        |  SELECT s, count(*) AS df
+        |  FROM (SELECT DISTINCT id, s FROM sp) GROUP BY s),
+        |cov AS (
+        |  SELECT DISTINCT sp.id, sp.strt + d AS pos
+        |  FROM sp JOIN sdf USING (s), generate_series(0, 4) AS gg(d)
+        |  WHERE sdf.df >= 2),
+        |tp0 AS (
+        |  SELECT id, unnest(list_transform(generate_series(1, len(w)),
+        |    i -> {'pos': i - 1, 't': w[i]})) AS u
+        |  FROM tok WHERE len(w) > 0),
+        |tokpos AS (SELECT id, u.pos AS pos, u.t AS t FROM tp0),
+        |kept AS (
+        |  SELECT tp.id, string_agg(tp.t, ' ' ORDER BY tp.pos) AS clean_text,
+        |         count(*) AS n_kept
+        |  FROM tokpos tp
+        |  WHERE NOT EXISTS (SELECT 1 FROM cov
+        |                    WHERE cov.id = tp.id AND cov.pos = tp.pos)
+        |  GROUP BY tp.id)
+        |SELECT tok.id AS doc_id,
+        |       coalesce(kept.clean_text, '') AS clean_text,
+        |       len(tok.w)::BIGINT AS n_tokens,
+        |       coalesce(kept.n_kept, 0)::BIGINT AS n_kept_tokens
+        |FROM tok LEFT JOIN kept ON kept.id = tok.id
+        |ORDER BY doc_id""".stripMargin,
     "q_dedup_exact" ->
       s"""SELECT md5(array_to_string(w, ' ')) AS fp,
         |       min(doc_id) AS canonical_id,

@@ -122,6 +122,27 @@ class DedupSpec extends SparkSpecBase {
     assert(got(4L) == ((5L, 0L, 0.0)))
   }
 
+  test("stripDupSpans drops cross-doc spans, keeps rows and order") {
+    val d = Seq(
+      (1L, "one two three four five alpha beta"),  // span 0 shared → pos 0-4 cut
+      (2L, "one two three four five gamma delta"),
+      (3L, "totally unrelated text with nothing shared here at"),
+      (4L, "x y z w v x y z w v"),      // within-doc repeat only → untouched
+      (5L, "one two three four five"),  // fully covered → empty but PRESENT
+      (6L, "tiny doc")                  // < w tokens → passes through whole
+    ).toDF("doc_id", "text")
+    val got = Dedup.stripDupSpans(d, "text", "doc_id", w = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2), r.getLong(3)))).toMap
+    assert(got(1L) == (("alpha beta", 7, 2L)))
+    assert(got(2L) == (("gamma delta", 7, 2L)))
+    assert(got(3L) ==
+      (("totally unrelated text with nothing shared here at", 8, 8L)))
+    assert(got(4L) == (("x y z w v x y z w v", 10, 10L)))
+    assert(got(5L) == (("", 5, 0L)))
+    assert(got(6L) == (("tiny doc", 2, 2L)))
+  }
+
   test("jaccardPairsPrefix == exact jaccardPairs on randomized corpora") {
     val rng = new scala.util.Random(7)
     val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
