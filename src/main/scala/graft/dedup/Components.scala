@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Connected components over an undirected edge list — the step that
@@ -260,9 +260,51 @@ object Components {
       .filter(col("is_canonical") === 0)
       .select(col("id").as(idCol))
       .localCheckpoint(eager = true)
+    gatedAntiJoin(docs, drop, idCol, broadcastDropLimit)
+  }
+
+  /** Quality-aware dedup: keep the BEST-scoring member of each near-dup
+    * cluster instead of the minimum-id one — the policy production
+    * pipelines actually run (keep the longest / highest-quality copy;
+    * min-id is an arbitrary choice that routinely throws away the clean
+    * copy and keeps the truncated one). Ties break to the lower id, so
+    * the result is deterministic and degrades to `cleanCorpus` exactly
+    * when all scores are equal.
+    *
+    * `score(docs)` is any per-row numeric expression over the corpus
+    * columns (token count, quality score, …). Ids must be numeric: the
+    * tie-break rides a (score, -id) max_by, a partial-aggregable
+    * map-side-combining aggregate — no per-cluster sort, no window.
+    *
+    * Scale shape: only CLUSTER MEMBERS (the dup minority) ever join the
+    * label table or shuffle for the winner aggregation; the corpus-sized
+    * side is touched once by the same size-gated anti-join as
+    * `cleanCorpus`.
+    */
+  def cleanCorpusBest(docs: DataFrame, pairs: DataFrame, idCol: String,
+                      score: Column,
+                      broadcastDropLimit: Long = 1000000L): DataFrame = {
+    val labels = connectedComponents(pairs) // (id, component): members only
+    val members = docs.select(col(idCol), score.as("score"))
+      .join(labels.withColumnRenamed("id", idCol), idCol)
+    val winners = members.groupBy("component")
+      .agg(max_by(col(idCol),
+        struct(col("score"), (lit(0L) - col(idCol)).as("negid"))).as("keep"))
+    val drop = members
+      .join(winners, "component")
+      .filter(col(idCol) =!= col("keep"))
+      .select(col(idCol))
+      .localCheckpoint(eager = true)
+    gatedAntiJoin(docs, drop, idCol, broadcastDropLimit)
+  }
+
+  /** The shared size-gated drop-list anti-join (see cleanCorpus scaladoc
+    * for the limit rationale); `drop` must already be materialized.
+    */
+  private def gatedAntiJoin(docs: DataFrame, drop: DataFrame, idCol: String,
+                            broadcastDropLimit: Long): DataFrame =
     if (drop.count() <= broadcastDropLimit)
       docs.join(broadcast(drop), Seq(idCol), "left_anti")
     else
       docs.join(drop, Seq(idCol), "left_anti")
-  }
 }

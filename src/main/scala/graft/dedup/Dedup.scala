@@ -152,14 +152,25 @@ object Dedup {
     // cheaper per candidate than the hash-set array_intersect.
     val sorted = t.select(col("id"), array_sort(col("sh")).as("sh"))
     val prefix = if (dfOrder) {
-      val e = sorted.select(col("id"), col("sh"), explode(col("sh")).as("s"))
-      val dfc = e.groupBy("s").agg(count(lit(1)).as("df"))
+      // rank on NARROW (id, s, df) rows — the full shingle array rides
+      // along only after the prefix cut, re-attached by an id-join
+      // against `sorted` (already id-partitioned via shingled()). The
+      // previous shape carried the whole array on every exploded shingle
+      // row through both the df join and the ranking window — O(doc²)
+      // shuffle bytes per doc; this is O(doc) + O(prefix · doc).
+      val ee = t.select(col("id"), size(col("sh")).as("n_sh"),
+        explode(col("sh")).as("s"))
+      val dfc = ee.groupBy("s").agg(count(lit(1)).as("df"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("id").orderBy(col("df"), col("s"))
-      e.join(dfc, "s")
+      val prefLen =
+        col("n_sh") - ceil(col("n_sh") * threshold - 1e-9) + 1
+      ee.join(dfc, "s")
         .withColumn("pos", row_number().over(w))
-        .filter(col("pos") <= prefixLen)
-        .select("id", "sh", "s")
+        .filter(col("pos") <= prefLen)
+        .select("id", "s")
+        .join(sorted, "id")
+        .select(col("id"), col("sh"), col("s"))
     } else
       sorted.select(col("id"), col("sh"),
         explode(slice(col("sh"), lit(1), prefixLen.cast("int"))).as("s"))

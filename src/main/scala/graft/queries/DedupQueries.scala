@@ -205,6 +205,22 @@ object DedupQueries extends QueryPack {
         .orderBy("source")
     }),
 
+    // Quality-aware dedup: per near-dup cluster keep the LONGEST member
+    // (token count, ties to lower id) instead of the min-id one —
+    // Components.cleanCorpusBest with a token-count score. Survivor set
+    // differs from q_dedup_corpus_clean exactly where a cluster's longest
+    // copy is not its lowest id.
+    "q_dedup_keep_best" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashLshPairs(docs, "text", "doc_id",
+        threshold = 0.7)
+      graft.dedup.Components
+        .cleanCorpusBest(docs, pairs.select("ida", "idb"), "doc_id",
+          size(graft.text.TextFunctions.tokens(col("text"))).cast("long"))
+        .select("doc_id", "source", "lang")
+        .orderBy("doc_id")
+    }),
+
     // End-to-end cleaned corpus: kept doc ids after dropping every
     // non-canonical near-dup cluster member (broadcast anti-join).
     "q_dedup_corpus_clean" -> ((s, d) => {
@@ -518,6 +534,24 @@ object DedupQueries extends QueryPack {
       s"""$clusterCte
         |SELECT doc_id, source, lang FROM documents
         |WHERE doc_id NOT IN (SELECT id FROM cc WHERE id <> component)
+        |ORDER BY doc_id""".stripMargin,
+    // twin of cleanCorpusBest(score = token count): same cluster closure,
+    // winner per component = highest token count then lowest id
+    "q_dedup_keep_best" ->
+      s"""$clusterCte,
+        |m AS (
+        |  SELECT cc.id, cc.component, len($tokensSql) AS score
+        |  FROM cc JOIN documents d ON d.doc_id = cc.id),
+        |w AS (
+        |  SELECT component, id AS keep_id,
+        |         row_number() OVER (PARTITION BY component
+        |           ORDER BY score DESC, id) AS rn
+        |  FROM m),
+        |dropped AS (
+        |  SELECT id FROM m
+        |  WHERE id NOT IN (SELECT keep_id FROM w WHERE rn = 1))
+        |SELECT doc_id, source, lang FROM documents
+        |WHERE doc_id NOT IN (SELECT id FROM dropped)
         |ORDER BY doc_id""".stripMargin,
     "q_corpus_funnel" ->
       s"""$clusterCte,

@@ -38,6 +38,31 @@ class ComponentsSpec extends SparkSpecBase {
     assert(viaShuffle.toSeq == viaBroadcast.toSeq)
   }
 
+  test("cleanCorpusBest keeps the top-scoring member, ties to lower id") {
+    import org.apache.spark.sql.functions.col
+    // scores: cluster {1,2,3} → 3 wins on score; cluster {7,8} → tie on
+    // score → 7 (lower id) wins; 4,5,6 are singletons and always survive
+    val docs = Seq(
+      (1L, 10L), (2L, 20L), (3L, 30L),
+      (4L, 1L), (5L, 1L), (6L, 1L),
+      (7L, 5L), (8L, 5L)
+    ).toDF("doc_id", "quality")
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("ida", "idb")
+    val kept = Components.cleanCorpusBest(docs, pairs, "doc_id",
+        col("quality")).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(3L, 4L, 5L, 6L, 7L))
+    // equal scores everywhere → identical to min-id cleanCorpus
+    val flat = Components.cleanCorpusBest(
+        docs.withColumn("quality", org.apache.spark.sql.functions.lit(1L)),
+        pairs, "doc_id", col("quality"),
+        broadcastDropLimit = 0L) // exercise the shuffle path too
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val minId = Components.cleanCorpus(docs, pairs, "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(flat == minId)
+  }
+
   test("connectedComponents honors numPartitions") {
     val edges = Seq((1L, 2L), (3L, 4L)).toDF("ida", "idb")
     val cc = Components.connectedComponents(edges, numPartitions = 2)
