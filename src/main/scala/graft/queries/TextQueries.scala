@@ -42,6 +42,30 @@ object TextQueries extends QueryPack {
           langIdHeuristic(col("text")).as("lang_pred"))
         .orderBy("doc_id")),
 
+    // Script detection over a deterministically multilingual-ized corpus
+    // (the raw fixture is all-Latin, so two doc subsets are re-scripted
+    // via 1:1 translate — Cyrillic lookalikes and CJK — exactly
+    // reproducibly in both engines): per-doc script char counts and the
+    // dominant script, the routing signal that runs BEFORE token-level
+    // langid in a multilingual pipeline.
+    "q_text_scripts" -> ((s, d) => {
+      import graft.text.TextFunctions._
+      Tables.documents(s, d)
+        .withColumn("t",
+          when(col("doc_id") % 7 === 2,
+            translate(col("text"), "aeost", "аеост"))
+          .when(col("doc_id") % 7 === 3,
+            translate(col("text"), "aeost", "安营送天爱"))
+          .otherwise(col("text")))
+        .select(col("doc_id"),
+          latinCount(col("t")).as("n_latin"),
+          cyrillicCount(col("t")).as("n_cyrillic"),
+          cjkCount(col("t")).as("n_cjk"),
+          arabicCount(col("t")).as("n_arabic"),
+          dominantScript(col("t")).as("script"))
+        .orderBy("doc_id")
+    }),
+
     // Rolling-hash fingerprint (order-sensitive) + BPE-ish sub-word token
     // count per document.
     "q_text_fingerprint" -> ((s, d) =>
@@ -519,6 +543,29 @@ object TextQueries extends QueryPack {
         |        / greatest(len(w), 1), 6) AS avg_word_len,
         |  md5(array_to_string(w, ' ')) AS fp
         |FROM t ORDER BY doc_id""".stripMargin,
+    // twin of q_text_scripts: same translate planting, single-char-class
+    // regex counts over the same BMP ranges, same priority-ordered argmax
+    "q_text_scripts" ->
+      s"""WITH p AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 2 THEN translate(text, 'aeost', 'аеост')
+        |         WHEN doc_id % 7 = 3 THEN translate(text, 'aeost', '安营送天爱')
+        |         ELSE text END AS t
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(t, '[A-Za-z]')) AS n_latin,
+        |    len(regexp_extract_all(t, '[\\x{0400}-\\x{04FF}]')) AS n_cyrillic,
+        |    len(regexp_extract_all(t, '[\\x{4E00}-\\x{9FFF}]')) AS n_cjk,
+        |    len(regexp_extract_all(t, '[\\x{0600}-\\x{06FF}]')) AS n_arabic
+        |  FROM p)
+        |SELECT doc_id, n_latin, n_cyrillic, n_cjk, n_arabic,
+        |  CASE WHEN n_latin > 0 AND n_latin >= greatest(n_cyrillic, n_cjk, n_arabic) THEN 'latin'
+        |       WHEN n_cyrillic > 0 AND n_cyrillic >= greatest(n_cjk, n_arabic) THEN 'cyrillic'
+        |       WHEN n_cjk > 0 AND n_cjk >= n_arabic THEN 'cjk'
+        |       WHEN n_arabic > 0 THEN 'arabic'
+        |       ELSE 'unknown' END AS script
+        |FROM c ORDER BY doc_id""".stripMargin,
     "q_text_langid" ->
       s"""WITH t AS (SELECT doc_id, $tokensSql AS w FROM documents),
         |c AS (SELECT doc_id,

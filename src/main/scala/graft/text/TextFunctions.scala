@@ -61,6 +61,36 @@ object TextFunctions {
       .otherwise("und")
   }
 
+  /** Per-script character counts — the writing-system signal that runs
+    * BEFORE token-level language ID in a multilingual pipeline (marker
+    * tokens only exist for space-separated Latin-script languages; a
+    * Cyrillic or CJK doc must be routed by script first). Counts are
+    * single-char regexp matches over explicit BMP ranges so any
+    * regex-capable engine reproduces them exactly.
+    */
+  def latinCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]"))
+  def cyrillicCount(text: Column): Column =
+    regexp_count(text, lit("[Ѐ-ӿ]"))
+  def cjkCount(text: Column): Column =
+    regexp_count(text, lit("[一-鿿]"))
+  def arabicCount(text: Column): Column =
+    regexp_count(text, lit("[؀-ۿ]"))
+
+  /** Dominant script with a strict priority order (latin > cyrillic >
+    * cjk > arabic > unknown) so ties resolve deterministically — the
+    * same tie-break convention as langIdHeuristic.
+    */
+  def dominantScript(text: Column): Column = {
+    val lat = latinCount(text); val cyr = cyrillicCount(text)
+    val cjk = cjkCount(text);   val ara = arabicCount(text)
+    when(lat > 0 && lat >= greatest(cyr, cjk, ara), "latin")
+      .when(cyr > 0 && cyr >= greatest(cjk, ara), "cyrillic")
+      .when(cjk > 0 && cjk >= ara, "cjk")
+      .when(ara > 0, "arabic")
+      .otherwise("unknown")
+  }
+
   /** Composite quality score in [0,1]: length saturation + punctuation
     * sanity + stopword presence (proxy for natural prose).
     */

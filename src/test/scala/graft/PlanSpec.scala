@@ -168,6 +168,33 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("span removal: anti-join on positions, never a pair self-join") {
+    val p = plan(q("q_strip_spans"))
+    assert(!p.contains("CartesianProduct"),
+      "span removal must stay linear — no pair join")
+    // the only joins allowed are the position anti-join and the two
+    // id-keyed reassembly joins; a SortMergeJoin on the span string s
+    // against itself would mean a candidate-pair explosion crept in
+    assert("LeftAnti".r.findAllIn(p).length == 1,
+      "exactly one anti-join (covered positions) expected")
+  }
+
+  test("script detection is a shuffle-free codegen projection") {
+    val p = plan(q("q_text_scripts"))
+    // one exchange allowed: the final orderBy's range partitioning
+    assert(!p.contains("Exchange hashpartitioning"),
+      "script counts must not hash-shuffle anything")
+    // codegen stages hide inside un-materialized AdaptiveSparkPlan;
+    // disable AQE just for this inspection (same trick as q_case_arith)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val cg = q("q_text_scripts").queryExecution.explainString(
+        org.apache.spark.sql.execution.CodegenMode)
+      assert(cg.contains("WholeStageCodegen subtree"),
+        "regexp_count chain must stay inside codegen")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("semantic dedup joins within buckets only (equi-join, no cross product)") {
     val p = plan(q("q_semantic_dedup"))
     assert(!p.contains("CartesianProduct") &&

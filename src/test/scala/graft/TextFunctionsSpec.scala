@@ -118,6 +118,35 @@ class TextFunctionsSpec extends SparkSpecBase {
     assert(math.abs(got(2L)._2 - math.log(2.0) / 2) < 1e-6)
   }
 
+  test("script counts and dominantScript classify mixed-script text") {
+    import spark.implicits._
+    import graft.text.TextFunctions._
+    import org.apache.spark.sql.functions.col
+    val d = Seq(
+      (1L, "hello world"),            // pure latin
+      (2L, "привет мир"),             // pure cyrillic
+      (3L, "你好世界"),                // pure cjk
+      (4L, "مرحبا"),                  // pure arabic
+      (5L, "hello привет"),           // 5 latin < 6 cyrillic → cyrillic
+      (6L, "12345 !!!")               // no letters → unknown
+    ).toDF("doc_id", "text")
+    val got = d.select(col("doc_id"),
+        latinCount(col("text")).as("lat"),
+        cyrillicCount(col("text")).as("cyr"),
+        cjkCount(col("text")).as("cjk"),
+        arabicCount(col("text")).as("ara"),
+        dominantScript(col("text")).as("script"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4),
+          r.getString(5)))).toMap
+    assert(got(1L) == ((10, 0, 0, 0, "latin")))
+    assert(got(2L) == ((0, 9, 0, 0, "cyrillic")))
+    assert(got(3L) == ((0, 0, 4, 0, "cjk")))
+    assert(got(4L) == ((0, 0, 0, 5, "arabic")))
+    assert(got(5L) == ((5, 6, 0, 0, "cyrillic")))
+    assert(got(6L) == ((0, 0, 0, 0, "unknown")))
+  }
+
   test("LmScore ranks repetitive text as more probable than shuffled text") {
     // the filter property: under a model trained on mostly-regular text,
     // a document of unseen-order tokens scores a higher avg nll
