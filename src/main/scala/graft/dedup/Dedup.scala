@@ -437,6 +437,45 @@ object Dedup {
     e.join(c, "fp").select("eval_id", "corpus_id", "fp")
   }
 
+  /** N-GRAM-OVERLAP decontamination: training-corpus documents that
+    * contain any w-token span also present in the eval set — the
+    * span-granular check (the GPT-3 paper ran it with 13-grams) that
+    * catches PARTIAL leakage both doc-level checks miss: an eval answer
+    * quoted inside an otherwise-original train doc is no exact dup and
+    * usually no near-dup, but it still leaks the benchmark.
+    *
+    * Returns one row per CONTAMINATED corpus doc:
+    * (corpus_id, n_spans, n_hit_spans, hit_frac) — the fraction a
+    * trim-or-drop policy thresholds on.
+    *
+    * Scale shape: the eval span set (per-doc-distinct w-grams, globally
+    * distinct'd) is tiny next to the corpus — the join is eval-driven and
+    * AQE broadcasts it below threshold; the corpus side is one explode +
+    * one keyed aggregation, linear in corpus token count. No self-join,
+    * no pair generation. At 100 TB hash the span string to 64/128 bits
+    * before the exchange (string kept here so the DuckDB oracle is
+    * exact — same trade as spanDupStats).
+    */
+  def crossSpanMatches(corpus: DataFrame, evalSet: DataFrame,
+                       textCol: String, idCol: String,
+                       w: Int = 13): DataFrame = {
+    val ev = evalSet
+      .select(explode(wordShingles(tokens(col(textCol)), w)).as("s"))
+      .distinct()
+    val cs = corpus
+      .select(col(idCol).as("corpus_id"),
+        wordShingles(tokens(col(textCol)), w).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("corpus_id"), size(col("sh")).as("n_spans"),
+        explode(col("sh")).as("s"))
+    cs.join(ev, "s")
+      .groupBy("corpus_id", "n_spans")
+      .agg(count(lit(1)).as("n_hit_spans"))
+      .withColumn("hit_frac",
+        round(col("n_hit_spans").cast("double") / col("n_spans"), 6))
+      .select("corpus_id", "n_spans", "n_hit_spans", "hit_frac")
+  }
+
   /** Cross-corpus NEAR contamination: eval docs sharing a MinHash band
     * bucket with a corpus doc, verified by exact shingle Jaccard ≥
     * threshold — catches paraphrased/partially-copied leakage that the

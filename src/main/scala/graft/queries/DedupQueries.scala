@@ -109,6 +109,22 @@ object DedupQueries extends QueryPack {
         .orderBy("eval_id", "corpus_id")
     }),
 
+    // Span-granular decontamination (Dedup.crossSpanMatches, the
+    // 13-gram-overlap check run at w=5 for this short-doc fixture):
+    // training docs containing any 5-token span from the same
+    // deterministic 15% eval split as q_contamination — catches partial
+    // quoting that doc-level exact/near checks miss. Eval-driven join,
+    // corpus side linear.
+    "q_decontam_ngram" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val b = graft.sampling.Sampling.bucket(col("doc_id"), "evalset")
+      Dedup.crossSpanMatches(
+          corpus = docs.filter(b >= 1500),
+          evalSet = docs.filter(b < 1500),
+          "text", "doc_id", w = 5)
+        .orderBy("corpus_id")
+    }),
+
     // Incremental near-dup detection (Dedup.incrementalNearDups): docs
     // with doc_id % 5 == 0 play the arriving batch, the rest the
     // historical corpus with its persisted band index — output is every
@@ -421,6 +437,24 @@ object DedupQueries extends QueryPack {
         |       round(inter::DOUBLE / (na + nb - inter), 6) AS jaccard
         |FROM v WHERE round(inter::DOUBLE / (na + nb - inter), 6) >= 0.7
         |ORDER BY ida, idb""".stripMargin,
+    // twin of q_decontam_ngram: same 15% eval bucket as q_contamination,
+    // per-doc-distinct 5-token spans, eval span set distinct'd globally,
+    // corpus hits counted per doc
+    "q_decontam_ngram" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, $spans5Sql AS sh,
+        |    ('0x' || substr(md5('evalset:' || doc_id::VARCHAR), 1, 8))::BIGINT
+        |      % 10000 AS b
+        |  FROM (SELECT doc_id, $tokensSql AS w FROM documents)),
+        |ev AS (SELECT DISTINCT unnest(sh) AS s FROM t WHERE b < 1500),
+        |cs AS (SELECT doc_id AS corpus_id, len(sh) AS n_spans,
+        |              unnest(sh) AS s
+        |       FROM t WHERE b >= 1500 AND len(sh) > 0)
+        |SELECT corpus_id, n_spans, count(*)::BIGINT AS n_hit_spans,
+        |       round(count(*)::DOUBLE / n_spans, 6) AS hit_frac
+        |FROM cs JOIN ev USING (s)
+        |GROUP BY corpus_id, n_spans
+        |ORDER BY corpus_id""".stripMargin,
     // twin of q_dedup_incremental: the full-corpus LSH pairs restricted
     // to pairs touching the batch (doc_id % 5 = 0) — band keys are
     // per-doc, so index ∪ fresh-bands ≡ banding the whole corpus and

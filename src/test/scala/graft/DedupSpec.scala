@@ -143,6 +143,26 @@ class DedupSpec extends SparkSpecBase {
     assert(got(6L) == (("tiny doc", 2, 2L)))
   }
 
+  test("crossSpanMatches flags train docs containing an eval span") {
+    val ev = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta"),
+      (101L, "alpha beta gamma delta epsilon unrelated tail")  // shares span 0
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "intro words alpha beta gamma delta epsilon closing remark"),
+      (2L, "nothing shared at all here with the eval set ok")
+    ).toDF("doc_id", "text")
+    val got = Dedup.crossSpanMatches(corpus, ev, "text", "doc_id", w = 5)
+      .collect()
+    // doc 1: 9 tokens → 5 spans, exactly one ("alpha…epsilon") in the
+    // eval span set — counted ONCE though two eval docs contain it;
+    // doc 2 clean → absent
+    assert(got.length == 1)
+    assert(got(0).getLong(0) == 1L)
+    assert(got(0).getInt(1) == 5 && got(0).getLong(2) == 1L)
+    assert(got(0).getDouble(3) == 0.2)
+  }
+
   test("jaccardPairsPrefix == exact jaccardPairs on randomized corpora") {
     val rng = new scala.util.Random(7)
     val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
