@@ -108,6 +108,17 @@ object TextQueries extends QueryPack {
         .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"))
         .orderBy("source")),
 
+    // Deterministic per-epoch global shuffle (Export.epochShuffle): the
+    // trainer-facing order for epoch 1 — a pure md5(seed:epoch:id) total
+    // order, bit-reproducible cross-engine, re-keyed (not re-seeded) per
+    // epoch. The key column is kept in the output so the oracle compare
+    // pins the ORDER itself, not just the row set.
+    "q_epoch_shuffle" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.sources.Export.epochKey(col("doc_id"), epoch = 1).as("k"))
+        .orderBy("k")),
+
     // Deterministic train/eval split (20% eval by id hash): per-split
     // count + id checksum attest the EXACT membership cross-engine —
     // a row never migrates between splits under appends.
@@ -543,6 +554,11 @@ object TextQueries extends QueryPack {
         |        / greatest(len(w), 1), 6) AS avg_word_len,
         |  md5(array_to_string(w, ' ')) AS fp
         |FROM t ORDER BY doc_id""".stripMargin,
+    // twin of q_epoch_shuffle: identical md5 epoch key and order
+    "q_epoch_shuffle" ->
+      """SELECT doc_id,
+        |       md5('graft-epoch:1:' || doc_id::VARCHAR) AS k
+        |FROM documents ORDER BY k""".stripMargin,
     // twin of q_text_scripts: same translate planting, single-char-class
     // regex counts over the same BMP ranges, same priority-ordered argmax
     "q_text_scripts" ->
