@@ -108,6 +108,22 @@ object TextQueries extends QueryPack {
         .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"))
         .orderBy("source")),
 
+    // Distribution drift (Population Stability Index) between the full
+    // corpus and its quality-filtered survivors: per-bin token-count
+    // fractions and PSI terms over fixed split bounds
+    // (operators.Drift.psiBins) — the "did my filter shift the length
+    // distribution?" check an ongoing pipeline runs per batch. Two
+    // corpus scans, bin-keyed tiny shuffles, nothing else.
+    "q_corpus_drift" -> ((s, d) => {
+      import graft.text.TextFunctions._
+      val docs = Tables.documents(s, d)
+      val ref = docs.select(tokenCount(col("text")).cast("double").as("v"))
+      val cur = docs.filter(qualityScore(col("text")) >= 0.4)
+        .select(tokenCount(col("text")).cast("double").as("v"))
+      graft.operators.Drift.psiBins(ref, cur, "v",
+        Seq(20.0, 40.0, 60.0, 80.0, 100.0))
+    }),
+
     // Deterministic per-epoch global shuffle (Export.epochShuffle): the
     // trainer-facing order for epoch 1 — a pure md5(seed:epoch:id) total
     // order, bit-reproducible cross-engine, re-keyed (not re-seeded) per
@@ -554,6 +570,32 @@ object TextQueries extends QueryPack {
         |        / greatest(len(w), 1), 6) AS avg_word_len,
         |  md5(array_to_string(w, ' ')) AS fp
         |FROM t ORDER BY doc_id""".stripMargin,
+    // twin of q_corpus_drift: same quality formula as q_text_quality,
+    // same fixed bin bounds, fractions floored at 1e-6 BEFORE the psi
+    // product, rounding only on output
+    "q_corpus_drift" ->
+      s"""WITH t AS (SELECT doc_id, text, $tokensSql AS w FROM documents),
+        |q AS (SELECT len(w)::DOUBLE AS v,
+        |  round(least(len(w)::DOUBLE / 100.0, 1.0) * 0.5
+        |    + (1.0 - least(round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
+        |          / greatest(length(text), 1), 6) * 10.0, 1.0)) * 0.2
+        |    + least(len(list_filter(w, x -> x IN ('the','and','of','to','a','in')))::DOUBLE / 5.0, 1.0) * 0.3, 6) AS quality
+        |  FROM t),
+        |bins AS (SELECT v, quality,
+        |  (CASE WHEN v >= 20 THEN 1 ELSE 0 END + CASE WHEN v >= 40 THEN 1 ELSE 0 END
+        |   + CASE WHEN v >= 60 THEN 1 ELSE 0 END + CASE WHEN v >= 80 THEN 1 ELSE 0 END
+        |   + CASE WHEN v >= 100 THEN 1 ELSE 0 END) AS bin FROM q),
+        |rf AS (SELECT bin, count(*)::DOUBLE / (SELECT count(*) FROM bins) AS rf
+        |       FROM bins GROUP BY bin),
+        |cf AS (SELECT bin, count(*)::DOUBLE / (SELECT count(*) FROM bins WHERE quality >= 0.4) AS cf
+        |       FROM bins WHERE quality >= 0.4 GROUP BY bin),
+        |j AS (SELECT bin,
+        |        greatest(coalesce(rf, 0.0), 1e-6) AS rf,
+        |        greatest(coalesce(cf, 0.0), 1e-6) AS cf
+        |      FROM rf FULL OUTER JOIN cf USING (bin))
+        |SELECT bin, round(rf, 6) AS ref_frac, round(cf, 6) AS cur_frac,
+        |       round((cf - rf) * ln(cf / rf), 6) AS psi_term
+        |FROM j ORDER BY bin""".stripMargin,
     // twin of q_epoch_shuffle: identical md5 epoch key and order
     "q_epoch_shuffle" ->
       """SELECT doc_id,
