@@ -101,6 +101,52 @@ object Dedup {
       .select("ida", "idb", "jaccard")
   }
 
+  /** CONTAINMENT near-dup pairs — the ASYMMETRIC reading of shingle
+    * overlap: containment(a ⊆ b) = |sh(a) ∩ sh(b)| / |sh(a)|. Symmetric
+    * Jaccard misses subset duplication (a short doc quoted wholesale
+    * inside a long one has jaccard ≈ |a|/|b|, arbitrarily small, while
+    * containment(a ⊆ b) ≈ 1); this is the doc-level complement of the
+    * span-granular crossSpanMatches. Output is DIRECTIONAL:
+    * (inner_id, outer_id, containment) for every ordered pair with
+    * containment(inner ⊆ outer) ≥ threshold — a mutual near-dup pair
+    * appears once per direction.
+    *
+    * Same inverted-index shape and the same REQUIRED `maxShingleFreq`
+    * df-cut contract as `jaccardPairs` (0 = exact, quadratic in the
+    * hottest posting list; > 0 = scale-safe lower bound — see there).
+    * The pair aggregation runs ONCE; both directions are projections of
+    * the one aggregated frame.
+    */
+  def containmentPairs(docs: DataFrame, textCol: String, idCol: String,
+                       threshold: Double, maxShingleFreq: Int,
+                       n: Int = 3): DataFrame = {
+    val t = shingled(docs, textCol, idCol, n).withColumn("n_sh", size(col("sh")))
+    val e0 = t.select(col("id"), col("n_sh"), explode(col("sh")).as("s"))
+    val e =
+      if (maxShingleFreq <= 0) e0
+      else {
+        val hot = e0.groupBy("s").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxShingleFreq).select("s")
+        e0.join(broadcast(hot), Seq("s"), "left_anti")
+      }
+    val a = e.select(col("id").as("ida"), col("n_sh").as("na"), col("s"))
+    val b = e.select(col("id").as("idb"), col("n_sh").as("nb"), col("s"))
+    val p = a.join(b, a("s") === b("s") && col("ida") < col("idb"))
+      .groupBy("ida", "idb", "na", "nb")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("ca", round(col("inter").cast("double") / col("na"), 6))
+      .withColumn("cb", round(col("inter").cast("double") / col("nb"), 6))
+    // both directions leave the ONE aggregation via a 2-row explode —
+    // no second pass over the pair join, no cache management
+    p.select(explode(array(
+        struct(col("ida").as("inner_id"), col("idb").as("outer_id"),
+          col("ca").as("containment")),
+        struct(col("idb").as("inner_id"), col("ida").as("outer_id"),
+          col("cb").as("containment")))).as("r"))
+      .select("r.*")
+      .filter(col("containment") >= threshold)
+  }
+
   /** Exact-Jaccard pairs via PREFIX FILTERING (the AllPairs/PPJoin
     * family — Chaudhuri et al. ICDE'06, Bayardo et al. WWW'07):
     * identical output to `jaccardPairs(..., maxShingleFreq = 0)` with

@@ -60,6 +60,15 @@ object DedupQueries extends QueryPack {
           threshold = 0.8, maxShingleFreq = 5)
         .orderBy("ida", "idb")),
 
+    // Directional containment pairs (Dedup.containmentPairs, exact
+    // semantics): inner docs ≥ 90% of whose shingles appear in the outer
+    // doc — the asymmetric overlap Jaccard misses (a short doc quoted
+    // inside a long one).
+    "q_dedup_containment" -> ((s, d) =>
+      Dedup.containmentPairs(Tables.documents(s, d), "text", "doc_id",
+          threshold = 0.9, maxShingleFreq = 0)
+        .orderBy("inner_id", "outer_id")),
+
     // MinHash+LSH (12 hashes, 4 bands × 3 rows) with exact-Jaccard
     // verification of candidates.
     "q_dedup_minhash_lsh" -> ((s, d) =>
@@ -383,6 +392,27 @@ object DedupQueries extends QueryPack {
         |       count(DISTINCT md5(array_to_string(w, ' '))) AS n_unique,
         |       count(*) - count(DISTINCT md5(array_to_string(w, ' '))) AS n_dups
         |FROM (SELECT doc_id, $tokensSql AS w FROM documents)""".stripMargin,
+    // twin of containmentPairs(threshold = 0.9, exact): one pair
+    // aggregation, both directions projected from it
+    "q_dedup_containment" ->
+      s"""WITH t AS (
+        |  SELECT doc_id AS id, $shinglesSql AS sh
+        |  FROM (SELECT doc_id, $tokensSql AS w FROM documents)),
+        |e AS (SELECT id, len(sh) AS n_sh, unnest(sh) AS s FROM t
+        |      WHERE len(sh) > 0),
+        |p AS (
+        |  SELECT a.id AS ida, b.id AS idb, a.n_sh AS na, b.n_sh AS nb,
+        |         count(*) AS inter
+        |  FROM e a JOIN e b ON a.s = b.s AND a.id < b.id
+        |  GROUP BY 1, 2, 3, 4),
+        |d AS (
+        |  SELECT ida AS inner_id, idb AS outer_id,
+        |         round(inter::DOUBLE / na, 6) AS containment FROM p
+        |  UNION ALL
+        |  SELECT idb, ida, round(inter::DOUBLE / nb, 6) FROM p)
+        |SELECT inner_id, outer_id, containment FROM d
+        |WHERE containment >= 0.9
+        |ORDER BY inner_id, outer_id""".stripMargin,
     "q_dedup_jaccard" -> exactJaccardOracleSql,
     // SAME oracle as q_dedup_jaccard on purpose: prefix filtering is a
     // lossless candidate-pruning rewrite, so the cross-engine hash

@@ -143,6 +143,24 @@ class DedupSpec extends SparkSpecBase {
     assert(got(6L) == (("tiny doc", 2, 2L)))
   }
 
+  test("containmentPairs catches subset duplication jaccard misses") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon"), // all 3 shingles inside doc 2
+      (2L, "alpha beta gamma delta epsilon plus lots of extra unrelated " +
+        "words here to dilute jaccard badly"),
+      (3L, "completely different text with nothing shared at all")
+    ).toDF("doc_id", "text")
+    // symmetric jaccard (3/14 ≈ 0.21) never fires at 0.5 …
+    assert(Dedup.jaccardPairs(d, "text", "doc_id", threshold = 0.5,
+      maxShingleFreq = 0).isEmpty)
+    // … but containment(1 ⊆ 2) = 3/3 = 1.0 does, directionally
+    val c = Dedup.containmentPairs(d, "text", "doc_id", threshold = 0.9,
+      maxShingleFreq = 0).collect()
+    assert(c.length == 1)
+    assert(c(0).getLong(0) == 1L && c(0).getLong(1) == 2L)
+    assert(c(0).getDouble(2) == 1.0)
+  }
+
   test("crossSpanMatches flags train docs containing an eval span") {
     val ev = Seq(
       (100L, "alpha beta gamma delta epsilon zeta"),
