@@ -432,6 +432,67 @@ object Dedup {
         coalesce(col("n_kept_tokens"), lit(0L)).as("n_kept_tokens"))
   }
 
+  /** WINNOWING fingerprints (Schleimer et al., SIGMOD'03 — the MOSS
+    * algorithm): hash every positional k-gram, then keep the minimum
+    * hash of each w-hash window. The fingerprint set is ~2/(w+1) the
+    * size of the full k-gram index yet GUARANTEES any shared run of
+    * ≥ w + k − 1 tokens contributes at least one shared fingerprint —
+    * sparse candidate generation with a detection floor, where plain
+    * sampling would miss matches arbitrarily. Docs with fewer than w
+    * k-grams keep their global min (the guarantee degenerates
+    * gracefully); docs under k tokens have no fingerprints.
+    *
+    * The fingerprint SET is tie-rule-independent (any min-selection
+    * rule picks the same VALUES per window), so both engines agree
+    * without replicating robust-winnowing's positional tie-break.
+    * Hashes are the md5-hex-prefix family every deterministic operator
+    * here uses.
+    *
+    * Scale/eval shape: grams+hashes evaluate once per doc behind the
+    * id exchange (the CollapseProject barrier — w window references
+    * would otherwise re-inline the md5 chain per window); everything
+    * after is per-row array arithmetic.
+    */
+  def winnowFingerprints(docs: DataFrame, textCol: String, idCol: String,
+                         k: Int = 3, w: Int = 4): DataFrame = {
+    val tk = col("tk")
+    val grams = when(size(tk) >= k,
+      transform(sequence(lit(0), size(tk) - k),
+        i => concat_ws(" ", slice(tk, i + 1, lit(k)))))
+      .otherwise(array().cast("array<string>"))
+    val hs = docs
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("tk"))
+      .select(col("id"),
+        transform(grams, g =>
+          conv(substring(md5(g), 1, 8), 16, 10).cast("long")).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .repartition(col("id"))
+    hs.select(col("id"),
+      array_distinct(
+        when(size(col("hs")) >= w,
+          transform(sequence(lit(1), size(col("hs")) - (w - 1)),
+            j => array_min(slice(col("hs"), j, lit(w)))))
+        .otherwise(array(array_min(col("hs"))))).as("fps"))
+  }
+
+  /** Copy-detection pairs over the winnowed index: docs sharing at least
+    * `minShared` fingerprints, with the shared count. Same inverted-index
+    * join as jaccardPairs but over the ~2/(w+1)-sparse fingerprint
+    * stream — the posting lists the quadratic term feeds on are w+1
+    * times shorter before any df-cut is even needed.
+    */
+  def winnowPairs(docs: DataFrame, textCol: String, idCol: String,
+                  minShared: Int = 2, k: Int = 3, w: Int = 4): DataFrame = {
+    val e = winnowFingerprints(docs, textCol, idCol, k, w)
+      .select(col("id"), explode(col("fps")).as("fp"))
+    e.select(col("id").as("ida"), col("fp"))
+      .join(e.select(col("id").as("idb"), col("fp").as("fp_b")),
+        col("fp") === col("fp_b") && col("ida") < col("idb"))
+      .groupBy("ida", "idb")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Cross-corpus EXACT contamination: eval-set documents whose
     * normalized text also appears in the training corpus — the
     * decontamination check every training pipeline runs against its

@@ -83,6 +83,14 @@ object DedupQueries extends QueryPack {
           maxHamming = 3)
         .orderBy("ida", "idb")),
 
+    // Winnowing copy-detection pairs (Dedup.winnowPairs, MOSS-style):
+    // docs sharing ≥ 2 winnowed fingerprints — the ~2/(w+1)-sparse index
+    // with the ≥ w+k−1-token guaranteed-detection floor.
+    "q_winnow_pairs" -> ((s, d) =>
+      Dedup.winnowPairs(Tables.documents(s, d), "text", "doc_id",
+          minShared = 2)
+        .orderBy("ida", "idb")),
+
     // Span-level duplication profile (Lee-et-al-style substring dedup at
     // doc granularity): per doc, the fraction of its 5-token spans that
     // also occur in another document — the partial-copy signal pair
@@ -343,6 +351,37 @@ object DedupQueries extends QueryPack {
         |        / count(*), 6) AS dup_frac
         |FROM e JOIN d USING (s)
         |GROUP BY e.id ORDER BY doc_id""".stripMargin,
+    // twin of winnowPairs(k=3, w=4): positional 3-gram md5-prefix
+    // hashes, min per 4-window (global min under 4 windows), distinct
+    // values, shared-fingerprint pairs at >= 2
+    "q_winnow_pairs" ->
+      s"""WITH t AS (SELECT doc_id, $tokensSql AS tk FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(tk) >= 3 THEN
+        |      list_transform(generate_series(1, len(tk) - 2),
+        |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+        |    ELSE [] END AS grams
+        |  FROM t),
+        |h AS (
+        |  SELECT doc_id,
+        |    list_transform(grams,
+        |      g2 -> ('0x' || substr(md5(g2), 1, 8))::BIGINT) AS hs
+        |  FROM g WHERE len(grams) > 0),
+        |f AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(hs) >= 4 THEN
+        |      list_transform(generate_series(1, len(hs) - 3),
+        |        j -> list_min(hs[j:j+3]))
+        |      ELSE [list_min(hs)] END) AS fps
+        |  FROM h),
+        |e AS (SELECT doc_id AS id, unnest(fps) AS fp FROM f),
+        |p AS (
+        |  SELECT a.id AS ida, b.id AS idb, count(*) AS n_shared
+        |  FROM e a JOIN e b ON a.fp = b.fp AND a.id < b.id
+        |  GROUP BY 1, 2)
+        |SELECT ida, idb, n_shared FROM p WHERE n_shared >= 2
+        |ORDER BY ida, idb""".stripMargin,
     // twin of Dedup.stripDupSpans(w=5): span occurrences with start
     // positions, per-doc-distinct df, covered positions strt..strt+4
     // for spans with df >= 2, anti-join against the token stream,

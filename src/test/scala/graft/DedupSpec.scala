@@ -143,6 +143,24 @@ class DedupSpec extends SparkSpecBase {
     assert(got(6L) == (("tiny doc", 2, 2L)))
   }
 
+  test("winnowing: a shared w+k-1 token run guarantees a shared fingerprint") {
+    val shared = "quick brown fox jumps over lazily" // 6 = w + k - 1 tokens
+    val d = Seq(
+      (1L, s"unique opening words then $shared and unique tail one"),
+      (2L, s"different prefix entirely $shared closing differently two"),
+      (3L, "totally unrelated content about gpu telemetry and clusters")
+    ).toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(d, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert((fps(1L) intersect fps(2L)).nonEmpty) // the SIGMOD'03 guarantee
+    // fingerprints are sparser than the gram stream (12 grams per doc)
+    assert(fps(1L).size < 12)
+    val pairs = Dedup.winnowPairs(d, "text", "doc_id", minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(t => t._1 == 3L || t._2 == 3L))
+  }
+
   test("containmentPairs catches subset duplication jaccard misses") {
     val d = Seq(
       (1L, "alpha beta gamma delta epsilon"), // all 3 shingles inside doc 2
