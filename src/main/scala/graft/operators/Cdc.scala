@@ -63,4 +63,32 @@ object Cdc {
       .withColumn("valid_to", lead(col(tsCol), 1).over(w))
       .withColumn("is_current", col("valid_to").isNull.cast("int"))
   }
+
+  /** Corpus snapshot diff: which documents were ADDED, REMOVED, or
+    * MODIFIED between two corpus versions — the audit a data-versioned
+    * lake runs when a new crawl or re-processing lands, and the input
+    * to "what changed?" drill-downs and incremental downstream refresh.
+    * Content identity is the normalization-invariant text fingerprint
+    * (case/whitespace churn is NOT a modification).
+    *
+    * Scale shape: each side reduces to (id, fingerprint) before the
+    * full-outer join — one id-keyed exchange per side, the text itself
+    * never shuffles. Unchanged docs (the overwhelming majority of any
+    * real diff) are filtered out AFTER the join but before anything
+    * downstream, so the result is |changes|-sized.
+    */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame,
+                 textCol: String, idCol: String): DataFrame = {
+    import graft.text.TextFunctions.fingerprint
+    val o = oldDocs.select(col(idCol), fingerprint(col(textCol)).as("fp_old"))
+    val n = newDocs.select(col(idCol), fingerprint(col(textCol)).as("fp_new"))
+    o.join(n, Seq(idCol), "full_outer")
+      .withColumn("change",
+        when(col("fp_old").isNull, "added")
+          .when(col("fp_new").isNull, "removed")
+          .when(col("fp_old") =!= col("fp_new"), "modified")
+          .otherwise("unchanged"))
+      .filter(col("change") =!= "unchanged")
+      .select(idCol, "change")
+  }
 }

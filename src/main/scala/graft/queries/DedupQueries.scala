@@ -83,6 +83,22 @@ object DedupQueries extends QueryPack {
           maxHamming = 3)
         .orderBy("ida", "idb")),
 
+    // Corpus snapshot diff (Cdc.corpusDiff): added/removed/modified docs
+    // between two simulated corpus versions — identity is the
+    // normalization-invariant fingerprint, each side reduces to
+    // (id, fingerprint) before the full-outer join, text never shuffles.
+    "q_corpus_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val old = docs.filter(col("doc_id") % 11 =!= 0)
+      val neu = docs.filter(col("doc_id") % 7 =!= 3)
+        .withColumn("text",
+          when(col("doc_id") % 13 === 0,
+            concat(col("text"), lit(" appended revision")))
+          .otherwise(col("text")))
+      graft.operators.Cdc.corpusDiff(old, neu, "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // Winnowing copy-detection pairs (Dedup.winnowPairs, MOSS-style):
     // docs sharing ≥ 2 winnowed fingerprints — the ~2/(w+1)-sparse index
     // with the ≥ w+k−1-token guaranteed-detection floor.
@@ -351,6 +367,31 @@ object DedupQueries extends QueryPack {
         |        / count(*), 6) AS dup_frac
         |FROM e JOIN d USING (s)
         |GROUP BY e.id ORDER BY doc_id""".stripMargin,
+    // twin of q_corpus_diff: same snapshot construction, fingerprint
+    // full-outer join, unchanged rows dropped
+    "q_corpus_diff" ->
+      s"""WITH oldc AS (
+        |  SELECT doc_id, md5(array_to_string($tokensSql, ' ')) AS fp
+        |  FROM documents WHERE doc_id % 11 <> 0),
+        |newd AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 0 THEN text || ' appended revision'
+        |         ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 <> 3),
+        |newc AS (
+        |  SELECT doc_id, md5(array_to_string($tokensSql, ' ')) AS fp
+        |  FROM newd),
+        |j AS (
+        |  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |         o.fp AS fp_old, n.fp AS fp_new
+        |  FROM oldc o FULL OUTER JOIN newc n ON o.doc_id = n.doc_id)
+        |SELECT doc_id,
+        |  CASE WHEN fp_old IS NULL THEN 'added'
+        |       WHEN fp_new IS NULL THEN 'removed'
+        |       ELSE 'modified' END AS change
+        |FROM j
+        |WHERE fp_old IS NULL OR fp_new IS NULL OR fp_old <> fp_new
+        |ORDER BY doc_id""".stripMargin,
     // twin of winnowPairs(k=3, w=4): positional 3-gram md5-prefix
     // hashes, min per 4-window (global min under 4 windows), distinct
     // values, shared-fingerprint pairs at >= 2

@@ -209,6 +209,49 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("containment dominates jaccard; winnow pairs share a real shingle") {
+    import spark.implicits._
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta")
+    val docGen = Gen.listOfN(12, Gen.oneOf(vocab)).map(_.mkString(" "))
+    for (texts <- cases(Gen.listOfN(12, docGen), n = 5) if texts.nonEmpty) {
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      // containment(a ⊆ b) = inter/na ≥ inter/(na+nb-inter) = jaccard,
+      // so every jaccard-θ pair must reappear (both directions checked)
+      val j = graft.dedup.Dedup.jaccardPairs(docs, "text", "doc_id",
+        threshold = 0.6, maxShingleFreq = 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val c = graft.dedup.Dedup.containmentPairs(docs, "text", "doc_id",
+        threshold = 0.6, maxShingleFreq = 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(j.forall(p => c.contains(p) || c.contains(p.swap)),
+        s"jaccard pair missing from containment: ${j.diff(c)}")
+      // winnowed fingerprints are a subset of the k-gram hash stream, so
+      // winnow pairs can only link docs that share at least one shingle
+      val sh = graft.dedup.Dedup.jaccardPairs(docs, "text", "doc_id",
+        threshold = 0.0, maxShingleFreq = 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val w = graft.dedup.Dedup.winnowPairs(docs, "text", "doc_id",
+        minShared = 1).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(w.subsetOf(sh), s"winnow-only pairs: ${w.diff(sh)}")
+    }
+  }
+
+  test("corpusDiff: identical snapshots diff empty; diff inverts on swap") {
+    import spark.implicits._
+    val docs = (1L to 40L).map(i => (i, s"doc number $i content"))
+      .toDF("doc_id", "text")
+    assert(graft.operators.Cdc.corpusDiff(docs, docs, "text", "doc_id")
+      .isEmpty)
+    val newer = docs.filter($"doc_id" =!= 7L)
+    val d1 = graft.operators.Cdc.corpusDiff(docs, newer, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val d2 = graft.operators.Cdc.corpusDiff(newer, docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(d1 == Set((7L, "removed")) && d2 == Set((7L, "added")))
+  }
+
   test("temperature thresholds: in (0, 10000], monotone non-increasing in weight") {
     import spark.implicits._
     val wGen: Gen[List[Long]] = Gen.listOfN(8, Gen.choose(1L, 100000L))
