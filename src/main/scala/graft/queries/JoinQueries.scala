@@ -218,6 +218,37 @@ object JoinQueries extends QueryPack {
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
           .as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // TPC-H Q18 shape (large-volume customer): the HAVING-subquery
+    // heavy-hitter pattern. The hot-orderkey list (sum(qty) > 250) comes
+    // out of ONE partial-aggregating pass over lineitem and is tiny by
+    // construction, so it broadcasts back as a semi-filter; lineitem
+    // re-aggregates only the surviving orders, and CUSTOMER — which
+    // scales with SF and must never broadcast — is joined LAST, with the
+    // tiny hot-order aggregate broadcast into its scan. Customer and
+    // lineitem both cross the plan unshuffled.
+    "q_tpch_q18" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val hot = li.groupBy(col("l_orderkey"))
+        .agg(sum("l_quantity").as("sq"))
+        .filter(col("sq") > 250)
+        .select(col("l_orderkey").as("hot_orderkey"))
+      val o = Tables.orders(s, d)
+        .join(broadcast(hot), col("o_orderkey") === col("hot_orderkey"),
+          "left_semi")
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      val perOrder = li
+        .join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+        .agg(round(sum("l_quantity"), 4).as("total_qty"))
+      Tables.customer(s, d)
+        .join(broadcast(perOrder), col("c_custkey") === col("o_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderdate"),
+          col("o_orderkey"))
+        .limit(100)
     }))
 
   val oracle: Map[String, String] = Map(
@@ -326,5 +357,17 @@ object JoinQueries extends QueryPack {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY n_name
-        |ORDER BY revenue DESC, n_name""".stripMargin)
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q_tpch_q18" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |       round(sum(l_quantity), 4) AS total_qty
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem
+        |  GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+        |LIMIT 100""".stripMargin)
 }

@@ -253,6 +253,20 @@ class PlanSpec extends SparkSpecBase {
       p.substring(0, exchangeIdx).indexOf("size") >= 0)
   }
 
+  test("tpch q18: hot-order list and aggregate broadcast; top-100 is TakeOrdered") {
+    val p = plan(q("q_tpch_q18"))
+    // the three joins (semi-filter, per-order enrich, customer attach)
+    // must ALL be broadcasts — customer and lineitem never shuffle for
+    // a join; the only hash exchanges are the two aggregations
+    assert(!p.contains("SortMergeJoin"), "a join fell back to shuffle")
+    assert("BroadcastHashJoin".r.findAllIn(p).length == 3,
+      "expected 3 broadcast joins (semi + per-order + customer)")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges == 2, s"expected 2 agg exchanges, got $hashExchanges")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-100 must be TakeOrdered, not a global sort")
+  }
+
   test("bloom decontamination gates the corpus side below the join") {
     val p = plan(q("q_contamination_bloom"))
     // the UDF membership gate must survive into the physical plan on the
