@@ -182,6 +182,35 @@ object StreamingTelemetry {
       }
       .start()
 
+  /** Live distribution-drift monitoring: per micro-batch, the PSI of the
+    * arriving batch against a FIXED reference distribution
+    * (operators.Drift.psiBins over the same engine-pure fixed bins) —
+    * "alert when today's crawl shifts" as a standing query instead of a
+    * nightly job. One (batch, bin, ref_frac, cur_frac, psi_term) row
+    * group per epoch, written with the same batch=<epoch> partition
+    * overwrite as streamNearDups, so replayed epochs are idempotent and
+    * total PSI per batch is a sum over its partition at read time.
+    *
+    * The reference is persisted once up front (it is a fixture, not a
+    * stream); each epoch re-bins it from cache — a scan of cached bin
+    * counts, not a recompute — plus one scan of the batch.
+    */
+  def streamDrift(stream: DataFrame, ref: DataFrame, valueCol: String,
+                  splits: Seq[Double], outDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val refCached = ref.persist()
+    refCached.count() // materialize once; epochs only scan their batch
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Drift.psiBins(refCached, batch, valueCol, splits)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
   // ---- stateful sessionization (flatMapGroupsWithState) ----
 
   final case class JobEvent(job_id: String, user_id: String, status: String,

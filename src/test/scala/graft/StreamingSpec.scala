@@ -122,6 +122,42 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streamDrift: per-batch PSI vs a fixed reference, batch parity") {
+    implicit val sql = spark.sqlContext
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val (out, ckpt) = (tmp("graft-drift-o"), tmp("graft-drift-k"))
+    val ref = (Seq.fill(10)(5.0) ++ Seq.fill(10)(30.0)).toDF("v")
+    val in = MemoryStream[Double]
+    val splits = Seq(20.0)
+    val q = StreamingTelemetry.streamDrift(
+      in.toDF().toDF("v"), ref, "v", splits, out, ckpt)
+    val b0 = Seq.fill(4)(5.0) ++ Seq.fill(12)(30.0)  // shifted high
+    val b1 = Seq.fill(8)(5.0) ++ Seq.fill(8)(30.0)   // matches ref
+    try {
+      in.addData(b0: _*); q.processAllAvailable()
+      in.addData(b1: _*); q.processAllAvailable()
+      val got = spark.read.parquet(out)
+      // each epoch's partition equals the BATCH psiBins result exactly
+      for ((b, id) <- Seq((b0, 0), (b1, 1))) {
+        val streamed = got.filter(col("batch") === id)
+          .select("bin", "ref_frac", "cur_frac", "psi_term")
+          .collect().map(r =>
+            (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+          .toSet
+        val batch = graft.operators.Drift.psiBins(ref, b.toDF("v"), "v",
+            splits).collect().map(r =>
+            (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+          .toSet
+        assert(streamed == batch, s"epoch $id: $streamed vs $batch")
+      }
+      // the matching batch drifts less than the shifted one
+      def totalPsi(id: Int) = got.filter(col("batch") === id)
+        .agg(org.apache.spark.sql.functions.sum("psi_term"))
+        .collect()(0).getDouble(0)
+      assert(totalPsi(1) < totalPsi(0))
+    } finally q.stop()
+  }
+
   test("streamAlerts epoch 0 still fires on a lake a fullRefresh already alerted") {
     // regression: epoch ids and refresh ids used to share one ledger
     // namespace — a committed refresh marker 0 made the stream's epoch 0
