@@ -145,6 +145,25 @@ object RelationalQueries extends QueryPack {
           min(col("o_orderdate")).as("first_date"),
           max(col("o_orderdate")).as("last_date"))),
 
+    // Footer-only statistics scan: count/min/max answered from parquet
+    // ROW-GROUP METADATA via DSv2 aggregate pushdown — at 100 TB this is
+    // the difference between reading footers and reading the table. Runs
+    // in a scoped newSession (pushdown needs the v2 parquet source);
+    // PlanSpec asserts PushedAggregation actually appears in the scan —
+    // a silent fallback would still be correct, just 1000× the IO.
+    "q_agg_pushdown" -> ((s, d) => {
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+      s2.conf.set("spark.sql.sources.useV1SourceList", "")
+      s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s2.read.parquet(s"$d/lineitem.parquet")
+        .selectExpr("count(*) AS n_rows",
+          "min(l_orderkey) AS min_orderkey",
+          "max(l_orderkey) AS max_orderkey",
+          "min(l_linenumber) AS min_line",
+          "max(l_linenumber) AS max_line")
+    }),
+
     // dbt `accepted_values` test shape: per-value row counts outside the
     // accepted domain (must be empty).
     "q_check_accepted_values" -> ((s, d) =>
@@ -252,6 +271,11 @@ object RelationalQueries extends QueryPack {
       """SELECT CAST(sum(CAST(o_orderkey IS NULL AS BIGINT)) AS BIGINT) AS null_orderkey,
         |       CAST(sum(CAST(o_custkey IS NULL AS BIGINT)) AS BIGINT) AS null_custkey
         |FROM orders""".stripMargin,
+    "q_agg_pushdown" ->
+      """SELECT count(*) AS n_rows,
+        |  min(l_orderkey) AS min_orderkey, max(l_orderkey) AS max_orderkey,
+        |  min(l_linenumber) AS min_line, max(l_linenumber) AS max_line
+        |FROM lineitem""".stripMargin,
     "q_profile" ->
       """SELECT count(*) AS n_rows,
         |  CAST(sum(CAST(o_custkey IS NULL AS BIGINT)) AS BIGINT) AS null_custkey,

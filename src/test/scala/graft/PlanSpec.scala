@@ -253,6 +253,37 @@ class PlanSpec extends SparkSpecBase {
       p.substring(0, exchangeIdx).indexOf("size") >= 0)
   }
 
+  test("agg pushdown: count/min/max answered from parquet footers") {
+    val p = plan(q("q_agg_pushdown"))
+    assert(p.contains("PushedAggregation: [COUNT(*)"),
+      s"aggregate not pushed into the scan:\n${p.take(600)}")
+    assert(p.contains("MIN(l_orderkey)") && p.contains("MAX(l_linenumber)"),
+      "min/max not in the pushed aggregation list")
+  }
+
+  test("dynamic partition pruning: dim filter prunes the fact scan at runtime") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    (1 to 1000).map(i => (i.toLong, s"d${i % 10}"))
+      .toDF("v", "dt").write.mode("overwrite").partitionBy("dt").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    // the dim must be a real source relation: a LocalRelation's filter
+    // constant-folds away and DPP sees no selective predicate
+    val dimDir = java.nio.file.Files.createTempDirectory("graft-dpp-d").toString
+    Seq(("d3", "keep"), ("d7", "drop")).toDF("dt_d", "tag")
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    val j = fact.join(dim.filter(col("tag") === "keep"),
+      col("dt") === col("dt_d"))
+    // the fact scan's PartitionFilters must carry a runtime
+    // dynamicpruning subquery fed by the dim broadcast — at 100 TB this
+    // is what turns a 3650-partition scan into a 1-partition scan
+    assert(plan(j).toLowerCase.contains("dynamicpruning"),
+      plan(j).take(800))
+    assert(j.count() == 100)
+  }
+
   test("tpch q18: hot-order list and aggregate broadcast; top-100 is TakeOrdered") {
     val p = plan(q("q_tpch_q18"))
     // the three joins (semi-filter, per-order enrich, customer attach)
