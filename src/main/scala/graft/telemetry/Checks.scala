@@ -150,4 +150,37 @@ object Checks {
       notNullCols.map(c => sum(col(c).isNull.cast("long")).as(s"null_$c"))
     (df.observe(obs, metrics.head, metrics.tail: _*), obs)
   }
+
+  /** SCHEMA drift between two snapshots of a table — the metadata twin
+    * of Cdc.corpusDiff, and the first thing to check when an upstream
+    * producer "just added a field". Pure driver-side StructType
+    * comparison (no jobs run): one row per added / removed / retyped /
+    * re-nullabled column, empty when the schemas agree. Column order is
+    * deliberately NOT a change — parquet/DataFrame semantics are
+    * name-based, and an order-sensitive diff would page someone for a
+    * harmless projection reorder.
+    */
+  def schemaDiff(oldDf: DataFrame, newDf: DataFrame): DataFrame = {
+    val spark = oldDf.sparkSession
+    import spark.implicits._
+    val o = oldDf.schema.map(f => f.name -> f).toMap
+    val n = newDf.schema.map(f => f.name -> f).toMap
+    val added = (n.keySet -- o.keySet).toSeq.sorted.map(c =>
+      (c, "added", null: String, n(c).dataType.simpleString))
+    val removed = (o.keySet -- n.keySet).toSeq.sorted.map(c =>
+      (c, "removed", o(c).dataType.simpleString, null: String))
+    val changed = (o.keySet & n.keySet).toSeq.sorted.flatMap { c =>
+      val (fo, fn) = (o(c), n(c))
+      if (fo.dataType != fn.dataType)
+        Some((c, "retyped", fo.dataType.simpleString,
+          fn.dataType.simpleString))
+      else if (fo.nullable != fn.nullable)
+        Some((c, "renullabled",
+          (if (fo.nullable) "nullable" else "required"),
+          (if (fn.nullable) "nullable" else "required")))
+      else None
+    }
+    (added ++ removed ++ changed)
+      .toDF("column", "change", "from_type", "to_type")
+  }
 }

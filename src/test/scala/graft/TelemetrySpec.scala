@@ -104,4 +104,19 @@ class TelemetrySpec extends SparkSpecBase {
     assert(m("null_k") == 1L)
     assert(m("null_v") == 1L)
   }
+
+  test("Checks.schemaDiff reports added/removed/retyped, ignores order") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val old = Seq((1L, "a", 1.0)).toDF("id", "name", "score")
+    val neu = Seq(("a", 1, true)).toDF("name", "score", "flag")
+      .select(col("score"), col("name"), col("flag")) // reordered too
+    val d = graft.telemetry.Checks.schemaDiff(old, neu).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(d == Set(("flag", "added"), ("id", "removed"),
+      ("score", "retyped")))
+    // identical schemas (even reordered) diff empty
+    assert(graft.telemetry.Checks.schemaDiff(old,
+      old.select("score", "id", "name")).isEmpty)
+  }
 }
