@@ -411,10 +411,12 @@ object Dedup {
     // definition as spanDupStats), not occurrences
     val sdf = spans.select("id", "s").distinct()
       .groupBy("s").agg(count(lit(1)).as("sdf"))
+    // no distinct here: the anti-join below only tests EXISTENCE, so
+    // duplicate (id, pos) rows (overlapping duplicated spans) are
+    // harmless — deduping them would cost a full extra exchange
     val covered = spans.join(sdf.filter(col("sdf") >= 2), "s")
       .select(col("id"),
         explode(sequence(col("start"), col("start") + (w - 1))).as("pos"))
-      .distinct()
     val kept = tok
       .select(col("id"), posexplode(col("tk")).as(Seq("pos", "t")))
       .join(covered, Seq("id", "pos"), "left_anti")
@@ -454,7 +456,23 @@ object Dedup {
     * after is per-row array arithmetic.
     */
   def winnowFingerprints(docs: DataFrame, textCol: String, idCol: String,
-                         k: Int = 3, w: Int = 4): DataFrame = {
+                         k: Int = 3, w: Int = 4): DataFrame =
+    // native expression: gram hashing + window mins in one JVM call per
+    // row, so no CollapseProject barrier (and no exchange) is needed —
+    // the HOF twin below is the spec's parity reference
+    docs.select(col(idCol).as("id"), tokens(col(textCol)).as("tk"))
+      .filter(size(col("tk")) >= k)
+      .select(col("id"),
+        graft.functions.TextHashExpressions.winnowFps(col("tk"), k, w)
+          .as("fps"))
+
+  /** The HOF formulation of winnowFingerprints — kept as the
+    * independently-implemented parity reference for the native
+    * expression (TextHashExprSpec asserts element-wise equality).
+    */
+  private[graft] def winnowFingerprintsHof(docs: DataFrame, textCol: String,
+                                           idCol: String, k: Int = 3,
+                                           w: Int = 4): DataFrame = {
     val tk = col("tk")
     val grams = when(size(tk) >= k,
       transform(sequence(lit(0), size(tk) - k),
@@ -466,6 +484,8 @@ object Dedup {
         transform(grams, g =>
           conv(substring(md5(g), 1, 8), 16, 10).cast("long")).as("hs"))
       .filter(size(col("hs")) > 0)
+      // CollapseProject barrier: the window transform references hs w
+      // times and would re-inline the md5 chain per reference
       .repartition(col("id"))
     hs.select(col("id"),
       array_distinct(
@@ -483,8 +503,12 @@ object Dedup {
     */
   def winnowPairs(docs: DataFrame, textCol: String, idCol: String,
                   minShared: Int = 2, k: Int = 3, w: Int = 4): DataFrame = {
+    // one fp-keyed exchange BOTH self-join sides reuse (ReuseExchange —
+    // same trick as jaccardPairsPrefix): tokenize+hash runs once per
+    // doc, not once per side, and the join is co-partitioned on fp
     val e = winnowFingerprints(docs, textCol, idCol, k, w)
       .select(col("id"), explode(col("fps")).as("fp"))
+      .repartition(col("fp"))
     e.select(col("id").as("ida"), col("fp"))
       .join(e.select(col("id").as("idb"), col("fp").as("fp_b")),
         col("fp") === col("fp_b") && col("ida") < col("idb"))

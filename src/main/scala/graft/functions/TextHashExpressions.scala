@@ -211,6 +211,54 @@ object TextHashOps {
     c
   }
 
+  /** Winnowing fingerprint values (Schleimer et al., SIGMOD'03) over a
+    * token array: positional k-gram md5-prefix hashes, min of each
+    * w-hash window (global min when fewer than w hashes), first-
+    * occurrence-distinct — BIT-IDENTICAL to the HOF formulation in
+    * Dedup.winnowFingerprints (conv(substring(md5(gram),1,8),16,10) and
+    * Spark's array_distinct order) and to the DuckDB oracle's values.
+    * One JVM call per row replaces w array-slice lambdas per window
+    * re-entering the expression interpreter. Returns an empty array for
+    * docs under k tokens (callers filter, matching the HOF path).
+    */
+  def winnowFps(tokens: ArrayData, k: Int, w: Int): ArrayData = {
+    val n = tokens.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val ng = n - k + 1
+    val sep = UTF8String.fromString(" ")
+    val hs = new Array[Long](ng)
+    var i = 0
+    while (i < ng) {
+      val parts = new Array[UTF8String](k)
+      var j = 0
+      while (j < k) { parts(j) = tokens.getUTF8String(i + j); j += 1 }
+      val hex = md5Hex(UTF8String.concatWs(sep, parts: _*).getBytes)
+      hs(i) = java.lang.Long.parseLong(hex.substring(0, 8), 16)
+      i += 1
+    }
+    val out = new java.util.LinkedHashSet[Long]()
+    if (ng < w) {
+      var m = hs(0); var t = 1
+      while (t < ng) { if (hs(t) < m) m = hs(t); t += 1 }
+      out.add(m)
+    } else {
+      // O(ng·w) direct scan: w is a small constant (4-16) and the branch
+      // is predictable — a deque would only help for large w
+      var s = 0
+      while (s + w <= ng) {
+        var m = hs(s); var t = s + 1
+        while (t < s + w) { if (hs(t) < m) m = hs(t); t += 1 }
+        out.add(m)
+        s += 1
+      }
+    }
+    val arr = new Array[Any](out.size)
+    val it = out.iterator()
+    var p = 0
+    while (it.hasNext) { arr(p) = it.next(); p += 1 }
+    new GenericArrayData(arr)
+  }
+
   // Deflater construction does native zlib setup; reset() re-arms an
   // existing stream, so one per thread. Fixed level (6) pins the output
   // length for a given zlib — the ratio is deterministic per runtime.
@@ -327,6 +375,26 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
     copy(child = c)
 }
 
+/** winnow_fps(tokens: array<string>, k, w): array<bigint> — native
+  * winnowing fingerprints (see TextHashOps.winnowFps).
+  */
+case class WinnowFps(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"winnow_fps requires array<string>, got ${dt.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fps"
+  override def nullSafeEval(a: Any): Any =
+    TextHashOps.winnowFps(a.asInstanceOf[ArrayData], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashOps.winnowFps($c, $k, $w)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** text_stats(text): struct<n_tokens int, avg_word_len double, fp string>
   * — one tokenizer pass feeding three stats (the HOF formulation
   * re-tokenizes per stat after CollapseProject inlining).
@@ -435,4 +503,6 @@ object TextHashExpressions {
     GraftSqlBridge.column(LshBandKeys(GraftSqlBridge.expression(shingles), bands, r))
   def wordShingles(tokens: Column, n: Int): Column =
     GraftSqlBridge.column(WordShingles(GraftSqlBridge.expression(tokens), n))
+  def winnowFps(tokens: Column, k: Int, w: Int): Column =
+    GraftSqlBridge.column(WinnowFps(GraftSqlBridge.expression(tokens), k, w))
 }

@@ -120,6 +120,28 @@ class TextHashExprSpec extends SparkSpecBase {
     assert(fps(0) == fps(1))
   }
 
+  test("winnowFps == HOF winnowing element-wise (order included)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "one two three"),            // exactly k tokens → 1 gram, ng < w
+      (4L, "one two three four five"),  // 3 grams, still ng < w
+      (5L, "a b c d e f g h i j k l m n o p"),
+      (6L, "xy")                        // under k tokens → filtered out
+    ).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    val native = rows(graft.dedup.Dedup
+      .winnowFingerprints(docs, "text", "doc_id"))
+    val hof = rows(graft.dedup.Dedup
+      .winnowFingerprintsHof(docs, "text", "doc_id"))
+    assert(native == hof) // element-wise, order included
+    assert(!native.contains(6L) && !hof.contains(6L))
+    assert(native(1L) == native(2L)) // identical docs, identical fps
+    assert(native(3L).size == 1)     // sub-window doc keeps its global min
+  }
+
   test("deflateRatio separates boilerplate from high-entropy text") {
     val rng = new scala.util.Random(42)
     val fixtures = Seq(
