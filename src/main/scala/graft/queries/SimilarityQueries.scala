@@ -160,6 +160,17 @@ object SimilarityQueries extends QueryPack {
       semanticDedup(plantedCorpus(s, d), 0.8, bits = 8)
         .orderBy("id")),
 
+    // PQ-ADC approximate top-3: 8×16 product-quantized codes (64×
+    // smaller scan than the float vectors), per-query lookup tables,
+    // exact re-rank of the 50-candidate shortlist. Codebook training is
+    // driver-side k-means → rows-only check; PqSpec pins recall vs the
+    // brute-force baseline and code determinism.
+    "q_ann_pq" -> ((s, d) => {
+      val c = corpus(s, d).select("id", "vec")
+      graft.similarity.Pq.topKPq(c.filter(col("id") < 10), c, 3)
+        .orderBy("qid", "rn")
+    }),
+
     // IVF-Flat approximate top-3: data-adaptive coarse quantizer (16
     // cells, 4 probes, deterministic k-means). The Lloyd iterations are
     // not SQL-expressible in one query → rows-only check; IvfSpec pins
