@@ -1,0 +1,195 @@
+package graft.similarity
+
+import graft.functions.VectorExpressions.vecDot
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) ANN — the MEMORY-bound scale path. IVF-Flat
+  * (Ivf.scala) cuts the candidate count; PQ cuts the bytes per
+  * candidate: each vector is split into `m` subvectors, each subvector
+  * replaced by the id of its nearest per-subspace codeword, so a
+  * 64-dim float64 vector (512 B) becomes `m` small ints (8 B at m=8,
+  * ksub=16) — a 64× smaller scan. Search uses asymmetric distance
+  * computation (ADC): the query precomputes an m×ksub table of partial
+  * inner products, and each candidate scores as m table lookups — no
+  * per-candidate float vector is ever read.
+  *
+  * Scale design:
+  *  - Codebooks train DRIVER-SIDE on a bounded deterministic sample
+  *    (lowest `initSample` ids) — the standard FAISS posture (codebooks
+  *    train on ~100k samples regardless of corpus size), so fitting
+  *    costs ONE bounded collect, not 3·m distributed Lloyd jobs. Init
+  *    is per-subspace farthest-first; everything is deterministic.
+  *  - Encoding is one distributed pass; the m×ksub×dsub codebook rides
+  *    the task closure (m·ksub·dsub doubles — KBs).
+  *  - The ADC scan is corpus-distributed with the (small, by contract)
+  *    query set broadcast; the scan stream narrows to (qid, cid, score)
+  *    immediately after the lookup sum, so the shuffled/ranked data is
+  *    3 columns regardless of dim.
+  *  - The `rerank` shortlist per query is re-scored EXACTLY on the true
+  *    vectors (rows = rerank × |queries| — tiny), which caps the recall
+  *    loss of quantization to what the shortlist misses.
+  */
+object Pq {
+
+  /** Per-subspace codebooks: (m, ksub, dsub) array. Deterministic:
+    * sample = lowest `initSample` ids, farthest-first init, `iters`
+    * Lloyd rounds per subspace on the driver.
+    */
+  def fitCodebooks(corpus: DataFrame, m: Int = 8, ksub: Int = 16,
+                   iters: Int = 3, initSample: Int = 1024)
+      : Array[Array[Array[Double]]] = {
+    val sample = corpus.orderBy("id").limit(initSample)
+      .select("vec").collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "empty corpus")
+    val dim = sample(0).length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    require(sample.length >= ksub, s"sample ${sample.length} < ksub=$ksub")
+    val dsub = dim / m
+    (0 until m).toArray.map { s =>
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, s * dsub,
+        (s + 1) * dsub))
+      var centroids = farthestFirst(sub, ksub)
+      var it = 0
+      while (it < iters) {
+        // Lloyd on the sample: assign each sample point, recompute means
+        val sums = Array.fill(ksub)(new Array[Double](dsub))
+        val counts = new Array[Int](ksub)
+        sub.foreach { v =>
+          val c = nearestIdx(v, centroids)
+          counts(c) += 1
+          var i = 0
+          while (i < dsub) { sums(c)(i) += v(i); i += 1 }
+        }
+        centroids = centroids.zipWithIndex.map { case (old, c) =>
+          if (counts(c) == 0) old
+          else sums(c).map(_ / counts(c))
+        }
+        it += 1
+      }
+      centroids
+    }
+  }
+
+  private def farthestFirst(points: Array[Array[Double]],
+                            k: Int): Array[Array[Double]] = {
+    val init = scala.collection.mutable.ArrayBuffer(points(0))
+    val minD = Array.fill(points.length)(Double.MaxValue)
+    while (init.length < k) {
+      val latest = init.last
+      var farIdx = 0; var farD = -1.0
+      var j = 0
+      while (j < points.length) {
+        var d = 0.0; var i = 0
+        val v = points(j)
+        while (i < v.length) { val t = v(i) - latest(i); d += t * t; i += 1 }
+        if (d < minD(j)) minD(j) = d
+        if (minD(j) > farD) { farD = minD(j); farIdx = j }
+        j += 1
+      }
+      init += points(farIdx)
+    }
+    init.toArray
+  }
+
+  private def nearestIdx(v: Array[Double],
+                         centroids: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      var d = 0.0; var i = 0
+      val cv = centroids(c)
+      while (i < cv.length) { val t = v(i) - cv(i); d += t * t; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** (id, code array<int> of length m): per-subspace nearest codeword.
+    * One distributed pass; codebooks ride the closure.
+    */
+  def encode(vectors: DataFrame,
+             codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val cb = codebooks
+    val m = cb.length
+    val dsub = cb(0)(0).length
+    val enc = udf((v: Seq[Double]) => {
+      val va = v.toArray
+      val out = new Array[Int](m)
+      var s = 0
+      while (s < m) {
+        out(s) = nearestIdx(
+          java.util.Arrays.copyOfRange(va, s * dsub, (s + 1) * dsub), cb(s))
+        s += 1
+      }
+      out
+    })
+    vectors.select(col("id"), enc(col("vec")).as("code"))
+  }
+
+  /** Approximate top-k by PQ-ADC with exact re-rank. Queries must be a
+    * SMALL frame (it is broadcast with its LUTs); corpus is (id, vec).
+    * Output (qid, rn, vec_id, cos) matches the other top-k operators.
+    */
+  def topKPq(queries: DataFrame, corpus: DataFrame, k: Int,
+             m: Int = 8, ksub: Int = 16, rerank: Int = 50,
+             iters: Int = 3): DataFrame = {
+    val cb = fitCodebooks(corpus, m, ksub, iters)
+    val dsub = cb(0)(0).length
+    val codes = encode(corpus, cb).select(col("id").as("cid_"), col("code"))
+    // per-query LUT: flattened m×ksub partial inner products
+    val lutUdf = udf((q: Seq[Double]) => {
+      val qa = q.toArray
+      val out = new Array[Double](m * ksub)
+      var s = 0
+      while (s < m) {
+        var c = 0
+        while (c < ksub) {
+          var d = 0.0; var i = 0
+          val cv = cb(s)(c)
+          while (i < dsub) { d += qa(s * dsub + i) * cv(i); i += 1 }
+          out(s * ksub + c) = d
+          c += 1
+        }
+        s += 1
+      }
+      out
+    })
+    val qt = queries.select(col("id").as("qid"), col("vec").as("qvec"))
+      .withColumn("lut", lutUdf(col("qvec")))
+      .select("qid", "lut")
+    val adc = udf((code: Seq[Int], l: Seq[Double]) => {
+      var s = 0; var acc = 0.0
+      while (s < m) { acc += l(s * ksub + code(s)); s += 1 }
+      acc
+    })
+    // ADC scan: corpus codes stay distributed, queries broadcast; the
+    // stream narrows to 3 columns immediately after the lookup sum
+    val ws = Window.partitionBy(col("qid"))
+      .orderBy(col("ascore").desc, col("cid_"))
+    val shortlist = codes.crossJoin(broadcast(qt))
+      .filter(col("qid") =!= col("cid_"))
+      .select(col("qid"), col("cid_"),
+        adc(col("code"), col("lut")).as("ascore"))
+      .withColumn("srn", row_number().over(ws))
+      .filter(col("srn") <= rerank)
+      .select("qid", "cid_")
+    // exact re-rank of the tiny shortlist on true vectors
+    val cv = corpus.select(col("id").as("cid_"), col("vec").as("cvec"))
+      .withColumn("cnrm", sqrt(vecDot(col("cvec"), col("cvec"))))
+    val qv = queries.select(col("id").as("qid"), col("vec").as("qvec"))
+      .withColumn("qnrm", sqrt(vecDot(col("qvec"), col("qvec"))))
+    val wk = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("cid_"))
+    shortlist
+      .join(cv, "cid_")
+      .join(broadcast(qv), "qid")
+      .withColumn("cos",
+        round(vecDot(col("qvec"), col("cvec")) / (col("qnrm") * col("cnrm")), 6))
+      .withColumn("rn", row_number().over(wk))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("rn"), col("cid_").as("vec_id"), col("cos"))
+  }
+}
