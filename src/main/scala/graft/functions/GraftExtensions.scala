@@ -72,5 +72,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "random_project(vec array<double>, k int) - Johnson-Lindenstrauss " +
         "projection to k dims over the md5-parity hyperplane family",
       { case Seq(v, k) => RandomProject(v, intArg(k, "random_project", 1)) })
+    register(ext, "winnow_fps",
+      "winnow_fps(tokens array<string>, k int, w int) - winnowing " +
+        "fingerprint values (min k-gram hash per w-window, MOSS-style)",
+      { case Seq(t, k, w) =>
+        WinnowFps(t, intArg(k, "winnow_fps", 1), intArg(w, "winnow_fps", 2)) })
   }
 }

@@ -32,7 +32,8 @@ class GraftExtensionsSpec extends SparkSpecBase {
         |  lsh_band_keys(array('a b', 'b c'), 2, 2) AS bk,
         |  word_shingles(array('a', 'b', 'c'), 2) AS ws,
         |  text_stats('the quick fox').n_tokens AS nt,
-        |  deflate_ratio(repeat('lorem ipsum ', 50)) AS dr
+        |  deflate_ratio(repeat('lorem ipsum ', 50)) AS dr,
+        |  winnow_fps(array('a','b','c','d','e','f','g','h'), 3, 4) AS wf
         |""".stripMargin).collect()(0)
     assert(r.getLong(0) >= 0L && r.getLong(0) < (1L << 60))
     assert(r.getSeq[String](1).length == 4)
@@ -40,6 +41,7 @@ class GraftExtensionsSpec extends SparkSpecBase {
     assert(r.getSeq[String](3) == Seq("a b", "b c"))
     assert(r.getInt(4) == 3)
     assert(r.getDouble(5) > 0.0 && r.getDouble(5) < 0.2) // boilerplate collapses
+    assert(r.getSeq[Long](6).nonEmpty && r.getSeq[Long](6).size <= 3) // 6 grams → ≤3 window mins
     // cross-check simhash vs the Column API on the default session
     import org.apache.spark.sql.functions._
     import spark.implicits._
