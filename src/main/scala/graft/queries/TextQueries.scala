@@ -108,6 +108,20 @@ object TextQueries extends QueryPack {
         .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"))
         .orderBy("source")),
 
+    // DSIR-style importance weights (LmScore.importanceWeights): every
+    // non-English doc scored by how English-like its bigram distribution
+    // is relative to the raw pool — the likelihood-ratio data-selection
+    // signal (target = the corpus's English docs as curated exemplars).
+    // High logw = select first.
+    "q_dsir_weights" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.text.LmScore.importanceWeights(
+          raw = docs.filter(col("lang") =!= "en"),
+          target = docs.filter(col("lang") === "en"))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // Distribution drift (Population Stability Index) between the full
     // corpus and its quality-filtered survivors: per-bin token-count
     // fractions and PSI terms over fixed split bounds
@@ -570,6 +584,33 @@ object TextQueries extends QueryPack {
         |        / greatest(len(w), 1), 6) AS avg_word_len,
         |  md5(array_to_string(w, ' ')) AS fp
         |FROM t ORDER BY doc_id""".stripMargin,
+    // twin of q_dsir_weights: same bigram construction, add-one
+    // smoothing over the joint vocabulary, identical log-ratio shape
+    "q_dsir_weights" ->
+      s"""WITH t AS (SELECT doc_id, lang, $tokensSql AS w FROM documents),
+        |bgs AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_transform(generate_series(1, len(w) - 1),
+        |      i -> w[i] || ' ' || w[i + 1])) AS bg
+        |  FROM t),
+        |pd AS (SELECT doc_id, bg, count(*) AS m FROM bgs
+        |       WHERE lang <> 'en' GROUP BY 1, 2),
+        |rc AS (SELECT bg, sum(m) AS c_r FROM pd GROUP BY bg),
+        |tc AS (SELECT bg, count(*) AS c_t FROM bgs WHERE lang = 'en'
+        |       GROUP BY bg),
+        |consts AS (
+        |  SELECT
+        |    (SELECT count(*) FROM (SELECT bg FROM rc UNION SELECT bg FROM tc))::DOUBLE AS v,
+        |    (SELECT sum(c_r) FROM rc)::DOUBLE AS tot_r,
+        |    (SELECT sum(c_t) FROM tc)::DOUBLE AS tot_t),
+        |j AS (
+        |  SELECT pd.doc_id, pd.m,
+        |    pd.m * (ln((coalesce(tc.c_t, 0) + 1.0) / (c.tot_t + c.v))
+        |          - ln((rc.c_r + 1.0) / (c.tot_r + c.v))) AS term
+        |  FROM pd JOIN rc USING (bg) LEFT JOIN tc USING (bg), consts c)
+        |SELECT doc_id, sum(m)::BIGINT AS n_bigrams,
+        |       round(sum(term) / sum(m), 6) AS logw
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // twin of q_corpus_drift: same quality formula as q_text_quality,
     // same fixed bin bounds, fractions floored at 1e-6 BEFORE the psi
     // product, rounding only on output

@@ -47,6 +47,50 @@ object LmScore {
     * model (self-scoring: every observed bigram has count ≥ 1, so no
     * smoothing term is needed; a train/score split would add one).
     */
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every RAW doc by
+    * how target-like its bigram distribution is,
+    *
+    *   logw(doc) = (1/N) Σ_bg m · [ ln p̂_t(bg) − ln p̂_r(bg) ]
+    *
+    * with bag-of-bigram models and add-one smoothing over the JOINT
+    * vocabulary V (p̂(bg) = (c+1)/(C+V)), so target-unseen bigrams score
+    * finitely. High logw = target-like (select first); the 1/N
+    * normalization makes weights length-invariant.
+    *
+    * Scale shape: the raw corpus is exploded once into the same
+    * (id, bg, m) table scoreDocs uses; raw model counts DERIVE from it;
+    * the target model is one aggregation of the (small, curated) target
+    * set; the three scalars (V, C_t, C_r) broadcast as a 1-row frame.
+    * No shuffle touches raw text twice.
+    */
+  def importanceWeights(raw: DataFrame, target: DataFrame,
+                        textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    val perDoc = raw.select(col(idCol).as("id"),
+        explode(bigramsOf(TextFunctions.tokens(col(textCol)))).as("bg"))
+      .groupBy("id", "bg").agg(count(lit(1)).as("m"))
+    val rc = perDoc.groupBy("bg").agg(sum("m").as("c_r"))
+    val tc = target
+      .select(explode(bigramsOf(TextFunctions.tokens(col(textCol)))).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c_t"))
+    val consts = rc.select("bg").unionByName(tc.select("bg")).distinct()
+      .agg(count(lit(1)).cast("double").as("v"))
+      .crossJoin(rc.agg(sum("c_r").cast("double").as("tot_r")))
+      .crossJoin(tc.agg(sum("c_t").cast("double").as("tot_t")))
+    perDoc
+      .join(rc, "bg")
+      .join(tc, Seq("bg"), "left")
+      .na.fill(0L, Seq("c_t"))
+      .crossJoin(broadcast(consts))
+      .withColumn("term",
+        col("m") * (log((col("c_t") + 1.0) / (col("tot_t") + col("v")))
+          - log((col("c_r") + 1.0) / (col("tot_r") + col("v")))))
+      .groupBy("id")
+      .agg(sum("m").as("n_bigrams"),
+        round(sum(col("term")) / sum(col("m")), 6).as("logw"))
+  }
+
   def scoreDocs(docs: DataFrame, textCol: String = "text",
                 idCol: String = "doc_id"): DataFrame = {
     val perDoc = docs.select(col(idCol).as("id"),

@@ -147,6 +147,20 @@ class TextFunctionsSpec extends SparkSpecBase {
     assert(got(6L) == ((0, 0, 0, 0, "unknown")))
   }
 
+  test("importanceWeights ranks target-like raw docs first") {
+    import spark.implicits._
+    val target = (1L to 20L).map(i => (i, "the cat sat on the mat"))
+      .toDF("doc_id", "text")
+    val raw = Seq(
+      (101L, "the cat sat on the mat again"),   // shares target bigrams
+      (102L, "zz qq xx ww vv uu tt ss"),        // alien distribution
+      (103L, "the dog sat on the mat")          // partial overlap
+    ).toDF("doc_id", "text")
+    val w = graft.text.LmScore.importanceWeights(raw, target)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w(101L) > w(103L) && w(103L) > w(102L), w.toString)
+  }
+
   test("LmScore ranks repetitive text as more probable than shuffled text") {
     // the filter property: under a model trained on mostly-regular text,
     // a document of unseen-order tokens scores a higher avg nll
