@@ -434,6 +434,60 @@ object Dedup {
         coalesce(col("n_kept_tokens"), lit(0L)).as("n_kept_tokens"))
   }
 
+  /** WITHIN-doc repetition stripping — the intra-document complement of
+    * `stripDupSpans` (cross-doc): a w-token span occurring MORE THAN
+    * ONCE in the SAME document keeps its first occurrence and loses the
+    * later ones (self-repeated boilerplate — nav bars, chorus lines,
+    * generation loops — collapses to one copy; cross-doc sharing is
+    * deliberately ignored here). A position is dropped iff it is
+    * covered by some occurrence whose span string also occurs at an
+    * earlier start in the doc AND it is not covered by any
+    * first occurrence of its spans — i.e. coverage by the canonical
+    * (min-start) occurrence of each repeated span protects the kept
+    * copy.
+    *
+    * Shape: everything is per-doc — spans with starts ride one explode,
+    * the min-start per (id, span) is one keyed aggregation, covered
+    * positions are bounded explodes, and the kept/dropped decision is a
+    * position-level anti-join of later-occurrence coverage MINUS
+    * first-occurrence coverage. All shuffles id- or (id,pos)-keyed and
+    * linear; nothing crosses documents, so the operator trivially
+    * partitions at any scale.
+    */
+  def stripSelfRepeats(docs: DataFrame, textCol: String, idCol: String,
+                       w: Int = 5): DataFrame = {
+    val tok = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("tk"))
+    val spans = tok.select(col("id"),
+      posexplode(when(size(col("tk")) >= w,
+        transform(sequence(lit(0), size(col("tk")) - w),
+          i => concat_ws(" ", slice(col("tk"), i + 1, lit(w)))))
+        .otherwise(array().cast("array<string>"))).as(Seq("start", "s")))
+    val firstStart = spans.groupBy("id", "s")
+      .agg(min("start").as("fs"), count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2)
+    val withFirst = spans.join(firstStart, Seq("id", "s"))
+    def coverage(src: DataFrame): DataFrame = src.select(col("id"),
+      explode(sequence(col("start"), col("start") + (w - 1))).as("pos"))
+    val laterCover = coverage(withFirst.filter(col("start") > col("fs")))
+    val firstCover = coverage(withFirst.filter(col("start") === col("fs")))
+    val dropped = laterCover.join(firstCover, Seq("id", "pos"), "left_anti")
+    val kept = tok
+      .select(col("id"), posexplode(col("tk")).as(Seq("pos", "t")))
+      .join(dropped, Seq("id", "pos"), "left_anti")
+      .groupBy("id")
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("t")))),
+          x => x("t"))).as("clean_text"),
+        count(lit(1)).as("n_kept_tokens"))
+    tok.select(col("id"), size(col("tk")).as("n_tokens"))
+      .join(kept, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_tokens"),
+        coalesce(col("n_kept_tokens"), lit(0L)).as("n_kept_tokens"))
+  }
+
   /** WINNOWING fingerprints (Schleimer et al., SIGMOD'03 — the MOSS
     * algorithm): hash every positional k-gram, then keep the minimum
     * hash of each w-hash window. The fingerprint set is ~2/(w+1) the

@@ -83,6 +83,24 @@ object DedupQueries extends QueryPack {
           maxHamming = 3)
         .orderBy("ida", "idb")),
 
+    // Within-doc repetition stripping (Dedup.stripSelfRepeats): repeated
+    // 5-token spans inside ONE document keep their first occurrence and
+    // lose the later ones. Repetition is PLANTED (docs with id % 4 == 1
+    // get their own first six tokens appended) so the interesting path
+    // runs cross-engine; untouched docs must round-trip bit-identically.
+    "q_strip_self_repeats" -> ((s, d) => {
+      import graft.text.TextFunctions.tokens
+      val docs = Tables.documents(s, d)
+      val planted = docs.withColumn("text",
+        when(col("doc_id") % 4 === 1,
+          concat(col("text"), lit(" "),
+            concat_ws(" ", slice(tokens(col("text")), 1, 6))))
+        .otherwise(col("text")))
+      Dedup.stripSelfRepeats(planted, "text", "doc_id", w = 5)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // Corpus snapshot diff (Cdc.corpusDiff): added/removed/modified docs
     // between two simulated corpus versions — identity is the
     // normalization-invariant fingerprint, each side reduces to
@@ -367,6 +385,53 @@ object DedupQueries extends QueryPack {
         |        / count(*), 6) AS dup_frac
         |FROM e JOIN d USING (s)
         |GROUP BY e.id ORDER BY doc_id""".stripMargin,
+    // twin of q_strip_self_repeats: same planting, per-(id, span)
+    // min-start + occurrence count, later-occurrence coverage minus
+    // first-occurrence coverage, positional reassembly
+    "q_strip_self_repeats" ->
+      s"""WITH raw AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 1
+        |      THEN text || ' ' || array_to_string(($tokensSql)[1:6], ' ')
+        |      ELSE text END AS text
+        |  FROM documents),
+        |tok AS (SELECT doc_id AS id, $tokensSql AS w FROM raw),
+        |sp0 AS (
+        |  SELECT id, unnest(list_transform(generate_series(1, len(w) - 4),
+        |    i -> {'strt': i - 1,
+        |          's': w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]})) AS u
+        |  FROM tok WHERE len(w) >= 5),
+        |sp AS (SELECT id, u.strt AS strt, u.s AS s FROM sp0),
+        |fs AS (SELECT id, s, min(strt) AS fs, count(*) AS occ
+        |       FROM sp GROUP BY 1, 2),
+        |rep AS (SELECT sp.id, sp.strt, fs.fs FROM sp
+        |        JOIN fs USING (id, s) WHERE fs.occ >= 2),
+        |later AS (SELECT DISTINCT id, strt + d AS pos
+        |          FROM rep, generate_series(0, 4) AS g(d) WHERE strt > fs),
+        |frst AS (SELECT DISTINCT id, strt + d AS pos
+        |         FROM rep, generate_series(0, 4) AS g(d) WHERE strt = fs),
+        |dropped AS (
+        |  SELECT l.id, l.pos FROM later l
+        |  WHERE NOT EXISTS (SELECT 1 FROM frst f
+        |                    WHERE f.id = l.id AND f.pos = l.pos)),
+        |tp0 AS (
+        |  SELECT id, unnest(list_transform(generate_series(1, len(w)),
+        |    i -> {'pos': i - 1, 't': w[i]})) AS u
+        |  FROM tok WHERE len(w) > 0),
+        |tokpos AS (SELECT id, u.pos AS pos, u.t AS t FROM tp0),
+        |kept AS (
+        |  SELECT tp.id, string_agg(tp.t, ' ' ORDER BY tp.pos) AS clean_text,
+        |         count(*) AS n_kept
+        |  FROM tokpos tp
+        |  WHERE NOT EXISTS (SELECT 1 FROM dropped dr
+        |                    WHERE dr.id = tp.id AND dr.pos = tp.pos)
+        |  GROUP BY tp.id)
+        |SELECT tok.id AS doc_id,
+        |       coalesce(kept.clean_text, '') AS clean_text,
+        |       len(tok.w)::BIGINT AS n_tokens,
+        |       coalesce(kept.n_kept, 0)::BIGINT AS n_kept_tokens
+        |FROM tok LEFT JOIN kept ON kept.id = tok.id
+        |ORDER BY doc_id""".stripMargin,
     // twin of q_corpus_diff: same snapshot construction, fingerprint
     // full-outer join, unchanged rows dropped
     "q_corpus_diff" ->

@@ -143,6 +143,24 @@ class DedupSpec extends SparkSpecBase {
     assert(got(6L) == (("tiny doc", 2, 2L)))
   }
 
+  test("stripSelfRepeats keeps first occurrence, drops later repeats") {
+    val d = Seq(
+      (1L, "x y z w v x y z w v"),          // exact self-repeat → first kept
+      (2L, "one two three four five six"),  // no repeats → untouched
+      (3L, "tiny"),                         // < w → untouched
+      // cross-doc sharing is NOT intra-doc repetition: doc 4 repeats
+      // nothing within itself even though doc 1 contains its text
+      (4L, "x y z w v")
+    ).toDF("doc_id", "text")
+    val got = Dedup.stripSelfRepeats(d, "text", "doc_id", w = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2), r.getLong(3)))).toMap
+    assert(got(1L) == (("x y z w v", 10, 5L)))
+    assert(got(2L) == (("one two three four five six", 6, 6L)))
+    assert(got(3L) == (("tiny", 1, 1L)))
+    assert(got(4L) == (("x y z w v", 5, 5L)))
+  }
+
   test("winnowing: a shared w+k-1 token run guarantees a shared fingerprint") {
     val shared = "quick brown fox jumps over lazily" // 6 = w + k - 1 tokens
     val d = Seq(
