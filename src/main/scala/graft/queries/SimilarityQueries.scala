@@ -160,6 +160,15 @@ object SimilarityQueries extends QueryPack {
       semanticDedup(plantedCorpus(s, d), 0.8, bits = 8)
         .orderBy("id")),
 
+    // Hard-negative mining: per query (vec_id < 10), the 3 most-similar
+    // DIFFERENT-label vectors — the contrastive-training negatives that
+    // carry gradient (VectorOps.hardNegatives).
+    "q_ann_hard_negatives" -> ((s, d) => {
+      val c = corpus(s, d)
+      hardNegatives(c.filter(col("id") < 10), c, 3)
+        .orderBy("qid", "rn")
+    }),
+
     // PQ-ADC approximate top-3: 8×16 product-quantized codes (64×
     // smaller scan than the float vectors), per-query lookup tables,
     // exact re-rank of the 50-candidate shortlist. Codebook training is
@@ -168,6 +177,15 @@ object SimilarityQueries extends QueryPack {
     "q_ann_pq" -> ((s, d) => {
       val c = corpus(s, d).select("id", "vec")
       graft.similarity.Pq.topKPq(c.filter(col("id") < 10), c, 3)
+        .orderBy("qid", "rn")
+    }),
+
+    // IVFPQ approximate top-3: both scale levers composed — IVF cells
+    // bound candidate count, PQ codes bound bytes per candidate; cell
+    // equi-join, ADC lookups, exact re-rank. Rows-only like its parts.
+    "q_ann_ivfpq" -> ((s, d) => {
+      val c = corpus(s, d).select("id", "vec")
+      graft.similarity.Pq.topKIvfPq(c.filter(col("id") < 10), c, 3)
         .orderBy("qid", "rn")
     }),
 
@@ -208,6 +226,18 @@ object SimilarityQueries extends QueryPack {
         |r AS (SELECT *, row_number() OVER (PARTITION BY qid
         |        ORDER BY cos DESC, vec_id) AS rn FROM p)
         |SELECT qid, rn, vec_id, cos FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
+    // twin of hardNegatives(k=3): brute-force cosine restricted to
+    // different-label pairs, same rank/tiebreak
+    "q_ann_hard_negatives" ->
+      s"""WITH c AS ($corpusSql),
+        |p AS (
+        |  SELECT q.vec_id AS qid, b.vec_id AS neg_id, b.label AS neg_label,
+        |         round(list_cosine_similarity(q.v, b.v), 6) AS cos
+        |  FROM c q JOIN c b ON q.vec_id < 10 AND q.label <> b.label),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY qid
+        |        ORDER BY cos DESC, neg_id) AS rn FROM p)
+        |SELECT qid, rn, neg_id, neg_label, cos FROM r WHERE rn <= 3
+        |ORDER BY qid, rn""".stripMargin,
     "q_ann_bucketed" ->
       s"""WITH c AS (SELECT vec_id, v, $bucketSql AS bucket FROM ($corpusSql)),
         |p AS (

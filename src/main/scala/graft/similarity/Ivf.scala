@@ -138,8 +138,9 @@ object Ivf {
   }
 
   /** `nprobe` nearest cells per vector (for the query side). */
-  private def probeCells(vectors: DataFrame, centroids: Array[Array[Double]],
-                         nprobe: Int): DataFrame = {
+  private[similarity] def probeCells(vectors: DataFrame,
+                                     centroids: Array[Array[Double]],
+                                     nprobe: Int): DataFrame = {
     val cs = centroids
     val probes = udf((v: Seq[Double]) => {
       cs.indices.map { c =>

@@ -129,18 +129,35 @@ object Pq {
     vectors.select(col("id"), enc(col("vec")).as("code"))
   }
 
-  /** Approximate top-k by PQ-ADC with exact re-rank. Queries must be a
-    * SMALL frame (it is broadcast with its LUTs); corpus is (id, vec).
-    * Output (qid, rn, vec_id, cos) matches the other top-k operators.
+  /** Exact cosine re-rank of a (qid, cid_) shortlist — the tail every
+    * approximate searcher here shares. Shortlist rows are tiny
+    * (rerank × |queries|); queries broadcast.
     */
-  def topKPq(queries: DataFrame, corpus: DataFrame, k: Int,
-             m: Int = 8, ksub: Int = 16, rerank: Int = 50,
-             iters: Int = 3): DataFrame = {
-    val cb = fitCodebooks(corpus, m, ksub, iters)
+  private def rerankExact(shortlist: DataFrame, queries: DataFrame,
+                          corpus: DataFrame, k: Int): DataFrame = {
+    val cv = corpus.select(col("id").as("cid_"), col("vec").as("cvec"))
+      .withColumn("cnrm", sqrt(vecDot(col("cvec"), col("cvec"))))
+    val qv = queries.select(col("id").as("qid"), col("vec").as("qvec"))
+      .withColumn("qnrm", sqrt(vecDot(col("qvec"), col("qvec"))))
+    val wk = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("cid_"))
+    shortlist
+      .join(cv, "cid_")
+      .join(broadcast(qv), "qid")
+      .withColumn("cos",
+        round(vecDot(col("qvec"), col("cvec")) / (col("qnrm") * col("cnrm")), 6))
+      .withColumn("rn", row_number().over(wk))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("rn"), col("cid_").as("vec_id"), col("cos"))
+  }
+
+  /** Per-query flattened m×ksub LUT of partial inner products. */
+  private def lutFor(cb: Array[Array[Array[Double]]])
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val m = cb.length
+    val ksub = cb(0).length
     val dsub = cb(0)(0).length
-    val codes = encode(corpus, cb).select(col("id").as("cid_"), col("code"))
-    // per-query LUT: flattened m×ksub partial inner products
-    val lutUdf = udf((q: Seq[Double]) => {
+    udf((q: Seq[Double]) => {
       val qa = q.toArray
       val out = new Array[Double](m * ksub)
       var s = 0
@@ -157,14 +174,29 @@ object Pq {
       }
       out
     })
-    val qt = queries.select(col("id").as("qid"), col("vec").as("qvec"))
-      .withColumn("lut", lutUdf(col("qvec")))
-      .select("qid", "lut")
-    val adc = udf((code: Seq[Int], l: Seq[Double]) => {
+  }
+
+  /** ADC scorer: sum of m LUT lookups per candidate code. */
+  private def adcFor(m: Int, ksub: Int)
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((code: Seq[Int], l: Seq[Double]) => {
       var s = 0; var acc = 0.0
       while (s < m) { acc += l(s * ksub + code(s)); s += 1 }
       acc
     })
+
+  /** Approximate top-k by PQ-ADC with exact re-rank. Queries must be a
+    * SMALL frame (it is broadcast with its LUTs); corpus is (id, vec).
+    * Output (qid, rn, vec_id, cos) matches the other top-k operators.
+    */
+  def topKPq(queries: DataFrame, corpus: DataFrame, k: Int,
+             m: Int = 8, ksub: Int = 16, rerank: Int = 50,
+             iters: Int = 3): DataFrame = {
+    val cb = fitCodebooks(corpus, m, ksub, iters)
+    val codes = encode(corpus, cb).select(col("id").as("cid_"), col("code"))
+    val qt = queries.select(col("id").as("qid"), col("vec").as("qvec"))
+      .withColumn("lut", lutFor(cb)(col("qvec")))
+      .select("qid", "lut")
     // ADC scan: corpus codes stay distributed, queries broadcast; the
     // stream narrows to 3 columns immediately after the lookup sum
     val ws = Window.partitionBy(col("qid"))
@@ -172,24 +204,46 @@ object Pq {
     val shortlist = codes.crossJoin(broadcast(qt))
       .filter(col("qid") =!= col("cid_"))
       .select(col("qid"), col("cid_"),
-        adc(col("code"), col("lut")).as("ascore"))
+        adcFor(m, ksub)(col("code"), col("lut")).as("ascore"))
       .withColumn("srn", row_number().over(ws))
       .filter(col("srn") <= rerank)
       .select("qid", "cid_")
-    // exact re-rank of the tiny shortlist on true vectors
-    val cv = corpus.select(col("id").as("cid_"), col("vec").as("cvec"))
-      .withColumn("cnrm", sqrt(vecDot(col("cvec"), col("cvec"))))
-    val qv = queries.select(col("id").as("qid"), col("vec").as("qvec"))
-      .withColumn("qnrm", sqrt(vecDot(col("qvec"), col("qvec"))))
-    val wk = Window.partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col("cid_"))
-    shortlist
-      .join(cv, "cid_")
-      .join(broadcast(qv), "qid")
-      .withColumn("cos",
-        round(vecDot(col("qvec"), col("cvec")) / (col("qnrm") * col("cnrm")), 6))
-      .withColumn("rn", row_number().over(wk))
-      .filter(col("rn") <= k)
-      .select(col("qid"), col("rn"), col("cid_").as("vec_id"), col("cos"))
+    rerankExact(shortlist, queries, corpus, k)
+  }
+
+  /** FAISS-style IVFPQ: the two scale levers composed — IVF cells bound
+    * the CANDIDATE COUNT (only `nprobe`/`nlist` of the corpus is ever
+    * scored per query), PQ codes bound the BYTES PER CANDIDATE (m small
+    * ints instead of the float vector). The candidate generation is a
+    * cell equi-join (never a cross join), the ADC stream narrows to
+    * 3 columns, and the shortlist re-ranks exactly — so versus topKPq
+    * the scan is nprobe/nlist the size, and versus topKIvf each
+    * candidate costs m lookups instead of a dim-length dot product.
+    */
+  def topKIvfPq(queries: DataFrame, corpus: DataFrame, k: Int,
+                nlist: Int = 16, nprobe: Int = 4, m: Int = 8,
+                ksub: Int = 16, rerank: Int = 50,
+                iters: Int = 3): DataFrame = {
+    val centroids = Ivf.kmeansFit(corpus, nlist, iters)
+    val cb = fitCodebooks(corpus, m, ksub, iters)
+    // inverted lists: (cell, cid_, code) — one id-keyed join fuses the
+    // cell assignment and the code; both are single passes over corpus
+    val codes = encode(corpus, cb).select(col("id"), col("code"))
+      .join(Ivf.assignCells(corpus, centroids).select("id", "cell"), "id")
+      .select(col("id").as("cid_"), col("cell"), col("code"))
+    val qt = Ivf.probeCells(queries, centroids, nprobe)
+      .select(col("id").as("qid"), col("cell"), col("vec").as("qvec"))
+      .withColumn("lut", lutFor(cb)(col("qvec")))
+      .select("qid", "cell", "lut")
+    val ws = Window.partitionBy(col("qid"))
+      .orderBy(col("ascore").desc, col("cid_"))
+    val shortlist = codes.join(broadcast(qt), Seq("cell"))
+      .filter(col("qid") =!= col("cid_"))
+      .select(col("qid"), col("cid_"),
+        adcFor(m, ksub)(col("code"), col("lut")).as("ascore"))
+      .withColumn("srn", row_number().over(ws))
+      .filter(col("srn") <= rerank)
+      .select("qid", "cid_")
+    rerankExact(shortlist, queries, corpus, k)
   }
 }

@@ -72,6 +72,32 @@ object VectorOps {
       .select(col("qid"), col("rn"), col("cid").as("vec_id"), col("cos"))
   }
 
+  /** HARD-NEGATIVE mining: for each labeled query, the k most-similar
+    * corpus vectors with a DIFFERENT label — the negatives that actually
+    * move a contrastive/embedding loss (random negatives are mostly
+    * trivial; the near-but-wrong ones carry the gradient). Inputs carry
+    * (id, vec, label). Brute-force shape with the (small) query side
+    * broadcast — at scale, swap the corpus scan for the IVF/PQ shortlist
+    * and re-rank, exactly as the top-k operators do.
+    */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame,
+                    k: Int): DataFrame = {
+    val q = queries.select(col("id").as("qid"), col("vec").as("qvec"),
+      col("label").as("qlabel"), l2norm(col("vec")).as("qnrm"))
+    val c = corpus.select(col("id").as("cid"), col("vec").as("cvec"),
+      col("label").as("neg_label"), l2norm(col("vec")).as("cnrm"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("cid"))
+    q.hint("broadcast")
+      .join(c, col("qlabel") =!= col("neg_label"))
+      .withColumn("cos",
+        round(vecDot(col("qvec"), col("cvec")) / (col("qnrm") * col("cnrm")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("rn"), col("cid").as("neg_id"),
+        col("neg_label"), col("cos"))
+  }
+
   /** Approximate top-k: candidates limited to the query's LSH bucket, then
     * ranked exactly. Recall < 1, cost linear with one bucket-key shuffle.
     */

@@ -35,4 +35,17 @@ class PqSpec extends SparkSpecBase {
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     assert(approx == again)
   }
+
+  test("IVFPQ composes the cell filter with ADC and keeps useful recall") {
+    val queries = corpus.filter(col("id") < 10)
+    val exact = VectorOps.topKBruteForce(queries, corpus, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = Pq.topKIvfPq(queries, corpus, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    // each query still yields k results (probed cells are never empty:
+    // the query's own cell is always among its nprobe nearest)
+    assert(approx.groupBy(_._1).forall(_._2.size == 3))
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall below floor; got $approx")
+  }
 }
