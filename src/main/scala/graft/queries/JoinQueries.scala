@@ -220,6 +220,40 @@ object JoinQueries extends QueryPack {
         .orderBy(col("revenue").desc, col("n_name"))
     }),
 
+    // TPC-H Q21 SHAPE (waiting-supplier): the correlated
+    // EXISTS + NOT EXISTS pattern — one semi-join (another supplier
+    // exists in the order) and one anti-join (no OTHER supplier was
+    // late) against the same fact, both keyed on orderkey. The fixture
+    // lineitem has no receipt/commit dates, so "late" is
+    // l_shipdate > o_orderdate + 90 days — the plan shape (fact
+    // semi/anti self-joins + dim broadcast + TakeOrdered) is the point.
+    "q_tpch_q21_shape" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_orderdate")
+      val late = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") >
+          col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+      val any2 = li.select(col("l_orderkey").as("o2"),
+        col("l_suppkey").as("s2"))
+      val late3 = late.select(col("l_orderkey").as("o3"),
+        col("l_suppkey").as("s3"))
+      late
+        .join(any2, col("o2") === col("l_orderkey") &&
+          col("s2") =!= col("l_suppkey"), "left_semi")
+        .join(late3, col("o3") === col("l_orderkey") &&
+          col("s3") =!= col("l_suppkey"), "left_anti")
+        .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(10)
+    }),
+
     // TPC-H Q18 shape (large-volume customer): the HAVING-subquery
     // heavy-hitter pattern. The hot-orderkey list (sum(qty) > 250) comes
     // out of ONE partial-aggregating pass over lineitem and is tiny by
@@ -358,6 +392,25 @@ object JoinQueries extends QueryPack {
         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q_tpch_q21_shape" ->
+      """WITH late AS (
+        |  SELECT l.l_orderkey, l.l_suppkey
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE o.o_orderstatus = 'F'
+        |    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+        |SELECT s_name, count(*) AS numwait
+        |FROM late l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+        |WHERE EXISTS (
+        |    SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM late l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 10""".stripMargin,
     "q_tpch_q18" ->
       """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
         |       round(sum(l_quantity), 4) AS total_qty
