@@ -123,6 +123,35 @@ object MlQueries extends QueryPack {
         .orderBy("dt")
     }),
 
+    // Seasonal anomaly detection: each day scored against ITS OWN
+    // WEEKDAY's history (expanding same-dow window) — the adjustment
+    // that stops every Monday from alarming on a weekend-quiet cluster.
+    // Flag = |x − mean_dow| > 2·sd_dow, computed multiplication-only so
+    // sd = 0 degenerates deterministically. One dow-keyed window, ~7
+    // partitions of ~|days|/7 rows each.
+    "q_anomaly_seasonal" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("dow").orderBy("dt")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      goldDaily(s, d).select(col("dt"), col("avg_value"))
+        .withColumn("dow", dayofweek(col("dt")))
+        .withColumn("hist", collect_list("avg_value").over(w))
+        .filter(size(col("hist")) >= 2)
+        .withColumn("mu",
+          aggregate(col("hist"), lit(0.0), (a, v) => a + v) / size(col("hist")))
+        .withColumn("sd",
+          sqrt(aggregate(col("hist"), lit(0.0),
+            (a, v) => a + (v - col("mu")) * (v - col("mu")))
+            / size(col("hist"))))
+        .select(col("dt"),
+          round(col("avg_value"), 6).as("avg_value"),
+          round(col("mu"), 6).as("dow_mean"),
+          round(col("sd"), 6).as("dow_sd"),
+          (abs(col("avg_value") - col("mu")) > col("sd") * 2.0)
+            .cast("int").as("anomaly_flag"))
+        .orderBy("dt")
+    }),
+
     // M2-M4 + E6/E7 + S7: fit isolation forest on the daily features
     // (driver-side, ψ≤256 by design), score distributed via UDF, emit the
     // reference's scored-table shape. Not SQL-expressible — no oracle.
@@ -160,6 +189,34 @@ object MlQueries extends QueryPack {
         |       count(*)::DOUBLE AS n_events
         |FROM events WHERE value IS NOT NULL
         |GROUP BY 1 ORDER BY dt""".stripMargin,
+    // twin of q_anomaly_seasonal: same expanding same-weekday frame
+    // (list() preserves frame order, so the float sums agree), same
+    // population sd and multiplication-only flag
+    "q_anomaly_seasonal" ->
+      """WITH g AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS dt,
+        |         avg(value) AS avg_value
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |h AS (
+        |  SELECT dt, avg_value,
+        |    list(avg_value) OVER (PARTITION BY dayofweek(dt) ORDER BY dt
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hist
+        |  FROM g),
+        |m AS (
+        |  SELECT dt, avg_value, hist,
+        |    list_sum(hist) / len(hist) AS mu
+        |  FROM h WHERE len(hist) >= 2),
+        |m2 AS (
+        |  SELECT dt, avg_value, mu,
+        |    sqrt(list_sum(list_transform(hist, v -> (v - mu) * (v - mu)))
+        |         / len(hist)) AS sd
+        |  FROM m)
+        |SELECT dt,
+        |  round(avg_value, 6) AS avg_value,
+        |  round(mu, 6) AS dow_mean,
+        |  round(sd, 6) AS dow_sd,
+        |  CAST(abs(avg_value - mu) > sd * 2.0 AS INT) AS anomaly_flag
+        |FROM m2 ORDER BY dt""".stripMargin,
     // twin of q_anomaly_robust: same trailing list window, same EXPLICIT
     // interpolated-median arithmetic (list_sort + (lo+hi)/2) so the
     // unrounded med/mad comparison agrees bit-for-bit
