@@ -298,6 +298,24 @@ class PlanSpec extends SparkSpecBase {
       "top-100 must be TakeOrdered, not a global sort")
   }
 
+  test("tpch q21 shape: semi and anti against the fact, supplier broadcasts") {
+    val p = plan(q("q_tpch_q21_shape"))
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"),
+      "EXISTS/NOT EXISTS must plan as semi/anti joins")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-10 must be TakeOrdered, not a global sort")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("dsir weights: raw corpus exploded once, scalars broadcast") {
+    val p = plan(q("q_dsir_weights"))
+    assert(!p.contains("CartesianProduct"),
+      "the 1-row constants frame must arrive as BroadcastNestedLoopJoin, " +
+        "never a cartesian")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "constants cross-join must broadcast")
+  }
+
   test("bloom decontamination gates the corpus side below the join") {
     val p = plan(q("q_contamination_bloom"))
     // the UDF membership gate must survive into the physical plan on the
