@@ -74,21 +74,30 @@ object Dedup {
     *    web-scale boilerplate dedup that means caps in the thousands,
     *    not single digits.
     */
+  /** The inverted-index shingle stream (id, n_sh, s) with the df-cut
+    * applied — the ONE definition of the cut (drop-list = FREQUENT
+    * shingles, tiny by Zipf, broadcast left_anti; broadcasting the rare
+    * set instead would ship nearly the whole vocabulary) shared by
+    * jaccardPairs and containmentPairs, which promise identical cut
+    * semantics.
+    */
+  private def indexedShingles(docs: DataFrame, textCol: String,
+                              idCol: String, n: Int,
+                              maxShingleFreq: Int): DataFrame = {
+    val t = shingled(docs, textCol, idCol, n).withColumn("n_sh", size(col("sh")))
+    val e0 = t.select(col("id"), col("n_sh"), explode(col("sh")).as("s"))
+    if (maxShingleFreq <= 0) e0
+    else {
+      val hot = e0.groupBy("s").agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxShingleFreq).select("s")
+      e0.join(broadcast(hot), Seq("s"), "left_anti")
+    }
+  }
+
   def jaccardPairs(docs: DataFrame, textCol: String, idCol: String,
                    threshold: Double, maxShingleFreq: Int,
                    n: Int = 3): DataFrame = {
-    val t = shingled(docs, textCol, idCol, n).withColumn("n_sh", size(col("sh")))
-    val e0 = t.select(col("id"), col("n_sh"), explode(col("sh")).as("s"))
-    val e =
-      if (maxShingleFreq <= 0) e0
-      else {
-        // drop-list = FREQUENT shingles (tiny by Zipf — that's the point
-        // of the cut); broadcasting the rare set instead would ship
-        // nearly the whole vocabulary to every task.
-        val hot = e0.groupBy("s").agg(count(lit(1)).as("df"))
-          .filter(col("df") > maxShingleFreq).select("s")
-        e0.join(broadcast(hot), Seq("s"), "left_anti")
-      }
+    val e = indexedShingles(docs, textCol, idCol, n, maxShingleFreq)
     val a = e.select(col("id").as("ida"), col("n_sh").as("na"), col("s"))
     val b = e.select(col("id").as("idb"), col("n_sh").as("nb"), col("s"))
     a.join(b, a("s") === b("s") && col("ida") < col("idb"))
@@ -120,15 +129,7 @@ object Dedup {
   def containmentPairs(docs: DataFrame, textCol: String, idCol: String,
                        threshold: Double, maxShingleFreq: Int,
                        n: Int = 3): DataFrame = {
-    val t = shingled(docs, textCol, idCol, n).withColumn("n_sh", size(col("sh")))
-    val e0 = t.select(col("id"), col("n_sh"), explode(col("sh")).as("s"))
-    val e =
-      if (maxShingleFreq <= 0) e0
-      else {
-        val hot = e0.groupBy("s").agg(count(lit(1)).as("df"))
-          .filter(col("df") > maxShingleFreq).select("s")
-        e0.join(broadcast(hot), Seq("s"), "left_anti")
-      }
+    val e = indexedShingles(docs, textCol, idCol, n, maxShingleFreq)
     val a = e.select(col("id").as("ida"), col("n_sh").as("na"), col("s"))
     val b = e.select(col("id").as("idb"), col("n_sh").as("nb"), col("s"))
     val p = a.join(b, a("s") === b("s") && col("ida") < col("idb"))
@@ -399,27 +400,32 @@ object Dedup {
     * token is covered comes back with empty clean_text (row preserved —
     * a dropped row would silently change corpus counts downstream).
     */
-  def stripDupSpans(docs: DataFrame, textCol: String, idCol: String,
-                    w: Int = 5): DataFrame = {
-    val tok = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("tk"))
-    val spans = tok.select(col("id"),
+  /** (id, tk) token frame shared by the span strippers. */
+  private def tokenized(docs: DataFrame, textCol: String,
+                        idCol: String): DataFrame =
+    docs.select(col(idCol).as("id"), tokens(col(textCol)).as("tk"))
+
+  /** Positional w-token spans (id, start, s) of a tokenized frame — the
+    * ONE span builder both strippers (and their oracles) share.
+    */
+  private def posSpans(tok: DataFrame, w: Int): DataFrame =
+    tok.select(col("id"),
       posexplode(when(size(col("tk")) >= w,
         transform(sequence(lit(0), size(col("tk")) - w),
           i => concat_ws(" ", slice(col("tk"), i + 1, lit(w)))))
         .otherwise(array().cast("array<string>"))).as(Seq("start", "s")))
-    // df counts DOCS containing the span (per-doc distinct — same
-    // definition as spanDupStats), not occurrences
-    val sdf = spans.select("id", "s").distinct()
-      .groupBy("s").agg(count(lit(1)).as("sdf"))
-    // no distinct here: the anti-join below only tests EXISTENCE, so
-    // duplicate (id, pos) rows (overlapping duplicated spans) are
-    // harmless — deduping them would cost a full extra exchange
-    val covered = spans.join(sdf.filter(col("sdf") >= 2), "s")
-      .select(col("id"),
-        explode(sequence(col("start"), col("start") + (w - 1))).as("pos"))
+
+  /** Reassembly tail shared by the span strippers: drop the (id, pos)
+    * rows in `droppedPos` from the token stream, rebuild clean_text in
+    * positional order, and LEFT-join back so fully-covered and empty
+    * docs keep their row (a dropped row would silently change corpus
+    * counts downstream).
+    */
+  private def reassembleWithout(tok: DataFrame,
+                                droppedPos: DataFrame): DataFrame = {
     val kept = tok
       .select(col("id"), posexplode(col("tk")).as(Seq("pos", "t")))
-      .join(covered, Seq("id", "pos"), "left_anti")
+      .join(droppedPos, Seq("id", "pos"), "left_anti")
       .groupBy("id")
       .agg(
         concat_ws(" ", transform(
@@ -432,6 +438,24 @@ object Dedup {
         coalesce(col("clean_text"), lit("")).as("clean_text"),
         col("n_tokens"),
         coalesce(col("n_kept_tokens"), lit(0L)).as("n_kept_tokens"))
+  }
+
+  def stripDupSpans(docs: DataFrame, textCol: String, idCol: String,
+                    w: Int = 5): DataFrame = {
+    val tok = tokenized(docs, textCol, idCol)
+    val spans = posSpans(tok, w)
+    // df counts DOCS containing the span (per-doc distinct — same
+    // definition as spanDupStats), not occurrences
+    val sdf = spans.select("id", "s").distinct()
+      .groupBy("s").agg(count(lit(1)).as("sdf"))
+    // no distinct here: the anti-join in the reassembly tail only tests
+    // EXISTENCE, so duplicate (id, pos) rows (overlapping duplicated
+    // spans) are harmless — deduping them would cost a full extra
+    // exchange
+    val covered = spans.join(sdf.filter(col("sdf") >= 2), "s")
+      .select(col("id"),
+        explode(sequence(col("start"), col("start") + (w - 1))).as("pos"))
+    reassembleWithout(tok, covered)
   }
 
   /** WITHIN-doc repetition stripping — the intra-document complement of
@@ -456,12 +480,8 @@ object Dedup {
     */
   def stripSelfRepeats(docs: DataFrame, textCol: String, idCol: String,
                        w: Int = 5): DataFrame = {
-    val tok = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("tk"))
-    val spans = tok.select(col("id"),
-      posexplode(when(size(col("tk")) >= w,
-        transform(sequence(lit(0), size(col("tk")) - w),
-          i => concat_ws(" ", slice(col("tk"), i + 1, lit(w)))))
-        .otherwise(array().cast("array<string>"))).as(Seq("start", "s")))
+    val tok = tokenized(docs, textCol, idCol)
+    val spans = posSpans(tok, w)
     val firstStart = spans.groupBy("id", "s")
       .agg(min("start").as("fs"), count(lit(1)).as("occ"))
       .filter(col("occ") >= 2)
@@ -471,21 +491,7 @@ object Dedup {
     val laterCover = coverage(withFirst.filter(col("start") > col("fs")))
     val firstCover = coverage(withFirst.filter(col("start") === col("fs")))
     val dropped = laterCover.join(firstCover, Seq("id", "pos"), "left_anti")
-    val kept = tok
-      .select(col("id"), posexplode(col("tk")).as(Seq("pos", "t")))
-      .join(dropped, Seq("id", "pos"), "left_anti")
-      .groupBy("id")
-      .agg(
-        concat_ws(" ", transform(
-          array_sort(collect_list(struct(col("pos"), col("t")))),
-          x => x("t"))).as("clean_text"),
-        count(lit(1)).as("n_kept_tokens"))
-    tok.select(col("id"), size(col("tk")).as("n_tokens"))
-      .join(kept, Seq("id"), "left")
-      .select(col("id"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"),
-        col("n_tokens"),
-        coalesce(col("n_kept_tokens"), lit(0L)).as("n_kept_tokens"))
+    reassembleWithout(tok, dropped)
   }
 
   /** WINNOWING fingerprints (Schleimer et al., SIGMOD'03 — the MOSS
@@ -651,6 +657,11 @@ object Dedup {
       .select(col(idCol).as("corpus_id"),
         wordShingles(tokens(col(textCol)), w).as("sh"))
       .filter(size(col("sh")) > 0)
+      // CollapseProject barrier (same as shingled()): without it the
+      // size filter, the n_spans projection, and the explode each
+      // re-inline the tokenize+shingle chain — ~3 full tokenization
+      // passes over the corpus
+      .repartition(col("corpus_id"))
       .select(col("corpus_id"), size(col("sh")).as("n_spans"),
         explode(col("sh")).as("s"))
     cs.join(ev, "s")

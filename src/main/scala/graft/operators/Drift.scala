@@ -32,27 +32,37 @@ object Drift {
     splits.map(s => when(v >= s, 1).otherwise(0))
       .reduce(_ + _)
 
-  /** Per-bin drift table between `ref` and `cur` on `valueCol`:
+  /** Per-bin fractions of `df`'s `valueCol` under `splits`, as
+    * (bin, <alias>). NULL values are EXCLUDED from the distribution — a
+    * null is a data-quality breakage, not a small number; silently
+    * binning nulls low would make the monitor misread a broken column
+    * as a shift toward bin 0 (count nulls separately via Checks).
+    * Public so a standing monitor can compute its reference side ONCE
+    * and reuse it per batch (see StreamingTelemetry.streamDrift).
+    */
+  def binFracs(df: DataFrame, valueCol: String, splits: Seq[Double],
+               alias: String): DataFrame = {
+    require(splits.nonEmpty && splits == splits.sorted,
+      s"splits must be non-empty ascending: $splits")
+    df.filter(col(valueCol).isNotNull)
+      .select(binOf(col(valueCol), splits).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+      // ≤ |splits|+1 rows reach this empty-frame window — the single
+      // partition it implies is by construction harmless
+      .withColumn(alias,
+        col("n") / sum("n").over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
+      .select(col("bin"), col(alias))
+  }
+
+  /** Drift table from PRECOMPUTED fraction frames (bin, rf) / (bin, cf):
     * (bin, ref_frac, cur_frac, psi_term), fractions floored at `eps`
     * (so a bin empty on one side contributes a finite term), every
     * number rounded to 6 places. Total PSI = sum(psi_term).
     */
-  def psiBins(ref: DataFrame, cur: DataFrame, valueCol: String,
-              splits: Seq[Double], eps: Double = 1e-6): DataFrame = {
-    require(splits.nonEmpty && splits == splits.sorted,
-      s"splits must be non-empty ascending: $splits")
-    def fracs(df: DataFrame, alias: String): DataFrame =
-      df.select(binOf(col(valueCol), splits).as("bin"))
-        .groupBy("bin").agg(count(lit(1)).as("n"))
-        // ≤ |splits|+1 rows reach this empty-frame window — the single
-        // partition it implies is by construction harmless
-        .withColumn(alias,
-          col("n") / sum("n").over(
-            org.apache.spark.sql.expressions.Window.partitionBy()))
-        .select(col("bin"), col(alias))
-    val r = fracs(ref, "rf")
-    val c = fracs(cur, "cf")
-    r.join(c, Seq("bin"), "full_outer")
+  def psiOf(rf: DataFrame, cf: DataFrame,
+            eps: Double = 1e-6): DataFrame =
+    rf.join(cf, Seq("bin"), "full_outer")
       .select(col("bin"),
         greatest(coalesce(col("rf"), lit(0.0)), lit(eps)).as("rf"),
         greatest(coalesce(col("cf"), lit(0.0)), lit(eps)).as("cf"))
@@ -62,5 +72,12 @@ object Drift {
         round((col("cf") - col("rf")) * log(col("cf") / col("rf")), 6)
           .as("psi_term"))
       .orderBy("bin")
-  }
+
+  /** Per-bin drift table between `ref` and `cur` on `valueCol` — the
+    * one-shot batch form of binFracs + psiOf.
+    */
+  def psiBins(ref: DataFrame, cur: DataFrame, valueCol: String,
+              splits: Seq[Double], eps: Double = 1e-6): DataFrame =
+    psiOf(binFracs(ref, valueCol, splits, "rf"),
+      binFracs(cur, valueCol, splits, "cf"), eps)
 }

@@ -38,6 +38,52 @@ object Ivf {
     * seed every centroid inside one dense cluster. Costs k distributed
     * max-passes — k is the (small) nlist, so this is bounded.
     */
+  /** Index of the L2-nearest centroid (length-guarded: compares over the
+    * common prefix on ragged input). Shared driver-side loop for Ivf and
+    * Pq — one definition, one behavior.
+    */
+  private[similarity] def nearestIdx(v: Array[Double],
+                                     centroids: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      var d = 0.0; var i = 0
+      val cv = centroids(c)
+      val n = math.min(cv.length, v.length)
+      while (i < n) { val t = v(i) - cv(i); d += t * t; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Deterministic farthest-first (maxmin) init over a point set: start
+    * from the first point, repeatedly take the point farthest from the
+    * chosen set (ties by index). Shared by Ivf.kmeansFit and
+    * Pq.fitCodebooks.
+    */
+  private[similarity] def farthestFirstInit(points: Array[Array[Double]],
+                                            k: Int): Array[Array[Double]] = {
+    val init = scala.collection.mutable.ArrayBuffer(points(0))
+    val minD = Array.fill(points.length)(Double.MaxValue)
+    while (init.length < k) {
+      val latest = init.last
+      var farIdx = 0; var farD = -1.0
+      var j = 0
+      while (j < points.length) {
+        var d = 0.0; var i = 0
+        val v = points(j)
+        val n = math.min(latest.length, v.length)
+        while (i < n) { val t = v(i) - latest(i); d += t * t; i += 1 }
+        if (d < minD(j)) minD(j) = d
+        if (minD(j) > farD) { farD = minD(j); farIdx = j }
+        j += 1
+      }
+      init += points(farIdx)
+    }
+    init.toArray
+  }
+
   def kmeansFit(corpus: DataFrame, k: Int, iters: Int = 3,
                 initSample: Int = 1024): Array[Array[Double]] = {
     // Farthest-first over a bounded deterministic sample (lowest ids),
@@ -47,24 +93,7 @@ object Ivf {
     val sample = corpus.orderBy("id").limit(math.max(k, initSample))
       .select("vec").collect().map(_.getSeq[Double](0).toArray)
     require(sample.length >= k, s"corpus smaller than k=$k")
-    val init = scala.collection.mutable.ArrayBuffer(sample(0))
-    val minD = Array.fill(sample.length)(Double.MaxValue)
-    while (init.length < k) {
-      val latest = init.last
-      var farIdx = 0; var farD = -1.0
-      var j = 0
-      while (j < sample.length) {
-        var d = 0.0; var i = 0
-        val v = sample(j)
-        val n = math.min(latest.length, v.length)
-        while (i < n) { val t = v(i) - latest(i); d += t * t; i += 1 }
-        if (d < minD(j)) minD(j) = d
-        if (minD(j) > farD) { farD = minD(j); farIdx = j }
-        j += 1
-      }
-      init += sample(farIdx)
-    }
-    var centroids: Array[Array[Double]] = init.toArray
+    var centroids: Array[Array[Double]] = farthestFirstInit(sample, k)
     var it = 0
     while (it < iters) {
       val assigned = assignCells(corpus, centroids)

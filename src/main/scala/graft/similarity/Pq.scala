@@ -47,17 +47,18 @@ object Pq {
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     require(sample.length >= ksub, s"sample ${sample.length} < ksub=$ksub")
     val dsub = dim / m
+    // init + Lloyd loops are Ivf's (one definition, length-guarded)
     (0 until m).toArray.map { s =>
       val sub = sample.map(v => java.util.Arrays.copyOfRange(v, s * dsub,
         (s + 1) * dsub))
-      var centroids = farthestFirst(sub, ksub)
+      var centroids = Ivf.farthestFirstInit(sub, ksub)
       var it = 0
       while (it < iters) {
         // Lloyd on the sample: assign each sample point, recompute means
         val sums = Array.fill(ksub)(new Array[Double](dsub))
         val counts = new Array[Int](ksub)
         sub.foreach { v =>
-          val c = nearestIdx(v, centroids)
+          val c = Ivf.nearestIdx(v, centroids)
           counts(c) += 1
           var i = 0
           while (i < dsub) { sums(c)(i) += v(i); i += 1 }
@@ -70,41 +71,6 @@ object Pq {
       }
       centroids
     }
-  }
-
-  private def farthestFirst(points: Array[Array[Double]],
-                            k: Int): Array[Array[Double]] = {
-    val init = scala.collection.mutable.ArrayBuffer(points(0))
-    val minD = Array.fill(points.length)(Double.MaxValue)
-    while (init.length < k) {
-      val latest = init.last
-      var farIdx = 0; var farD = -1.0
-      var j = 0
-      while (j < points.length) {
-        var d = 0.0; var i = 0
-        val v = points(j)
-        while (i < v.length) { val t = v(i) - latest(i); d += t * t; i += 1 }
-        if (d < minD(j)) minD(j) = d
-        if (minD(j) > farD) { farD = minD(j); farIdx = j }
-        j += 1
-      }
-      init += points(farIdx)
-    }
-    init.toArray
-  }
-
-  private def nearestIdx(v: Array[Double],
-                         centroids: Array[Array[Double]]): Int = {
-    var best = 0; var bestD = Double.MaxValue
-    var c = 0
-    while (c < centroids.length) {
-      var d = 0.0; var i = 0
-      val cv = centroids(c)
-      while (i < cv.length) { val t = v(i) - cv(i); d += t * t; i += 1 }
-      if (d < bestD) { bestD = d; best = c }
-      c += 1
-    }
-    best
   }
 
   /** (id, code array<int> of length m): per-subspace nearest codeword.
@@ -120,7 +86,7 @@ object Pq {
       val out = new Array[Int](m)
       var s = 0
       while (s < m) {
-        out(s) = nearestIdx(
+        out(s) = Ivf.nearestIdx(
           java.util.Arrays.copyOfRange(va, s * dsub, (s + 1) * dsub), cb(s))
         s += 1
       }
@@ -231,10 +197,14 @@ object Pq {
     val codes = encode(corpus, cb).select(col("id"), col("code"))
       .join(Ivf.assignCells(corpus, centroids).select("id", "cell"), "id")
       .select(col("id").as("cid_"), col("cell"), col("code"))
+    // LUT computed ONCE per query (before the nprobe explode) and
+    // joined to the probe rows — computing it after probeCells would
+    // recompute the m×ksub table and broadcast it nprobe times over
+    val lutQ = queries.select(col("id").as("qid"),
+      lutFor(cb)(col("vec")).as("lut"))
     val qt = Ivf.probeCells(queries, centroids, nprobe)
-      .select(col("id").as("qid"), col("cell"), col("vec").as("qvec"))
-      .withColumn("lut", lutFor(cb)(col("qvec")))
-      .select("qid", "cell", "lut")
+      .select(col("id").as("qid"), col("cell"))
+      .join(lutQ, "qid")
     val ws = Window.partitionBy(col("qid"))
       .orderBy(col("ascore").desc, col("cid_"))
     val shortlist = codes.join(broadcast(qt), Seq("cell"))

@@ -47,9 +47,11 @@ object VectorOps {
   /** (prefix+id, prefix+vec, prefix+nrm) with the norm materialized behind
     * an exchange so downstream pair joins evaluate only one VecDot each.
     */
-  private def withNorm(df: DataFrame, p: String): DataFrame =
-    df.select(col("id").as(s"${p}id"), col("vec").as(s"${p}vec"),
-        l2norm(col("vec")).as(s"${p}nrm"))
+  private def withNorm(df: DataFrame, p: String,
+                       passthrough: Seq[String] = Nil): DataFrame =
+    df.select(Seq(col("id").as(s"${p}id"), col("vec").as(s"${p}vec"),
+        l2norm(col("vec")).as(s"${p}nrm")) ++
+        passthrough.map(c => col(c).as(s"$p$c")): _*)
       .repartition(col(s"${p}id"))
 
   private def pairCos(p1: String, p2: String): Column =
@@ -82,20 +84,20 @@ object VectorOps {
     */
   def hardNegatives(queries: DataFrame, corpus: DataFrame,
                     k: Int): DataFrame = {
-    val q = queries.select(col("id").as("qid"), col("vec").as("qvec"),
-      col("label").as("qlabel"), l2norm(col("vec")).as("qnrm"))
-    val c = corpus.select(col("id").as("cid"), col("vec").as("cvec"),
-      col("label").as("neg_label"), l2norm(col("vec")).as("cnrm"))
+    // the shared norm/cosine plumbing (one norm per vector behind the
+    // repartition barrier, oracle-pinned rounding) with labels riding
+    // the passthrough
+    val q = withNorm(queries, "q", Seq("label"))
+    val c = withNorm(corpus, "c", Seq("label"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("cid"))
     q.hint("broadcast")
-      .join(c, col("qlabel") =!= col("neg_label"))
-      .withColumn("cos",
-        round(vecDot(col("qvec"), col("cvec")) / (col("qnrm") * col("cnrm")), 6))
+      .join(c, col("qlabel") =!= col("clabel"))
+      .withColumn("cos", pairCos("q", "c"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("qid"), col("rn"), col("cid").as("neg_id"),
-        col("neg_label"), col("cos"))
+        col("clabel").as("neg_label"), col("cos"))
   }
 
   /** Approximate top-k: candidates limited to the query's LSH bucket, then

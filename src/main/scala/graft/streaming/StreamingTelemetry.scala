@@ -191,21 +191,28 @@ object StreamingTelemetry {
     * overwrite as streamNearDups, so replayed epochs are idempotent and
     * total PSI per batch is a sum over its partition at read time.
     *
-    * The reference is persisted once up front (it is a fixture, not a
-    * stream); each epoch re-bins it from cache — a scan of cached bin
-    * counts, not a recompute — plus one scan of the batch.
+    * The reference's (bin, fraction) table is computed ONCE up front and
+    * persisted (≤ |splits|+1 rows) — each epoch reads those cached rows
+    * and scans only its own batch. Empty micro-batches (idle source,
+    * watermark-advance triggers) are SKIPPED: an empty current side
+    * would eps-floor every bin and record a screaming max-drift alert
+    * for a batch that contained no data.
     */
   def streamDrift(stream: DataFrame, ref: DataFrame, valueCol: String,
                   splits: Seq[Double], outDir: String, checkpointDir: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    val refCached = ref.persist()
-    refCached.count() // materialize once; epochs only scan their batch
+    val refFracs = graft.operators.Drift
+      .binFracs(ref, valueCol, splits, "rf").persist()
+    refFracs.count() // materialize once; epochs reuse the tiny table
     stream.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.operators.Drift.psiBins(refCached, batch, valueCol, splits)
-          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        if (!batch.isEmpty) {
+          graft.operators.Drift.psiOf(refFracs,
+            graft.operators.Drift.binFracs(batch, valueCol, splits, "cf"))
+            .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        }
         ()
       }
       .start()

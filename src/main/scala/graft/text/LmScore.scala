@@ -43,10 +43,6 @@ object LmScore {
       .groupBy("bg").agg(count(lit(1)).as("c_bg"))
       .withColumn("w1", substring_index(col("bg"), " ", 1))
 
-  /** Per-document (id, n_bigrams, avg_nll) under the corpus's own bigram
-    * model (self-scoring: every observed bigram has count ≥ 1, so no
-    * smoothing term is needed; a train/score split would add one).
-    */
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): score every RAW doc by
     * how target-like its bigram distribution is,
@@ -91,6 +87,10 @@ object LmScore {
         round(sum(col("term")) / sum(col("m")), 6).as("logw"))
   }
 
+  /** Per-document (id, n_bigrams, avg_nll) under the corpus's own bigram
+    * model (self-scoring: every observed bigram has count ≥ 1, so no
+    * smoothing term is needed; a train/score split would add one).
+    */
   def scoreDocs(docs: DataFrame, textCol: String = "text",
                 idCol: String = "doc_id"): DataFrame = {
     val perDoc = docs.select(col(idCol).as("id"),
