@@ -298,6 +298,25 @@ class PlanSpec extends SparkSpecBase {
       "top-100 must be TakeOrdered, not a global sort")
   }
 
+  test("decontam ngram: corpus shingle chain is cut by an id exchange") {
+    val p = plan(q("q_decontam_ngram"))
+    // the barrier pins the computed sh array behind a corpus_id exchange
+    // so the n_spans projection and the explode downstream read an
+    // ATTRIBUTE instead of re-inlining the tokenize+shingle chain
+    // (plan-string expression mentions are a poor eval count — the
+    // pre-exchange filter+project fuse under codegen subexpression
+    // elimination — so assert the structural barrier itself)
+    assert(p.contains("Exchange hashpartitioning(corpus_id"),
+      s"corpus-side CollapseProject barrier missing:\n${p.take(400)}")
+  }
+
+  test("winnow pairs: both self-join sides reuse one fp exchange") {
+    val p = plan(q("q_winnow_pairs"))
+    assert(p.contains("ReusedExchange") || p.contains("BroadcastHashJoin"),
+      "fp-keyed exchange must be shared (or one side broadcast at this SF)")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("tpch q21 shape: semi and anti against the fact, supplier broadcasts") {
     val p = plan(q("q_tpch_q21_shape"))
     assert(p.contains("LeftSemi") && p.contains("LeftAnti"),
