@@ -2,7 +2,6 @@ package graft.similarity
 
 import graft.functions.VectorExpressions.vecDot
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** IVF (inverted-file) approximate nearest-neighbor search: partition the
@@ -197,14 +196,11 @@ object Ivf {
     val q = probeCells(queries, centroids, nprobe)
       .select(col("id").as("qid"), col("vec").as("qvec"), col("cell"))
       .withColumn("qnrm", sqrt(vecDot(col("qvec"), col("qvec"))))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col("cid_"))
-    q.join(c, Seq("cell"))
+    val scored = q.join(c, Seq("cell"))
       .filter(col("qid") =!= col("cid_"))
       .withColumn("cos",
         round(vecDot(col("qvec"), col("cvec")) / (col("qnrm") * col("cnrm")), 6))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
+    Ranking.topKRanked(scored, "qid", "cos", "cid_", k)
       .select(col("qid"), col("rn"), col("cid_").as("vec_id"), col("cos"))
   }
 }

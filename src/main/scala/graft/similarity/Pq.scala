@@ -2,7 +2,6 @@ package graft.similarity
 
 import graft.functions.VectorExpressions.vecDot
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Product quantization (PQ) ANN — the MEMORY-bound scale path. IVF-Flat
@@ -105,15 +104,12 @@ object Pq {
       .withColumn("cnrm", sqrt(vecDot(col("cvec"), col("cvec"))))
     val qv = queries.select(col("id").as("qid"), col("vec").as("qvec"))
       .withColumn("qnrm", sqrt(vecDot(col("qvec"), col("qvec"))))
-    val wk = Window.partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col("cid_"))
-    shortlist
+    val scored = shortlist
       .join(cv, "cid_")
       .join(broadcast(qv), "qid")
       .withColumn("cos",
         round(vecDot(col("qvec"), col("cvec")) / (col("qnrm") * col("cnrm")), 6))
-      .withColumn("rn", row_number().over(wk))
-      .filter(col("rn") <= k)
+    Ranking.topKRanked(scored, "qid", "cos", "cid_", k)
       .select(col("qid"), col("rn"), col("cid_").as("vec_id"), col("cos"))
   }
 
@@ -164,16 +160,14 @@ object Pq {
       .withColumn("lut", lutFor(cb)(col("qvec")))
       .select("qid", "lut")
     // ADC scan: corpus codes stay distributed, queries broadcast; the
-    // stream narrows to 3 columns immediately after the lookup sum
-    val ws = Window.partitionBy(col("qid"))
-      .orderBy(col("ascore").desc, col("cid_"))
-    val shortlist = codes.crossJoin(broadcast(qt))
+    // stream narrows to 3 columns immediately after the lookup sum, and
+    // the shortlist prune is the bounded-heap TopKPerKey (map-side
+    // partial before the exchange) — never a per-query Window sort
+    val scoredAll = codes.crossJoin(broadcast(qt))
       .filter(col("qid") =!= col("cid_"))
       .select(col("qid"), col("cid_"),
         adcFor(m, ksub)(col("code"), col("lut")).as("ascore"))
-      .withColumn("srn", row_number().over(ws))
-      .filter(col("srn") <= rerank)
-      .select("qid", "cid_")
+    val shortlist = Ranking.topKIds(scoredAll, "qid", "ascore", "cid_", rerank)
     rerankExact(shortlist, queries, corpus, k)
   }
 
@@ -205,15 +199,11 @@ object Pq {
     val qt = Ivf.probeCells(queries, centroids, nprobe)
       .select(col("id").as("qid"), col("cell"))
       .join(lutQ, "qid")
-    val ws = Window.partitionBy(col("qid"))
-      .orderBy(col("ascore").desc, col("cid_"))
-    val shortlist = codes.join(broadcast(qt), Seq("cell"))
+    val scoredAll = codes.join(broadcast(qt), Seq("cell"))
       .filter(col("qid") =!= col("cid_"))
       .select(col("qid"), col("cid_"),
         adcFor(m, ksub)(col("code"), col("lut")).as("ascore"))
-      .withColumn("srn", row_number().over(ws))
-      .filter(col("srn") <= rerank)
-      .select("qid", "cid_")
+    val shortlist = Ranking.topKIds(scoredAll, "qid", "ascore", "cid_", rerank)
     rerankExact(shortlist, queries, corpus, k)
   }
 }

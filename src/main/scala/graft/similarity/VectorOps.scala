@@ -2,7 +2,6 @@ package graft.similarity
 
 import graft.functions.VectorExpressions.vecDot
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Vector similarity operators over an `Array[Float]` embedding column:
@@ -22,7 +21,10 @@ import org.apache.spark.sql.functions._
   * bucket key: the corpus shuffles once by bucket and each bucket ranks
   * locally — no cross product anywhere. Ranking always uses the ROUNDED
   * similarity plus vec_id tiebreak so results are deterministic and
-  * engine-independent.
+  * engine-independent, and always goes through `Ranking.topKRanked`
+  * (bounded-heap TopKPerKey, map-side pruned) — never a per-query
+  * Window, which would funnel each query's whole candidate stream
+  * through one task.
   */
 object VectorOps {
 
@@ -64,13 +66,10 @@ object VectorOps {
   def topKBruteForce(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val q = withNorm(queries, "q")
     val c = withNorm(corpus, "c")
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col("cid"))
-    q.hint("broadcast")
+    val scored = q.hint("broadcast")
       .join(c, col("qid") =!= col("cid"))
       .withColumn("cos", pairCos("q", "c"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
+    Ranking.topKRanked(scored, "qid", "cos", "cid", k)
       .select(col("qid"), col("rn"), col("cid").as("vec_id"), col("cos"))
   }
 
@@ -89,13 +88,10 @@ object VectorOps {
     // the passthrough
     val q = withNorm(queries, "q", Seq("label"))
     val c = withNorm(corpus, "c", Seq("label"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col("cid"))
-    q.hint("broadcast")
+    val scored = q.hint("broadcast")
       .join(c, col("qlabel") =!= col("clabel"))
       .withColumn("cos", pairCos("q", "c"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
+    Ranking.topKRanked(scored, "qid", "cos", "cid", k, carry = Seq("clabel"))
       .select(col("qid"), col("rn"), col("cid").as("neg_id"),
         col("clabel").as("neg_label"), col("cos"))
   }
@@ -109,13 +105,10 @@ object VectorOps {
       .withColumn("bucket", signBucket(col("qvec"), bits))
     val c = withNorm(corpus, "c")
       .withColumn("bucket", signBucket(col("cvec"), bits))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col("cid"))
-    q.join(c, Seq("bucket"))
+    val scored = q.join(c, Seq("bucket"))
       .filter(col("qid") =!= col("cid"))
       .withColumn("cos", pairCos("q", "c"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
+    Ranking.topKRanked(scored, "qid", "cos", "cid", k)
       .select(col("qid"), col("rn"), col("cid").as("vec_id"), col("cos"))
   }
 
@@ -142,23 +135,16 @@ object VectorOps {
       col("id").as(s"${p}id"),
       randomProject(col("vec"), kDim).as(s"${p}pv"))
       .withColumn(s"${p}pnrm", l2norm(col(s"${p}pv")))
-    val w1 = Window.partitionBy(col("qid"))
-      .orderBy(col("pcos").desc, col("cid"))
-    val short = projected(queries, "q").hint("broadcast")
+    val shortScored = projected(queries, "q").hint("broadcast")
       .join(projected(corpus, "c"), col("qid") =!= col("cid"))
       .withColumn("pcos", round(vecDot(col("qpv"), col("cpv")) /
         (col("qpnrm") * col("cpnrm")), 6))
-      .withColumn("prn", row_number().over(w1))
-      .filter(col("prn") <= shortlist)
-      .select("qid", "cid")
+    val short = Ranking.topKIds(shortScored, "qid", "pcos", "cid", shortlist)
     val q = withNorm(queries, "q")
     val c = withNorm(corpus, "c")
-    val w2 = Window.partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col("cid"))
-    short.join(q.hint("broadcast"), "qid").join(c, "cid")
+    val scored = short.join(q.hint("broadcast"), "qid").join(c, "cid")
       .withColumn("cos", pairCos("q", "c"))
-      .withColumn("rn", row_number().over(w2))
-      .filter(col("rn") <= k)
+    Ranking.topKRanked(scored, "qid", "cos", "cid", k)
       .select(col("qid"), col("rn"), col("cid").as("vec_id"), col("cos"))
   }
 

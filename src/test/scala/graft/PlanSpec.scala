@@ -345,4 +345,30 @@ class PlanSpec extends SparkSpecBase {
     assert("BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin".r
       .findAllIn(p).nonEmpty, "fp equi-join missing")
   }
+
+  test("ANN top-k ranks via TopKPerKey, never a per-query Window sort") {
+    // Every top-k path (shortlist AND final rank) must go through the
+    // bounded-heap TopKPerKey operator: a row_number Window funnels each
+    // query's whole candidate stream through one task — the corpus for
+    // PQ-ADC, nprobe/nlist of it for IVF — and fully sorts it. The raw
+    // operators (no output orderBy) must show the partial/final exec
+    // pair and contain no Window and no Sort at all.
+    import org.apache.spark.sql.functions.col
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").as("id"),
+        graft.similarity.VectorOps.asDouble(col("embedding")).as("vec"))
+    val queries = vecs.filter(col("id") < 10)
+    for ((name, df) <- Seq(
+        "topKPq" -> graft.similarity.Pq.topKPq(queries, vecs, 3),
+        "topKIvfPq" -> graft.similarity.Pq.topKIvfPq(queries, vecs, 3),
+        "topKIvf" -> graft.similarity.Ivf.topKIvf(queries, vecs, 3),
+        "topKBruteForce" ->
+          graft.similarity.VectorOps.topKBruteForce(queries, vecs, 3))) {
+      val p = plan(df)
+      assert("TopKPerKey".r.findAllIn(p).length >= 2,
+        s"$name: partial+final TopKPerKeyExec pair missing\n${p.take(900)}")
+      assert(!p.contains("Window"), s"$name: per-query Window survived")
+      assert(!p.contains("Sort "), s"$name: a Sort node survived")
+    }
+  }
 }
