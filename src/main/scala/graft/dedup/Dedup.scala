@@ -612,20 +612,29 @@ object Dedup {
                              textCol: String, idCol: String,
                              fpp: Double = 0.01): DataFrame = {
     // the eval projection feeds three actions (size count, BF build,
-    // final join); persisted so the eval lineage runs once, not three
-    // times — it stays cached (small by contract: it IS the eval suite),
-    // matching the broadcast BF's own lifetime
+    // final join); persisted so the two EAGER actions here share one
+    // lineage run, then unpersisted before returning — the lazy join in
+    // the result recomputes the (small by contract) eval side once
+    // rather than pinning executor storage for the session's lifetime
     val e = evalSet.select(fingerprint(col(textCol)).as("fp"),
       col(idCol).as("eval_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nEval = math.max(e.count(), 1L)
-    val bloom = e.stat.bloomFilter("fp", nEval, fpp)
-    val bc = corpus.sparkSession.sparkContext.broadcast(bloom)
-    val mightContain = udf((fp: String) => bc.value.mightContainString(fp))
-    val c = corpus.select(fingerprint(col(textCol)).as("fp"),
-      col(idCol).as("corpus_id"))
-      .filter(mightContain(col("fp")))
-    e.join(c, "fp").select("eval_id", "corpus_id", "fp")
+    try {
+      val nEval = math.max(e.count(), 1L)
+      val bloom = e.stat.bloomFilter("fp", nEval, fpp)
+      // the broadcast's lifetime is the returned plan's: once the caller
+      // releases the DataFrame the UDF closure (the only reference)
+      // becomes unreachable and ContextCleaner destroys the broadcast —
+      // no explicit destroy is possible for a lazily-consumed result
+      val bc = corpus.sparkSession.sparkContext.broadcast(bloom)
+      val mightContain = udf((fp: String) => bc.value.mightContainString(fp))
+      val c = corpus.select(fingerprint(col(textCol)).as("fp"),
+        col(idCol).as("corpus_id"))
+        .filter(mightContain(col("fp")))
+      val eJoin = evalSet.select(fingerprint(col(textCol)).as("fp"),
+        col(idCol).as("eval_id"))
+      eJoin.join(c, "fp").select("eval_id", "corpus_id", "fp")
+    } finally e.unpersist()
   }
 
   /** N-GRAM-OVERLAP decontamination: training-corpus documents that

@@ -203,10 +203,17 @@ object TextHashOps {
     val na = a.numElements(); val nb = b.numElements()
     var i = 0; var j = 0; var c = 0
     while (i < na && j < nb) {
-      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
-      if (cmp == 0) { c += 1; i += 1; j += 1 }
-      else if (cmp < 0) i += 1
-      else j += 1
+      // null elements can't match anything — skip (array_sort puts them
+      // last, so for sorted input this just drains the tail); without
+      // the guard a containsNull=true input NPEs mid-merge
+      if (a.isNullAt(i)) i += 1
+      else if (b.isNullAt(j)) j += 1
+      else {
+        val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+        if (cmp == 0) { c += 1; i += 1; j += 1 }
+        else if (cmp < 0) i += 1
+        else j += 1
+      }
     }
     c
   }
@@ -380,11 +387,16 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
   */
 case class WinnowFps(child: Expression, k: Int, w: Int)
     extends UnaryExpression {
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
-    case dt => TypeCheckResult.TypeCheckFailure(
-      s"winnow_fps requires array<string>, got ${dt.catalogString}")
-  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    // k/w arrive as SQL literals through the winnow_fps registration:
+    // validate at analysis, not as an index error mid-job
+    if (k < 1 || w < 1) TypeCheckResult.TypeCheckFailure(
+      s"winnow_fps requires k >= 1 and w >= 1, got k=$k, w=$w")
+    else child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case dt => TypeCheckResult.TypeCheckFailure(
+        s"winnow_fps requires array<string>, got ${dt.catalogString}")
+    }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "winnow_fps"
   override def nullSafeEval(a: Any): Any =

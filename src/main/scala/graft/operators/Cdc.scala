@@ -52,6 +52,13 @@ object Cdc {
     * open current version flagged. One window per key (single hash
     * exchange); ties on `tsCol` need a deterministic tiebreak included
     * in the log before calling (same contract as latestByKey).
+    *
+    * Same-timestamp versions of one key yield a ZERO-WIDTH interval for
+    * every superseded row (valid_to = lead(tsCol) = valid_from): under
+    * half-open [from, to) semantics no as-of point lookup can land on
+    * them, which is the intended reading — of n simultaneous versions
+    * only the tiebreak-last one was ever observable, and the empty
+    * intervals preserve the full change history without ever matching.
     */
   def scd2(log: DataFrame, keyCols: Seq[String], tsCol: String,
            tiebreak: Seq[String] = Nil): DataFrame = {

@@ -59,7 +59,14 @@ object Export {
       .write.mode(SaveMode.Overwrite)
       .option("maxRecordsPerFile", maxRecordsPerShard.toLong)
       .json(dir)
-    spark.read.json(dir)
+    // explicit one-field schema: schemaless read.json would run a full
+    // inference scan over the export before the aggregation scan —
+    // two passes where the manifest needs one
+    spark.read
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(idCol,
+          df.schema(idCol).dataType))))
+      .json(dir)
       .select(input_file_name().as("file"), col(idCol))
       .groupBy("file")
       .agg(count(lit(1)).as("n_rows"), sum(col(idCol)).as("id_sum"))

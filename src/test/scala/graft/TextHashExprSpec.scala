@@ -105,6 +105,22 @@ class TextHashExprSpec extends SparkSpecBase {
     cmp.foreach(r => assert(r.getInt(0) == r.getInt(1), r))
   }
 
+  test("sortedIntersectCount skips null elements instead of NPEing") {
+    val df = Seq((Seq(Some("a"), Some("b"), None),
+                  Seq(Some("b"), None, Some("z")))).toDF("a", "b")
+    val n = df.select(sortedIntersectCount(col("a"), col("b")).as("n"))
+      .collect().head.getInt(0)
+    assert(n == 1) // only "b" matches; nulls never pair
+  }
+
+  test("winnow_fps rejects non-positive k/w at analysis time") {
+    val df = Seq(Seq("a", "b", "c")).toDF("t")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(winnowFps(col("t"), 3, 0)).collect()
+    }
+    assert(e.getMessage.contains("w >= 1"), e.getMessage)
+  }
+
   test("nfcNormalize composes decomposed sequences; NFC text passes through") {
     val cases = Seq(
       "café" -> "café",          // e + combining acute → é
