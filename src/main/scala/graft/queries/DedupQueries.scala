@@ -252,14 +252,21 @@ object DedupQueries extends QueryPack {
         .orderBy("id")
     }),
 
-    // The full training-data funnel in one query: language filter →
-    // quality filter → near-dup removal → deterministic 50% sample →
-    // per-source survivor counts. Each stage is one of the library's
-    // operators; the composition stays a single Catalyst plan (the only
-    // shuffles are the dedup pair-generation and the final count).
+    // The full training-data funnel in one query: HTML main-content
+    // extraction → language filter → quality filter → near-dup removal
+    // → deterministic 50% sample → per-source survivor counts. Each
+    // stage is one of the library's operators; the composition stays a
+    // single Catalyst plan (the only shuffles are the dedup
+    // pair-generation and the final count). Docs enter as planted
+    // markup and pass through Curation.extractMainText FIRST — the
+    // crawl-real funnel shape; the oracle runs the identical extraction
+    // chain, so the stage is cross-engine-verified inside the funnel,
+    // not just by q_text_extract.
     "q_corpus_funnel" -> ((s, d) => {
       import graft.text.TextFunctions._
       val docs = Tables.documents(s, d)
+        .withColumn("text",
+          graft.text.Curation.extractMainText(TextQueries.plantedHtml))
       val pairs = Dedup.minhashLshPairs(docs, "text", "doc_id",
         threshold = 0.7)
       val kept = graft.dedup.Components
@@ -335,10 +342,16 @@ object DedupQueries extends QueryPack {
       |FROM p WHERE round(inter::DOUBLE / (na + nb - inter), 6) >= 0.8
       |ORDER BY ida, idb""".stripMargin
 
-  private val clusterCte =
-    s"""WITH RECURSIVE t AS (
+  /** The minhash-LSH + recursive-components CTE chain over `src` (any
+    * relation exposing doc_id/text) — shared by the cluster oracles
+    * (src = documents) and the corpus funnel (src = the HTML-extracted
+    * docs view, which must feed the SAME pair generation the Spark side
+    * runs on extracted text).
+    */
+  private def clusterBody(src: String) =
+    s"""t AS (
       |  SELECT doc_id AS id, $shinglesSql AS sh
-      |  FROM (SELECT doc_id, $tokensSql AS w FROM documents)),
+      |  FROM (SELECT doc_id, $tokensSql AS w FROM $src)),
       |sg AS (
       |  SELECT id, sh,
       |    list_transform(generate_series(0, 11),
@@ -370,6 +383,8 @@ object DedupQueries extends QueryPack {
       |  UNION
       |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id),
       |cc AS (SELECT id, min(root) AS component FROM reach GROUP BY id)""".stripMargin
+
+  private val clusterCte = s"WITH RECURSIVE ${clusterBody("documents")}"
 
   val oracle: Map[String, String] = Map(
     // twin of Dedup.spanDupStats(w=5): per-doc-distinct 5-token spans,
@@ -763,9 +778,11 @@ object DedupQueries extends QueryPack {
         |WHERE doc_id NOT IN (SELECT id FROM dropped)
         |ORDER BY doc_id""".stripMargin,
     "q_corpus_funnel" ->
-      s"""$clusterCte,
+      s"""WITH RECURSIVE xdocs AS (
+        |${TextQueries.extractedDocsSql}
+        |), ${clusterBody("xdocs")},
         |kept AS (
-        |  SELECT doc_id, source, text, $tokensSql AS w FROM documents
+        |  SELECT doc_id, source, text, $tokensSql AS w FROM xdocs
         |  WHERE doc_id NOT IN (SELECT id FROM cc WHERE id <> component)),
         |lang_ok AS (
         |  SELECT doc_id, source, text, w,

@@ -12,7 +12,84 @@ import org.apache.spark.sql.functions._
   */
 object TextQueries extends QueryPack {
 
+  /** Planted-HTML wrap for the extraction fixture: real markup around the
+    * raw document text with every boilerplate category represented —
+    * head/title, a style block, a script block (containing '<' and a fake
+    * tag, so wholesale block removal is exercised), a nav menu, an HTML
+    * comment, a heading, list chrome, and an entity-bearing footer. The
+    * body text is the ONLY line with >= 5 words (the fixture's documents
+    * all have >= 10), so `extractMainText` must recover exactly the
+    * original text — which the q_text_extract round_trip column proves
+    * on both engines.
+    */
+  private[queries] def plantedHtml: org.apache.spark.sql.Column = concat(
+    lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+    lit(" fixture</title><style>body { margin: 0; }</style>" +
+      "<script type=\"text/javascript\">var x = 1 < 2; // <p>skip</p></script>" +
+      "</head><body><nav>Home About</nav><!-- boilerplate note -->" +
+      "<div class=\"main\"><h1>Doc "),
+    col("doc_id").cast("string"),
+    lit(" heading</h1><p>"), col("text"),
+    lit("</p><ul><li>"), col("lang"), lit("</li><li>"), col("source"),
+    lit("</li></ul></div><footer>&copy; 2026 Example</footer></body></html>"))
+
+  /** DuckDB twin of `Curation.extractMainText(plantedHtml, 5)` as a full
+    * SELECT over `documents`, exposing (doc_id, text, lang, source) with
+    * `text` replaced by the extraction — reused verbatim by the
+    * q_text_extract oracle and as the source CTE of the corpus-funnel
+    * oracle. Patterns are the Java-regex ∩ RE2 common subset, identical
+    * strings to the Scala side ('g' flag because DuckDB replaces only
+    * the first match by default).
+    */
+  private[queries] val extractedDocsSql: String = {
+    def rr(x: String, pat: String, rep: String) =
+      s"regexp_replace($x, '$pat', $rep, 'g')"
+    val noBlocks = rr(rr(rr("html",
+      """(?is)<script[^>]*>.*?</script>""", "''"),
+      """(?is)<style[^>]*>.*?</style>""", "''"),
+      """(?s)<!--.*?-->""", "''")
+    val lineBroken = rr(noBlocks,
+      """(?i)<(?:br|hr)[^>]*>|</(?:p|div|li|h[1-6]|tr|table|ul|ol""" +
+        """|blockquote|title|section|article|header|footer|nav|td|th)[^>]*>""",
+      "chr(10)")
+    val untagged = rr(lineBroken, """(?s)<[^>]*>""", "' '")
+    val decoded = Seq("&lt;" -> "'<'", "&gt;" -> "'>'", "&quot;" -> "'\"'",
+        "&#39;" -> "''''", "&nbsp;" -> "' '", "&amp;" -> "'&'")
+      .foldLeft(untagged) { case (x, (e, c)) => s"replace($x, '$e', $c)" }
+    val norm = rr(rr(decoded, """[ \t\r\f]+""", "' '"),
+      """(?m)^ | $""", "''")
+    val pruned = rr(norm, """(?m)^(?:\S+(?: \S+){0,3})?$""", "''")
+    val squeezed =
+      s"trim(${rr(pruned, """\n+""", "chr(10)")}, ' ' || chr(10))"
+    val htmlExpr =
+      """'<html><head><title>Doc ' || doc_id::VARCHAR || ' fixture</title>""" +
+        """<style>body { margin: 0; }</style>""" +
+        """<script type="text/javascript">var x = 1 < 2; // <p>skip</p></script>""" +
+        """</head><body><nav>Home About</nav><!-- boilerplate note -->""" +
+        """<div class="main"><h1>Doc ' || doc_id::VARCHAR || """ +
+        """' heading</h1><p>' || text || '</p><ul><li>' || lang || """ +
+        """'</li><li>' || source || '</li></ul></div>""" +
+        """<footer>&copy; 2026 Example</footer></body></html>'"""
+    s"""SELECT doc_id, raw_text, $squeezed AS text, lang, source
+       |FROM (SELECT doc_id, text AS raw_text, $htmlExpr AS html, lang, source
+       |      FROM documents)""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    // HTML main-content extraction over the planted-markup fixture:
+    // script/style/comment removal, block-boundary line breaks, tag
+    // stripping, entity decode, and the boilerpipe-style short-line cut
+    // (Curation.extractMainText). round_trip proves the extraction
+    // recovers the original body text exactly on BOTH engines.
+    "q_text_extract" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          graft.text.Curation.extractMainText(plantedHtml).as("main_text"))
+        .select(col("doc_id"), col("main_text"),
+          length(col("main_text")).as("n_chars_main"),
+          (col("main_text") === col("text")).cast("int").as("round_trip"))
+        .orderBy("doc_id")),
+
     // Token counting + punctuation + word-length stats + content
     // fingerprint per document. One native tokenizer pass feeds the three
     // token-derived stats (graft.functions.TextStats — bit-identical to
@@ -465,6 +542,11 @@ object TextQueries extends QueryPack {
     """list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')"""
 
   val oracle: Map[String, String] = Map(
+    "q_text_extract" ->
+      s"""WITH x AS ($extractedDocsSql)
+        |SELECT doc_id, text AS main_text, length(text) AS n_chars_main,
+        |       (text = raw_text)::INT AS round_trip
+        |FROM x ORDER BY doc_id""".stripMargin,
     // twin of Curation.repetitionStats: token counts via unnest+group,
     // bigram dup share via the scalar generate_series list (lateral
     // generate_series can't take column bounds in DuckDB)

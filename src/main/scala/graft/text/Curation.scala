@@ -39,6 +39,58 @@ object Curation {
       regexp_replace(c, re, tag)
     }
 
+  /** HTML main-content extraction — the first stage of a crawl-data
+    * curation funnel (real corpora arrive as markup, not clean text).
+    * Readability/boilerpipe-style heuristic (Kohlschütter et al.,
+    * WSDM'10 thresholds blocks on words-per-block; this is that rule
+    * with deterministic, engine-portable plumbing):
+    *
+    *  1. drop <script>/<style> blocks and HTML comments wholesale;
+    *  2. turn block-level boundaries (<br>, <hr>, and the closers of
+    *     p/div/li/h1-6/tr/table/ul/ol/blockquote/title/section/article/
+    *     header/footer/nav/td/th) into line breaks;
+    *  3. strip every remaining tag to a space (inline tags must not
+    *     glue words);
+    *  4. decode the ubiquitous entities (&lt; &gt; &quot; &#39; &nbsp;
+    *     then &amp; LAST so &amp;lt; stays literal) — after tag
+    *     stripping, so a decoded '<' is content, not markup;
+    *  5. normalize whitespace per line and DROP LINES UNDER `minWords`
+    *     words — the boilerplate cut: nav menus, copyright footers,
+    *     button labels and list chrome are short; prose is not.
+    *
+    * Every step is a codegen'd regexp_replace on patterns in the
+    * Java-regex ∩ RE2 common subset, so the operator is one shuffle-free
+    * narrow projection here AND re-runnable verbatim by the DuckDB
+    * oracle (the q_text_extract twin) — no UDF, no per-line HOF (the
+    * short-line cut is a single (?m) multiline pass over the whole doc).
+    */
+  def extractMainText(html: Column, minWords: Int = 5): Column = {
+    require(minWords >= 1, s"minWords must be >= 1, got $minWords")
+    val noBlocks = regexp_replace(regexp_replace(regexp_replace(html,
+      "(?is)<script[^>]*>.*?</script>", ""),
+      "(?is)<style[^>]*>.*?</style>", ""),
+      "(?s)<!--.*?-->", "")
+    val lineBroken = regexp_replace(noBlocks,
+      "(?i)<(?:br|hr)[^>]*>|</(?:p|div|li|h[1-6]|tr|table|ul|ol|blockquote" +
+        "|title|section|article|header|footer|nav|td|th)[^>]*>", "\n")
+    val untagged = regexp_replace(lineBroken, "(?s)<[^>]*>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(untagged) { case (c, (ent, ch)) => regexp_replace(c, ent, ch) }
+    // collapse intra-line whitespace, trim line edges ((?m)^ | $ catches
+    // the single space a collapse can leave at any line boundary,
+    // INCLUDING string start/end, where a \n-adjacency pattern would
+    // miss), then erase lines with fewer than minWords space-separated
+    // words and squeeze the leftover blank lines
+    val normLines = regexp_replace(regexp_replace(decoded,
+      "[ \t\r\f]+", " "), "(?m)^ | $", "")
+    val pruned =
+      if (minWords == 1) normLines
+      else regexp_replace(normLines,
+        s"(?m)^(?:\\S+(?: \\S+){0,${minWords - 2}})?$$", "")
+    trim(regexp_replace(pruned, "\n+", "\n"), " \n")
+  }
+
   /** Matches of one pattern in `text` (regexp_count is codegen'd). */
   def piiCount(text: Column, pattern: String): Column =
     regexp_count(text, lit(pattern))

@@ -111,4 +111,55 @@ class CurationSpec extends SparkSpecBase {
       Curation.vocabCoverage(docs, targets = Seq.empty)
     }
   }
+
+  private def extract(html: String, minWords: Int = 5): String =
+    Seq(html).toDF("h")
+      .select(Curation.extractMainText(col("h"), minWords).as("x"))
+      .collect().head.getString(0)
+
+  test("extractMainText keeps prose paragraphs, drops nav/footer chrome") {
+    val html =
+      """<html><head><title>My Page</title>
+        |<style>p { color: red; }</style>
+        |<script>if (1 < 2) { document.write("<p>fake para</p>"); }</script>
+        |</head><body>
+        |<nav><a href="/">Home</a> <a href="/a">About</a></nav>
+        |<!-- ad slot -->
+        |<p>This is the first real paragraph with enough words to keep.</p>
+        |<ul><li>One</li><li>Two</li></ul>
+        |<p>And here is a second paragraph that also clears the bar.</p>
+        |<footer>&copy; 2026 Example Corp</footer>
+        |</body></html>""".stripMargin
+    assert(extract(html) ==
+      "This is the first real paragraph with enough words to keep.\n" +
+        "And here is a second paragraph that also clears the bar.")
+  }
+
+  test("extractMainText decodes entities after tag stripping") {
+    val html = "<p>x &lt;tag&gt; stays &amp; costs &quot;5&quot; &#39;here&#39;</p>"
+    assert(extract(html) == "x <tag> stays & costs \"5\" 'here'")
+    // &amp;lt; decodes the amp only — stays a literal &lt;
+    val dbl = "<p>write &amp;lt; for a literal one two three four</p>"
+    assert(extract(dbl) == "write &lt; for a literal one two three four")
+  }
+
+  test("extractMainText minWords=1 keeps every non-empty line") {
+    val html = "<p>solo</p><p>a b</p>"
+    assert(extract(html, minWords = 1) == "solo\na b")
+  }
+
+  test("extractMainText collapses whitespace and inline tags without gluing") {
+    val html = "<p>bold<b>words</b>here   spaced\t\tout one two</p>"
+    assert(extract(html) == "bold words here spaced out one two")
+  }
+
+  test("extractMainText yields empty string when nothing survives") {
+    assert(extract("<nav>Home About</nav><footer>c 2026</footer>") == "")
+  }
+
+  test("extractMainText rejects minWords < 1") {
+    intercept[IllegalArgumentException] {
+      Curation.extractMainText(col("h"), 0)
+    }
+  }
 }
