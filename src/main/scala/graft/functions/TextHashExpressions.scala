@@ -218,6 +218,51 @@ object TextHashOps {
     c
   }
 
+  /** Merges-driven BPE token count over a word-token array: each word
+    * decomposes to code points, then every (left, right) rule applies IN
+    * PRIORITY ORDER as a literal, leftmost, non-overlapping adjacent
+    * replacement — the single in-order pass that replays BPE training
+    * segmentation (on training-derived merges this coincides with the
+    * GPT-2 iterated lowest-rank formulation, because each rule's parts
+    * exist exactly when training created them). Words ride a U+0001
+    * token separator so a rule is one literal String.replace of
+    * "leftright" → "leftright", bit-identical to the DuckDB
+    * oracle's replace() fold; the word's token count is separators + 1.
+    *
+    * `pats`/`reps` are the precompiled pattern/replacement strings (see
+    * BpeMergeCount); the arrays ride the task closure once — at 50k
+    * real-vocab merges swap the per-word rule scan for the rank-map
+    * iteration, same contract.
+    */
+  def bpeMergeCount(tokens: ArrayData, pats: Array[String],
+                    reps: Array[String]): Int = {
+    var total = 0
+    var t = 0
+    val n = tokens.numElements()
+    while (t < n) {
+      val word = tokens.getUTF8String(t).toString
+      val sb = new java.lang.StringBuilder(word.length * 2)
+      var i = 0
+      while (i < word.length) {
+        val cp = word.codePointAt(i)
+        if (i > 0) sb.append('\u0001')
+        sb.appendCodePoint(cp)
+        i += Character.charCount(cp)
+      }
+      var s = sb.toString
+      var r = 0
+      while (r < pats.length) {
+        if (s.indexOf(pats(r)) >= 0) s = s.replace(pats(r), reps(r))
+        r += 1
+      }
+      var c = 1; var p = 0
+      while (p < s.length) { if (s.charAt(p) == '\u0001') c += 1; p += 1 }
+      total += c
+      t += 1
+    }
+    total
+  }
+
   /** Winnowing fingerprint values (Schleimer et al., SIGMOD'03) over a
     * token array: positional k-gram md5-prefix hashes, min of each
     * w-hash window (global min when fewer than w hashes), first-
@@ -497,10 +542,46 @@ case class SortedIntersectCount(left: Expression, right: Expression)
       l: Expression, r: Expression): Expression = copy(left = l, right = r)
 }
 
+/** bpe_merge_count(tokens: array<string>): int — merges-driven BPE token
+  * count (see TextHashOps.bpeMergeCount). The merge table is bound at
+  * construction; pattern/replacement strings precompile once and ride
+  * the codegen references, so per row the generated code is a single
+  * static call.
+  */
+case class BpeMergeCount(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+  require(merges.forall { case (a, b) => a.nonEmpty && b.nonEmpty },
+    "every BPE merge rule needs non-empty left and right parts")
+  @transient private lazy val pats: Array[String] =
+    merges.map { case (a, b) => a + "\u0001" + b }.toArray
+  @transient private lazy val reps: Array[String] =
+    merges.map { case (a, b) => a + b }.toArray
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"bpe_merge_count requires array<string>, got ${dt.catalogString}")
+  }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "bpe_merge_count"
+  override def nullSafeEval(a: Any): Any =
+    TextHashOps.bpeMergeCount(a.asInstanceOf[ArrayData], pats, reps)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val patsRef = ctx.addReferenceObj("bpePats", pats, "java.lang.String[]")
+    val repsRef = ctx.addReferenceObj("bpeReps", reps, "java.lang.String[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHashOps.bpeMergeCount($c, $patsRef, $repsRef)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object TextHashExpressions {
   def sortedIntersectCount(a: Column, b: Column): Column =
     GraftSqlBridge.column(SortedIntersectCount(
       GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+  def bpeMergeCount(tokens: Column, merges: Seq[(String, String)]): Column =
+    GraftSqlBridge.column(BpeMergeCount(
+      GraftSqlBridge.expression(tokens), merges))
   def simhash60(tokens: Column): Column =
     GraftSqlBridge.column(SimHash60(GraftSqlBridge.expression(tokens)))
   def deflateRatio(text: Column): Column =

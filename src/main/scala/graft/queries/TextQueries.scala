@@ -248,6 +248,33 @@ object TextQueries extends QueryPack {
           "text", packTokens = 512)
         .orderBy("pack_id")),
 
+    // Exact merges-driven BPE token counts (graft.text.Bpe): per doc the
+    // word count, the replayed-merges token count, and their ratio. The
+    // oracle refolds the committed merges table as a replace() chain
+    // over separator-joined code points — an independent second
+    // implementation of the same published algorithm (Sennrich ACL'16).
+    "q_text_bpe_tokens" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("w"))
+        .select(col("doc_id"),
+          size(col("w")).as("n_words"),
+          graft.text.Bpe.bpeMergeCount(col("w")).cast("long")
+            .as("n_bpe_tokens"))
+        .withColumn("tokens_per_word",
+          round(col("n_bpe_tokens").cast("double") /
+            greatest(col("n_words"), lit(1)), 6))
+        .orderBy("doc_id")),
+
+    // Sequence packing on EXACT tokenizer counts: Packing.packBySize
+    // with the Bpe counter plugged in — proves the packing operators
+    // accept a swapped token counter end-to-end against an oracle that
+    // refolds the merges inside the same prefix-sum arithmetic.
+    "q_seq_packing_bpe" -> ((s, d) =>
+      graft.text.Packing.packStats(Tables.documents(s, d), "doc_id",
+          "text", packTokens = 512,
+          tokenCounter = c => graft.text.Bpe.bpeMergeCount(tokens(c)))
+        .orderBy("pack_id")),
+
     // TF-IDF top-5 terms per source: term frequency within source ×
     // inverse source frequency (ln(n_sources/df)), ranked on the
     // ROUNDED score with term tiebreak so both engines rank
@@ -541,7 +568,49 @@ object TextQueries extends QueryPack {
   private val tokensSql =
     """list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')"""
 
+  /** DuckDB expression computing the exact BPE token count of word `wd`
+    * under the committed merges table: code points joined by chr(1),
+    * then one literal replace() per merge rule in priority order —
+    * leftmost non-overlapping, the same semantics as String.replace in
+    * the native expression — then separators + 1.
+    */
+  private val bpeCountSql: String = {
+    val start = """rtrim(regexp_replace(wd, '(.)', '\1' || chr(1), 'g'), chr(1))"""
+    val chain = graft.text.Bpe.defaultMerges.foldLeft(start) {
+      case (x, (a, b)) => s"replace($x, '$a' || chr(1) || '$b', '$a$b')"
+    }
+    s"length($chain) - length(replace($chain, chr(1), ''))  + 1"
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_text_bpe_tokens" ->
+      s"""WITH t AS (SELECT doc_id, $tokensSql AS w FROM documents),
+        |c AS (SELECT doc_id, len(w) AS n_words,
+        |        coalesce(list_sum(list_transform(w, wd -> $bpeCountSql)), 0)::BIGINT
+        |          AS n_bpe_tokens
+        |      FROM t)
+        |SELECT doc_id, n_words, n_bpe_tokens,
+        |       round(n_bpe_tokens::DOUBLE / greatest(n_words, 1), 6)
+        |         AS tokens_per_word
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "q_seq_packing_bpe" ->
+      s"""WITH t AS (
+        |  SELECT doc_id,
+        |    coalesce(list_sum(list_transform($tokensSql, wd -> $bpeCountSql)), 0)::BIGINT
+        |      AS n_tokens
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS tokens_before
+        |  FROM t)
+        |SELECT (tokens_before // 512)::BIGINT AS pack_id,
+        |       count(*) AS n_docs,
+        |       sum(n_tokens)::BIGINT AS n_tokens,
+        |       min(doc_id) AS first_doc,
+        |       max(doc_id) AS last_doc
+        |FROM p GROUP BY 1 ORDER BY pack_id""".stripMargin,
     "q_text_extract" ->
       s"""WITH x AS ($extractedDocsSql)
         |SELECT doc_id, text AS main_text, length(text) AS n_chars_main,

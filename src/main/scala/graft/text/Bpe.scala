@@ -1,0 +1,62 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, SparkSession}
+
+/** Merges-driven byte-pair-encoding token counting — the trainer-accurate
+  * replacement for the regex-shaped `TextFunctions.bpeTokenCount`
+  * estimate. A BPE tokenizer is fully determined by its ordered merges
+  * table (Sennrich et al., ACL'16; the GPT-2 merges.txt format), so
+  * counting tokens exactly means replaying those merges per word:
+  * decompose to code points, apply each (left, right) rule in priority
+  * order as a leftmost non-overlapping adjacent merge, count what
+  * remains. The counting itself is the native codegen'd
+  * `functions.BpeMergeCount` expression — per row one static JVM call;
+  * the merges ride the expression references, not a join.
+  *
+  * Scale shape: a narrow shuffle-free projection like every text stat
+  * here. The merges table is tokenizer state, KBs to ~1 MB — broadcast
+  * with the task closure, never a dataset. The committed fixture table
+  * (resources/graft/bpe_merges.txt, trained on the documents corpus
+  * vocabulary) keeps the oracle cross-checkable; deployments load their
+  * tokenizer's real merges via `loadMerges`.
+  */
+object Bpe {
+
+  /** Parse a GPT-2-style merges listing: one "left right" pair per line
+    * in priority order; blank lines and '#' comments skipped.
+    */
+  def parseMerges(lines: Iterator[String]): Seq[(String, String)] =
+    lines.map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { l =>
+        val sp = l.split(" ")
+        require(sp.length == 2, s"malformed merge rule '$l' (want 'left right')")
+        (sp(0), sp(1))
+      }.toSeq
+
+  /** The committed fixture merges (see the resource header for training
+    * provenance). */
+  lazy val defaultMerges: Seq[(String, String)] = {
+    val in = getClass.getResourceAsStream("/graft/bpe_merges.txt")
+    require(in != null, "resource graft/bpe_merges.txt missing")
+    try parseMerges(scala.io.Source.fromInputStream(in, "UTF-8").getLines())
+    finally in.close()
+  }
+
+  /** Load a merges table from a lake-resident text file. Reads via
+    * wholeTextFiles, NOT spark.read.text: rule priority is line order,
+    * and a multi-partition text scan does not guarantee row order.
+    * Merges files are small by nature (≤ ~1 MB), so one driver read is
+    * the right tool.
+    */
+  def loadMerges(spark: SparkSession, path: String): Seq[(String, String)] = {
+    val files = spark.sparkContext.wholeTextFiles(path).collect()
+    require(files.nonEmpty, s"no merges file at $path")
+    parseMerges(files.sortBy(_._1).iterator.flatMap(_._2.linesIterator))
+  }
+
+  /** Exact BPE token count of a word-token array under `merges`. */
+  def bpeMergeCount(tokens: Column,
+                    merges: Seq[(String, String)] = defaultMerges): Column =
+    graft.functions.TextHashExpressions.bpeMergeCount(tokens, merges)
+}

@@ -1,7 +1,7 @@
 package graft.text
 
 import graft.text.TextFunctions.tokenCount
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -34,15 +34,19 @@ object Packing {
 
   /** Per-document pack assignment: (id, n_tokens, tokens_before,
     * pack_id), ordered by `idCol`. `packTokens` is the per-pack token
-    * budget (sequence length).
+    * budget (sequence length). `tokenCounter` maps the text column to
+    * its token count — default is the whitespace tokenizer; pass
+    * `c => Bpe.bpeMergeCount(TextFunctions.tokens(c))` to pack on exact
+    * tokenizer counts.
     */
   def packBySize(docs: DataFrame, idCol: String, textCol: String,
-                 packTokens: Int): DataFrame = {
+                 packTokens: Int,
+                 tokenCounter: Column => Column = tokenCount): DataFrame = {
     require(packTokens > 0, s"packTokens must be positive, got $packTokens")
     val w = Window.orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     docs
-      .select(col(idCol), tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .select(col(idCol), tokenCounter(col(textCol)).cast("long").as("n_tokens"))
       .withColumn("tokens_before",
         coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       // integral `div`, not floor(double /): exact for every budget, and
@@ -56,8 +60,9 @@ object Packing {
     * membership, matching the concatenate-then-chunk semantics).
     */
   def packStats(docs: DataFrame, idCol: String, textCol: String,
-                packTokens: Int): DataFrame =
-    packBySize(docs, idCol, textCol, packTokens)
+                packTokens: Int,
+                tokenCounter: Column => Column = tokenCount): DataFrame =
+    packBySize(docs, idCol, textCol, packTokens, tokenCounter)
       .groupBy("pack_id")
       .agg(
         count(lit(1)).as("n_docs"),
