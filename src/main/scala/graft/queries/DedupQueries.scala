@@ -37,11 +37,12 @@ object DedupQueries extends QueryPack {
     // The LOSSLESS fast exact path: prefix filtering (AllPairs/PPJoin
     // family) must reproduce q_dedup_jaccard's result bit-for-bit — the
     // two queries share one oracle — while indexing only (n − ⌈0.8n⌉ + 1)
-    // shingles per doc under the df-ascending global order (9.5× fewer
-    // candidates than the naive index on this fixture, measured). On a
-    // skew-free corpus it benches within noise of the naive join; under
-    // web skew the naive join is quadratic in the hottest posting list
-    // while this one never indexes it — WITHOUT the df-cut's lossiness.
+    // shingles per doc under the df-ascending global order, with length
+    // and position filters pruning narrow candidate rows before the
+    // per-pair verify. Crossover measured (BASELINE.md round-7 table):
+    // parity at sf0.1, 2.3× over the naive join at 10×, 3.2× at 20× —
+    // the naive join grows quadratically in posting-list length, this
+    // path near-linearly, WITHOUT the df-cut's lossiness.
     "q_dedup_jaccard_prefix" -> ((s, d) =>
       Dedup.jaccardPairsPrefix(Tables.documents(s, d), "text", "doc_id",
           threshold = 0.8)
