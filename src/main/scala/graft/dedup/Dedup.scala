@@ -683,10 +683,27 @@ object Dedup {
     */
   def crossSpanMatches(corpus: DataFrame, evalSet: DataFrame,
                        textCol: String, idCol: String,
-                       w: Int = 13): DataFrame = {
-    val ev = evalSet
+                       w: Int = 13): DataFrame =
+    spanMatches(corpus, evalSpans(evalSet, textCol, w), textCol, idCol, w)
+
+  /** The globally-distinct w-token span set of an eval suite — the probe
+    * index `crossSpanMatches` builds inline and `streamDecontam`
+    * precomputes once and reuses across every micro-batch (it is
+    * eval-suite-sized: tiny next to any training corpus).
+    */
+  def evalSpans(evalSet: DataFrame, textCol: String, w: Int = 13): DataFrame =
+    evalSet
       .select(explode(wordShingles(tokens(col(textCol)), w)).as("s"))
       .distinct()
+
+  /** Per-corpus-doc span stats against a prebuilt span set (the second
+    * half of `crossSpanMatches` — ONE definition of the corpus-side
+    * explode/join/aggregate serves the batch and streaming paths, which
+    * must never diverge). `spans` must be a single-column (s) frame of
+    * distinct w-token spans.
+    */
+  def spanMatches(corpus: DataFrame, spans: DataFrame, textCol: String,
+                  idCol: String, w: Int = 13): DataFrame = {
     val cs = corpus
       .select(col(idCol).as("corpus_id"),
         wordShingles(tokens(col(textCol)), w).as("sh"))
@@ -698,7 +715,7 @@ object Dedup {
       .repartition(col("corpus_id"))
       .select(col("corpus_id"), size(col("sh")).as("n_spans"),
         explode(col("sh")).as("s"))
-    cs.join(ev, "s")
+    cs.join(spans, "s")
       .groupBy("corpus_id", "n_spans")
       .agg(count(lit(1)).as("n_hit_spans"))
       .withColumn("hit_frac",

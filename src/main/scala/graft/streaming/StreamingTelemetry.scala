@@ -218,6 +218,44 @@ object StreamingTelemetry {
       .start()
   }
 
+  /** Streaming DECONTAMINATION: every arriving training micro-batch is
+    * probed against a FIXED eval-suite span index — "no benchmark leaks
+    * into today's crawl" as a standing query instead of a nightly
+    * sweep, closing the last batch/stream asymmetry (exact-dup and
+    * near-dup probing already stream via streamNearDups).
+    *
+    * The span index (Dedup.evalSpans — globally-distinct w-grams of the
+    * eval suite) is computed ONCE up front and persisted, exactly like
+    * streamDrift's reference table: eval suites are small by nature, and
+    * a fixed index is what makes per-epoch work linear in the BATCH, not
+    * the suite history. Each epoch runs Dedup.spanMatches — the same
+    * corpus-side definition the batch operator uses, so stream and batch
+    * can never diverge — and writes its (corpus_id, n_spans,
+    * n_hit_spans, hit_frac) rows to a batch=<epoch> partition with
+    * overwrite (idempotent replays, same as every stream sink here).
+    * Per-doc stats are batching-invariant, so the union over epochs
+    * equals the one-shot crossSpanMatches on the union of batches
+    * (StreamingSpec pins the parity). Empty micro-batches write nothing.
+    */
+  def streamDecontam(docs: DataFrame, evalSet: DataFrame, outDir: String,
+                     checkpointDir: String, textCol: String = "text",
+                     idCol: String = "doc_id", w: Int = 13)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spans = graft.dedup.Dedup.evalSpans(evalSet, textCol, w).persist()
+    spans.count() // materialize once; epochs reuse the cached index
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.dedup.Dedup.spanMatches(batch, spans, textCol, idCol, w)
+            .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        }
+        ()
+      }
+      .start()
+  }
+
   // ---- stateful sessionization (flatMapGroupsWithState) ----
 
   final case class JobEvent(job_id: String, user_id: String, status: String,

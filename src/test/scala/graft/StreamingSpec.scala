@@ -122,6 +122,41 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streamDecontam: two-trigger union equals batch crossSpanMatches") {
+    implicit val sql = spark.sqlContext
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val (out, ckpt) = (tmp("graft-sdc-o"), tmp("graft-sdc-k"))
+    new java.io.File(out).delete()
+    // the q_decontam_ngram fixture split: 15% eval bucket, rest corpus
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val b = graft.sampling.Sampling.bucket(col("doc_id"), "evalset")
+    val evalSet = docs.filter(b < 1500)
+    val corpus = docs.filter(b >= 1500)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // two triggers: even doc_ids arrive first, odd second
+    val (t1, t2) = corpus.partition(_._1 % 2 == 0)
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingTelemetry.streamDecontam(
+      in.toDF().toDF("doc_id", "text"), evalSet, out, ckpt, w = 5)
+    try {
+      in.addData(t1.toSeq: _*); q.processAllAvailable()
+      in.addData(t2.toSeq: _*); q.processAllAvailable()
+      val streamed = spark.read.parquet(out)
+        .select("corpus_id", "n_spans", "n_hit_spans", "hit_frac")
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      val batch = graft.dedup.Dedup.crossSpanMatches(
+          corpus.toSeq.toDF("doc_id", "text"), evalSet, "text", "doc_id",
+          w = 5)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(streamed.nonEmpty, "fixture produced no contaminated docs")
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("streamDrift: per-batch PSI vs a fixed reference, batch parity") {
     implicit val sql = spark.sqlContext
     def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
