@@ -146,6 +146,19 @@ object Bench {
     catch { case t: Throwable =>
       System.err.println(s"BENCH: could not write $outFile: ${t.getMessage}")
     }
+    // bench_last.json is overwritten every run, which made cross-round
+    // regression reads lean on stdout archaeology — so every run ALSO
+    // appends its line to an append-only history (disable with
+    // SPARK_GRAFT_BENCH_HISTORY=/dev/null); per-round snapshots
+    // (bench_r<N>.json) are copies of bench_last at round end
+    val histFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY",
+      "bench_history.jsonl")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(histFile),
+      line + "\n", java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+    catch { case t: Throwable =>
+      System.err.println(s"BENCH: could not append $histFile: ${t.getMessage}")
+    }
     // the driver artifact keeps only the LAST 2000 chars of stdout, and
     // the full line above is far longer — so its head (with "value") was
     // truncated away in rounds 3-4. A compact summary printed LAST makes

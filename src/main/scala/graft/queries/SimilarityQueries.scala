@@ -169,6 +169,17 @@ object SimilarityQueries extends QueryPack {
         .orderBy("qid", "rn")
     }),
 
+    // The SCALE path for the same mining: IVF shortlist (nprobe of
+    // nlist cells) instead of the full corpus scan. k-means index →
+    // rows-only check; IvfSpec pins exact identity with hardNegatives
+    // at nprobe = nlist and the output shape.
+    "q_ann_hard_negatives_ivf" -> ((s, d) => {
+      val c = corpus(s, d)
+      hardNegativesIvf(c.filter(col("id") < 10), c, 3, nlist = 8,
+          nprobe = 3)
+        .orderBy("qid", "rn")
+    }),
+
     // PQ-ADC approximate top-3: 8×16 product-quantized codes (64×
     // smaller scan than the float vectors), per-query lookup tables,
     // exact re-rank of the 50-candidate shortlist. Codebook training is

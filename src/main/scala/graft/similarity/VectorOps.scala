@@ -96,6 +96,37 @@ object VectorOps {
         col("clabel").as("neg_label"), col("cos"))
   }
 
+  /** Hard negatives AT SCALE: the IVF shortlist replaces hardNegatives'
+    * full corpus scan — each query scores only its `nprobe` nearest
+    * cells (≈ nprobe/nlist of the corpus), the different-label
+    * constraint applies before ranking, and the rank comes from the
+    * same TopKPerKey tail as every top-k here. With nprobe = nlist the
+    * candidate set is the whole corpus and the result equals
+    * `hardNegatives` exactly (IvfSpec pins that identity); below it,
+    * recall follows the IVF trade like topKIvf.
+    */
+  def hardNegativesIvf(queries: DataFrame, corpus: DataFrame, k: Int,
+                       nlist: Int = 16, nprobe: Int = 4,
+                       kmeansIters: Int = 3): DataFrame = {
+    val centroids = Ivf.kmeansFit(corpus.select("id", "vec"), nlist,
+      kmeansIters)
+    val c = Ivf.assignCells(corpus, centroids)
+      .select(col("id").as("cid"), col("vec").as("cvec"),
+        col("label").as("clabel"), col("cell"))
+      .withColumn("cnrm", l2norm(col("cvec")))
+    val q = Ivf.probeCells(queries, centroids, nprobe)
+      .select(col("id").as("qid"), col("vec").as("qvec"),
+        col("label").as("qlabel"), col("cell"))
+      .withColumn("qnrm", l2norm(col("qvec")))
+    val scored = q.join(c, Seq("cell"))
+      .filter(col("qlabel") =!= col("clabel"))
+      .withColumn("cos", round(vecDot(col("qvec"), col("cvec")) /
+        (col("qnrm") * col("cnrm")), 6))
+    Ranking.topKRanked(scored, "qid", "cos", "cid", k, carry = Seq("clabel"))
+      .select(col("qid"), col("rn"), col("cid").as("neg_id"),
+        col("clabel").as("neg_label"), col("cos"))
+  }
+
   /** Approximate top-k: candidates limited to the query's LSH bucket, then
     * ranked exactly. Recall < 1, cost linear with one bucket-key shuffle.
     */

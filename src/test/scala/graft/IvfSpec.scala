@@ -65,6 +65,26 @@ class IvfSpec extends SparkSpecBase {
     assert(r1.map(_.getAs[Int]("rn")).toSeq == Seq(1, 2, 3))
   }
 
+  test("hardNegativesIvf == hardNegatives exactly when every cell is probed") {
+    val labeled = corpus.withColumn("label",
+      (col("id") / 20).cast("int").cast("string"))
+    val queries = labeled.filter($"id" % 20 === 0)
+    val exact = VectorOps.hardNegatives(queries, labeled, k = 4)
+      .orderBy("qid", "rn").collect().map(_.toSeq).toSeq
+    val allProbes = VectorOps.hardNegativesIvf(queries, labeled, k = 4,
+        nlist = 3, nprobe = 3, kmeansIters = 4)
+      .orderBy("qid", "rn").collect().map(_.toSeq).toSeq
+    assert(allProbes == exact)
+    // a restricted probe still returns k differently-labeled negatives
+    val probed = VectorOps.hardNegativesIvf(queries, labeled, k = 4,
+        nlist = 3, nprobe = 2, kmeansIters = 4).collect()
+    assert(probed.map(_.getAs[String]("neg_label")).toSet.nonEmpty)
+    probed.foreach { r =>
+      val qLabel = (r.getAs[Long]("qid") / 20).toString
+      assert(r.getAs[String]("neg_label") != qLabel)
+    }
+  }
+
   test("centroids round-trip the lake bit-identically; assignments stay stable") {
     val cents = Ivf.kmeansFit(corpus, k = 3)
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf-cent").toString
