@@ -226,7 +226,7 @@ object TextHashOps {
     * GPT-2 iterated lowest-rank formulation, because each rule's parts
     * exist exactly when training created them). Words ride a U+0001
     * token separator so a rule is one literal String.replace of
-    * "leftright" → "leftright", bit-identical to the DuckDB
+    * "left<SEP>right" → "leftright", bit-identical to the DuckDB
     * oracle's replace() fold; the word's token count is separators + 1.
     *
     * `pats`/`reps` are the precompiled pattern/replacement strings (see
@@ -240,27 +240,61 @@ object TextHashOps {
     var t = 0
     val n = tokens.numElements()
     while (t < n) {
-      val word = tokens.getUTF8String(t).toString
-      val sb = new java.lang.StringBuilder(word.length * 2)
-      var i = 0
-      while (i < word.length) {
-        val cp = word.codePointAt(i)
-        if (i > 0) sb.append('\u0001')
-        sb.appendCodePoint(cp)
-        i += Character.charCount(cp)
-      }
-      var s = sb.toString
-      var r = 0
-      while (r < pats.length) {
-        if (s.indexOf(pats(r)) >= 0) s = s.replace(pats(r), reps(r))
-        r += 1
-      }
+      val s = mergeWord(tokens.getUTF8String(t).toString, pats, reps)
       var c = 1; var p = 0
       while (p < s.length) { if (s.charAt(p) == '\u0001') c += 1; p += 1 }
       total += c
       t += 1
     }
     total
+  }
+
+  /** Merges-driven BPE SEGMENTATION: the pieces themselves, flattened
+    * across words in document order — `bpeMergeCount` is exactly
+    * `bpeMergeSegment(...).numElements()`, one definition of the merge
+    * replay serves both (this is the tokenizer surface an id-mapping
+    * join consumes).
+    */
+  def bpeMergeSegment(tokens: ArrayData, pats: Array[String],
+                      reps: Array[String]): ArrayData = {
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    var t = 0
+    val n = tokens.numElements()
+    while (t < n) {
+      val s = mergeWord(tokens.getUTF8String(t).toString, pats, reps)
+      var start = 0
+      var p = 0
+      while (p <= s.length) {
+        if (p == s.length || s.charAt(p) == '\u0001') {
+          out += UTF8String.fromString(s.substring(start, p))
+          start = p + 1
+        }
+        p += 1
+      }
+      t += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** One word through the in-order merge replay; pieces separated by
+    * U+0001. Shared by count and segment. */
+  private def mergeWord(word: String, pats: Array[String],
+                        reps: Array[String]): String = {
+    val sb = new java.lang.StringBuilder(word.length * 2)
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      if (i > 0) sb.append('\u0001')
+      sb.appendCodePoint(cp)
+      i += Character.charCount(cp)
+    }
+    var s = sb.toString
+    var r = 0
+    while (r < pats.length) {
+      if (s.indexOf(pats(r)) >= 0) s = s.replace(pats(r), reps(r))
+      r += 1
+    }
+    s
   }
 
   /** Winnowing fingerprint values (Schleimer et al., SIGMOD'03) over a
@@ -575,12 +609,46 @@ case class BpeMergeCount(child: Expression, merges: Seq[(String, String)])
     copy(child = c)
 }
 
+/** bpe_merge_segment(tokens: array<string>): array<string> — the BPE
+  * pieces themselves under the bound merge table (see
+  * TextHashOps.bpeMergeSegment). Count == size(segment) by construction.
+  */
+case class BpeMergeSegment(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+  require(merges.forall { case (a, b) => a.nonEmpty && b.nonEmpty },
+    "every BPE merge rule needs non-empty left and right parts")
+  @transient private lazy val pats: Array[String] =
+    merges.map { case (a, b) => a + "\u0001" + b }.toArray
+  @transient private lazy val reps: Array[String] =
+    merges.map { case (a, b) => a + b }.toArray
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"bpe_merge_segment requires array<string>, got ${dt.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_merge_segment"
+  override def nullSafeEval(a: Any): Any =
+    TextHashOps.bpeMergeSegment(a.asInstanceOf[ArrayData], pats, reps)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val patsRef = ctx.addReferenceObj("bpePats", pats, "java.lang.String[]")
+    val repsRef = ctx.addReferenceObj("bpeReps", reps, "java.lang.String[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHashOps.bpeMergeSegment($c, $patsRef, $repsRef)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object TextHashExpressions {
   def sortedIntersectCount(a: Column, b: Column): Column =
     GraftSqlBridge.column(SortedIntersectCount(
       GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
   def bpeMergeCount(tokens: Column, merges: Seq[(String, String)]): Column =
     GraftSqlBridge.column(BpeMergeCount(
+      GraftSqlBridge.expression(tokens), merges))
+  def bpeMergeSegment(tokens: Column, merges: Seq[(String, String)]): Column =
+    GraftSqlBridge.column(BpeMergeSegment(
       GraftSqlBridge.expression(tokens), merges))
   def simhash60(tokens: Column): Column =
     GraftSqlBridge.column(SimHash60(GraftSqlBridge.expression(tokens)))

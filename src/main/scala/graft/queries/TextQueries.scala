@@ -265,6 +265,19 @@ object TextQueries extends QueryPack {
             greatest(col("n_words"), lit(1)), 6))
         .orderBy("doc_id")),
 
+    // The SEGMENTATION itself, piece by piece: every doc's BPE pieces in
+    // document order, positional — the strongest cross-engine check of
+    // the merge replay (counts could agree by accident; the exact piece
+    // sequence cannot). This is the surface a piece→id vocab join turns
+    // into trainer token ids.
+    "q_text_bpe_pieces" -> ((s, d) =>
+      Tables.documents(s, d)
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          graft.text.Bpe.bpeMergePieces(tokens(col("text"))).as("pieces"))
+        .select(col("doc_id"), posexplode(col("pieces")).as(Seq("pos", "piece")))
+        .orderBy("doc_id", "pos")),
+
     // Sequence packing on EXACT tokenizer counts: Packing.packBySize
     // with the Bpe counter plugged in — proves the packing operators
     // accept a swapped token counter end-to-end against an oracle that
@@ -574,13 +587,14 @@ object TextQueries extends QueryPack {
     * leftmost non-overlapping, the same semantics as String.replace in
     * the native expression — then separators + 1.
     */
-  private val bpeCountSql: String = {
+  private val bpeFoldSql: String = {
     val start = """rtrim(regexp_replace(wd, '(.)', '\1' || chr(1), 'g'), chr(1))"""
-    val chain = graft.text.Bpe.defaultMerges.foldLeft(start) {
+    graft.text.Bpe.defaultMerges.foldLeft(start) {
       case (x, (a, b)) => s"replace($x, '$a' || chr(1) || '$b', '$a$b')"
     }
-    s"length($chain) - length(replace($chain, chr(1), ''))  + 1"
   }
+  private val bpeCountSql: String =
+    s"length($bpeFoldSql) - length(replace($bpeFoldSql, chr(1), '')) + 1"
 
   val oracle: Map[String, String] = Map(
     "q_text_bpe_tokens" ->
@@ -593,6 +607,18 @@ object TextQueries extends QueryPack {
         |       round(n_bpe_tokens::DOUBLE / greatest(n_words, 1), 6)
         |         AS tokens_per_word
         |FROM c ORDER BY doc_id""".stripMargin,
+    "q_text_bpe_pieces" ->
+      s"""WITH t AS (SELECT doc_id, $tokensSql AS w FROM documents
+        |           WHERE doc_id < 100),
+        |p AS (SELECT doc_id,
+        |        flatten(list_transform(w,
+        |          wd -> string_split($bpeFoldSql, chr(1)))) AS pieces
+        |      FROM t)
+        |SELECT doc_id, r.pos, r.piece FROM (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(pieces)),
+        |    i -> {'pos': i - 1, 'piece': pieces[i]})) AS r
+        |  FROM p)
+        |ORDER BY doc_id, r.pos""".stripMargin,
     "q_seq_packing_bpe" ->
       s"""WITH t AS (
         |  SELECT doc_id,

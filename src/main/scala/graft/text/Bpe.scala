@@ -59,4 +59,13 @@ object Bpe {
   def bpeMergeCount(tokens: Column,
                     merges: Seq[(String, String)] = defaultMerges): Column =
     graft.functions.TextHashExpressions.bpeMergeCount(tokens, merges)
+
+  /** The BPE pieces themselves, flattened across words in document order
+    * — the tokenizer surface a piece→id vocabulary join consumes.
+    * `bpeMergeCount` == `size(bpeMergePieces)` by construction (one
+    * merge-replay definition serves both).
+    */
+  def bpeMergePieces(tokens: Column,
+                     merges: Seq[(String, String)] = defaultMerges): Column =
+    graft.functions.TextHashExpressions.bpeMergeSegment(tokens, merges)
 }

@@ -32,6 +32,18 @@ class BpeSpec extends SparkSpecBase {
     assert(pieces >= 2 && pieces <= 7, s"got $pieces")
   }
 
+  test("segmentation pieces reassemble the word and count == size(pieces)") {
+    val m = Bpe.defaultMerges
+    val df = Seq(Seq("spark", "windows", "zq")).toDF("w")
+      .select(Bpe.bpeMergePieces(col("w"), m).as("p"),
+        Bpe.bpeMergeCount(col("w"), m).as("n"))
+    val row = df.collect().head
+    val pieces = row.getSeq[String](0)
+    assert(pieces.mkString("") == "sparkwindowszq") // lossless concatenation
+    assert(pieces.size == row.getInt(1))
+    assert(pieces.head == "spark") // whole-word merge from the table
+  }
+
   test("doc-level count is the sum over words") {
     val m = Bpe.defaultMerges
     val docCount = Seq(Seq("spark", "window", "xyz")).toDF("w")

@@ -346,6 +346,16 @@ class PlanSpec extends SparkSpecBase {
       .findAllIn(p).nonEmpty, "fp equi-join missing")
   }
 
+  test("HTML extraction is a shuffle-free codegen projection") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val p = plan(docs.select(col("doc_id"),
+      graft.text.Curation.extractMainText(col("text")).as("t")))
+    assert(!p.contains("Exchange"), "extraction must not shuffle")
+    // codegen'd stages print as "*(n) Project" in executedPlan.toString
+    assert(p.contains("*(1) Project"), "regexp chain fell out of codegen")
+  }
+
   test("ANN top-k ranks via TopKPerKey, never a per-query Window sort") {
     // Every top-k path (shortlist AND final rank) must go through the
     // bounded-heap TopKPerKey operator: a row_number Window funnels each
