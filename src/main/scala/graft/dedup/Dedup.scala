@@ -304,6 +304,33 @@ object Dedup {
     * (k = b*r); candidates share ≥1 band bucket, then exact Jaccard ≥
     * threshold verified on the candidate pairs only.
     */
+  /** Band-structure planner for MinHash LSH: the (bands, rowsPerBand)
+    * pair whose S-curve threshold t* = (1/b)^(1/r) sits closest to the
+    * requested Jaccard `threshold`, under a hash budget (signature
+    * length = b·r ≤ maxHashes). The standard MMDS ch.3 sizing rule —
+    * pairs above t* are likely candidates, pairs below likely not; more
+    * hashes buy a steeper curve. Returns (bands, rowsPerBand, tStar) so
+    * callers can log what they actually got. Deterministic tie-break:
+    * prefer the larger signature (steeper curve), then more bands
+    * (recall over precision).
+    */
+  def lshPlan(threshold: Double, maxHashes: Int = 128): (Int, Int, Double) = {
+    require(threshold > 0 && threshold < 1,
+      s"threshold must be in (0, 1): $threshold")
+    require(maxHashes >= 2, s"maxHashes must be >= 2: $maxHashes")
+    val cands = for {
+      r <- 1 to maxHashes
+      b <- 1 to maxHashes / r
+      if b * r >= 2
+    } yield {
+      val tStar = math.pow(1.0 / b, 1.0 / r)
+      (b, r, tStar)
+    }
+    cands.minBy { case (b, r, tStar) =>
+      (math.abs(tStar - threshold), -(b * r), -b)
+    }
+  }
+
   def minhashLshPairs(docs: DataFrame, textCol: String, idCol: String,
                       threshold: Double, n: Int = 3,
                       bands: Int = 4, r: Int = 3): DataFrame = {

@@ -77,5 +77,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "fingerprint values (min k-gram hash per w-window, MOSS-style)",
       { case Seq(t, k, w) =>
         WinnowFps(t, intArg(k, "winnow_fps", 1), intArg(w, "winnow_fps", 2)) })
+    // merges tables are tokenizer state, not SQL literals — the SQL
+    // surface binds the session default (graft.text.Bpe.defaultMerges);
+    // other tables go through the DataFrame API
+    register(ext, "bpe_merge_count",
+      "bpe_merge_count(tokens array<string>) - exact BPE token count " +
+        "under the default merges table",
+      { case Seq(t) => BpeMergeCount(t, graft.text.Bpe.defaultMerges) })
+    register(ext, "bpe_merge_segment",
+      "bpe_merge_segment(tokens array<string>) - BPE pieces under the " +
+        "default merges table",
+      { case Seq(t) => BpeMergeSegment(t, graft.text.Bpe.defaultMerges) })
   }
 }

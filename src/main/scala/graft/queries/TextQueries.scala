@@ -278,6 +278,18 @@ object TextQueries extends QueryPack {
         .select(col("doc_id"), posexplode(col("pieces")).as(Seq("pos", "piece")))
         .orderBy("doc_id", "pos")),
 
+    // Trainer token IDS: pieces mapped through the merges-induced
+    // vocabulary (base symbols then merge products, id = position) —
+    // the final surface a training pipeline exports. Oracle maps the
+    // same pieces through a VALUES table built from the same vocab.
+    "q_text_token_ids" -> ((s, d) =>
+      Tables.documents(s, d)
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          graft.text.Bpe.tokenIds(tokens(col("text"))).as("ids"))
+        .select(col("doc_id"), posexplode(col("ids")).as(Seq("pos", "tid")))
+        .orderBy("doc_id", "pos")),
+
     // Sequence packing on EXACT tokenizer counts: Packing.packBySize
     // with the Bpe counter plugged in — proves the packing operators
     // accept a swapped token counter end-to-end against an oracle that
@@ -607,6 +619,24 @@ object TextQueries extends QueryPack {
         |       round(n_bpe_tokens::DOUBLE / greatest(n_words, 1), 6)
         |         AS tokens_per_word
         |FROM c ORDER BY doc_id""".stripMargin,
+    "q_text_token_ids" -> {
+      val vocabValues = graft.text.Bpe.vocab().zipWithIndex
+        .map { case (p, i) => s"('$p', $i)" }.mkString(", ")
+      s"""WITH t AS (SELECT doc_id, $tokensSql AS w FROM documents
+        |           WHERE doc_id < 100),
+        |p AS (SELECT doc_id,
+        |        flatten(list_transform(w,
+        |          wd -> string_split($bpeFoldSql, chr(1)))) AS pieces
+        |      FROM t),
+        |e AS (SELECT doc_id, r.pos, r.piece FROM (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(pieces)),
+        |    i -> {'pos': i - 1, 'piece': pieces[i]})) AS r
+        |  FROM p)),
+        |vocab(piece, tid) AS (VALUES $vocabValues)
+        |SELECT e.doc_id, e.pos, coalesce(v.tid, -1) AS tid
+        |FROM e LEFT JOIN vocab v USING (piece)
+        |ORDER BY doc_id, pos""".stripMargin
+    },
     "q_text_bpe_pieces" ->
       s"""WITH t AS (SELECT doc_id, $tokensSql AS w FROM documents
         |           WHERE doc_id < 100),

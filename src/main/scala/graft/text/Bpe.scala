@@ -68,4 +68,35 @@ object Bpe {
   def bpeMergePieces(tokens: Column,
                      merges: Seq[(String, String)] = defaultMerges): Column =
     graft.functions.TextHashExpressions.bpeMergeSegment(tokens, merges)
+
+  /** Base single-character symbols for the fixture vocabulary. */
+  val defaultBase: Seq[String] =
+    "abcdefghijklmnopqrstuvwxyz0123456789".map(_.toString)
+
+  /** The deterministic id space a merges table induces: base symbols
+    * first (id = position), then each rule's product in priority order —
+    * exactly the vocabulary BPE training itself emits alongside the
+    * merges file.
+    */
+  def vocab(merges: Seq[(String, String)] = defaultMerges,
+            base: Seq[String] = defaultBase): Seq[String] =
+    base ++ merges.map { case (a, b) => a + b }
+
+  /** Trainer token ids: the piece stream mapped through `vocab` (OOV →
+    * `oovId`). The literal piece→id map rides the plan — right for
+    * vocabularies up to a few thousand entries; a real 50k-entry
+    * deployment broadcast-joins a vocab table against the exploded piece
+    * stream instead (same ids, one extra narrow join), so the literal
+    * stays a fixture convenience, not the scale posture.
+    */
+  def tokenIds(tokens: Column,
+               merges: Seq[(String, String)] = defaultMerges,
+               base: Seq[String] = defaultBase, oovId: Int = -1): Column = {
+    import org.apache.spark.sql.functions._
+    val entries = vocab(merges, base).zipWithIndex
+      .flatMap { case (p, i) => Seq(lit(p), lit(i)) }
+    val idMap = map(entries: _*)
+    transform(bpeMergePieces(tokens, merges),
+      p => coalesce(element_at(idMap, p), lit(oovId)))
+  }
 }

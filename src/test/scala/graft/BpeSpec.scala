@@ -51,6 +51,18 @@ class BpeSpec extends SparkSpecBase {
     assert(docCount == count("spark", m) + count("window", m) + count("xyz", m))
   }
 
+  test("tokenIds maps pieces through the induced vocab; OOV chars get -1") {
+    val m = Bpe.defaultMerges
+    val v = Bpe.vocab(m)
+    assert(v.take(36).forall(_.length == 1) && v.drop(36).size == m.size)
+    val ids = Seq(Seq("spark", "a", "é")).toDF("w")
+      .select(Bpe.tokenIds(col("w"), m).as("ids"))
+      .collect().head.getSeq[Int](0)
+    assert(ids.head == v.indexOf("spark")) // whole-word merge product id
+    assert(ids(1) == 0)                    // 'a' is base symbol 0
+    assert(ids.last == -1)                 // 'é' outside the base alphabet
+  }
+
   test("parseMerges skips comments/blanks and rejects malformed rules") {
     val ok = Bpe.parseMerges(Iterator("# header", "", "a b", "ab c"))
     assert(ok == Seq("a" -> "b", "ab" -> "c"))

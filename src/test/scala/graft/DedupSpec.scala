@@ -217,6 +217,17 @@ class DedupSpec extends SparkSpecBase {
     assert(got(0).getDouble(3) == 0.2)
   }
 
+  test("lshPlan hits the requested threshold within the hash budget") {
+    val (b, r, tStar) = Dedup.lshPlan(0.7, maxHashes = 128)
+    assert(b * r <= 128 && math.abs(tStar - 0.7) < 0.02, s"($b, $r, $tStar)")
+    // the planner's curve formula: t* = (1/b)^(1/r)
+    assert(math.abs(tStar - math.pow(1.0 / b, 1.0 / r)) < 1e-12)
+    // tighter budgets land farther from the target, never above it in cost
+    val (b2, r2, t2) = Dedup.lshPlan(0.7, maxHashes = 12)
+    assert(b2 * r2 <= 12 && math.abs(t2 - 0.7) <= 0.2, s"($b2, $r2, $t2)")
+    intercept[IllegalArgumentException] { Dedup.lshPlan(1.0) }
+  }
+
   test("jaccardPairsPrefix == exact jaccardPairs on randomized corpora") {
     val rng = new scala.util.Random(7)
     val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",

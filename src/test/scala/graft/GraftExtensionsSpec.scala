@@ -91,6 +91,15 @@ class GraftExtensionsSpec extends SparkSpecBase {
     assert(fromSql == fromCol)
   }
 
+  test("bpe functions resolve in SQL against the default merges table") {
+    val r = extSpark.sql(
+      """SELECT bpe_merge_count(array('spark', 'xyz')) AS n,
+        |       bpe_merge_segment(array('spark', 'xyz')) AS p""".stripMargin)
+      .collect()(0)
+    assert(r.getInt(0) == 4) // spark (whole-word merge) + x, y, z
+    assert(r.getSeq[String](1) == Seq("spark", "x", "y", "z"))
+  }
+
   test("integer parameters must be literals") {
     val e = intercept[Exception] {
       extSpark.sql("SELECT minhash_sig(array('x'), CAST(rand()*4 AS INT))")
