@@ -815,4 +815,73 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select("ida", "idb", "hamming")
   }
+
+  /** Fuzzy-duplicate pairs under a Levenshtein edit-distance threshold —
+    * the entity-resolution-style dedup for corpora where near-dups differ
+    * by small in-place edits (OCR noise, template fills, typo variants)
+    * rather than block moves.
+    *
+    * A naive formulation is a cross join with an O(n·m) distance per pair —
+    * unrunnable past toy scale. This uses two LOSSLESS prefilters from the
+    * approximate-string-join literature (count filtering, Gravano et al.,
+    * VLDB 2001) so the quadratic verify only ever touches near-certain
+    * pairs:
+    *
+    *  1. length blocking: ed(a,b) ≤ d ⇒ |len(a)−len(b)| ≤ d. Docs carry a
+    *     band = len div (d+1); qualifying pairs sit in the same or adjacent
+    *     band, so candidates come from two EQUI-joins on the band key
+    *     (same-band with id ordering + next-band), never a cross product.
+    *  2. character-frequency (L1) filtering: each edit changes at most two
+    *     character counts by one, so ed(a,b) ≤ d ⇒ Σ_c |cnt_a(c)−cnt_b(c)|
+    *     ≤ 2d. The 27-bin histogram (a-z + space; restricting to a subset
+    *     of the alphabet only weakens the bound, so it stays lossless) is
+    *     computed ONCE per doc before the join; the per-candidate check is
+    *     27 integer ops against an O(len²) distance it almost always
+    *     avoids.
+    *
+    * Survivors are verified with Spark's threshold form
+    * `levenshtein(a, b, d)`, which abandons a pair as soon as the running
+    * distance exceeds d (banded DP — O(d·len), not O(len²)).
+    *
+    * 100-TB note: band keys are length values — low-cardinality, so a
+    * planet-sized corpus makes individual bands quadratic again. At that
+    * scale this operator is the VERIFY stage: feed it minhash/LSH candidate
+    * pairs (minhashLshPairs) instead of a whole corpus, exactly as the
+    * prefix-filter family composes. The histogram+threshold machinery is
+    * unchanged; only candidate generation swaps.
+    *
+    * Returns (ida, idb, dist) with ida < idb, dist ≤ maxDist.
+    */
+  def editDistancePairs(docs: DataFrame, textCol: String, idCol: String,
+                        maxDist: Int = 8): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    val alphabet = "abcdefghijklmnopqrstuvwxyz ".map(_.toString)
+    val base = docs
+      .select(col(idCol).as("id"), col(textCol).as("t"),
+        length(col(textCol)).as("len"))
+      .withColumn("band", floor(col("len") / lit(maxDist + 1)))
+      .withColumn("hist",
+        transform(array(alphabet.map(lit): _*),
+          ch => length(col("t")) - length(replace(col("t"), ch))))
+    val a = base.select(col("id").as("ida"), col("t").as("ta"),
+      col("len").as("la"), col("band").as("ba"), col("hist").as("hha"))
+    val b = base.select(col("id").as("idb"), col("t").as("tb"),
+      col("len").as("lb"), col("band").as("bb"), col("hist").as("hhb"))
+    // Same-band pairs once via id ordering; adjacent-band pairs once via
+    // the band ordering itself (ba+1 = bb) — the two sets are disjoint,
+    // so no distinct is needed and ids are normalized at the end.
+    val sameBand = a.join(b,
+      col("ba") === col("bb") && col("ida") < col("idb"))
+    val nextBand = a.join(b, col("ba") + lit(1) === col("bb"))
+    sameBand.unionByName(nextBand)
+      .filter(abs(col("la") - col("lb")) <= maxDist)
+      .filter(
+        aggregate(
+          zip_with(col("hha"), col("hhb"), (x, y) => abs(x - y)),
+          lit(0), (acc, x) => acc + x) <= lit(2 * maxDist))
+      .withColumn("dist", levenshtein(col("ta"), col("tb"), maxDist))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
+      .select(least(col("ida"), col("idb")).as("ida"),
+        greatest(col("ida"), col("idb")).as("idb"), col("dist"))
+  }
 }

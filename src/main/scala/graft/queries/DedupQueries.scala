@@ -84,6 +84,16 @@ object DedupQueries extends QueryPack {
           maxHamming = 3)
         .orderBy("ida", "idb")),
 
+    // Fuzzy (edit-distance) duplicate pairs: Levenshtein ≤ 8 found via
+    // length blocking + lossless char-frequency L1 prefilter, verified
+    // with the banded threshold DP (Dedup.editDistancePairs). dist cast
+    // to long to match DuckDB levenshtein's BIGINT.
+    "q_dedup_fuzzy" -> ((s, d) =>
+      Dedup.editDistancePairs(Tables.documents(s, d), "text", "doc_id",
+          maxDist = 8)
+        .select(col("ida"), col("idb"), col("dist").cast("long").as("dist"))
+        .orderBy("ida", "idb")),
+
     // Within-doc repetition stripping (Dedup.stripSelfRepeats): repeated
     // 5-token spans inside ONE document keep their first occurrence and
     // lose the later ones. Repetition is PLANTED (docs with id % 4 == 1
@@ -808,6 +818,28 @@ object DedupQueries extends QueryPack {
         |    AND ('0x' || substr(md5('graft:' || doc_id::VARCHAR), 1, 8))::BIGINT % 10000 < 5000)
         |SELECT source, count(*) AS n_docs FROM sampled
         |GROUP BY source ORDER BY source""".stripMargin,
+    // Twin of editDistancePairs(maxDist=8): same length block (|Δlen| ≤ 8),
+    // same 27-bin char-frequency L1 ≤ 16 prefilter, same final
+    // levenshtein ≤ 8 verify. AS MATERIALIZED is load-bearing twice: it
+    // stops DuckDB inlining the histogram build into the join (recomputing
+    // 27 replace() scans per PAIR) and stops the levenshtein predicate
+    // being pushed below the L1 filter (evaluating the O(len²) DP on every
+    // length-blocked pair — an ~80× slowdown measured at sf0.01).
+    "q_dedup_fuzzy" ->
+      """WITH h AS MATERIALIZED (
+        |  SELECT doc_id, text, length(text) AS len,
+        |         list_transform(string_split('abcdefghijklmnopqrstuvwxyz ', ''),
+        |           ch -> length(text) - length(replace(text, ch, ''))) AS hist
+        |  FROM documents),
+        |cand AS MATERIALIZED (
+        |  SELECT a.doc_id AS ida, b.doc_id AS idb, a.text AS ta, b.text AS tb
+        |  FROM h a JOIN h b
+        |    ON a.doc_id < b.doc_id AND abs(a.len - b.len) <= 8
+        |  WHERE list_sum(list_transform(generate_series(1, 27),
+        |          i -> abs(a.hist[i] - b.hist[i]))) <= 16)
+        |SELECT ida, idb, levenshtein(ta, tb) AS dist FROM cand
+        |WHERE levenshtein(ta, tb) <= 8
+        |ORDER BY ida, idb""".stripMargin,
     "q_dedup_simhash" ->
       s"""WITH t AS (
         |  SELECT doc_id AS id, w, len(w) AS n

@@ -283,6 +283,60 @@ object JoinQueries extends QueryPack {
         .orderBy(col("o_totalprice").desc, col("o_orderdate"),
           col("o_orderkey"))
         .limit(100)
+    }),
+
+    // TPC-H Q13 shape (customer order distribution): the OUTER-join
+    // histogram pattern. Written scale-first: instead of left-joining
+    // customer to the raw orders fact and aggregating the blow-up
+    // (|orders| join rows), the fact is pre-aggregated to one row per
+    // custkey — the join input shrinks from |orders| to |customers|
+    // BEFORE any wide row exists, and zero-order customers come back via
+    // the left join + coalesce(0), which is exactly count(o_orderkey)'s
+    // null semantics. Two shuffles total (custkey agg, c_count agg);
+    // the reference SQL's join-then-count needs the same two plus the
+    // fat outer join in between.
+    "q_tpch_q13" -> ((s, d) => {
+      val perCust = Tables.orders(s, d)
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"))
+      Tables.customer(s, d)
+        .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+        .select(coalesce(col("n_orders"), lit(0L)).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // TPC-H Q17 shape (small-quantity revenue): the correlated-AVG
+    // subquery pattern — each lineitem compared against 0.2 × the mean
+    // quantity OF ITS OWN PART. Scale-first decorrelation: the brand
+    // selection (broadcast) cuts lineitem to the ~1/|brands| slice
+    // FIRST, the per-part average is computed only over that slice, and
+    // the slice self-joins to its own aggregate on l_partkey — both
+    // sides arrive partitioned by l_partkey from the same exchange, so
+    // AQE reuses it instead of re-shuffling. The naive form (avg over
+    // ALL of lineitem, then filter) would aggregate 50× more rows at
+    // 100 TB only to throw 98% of the groups away.
+    //
+    // qcut fp-parity note: l_quantity is integer-valued, so sum/count
+    // are exact in both engines regardless of summation order; the
+    // avg * 0.2 double is therefore bit-identical and the `<` filter
+    // cannot flip on a boundary row.
+    "q_tpch_q17" -> ((s, d) => {
+      val sel = Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)
+            .filter(col("p_brand") === "Brand#23" &&
+              col("p_type") === "PROMO")
+            .select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      val qcut = sel.groupBy(col("l_partkey"))
+        .agg((avg(col("l_quantity")) * lit(0.2)).as("qcut"))
+        .select(col("l_partkey").as("q_partkey"), col("qcut"))
+      sel.join(qcut, col("l_partkey") === col("q_partkey"))
+        .filter(col("l_quantity") < col("qcut"))
+        .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -422,5 +476,20 @@ object JoinQueries extends QueryPack {
         |  GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
         |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
         |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
-        |LIMIT 100""".stripMargin)
+        |LIMIT 100""".stripMargin,
+    "q_tpch_q13" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey) c_orders
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q_tpch_q17" ->
+      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#23' AND p_type = 'PROMO'
+        |  AND l_quantity < (
+        |    SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+        |    WHERE l2.l_partkey = p_partkey)""".stripMargin)
 }

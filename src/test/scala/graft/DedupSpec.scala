@@ -277,4 +277,44 @@ class DedupSpec extends SparkSpecBase {
     assert(incr.contains((1L, 5L)) && incr.contains((6L, 7L)))
     assert(!incr.contains((1L, 2L)))
   }
+
+  test("editDistancePairs finds pairs within threshold, with exact distances") {
+    val fuzz = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"), // dist 3 to 1
+      (3L, "the quick brown fox jumped over the lazy dog"), // dist 2 to 1
+      (4L, "a completely unrelated string about telemetry")
+    ).toDF("doc_id", "body")
+    val got = Dedup.editDistancePairs(fuzz, "body", "doc_id", maxDist = 4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(got((1L, 2L)) == 3)
+    assert(got((1L, 3L)) == 2)
+    // 2↔3 differ by cat/dog AND jumps/jumped: distance 5 > 4 — excluded
+    assert(!got.contains((2L, 3L)))
+    assert(!got.keys.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("editDistancePairs length blocking catches pairs straddling a band edge") {
+    // len("abcdefgh") = 8 → band 1 at maxDist=3 (width 4 ⇒ 8/4 = 2)…
+    // pick strings whose lengths fall in ADJACENT bands: len 7 (band 1)
+    // vs len 8 (band 2) at width 4; dist 1 must still be found, in both
+    // id orders.
+    val edge = Seq(
+      (10L, "abcdefg"), (11L, "abcdefgh"), // adjacent bands, dist 1
+      (12L, "abcdefgx")                    // same band as 11, dist 1 to 11
+    ).toDF("doc_id", "body")
+    val got = Dedup.editDistancePairs(edge, "body", "doc_id", maxDist = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(got((10L, 11L)) == 1)
+    assert(got((11L, 12L)) == 1)
+    assert(got((10L, 12L)) == 1) // insert trailing x
+  }
+
+  test("editDistancePairs: exact duplicates come back at distance 0") {
+    val same = Seq((1L, "identical text"), (2L, "identical text"))
+      .toDF("doc_id", "body")
+    val got = Dedup.editDistancePairs(same, "body", "doc_id", maxDist = 2)
+      .collect()
+    assert(got.length == 1 && got(0).getInt(2) == 0)
+  }
 }
