@@ -160,6 +160,26 @@ object SimilarityQueries extends QueryPack {
       semanticDedup(plantedCorpus(s, d), 0.8, bits = 8)
         .orderBy("id")),
 
+    // SEMANTIC decontamination: which corpus vectors are ≥ 0.8 cosine to
+    // an eval-set vector (paraphrase-level test-set leakage). The eval
+    // set is PLANTED — weak ±0.05 perturbed copies (cos ≈ 0.92-0.95) of
+    // every 10th corpus vector, seeded by md5("e:<id>:<dim>") parity so
+    // the oracle rebuilds it bit-identically; non-planted cosines top out
+    // near 0.51, far from θ. Eval broadcasts; the corpus never shuffles.
+    "q_semantic_decontam" -> ((s, d) => {
+      val base = corpus(s, d).select("id", "vec")
+      val eval = base.filter(col("id") % 10 === 0)
+        .select(
+          col("id"),
+          transform(col("vec"), (x, i) =>
+            x + lit(0.05) * when(
+              conv(substring(md5(concat(lit("e:"), col("id"), lit(":"), i)),
+                1, 1), 16, 10).cast("int") % 2 === 0, lit(1.0))
+              .otherwise(lit(-1.0))).as("vec"))
+        .select((col("id") + 500000L).as("id"), col("vec"))
+      semanticDecontam(base, eval, 0.8).orderBy("id")
+    }),
+
     // Hard-negative mining: per query (vec_id < 10), the 3 most-similar
     // DIFFERENT-label vectors — the contrastive-training negatives that
     // carry gradient (VectorOps.hardNegatives).
@@ -217,6 +237,23 @@ object SimilarityQueries extends QueryPack {
       | x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '')""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // Twin of semanticDecontam(θ=0.8) on the planted eval set: the ev CTE
+    // rebuilds the md5("e:…")-parity ±0.05 perturbed copies of every 10th
+    // corpus vector, then the same rounded-cosine ≥ 0.8 flag + count/max.
+    "q_semantic_decontam" ->
+      s"""WITH c AS ($corpusSql),
+        |ev AS (
+        |  SELECT vec_id + 500000 AS eid,
+        |         list_transform(generate_series(1, 64), i ->
+        |           v[i] + 0.05 * (CASE WHEN ('0x' || substr(md5('e:' || vec_id || ':' || (i - 1)), 1, 1))::INT % 2 = 0
+        |                          THEN 1.0 ELSE -1.0 END)) AS ev
+        |  FROM c WHERE vec_id % 10 = 0),
+        |p AS (
+        |  SELECT c.vec_id AS id, round(list_cosine_similarity(c.v, ev.ev), 6) AS cos
+        |  FROM c, ev)
+        |SELECT id, count(*) AS n_eval_hits, max(cos) AS max_cos
+        |FROM p WHERE cos >= 0.8
+        |GROUP BY id ORDER BY id""".stripMargin,
     "q_embed_centroids" ->
       s"""WITH c AS ($corpusSql)
         |SELECT label, d, round(avg(v[d]), 6) AS m

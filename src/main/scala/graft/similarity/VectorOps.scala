@@ -274,6 +274,36 @@ object VectorOps {
       .select(col("bid").as("id"), col("dup_of"), col("cos"))
   }
 
+  /** SEMANTIC decontamination: flag corpus vectors whose cosine to ANY
+    * eval-set vector reaches `threshold` — the embedding-space twin of
+    * the n-gram decontamination family (Dedup.crossExactMatches /
+    * crossNearMatches), catching paraphrased test-set leakage that no
+    * lexical overlap check can see.
+    *
+    * Shape: eval sets are small and fixed (thousands), the corpus is the
+    * 100-TB side — so the eval side BROADCASTS and the corpus streams
+    * through one narrow stage: broadcast nested-loop, cosine, θ-filter,
+    * partial-aggregated count/max per corpus id. No corpus-sized shuffle
+    * exists; only the (rare) flagged ids reach the exchange. The
+    * |corpus|×|eval| dot products are the honest cost of EXACT semantic
+    * decontam; if the eval side ever grows past broadcast range, swap
+    * candidate generation for the banded sign-LSH of nearDupPairs and
+    * keep the same verify.
+    *
+    * Returns (id, n_eval_hits, max_cos) per flagged corpus vector.
+    */
+  def semanticDecontam(corpus: DataFrame, evalSet: DataFrame,
+                       threshold: Double): DataFrame = {
+    val ev = evalSet.select(col("id").as("eid"), col("vec").as("evec"))
+    corpus.select(col("id"), col("vec"))
+      .crossJoin(broadcast(ev))
+      .select(col("id"),
+        round(cosine(col("vec"), col("evec")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_eval_hits"), max(col("cos")).as("max_cos"))
+  }
+
   /** Int8 symmetric per-vector quantization profile — the embedding
     * compression step of a training/serving pipeline (store q = round(v /
     * scale) with scale = max|v| / 127; 4-8× smaller, reconstruction

@@ -262,4 +262,23 @@ class VectorOpsSpec extends SparkSpecBase {
       .select(VectorOps.signBucket($"v", 4).as("b")).collect()(0).getString(0)
     assert(b == "1010")
   }
+
+  test("semanticDecontam flags only corpus vectors near an eval vector") {
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.0, 0.0)),   // hit: eval e1 is a near-copy
+      (2L, Seq(0.0, 1.0, 0.0)),   // miss: orthogonal to both evals
+      (3L, Seq(0.9, 0.1, 0.0)),   // hit: cos to e1 ≈ 0.995
+      (4L, Seq(-1.0, 0.0, 0.0))   // miss: anti-parallel
+    ).toDF("id", "vec")
+    val evalSet = Seq(
+      (100L, Seq(0.99, 0.01, 0.0)),
+      (101L, Seq(0.0, 0.0, 1.0))  // matches nothing
+    ).toDF("id", "vec")
+    val got = VectorOps.semanticDecontam(corpus, evalSet, 0.9)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_eval_hits"), r.getAs[Double]("max_cos"))).toMap
+    assert(got.keySet == Set(1L, 3L))
+    assert(got(1L)._1 == 1L && got(1L)._2 > 0.99)
+    assert(got(3L)._1 == 1L)
+  }
 }
