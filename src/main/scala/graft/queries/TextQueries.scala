@@ -171,6 +171,18 @@ object TextQueries extends QueryPack {
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")),
 
+    // Weighted sampling without replacement (Efraimidis-Spirakis race),
+    // 3 docs per source with probability ∝ n_chars — the "sample long
+    // documents preferentially" knob. Scores round identically on both
+    // engines; selection rides the TopKPerKey bounded-heap operator
+    // (PlanSpec pins the plan), and the oracle reproduces the exact
+    // winners via the same md5-seeded race.
+    "q_sample_weighted" -> ((s, d) =>
+      graft.sampling.Sampling.weightedSamplePerKey(
+          Tables.documents(s, d).select("source", "doc_id", "n_chars"),
+          "source", "doc_id", "n_chars", k = 3, salt = "wsamp")
+        .orderBy("source", "score", "doc_id")),
+
     // Dataset mixing: the per-SOURCE sampling weights a training-data
     // recipe assigns (upsample high-quality sources, downsample the
     // rest) applied as one deterministic stratified filter; output is
@@ -895,6 +907,18 @@ object TextQueries extends QueryPack {
         |    (acc, th) -> (acc * 31 + th) % 1000000007) AS rolling_fp,
         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens
         |FROM t ORDER BY doc_id""".stripMargin,
+    // Twin of weightedSamplePerKey(k=3, salt="wsamp"): same md5-seeded
+    // u ∈ (0,1], same −ln(u)/w race rounded to 9 dp, same id tiebreak.
+    "q_sample_weighted" ->
+      """WITH s AS (
+        |  SELECT source, doc_id, n_chars,
+        |         round(-ln((('0x' || substr(md5('wsamp:' || doc_id::VARCHAR), 1, 8))::BIGINT + 1)
+        |                   / 4294967296.0) / n_chars, 9) AS score
+        |  FROM documents),
+        |r AS (SELECT *, row_number() OVER (
+        |        PARTITION BY source ORDER BY score, doc_id) AS rn FROM s)
+        |SELECT source, doc_id, n_chars, score FROM r WHERE rn <= 3
+        |ORDER BY source, score, doc_id""".stripMargin,
     "q_sample_stratified" ->
       """SELECT doc_id, lang, source FROM (
         |  SELECT doc_id, lang, source,

@@ -186,4 +186,35 @@ object Sampling {
       .filter(col("__cum") - col(weightCol) < budget)
       .drop("__cum")
   }
+
+  /** Deterministic weighted sampling WITHOUT replacement: k rows per key
+    * with inclusion driven by `weightCol` — the Efraimidis-Spirakis
+    * exponential race (IPL 2006). Each row draws u ∈ (0,1] from its
+    * salted md5 (engine- and run-stable like every sampler here) and
+    * races with score = −ln(u)/w; the k smallest scores per key win,
+    * which is distributed exactly as k sequential weighted draws without
+    * replacement.
+    *
+    * Scale: a race only needs a bounded top-k per key, so this rides the
+    * TopKPerKey bounded-heap operator (map-side partial heaps, one
+    * exchange carrying ≤ k rows per key per task) — never a full per-key
+    * window sort. Cross-engine determinism: +,−,×,÷ are IEEE-exact on
+    * both engines; ln is the one libm call (≤ 1 ulp), so the score is
+    * rounded to 9 dp on BOTH sides with the id as tiebreak.
+    *
+    * Output = input columns plus the winning `score`.
+    */
+  def weightedSamplePerKey(df: DataFrame, keyCol: String, idCol: String,
+                           weightCol: String, k: Int,
+                           salt: String = "graft"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val h = conv(substring(md5(concat(lit(salt), lit(":"),
+      col(idCol).cast("string"))), 1, 8), 16, 10).cast("long")
+    val u = (h + lit(1L)) / lit(4294967296.0) // (0, 1]
+    val scored = df.withColumn("__score",
+      round(-log(u) / col(weightCol).cast("double"), 9))
+    graft.plans.TopKPerKey.perKey(scored, Seq(keyCol),
+        Seq(("__score", true), (idCol, true)), k)
+      .withColumnRenamed("__score", "score")
+  }
 }

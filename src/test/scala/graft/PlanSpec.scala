@@ -381,4 +381,15 @@ class PlanSpec extends SparkSpecBase {
       assert(!p.contains("Sort "), s"$name: a Sort node survived")
     }
   }
+
+  test("weighted sampling races through TopKPerKey, not a per-key window") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("source"), col("doc_id"), col("n_chars"))
+    val p = plan(graft.sampling.Sampling.weightedSamplePerKey(
+      docs, "source", "doc_id", "n_chars", k = 3, salt = "wsamp"))
+    assert("TopKPerKey".r.findAllIn(p).length >= 2,
+      s"partial+final TopKPerKeyExec pair missing\n${p.take(900)}")
+    assert(!p.contains("Window"), "per-key Window survived")
+  }
 }

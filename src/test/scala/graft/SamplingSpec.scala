@@ -121,6 +121,40 @@ class SamplingSpec extends SparkSpecBase {
     assert(e.subsetOf(e2))
   }
 
+  test("weightedSamplePerKey: k per key, race winners match a reference window") {
+    val docs = Seq(
+      ("a", 1L, 100L), ("a", 2L, 5L), ("a", 3L, 400L), ("a", 4L, 50L),
+      ("a", 5L, 900L), ("b", 6L, 10L), ("b", 7L, 10L), ("b", 8L, 10L)
+    ).toDF("src", "id", "w")
+    val got = Sampling.weightedSamplePerKey(docs, "src", "id", "w", k = 2,
+      salt = "t")
+    val rows = got.collect()
+    assert(rows.count(_.getString(0) == "a") == 2)
+    assert(rows.count(_.getString(0) == "b") == 2)
+    // reference: same score via a plain window rank — winners must agree
+    import org.apache.spark.sql.expressions.Window
+    val h = conv(substring(md5(concat(lit("t:"), $"id".cast("string"))),
+      1, 8), 16, 10).cast("long")
+    val ref = docs.withColumn("score",
+        round(-log((h + lit(1L)) / lit(4294967296.0)) / $"w".cast("double"), 9))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"src").orderBy($"score", $"id")))
+      .filter($"rn" <= 2).select("id").collect().map(_.getLong(0)).toSet
+    assert(rows.map(_.getLong(1)).toSet == ref)
+  }
+
+  test("weightedSamplePerKey favors heavy rows across salts") {
+    // id 1 carries 10000x the weight of each of ids 2..40; across 30
+    // different salts it must win a seat far more often than any peer
+    val docs = ((1L, 10000L) +: (2L to 40L).map(_ -> 1L))
+      .map { case (id, w) => ("k", id, w) }.toDF("src", "id", "w")
+    val wins = (1 to 30).count { i =>
+      Sampling.weightedSamplePerKey(docs, "src", "id", "w", k = 1,
+        salt = s"s$i").collect()(0).getLong(1) == 1L
+    }
+    assert(wins >= 25, s"heavy row won only $wins/30 races")
+  }
+
   test("GraftSession.local carries the posture configs and extensions") {
     val s = GraftSession.builder("local[2]", 2).getOrCreate()
     assert(s.conf.get("spark.sql.session.timeZone") == "UTC")
