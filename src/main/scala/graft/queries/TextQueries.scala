@@ -589,7 +589,44 @@ object TextQueries extends QueryPack {
           round(percentile(col("q"), lit(0.5)), 6).as("median_quality"),
           round(avg("nt"), 6).as("avg_tokens"),
           count(lit(1)).as("n_docs"))
-        .orderBy("source")))
+        .orderBy("source")),
+
+    // Per-source lexical-diversity profile — the distinct-n /
+    // type-token-ratio signal a pretraining mix uses to spot templated
+    // or machine-spun sources (low trigram diversity = heavy internal
+    // repetition). Totals come free from per-doc token counts (no
+    // explode); the two cross-doc DISTINCT counts are the real work —
+    // partial-distinct aggregation on (source, gram), shuffle linear in
+    // the distinct-gram volume, never the token volume. wordShingles
+    // emits per-doc-distinct trigrams, which leaves the cross-doc
+    // distinct count unchanged while shrinking the explode.
+    "q_ngram_diversity" -> ((s, d) => {
+      import graft.functions.TextHashExpressions.wordShingles
+      val docs = Tables.documents(s, d)
+        .select(col("source"), tokens(col("text")).as("w"))
+      val totals = docs
+        .select(col("source"), size(col("w")).as("n_tok"),
+          greatest(size(col("w")) - lit(2), lit(0)).as("n_tri"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("total_tokens"),
+          sum(col("n_tri")).as("total_trigrams"))
+      val dTok = docs.select(col("source"), explode(col("w")).as("tok"))
+        .groupBy("source")
+        .agg(countDistinct(col("tok")).as("distinct_tokens"))
+      val dTri = docs
+        .select(col("source"), explode(wordShingles(col("w"), 3)).as("tri"))
+        .groupBy("source")
+        .agg(countDistinct(col("tri")).as("distinct_trigrams"))
+      totals.join(dTok, Seq("source")).join(dTri, Seq("source"))
+        .select(col("source"), col("n_docs"), col("total_tokens"),
+          col("distinct_tokens"), col("total_trigrams"),
+          col("distinct_trigrams"),
+          round(col("distinct_tokens") / col("total_tokens"), 6).as("ttr"),
+          round(col("distinct_trigrams") / col("total_trigrams"), 6)
+            .as("trigram_diversity"))
+        .orderBy("source")
+    }))
 
   /** DuckDB twin of TextFunctions.qualityScore over a CTE exposing
     * (text, w) — interpolated everywhere the oracle needs the score so
@@ -1104,5 +1141,31 @@ object TextQueries extends QueryPack {
         |  round(quantile_cont(quality, 0.5), 6) AS median_quality,
         |  round(avg(nt), 6) AS avg_tokens,
         |  count(*) AS n_docs
-        |FROM q GROUP BY source ORDER BY source""".stripMargin)
+        |FROM q GROUP BY source ORDER BY source""".stripMargin,
+
+    // Twin of q_ngram_diversity: same tokenizer, same space-joined
+    // trigrams (cross-doc DISTINCT makes per-doc list_distinct moot);
+    // sums cast to BIGINT to match Spark's long (DuckDB sums to HUGEINT).
+    "q_ngram_diversity" ->
+      s"""WITH t AS (SELECT source, $tokensSql AS w FROM documents),
+        |per AS (
+        |  SELECT source, count(*) AS n_docs,
+        |         sum(len(w))::BIGINT AS total_tokens,
+        |         sum(greatest(len(w) - 2, 0))::BIGINT AS total_trigrams
+        |  FROM t GROUP BY source),
+        |dtok AS (
+        |  SELECT source, count(DISTINCT tok) AS distinct_tokens
+        |  FROM (SELECT source, unnest(w) AS tok FROM t) GROUP BY source),
+        |dtri AS (
+        |  SELECT source, count(DISTINCT tri) AS distinct_trigrams
+        |  FROM (SELECT source, unnest(CASE WHEN len(w) >= 3 THEN
+        |          list_transform(generate_series(1, len(w) - 2),
+        |            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+        |          ELSE [] END) AS tri FROM t) GROUP BY source)
+        |SELECT p.source, n_docs, total_tokens, distinct_tokens,
+        |       total_trigrams, distinct_trigrams,
+        |       round(distinct_tokens / total_tokens, 6) AS ttr,
+        |       round(distinct_trigrams / total_trigrams, 6) AS trigram_diversity
+        |FROM per p JOIN dtok USING (source) JOIN dtri USING (source)
+        |ORDER BY source""".stripMargin)
 }
