@@ -275,9 +275,21 @@ object DedupQueries extends QueryPack {
     // not just by q_text_extract.
     "q_corpus_funnel" -> ((s, d) => {
       import graft.text.TextFunctions._
+      // The extraction regex chain is the funnel's priciest expression
+      // and docs feeds BOTH the pair-generation branch and the
+      // clean-corpus anti-join branch; worse, predicate pushdown
+      // substitutes the chain into the langid/quality filters (which
+      // reference the text ~15 times each), so without a hard boundary
+      // the extraction runs ~16× per row (measured: a 72-copy physical
+      // plan). A repartition does NOT cut this — filters push straight
+      // through RepartitionByExpression. The cache is the correct
+      // boundary: it is exactly the bronze→silver materialization a
+      // real pipeline has after extraction, sized at (id, text, source)
+      // only, read by both branches, evictable after the final agg.
       val docs = Tables.documents(s, d)
         .withColumn("text",
           graft.text.Curation.extractMainText(TextQueries.plantedHtml))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val pairs = Dedup.minhashLshPairs(docs, "text", "doc_id",
         threshold = 0.7)
       val kept = graft.dedup.Components

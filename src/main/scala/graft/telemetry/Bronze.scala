@@ -1,6 +1,7 @@
 package graft.telemetry
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.functions.{count, lit}
 import org.apache.spark.sql.types.StructType
 
 /** Bronze ingest: raw CSV → parquet, the reference's ingest_bronze.py
@@ -29,12 +30,20 @@ object Bronze {
   def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).option("header", "true").csv(path)
 
-  /** Ingest one table: CSV → parquet under `$lakeDir/bronze/`. */
+  /** Ingest one table: CSV → parquet under `$lakeDir/bronze/`. The logged
+    * row count rides the write itself via the Observation API — metrics
+    * are collected as the write job streams rows, so there is no second
+    * job and no re-scan (the previous form re-read the written parquet
+    * for a footer count: cheap, but still an extra job + file listing per
+    * table — at 100 TB, pure waste).
+    */
   def ingestTable(spark: SparkSession, rawDir: String, lakeDir: String,
                   spec: TableSpec): Long = {
-    val df = readCsv(spark, s"$rawDir/${spec.csv}", spec.schema)
-    df.write.mode("overwrite").parquet(s"$lakeDir/bronze/${spec.name}.parquet")
-    spark.read.parquet(s"$lakeDir/bronze/${spec.name}.parquet").count()
+    val obs = Observation(s"ingest_${spec.name}")
+    readCsv(spark, s"$rawDir/${spec.csv}", spec.schema)
+      .observe(obs, count(lit(1)).as("rows"))
+      .write.mode("overwrite").parquet(s"$lakeDir/bronze/${spec.name}.parquet")
+    obs.get("rows").asInstanceOf[Long]
   }
 
   /** Full bronze ingest; returns table → row count. Missing raw files are

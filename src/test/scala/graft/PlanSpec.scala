@@ -382,6 +382,30 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("corpus funnel runs HTML extraction once behind the cache boundary") {
+    // Without the materialization boundary, predicate pushdown inlines
+    // the extraction chain into the langid/quality filters (~16 copies,
+    // one evaluation EACH per row). With it, every consumer branch scans
+    // the cached (id, text, source) relation and no filter ever contains
+    // the chain.
+    val df = q("q_corpus_funnel")
+    try {
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("InMemoryTableScan"),
+        "extraction boundary lost — branches recompute the chain")
+      val inlined = p.linesIterator
+        .filter(l => l.contains("Filter") || l.contains("HashAggregate"))
+        .count(_.contains("<script"))
+      assert(inlined == 0,
+        s"extraction chain pushed into $inlined filter/agg nodes")
+    } finally {
+      // the cache belongs to the query fn; drop it so repeated bench
+      // passes do not stack copies
+      spark.sharedState.cacheManager.clearCache()
+    }
+  }
+
   test("weighted sampling races through TopKPerKey, not a per-key window") {
     import org.apache.spark.sql.functions.col
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
