@@ -852,6 +852,32 @@ object Dedup {
     *
     * Returns (ida, idb, dist) with ida < idb, dist ≤ maxDist.
     */
+  /** The 100-TB composition documented at editDistancePairs: verify an
+    * EXTERNAL candidate-pair stream (minhash/LSH bands, simhash chunks,
+    * any blocking scheme) at Levenshtein ≤ maxDist. Texts are re-joined
+    * by id (two equi-joins carrying (id, text) — candidates themselves
+    * never carry text through the blocking shuffle), then the same
+    * length + char-frequency prefilters and banded threshold DP as the
+    * self-contained operator.
+    *
+    * `cands` needs (ida, idb) with ida < idb; output (ida, idb, dist).
+    */
+  def editDistanceVerify(cands: DataFrame, docs: DataFrame,
+                         textCol: String, idCol: String,
+                         maxDist: Int = 8): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    val t = docs.select(col(idCol).as("__vid"), col(textCol).as("__vt"))
+    cands.select("ida", "idb")
+      .join(t, col("ida") === col("__vid"))
+      .select(col("ida"), col("idb"), col("__vt").as("ta"))
+      .join(t, col("idb") === col("__vid"))
+      .select(col("ida"), col("idb"), col("ta"), col("__vt").as("tb"))
+      .filter(abs(length(col("ta")) - length(col("tb"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("ta"), col("tb"), maxDist))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
+      .select("ida", "idb", "dist")
+  }
+
   def editDistancePairs(docs: DataFrame, textCol: String, idCol: String,
                         maxDist: Int = 8): DataFrame = {
     require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")

@@ -22,6 +22,27 @@ object AnalyticQueries extends QueryPack {
     .orderBy(col("o_orderdate"), col("o_orderkey"))
 
   val queries: Map[String, Q] = Map(
+    // Per-node triangle counts on the parts-co-ordered-together graph
+    // (edge = two parts sharing >= 2 orders): Components.triangleCounts
+    // with the degree-ordered wedge orientation (Suri & Vassilvitskii,
+    // WWW'11) — out-degrees bounded O(sqrt(m)), so no hub node ever
+    // owns a quadratic wedge set. The co-order self-join reuses one
+    // orderkey exchange for both sides.
+    "q_graph_triangles" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val pairs = li
+        .join(li.select(col("l_orderkey").as("ok2"),
+            col("l_partkey").as("pb")),
+          col("l_orderkey") === col("ok2") &&
+            col("l_partkey") < col("pb"))
+        .groupBy(col("l_partkey").as("ida"), col("pb").as("idb"))
+        .agg(count(lit(1)).as("n_co"))
+        .filter(col("n_co") >= 2)
+        .select("ida", "idb")
+      graft.dedup.Components.triangleCounts(pairs).orderBy("id")
+    }),
+
     // row_number / rank / dense_rank per customer by price.
     "q_window_rank" -> ((s, d) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -283,6 +304,24 @@ object AnalyticQueries extends QueryPack {
     }))
 
   val oracle: Map[String, String] = Map(
+    // Twin of q_graph_triangles: same co-order edges, id-ordered triangle
+    // enumeration (orientation changes which node enumerates a wedge,
+    // never the triangle set), same per-node explode.
+    "q_graph_triangles" ->
+      """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+        |cp AS (
+        |  SELECT a.l_partkey AS ida, b.l_partkey AS idb, count(*) AS n
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2),
+        |pairs AS (SELECT ida, idb FROM cp WHERE n >= 2),
+        |tri AS (
+        |  SELECT e1.ida AS a, e1.idb AS b, e2.idb AS c
+        |  FROM pairs e1 JOIN pairs e2 ON e2.ida = e1.idb
+        |  JOIN pairs e3 ON e3.ida = e1.ida AND e3.idb = e2.idb),
+        |nodes AS (SELECT unnest([a, b, c]) AS id FROM tri)
+        |SELECT id, count(*) AS n_triangles FROM nodes
+        |GROUP BY id ORDER BY id""".stripMargin,
     "q_topk_native" ->
       """SELECT o_custkey, o_orderkey, o_totalprice
         |FROM (SELECT o_custkey, o_orderkey, o_totalprice,

@@ -133,4 +133,25 @@ class ComponentsSpec extends SparkSpecBase {
     assert(canonicals.toSeq == Seq(5L, 100L))
     assert(rows.length == 5)
   }
+
+  test("triangleCounts: K4 plus a pendant edge and a hub star") {
+    // K4 on {1,2,3,4}: 4 triangles, each node in 3. Pendant edge 4-5
+    // and a star 10-{11,12,13} (no closing edges): zero triangles.
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (10L, 11L), (10L, 12L), (10L, 13L)
+    ).toDF("ida", "idb")
+    val got = Components.triangleCounts(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangleCounts: two triangles sharing an edge") {
+    // {1,2,3} and {2,3,4}: nodes 2,3 in two triangles, 1,4 in one
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("ida", "idb")
+    val got = Components.triangleCounts(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
+  }
 }

@@ -310,6 +310,24 @@ class DedupSpec extends SparkSpecBase {
     assert(got((10L, 12L)) == 1) // insert trailing x
   }
 
+  test("editDistanceVerify over LSH candidates matches the self-contained operator") {
+    val fuzz = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "the quick brown fox jumped over the lazy dog"),
+      (4L, "a completely unrelated string about telemetry")
+    ).toDF("doc_id", "body")
+    val cands = Dedup.minhashLshPairs(fuzz, "body", "doc_id",
+      threshold = 0.5)
+    val viaLsh = Dedup.editDistanceVerify(cands, fuzz, "body", "doc_id",
+        maxDist = 4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    val direct = Dedup.editDistancePairs(fuzz, "body", "doc_id", maxDist = 4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(viaLsh == direct, s"viaLsh=$viaLsh direct=$direct")
+    assert(viaLsh.contains((1L, 2L)))
+  }
+
   test("editDistancePairs: exact duplicates come back at distance 0") {
     val same = Seq((1L, "identical text"), (2L, "identical text"))
       .toDF("doc_id", "body")
