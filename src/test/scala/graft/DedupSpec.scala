@@ -317,15 +317,19 @@ class DedupSpec extends SparkSpecBase {
       (3L, "the quick brown fox jumped over the lazy dog"),
       (4L, "a completely unrelated string about telemetry")
     ).toDF("doc_id", "body")
-    val cands = Dedup.minhashLshPairs(fuzz, "body", "doc_id",
-      threshold = 0.5)
+    // candidates from the exact inverted shingle index (deterministic
+    // full recall at this threshold) — banding recall is not the
+    // variable under test; the verify stage's recall is exactly its
+    // candidate stream's
+    val cands = Dedup.jaccardPairs(fuzz, "body", "doc_id",
+      threshold = 0.2, maxShingleFreq = 0)
     val viaLsh = Dedup.editDistanceVerify(cands, fuzz, "body", "doc_id",
         maxDist = 4)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
     val direct = Dedup.editDistancePairs(fuzz, "body", "doc_id", maxDist = 4)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
     assert(viaLsh == direct, s"viaLsh=$viaLsh direct=$direct")
-    assert(viaLsh.contains((1L, 2L)))
+    assert(viaLsh.contains((1L, 2L)) && viaLsh.contains((1L, 3L)))
   }
 
   test("editDistancePairs: exact duplicates come back at distance 0") {
