@@ -350,5 +350,13 @@ object Components {
       .select(col("u"), col("x"), col("y"))
     tri.select(explode(array(col("u"), col("x"), col("y"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("n_triangles"))
+      .join(deg, Seq("id"))
+      .select(col("id"), col("deg"), col("n_triangles"),
+        // local clustering coefficient: closed wedges / possible wedges.
+        // Triangle nodes have deg ≥ 2, so the denominator never zeroes;
+        // all inputs are integer-exact, the one division is IEEE-exact
+        // cross-engine, rounded for the oracle hash.
+        round(lit(2.0) * col("n_triangles") /
+          (col("deg") * (col("deg") - 1)), 6).as("clustering"))
   }
 }

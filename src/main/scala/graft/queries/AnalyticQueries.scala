@@ -319,9 +319,14 @@ object AnalyticQueries extends QueryPack {
         |  SELECT e1.ida AS a, e1.idb AS b, e2.idb AS c
         |  FROM pairs e1 JOIN pairs e2 ON e2.ida = e1.idb
         |  JOIN pairs e3 ON e3.ida = e1.ida AND e3.idb = e2.idb),
-        |nodes AS (SELECT unnest([a, b, c]) AS id FROM tri)
-        |SELECT id, count(*) AS n_triangles FROM nodes
-        |GROUP BY id ORDER BY id""".stripMargin,
+        |deg AS (
+        |  SELECT id, count(*) AS deg
+        |  FROM (SELECT unnest([ida, idb]) AS id FROM pairs) GROUP BY id),
+        |nodes AS (SELECT unnest([a, b, c]) AS id FROM tri),
+        |tc AS (SELECT id, count(*) AS n_triangles FROM nodes GROUP BY id)
+        |SELECT id, deg, n_triangles,
+        |       round(2.0 * n_triangles / (deg * (deg - 1)), 6) AS clustering
+        |FROM tc JOIN deg USING (id) ORDER BY id""".stripMargin,
     "q_topk_native" ->
       """SELECT o_custkey, o_orderkey, o_totalprice
         |FROM (SELECT o_custkey, o_orderkey, o_totalprice,

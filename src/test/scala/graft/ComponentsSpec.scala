@@ -141,9 +141,14 @@ class ComponentsSpec extends SparkSpecBase {
       (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
       (4L, 5L), (10L, 11L), (10L, 12L), (10L, 13L)
     ).toDF("ida", "idb")
-    val got = Components.triangleCounts(edges)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = Components.triangleCounts(edges).collect()
+    val got = rows.map(r => r.getLong(0) -> r.getAs[Long]("n_triangles")).toMap
     assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    val cc = rows.map(r => r.getLong(0) -> r.getAs[Double]("clustering")).toMap
+    // nodes 1-3: deg 3, all pairs closed → 1.0; node 4: deg 4 (pendant
+    // edge to 5 opens wedges) → 2·3/(4·3) = 0.5
+    assert(cc(1L) == 1.0 && cc(2L) == 1.0 && cc(3L) == 1.0)
+    assert(cc(4L) == 0.5)
   }
 
   test("triangleCounts: two triangles sharing an edge") {
@@ -151,7 +156,7 @@ class ComponentsSpec extends SparkSpecBase {
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
       .toDF("ida", "idb")
     val got = Components.triangleCounts(edges)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_triangles")).toMap
     assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
   }
 }
