@@ -232,6 +232,29 @@ class PlanSpec extends SparkSpecBase {
       p.contains("LessThan(o_orderdate"), "date filters not pushed")
   }
 
+  test("tpch q13: orders pre-aggregate before the outer join, never after") {
+    val p = plan(q("q_tpch_q13"))
+    // the custkey count must be a partial+final HashAggregate BELOW the
+    // join — aggregating the post-join blow-up instead would shuffle
+    // |orders| wide rows
+    val joinAt = p.indexOf("Join")
+    val aggAt = p.lastIndexOf("HashAggregate")
+    assert(joinAt >= 0 && aggAt > joinAt,
+      "per-custkey aggregate must sit under the outer join")
+    assert(!p.contains("CartesianProduct"))
+    // the priority filter reaches the orders scan
+    assert(p.contains("Not(EqualTo(o_orderpriority"), "filter not pushed")
+  }
+
+  test("tpch q17: brand cut broadcasts; avg joins the cut slice, not lineitem") {
+    val p = plan(q("q_tpch_q17"))
+    assert(p.contains("BroadcastHashJoin"), "part selection must broadcast")
+    // the brand/type filters reach the part scan
+    assert(p.contains("EqualTo(p_brand") && p.contains("EqualTo(p_type"),
+      "selection filters not pushed to the part scan")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("tpch q5: all four dims broadcast, no cross product") {
     val p = plan(q("q_tpch_q5"))
     // ≥4: the four dims always broadcast; at spec scale the filtered
