@@ -192,6 +192,25 @@ object AnalyticQueries extends QueryPack {
           count(lit(1)).as("n_events"))
         .orderBy("dt")),
 
+    // Sketch-based per-day quantiles (approx_percentile's t-digest-style
+    // summary): the streaming/mergeable twin of the exact percentile in
+    // q_gold_daily. Exact interpolated percentiles need a per-group sort
+    // (ObjectHashAggregate holding all values); the sketch is a bounded
+    // buffer with map-side partial merge — the only formulation whose
+    // memory stands at 100 TB per-day row counts. Deterministic for a
+    // fixed accuracy parameter, but engine-specific → rows-only check;
+    // SketchSpec bounds its error against the exact percentile.
+    "q_approx_quantile" -> ((s, d) =>
+      graft.Tables.events(s, d)
+        .groupBy(to_date(date_trunc("day", col("ts"))).as("dt"))
+        .agg(
+          approx_percentile(col("value"), lit(0.5), lit(1000))
+            .as("p50_approx"),
+          approx_percentile(col("value"), lit(0.95), lit(1000))
+            .as("p95_approx"),
+          count(lit(1)).as("n_events"))
+        .orderBy("dt")),
+
     // Exact daily twin of q_approx_distinct: same grouping, exact
     // count-distincts — oracles the deterministic surface (dt, exact
     // cardinalities, n_events) that the sketch query can't hash-check.

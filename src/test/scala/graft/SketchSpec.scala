@@ -50,4 +50,23 @@ class SketchSpec extends SparkSpecBase {
     assert(bloomed == exact)
     assert(exact.size == 10) // the planted copies, nothing else
   }
+
+  test("approx_percentile tracks the exact interpolated percentile") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables.events(spark, sfDir)
+    val r = ev.agg(
+      percentile(col("value"), lit(0.95)).as("exact"),
+      approx_percentile(col("value"), lit(0.95), lit(1000)).as("approx"),
+      expr("percentile(value, 0.5)").as("exact50"),
+      approx_percentile(col("value"), lit(0.5), lit(1000)).as("approx50"))
+      .collect()(0)
+    // accuracy=1000 bounds rank error at n/1000; translate to a loose
+    // value tolerance via the spread
+    val spread = ev.agg(max(col("value")) - min(col("value")))
+      .collect()(0).getDouble(0)
+    assert(math.abs(r.getDouble(1) - r.getDouble(0)) <= spread * 0.02,
+      s"p95 approx ${r.getDouble(1)} vs exact ${r.getDouble(0)}")
+    assert(math.abs(r.getDouble(3) - r.getDouble(2)) <= spread * 0.02,
+      s"p50 approx ${r.getDouble(3)} vs exact ${r.getDouble(2)}")
+  }
 }
