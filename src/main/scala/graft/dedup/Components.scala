@@ -330,14 +330,13 @@ object Components {
       .unionAll(p.select(col("idb").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))
     // orient by (deg, id): ida < idb already, so ties keep ida → idb
+    val aFirst = col("da") <= col("db")
     val o = p
       .join(deg.select(col("id").as("ida"), col("deg").as("da")), "ida")
       .join(deg.select(col("id").as("idb"), col("deg").as("db")), "idb")
       .select(
-        when(col("da") < col("db") ||
-          (col("da") === col("db")), col("ida")).otherwise(col("idb")).as("u"),
-        when(col("da") < col("db") ||
-          (col("da") === col("db")), col("idb")).otherwise(col("ida")).as("v"))
+        when(aFirst, col("ida")).otherwise(col("idb")).as("u"),
+        when(aFirst, col("idb")).otherwise(col("ida")).as("v"))
     // wedges between out-neighbors, normalized to id order for the
     // closing-edge probe against the id-ordered pair list
     // the self-join emits each out-neighbor pair in both orders; keeping

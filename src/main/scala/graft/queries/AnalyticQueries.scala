@@ -36,8 +36,10 @@ object AnalyticQueries extends QueryPack {
             col("l_partkey").as("pb")),
           col("l_orderkey") === col("ok2") &&
             col("l_partkey") < col("pb"))
+        // DISTINCT orders, not co-occurrence rows: an order listing a
+        // part on two lineitems must not count twice toward the edge
         .groupBy(col("l_partkey").as("ida"), col("pb").as("idb"))
-        .agg(count(lit(1)).as("n_co"))
+        .agg(countDistinct(col("l_orderkey")).as("n_co"))
         .filter(col("n_co") >= 2)
         .select("ida", "idb")
       graft.dedup.Components.triangleCounts(pairs).orderBy("id")
@@ -329,7 +331,8 @@ object AnalyticQueries extends QueryPack {
     "q_graph_triangles" ->
       """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
         |cp AS (
-        |  SELECT a.l_partkey AS ida, b.l_partkey AS idb, count(*) AS n
+        |  SELECT a.l_partkey AS ida, b.l_partkey AS idb,
+        |         count(DISTINCT a.l_orderkey) AS n
         |  FROM li a JOIN li b
         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         |  GROUP BY 1, 2),

@@ -284,11 +284,16 @@ object DedupQueries extends QueryPack {
       // plan). A repartition does NOT cut this — filters push straight
       // through RepartitionByExpression. The cache is the correct
       // boundary: it is exactly the bronze→silver materialization a
-      // real pipeline has after extraction, sized at (id, text, source)
-      // only, read by both branches, evictable after the final agg.
+      // real pipeline has after extraction, projected to the
+      // (doc_id, source, text) the funnel consumes, read by both
+      // branches. The query fn cannot see the final action, so the
+      // cache's lifetime is the session's (MBs at bench scale; LRU
+      // evicts under pressure) — callers embedding the funnel in a
+      // long-lived session own clearCache/unpersist, as PlanSpec does.
       val docs = Tables.documents(s, d)
-        .withColumn("text",
-          graft.text.Curation.extractMainText(TextQueries.plantedHtml))
+        .select(col("doc_id"), col("source"),
+          graft.text.Curation.extractMainText(TextQueries.plantedHtml)
+            .as("text"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val pairs = Dedup.minhashLshPairs(docs, "text", "doc_id",
         threshold = 0.7)

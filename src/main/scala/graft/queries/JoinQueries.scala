@@ -319,10 +319,14 @@ object JoinQueries extends QueryPack {
     // ALL of lineitem, then filter) would aggregate 50× more rows at
     // 100 TB only to throw 98% of the groups away.
     //
-    // qcut fp-parity note: l_quantity is integer-valued, so sum/count
-    // are exact in both engines regardless of summation order; the
+    // fp-parity notes: l_quantity is integer-valued, so sum/count are
+    // exact in both engines regardless of summation order; the
     // avg * 0.2 double is therefore bit-identical and the `<` filter
-    // cannot flip on a boundary row.
+    // cannot flip on a boundary row. The OUTER sum has no such
+    // guarantee as a double (partial-agg merge order differs between
+    // engines), so l_extendedprice is summed as DECIMAL(18,2) — exact
+    // and order-independent — and converted to double only once, for
+    // the shared /7.0 division both engines evaluate identically.
     "q_tpch_q17" -> ((s, d) => {
       val sel = Tables.lineitem(s, d)
         .join(broadcast(Tables.part(s, d)
@@ -336,7 +340,8 @@ object JoinQueries extends QueryPack {
         .select(col("l_partkey").as("q_partkey"), col("qcut"))
       sel.join(qcut, col("l_partkey") === col("q_partkey"))
         .filter(col("l_quantity") < col("qcut"))
-        .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
+        .agg(round(sum(col("l_extendedprice").cast("decimal(18,2)"))
+          .cast("double") / 7.0, 2).as("avg_yearly"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -486,7 +491,7 @@ object JoinQueries extends QueryPack {
         |GROUP BY c_count
         |ORDER BY custdist DESC, c_count DESC""".stripMargin,
     "q_tpch_q17" ->
-      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+      """SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 2) AS avg_yearly
         |FROM lineitem JOIN part ON p_partkey = l_partkey
         |WHERE p_brand = 'Brand#23' AND p_type = 'PROMO'
         |  AND l_quantity < (

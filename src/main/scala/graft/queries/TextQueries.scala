@@ -951,7 +951,7 @@ object TextQueries extends QueryPack {
         |  SELECT source, doc_id, n_chars,
         |         round(-ln((('0x' || substr(md5('wsamp:' || doc_id::VARCHAR), 1, 8))::BIGINT + 1)
         |                   / 4294967296.0) / n_chars, 9) AS score
-        |  FROM documents),
+        |  FROM documents WHERE n_chars > 0),
         |r AS (SELECT *, row_number() OVER (
         |        PARTITION BY source ORDER BY score, doc_id) AS rn FROM s)
         |SELECT source, doc_id, n_chars, score FROM r WHERE rn <= 3

@@ -20,10 +20,17 @@ object Sampling {
 
   private val buckets = 10000
 
+  /** First 8 md5 hex digits of (salt:id) as a uint32-ranged long — the
+    * one canonical raw draw every sampler here derives from (the DuckDB
+    * oracles mirror this exact formulation).
+    */
+  private[graft] def hash32(id: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(salt), lit(":"),
+      id.cast("string"))), 1, 8), 16, 10).cast("long")
+
   /** 0..9999 bucket for a row id. */
   def bucket(id: Column, salt: String): Column =
-    pmod(conv(substring(md5(concat(lit(salt), lit(":"),
-      id.cast("string"))), 1, 8), 16, 10).cast("long"), lit(buckets))
+    pmod(hash32(id, salt), lit(buckets))
 
   /** Keep ~fraction of rows, deterministically by id. */
   def deterministicSample(df: DataFrame, idCol: String, fraction: Double,
@@ -202,16 +209,18 @@ object Sampling {
     * both engines; ln is the one libm call (≤ 1 ulp), so the score is
     * rounded to 9 dp on BOTH sides with the id as tiebreak.
     *
-    * Output = input columns plus the winning `score`.
+    * Output = input columns plus the winning `score`. Rows with
+    * non-positive weight are dropped before the race — the exponential
+    * race is only defined for w > 0 (w ≤ 0 would otherwise produce
+    * scores of ∓Infinity/NaN that deterministically steal or forfeit a
+    * seat instead of failing loudly).
     */
   def weightedSamplePerKey(df: DataFrame, keyCol: String, idCol: String,
                            weightCol: String, k: Int,
                            salt: String = "graft"): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val h = conv(substring(md5(concat(lit(salt), lit(":"),
-      col(idCol).cast("string"))), 1, 8), 16, 10).cast("long")
-    val u = (h + lit(1L)) / lit(4294967296.0) // (0, 1]
-    val scored = df.withColumn("__score",
+    val u = (hash32(col(idCol), salt) + lit(1L)) / lit(4294967296.0) // (0, 1]
+    val scored = df.filter(col(weightCol) > 0).withColumn("__score",
       round(-log(u) / col(weightCol).cast("double"), 9))
     graft.plans.TopKPerKey.perKey(scored, Seq(keyCol),
         Seq(("__score", true), (idCol, true)), k)
