@@ -1,8 +1,8 @@
 package graft.dedup
 
-import graft.functions.TextHashExpressions.{lshBandKeys, simhash60, wordShingles}
+import graft.functions.TextHashExpressions.{charHist27, l1Dist, lshBandKeys, simhash60, wordShingles}
 import graft.text.TextFunctions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus deduplication operators for training-data pipelines: exact
@@ -836,7 +836,7 @@ object Dedup {
     *     ≤ 2d. The 27-bin histogram (a-z + space; restricting to a subset
     *     of the alphabet only weakens the bound, so it stays lossless) is
     *     computed ONCE per doc before the join; the per-candidate check is
-    *     27 integer ops against an O(len²) distance it almost always
+    *     27 integer ops against an O(d·len) distance it almost always
     *     avoids.
     *
     * Survivors are verified with Spark's threshold form
@@ -846,18 +846,48 @@ object Dedup {
     * 100-TB note: band keys are length values — low-cardinality, so a
     * planet-sized corpus makes individual bands quadratic again. At that
     * scale this operator is the VERIFY stage: feed it minhash/LSH candidate
-    * pairs (minhashLshPairs) instead of a whole corpus, exactly as the
-    * prefix-filter family composes. The histogram+threshold machinery is
-    * unchanged; only candidate generation swaps.
+    * pairs via `editDistanceVerify` instead of a whole corpus, exactly as
+    * the prefix-filter family composes. The histogram+threshold machinery
+    * is unchanged; only candidate generation swaps.
     *
     * Returns (ida, idb, dist) with ida < idb, dist ≤ maxDist.
     */
+  def editDistancePairs(docs: DataFrame, textCol: String, idCol: String,
+                        maxDist: Int = 8): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    // The blocking join carries ONLY (id, len, band, hist) — text never
+    // rides the candidate shuffle. hist is the one-pass native charHist27
+    // (27 ints); the per-pair L1 check is the codegen'd l1Dist, not an
+    // interpreted zip_with/aggregate lambda chain. Texts are re-joined by
+    // id for the (few) survivors only, in verifyWithTexts.
+    val base = docs
+      .select(col(idCol).as("id"), length(col(textCol)).as("len"),
+        floor(length(col(textCol)) / lit(maxDist + 1)).as("band"),
+        charHist27(col(textCol)).as("hist"))
+    val a = base.select(col("id").as("ida"),
+      col("len").as("la"), col("band").as("ba"), col("hist").as("ha"))
+    val b = base.select(col("id").as("idb"),
+      col("len").as("lb"), col("band").as("bb"), col("hist").as("hb"))
+    // Same-band pairs once via id ordering; adjacent-band pairs once via
+    // the band ordering itself (ba+1 = bb) — the two sets are disjoint,
+    // so no distinct is needed and ids are normalized at the end.
+    val sameBand = a.join(b,
+      col("ba") === col("bb") && col("ida") < col("idb"))
+    val nextBand = a.join(b, col("ba") + lit(1) === col("bb"))
+    val cands = sameBand.unionByName(nextBand)
+      .filter(abs(col("la") - col("lb")) <= maxDist)
+      .filter(l1Dist(col("ha"), col("hb")) <= lit(2 * maxDist))
+      .select(least(col("ida"), col("idb")).as("ida"),
+        greatest(col("ida"), col("idb")).as("idb"))
+    verifyWithTexts(cands, docs, textCol, idCol, maxDist)
+  }
+
   /** The 100-TB composition documented at editDistancePairs: verify an
     * EXTERNAL candidate-pair stream (minhash/LSH bands, simhash chunks,
-    * any blocking scheme) at Levenshtein ≤ maxDist. Texts are re-joined
-    * by id (two equi-joins carrying (id, text) — candidates themselves
-    * never carry text through the blocking shuffle), then the same
-    * length + char-frequency prefilters and banded threshold DP as the
+    * any blocking scheme) at Levenshtein ≤ maxDist. Texts, lengths, and
+    * char-frequency histograms are computed once per doc and re-joined by
+    * id (candidates never carry text through the blocking shuffle), then
+    * the same length block → L1 count filter → banded threshold DP as the
     * self-contained operator.
     *
     * `cands` needs (ida, idb) with ida < idb; output (ida, idb, dist).
@@ -866,48 +896,35 @@ object Dedup {
                          textCol: String, idCol: String,
                          maxDist: Int = 8): DataFrame = {
     require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
-    val t = docs.select(col(idCol).as("__vid"), col(textCol).as("__vt"))
-    cands.select("ida", "idb")
+    val t = docs.select(col(idCol).as("__vid"),
+      length(col(textCol)).as("__vl"), charHist27(col(textCol)).as("__vh"))
+    val filtered = cands.select("ida", "idb")
       .join(t, col("ida") === col("__vid"))
-      .select(col("ida"), col("idb"), col("__vt").as("ta"))
+      .select(col("ida"), col("idb"),
+        col("__vl").as("la"), col("__vh").as("ha"))
       .join(t, col("idb") === col("__vid"))
-      .select(col("ida"), col("idb"), col("ta"), col("__vt").as("tb"))
-      .filter(abs(length(col("ta")) - length(col("tb"))) <= maxDist)
-      .withColumn("dist", levenshtein(col("ta"), col("tb"), maxDist))
-      .filter(col("dist") >= 0 && col("dist") <= maxDist)
-      .select("ida", "idb", "dist")
+      .filter(abs(col("la") - col("__vl")) <= maxDist)
+      .filter(l1Dist(col("ha"), col("__vh")) <= lit(2 * maxDist))
+      .select("ida", "idb")
+    verifyWithTexts(filtered, docs, textCol, idCol, maxDist)
   }
 
-  def editDistancePairs(docs: DataFrame, textCol: String, idCol: String,
-                        maxDist: Int = 8): DataFrame = {
-    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
-    val alphabet = "abcdefghijklmnopqrstuvwxyz ".map(_.toString)
-    val base = docs
-      .select(col(idCol).as("id"), col(textCol).as("t"),
-        length(col(textCol)).as("len"))
-      .withColumn("band", floor(col("len") / lit(maxDist + 1)))
-      .withColumn("hist",
-        transform(array(alphabet.map(lit): _*),
-          ch => length(col("t")) - length(replace(col("t"), ch))))
-    val a = base.select(col("id").as("ida"), col("t").as("ta"),
-      col("len").as("la"), col("band").as("ba"), col("hist").as("hha"))
-    val b = base.select(col("id").as("idb"), col("t").as("tb"),
-      col("len").as("lb"), col("band").as("bb"), col("hist").as("hhb"))
-    // Same-band pairs once via id ordering; adjacent-band pairs once via
-    // the band ordering itself (ba+1 = bb) — the two sets are disjoint,
-    // so no distinct is needed and ids are normalized at the end.
-    val sameBand = a.join(b,
-      col("ba") === col("bb") && col("ida") < col("idb"))
-    val nextBand = a.join(b, col("ba") + lit(1) === col("bb"))
-    sameBand.unionByName(nextBand)
-      .filter(abs(col("la") - col("lb")) <= maxDist)
-      .filter(
-        aggregate(
-          zip_with(col("hha"), col("hhb"), (x, y) => abs(x - y)),
-          lit(0), (acc, x) => acc + x) <= lit(2 * maxDist))
-      .withColumn("dist", levenshtein(col("ta"), col("tb"), maxDist))
+  /** Shared fuzzy-dedup verify tail: fetch texts by id for the (already
+    * length- and count-filtered) candidate pairs, then the banded
+    * threshold Levenshtein. This is the ONLY place text pairs up, and by
+    * now candidates are survivor-sparse — AQE broadcasts the pair side,
+    * so the corpus text never shuffles at all.
+    */
+  private def verifyWithTexts(cands: DataFrame, docs: DataFrame,
+                              textCol: String, idCol: String,
+                              maxDist: Int): DataFrame = {
+    val t = docs.select(col(idCol).as("__tid"), col(textCol).as("__tt"))
+    cands
+      .join(t, col("ida") === col("__tid"))
+      .select(col("ida"), col("idb"), col("__tt").as("ta"))
+      .join(t, col("idb") === col("__tid"))
+      .withColumn("dist", levenshtein(col("ta"), col("__tt"), maxDist))
       .filter(col("dist") >= 0 && col("dist") <= maxDist)
-      .select(least(col("ida"), col("idb")).as("ida"),
-        greatest(col("ida"), col("idb")).as("idb"), col("dist"))
+      .select("ida", "idb", "dist")
   }
 }

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, GraftSqlBridge}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -216,6 +216,38 @@ object TextHashOps {
       }
     }
     c
+  }
+
+  /** 27-bin char-frequency histogram (a-z + space) in ONE pass over the
+    * UTF-8 bytes — the count-filtering signature for edit-distance joins
+    * (Gravano et al., VLDB 2001). ASCII letters never collide with UTF-8
+    * continuation bytes (all ≥ 0x80), so byte-level counting is exact for
+    * any input. Bins: 0..25 = 'a'..'z', 26 = ' '.
+    */
+  def charHist27(s: UTF8String): ArrayData = {
+    val bytes = s.getBytes
+    val counts = new Array[Int](27)
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i)
+      if (b >= 'a' && b <= 'z') counts(b - 'a') += 1
+      else if (b == ' ') counts(26) += 1
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(counts)
+  }
+
+  /** L1 distance between two int arrays by a primitive loop — the
+    * per-candidate count-filter check, codegen'd with no boxing and no
+    * higher-order-function interpretation. Lengths must match (both sides
+    * come from charHist27); extra elements on either side are ignored.
+    */
+  def l1Dist(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0
+    var d = 0
+    while (i < n) { d += math.abs(a.getInt(i) - b.getInt(i)); i += 1 }
+    d
   }
 
   /** Merges-driven BPE token count over a word-token array: each word
@@ -576,6 +608,54 @@ case class SortedIntersectCount(left: Expression, right: Expression)
       l: Expression, r: Expression): Expression = copy(left = l, right = r)
 }
 
+/** char_hist27(text: string): array<int> — one-pass 27-bin character
+  * histogram (see TextHashOps.charHist27). Compute once per DOC, never
+  * per pair.
+  */
+case class CharHist27(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"char_hist27 requires string, got ${dt.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "char_hist27"
+  override def nullSafeEval(a: Any): Any =
+    TextHashOps.charHist27(a.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashOps.charHist27($c)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** l1_dist(a: array<int>, b: array<int>): int — element-wise L1 distance
+  * by primitive loop (see TextHashOps.l1Dist); the codegen'd form of
+  * `aggregate(zip_with(a, b, |x−y|), 0, +)`, which re-enters the
+  * expression interpreter per element. Null ELEMENTS are rejected at
+  * analysis (both inputs must be containsNull=false, as charHist27's
+  * output is) so the primitive getInt loop can't mis-read a null slot.
+  */
+case class L1Dist(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, false), ArrayType(IntegerType, false)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"l1_dist requires two array<int> without null elements, got " +
+          s"${l.catalogString}, ${r.catalogString}")
+    }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "l1_dist"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextHashOps.l1Dist(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.TextHashOps.l1Dist($a, $b)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}
+
 /** bpe_merge_count(tokens: array<string>): int — merges-driven BPE token
   * count (see TextHashOps.bpeMergeCount). The merge table is bound at
   * construction; pattern/replacement strings precompile once and ride
@@ -643,6 +723,11 @@ case class BpeMergeSegment(child: Expression, merges: Seq[(String, String)])
 object TextHashExpressions {
   def sortedIntersectCount(a: Column, b: Column): Column =
     GraftSqlBridge.column(SortedIntersectCount(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+  def charHist27(text: Column): Column =
+    GraftSqlBridge.column(CharHist27(GraftSqlBridge.expression(text)))
+  def l1Dist(a: Column, b: Column): Column =
+    GraftSqlBridge.column(L1Dist(
       GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
   def bpeMergeCount(tokens: Column, merges: Seq[(String, String)]): Column =
     GraftSqlBridge.column(BpeMergeCount(
