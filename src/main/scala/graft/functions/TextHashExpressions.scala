@@ -250,6 +250,27 @@ object TextHashOps {
     d
   }
 
+  /** Hash-feature linear score: Σ_token w[bucket(token)] in array order,
+    * where bucket = first 8 md5 hex digits as a long, mod w.length — the
+    * same engine-independent md5 draw every sampler/LSH op here uses (the
+    * DuckDB twin is `('0x' || substr(md5(tok), 1, 8))::BIGINT % dim`).
+    * One static call per doc; the weight table rides the codegen
+    * references, so scoring a document is a tight primitive loop.
+    */
+  def hashFeatureSum(tokens: ArrayData, w: Array[Double]): Double = {
+    val n = tokens.numElements()
+    val dim = w.length
+    var i = 0
+    var s = 0.0
+    while (i < n) {
+      val hex = md5Hex(tokens.getUTF8String(i).getBytes)
+      val h = java.lang.Long.parseLong(hex.substring(0, 8), 16)
+      s += w((h % dim).toInt)
+      i += 1
+    }
+    s
+  }
+
   /** Merges-driven BPE token count over a word-token array: each word
     * decomposes to code points, then every (left, right) rule applies IN
     * PRIORITY ORDER as a literal, leftmost, non-overlapping adjacent
@@ -608,6 +629,33 @@ case class SortedIntersectCount(left: Expression, right: Expression)
       l: Expression, r: Expression): Expression = copy(left = l, right = r)
 }
 
+/** hash_feature_sum(tokens: array<string>): double — Σ w[md5-bucket(tok)]
+  * under the weight vector bound at construction (see
+  * TextHashOps.hashFeatureSum). The model is dim doubles — broadcast-safe
+  * by definition; it rides the codegen references like the BPE merge
+  * tables do.
+  */
+case class HashFeatureSum(child: Expression, weights: Array[Double])
+    extends UnaryExpression {
+  require(weights.nonEmpty, "hash_feature_sum needs a non-empty weight vector")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"hash_feature_sum requires array<string>, got ${dt.catalogString}")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "hash_feature_sum"
+  override def nullSafeEval(a: Any): Any =
+    TextHashOps.hashFeatureSum(a.asInstanceOf[ArrayData], weights)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wRef = ctx.addReferenceObj("hashFeatureWeights", weights, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHashOps.hashFeatureSum($c, $wRef)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** char_hist27(text: string): array<int> — one-pass 27-bin character
   * histogram (see TextHashOps.charHist27). Compute once per DOC, never
   * per pair.
@@ -726,6 +774,9 @@ object TextHashExpressions {
       GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
   def charHist27(text: Column): Column =
     GraftSqlBridge.column(CharHist27(GraftSqlBridge.expression(text)))
+  def hashFeatureSum(tokens: Column, weights: Array[Double]): Column =
+    GraftSqlBridge.column(HashFeatureSum(
+      GraftSqlBridge.expression(tokens), weights))
   def l1Dist(a: Column, b: Column): Column =
     GraftSqlBridge.column(L1Dist(
       GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))

@@ -161,6 +161,22 @@ object TextQueries extends QueryPack {
           qualityScore(col("text")).as("quality"))
         .orderBy("doc_id")),
 
+    // fastText-style hashed-feature NB classifier (HashClassifier):
+    // train log-odds weights on a planted boolean label (doc_id % 3 = 0
+    // — the label is arbitrary; the query proves the exact train→score
+    // path cross-engine), then score EVERY doc as sigmoid of its mean
+    // token weight via the codegen'd hash_feature_sum. Model dim 256.
+    "q_quality_classifier" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val labeled = docs.withColumn("pos", col("doc_id") % 3 === 0)
+      val w = graft.text.HashClassifier.collectWeights(
+        graft.text.HashClassifier.fit(labeled, "text", "pos", dim = 256),
+        dim = 256)
+      graft.text.HashClassifier.score(docs, "text", w)
+        .select("doc_id", "q_score")
+        .orderBy("doc_id")
+    }),
+
     // Deterministic stratified sampling: hash-mod membership per lang
     // (reproducible across engines/runs — the oracle reproduces the
     // EXACT sample, which rand()-based sampling never could).
@@ -964,6 +980,38 @@ object TextQueries extends QueryPack {
         |WHERE b < (CASE WHEN lang = 'en' THEN 5000
         |                WHEN lang = 'fr' THEN 2500 ELSE 1000 END)
         |ORDER BY doc_id""".stripMargin,
+    // Twin of HashClassifier fit(dim=256, alpha=1) + score: same md5
+    // bucket draw, same NB log-odds rounded 9 dp at the weight level,
+    // same in-order mean-of-token-weights sigmoid. The dense weight
+    // array materializes via generate_series so unseen buckets carry the
+    // all-smoothing default exactly as collectWeights fills them.
+    "q_quality_classifier" ->
+      s"""WITH toks AS (SELECT doc_id, $tokensSql AS w FROM documents),
+        |occ AS (
+        |  SELECT (t.doc_id % 3 = 0) AS pos,
+        |    ('0x' || substr(md5(u.tok), 1, 8))::BIGINT % 256 AS b
+        |  FROM toks t, unnest(t.w) AS u(tok)),
+        |cnt AS (
+        |  SELECT b, sum(CASE WHEN pos THEN 1 ELSE 0 END) AS cp,
+        |         sum(CASE WHEN pos THEN 0 ELSE 1 END) AS cn
+        |  FROM occ GROUP BY b),
+        |tot AS (SELECT sum(cp) AS tp, sum(cn) AS tn FROM cnt),
+        |wts AS (
+        |  SELECT g.b,
+        |    round(ln((COALESCE(cnt.cp, 0) + 1.0) / (tot.tp + 256.0))
+        |        - ln((COALESCE(cnt.cn, 0) + 1.0) / (tot.tn + 256.0)), 9) AS wt
+        |  FROM generate_series(0, 255) AS g(b)
+        |  LEFT JOIN cnt ON cnt.b = g.b, tot),
+        |warr AS (SELECT list(wt ORDER BY b) AS arr FROM wts),
+        |m AS (
+        |  SELECT t.doc_id,
+        |    CASE WHEN len(t.w) = 0 THEN 0.0
+        |      ELSE list_sum(list_transform(t.w, tk ->
+        |        arr[(('0x' || substr(md5(tk), 1, 8))::BIGINT % 256)::INT + 1]))
+        |        / len(t.w) END AS mean_w
+        |  FROM toks t, warr)
+        |SELECT doc_id, round(1.0 / (1.0 + exp(-mean_w)), 9) AS q_score
+        |FROM m ORDER BY doc_id""".stripMargin,
     "q_text_quality" ->
       s"""WITH t AS (SELECT doc_id, lang, text, $tokensSql AS w FROM documents),
         |q AS (SELECT doc_id, lang,
