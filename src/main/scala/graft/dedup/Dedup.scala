@@ -335,16 +335,34 @@ object Dedup {
                       threshold: Double, n: Int = 3,
                       bands: Int = 4, r: Int = 3): DataFrame = {
     val t = shingled(docs, textCol, idCol, n)
-    val banded = bandKeyRows(t, bands, r)
-    val cand = banded.select(col("id").as("ida"), col("band"), col("key"))
+    jaccardVerified(bandedCandidates(bandKeyRows(t, bands, r)),
+      t, t, "ida", "idb", threshold)
+  }
+
+  /** Distinct candidate pairs (ida < idb) from a banded frame — the one
+    * LSH pairing join, shared by `minhashLshPairs` and `lshCandidates`
+    * so any verify stage composes with bit-identical blocking.
+    */
+  private def bandedCandidates(banded: DataFrame): DataFrame =
+    banded.select(col("id").as("ida"), col("band"), col("key"))
       .join(banded.select(col("id").as("idb"), col("band").as("band_b"),
           col("key").as("key_b")),
         col("band") === col("band_b") && col("key") === col("key_b") &&
           col("ida") < col("idb"))
       .select("ida", "idb")
       .distinct()
-    jaccardVerified(cand, t, t, "ida", "idb", threshold)
-  }
+
+  /** Raw MinHash+LSH candidate pairs (ida < idb, distinct), i.e. the
+    * banding stage of `minhashLshPairs` WITHOUT the Jaccard verify —
+    * exposed so other verify stages (edit-distance `editDistanceVerify`,
+    * containment, embedding-cosine) can reuse the linear-shuffle blocking.
+    * Candidate volume is bounded by bucket population, never corpus²;
+    * recall follows the banding S-curve t* = (1/bands)^(1/r).
+    */
+  def lshCandidates(docs: DataFrame, textCol: String, idCol: String,
+                    n: Int = 3, bands: Int = 4, r: Int = 3): DataFrame =
+    bandedCandidates(
+      bandKeyRows(shingled(docs, textCol, idCol, n), bands, r))
 
   /** Persistable MinHash band index: one (id, band, key) row per band per
     * doc — the artifact an ONGOING dedup pipeline stores in the lake so
@@ -843,18 +861,50 @@ object Dedup {
     * `levenshtein(a, b, d)`, which abandons a pair as soon as the running
     * distance exceeds d (banded DP — O(d·len), not O(len²)).
     *
-    * 100-TB note: band keys are length values — low-cardinality, so a
-    * planet-sized corpus makes individual bands quadratic again. At that
-    * scale this operator is the VERIFY stage: feed it minhash/LSH candidate
-    * pairs via `editDistanceVerify` instead of a whole corpus, exactly as
-    * the prefix-filter family composes. The histogram+threshold machinery
-    * is unchanged; only candidate generation swaps.
+    * 100-TB note — `maxBandPop`, the band-population contract (same role
+    * as `maxShingleFreq` on the Jaccard family): band keys are length
+    * values — low-cardinality, so a corpus whose lengths cluster (fixed
+    * context-window chunks, form letters) piles millions of docs into ONE
+    * band and the same-band equi-join is quadratic in that band's
+    * population, long before the L1 count filter can help. The operator
+    * therefore measures the hottest band up front (one cheap action over
+    * the pruned (band) projection) and, when it exceeds `maxBandPop`,
+    * swaps candidate generation to MinHash+LSH banding
+    * (`lshCandidates(n=3, bands=16, r=2)` → `editDistanceVerify`) whose
+    * shuffle is linear in corpus size. The histogram + threshold-DP
+    * verify machinery is identical on both routes; only candidate
+    * generation swaps.
+    *
+    *  - Default 10000: a hot band of 10k docs is ~5·10⁷ candidate rows —
+    *    seconds of codegen'd L1 filtering on a cluster; at 100k it would
+    *    be ~5·10⁹ rows / ~200 GB of shuffle for that one band, which is
+    *    why the default sits at 10k.
+    *  - The length-band route is LOSSLESS; the LSH route's recall follows
+    *    the banding S-curve (t* = (1/16)^(1/2) = 0.25 — near-edit dups at
+    *    realistic doc lengths have word-shingle Jaccard ≫ 0.25, so the
+    *    miss probability is negligible, but it is not a proof). Callers
+    *    needing the lossless guarantee above the bound should pre-block
+    *    themselves and call `editDistanceVerify` directly.
+    *  - `maxBandPop = 0` disables both the up-front measurement and the
+    *    reroute: always the exact length-band join (tests/oracles).
     *
     * Returns (ida, idb, dist) with ida < idb, dist ≤ maxDist.
     */
   def editDistancePairs(docs: DataFrame, textCol: String, idCol: String,
-                        maxDist: Int = 8): DataFrame = {
+                        maxDist: Int = 8,
+                        maxBandPop: Long = 10000L): DataFrame = {
     require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    if (maxBandPop > 0) {
+      val hot = docs
+        .select(floor(length(col(textCol)) / lit(maxDist + 1)).as("band"))
+        .groupBy("band").count()
+        .agg(max("count").as("m")).head()
+      val hottest = if (hot.isNullAt(0)) 0L else hot.getLong(0)
+      if (hottest > maxBandPop)
+        return editDistanceVerify(
+          lshCandidates(docs, textCol, idCol, n = 3, bands = 16, r = 2),
+          docs, textCol, idCol, maxDist)
+    }
     // The blocking join carries ONLY (id, len, band, hist) — text never
     // rides the candidate shuffle. hist is the one-pass native charHist27
     // (27 ints); the per-pair L1 check is the codegen'd l1Dist, not an

@@ -94,6 +94,24 @@ object DedupQueries extends QueryPack {
         .select(col("ida"), col("idb"), col("dist").cast("long").as("dist"))
         .orderBy("ida", "idb")),
 
+    // The 100-TB fuzzy-dedup composition as a first-class query: MinHash
+    // LSH banding generates candidates (linear shuffle, bounded by bucket
+    // population) and editDistanceVerify applies the same length block +
+    // L1 count filter + banded threshold DP. This is exactly the route
+    // editDistancePairs takes when a length band exceeds maxBandPop. The
+    // high-recall banding (16 bands × 2 rows, t* = 0.25) achieves FULL
+    // recall on this fixture — verified by sharing q_dedup_fuzzy's exact
+    // oracle, so a banding miss would show up as a hash mismatch.
+    "q_dedup_fuzzy_lsh" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.editDistanceVerify(
+          Dedup.lshCandidates(docs, "text", "doc_id",
+            n = 3, bands = 16, r = 2),
+          docs, "text", "doc_id", maxDist = 8)
+        .select(col("ida"), col("idb"), col("dist").cast("long").as("dist"))
+        .orderBy("ida", "idb")
+    }),
+
     // Within-doc repetition stripping (Dedup.stripSelfRepeats): repeated
     // 5-token spans inside ONE document keep their first occurrence and
     // lose the later ones. Repetition is PLANTED (docs with id % 4 == 1
@@ -337,6 +355,30 @@ object DedupQueries extends QueryPack {
 
   private val tokensSql =
     """list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')"""
+  // Twin of editDistancePairs(maxDist=8): same length block (|Δlen| ≤ 8),
+  // same 27-bin char-frequency L1 ≤ 16 prefilter, same final
+  // levenshtein ≤ 8 verify. AS MATERIALIZED is load-bearing twice: it
+  // stops DuckDB inlining the histogram build into the join (recomputing
+  // 27 replace() scans per PAIR) and stops the levenshtein predicate
+  // being pushed below the L1 filter (evaluating the O(len²) DP on every
+  // length-blocked pair — an ~80× slowdown measured at sf0.01). Shared by
+  // q_dedup_fuzzy and q_dedup_fuzzy_lsh (the LSH route must match the
+  // lossless result exactly).
+  private val fuzzyOracleSql =
+    """WITH h AS MATERIALIZED (
+      |  SELECT doc_id, text, length(text) AS len,
+      |         list_transform(string_split('abcdefghijklmnopqrstuvwxyz ', ''),
+      |           ch -> length(text) - length(replace(text, ch, ''))) AS hist
+      |  FROM documents),
+      |cand AS MATERIALIZED (
+      |  SELECT a.doc_id AS ida, b.doc_id AS idb, a.text AS ta, b.text AS tb
+      |  FROM h a JOIN h b
+      |    ON a.doc_id < b.doc_id AND abs(a.len - b.len) <= 8
+      |  WHERE list_sum(list_transform(generate_series(1, 27),
+      |          i -> abs(a.hist[i] - b.hist[i]))) <= 16)
+      |SELECT ida, idb, levenshtein(ta, tb) AS dist FROM cand
+      |WHERE levenshtein(ta, tb) <= 8
+      |ORDER BY ida, idb""".stripMargin
   private val shinglesSql =
     s"""CASE WHEN len(w) >= 3 THEN
        | list_distinct(list_transform(generate_series(1, len(w) - 2),
@@ -835,28 +877,11 @@ object DedupQueries extends QueryPack {
         |    AND ('0x' || substr(md5('graft:' || doc_id::VARCHAR), 1, 8))::BIGINT % 10000 < 5000)
         |SELECT source, count(*) AS n_docs FROM sampled
         |GROUP BY source ORDER BY source""".stripMargin,
-    // Twin of editDistancePairs(maxDist=8): same length block (|Δlen| ≤ 8),
-    // same 27-bin char-frequency L1 ≤ 16 prefilter, same final
-    // levenshtein ≤ 8 verify. AS MATERIALIZED is load-bearing twice: it
-    // stops DuckDB inlining the histogram build into the join (recomputing
-    // 27 replace() scans per PAIR) and stops the levenshtein predicate
-    // being pushed below the L1 filter (evaluating the O(len²) DP on every
-    // length-blocked pair — an ~80× slowdown measured at sf0.01).
-    "q_dedup_fuzzy" ->
-      """WITH h AS MATERIALIZED (
-        |  SELECT doc_id, text, length(text) AS len,
-        |         list_transform(string_split('abcdefghijklmnopqrstuvwxyz ', ''),
-        |           ch -> length(text) - length(replace(text, ch, ''))) AS hist
-        |  FROM documents),
-        |cand AS MATERIALIZED (
-        |  SELECT a.doc_id AS ida, b.doc_id AS idb, a.text AS ta, b.text AS tb
-        |  FROM h a JOIN h b
-        |    ON a.doc_id < b.doc_id AND abs(a.len - b.len) <= 8
-        |  WHERE list_sum(list_transform(generate_series(1, 27),
-        |          i -> abs(a.hist[i] - b.hist[i]))) <= 16)
-        |SELECT ida, idb, levenshtein(ta, tb) AS dist FROM cand
-        |WHERE levenshtein(ta, tb) <= 8
-        |ORDER BY ida, idb""".stripMargin,
+    "q_dedup_fuzzy" -> fuzzyOracleSql,
+    // Same EXACT oracle on purpose: the LSH-composed route must reproduce
+    // the lossless result bit-for-bit at fixture scale, proving the
+    // banding's recall rather than assuming it.
+    "q_dedup_fuzzy_lsh" -> fuzzyOracleSql,
     "q_dedup_simhash" ->
       s"""WITH t AS (
         |  SELECT doc_id AS id, w, len(w) AS n

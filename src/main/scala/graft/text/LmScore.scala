@@ -72,8 +72,8 @@ object LmScore {
       .groupBy("bg").agg(count(lit(1)).as("c_t"))
     val consts = rc.select("bg").unionByName(tc.select("bg")).distinct()
       .agg(count(lit(1)).cast("double").as("v"))
-      .crossJoin(rc.agg(sum("c_r").cast("double").as("tot_r")))
-      .crossJoin(tc.agg(sum("c_t").cast("double").as("tot_t")))
+      .crossJoin(broadcast(rc.agg(sum("c_r").cast("double").as("tot_r"))))
+      .crossJoin(broadcast(tc.agg(sum("c_t").cast("double").as("tot_t"))))
     perDoc
       .join(rc, "bg")
       .join(tc, Seq("bg"), "left")

@@ -332,6 +332,35 @@ class DedupSpec extends SparkSpecBase {
     assert(viaLsh.contains((1L, 2L)) && viaLsh.contains((1L, 3L)))
   }
 
+  test("editDistancePairs: band-population guard reroutes a single-band corpus via LSH") {
+    // Every doc is 30 four-char digit words => identical length 149 =>
+    // ONE length band holds the whole corpus (the adversarial shape the
+    // maxBandPop contract exists for). 20 planted near-dups at dist 1.
+    def doc(i: Int): String =
+      (0 until 30).map(j => f"${(i * 31 + j * 7 + i * j) % 9000 + 1000}%04d")
+        .mkString(" ")
+    val corpus = ((0 until 240).map(i => (i.toLong, doc(i))) ++
+      (0 until 20).map(i => (1000L + i, doc(i).init + "x")))
+      .toDF("doc_id", "body")
+
+    val guarded = Dedup.editDistancePairs(corpus, "body", "doc_id",
+      maxDist = 2, maxBandPop = 50)
+    // the reroute is visible in the plan: LSH banding posexplodes band keys
+    assert(guarded.queryExecution.optimizedPlan.toString.contains("posexplode"),
+      "guard should have routed candidates through LSH banding")
+    val exact = Dedup.editDistancePairs(corpus, "body", "doc_id",
+      maxDist = 2, maxBandPop = 0)
+    assert(!exact.queryExecution.optimizedPlan.toString.contains("posexplode"),
+      "maxBandPop = 0 must keep the lossless length-band join")
+
+    val got = guarded.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val want = exact.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(want.size == 20 && want.forall(_._3 == 1))
+    assert(got == want)
+  }
+
   test("editDistancePairs: exact duplicates come back at distance 0") {
     val same = Seq((1L, "identical text"), (2L, "identical text"))
       .toDF("doc_id", "body")

@@ -358,6 +358,31 @@ class PlanSpec extends SparkSpecBase {
       "constants cross-join must broadcast")
   }
 
+  test("1-row constant crossJoins broadcast by HINT, not by AQE courtesy") {
+    // With AQE off and auto-broadcast disabled, an unhinted 1-row
+    // crossJoin degrades to CartesianProduct — plan shape would depend on
+    // cluster defaults. Every scalar-constants crossJoin in the repo must
+    // carry an explicit broadcast() hint so the plan is deterministic
+    // under config drift (VERDICT r7 item 6).
+    val conf = spark.conf
+    val aqe = conf.get("spark.sql.adaptive.enabled", "true")
+    val abt = conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    try {
+      conf.set("spark.sql.adaptive.enabled", "false")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      for (name <- Seq("q_dsir_weights", "q_tfidf_top_terms",
+          "q_sample_weighted", "q_text_lm_score")) {
+        val p = plan(q(name))
+        assert(!p.contains("CartesianProduct"),
+          s"$name: unhinted scalar crossJoin degraded to cartesian with " +
+            "AQE/auto-broadcast off\n" + p.take(600))
+      }
+    } finally {
+      conf.set("spark.sql.adaptive.enabled", aqe)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", abt)
+    }
+  }
+
   test("bloom decontamination gates the corpus side below the join") {
     val p = plan(q("q_contamination_bloom"))
     // the UDF membership gate must survive into the physical plan on the
