@@ -169,8 +169,16 @@ object Bench {
     // the retained tail a self-contained, parseable metric object; the
     // full per-query detail lives in `line` / bench_last.json.
     val nFailed = byName.count(!_._3)
+    // "slowest": the 15 largest medians as name:[sec, shuffle_mb] — the
+    // regression-read digest guaranteed to survive tail truncation even
+    // when the alphabetical per-query map above gets cut
+    val slowest = byName.sortBy(-_._2).take(15).map { case (k, med, _, _) =>
+      val smb = bytes.shuffle.getOrDefault(k, 0L) / 1048576.0
+      "\"" + k + "\":[" + math.round(med * 100) / 100.0 + "," +
+        math.round(smb * 10) / 10.0 + "]"
+    }.mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","bench_rev":$benchRev,"n_queries":${byName.size},"n_failed":$nFailed,"sf":"$sfDir","detail":"$outFile"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","bench_rev":$benchRev,"n_queries":${byName.size},"n_failed":$nFailed,"sf":"$sfDir","slowest_sec_mb":$slowest,"detail":"$outFile"}""")
     spark.stop()
   }
 }

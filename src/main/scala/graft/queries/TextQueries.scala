@@ -12,6 +12,25 @@ import org.apache.spark.sql.functions._
   */
 object TextQueries extends QueryPack {
 
+  /** Shared fit(train)→score(holdout) frame for the calibration queries:
+    * train = doc_id % 5 != 4, holdout = the remaining 20%, label planted
+    * as doc_id % 3 = 0 (the same deterministic fixture label the
+    * classifier query trains on). A disjoint holdout matters even for a
+    * closed-form fit — thresholds tuned on training scores overstate
+    * precision at the operating point.
+    */
+  private def calibScored(s: org.apache.spark.sql.SparkSession,
+                          d: String): org.apache.spark.sql.DataFrame = {
+    val labeled = Tables.documents(s, d)
+      .withColumn("pos", col("doc_id") % 3 === 0)
+    val w = graft.text.HashClassifier.collectWeights(
+      graft.text.HashClassifier.fit(
+        labeled.filter(col("doc_id") % 5 =!= 4), "text", "pos", dim = 256),
+      dim = 256)
+    graft.text.HashClassifier.score(
+      labeled.filter(col("doc_id") % 5 === 4), "text", w)
+  }
+
   /** Planted-HTML wrap for the extraction fixture: real markup around the
     * raw document text with every boilerplate category represented —
     * head/title, a style block, a script block (containing '<' and a fake
@@ -175,6 +194,31 @@ object TextQueries extends QueryPack {
       graft.text.HashClassifier.score(docs, "text", w)
         .select("doc_id", "q_score")
         .orderBy("doc_id")
+    }),
+
+    // Threshold CALIBRATION for the classifier: fit on the train split
+    // (doc_id % 5 != 4), score the held-out 20%, sweep an integer-percent
+    // threshold grid per source — one (source, thr_pct) row with
+    // confusion counts and precision/recall/F1. This is the missing step
+    // between score and the keep filter: nothing in fit/score selects an
+    // operating point; the sweep is what does.
+    "q_quality_threshold_sweep" -> ((s, d) => {
+      val scored = calibScored(s, d)
+      graft.text.HashClassifier.thresholdSweep(scored, "source", "pos")
+        .orderBy("source", "thr_pct")
+    }),
+
+    // The chosen per-source operating points: max-F1 row of the sweep,
+    // ties toward the LOWEST threshold (keep more data when quality is
+    // indistinguishable). Window-free per-key argmax (broadcast-joined
+    // tiny aggregates) — composes with capPerKey / tokenBudgetPerKey as
+    // the keep-filter's per-source threshold table.
+    "q_quality_calibration" -> ((s, d) => {
+      val scored = calibScored(s, d)
+      graft.text.HashClassifier.bestThresholds(
+          graft.text.HashClassifier.thresholdSweep(scored, "source", "pos"),
+          "source")
+        .orderBy("source")
     }),
 
     // Deterministic stratified sampling: hash-mod membership per lang
@@ -658,6 +702,53 @@ object TextQueries extends QueryPack {
   private val tokensSql =
     """list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')"""
 
+  /** Shared oracle prefix for the calibration queries: the classifier
+    * twin restricted to the train split (doc_id % 5 <> 4), holdout scores
+    * for the remaining 20%, and the per-(source, thr_pct) confusion sweep
+    * with precision/recall/F1 — CTE `m` is the sweep both final SELECTs
+    * consume. Integer-percent grid (generate_series(5, 95, 5)) matches
+    * thresholdSweep's `stepPct until 100 by stepPct` exactly; tp/fp/fn
+    * cast to BIGINT so the schema hashes against Spark's longs.
+    */
+  private val calibSweepSql =
+    s"""WITH toks AS (SELECT doc_id, source, $tokensSql AS w FROM documents),
+      |occ AS (
+      |  SELECT (t.doc_id % 3 = 0) AS pos,
+      |    ('0x' || substr(md5(u.tok), 1, 8))::BIGINT % 256 AS b
+      |  FROM toks t, unnest(t.w) AS u(tok) WHERE t.doc_id % 5 <> 4),
+      |cnt AS (
+      |  SELECT b, sum(CASE WHEN pos THEN 1 ELSE 0 END) AS cp,
+      |         sum(CASE WHEN pos THEN 0 ELSE 1 END) AS cn
+      |  FROM occ GROUP BY b),
+      |tot AS (SELECT sum(cp) AS tp, sum(cn) AS tn FROM cnt),
+      |wts AS (
+      |  SELECT g.b,
+      |    round(ln((COALESCE(cnt.cp, 0) + 1.0) / (tot.tp + 256.0))
+      |        - ln((COALESCE(cnt.cn, 0) + 1.0) / (tot.tn + 256.0)), 9) AS wt
+      |  FROM generate_series(0, 255) AS g(b)
+      |  LEFT JOIN cnt ON cnt.b = g.b, tot),
+      |warr AS (SELECT list(wt ORDER BY b) AS arr FROM wts),
+      |sc AS (
+      |  SELECT t.source, (t.doc_id % 3 = 0) AS pos,
+      |    round(1.0 / (1.0 + exp(-(CASE WHEN len(t.w) = 0 THEN 0.0
+      |      ELSE list_sum(list_transform(t.w, tk ->
+      |        arr[(('0x' || substr(md5(tk), 1, 8))::BIGINT % 256)::INT + 1]))
+      |        / len(t.w) END))), 9) AS s
+      |  FROM toks t, warr WHERE t.doc_id % 5 = 4),
+      |sweep AS (
+      |  SELECT source, g.thr_pct::INT AS thr_pct,
+      |    sum(CASE WHEN pos AND s >= g.thr_pct / 100.0 THEN 1 ELSE 0 END)::BIGINT AS tp,
+      |    sum(CASE WHEN NOT pos AND s >= g.thr_pct / 100.0 THEN 1 ELSE 0 END)::BIGINT AS fp,
+      |    sum(CASE WHEN pos AND NOT (s >= g.thr_pct / 100.0) THEN 1 ELSE 0 END)::BIGINT AS fn
+      |  FROM sc, generate_series(5, 95, 5) AS g(thr_pct)
+      |  GROUP BY source, g.thr_pct),
+      |m AS (
+      |  SELECT source, thr_pct, tp, fp, fn,
+      |    round(tp / greatest(tp + fp, 1), 6) AS "precision",
+      |    round(tp / greatest(tp + fn, 1), 6) AS recall,
+      |    round(2 * tp / greatest(2 * tp + fp + fn, 1), 6) AS f1
+      |  FROM sweep)""".stripMargin
+
   /** DuckDB expression computing the exact BPE token count of word `wd`
     * under the committed merges table: code points joined by chr(1),
     * then one literal replace() per merge rule in priority order —
@@ -1012,6 +1103,21 @@ object TextQueries extends QueryPack {
         |  FROM toks t, warr)
         |SELECT doc_id, round(1.0 / (1.0 + exp(-mean_w)), 9) AS q_score
         |FROM m ORDER BY doc_id""".stripMargin,
+    "q_quality_threshold_sweep" ->
+      s"""$calibSweepSql
+        |SELECT * FROM m ORDER BY source, thr_pct""".stripMargin,
+    "q_quality_calibration" ->
+      s"""$calibSweepSql,
+        |best AS (SELECT source, max(f1) AS bf FROM m GROUP BY source),
+        |cand AS (
+        |  SELECT m.* FROM m JOIN best
+        |    ON m.source = best.source AND m.f1 = best.bf),
+        |chosen AS (SELECT source, min(thr_pct) AS ct FROM cand GROUP BY source)
+        |SELECT c.source, c.thr_pct, c.tp, c.fp, c.fn,
+        |  c."precision", c.recall, c.f1
+        |FROM cand c JOIN chosen ch
+        |  ON c.source = ch.source AND c.thr_pct = ch.ct
+        |ORDER BY c.source""".stripMargin,
     "q_text_quality" ->
       s"""WITH t AS (SELECT doc_id, lang, text, $tokensSql AS w FROM documents),
         |q AS (SELECT doc_id, lang,

@@ -31,14 +31,23 @@ import org.apache.spark.sql.functions._
   * k·keys·partitions regardless of candidate volume. The crossover table
   * in BASELINE.md records where that diverges on this box.
   *
+  * The query-count axis matters as much as candidate volume: the window
+  * path's parallelism is AT MOST the number of distinct queries (one
+  * task per qid), so few queries × deep candidate streams — precisely
+  * the online-serving / re-rank shape — leaves the cluster idle while
+  * single tasks sort. `nQueries` is the first argument to let the table
+  * show both regimes.
+  *
   * Usage: SPARK_GRAFT_SF_DIR=… runMain graft.similarity.RankingCrossoverBench
-  *   [reps…] (default 1 10 20); prints one JSON line.
+  *   [nQueries] [reps…] (default 64; 1 10 20); prints one JSON line.
   */
 object RankingCrossoverBench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val repsList = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 10, 20)
+    val nQueries = args.headOption.map(_.toInt).getOrElse(64)
+    val repsList =
+      if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(1, 10, 20)
     val rounds = 3
     val k = 10
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -58,7 +67,7 @@ object RankingCrossoverBench {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
     val nrm = emb.withColumn("nrm",
       sqrt(aggregate(transform(col("vec"), x => x * x), lit(0.0), _ + _)))
-    val q = nrm.filter(col("vec_id") % 31 === 0).limit(64)
+    val q = nrm.filter(col("vec_id") % 31 === 0).limit(nQueries)
       .select(col("vec_id").as("qid"), col("vec").as("qvec"),
         col("nrm").as("qnrm"))
     val base = q.hint("broadcast")
@@ -78,13 +87,18 @@ object RankingCrossoverBench {
     }
 
     val cells = repsList.map { reps =>
-      val scaled = (0 until reps).map { r =>
-        if (r == 0) base
-        else base.select(col("qid"), (col("id") + r * 100000000L).as("id"),
-          (col("score") + (pmod(xxhash64(col("qid"), col("id"), lit(r)),
-            lit(1000L)) - 500L).cast("double") * 1e-9).as("score"))
-      }.reduce(_ unionAll _)
-      val path = s"/tmp/ranking_scored_${reps}x.parquet"
+      // constant-size plan whatever `reps` is: replica index arrives as a
+      // crossJoin with range(reps), not a reps-way union (a 1000-branch
+      // union plan would be its own bottleneck)
+      val scaled = base.crossJoin(
+          spark.range(reps).select(col("id").as("__r")))
+        .select(col("qid"),
+          (col("id") + col("__r") * 100000000L).as("id"),
+          when(col("__r") === 0, col("score"))
+            .otherwise(col("score") +
+              (pmod(xxhash64(col("qid"), col("id"), col("__r")),
+                lit(1000L)) - 500L).cast("double") * 1e-9).as("score"))
+      val path = s"/tmp/ranking_scored_q${nQueries}_${reps}x.parquet"
       scaled.write.mode("overwrite").parquet(path)
       val scored = spark.read.parquet(path)
       val nRows = scored.count()
@@ -114,7 +128,7 @@ object RankingCrossoverBench {
         s""""topk_sec":${math.round(heapSec * 1000) / 1000.0},""" +
         s""""speedup":${math.round(winSec / heapSec * 100) / 100.0}}"""
     }
-    println(s"""{"k":$k,"n_queries":64,"cells":[${cells.mkString(",")}]}""")
+    println(s"""{"k":$k,"n_queries":$nQueries,"cells":[${cells.mkString(",")}]}""")
     spark.stop()
   }
 }

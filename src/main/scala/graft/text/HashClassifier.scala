@@ -103,4 +103,67 @@ object HashClassifier {
       .otherwise(lit(0.0))
     docs.withColumn(scoreCol, round(lit(1.0) / (lit(1.0) + exp(-mean)), 9))
   }
+
+  /** Precision/recall sweep over an integer-percent threshold grid on a
+    * LABELED holdout, per key (typically `source` — each source gets its
+    * own operating point because score distributions differ by source).
+    * This is the calibration step between `score` and the keep-filter /
+    * `capPerKey` / `tokenBudgetPerKey` stages: nothing in fit/score picks
+    * the threshold, this does.
+    *
+    * Grid thresholds are INTEGER percents (`stepPct until 100 by
+    * stepPct`) compared as `score >= thr_pct/100.0` — integer grid rows
+    * hash/join exactly across engines where a float grid (0.05·i) would
+    * drift in the last ulp. One row per (key, thr_pct) with confusion
+    * counts and rounded precision/recall/F1 (F1 computed directly as
+    * 2tp/(2tp+fp+fn) — a single rounding, not a composition of the
+    * already-rounded precision/recall). Zero denominators clamp to 1
+    * (count frames, so 0/1 = 0, never null/NaN).
+    *
+    * Scale shape: the explode multiplies the holdout by |grid| (≤ 99,
+    * a constant) and feeds one (key, thr)-keyed aggregation with map-side
+    * partials — linear in holdout size, no window, no pair join. The
+    * holdout is the SMALL labeled slice, not the corpus.
+    */
+  def thresholdSweep(scored: DataFrame, keyCol: String, labelCol: String,
+                     scoreCol: String = "q_score",
+                     stepPct: Int = 5): DataFrame = {
+    require(stepPct >= 1 && stepPct < 100,
+      s"stepPct must be in [1, 99], got $stepPct")
+    val grid = (stepPct until 100 by stepPct).toArray
+    val keep = col("__s") >= col("thr_pct").cast("double") / lit(100.0)
+    scored
+      .select(col(keyCol), col(labelCol).as("__pos"),
+        col(scoreCol).as("__s"))
+      .withColumn("thr_pct", explode(lit(grid)))
+      .groupBy(col(keyCol), col("thr_pct"))
+      .agg(
+        sum(when(col("__pos") && keep, 1L).otherwise(0L)).as("tp"),
+        sum(when(!col("__pos") && keep, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("__pos") && !keep, 1L).otherwise(0L)).as("fn"))
+      .withColumn("precision",
+        round(col("tp") / greatest(col("tp") + col("fp"), lit(1L)), 6))
+      .withColumn("recall",
+        round(col("tp") / greatest(col("tp") + col("fn"), lit(1L)), 6))
+      .withColumn("f1", round(lit(2L) * col("tp") /
+        greatest(lit(2L) * col("tp") + col("fp") + col("fn"), lit(1L)), 6))
+  }
+
+  /** Pick each key's operating point from a `thresholdSweep` frame: the
+    * max-F1 row, ties broken toward the LOWEST threshold (keep more data
+    * when quality is indistinguishable). Window-free on purpose — the
+    * per-key maxima are tiny aggregates joined back by explicit
+    * broadcast, so the plan holds at any key cardinality without a
+    * per-key sort.
+    */
+  def bestThresholds(sweep: DataFrame, keyCol: String): DataFrame = {
+    val bestF1 = sweep.groupBy(keyCol).agg(max("f1").as("__best_f1"))
+    val cand = sweep.join(broadcast(bestF1), Seq(keyCol))
+      .filter(col("f1") === col("__best_f1"))
+    val minThr = cand.groupBy(keyCol).agg(min("thr_pct").as("__thr"))
+    cand.join(broadcast(minThr), Seq(keyCol))
+      .filter(col("thr_pct") === col("__thr"))
+      .select(keyCol, "thr_pct", "tp", "fp", "fn",
+        "precision", "recall", "f1")
+  }
 }
