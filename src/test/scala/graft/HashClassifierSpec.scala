@@ -77,4 +77,54 @@ class HashClassifierSpec extends SparkSpecBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"expected no shuffle:\n$plan")
   }
+
+  // Hand-checkable calibration fixture: one key, 4 docs with known
+  // scores 0.2 / 0.4 / 0.6 / 0.8 and labels F / T / F / T.
+  //   thr 30%: keeps 0.4,0.6,0.8 → tp=2 fp=1 fn=0 → F1 = 4/5 = 0.8
+  //   thr 50%: keeps 0.6,0.8     → tp=1 fp=1 fn=1 → F1 = 2/4 = 0.5
+  //   thr 70%: keeps 0.8         → tp=1 fp=0 fn=1 → F1 = 2/3
+  private lazy val calib = Seq(
+    ("web", false, 0.2), ("web", true, 0.4),
+    ("web", false, 0.6), ("web", true, 0.8)
+  ).toDF("source", "pos", "q_score")
+
+  test("thresholdSweep computes hand-checked confusion counts and F1") {
+    val sweep = HashClassifier.thresholdSweep(calib, "source", "pos",
+      stepPct = 20)
+    val rows = sweep.collect().map(r => r.getInt(1) ->
+      (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(7))).toMap
+    assert(rows.keySet == Set(20, 40, 60, 80))
+    assert(rows(40) == ((2L, 1L, 0L, 0.8)))          // keeps >= 0.4
+    assert(rows(60) == ((1L, 1L, 1L, 0.5)))          // keeps >= 0.6
+    assert(rows(80) == ((1L, 0L, 1L, 0.666667)))     // keeps >= 0.8
+    // threshold 20 keeps everything: recall 1, precision 1/2
+    val t20 = sweep.filter(col("thr_pct") === 20)
+      .select("precision", "recall").head()
+    assert(t20.getDouble(0) == 0.5 && t20.getDouble(1) == 1.0)
+  }
+
+  test("bestThresholds picks max F1, ties toward the lowest threshold") {
+    val sweep = HashClassifier.thresholdSweep(calib, "source", "pos",
+      stepPct = 20)
+    val best = HashClassifier.bestThresholds(sweep, "source").collect()
+    assert(best.length == 1)
+    assert(best.head.getInt(1) == 40, s"expected thr 40, got ${best.head}")
+    assert(best.head.getDouble(7) == 0.8)
+
+    // a key where EVERY threshold scores the same F1 resolves to the
+    // lowest threshold on the grid
+    val flat = Seq(("k", true, 0.9), ("k", true, 0.95))
+      .toDF("source", "pos", "q_score")
+    val b2 = HashClassifier.bestThresholds(
+      HashClassifier.thresholdSweep(flat, "source", "pos", stepPct = 10),
+      "source").collect()
+    assert(b2.length == 1 && b2.head.getInt(1) == 10)
+  }
+
+  test("bestThresholds plan is window-free (broadcast argmax)") {
+    val plan = HashClassifier.bestThresholds(
+        HashClassifier.thresholdSweep(calib, "source", "pos"), "source")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"expected no Window:\n$plan")
+  }
 }
