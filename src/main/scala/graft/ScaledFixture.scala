@@ -1,0 +1,92 @@
+package graft
+
+import graft.text.TextFunctions.tokens
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev main: derive a `reps`×-scaled copy of a driver fixture dir, for
+  * super-linearity hunting above the largest shipped scale factor (the
+  * sf0.1→sf0.3 bench table in BASELINE.md). TPC-H-style scaling rules:
+  *
+  *  - region/nation copy unscaled (fixed-cardinality dims — they do not
+  *    grow with sf in TPC-H either);
+  *  - customer/supplier/part/orders/lineitem/events replicate with key
+  *    offsets (replica r adds r·10⁸ to every PRIMARY and FOREIGN key of
+  *    a scaled table) so join fan-outs stay constant: replica-r lineitem
+  *    joins replica-r orders/part/supplier, never across replicas —
+  *    per-key group sizes and join selectivities match a genuinely
+  *    bigger corpus instead of tripling every group;
+  *  - documents replicate with WORD-PERMUTED text (replica r sorts
+  *    tokens by md5(tok:pos:r), the DedupCrossoverBench trick): same
+  *    vocabulary and Zipf shape, but replicas are not exact/near dups of
+  *    their originals, so dedup-family candidate structure grows the way
+  *    a larger real corpus grows, not as planted duplicate clusters;
+  *  - embeddings replicate with per-element deterministic jitter
+  *    (±0.05·hash-uniform): vector distribution is preserved while
+  *    replicas don't sit exactly on their originals.
+  *
+  * This is BENCH tooling — outputs feed SPARK_GRAFT_SF_DIR for timing
+  * runs, never the correctness oracle (fixture content semantics like
+  * n_chars-vs-permuted-text drift are fine for wall-clock, not for
+  * hashes).
+  *
+  * Usage: runMain graft.ScaledFixture [reps] [srcDir] [outDir]
+  *   (defaults 3, /root/testdata/sf0.1, /tmp/sf0.3)
+  */
+object ScaledFixture {
+  private val Off = 100000000L
+
+  def main(args: Array[String]): Unit = {
+    val reps = args.headOption.map(_.toInt).getOrElse(3)
+    val src = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    val out = args.lift(2).getOrElse("/tmp/sf0.3")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def rep(df: DataFrame)(remap: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until reps).map(r => if (r == 0) df else remap(df, r))
+        .reduce(_ unionByName _)
+
+    def shiftKeys(keys: String*)(df: DataFrame, r: Int): DataFrame =
+      keys.foldLeft(df)((d, k) => d.withColumn(k, col(k) + lit(r * Off)))
+
+    def write(name: String, df: DataFrame): Unit = {
+      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+      println(s"[scaled] $name -> $out/$name.parquet")
+    }
+
+    def load(name: String) = spark.read.parquet(s"$src/$name.parquet")
+
+    write("region", load("region"))
+    write("nation", load("nation"))
+    write("customer", rep(load("customer"))(shiftKeys("c_custkey")))
+    write("supplier", rep(load("supplier"))(shiftKeys("s_suppkey")))
+    write("part", rep(load("part"))(shiftKeys("p_partkey")))
+    write("orders", rep(load("orders"))(shiftKeys("o_orderkey", "o_custkey")))
+    write("lineitem", rep(load("lineitem"))(
+      shiftKeys("l_orderkey", "l_partkey", "l_suppkey")))
+    write("events", rep(load("events"))(shiftKeys("event_id", "user_id")))
+    write("documents", rep(load("documents")) { (df, r) =>
+      val keyed = transform(tokens(col("text")), (t, i) => struct(
+        md5(concat_ws(":", t, i.cast("string"), lit(r))).as("k"),
+        t.as("t")))
+      df.withColumn("doc_id", col("doc_id") + lit(r * Off))
+        .withColumn("text",
+          array_join(transform(array_sort(keyed), x => x("t")), " "))
+    })
+    write("embeddings", rep(load("embeddings")) { (df, r) =>
+      df.withColumn("vec_id", col("vec_id") + lit(r * Off))
+        .withColumn("embedding", transform(col("embedding"), (e, i) =>
+          (e + (pmod(xxhash64(col("vec_id"), lit(r), i), lit(1000L)) - 500L)
+            .cast("float") * lit(1e-4f))))
+    })
+    spark.stop()
+  }
+}
