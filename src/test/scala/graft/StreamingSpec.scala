@@ -306,16 +306,18 @@ class StreamingSpec extends SparkSpecBase {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sfDir/events.parquet"),
       dir.resolve("events.parquet"))
-    // raw parquet carries ts as INT64 nanos: read long (the nanosAsLong
-    // conf is session posture — SparkTestSession sets it) and convert
-    val batchDf = Tables.events(spark, sfDir)
-    val rawSchema = org.apache.spark.sql.types.StructType(
-      batchDf.schema.fields.map(f =>
-        if (f.name == "ts") f.copy(dataType = org.apache.spark.sql.types.LongType)
-        else f))
-    val streamed = spark.readStream.schema(rawSchema)
-      .parquet(dir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    // the stream schema must match the PHYSICAL encoding, which the
+    // driver has shipped two ways (TIMESTAMP(NANOS)-as-long under the
+    // session's nanosAsLong posture; TIMESTAMP(MICROS) scanning as NTZ)
+    // — take the raw batch-scan schema verbatim and apply the same
+    // type-branched normalization Tables.events applies
+    val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val streamedRaw = spark.readStream.schema(rawSchema).parquet(dir.toString)
+    val streamed = (rawSchema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        streamedRaw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => streamedRaw.withColumn("ts", $"ts".cast("timestamp"))
+    })
       .filter($"value".isNotNull)
       .withWatermark("ts", "10 days")
       .groupBy(window($"ts", "1 day").as("w"))
