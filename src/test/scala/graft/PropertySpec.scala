@@ -271,4 +271,44 @@ class PropertySpec extends SparkSpecBase {
       assert(thr(minKey) == 10000L)
     }
   }
+
+  test("threshold sweep: tp/fp non-increasing and fn non-decreasing in threshold; " +
+      "counts partition the holdout; best row comes from the sweep") {
+    import spark.implicits._
+    val docGen: Gen[List[(Boolean, Double)]] = Gen.listOfN(40, for {
+      pos <- Gen.oneOf(true, false)
+      s <- Gen.choose(0, 1000).map(_ / 1000.0)
+    } yield (pos, s))
+    for (docs <- cases(docGen, n = 10) if docs.nonEmpty) {
+      val df = docs.map { case (p, s) => ("k", p, s) }
+        .toDF("source", "pos", "q_score")
+      val sweep = graft.text.HashClassifier
+        .thresholdSweep(df, "source", "pos", stepPct = 10)
+      val rows = sweep.collect()
+        .map(r => r.getInt(1) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+        .sortBy(_._1)
+      val nPos = docs.count(_._1).toLong
+      val nNeg = docs.size - nPos
+      rows.foreach { case (_, (tp, fp, fn)) =>
+        assert(tp + fn == nPos, "tp+fn must partition the positives")
+        assert(fp <= nNeg)
+      }
+      // raising the threshold can only shed kept docs
+      rows.sliding(2).foreach {
+        case Array((_, (tp1, fp1, fn1)), (_, (tp2, fp2, fn2))) =>
+          assert(tp2 <= tp1 && fp2 <= fp1 && fn2 >= fn1,
+            s"monotonicity violated: $rows")
+        case _ =>
+      }
+      val best = graft.text.HashClassifier.bestThresholds(sweep, "source")
+        .collect()
+      assert(best.length == 1)
+      val sweepSet = sweep.collect()
+        .map(r => (r.getInt(1), r.getDouble(7))).toSet
+      assert(sweepSet.contains((best.head.getInt(1), best.head.getDouble(7))),
+        "chosen row must exist in the sweep")
+      assert(best.head.getDouble(7) ==
+        sweep.collect().map(_.getDouble(7)).max, "chosen row must be max F1")
+    }
+  }
 }
