@@ -88,5 +88,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "bpe_merge_segment(tokens array<string>) - BPE pieces under the " +
         "default merges table",
       { case Seq(t) => BpeMergeSegment(t, graft.text.Bpe.defaultMerges) })
+    register(ext, "sorted_intersect_count",
+      "sorted_intersect_count(a array<string>, b array<string>) - " +
+        "intersection size of two SORTED string arrays (linear merge; " +
+        "the PPJoin verify primitive)",
+      { case Seq(a, b) => SortedIntersectCount(a, b) })
+    register(ext, "char_hist27",
+      "char_hist27(text string) - 27-bin character histogram (a-z + " +
+        "other), one pass; compute per doc, never per pair",
+      { case Seq(t) => CharHist27(t) })
+    register(ext, "l1_dist",
+      "l1_dist(a array<int>, b array<int>) - element-wise L1 distance " +
+        "(null-free arrays; pairs with char_hist27 as the edit-distance " +
+        "count filter)",
+      { case Seq(a, b) => L1Dist(a, b) })
+    // hash_feature_sum is NOT SQL-registered on purpose: its weight
+    // vector is model state bound at construction (like the BPE merge
+    // tables), but unlike the merges there is no meaningful session
+    // default — models come from HashClassifier.fit. DataFrame API only.
   }
 }

@@ -100,6 +100,20 @@ class GraftExtensionsSpec extends SparkSpecBase {
     assert(r.getSeq[String](1) == Seq("spark", "x", "y", "z"))
   }
 
+  test("dedup verify primitives resolve in SQL: sorted_intersect_count, char_hist27, l1_dist") {
+    val r = extSpark.sql(
+      """SELECT
+        |  sorted_intersect_count(array('a','b','d'), array('b','c','d')) AS ic,
+        |  char_hist27('abba z') AS h,
+        |  l1_dist(char_hist27('abc'), char_hist27('abd')) AS d
+        |""".stripMargin).collect()(0)
+    assert(r.getInt(0) == 2) // {b, d}
+    val h = r.getSeq[Int](1)
+    assert(h.length == 27 && h(0) == 2 && h(1) == 2 && h(25) == 1 &&
+      h(26) == 1) // a=2 b=2 z=1 space=1
+    assert(r.getInt(2) == 2) // c vs d: one char each direction
+  }
+
   test("integer parameters must be literals") {
     val e = intercept[Exception] {
       extSpark.sql("SELECT minhash_sig(array('x'), CAST(rand()*4 AS INT))")
