@@ -171,10 +171,13 @@ object Bench {
     val nFailed = byName.count(!_._3)
     // "slowest": the 15 largest medians as name:[sec, shuffle_mb] — the
     // regression-read digest guaranteed to survive tail truncation even
-    // when the alphabetical per-query map above gets cut
-    val slowest = byName.sortBy(-_._2).take(15).map { case (k, med, _, _) =>
+    // when the alphabetical per-query map above gets cut. Failed queries
+    // carry the same negative-seconds convention as "queries": a
+    // time-to-failure must never read as a slow-but-passing timing.
+    val slowest = byName.sortBy(-_._2).take(15).map { case (k, med, ok, _) =>
       val smb = bytes.shuffle.getOrDefault(k, 0L) / 1048576.0
-      "\"" + k + "\":[" + math.round(med * 100) / 100.0 + "," +
+      val sec = math.round(med * 100) / 100.0
+      "\"" + k + "\":[" + (if (ok) sec else -sec) + "," +
         math.round(smb * 10) / 10.0 + "]"
     }.mkString("{", ",", "}")
     println(

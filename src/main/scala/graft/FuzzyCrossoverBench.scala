@@ -60,14 +60,8 @@ object FuzzyCrossoverBench {
     val cells = repsList.map { reps =>
       val big = (0 until reps).map { r =>
         if (r == 0) docs
-        else {
-          val keyed = transform(tokens(col("text")), (t, i) => struct(
-            md5(concat_ws(":", t, i.cast("string"), lit(r))).as("k"),
-            t.as("t")))
-          docs.select((col("doc_id") + r * 10000000L).as("doc_id"),
-            array_join(transform(array_sort(keyed), x => x("t")), " ")
-              .as("text"))
-        }
+        else docs.select((col("doc_id") + r * 10000000L).as("doc_id"),
+          ScaledFixture.permuteText(col("text"), r).as("text"))
       }.reduce(_ unionAll _)
         // exactly 200 chars each => ONE length band for the whole corpus
         .select(col("doc_id"),

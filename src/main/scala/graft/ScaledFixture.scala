@@ -36,6 +36,21 @@ import org.apache.spark.sql.functions._
 object ScaledFixture {
   private val Off = 100000000L
 
+  /** Replica r's deterministic word permutation of `textCol`: tokens
+    * sorted by md5(tok:pos:r) and re-joined — same vocabulary and Zipf
+    * shape, different shingle sets, so replicas read as MORE corpus, not
+    * as planted duplicates. The ONE definition shared by ScaledFixture,
+    * DedupCrossoverBench and FuzzyCrossoverBench (a drifted copy would
+    * silently make their scale tables incomparable).
+    */
+  def permuteText(textCol: org.apache.spark.sql.Column, r: Int):
+      org.apache.spark.sql.Column = {
+    val keyed = transform(tokens(textCol), (t, i) => struct(
+      md5(concat_ws(":", t, i.cast("string"), lit(r))).as("k"),
+      t.as("t")))
+    array_join(transform(array_sort(keyed), x => x("t")), " ")
+  }
+
   def main(args: Array[String]): Unit = {
     val reps = args.headOption.map(_.toInt).getOrElse(3)
     val src = args.lift(1).getOrElse("/root/testdata/sf0.1")
@@ -74,12 +89,8 @@ object ScaledFixture {
       shiftKeys("l_orderkey", "l_partkey", "l_suppkey")))
     write("events", rep(load("events"))(shiftKeys("event_id", "user_id")))
     write("documents", rep(load("documents")) { (df, r) =>
-      val keyed = transform(tokens(col("text")), (t, i) => struct(
-        md5(concat_ws(":", t, i.cast("string"), lit(r))).as("k"),
-        t.as("t")))
       df.withColumn("doc_id", col("doc_id") + lit(r * Off))
-        .withColumn("text",
-          array_join(transform(array_sort(keyed), x => x("t")), " "))
+        .withColumn("text", permuteText(col("text"), r))
     })
     write("embeddings", rep(load("embeddings")) { (df, r) =>
       df.withColumn("vec_id", col("vec_id") + lit(r * Off))

@@ -885,8 +885,22 @@ object Dedup {
     *    miss probability is negligible, but it is not a proof). Callers
     *    needing the lossless guarantee above the bound should pre-block
     *    themselves and call `editDistanceVerify` directly.
+    *  - Docs with FEWER THAN 3 TOKENS have no 3-shingles and would be
+    *    absolutely invisible to the banding (a hard recall hole, not an
+    *    S-curve one), so the reroute keeps them on the lossless band
+    *    join: the short side probes the WHOLE corpus's ±1 length bands
+    *    via exploded band keys (equi-join, never a theta join), so
+    *    short-short and short-long pairs all survive. Only the
+    *    short-short block is quadratic, and only in the short-doc
+    *    subpopulation — a corpus that is MOSTLY sub-3-token rows is
+    *    below the granularity any shingle blocking can see and needs a
+    *    field-level equality key instead.
     *  - `maxBandPop = 0` disables both the up-front measurement and the
     *    reroute: always the exact length-band join (tests/oracles).
+    *  - When `maxBandPop > 0` the band measurement runs as one narrow
+    *    aggregation job AT CALL TIME (this function is not purely lazy):
+    *    the reroute decision must exist before a plan can. Pass 0 for
+    *    plan-only construction.
     *
     * Returns (ida, idb, dist) with ida < idb, dist ≤ maxDist.
     */
@@ -900,10 +914,27 @@ object Dedup {
         .groupBy("band").count()
         .agg(max("count").as("m")).head()
       val hottest = if (hot.isNullAt(0)) 0L else hot.getLong(0)
-      if (hottest > maxBandPop)
+      if (hottest > maxBandPop) {
+        val nToks = size(tokens(col(textCol)))
+        val lsh = lshCandidates(docs.filter(nToks >= 3), textCol, idCol,
+          n = 3, bands = 16, r = 2)
+        // short side × whole corpus on exploded ±1 band keys: an
+        // equi-join on (band), linear in corpus size + short-pair volume
+        val shortSide = docs.filter(nToks < 3)
+          .select(col(idCol).as("ids"),
+            explode(array(Seq(-1, 0, 1).map(d =>
+              floor(length(col(textCol)) / lit(maxDist + 1)) + lit(d)): _*))
+              .as("bp"))
+        val allSide = docs.select(col(idCol).as("ido"),
+          floor(length(col(textCol)) / lit(maxDist + 1)).as("bo"))
+        val shortCands = shortSide
+          .join(allSide, col("bp") === col("bo") && col("ids") =!= col("ido"))
+          .select(least(col("ids"), col("ido")).as("ida"),
+            greatest(col("ids"), col("ido")).as("idb"))
         return editDistanceVerify(
-          lshCandidates(docs, textCol, idCol, n = 3, bands = 16, r = 2),
+          lsh.unionByName(shortCands).distinct(),
           docs, textCol, idCol, maxDist)
+      }
     }
     // The blocking join carries ONLY (id, len, band, hist) — text never
     // rides the candidate shuffle. hist is the one-pass native charHist27

@@ -88,9 +88,13 @@ object DedupQueries extends QueryPack {
     // length blocking + lossless char-frequency L1 prefilter, verified
     // with the banded threshold DP (Dedup.editDistancePairs). dist cast
     // to long to match DuckDB levenshtein's BIGINT.
+    // maxBandPop = 0 pins the LOSSLESS length-band route: this query's
+    // oracle is the exact join, and a fixture whose hottest band crossed
+    // the default bound would otherwise silently swap algorithms
+    // mid-verify. The guard's reroute is what q_dedup_fuzzy_lsh checks.
     "q_dedup_fuzzy" -> ((s, d) =>
       Dedup.editDistancePairs(Tables.documents(s, d), "text", "doc_id",
-          maxDist = 8)
+          maxDist = 8, maxBandPop = 0)
         .select(col("ida"), col("idb"), col("dist").cast("long").as("dist"))
         .orderBy("ida", "idb")),
 

@@ -361,6 +361,32 @@ class DedupSpec extends SparkSpecBase {
     assert(got == want)
   }
 
+  test("editDistancePairs: sub-3-token docs survive the LSH reroute (no shingle blind spot)") {
+    // 260 two-token docs of identical length — one band, no 3-shingles:
+    // the adversarial shape where pure LSH banding would be ABSOLUTELY
+    // blind (not S-curve-lossy). 10 planted distance-0 duplicates and
+    // one short-vs-long pair within distance 2 must all survive the
+    // guard's reroute.
+    def code(i: Int): String = f"${i % 997}%04d ${(i * 7) % 997}%04d"
+    val corpus = ((0 until 260).map(i => (i.toLong, code(i))) ++
+      (0 until 10).map(i => (1000L + i, code(i))) ++          // exact dups
+      Seq((2000L, code(0) + " x"))                            // short-long
+      ).toDF("doc_id", "body")
+
+    val guarded = Dedup.editDistancePairs(corpus, "body", "doc_id",
+      maxDist = 2, maxBandPop = 50)
+    val exact = Dedup.editDistancePairs(corpus, "body", "doc_id",
+      maxDist = 2, maxBandPop = 0)
+    val got = guarded.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val want = exact.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert((0 until 10).forall(i =>
+      want.contains((i.toLong, 1000L + i, 0))), want)
+    assert(want.contains((0L, 2000L, 2)), "short-long pair missing from exact")
+    assert(got == want, s"reroute lost pairs: ${(want -- got).take(5)}")
+  }
+
   test("editDistancePairs: exact duplicates come back at distance 0") {
     val same = Seq((1L, "identical text"), (2L, "identical text"))
       .toDF("doc_id", "body")

@@ -277,11 +277,14 @@ class PlanSpec extends SparkSpecBase {
       "order-by-limit degraded to a full sort")
     assert(p.contains("EqualTo(l_returnflag,R)"),
       "returnflag filter not pushed to the lineitem scan")
-    // the per-custkey aggregate must sit BELOW the customer join (the
-    // join input is |active customers|, not |returned lineitems|)
-    val aggAt = p.indexOf("HashAggregate")
-    val custJoinAt = p.indexOf("c_custkey")
-    assert(aggAt >= 0 && custJoinAt >= 0, p.take(400))
+    // the per-custkey revenue aggregate must sit BELOW the customer join
+    // (the join input is |active customers|, not |returned lineitems|):
+    // plan strings print top-down, so the deepest HashAggregate must
+    // appear AFTER the first join over c_custkey
+    val custJoinAt = p.indexOf("Join")
+    val aggAt = p.lastIndexOf("HashAggregate")
+    assert(custJoinAt >= 0 && aggAt > custJoinAt,
+      "revenue aggregate must sit under the customer join\n" + p.take(800))
     assert(!p.contains("CartesianProduct"))
   }
 

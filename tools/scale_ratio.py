@@ -28,7 +28,11 @@ def main():
         if s < 0 or b < 0:
             print(f"FAILED in one run: {q} ({s} / {b})")
             continue
-        if s < MIN_SEC:
+        if s < MIN_SEC and b < MIN_SEC * sf * SLACK:
+            # tiny at BOTH scales: fixed overhead dominates the ratio.
+            # A query that explodes from sub-threshold to a real time
+            # (b large) must still be listed — that is the exact shape
+            # this tool hunts.
             tiny += 1
             continue
         rows.append((b / s if s else float("inf"), q, s, b))
