@@ -375,6 +375,46 @@ object JoinQueries extends QueryPack {
         .limit(20)
     }),
 
+    // TPC-H Q14 (promotion effect): the conditional-aggregate-over-join
+    // ratio. part scales with SF, so it gets NO broadcast hint — the
+    // planner picks broadcast at fixture size and reverts to the
+    // partkey shuffle join at scale; the date window pushes into the
+    // lineitem scan, and the ratio is computed in the ONE formula shape
+    // shared with the oracle (100·Σ/Σ — same op order, same rounding).
+    "q_tpch_q14" -> ((s, d) => {
+      val lo = lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00"))
+      val hi = lit(java.sql.Timestamp.valueOf("1997-04-01 00:00:00"))
+      val disc = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+        .join(Tables.part(s, d).select("p_partkey", "p_type"),
+          col("l_partkey") === col("p_partkey"))
+        .agg(round(
+          lit(100.0) * sum(when(col("p_type") === "PROMO", disc)
+            .otherwise(lit(0.0))) / sum(disc), 4).as("promo_revenue"))
+    }),
+
+    // TPC-H Q19 (discounted revenue, disjunctive predicate): the
+    // OR-of-ANDs referencing BOTH join sides. The whole-disjunction
+    // filter can only run above the join, but Catalyst derives the
+    // per-side implications (p_brand IN (...), the l_quantity envelope)
+    // and pushes THOSE into the scans — the plan to check at 100 TB is
+    // that both scans carry pushed partial filters, not bare scans
+    // feeding a fat join.
+    "q_tpch_q19" -> ((s, d) => {
+      def arm(brand: String, szHi: Int, qLo: Int, qHi: Int) =
+        col("p_brand") === brand &&
+          col("p_size").between(1, szHi) &&
+          col("l_quantity") >= qLo && col("l_quantity") <= qHi
+      Tables.lineitem(s, d)
+        .join(Tables.part(s, d).select("p_partkey", "p_brand", "p_size"),
+          col("l_partkey") === col("p_partkey"))
+        .filter(arm("Brand#11", 15, 1, 11) || arm("Brand#12", 25, 10, 20) ||
+          arm("Brand#13", 35, 20, 30))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+    }),
+
     // TPC-H Q13 shape (customer order distribution): the OUTER-join
     // histogram pattern. Written scale-first: instead of left-joining
     // customer to the raw orders fact and aggregating the blow-up
@@ -588,6 +628,24 @@ object JoinQueries extends QueryPack {
         |JOIN nation n ON c.c_nationkey = n.n_nationkey
         |ORDER BY rev.revenue DESC, c.c_custkey
         |LIMIT 20""".stripMargin,
+    "q_tpch_q14" ->
+      """SELECT round(
+        |    100.0 * sum(CASE WHEN p_type = 'PROMO'
+        |                     THEN l_extendedprice * (1 - l_discount)
+        |                     ELSE 0.0 END)
+        |      / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'""".stripMargin,
+    "q_tpch_q19" ->
+      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity >= 1 AND l_quantity <= 11)
+        |   OR (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 25
+        |       AND l_quantity >= 10 AND l_quantity <= 20)
+        |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 35
+        |       AND l_quantity >= 20 AND l_quantity <= 30)""".stripMargin,
     "q_tpch_q21_shape" ->
       """WITH late AS (
         |  SELECT l.l_orderkey, l.l_suppkey

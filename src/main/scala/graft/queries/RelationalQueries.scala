@@ -71,6 +71,21 @@ object RelationalQueries extends QueryPack {
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")),
 
+    // TPC-H Q6 (forecasting revenue change): the pure scan-aggregate
+    // showcase — every predicate (date range, discount band, quantity
+    // cut) must reach the parquet scan as a pushed filter, the aggregate
+    // is one partial+final pass, and NOTHING shuffles but the single
+    // scalar. The 100-TB plan is scan → filter → 2-row exchange.
+    "q_tpch_q6" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(
+          col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+          col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")) &&
+          col("l_discount") >= 0.04 && col("l_discount") <= 0.06 &&
+          col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+          .as("revenue"))),
+
     // E3-E5 extension: calendar decomposition + date arithmetic (year/
     // quarter/month/day, month-shift, month-end) — the rest of the date
     // toolbox the reference's day-bucketing implies.
@@ -240,6 +255,13 @@ object RelationalQueries extends QueryPack {
         |       count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_tpch_q6" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_discount >= 0.04 AND l_discount <= 0.06
+        |  AND l_quantity < 24""".stripMargin,
     "q_date_parts" ->
       """SELECT o_orderkey,
         |  year(o_orderdate) AS y, quarter(o_orderdate) AS q,

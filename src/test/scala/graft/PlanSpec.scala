@@ -288,6 +288,32 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("tpch q6: pure scan-aggregate — every predicate pushed, no join") {
+    val p = plan(q("q_tpch_q6"))
+    assert(!p.contains("Join"), "q6 must not join anything")
+    // the plan string truncates long PushedFilters lists, so assert on
+    // the data-filter node text (same predicates, same placement: below
+    // the aggregate, above the scan)
+    assert(p.contains(">= 1997-01-01 00:00:00") && p.contains("< 24.0"),
+      "date/quantity predicates missing from the scan filters\n" + p.take(800))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      "filters not pushed into the parquet scan")
+    assert(p.contains("HashAggregate"), "aggregate missing")
+  }
+
+  test("tpch q19: per-side implications of the OR-of-ANDs reach both scans") {
+    val p = plan(q("q_tpch_q19"))
+    // the full disjunction references both sides so it evaluates at the
+    // join, but Catalyst derives and pushes the per-side envelopes: the
+    // brand/size disjunction into the part scan, the quantity envelope
+    // into the lineitem scan
+    assert(p.contains("Or(Or(And(EqualTo(p_brand"),
+      "brand/size envelope not pushed to the part scan\n" + p.take(800))
+    assert(p.contains("Or(Or(And(GreaterThanOrEqual(l_quantity"),
+      "quantity envelope not pushed to the lineitem scan\n" + p.take(800))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("tpch q17: brand cut broadcasts; avg joins the cut slice, not lineitem") {
     val p = plan(q("q_tpch_q17"))
     assert(p.contains("BroadcastHashJoin"), "part selection must broadcast")
