@@ -1,7 +1,6 @@
 package graft
 
 import graft.dedup.Dedup
-import graft.text.TextFunctions.tokens
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 

@@ -342,8 +342,12 @@ class StreamingSpec extends SparkSpecBase {
 
   test("a fitted isolation forest scores a stream (same transform, unbounded input)") {
     implicit val sql = spark.sqlContext
-    // fit on a batch of inliers
-    val train = Seq.fill(50)((10.0 + scala.util.Random.nextGaussian(), 5.0))
+    // fit on a batch of inliers — SEEDED draw: the global Random made
+    // the training cloud (and hence the fitted threshold) differ per
+    // run, and an unlucky cloud flagged the inlier (observed as a rare
+    // full-suite flake)
+    val rnd = new scala.util.Random(7)
+    val train = Seq.fill(50)((10.0 + rnd.nextGaussian(), 5.0))
       .toDF("f1", "f2")
     val model = graft.ml.IsolationForest.fit(train, Seq("f1", "f2"), seed = 7L)
     val in = MemoryStream[(Double, Double)]
