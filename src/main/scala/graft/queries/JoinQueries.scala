@@ -415,6 +415,29 @@ object JoinQueries extends QueryPack {
           .as("revenue"))
     }),
 
+    // TPC-H Q15 (top supplier): the aggregate-of-aggregate view pattern.
+    // Per-supplier revenue is ONE partial-aggregating pass over the
+    // date-sliced lineitem; the max is a 1-row aggregate of that result
+    // (not a second fact scan) broadcast back as an equality filter —
+    // equality on the ROUNDED revenue, the same value the oracle
+    // computes, so cross-engine ties resolve identically. Supplier joins
+    // the (tiny) winning slice last.
+    "q_tpch_q15" -> ((s, d) => {
+      val lo = lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00"))
+      val hi = lit(java.sql.Timestamp.valueOf("1997-04-01 00:00:00"))
+      val rev = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+        .groupBy(col("l_suppkey"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("total_revenue"))
+      val top = rev.agg(max("total_revenue").as("mx"))
+      Tables.supplier(s, d).select("s_suppkey", "s_name")
+        .join(rev, col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(top), col("total_revenue") === col("mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    }),
+
     // TPC-H Q13 shape (customer order distribution): the OUTER-join
     // histogram pattern. Written scale-first: instead of left-joining
     // customer to the raw orders fact and aggregating the blow-up
@@ -646,6 +669,19 @@ object JoinQueries extends QueryPack {
         |       AND l_quantity >= 10 AND l_quantity <= 20)
         |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 35
         |       AND l_quantity >= 20 AND l_quantity <= 30)""".stripMargin,
+    "q_tpch_q15" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |         round(sum(l_extendedprice * (1 - l_discount)), 2)
+        |           AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
     "q_tpch_q21_shape" ->
       """WITH late AS (
         |  SELECT l.l_orderkey, l.l_suppkey
