@@ -31,7 +31,7 @@ import org.apache.spark.sql.functions._
   * re-references are free. The extra shuffles carry only (id, shingles) —
   * linear, and negligible next to the evaluation blowup they prevent.
   */
-object Dedup {
+object Dedup extends org.apache.spark.internal.Logging {
 
   /** Exact-duplicate groups under case/whitespace normalization.
     * Returns (fingerprint, canonical_id, n_copies) per group.
@@ -915,24 +915,15 @@ object Dedup {
         .agg(max("count").as("m")).head()
       val hottest = if (hot.isNullAt(0)) 0L else hot.getLong(0)
       if (hottest > maxBandPop) {
-        val nToks = size(tokens(col(textCol)))
-        val lsh = lshCandidates(docs.filter(nToks >= 3), textCol, idCol,
-          n = 3, bands = 16, r = 2)
-        // short side × whole corpus on exploded ±1 band keys: an
-        // equi-join on (band), linear in corpus size + short-pair volume
-        val shortSide = docs.filter(nToks < 3)
-          .select(col(idCol).as("ids"),
-            explode(array(Seq(-1, 0, 1).map(d =>
-              floor(length(col(textCol)) / lit(maxDist + 1)) + lit(d)): _*))
-              .as("bp"))
-        val allSide = docs.select(col(idCol).as("ido"),
-          floor(length(col(textCol)) / lit(maxDist + 1)).as("bo"))
-        val shortCands = shortSide
-          .join(allSide, col("bp") === col("bo") && col("ids") =!= col("ido"))
-          .select(least(col("ids"), col("ido")).as("ida"),
-            greatest(col("ids"), col("ido")).as("idb"))
+        // Loud, because recall semantics change: the length-band route is
+        // lossless, the LSH route follows the banding S-curve. A silent
+        // swap would make a recall change unobservable in production logs.
+        logWarning(s"editDistancePairs: hottest length band holds $hottest " +
+          s"docs (> maxBandPop=$maxBandPop); rerouting candidate generation " +
+          "to MinHash-LSH banding (recall follows the S-curve, t*=0.25). " +
+          "Pass maxBandPop=0 to force the lossless length-band join.")
         return editDistanceVerify(
-          lsh.unionByName(shortCands).distinct(),
+          lshRouteCandidates(docs, textCol, idCol, maxDist),
           docs, textCol, idCol, maxDist)
       }
     }
@@ -961,6 +952,42 @@ object Dedup {
       .select(least(col("ida"), col("idb")).as("ida"),
         greatest(col("ida"), col("idb")).as("idb"))
     verifyWithTexts(cands, docs, textCol, idCol, maxDist)
+  }
+
+  /** Candidate generation for the LSH reroute — the EXACT generator
+    * `editDistancePairs` swaps to above `maxBandPop`, public so queries and
+    * external callers composing the 100-TB route stay bit-consistent with
+    * the reroute instead of re-deriving it:
+    *  - docs with ≥ 3 tokens go through MinHash-LSH banding
+    *    (`lshCandidates(n=3, bands=16, r=2)`, t* = 0.25) — shuffle linear
+    *    in corpus size, bounded by bucket population;
+    *  - docs with < 3 tokens have no 3-shingles and would be INVISIBLE to
+    *    the banding (a hard recall hole, not an S-curve one), so the short
+    *    side probes the whole corpus's ±1 length bands via exploded band
+    *    keys — an equi-join on (band), linear in corpus size plus the
+    *    (short-subpopulation-bounded) pair volume.
+    * Returns distinct (ida, idb) with ida < idb, ready for
+    * `editDistanceVerify`.
+    */
+  def lshRouteCandidates(docs: DataFrame, textCol: String, idCol: String,
+                         maxDist: Int): DataFrame = {
+    val nToks = size(tokens(col(textCol)))
+    val lsh = lshCandidates(docs.filter(nToks >= 3), textCol, idCol,
+      n = 3, bands = 16, r = 2)
+    // short side × whole corpus on exploded ±1 band keys: an
+    // equi-join on (band), linear in corpus size + short-pair volume
+    val shortSide = docs.filter(nToks < 3)
+      .select(col(idCol).as("ids"),
+        explode(array(Seq(-1, 0, 1).map(d =>
+          floor(length(col(textCol)) / lit(maxDist + 1)) + lit(d)): _*))
+          .as("bp"))
+    val allSide = docs.select(col(idCol).as("ido"),
+      floor(length(col(textCol)) / lit(maxDist + 1)).as("bo"))
+    val shortCands = shortSide
+      .join(allSide, col("bp") === col("bo") && col("ids") =!= col("ido"))
+      .select(least(col("ids"), col("ido")).as("ida"),
+        greatest(col("ids"), col("ido")).as("idb"))
+    lsh.unionByName(shortCands).distinct()
   }
 
   /** The 100-TB composition documented at editDistancePairs: verify an

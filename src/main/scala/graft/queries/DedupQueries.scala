@@ -98,19 +98,23 @@ object DedupQueries extends QueryPack {
         .select(col("ida"), col("idb"), col("dist").cast("long").as("dist"))
         .orderBy("ida", "idb")),
 
-    // The 100-TB fuzzy-dedup composition as a first-class query: MinHash
-    // LSH banding generates candidates (linear shuffle, bounded by bucket
-    // population) and editDistanceVerify applies the same length block +
-    // L1 count filter + banded threshold DP. This is exactly the route
-    // editDistancePairs takes when a length band exceeds maxBandPop. The
-    // high-recall banding (16 bands × 2 rows, t* = 0.25) achieves FULL
-    // recall on this fixture — verified by sharing q_dedup_fuzzy's exact
-    // oracle, so a banding miss would show up as a hash mismatch.
+    // The 100-TB fuzzy-dedup composition as a first-class query:
+    // Dedup.lshRouteCandidates — MinHash-LSH banding over >=3-token docs
+    // (linear shuffle, bounded by bucket population) UNIONED with the
+    // lossless ±1-length-band probe for sub-3-token docs (which have no
+    // 3-shingles and would be invisible to banding — the hard recall
+    // hole, closed here exactly as in editDistancePairs' reroute) — then
+    // editDistanceVerify's length block + L1 count filter + banded
+    // threshold DP. This IS the route editDistancePairs takes when a
+    // length band exceeds maxBandPop, via the same shared generator, so
+    // a regenerated fixture with short docs cannot split the two paths.
+    // The high-recall banding (16 bands × 2 rows, t* = 0.25) achieves
+    // FULL recall on this fixture — verified by sharing q_dedup_fuzzy's
+    // exact oracle, so a banding miss would show up as a hash mismatch.
     "q_dedup_fuzzy_lsh" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       Dedup.editDistanceVerify(
-          Dedup.lshCandidates(docs, "text", "doc_id",
-            n = 3, bands = 16, r = 2),
+          Dedup.lshRouteCandidates(docs, "text", "doc_id", maxDist = 8),
           docs, "text", "doc_id", maxDist = 8)
         .select(col("ida"), col("idb"), col("dist").cast("long").as("dist"))
         .orderBy("ida", "idb")

@@ -417,12 +417,20 @@ object JoinQueries extends QueryPack {
 
     // TPC-H Q15 (top supplier): the aggregate-of-aggregate view pattern.
     // Per-supplier revenue is ONE partial-aggregating pass over the
-    // date-sliced lineitem; the max is a 1-row aggregate of that result
-    // (not a second fact scan) broadcast back as an equality filter —
-    // equality on the ROUNDED revenue, the same value the oracle
-    // computes, so cross-engine ties resolve identically. Supplier joins
-    // the (tiny) winning slice last.
+    // date-sliced lineitem — and it is evaluated exactly ONCE: the winner
+    // is the rank-1 slice of that single aggregate (ties kept, matching
+    // the SQL max-equality semantics), not an equality filter against a
+    // separately recomputed max. The two-subtree max+equality form is the
+    // classic Q15 nondeterminism trap — float partial-aggregation order
+    // is not guaranteed identical across two evaluations of the same
+    // subtree, so "rev.total_revenue = max(rev.total_revenue)" can
+    // intermittently return an empty result under AQE/repartitioning.
+    // The global rank window runs on the AGGREGATED per-supplier relation
+    // (|suppliers| narrow rows — dimension cardinality, never the fact),
+    // so its single-partition sort is bounded at any fact scale; the
+    // winning slice (the tie set) then broadcast-joins supplier.
     "q_tpch_q15" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
       val lo = lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00"))
       val hi = lit(java.sql.Timestamp.valueOf("1997-04-01 00:00:00"))
       val rev = Tables.lineitem(s, d)
@@ -430,10 +438,11 @@ object JoinQueries extends QueryPack {
         .groupBy(col("l_suppkey"))
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
           .as("total_revenue"))
-      val top = rev.agg(max("total_revenue").as("mx"))
+      val top = rev
+        .withColumn("__rk", rank().over(Window.orderBy(col("total_revenue").desc)))
+        .filter(col("__rk") === 1).drop("__rk")
       Tables.supplier(s, d).select("s_suppkey", "s_name")
-        .join(rev, col("s_suppkey") === col("l_suppkey"))
-        .join(broadcast(top), col("total_revenue") === col("mx"))
+        .join(broadcast(top), col("s_suppkey") === col("l_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     }),

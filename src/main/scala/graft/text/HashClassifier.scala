@@ -132,7 +132,13 @@ object HashClassifier {
       s"stepPct must be in [1, 99], got $stepPct")
     val grid = (stepPct until 100 by stepPct).toArray
     val keep = col("__s") >= col("thr_pct").cast("double") / lit(100.0)
+    // Null labels/scores are EXCLUDED up front: a null in either column
+    // would fall through every when() to otherwise(0) in tp, fp, AND fn
+    // alike, silently breaking the tp+fn = |positives| partition the
+    // sweep's consumers (and PropertySpec) rely on. Excluding the row
+    // keeps the invariant exact over the labeled-and-scored population.
     scored
+      .filter(col(labelCol).isNotNull && col(scoreCol).isNotNull)
       .select(col(keyCol), col(labelCol).as("__pos"),
         col(scoreCol).as("__s"))
       .withColumn("thr_pct", explode(lit(grid)))

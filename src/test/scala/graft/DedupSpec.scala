@@ -387,6 +387,27 @@ class DedupSpec extends SparkSpecBase {
     assert(got == want, s"reroute lost pairs: ${(want -- got).take(5)}")
   }
 
+  test("lshRouteCandidates (the q_dedup_fuzzy_lsh generator) covers sub-3-token docs") {
+    // The query-facing generator must be the SAME one the reroute uses:
+    // a fixture regenerated with short docs would otherwise silently
+    // split q_dedup_fuzzy_lsh (pure banding, blind to <3-token docs)
+    // from its lossless oracle. Verify through the full verify tail.
+    val corpus = Seq(
+      (1L, "ab cd"), (2L, "ab ce"),                       // short-short, dist 1
+      (3L, "one two three four five"), (4L, "one two three four fivx"),
+      (5L, "zq pr")                                       // short, no partner
+    ).toDF("doc_id", "body")
+    val got = Dedup.editDistanceVerify(
+        Dedup.lshRouteCandidates(corpus, "body", "doc_id", maxDist = 2),
+        corpus, "body", "doc_id", maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val exact = Dedup.editDistancePairs(corpus, "body", "doc_id",
+        maxDist = 2, maxBandPop = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(exact.contains((1L, 2L, 1)), exact)
+    assert(got == exact, s"route lost pairs: ${exact -- got}")
+  }
+
   test("editDistancePairs: exact duplicates come back at distance 0") {
     val same = Seq((1L, "identical text"), (2L, "identical text"))
       .toDF("doc_id", "body")

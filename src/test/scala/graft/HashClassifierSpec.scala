@@ -103,6 +103,26 @@ class HashClassifierSpec extends SparkSpecBase {
     assert(t20.getDouble(0) == 0.5 && t20.getDouble(1) == 1.0)
   }
 
+  test("thresholdSweep excludes null labels/scores, keeping tp+fn = |positives|") {
+    // nulls in either column previously fell to otherwise(0) in tp, fp,
+    // AND fn alike — silently breaking the confusion partition. They are
+    // now excluded rows: counts must equal the all-non-null fixture's.
+    val withNulls = calib.unionByName(Seq(
+      ("web", null.asInstanceOf[java.lang.Boolean], java.lang.Double.valueOf(0.9)),
+      ("web", java.lang.Boolean.TRUE, null.asInstanceOf[java.lang.Double])
+    ).toDF("source", "pos", "q_score"))
+    val sweep = HashClassifier.thresholdSweep(withNulls, "source", "pos",
+      stepPct = 20)
+    val rows = sweep.collect().map(r => r.getInt(1) ->
+      (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // identical to the clean fixture: 2 positives, 2 negatives
+    assert(rows(40) == ((2L, 1L, 0L)))
+    assert(rows(60) == ((1L, 1L, 1L)))
+    rows.values.foreach { case (tp, _, fn) =>
+      assert(tp + fn == 2L, s"tp+fn must partition the non-null positives: $rows")
+    }
+  }
+
   test("bestThresholds picks max F1, ties toward the lowest threshold") {
     val sweep = HashClassifier.thresholdSweep(calib, "source", "pos",
       stepPct = 20)

@@ -279,13 +279,39 @@ class PlanSpec extends SparkSpecBase {
       "returnflag filter not pushed to the lineitem scan")
     // the per-custkey revenue aggregate must sit BELOW the customer join
     // (the join input is |active customers|, not |returned lineitems|):
-    // plan strings print top-down, so the deepest HashAggregate must
-    // appear AFTER the first join over c_custkey
-    val custJoinAt = p.indexOf("Join")
-    val aggAt = p.lastIndexOf("HashAggregate")
-    assert(custJoinAt >= 0 && aggAt > custJoinAt,
-      "revenue aggregate must sit under the customer join\n" + p.take(800))
+    // plan strings print top-down, so the aggregate GROUPING ON o_custkey
+    // must appear after the join node whose condition mentions c_custkey.
+    // Anchored to the condition/grouping text — a generic Join/
+    // HashAggregate index pair could match the nation broadcast join and
+    // the final group-by and pass even with the aggregate hoisted.
+    val custJoinAt = "(?m)^.*Join.*c_custkey.*$".r
+      .findFirstMatchIn(p).map(_.start).getOrElse(-1)
+    val aggAt = "(?m)^.*HashAggregate.*keys=\\[o_custkey.*$".r
+      .findAllMatchIn(p).toSeq.lastOption.map(_.start).getOrElse(-1)
+    assert(custJoinAt >= 0, "no join on c_custkey found\n" + p.take(800))
+    assert(aggAt > custJoinAt,
+      "revenue aggregate (keys=[o_custkey]) must sit under the customer join\n" +
+        p.take(800))
     assert(!p.contains("CartesianProduct"))
+  }
+
+  test("tpch q15: per-supplier revenue is computed once — a single lineitem scan") {
+    val p = plan(q("q_tpch_q15"))
+    // The rank-1 formulation evaluates the rev aggregate exactly once, so
+    // the physical plan must contain exactly TWO parquet scans total
+    // (lineitem + supplier). A second lineitem scan would mean the
+    // aggregate subtree got duplicated again (the max+equality shape this
+    // query was rewritten away from — nondeterministic AND double-cost).
+    val scans = "(?m)^.*(FileScan|Scan) parquet.*$".r.findAllIn(p).length
+    assert(scans == 2, s"expected 2 parquet scans (lineitem+supplier), got $scans\n" +
+      p.take(1200))
+    // the date slice still reaches the lineitem scan
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"),
+      "ship-date filter not pushed to the lineitem scan")
+    // winner slice broadcast back to supplier; the window runs on the
+    // aggregated per-supplier relation, not the fact
+    assert(p.contains("BroadcastHashJoin"), "winning slice must broadcast")
+    assert(p.contains("Window"), "rank-1 window missing")
   }
 
   test("tpch q6: pure scan-aggregate — every predicate pushed, no join") {
