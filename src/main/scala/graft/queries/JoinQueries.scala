@@ -504,6 +504,169 @@ object JoinQueries extends QueryPack {
         .filter(col("l_quantity") < col("qcut"))
         .agg(round(sum(col("l_extendedprice").cast("decimal(18,2)"))
           .cast("double") / 7.0, 2).as("avg_yearly"))
+    }),
+
+    // TPC-H Q2 shape (min-cost supplier): correlated MIN over a region-cut
+    // subtree — Q15's sibling, but the MIN is PER PART and the subtree is
+    // a join tree, not a bare aggregate. The fixture has no partsupp, so
+    // the supply relation derives once from lineitem (min unit price per
+    // (part, supplier) offer, rounded to 2dp BEFORE the min so the winning
+    // cost is the same bit pattern in both engines). The plan to check at
+    // 100 TB: the EUROPE cut broadcasts INTO the supply subtree (out-of-
+    // region suppliers never reach the aggregation), the part cut
+    // semi-filters offers BEFORE the per-part ranking, and the winner is
+    // the rank-1 slice of ONE evaluation of the subtree (ties kept —
+    // the Q15 determinism posture; the oracle decorrelates the textbook
+    // way instead, via the correlated scalar subquery).
+    "q_tpch_q2_shape" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val eu = broadcast(Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)
+          .join(broadcast(Tables.region(s, d).filter(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name")))
+      val cut = Tables.part(s, d)
+        .filter(col("p_type") === "ECONOMY" && col("p_size") < 15)
+        .select(col("p_partkey"), col("p_name"))
+      val offers = Tables.lineitem(s, d)
+        .join(broadcast(cut.select("p_partkey")),
+          col("l_partkey") === col("p_partkey"), "left_semi")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(round(col("l_extendedprice") / col("l_quantity"), 2))
+          .as("min_cost"))
+        .join(eu, col("l_suppkey") === col("s_suppkey"))
+      offers
+        .withColumn("__rk", rank().over(
+          Window.partitionBy(col("l_partkey")).orderBy(col("min_cost"))))
+        .filter(col("__rk") === 1)
+        .join(broadcast(cut), col("l_partkey") === col("p_partkey"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_name"), col("min_cost"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+        .limit(100)
+    }),
+
+    // TPC-H Q9 shape (product-type profit): LIKE-filtered part against a
+    // multi-fact profit join — the test here is fact-fact SHUFFLE ORDER.
+    // The broadcast part slice cuts lineitem FIRST (the '%red%' cut drops
+    // ~7/8 of the fact before anything wide exists) and only the reduced
+    // stream shuffles against orders; supplier/nation ride broadcasts.
+    // No partsupp in the fixture, so supply cost is the part's retail
+    // price, riding the same broadcast join Q9 uses for ps_supplycost:
+    // amount = l_extendedprice·(1−l_discount) − p_retailprice·l_quantity/10.
+    "q_tpch_q9_shape" -> ((s, d) => {
+      val red = broadcast(Tables.part(s, d)
+        .filter(col("p_name").like("%red%"))
+        .select(col("p_partkey"), col("p_retailprice")))
+      val amount = col("l_extendedprice") * (lit(1) - col("l_discount")) -
+        col("p_retailprice") * col("l_quantity") / lit(10)
+      Tables.lineitem(s, d)
+        .join(red, col("l_partkey") === col("p_partkey"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d).select("n_nationkey", "n_name")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast("int").as("o_year"))
+        .agg(round(sum(amount), 2).as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+
+    // TPC-H Q11 shape (important stock): per-part value vs a FRACTION of
+    // the global total — Q15's sibling with a 1-row global aggregate
+    // broadcast back as a NON-EQUI filter. Sums run in DECIMAL(18,2) so
+    // per-part values and the global total are exact and order-
+    // independent (no float partial-agg drift on the HAVING boundary —
+    // q17's fp-parity argument), and the threshold compare is
+    // value·10000 > total: pure decimal math, no double enters the
+    // predicate. The nation cut semi-broadcasts into the fact scan; the
+    // 1-row total rides an explicit broadcast crossJoin (the LmScore
+    // posture — by hint, not AQE courtesy).
+    "q_tpch_q11_shape" -> ((s, d) => {
+      val supN = broadcast(Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d).filter(col("n_name") === "NATION_5")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey")))
+      val vals = Tables.lineitem(s, d)
+        .join(supN, col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("value"))
+      val tot = vals.agg(sum(col("value")).as("__tot"))
+      vals.crossJoin(broadcast(tot))
+        .filter(col("value") * lit(10000) > col("__tot"))
+        .select(col("l_partkey").as("partkey"),
+          round(col("value").cast("double"), 2).as("value"))
+        .orderBy(col("value").desc, col("partkey"))
+    }),
+
+    // TPC-H Q20 shape (qualified suppliers): NESTED semi-joins — the
+    // supplier semi consumes a subquery that is ITSELF semi-filtered by
+    // the part LIKE cut, with a correlated per-part volume threshold in
+    // between. Neither inner relation materializes: the 'blue%' slice
+    // broadcasts as a semi into the date-cut lineitem scan, the
+    // per-(part,supplier) and per-part totals are two keyed aggregations
+    // over that ONE reduced stream (agg-of-agg), and qualifying supplier
+    // ids flow straight into supplier's left-semi. l_quantity is
+    // integer-valued ⇒ sums exact in double; 2·q > tot cannot drift.
+    "q_tpch_q20_shape" -> ((s, d) => {
+      val lo = lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00"))
+      val hi = lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00"))
+      val blue = Tables.part(s, d).filter(col("p_name").like("blue%"))
+        .select(col("p_partkey"))
+      val shipped = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+        .join(broadcast(blue), col("l_partkey") === col("p_partkey"), "left_semi")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("l_quantity")).as("qty"))
+      val perPart = shipped.groupBy(col("l_partkey"))
+        .agg(sum(col("qty")).as("part_qty"))
+        .select(col("l_partkey").as("__pk"), col("part_qty"))
+      val qualified = shipped
+        .join(perPart, col("l_partkey") === col("__pk"))
+        .filter(col("qty") * 2 > col("part_qty"))
+        .select(col("l_suppkey"))
+      Tables.supplier(s, d)
+        .filter(col("s_nationkey") === 7)
+        .join(qualified, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // TPC-H Q22 shape (global sales opportunity): substring cut +
+    // scalar-average filter + anti-join. The "country code" analog is the
+    // last digit of c_name (no phone column in the fixture); the
+    // positive-balance average arrives as a 1-row broadcast, and the
+    // comparison is acctbal·n > total — both sides exact DECIMAL × COUNT
+    // math, so the boundary cannot drift between engines the way a float
+    // average could. The anti-join is against RECENT orders (every
+    // fixture customer has some order, so the classic any-order NOT
+    // EXISTS would be vacuous; "no order since 2000" keeps the same
+    // shape with a date residual that pushes into the orders scan). At
+    // 100 TB orders shuffles once on o_custkey and the probe side is a
+    // fraction of customers.
+    "q_tpch_q22_shape" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+        .withColumn("cntrycode", substring(col("c_name"), -1, 1))
+        .filter(col("cntrycode").isin("1", "3", "5", "7", "9"))
+      val bal = cust.filter(col("c_acctbal") > 0)
+        .agg(sum(col("c_acctbal").cast("decimal(18,2)")).as("__tot"),
+          count(lit(1)).as("__n"))
+      val recent = Tables.orders(s, d)
+        .filter(col("o_orderdate") >=
+          lit(java.sql.Timestamp.valueOf("2000-01-01 00:00:00")))
+        .select(col("o_custkey"))
+      cust.crossJoin(broadcast(bal))
+        .filter(col("c_acctbal").cast("decimal(18,2)") * col("__n") > col("__tot"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("cntrycode"))
+        .agg(count(lit(1)).as("numcust"),
+          round(sum(col("c_acctbal").cast("decimal(18,2)")).cast("double"), 2)
+            .as("totacctbal"))
+        .orderBy(col("cntrycode"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -730,6 +893,97 @@ object JoinQueries extends QueryPack {
         |  GROUP BY c_custkey) c_orders
         |GROUP BY c_count
         |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    // independent decorrelation on purpose: the oracle keeps the textbook
+    // correlated scalar-MIN subquery; the Spark side ranks ONE evaluation
+    // of the supply subtree
+    "q_tpch_q2_shape" ->
+      """WITH offers AS (
+        |  SELECT l_partkey, l_suppkey,
+        |         min(round(l_extendedprice / l_quantity, 2)) AS min_cost
+        |  FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part
+        |                      WHERE p_type = 'ECONOMY' AND p_size < 15)
+        |  GROUP BY l_partkey, l_suppkey),
+        |eu AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE')
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_name, min_cost
+        |FROM part p
+        |JOIN offers o ON o.l_partkey = p.p_partkey
+        |JOIN eu ON o.l_suppkey = eu.s_suppkey
+        |WHERE p.p_type = 'ECONOMY' AND p.p_size < 15
+        |  AND o.min_cost = (SELECT min(o2.min_cost)
+        |                    FROM offers o2
+        |                    JOIN eu e2 ON o2.l_suppkey = e2.s_suppkey
+        |                    WHERE o2.l_partkey = p.p_partkey)
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+    "q_tpch_q9_shape" ->
+      """SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+        |FROM (
+        |  SELECT n_name AS nation, year(o_orderdate)::INT AS o_year,
+        |         l_extendedprice * (1 - l_discount)
+        |           - p_retailprice * l_quantity / 10 AS amount
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE p_name LIKE '%red%')
+        |GROUP BY nation, o_year
+        |ORDER BY nation, o_year DESC""".stripMargin,
+    "q_tpch_q11_shape" ->
+      """WITH vals AS (
+        |  SELECT l_partkey AS partkey,
+        |         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS v
+        |  FROM lineitem
+        |  WHERE l_suppkey IN (
+        |    SELECT s_suppkey FROM supplier
+        |    JOIN nation ON s_nationkey = n_nationkey
+        |    WHERE n_name = 'NATION_5')
+        |  GROUP BY l_partkey)
+        |SELECT partkey, round(CAST(v AS DOUBLE), 2) AS value
+        |FROM vals
+        |WHERE v * 10000 > (SELECT sum(v) FROM vals)
+        |ORDER BY value DESC, partkey""".stripMargin,
+    "q_tpch_q20_shape" ->
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_nationkey = 7
+        |  AND s_suppkey IN (
+        |    SELECT l_suppkey FROM lineitem l1
+        |    WHERE l_partkey IN (SELECT p_partkey FROM part
+        |                        WHERE p_name LIKE 'blue%')
+        |      AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |    GROUP BY l_partkey, l_suppkey
+        |    HAVING 2 * sum(l_quantity) > (
+        |      SELECT sum(l2.l_quantity) FROM lineitem l2
+        |      WHERE l2.l_partkey = l1.l_partkey
+        |        AND l2.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |        AND l2.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'))
+        |ORDER BY s_suppkey""".stripMargin,
+    "q_tpch_q22_shape" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, c_acctbal,
+        |         substr(c_name, length(c_name), 1) AS cntrycode
+        |  FROM customer
+        |  WHERE substr(c_name, length(c_name), 1) IN ('1','3','5','7','9'))
+        |SELECT cntrycode, count(*) AS numcust,
+        |       round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |         AS totacctbal
+        |FROM cust c
+        |WHERE CAST(c_acctbal AS DECIMAL(18,2))
+        |        * (SELECT count(*) FROM cust WHERE c_acctbal > 0)
+        |      > (SELECT sum(CAST(c_acctbal AS DECIMAL(18,2)))
+        |         FROM cust WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c.c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        |GROUP BY cntrycode
+        |ORDER BY cntrycode""".stripMargin,
     "q_tpch_q17" ->
       """SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 2) AS avg_yearly
         |FROM lineitem JOIN part ON p_partkey = l_partkey

@@ -314,6 +314,67 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("Window"), "rank-1 window missing")
   }
 
+  test("tpch q2: per-part rank window, region cut broadcast, top-100 is TakeOrdered") {
+    val p = plan(q("q_tpch_q2_shape"))
+    // the correlated MIN decorrelates to ONE evaluation ranked per part —
+    // the window must be KEYED on l_partkey, not a global sort
+    assert("(?m)^.*Window.*l_partkey".r.findFirstIn(p).nonEmpty,
+      "rank window must partition by l_partkey\n" + p.take(1200))
+    // part cut semi-filters the fact before aggregation; dims broadcast
+    assert(p.contains("LeftSemi"), "part cut must be a semi-join")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3, p.take(1200))
+    assert(p.contains("TakeOrderedAndProject"),
+      "order-by-limit degraded to a full sort")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("tpch q9: part LIKE cut reduces lineitem BELOW the orders shuffle") {
+    val p = plan(q("q_tpch_q9_shape"))
+    // the '%red%' contains-filter reaches the part parquet scan
+    assert(p.contains("StringContains(p_name,red)"),
+      "LIKE cut not pushed to the part scan\n" + p.take(1200))
+    // fact-fact shuffle order: the broadcast part join must sit UNDER the
+    // orders join (plan strings print top-down, so the o_orderkey join
+    // line appears BEFORE the p_partkey broadcast join line) — the cut
+    // fact shuffles against orders, never the full lineitem
+    val ordersJoinAt = "(?m)^.*Join.*o_orderkey.*$".r
+      .findFirstMatchIn(p).map(_.start).getOrElse(-1)
+    val partJoinAt = "(?m)^.*BroadcastHashJoin.*p_partkey.*$".r
+      .findFirstMatchIn(p).map(_.start).getOrElse(-1)
+    assert(ordersJoinAt >= 0 && partJoinAt > ordersJoinAt,
+      "part broadcast cut must apply below the orders join\n" + p.take(1500))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("tpch q11: nation semi below the agg; 1-row total joins by broadcast NLJ") {
+    val p = plan(q("q_tpch_q11_shape"))
+    assert(p.contains("LeftSemi"), "nation cut must be a semi-join")
+    // the non-equi HAVING threshold runs as a broadcast nested-loop join
+    // against the 1-row global total — never a cartesian product
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "global-total threshold must be a broadcast NLJ\n" + p.take(1200))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("tpch q20: nested semi-joins, date window pushed to the lineitem scan") {
+    val p = plan(q("q_tpch_q20_shape"))
+    assert("LeftSemi".r.findAllIn(p).length >= 2,
+      "expected the part semi AND the supplier semi\n" + p.take(1200))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"),
+      "ship-date window not pushed to the lineitem scan")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("tpch q22: anti-join against date-cut orders; scalar filter is broadcast") {
+    val p = plan(q("q_tpch_q22_shape"))
+    assert(p.contains("LeftAnti"), "dormant-customer check must be anti-join")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "1-row balance aggregate must broadcast\n" + p.take(1200))
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      "recency cut not pushed to the orders scan")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("tpch q6: pure scan-aggregate — every predicate pushed, no join") {
     val p = plan(q("q_tpch_q6"))
     assert(!p.contains("Join"), "q6 must not join anything")
