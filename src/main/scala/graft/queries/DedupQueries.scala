@@ -333,6 +333,48 @@ object DedupQueries extends QueryPack {
         .orderBy("source")
     }),
 
+    // The funnel with its quality cut DRIVEN BY CALIBRATION instead of a
+    // constant: bestThresholds' per-source operating points — swept on
+    // the hash-split 20% eval slice of the EXTRACTED corpus with
+    // qualityScore as the score and the planted doc_id%3 label —
+    // broadcast-join the survivor stream, and the keep filter becomes
+    // quality >= thr_pct/100 with a 0.4 fallback for any source absent
+    // from the calibration table (left join + coalesce, so a regenerated
+    // fixture can never empty a source silently). The eval slice is the
+    // id-HASH split, not doc_id%5: fixture sources are doc_id%20, so a
+    // modulus split would cover only 4 of 20 sources. Same funnel shape
+    // as q_corpus_funnel; the constant is gone — the operating-point
+    // step drives the pipeline it was built for.
+    "q_corpus_funnel_calibrated" -> ((s, d) => {
+      import graft.text.TextFunctions._
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          graft.text.Curation.extractMainText(TextQueries.plantedHtml)
+            .as("text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val holdout = graft.sampling.Sampling
+        .trainEvalSplit(docs, "doc_id", 0.2)._2
+      val calib = holdout.select(col("source"),
+        (col("doc_id") % 3 === 0).as("pos"),
+        qualityScore(col("text")).as("q_score"))
+      val thr = graft.text.HashClassifier.bestThresholds(
+          graft.text.HashClassifier.thresholdSweep(calib, "source", "pos"),
+          "source")
+        .select(col("source").as("__src"), col("thr_pct"))
+      val pairs = Dedup.minhashLshPairs(docs, "text", "doc_id",
+        threshold = 0.7)
+      val kept = graft.dedup.Components
+        .cleanCorpus(docs, pairs.select("ida", "idb"), "doc_id")
+        .filter(langIdHeuristic(col("text")) === "en")
+        .join(broadcast(thr), col("source") === col("__src"), "left")
+        .filter(qualityScore(col("text")) >=
+          coalesce(col("thr_pct").cast("double") / lit(100.0), lit(0.4)))
+      graft.sampling.Sampling.deterministicSample(kept, "doc_id", 0.5)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("source")
+    }),
+
     // Quality-aware dedup: per near-dup cluster keep the LONGEST member
     // (token count, ties to lower id) instead of the min-id one —
     // Components.cleanCorpusBest with a token-count score. Survivor set
@@ -883,6 +925,65 @@ object DedupQueries extends QueryPack {
         |  SELECT doc_id, source FROM q
         |  WHERE quality >= 0.4
         |    AND ('0x' || substr(md5('graft:' || doc_id::VARCHAR), 1, 8))::BIGINT % 10000 < 5000)
+        |SELECT source, count(*) AS n_docs FROM sampled
+        |GROUP BY source ORDER BY source""".stripMargin,
+    // same funnel chain, but the quality constant is replaced by the
+    // per-source max-F1 operating point swept on the hash-split eval
+    // slice (qualityScore as score, doc_id%3 label, grid 5..95 by 5,
+    // ties toward the lowest threshold) with coalesce(thr/100, 0.4)
+    "q_corpus_funnel_calibrated" ->
+      s"""WITH RECURSIVE xdocs AS (
+        |${TextQueries.extractedDocsSql}
+        |), ${clusterBody("xdocs")},
+        |calt AS (
+        |  SELECT doc_id, source, text, $tokensSql AS w FROM xdocs
+        |  WHERE ('0x' || substr(md5('graft-split:' || doc_id::VARCHAR), 1, 8))::BIGINT % 10000 < 2000),
+        |cal AS (
+        |  SELECT source, (doc_id % 3 = 0) AS pos,
+        |    round(least(len(w)::DOUBLE / 100.0, 1.0) * 0.5
+        |     + (1.0 - least(round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
+        |           / greatest(length(text), 1), 6) * 10.0, 1.0)) * 0.2
+        |     + least(len(list_filter(w, x -> x IN ('the','and','of','to','a','in')))::DOUBLE / 5.0, 1.0) * 0.3, 6) AS s
+        |  FROM calt),
+        |sweep AS (
+        |  SELECT source, g.thr_pct::INT AS thr_pct,
+        |    sum(CASE WHEN pos AND s >= g.thr_pct / 100.0 THEN 1 ELSE 0 END)::BIGINT AS tp,
+        |    sum(CASE WHEN NOT pos AND s >= g.thr_pct / 100.0 THEN 1 ELSE 0 END)::BIGINT AS fp,
+        |    sum(CASE WHEN pos AND NOT (s >= g.thr_pct / 100.0) THEN 1 ELSE 0 END)::BIGINT AS fn
+        |  FROM cal, generate_series(5, 95, 5) AS g(thr_pct)
+        |  GROUP BY source, g.thr_pct),
+        |f AS (SELECT source, thr_pct,
+        |    round(2 * tp / greatest(2 * tp + fp + fn, 1), 6) AS f1 FROM sweep),
+        |best AS (SELECT source, max(f1) AS bf FROM f GROUP BY source),
+        |chosen AS (
+        |  SELECT f.source, min(f.thr_pct) AS thr FROM f
+        |  JOIN best ON f.source = best.source AND f.f1 = best.bf
+        |  GROUP BY f.source),
+        |kept AS (
+        |  SELECT doc_id, source, text, $tokensSql AS w FROM xdocs
+        |  WHERE doc_id NOT IN (SELECT id FROM cc WHERE id <> component)),
+        |lang_ok AS (
+        |  SELECT doc_id, source, text, w,
+        |    len(list_filter(w, x -> x IN ('the','and','of','to','a','in'))) AS en_hits,
+        |    len(list_filter(w, x -> x IN ('le','la','et','les','des','un'))) AS fr_hits,
+        |    len(list_filter(w, x -> x IN ('el','los','que','y','de','un'))) AS es_hits,
+        |    len(list_filter(w, x -> x IN ('der','die','und','das','ein','zu'))) AS de_hits
+        |  FROM kept),
+        |en_docs AS (
+        |  SELECT doc_id, source, text, w, en_hits FROM lang_ok
+        |  WHERE en_hits > 0 AND en_hits >= greatest(fr_hits, es_hits, de_hits)),
+        |q AS (
+        |  SELECT doc_id, source,
+        |    round(least(len(w)::DOUBLE / 100.0, 1.0) * 0.5
+        |     + (1.0 - least(round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
+        |           / greatest(length(text), 1), 6) * 10.0, 1.0)) * 0.2
+        |     + least(en_hits::DOUBLE / 5.0, 1.0) * 0.3, 6) AS quality
+        |  FROM en_docs),
+        |sampled AS (
+        |  SELECT q.doc_id, q.source FROM q
+        |  LEFT JOIN chosen ch ON q.source = ch.source
+        |  WHERE q.quality >= coalesce(ch.thr / 100.0, 0.4)
+        |    AND ('0x' || substr(md5('graft:' || q.doc_id::VARCHAR), 1, 8))::BIGINT % 10000 < 5000)
         |SELECT source, count(*) AS n_docs FROM sampled
         |GROUP BY source ORDER BY source""".stripMargin,
     "q_dedup_fuzzy" -> fuzzyOracleSql,

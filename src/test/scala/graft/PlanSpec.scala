@@ -585,6 +585,21 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("calibrated funnel: threshold table joins by broadcast, cache boundary holds") {
+    val df = q("q_corpus_funnel_calibrated")
+    try {
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      // the per-source operating-point table is tiny (|sources| rows) —
+      // it must arrive as a broadcast outer join, never a shuffle
+      assert("(?m)^.*BroadcastHashJoin.*LeftOuter.*$".r.findFirstIn(p).nonEmpty,
+        "calibration thresholds must broadcast-left-join the survivors\n" +
+          p.take(1500))
+      assert(p.contains("InMemoryTableScan"),
+        "extraction boundary lost — branches recompute the chain")
+    } finally spark.sharedState.cacheManager.clearCache()
+  }
+
   test("corpus funnel runs HTML extraction once behind the cache boundary") {
     // Without the materialization boundary, predicate pushdown inlines
     // the extraction chain into the langid/quality filters (~16 copies,
