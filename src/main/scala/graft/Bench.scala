@@ -142,8 +142,11 @@ object Bench {
     // chars of stdout, so "queries" (per-query median seconds) goes LAST —
     // r6/r7 snapshots ended in the shuffle_mb map instead and their tails
     // were indistinguishable, which misled the judge's regression read
+    // n_queries/n_failed ride the full line too (not just the compact
+    // summary) so bench_history.jsonl lines are self-describing — cross-
+    // round trend mining must not need the BENCH_r0N snapshot files
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","bench_rev":$benchRev,"failed":$failed,"passes":$allPasses,"shuffle_mb":${mb(bytes.shuffle)},"sf":"$sfDir","queries":$qs}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","bench_rev":$benchRev,"n_queries":${byName.size},"n_failed":${byName.count(!_._3)},"failed":$failed,"passes":$allPasses,"shuffle_mb":${mb(bytes.shuffle)},"sf":"$sfDir","queries":$qs}"""
     println(line)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
