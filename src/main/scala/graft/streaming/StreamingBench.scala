@@ -1,0 +1,101 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+/** Scored-day row fed to streamAlerts (top-level so Spark codegen sees a
+  * static constructor — nested case classes carry an outer pointer that
+  * breaks the generated encoder).
+  */
+case class BenchScoredDay(dt: Timestamp, avg_gpu_util: Double,
+                          anomaly_score: Double, anomaly_flag: Int)
+
+/** Throughput/latency measurement for the streaming operators — the
+  * committed numbers VERDICT r8 asked for (streaming had parity and
+  * idempotence specs but no performance evidence).
+  *
+  * Methodology: MemoryStream sources driven in fixed-size triggers
+  * (addData + processAllAvailable per trigger = one micro-batch), wall
+  * time measured around each trigger, each operator at TWO input rates so
+  * the per-trigger fixed cost separates from the per-row cost. Inputs are
+  * the sf0.1 documents fixture (real text, real skew) for streamNearDups
+  * and deterministic synthetic scored-day rows for streamAlerts (the
+  * alert path's input is a tiny scored aggregate in production — the
+  * bench feeds it orders of magnitude more days than a real stream
+  * would to expose the per-epoch ledger/anti-join cost).
+  *
+  * streamNearDups' per-trigger cost GROWS with corpus history (each batch
+  * probes the accumulated band index) — the first/last trigger split in
+  * the output shows that slope; rows/s is the whole-run average. All
+  * state lives in lake dirs (temp dirs here), so rates are isolated by
+  * using fresh dirs per run.
+  */
+object StreamingBench {
+  private def timeTriggers[T](chunks: Iterator[Seq[T]],
+                              feed: Seq[T] => Unit): Seq[Double] =
+    chunks.map { c =>
+      val t0 = System.nanoTime()
+      feed(c)
+      (System.nanoTime() - t0) / 1e9
+    }.toSeq
+
+  private def report(op: String, rowsPerTrigger: Int,
+                     trig: Seq[Double], rows: Long): Unit = {
+    val total = trig.sum
+    println(f"""{"op":"$op","rows_per_trigger":$rowsPerTrigger,"triggers":${trig.size},"rows":$rows,"total_sec":$total%.3f,"rows_per_sec":${rows / total}%.0f,"mean_trigger_sec":${total / trig.size}%.3f,"max_trigger_sec":${trig.max}%.3f,"first_trigger_sec":${trig.head}%.3f,"last_trigger_sec":${trig.last}%.3f}""")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark: SparkSession = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // ---- streamNearDups over the real documents fixture ----
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    for (rate <- Seq(250, 1000)) {
+      val root = Files.createTempDirectory(s"sb_dedup_$rate").toString
+      val in = MemoryStream[(Long, String)]
+      val q = StreamingTelemetry.streamNearDups(
+        in.toDF().toDF("doc_id", "text"),
+        s"$root/corpus", s"$root/index", s"$root/pairs", s"$root/ckpt")
+      try {
+        val trig = timeTriggers[(Long, String)](docs.grouped(rate),
+          c => { in.addData(c: _*); q.processAllAvailable() })
+        report("stream_near_dups", rate, trig, docs.size.toLong)
+      } finally q.stop()
+    }
+
+    // ---- streamAlerts over synthetic scored days ----
+    val day0 = Timestamp.valueOf("2020-01-01 00:00:00").getTime
+    def scored(i: Int) = BenchScoredDay(
+      new Timestamp(day0 + i * 86400000L),
+      40.0 + i % 50, -0.5 + (i % 100) / 100.0,
+      if (i % 5 == 0) 1 else 0)
+    for ((rate, n) <- Seq((2000, 10000), (10000, 20000))) {
+      val root = Files.createTempDirectory(s"sb_alerts_$rate").toString
+      val in = MemoryStream[BenchScoredDay]
+      val q = StreamingTelemetry.streamAlerts(in.toDF(),
+        s"$root/lake", s"$root/ckpt")
+      try {
+        val trig = timeTriggers[BenchScoredDay](
+          (0 until n).map(scored).grouped(rate),
+          c => { in.addData(c: _*); q.processAllAvailable() })
+        report("stream_alerts", rate, trig, n.toLong)
+      } finally q.stop()
+    }
+    spark.stop()
+  }
+}
