@@ -92,7 +92,15 @@ object Bench {
           false
       }
 
+    // Dev convenience, mirroring Verify's SPARK_GRAFT_ONLY: restrict the
+    // benched set to a comma list of names (the driver never sets it —
+    // full suite by default). Used for targeted scale runs where the
+    // deliberately-naive exact baselines (documented quadratic) would
+    // dominate wall-clock without informing the production-path table.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
     ordered.foreach { case (name, fn) => run(name, fn) } // warm-up, untimed
 
     val bytes = new BytesListener

@@ -636,6 +636,94 @@ object JoinQueries extends QueryPack {
         .orderBy(col("s_suppkey"))
     }),
 
+    // TPC-H Q8 shape (national market share): nation joins the plan TWICE
+    // under different roles — the customer side only as the ASIA market
+    // cut (semi-joins: the row set is filtered, no column survives), the
+    // supplier side carrying n_name into the share CASE. The share is a
+    // conditional-aggregate ratio per order year over the one fact-fact
+    // shuffle (part cut semi-broadcasts into lineitem first, date window
+    // pushes into the orders scan), computed in the ONE formula shape the
+    // oracle uses (Σ CASE / Σ — same op order, same rounding).
+    "q_tpch_q8_shape" -> ((s, d) => {
+      val lo = lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00"))
+      val hi = lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00"))
+      val asiaCust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+        .join(broadcast(Tables.nation(s, d)
+          .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey")),
+          col("c_nationkey") === col("n_nationkey"), "left_semi")
+        .select("c_custkey")
+      val suppNat = broadcast(Tables.supplier(s, d)
+        .select("s_suppkey", "s_nationkey")
+        .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey").as("__snk"),
+            col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("__snk"))
+        .select("s_suppkey", "supp_nation"))
+      val vol = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)
+            .filter(col("p_type") === "STANDARD").select("p_partkey")),
+          col("l_partkey") === col("p_partkey"), "left_semi")
+        .join(Tables.orders(s, d)
+            .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+            .select("o_orderkey", "o_custkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(asiaCust), col("o_custkey") === col("c_custkey"),
+          "left_semi")
+        .join(suppNat, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).cast("int").as("o_year"))
+        .agg(round(
+          sum(when(col("supp_nation") === "NATION_3", vol).otherwise(lit(0.0)))
+            / sum(vol), 6).as("mkt_share"))
+        .orderBy("o_year")
+    }),
+
+    // TPC-H Q12 shape (late-shipment priority histogram): fact-fact join
+    // + conditional aggregation. The fixture has no l_shipmode or
+    // l_commitdate, so the mode analog is l_returnflag and lateness is
+    // the q4-style ship-after-order residual — the engine shape (one
+    // orderkey shuffle with the IN-list pushed to the lineitem scan,
+    // CASE counts above it) is Q12's.
+    "q_tpch_q12_shape" -> ((s, d) => {
+      val highPri = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      Tables.lineitem(s, d)
+        .filter(col("l_returnflag").isin("A", "R"))
+        .join(Tables.orders(s, d)
+            .select("o_orderkey", "o_orderdate", "o_orderpriority"),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(highPri, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(!highPri, 1L).otherwise(0L)).as("low_line_count"))
+        .orderBy("l_returnflag")
+    }),
+
+    // TPC-H Q16 shape (supplier-count distribution): COUNT DISTINCT per
+    // attribute group behind an anti-join. The (part, supplier) link
+    // derives from lineitem (no partsupp); "complaint" suppliers
+    // (acctbal < 500 standing in for the LIKE '%Complaints%' cut) leave
+    // via a broadcast anti-join BEFORE the aggregation, and the
+    // count-distinct shuffles once on the grouping keys with the
+    // distinct expand below — never a global distinct of the fact.
+    "q_tpch_q16_shape" -> ((s, d) => {
+      val parts = broadcast(Tables.part(s, d)
+        .filter(col("p_brand") =!= "Brand#13" && col("p_type") =!= "PROMO" &&
+          col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))
+        .select("p_partkey", "p_brand", "p_type", "p_size"))
+      val complaints = broadcast(Tables.supplier(s, d)
+        .filter(col("s_acctbal") < 500).select(col("s_suppkey")))
+      Tables.lineitem(s, d).select("l_partkey", "l_suppkey")
+        .join(parts, col("l_partkey") === col("p_partkey"))
+        .join(complaints, col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    }),
+
     // TPC-H Q22 shape (global sales opportunity): substring cut +
     // scalar-average filter + anti-join. The "country code" analog is the
     // last digit of c_name (no phone column in the fixture); the
@@ -965,6 +1053,47 @@ object JoinQueries extends QueryPack {
         |        AND l2.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
         |        AND l2.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'))
         |ORDER BY s_suppkey""".stripMargin,
+    "q_tpch_q8_shape" ->
+      """SELECT o_year,
+        |       round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
+        |                      ELSE 0.0 END) / sum(volume), 6) AS mkt_share
+        |FROM (
+        |  SELECT year(o.o_orderdate)::INT AS o_year, n2.n_name AS supp_nation,
+        |         l.l_extendedprice * (1 - l.l_discount) AS volume
+        |  FROM lineitem l
+        |  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'STANDARD'
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+        |  JOIN region r ON n1.n_regionkey = r.r_regionkey
+        |    AND r.r_name = 'ASIA'
+        |  JOIN supplier s2 ON l.l_suppkey = s2.s_suppkey
+        |  JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+        |  WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
+        |GROUP BY o_year
+        |ORDER BY o_year""".stripMargin,
+    "q_tpch_q12_shape" ->
+      """SELECT l_returnflag,
+        |       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+        |       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_returnflag IN ('A', 'R')
+        |  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q_tpch_q16_shape" ->
+      """SELECT p_brand, p_type, p_size,
+        |       count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                        WHERE s_acctbal < 500)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
     "q_tpch_q22_shape" ->
       """WITH cust AS (
         |  SELECT c_custkey, c_acctbal,

@@ -375,6 +375,43 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("tpch q8: both nation roles resolve; filter-only sides are semi-joins") {
+    val p = plan(q("q_tpch_q8_shape"))
+    // part cut and ASIA customer cut contribute no columns — they must
+    // run as semi-joins, not inner joins dragging dead attributes
+    assert("LeftSemi".r.findAllIn(p).length >= 2,
+      "part/customer cuts must be semi-joins\n" + p.take(1200))
+    // the order-date window reaches the orders parquet scan
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      "date window not pushed to the orders scan")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("tpch q12: returnflag IN-list pushed; one fact-fact join under the CASE counts") {
+    val p = plan(q("q_tpch_q12_shape"))
+    assert(p.contains("In(l_returnflag"),
+      "returnflag IN-list not pushed to the lineitem scan\n" + p.take(1200))
+    assert("HashAggregate|ObjectHashAggregate|SortAggregate".r
+      .findAllIn(p).length >= 2, "no partial+final aggregate pair")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("tpch q16: complaint suppliers leave by broadcast anti; size IN-list pushed") {
+    val p = plan(q("q_tpch_q16_shape"))
+    assert("(?m)^.*BroadcastHashJoin.*LeftAnti.*$".r.findFirstIn(p).nonEmpty,
+      "complaint cut must be a broadcast anti-join\n" + p.take(1200))
+    // the PushedFilters display truncates before reaching the In — the
+    // data-filter node text carries the same predicate at the same
+    // placement (below the broadcast exchange, above the part scan)
+    assert(p.contains("IN (1,5,9,13,17,21,25,29)"),
+      "size IN-list missing from the part scan filters")
+    // count(DISTINCT) per group: partial distinct on (group, suppkey)
+    // below the final count — at least two aggregate levels
+    assert("HashAggregate|ObjectHashAggregate|SortAggregate".r
+      .findAllIn(p).length >= 3, "distinct aggregation levels missing")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("tpch q6: pure scan-aggregate — every predicate pushed, no join") {
     val p = plan(q("q_tpch_q6"))
     assert(!p.contains("Join"), "q6 must not join anything")
