@@ -79,20 +79,30 @@ object ScaledFixture {
 
     def load(name: String) = spark.read.parquet(s"$src/$name.parquet")
 
-    write("region", load("region"))
-    write("nation", load("nation"))
-    write("customer", rep(load("customer"))(shiftKeys("c_custkey")))
-    write("supplier", rep(load("supplier"))(shiftKeys("s_suppkey")))
-    write("part", rep(load("part"))(shiftKeys("p_partkey")))
-    write("orders", rep(load("orders"))(shiftKeys("o_orderkey", "o_custkey")))
-    write("lineitem", rep(load("lineitem"))(
+    // Optional 4th arg: comma list restricting which tables are derived
+    // (e.g. "part,lineitem" for a 100× q14-flip fixture — deriving the
+    // documents permutation at 100× would dominate generation time for
+    // tables the run never reads). Default: all.
+    val tables = args.lift(3)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def wanted(name: String) = tables.forall(_.contains(name))
+    def writeIf(name: String, df: => DataFrame): Unit =
+      if (wanted(name)) write(name, df)
+
+    writeIf("region", load("region"))
+    writeIf("nation", load("nation"))
+    writeIf("customer", rep(load("customer"))(shiftKeys("c_custkey")))
+    writeIf("supplier", rep(load("supplier"))(shiftKeys("s_suppkey")))
+    writeIf("part", rep(load("part"))(shiftKeys("p_partkey")))
+    writeIf("orders", rep(load("orders"))(shiftKeys("o_orderkey", "o_custkey")))
+    writeIf("lineitem", rep(load("lineitem"))(
       shiftKeys("l_orderkey", "l_partkey", "l_suppkey")))
-    write("events", rep(load("events"))(shiftKeys("event_id", "user_id")))
-    write("documents", rep(load("documents")) { (df, r) =>
+    writeIf("events", rep(load("events"))(shiftKeys("event_id", "user_id")))
+    writeIf("documents", rep(load("documents")) { (df, r) =>
       df.withColumn("doc_id", col("doc_id") + lit(r * Off))
         .withColumn("text", permuteText(col("text"), r))
     })
-    write("embeddings", rep(load("embeddings")) { (df, r) =>
+    writeIf("embeddings", rep(load("embeddings")) { (df, r) =>
       df.withColumn("vec_id", col("vec_id") + lit(r * Off))
         .withColumn("embedding", transform(col("embedding"), (e, i) =>
           (e + (pmod(xxhash64(col("vec_id"), lit(r), i), lit(1000L)) - 500L)
