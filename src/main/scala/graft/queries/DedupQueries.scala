@@ -70,6 +70,17 @@ object DedupQueries extends QueryPack {
           threshold = 0.9, maxShingleFreq = 0)
         .orderBy("inner_id", "outer_id")),
 
+    // The PRODUCTION posture for containment at scale: the same df-cut
+    // contract as jaccardPairs (one shared indexedShingles definition —
+    // postings drop stop-shingles, per-doc shingle counts stay pre-cut).
+    // The 10× scale table's ~12× uncut entry is the documented quadratic
+    // posting-list model; this twin pins the capped route's semantics
+    // cross-engine the way q_dedup_jaccard_capped does for Jaccard.
+    "q_dedup_containment_capped" -> ((s, d) =>
+      Dedup.containmentPairs(Tables.documents(s, d), "text", "doc_id",
+          threshold = 0.9, maxShingleFreq = 5)
+        .orderBy("inner_id", "outer_id")),
+
     // MinHash+LSH (12 hashes, 4 bands × 3 rows) with exact-Jaccard
     // verification of candidates.
     "q_dedup_minhash_lsh" -> ((s, d) =>
@@ -680,6 +691,30 @@ object DedupQueries extends QueryPack {
         |  FROM (SELECT doc_id, $tokensSql AS w FROM documents)),
         |e AS (SELECT id, len(sh) AS n_sh, unnest(sh) AS s FROM t
         |      WHERE len(sh) > 0),
+        |p AS (
+        |  SELECT a.id AS ida, b.id AS idb, a.n_sh AS na, b.n_sh AS nb,
+        |         count(*) AS inter
+        |  FROM e a JOIN e b ON a.s = b.s AND a.id < b.id
+        |  GROUP BY 1, 2, 3, 4),
+        |d AS (
+        |  SELECT ida AS inner_id, idb AS outer_id,
+        |         round(inter::DOUBLE / na, 6) AS containment FROM p
+        |  UNION ALL
+        |  SELECT idb, ida, round(inter::DOUBLE / nb, 6) FROM p)
+        |SELECT inner_id, outer_id, containment FROM d
+        |WHERE containment >= 0.9
+        |ORDER BY inner_id, outer_id""".stripMargin,
+    // capped-jaccard's df-cut CTE chain with the containment tail:
+    // postings post-cut, n_sh pre-cut — indexedShingles semantics
+    "q_dedup_containment_capped" ->
+      s"""WITH t AS (
+        |  SELECT doc_id AS id, $shinglesSql AS sh
+        |  FROM (SELECT doc_id, $tokensSql AS w FROM documents)),
+        |e0 AS (SELECT id, len(sh) AS n_sh, unnest(sh) AS s FROM t),
+        |hot AS (
+        |  SELECT s FROM (SELECT s, count(*) AS df FROM e0 GROUP BY s)
+        |  WHERE df > 5),
+        |e AS (SELECT * FROM e0 WHERE s NOT IN (SELECT s FROM hot)),
         |p AS (
         |  SELECT a.id AS ida, b.id AS idb, a.n_sh AS na, b.n_sh AS nb,
         |         count(*) AS inter
