@@ -356,6 +356,22 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("tpch q11: vals subtree shared — ReusedExchange, not a second lineitem scan") {
+    // the global total references the SAME per-part aggregate the filter
+    // reads; with exact decimal sums the double reference is safe for
+    // correctness, and this guard pins that it is also free: the static
+    // planner collapses the two subtrees to one exchange (AQE performs
+    // the same reuse at runtime through its stage cache, but the
+    // pre-execution plan string cannot show it — so assert with AQE off,
+    // like the codegen inspection above).
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = plan(q("q_tpch_q11_shape"))
+      assert(p.contains("ReusedExchange"),
+        "vals subtree must be computed once and reused\n" + p.take(1500))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("tpch q20: nested semi-joins, date window pushed to the lineitem scan") {
     val p = plan(q("q_tpch_q20_shape"))
     assert("LeftSemi".r.findAllIn(p).length >= 2,
