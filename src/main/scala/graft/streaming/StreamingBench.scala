@@ -13,6 +13,9 @@ import java.sql.Timestamp
 case class BenchScoredDay(dt: Timestamp, avg_gpu_util: Double,
                           anomaly_score: Double, anomaly_flag: Int)
 
+case class BenchEvent(event_id: Long, ts: Timestamp, user_id: Long,
+                      value: java.lang.Double)
+
 /** Throughput/latency measurement for the streaming operators — the
   * committed numbers VERDICT r8 asked for (streaming had parity and
   * idempotence specs but no performance evidence).
@@ -94,6 +97,40 @@ object StreamingBench {
           (0 until n).map(scored).grouped(rate),
           c => { in.addData(c: _*); q.processAllAvailable() })
         report("stream_alerts", rate, trig, n.toLong)
+      } finally q.stop()
+    }
+
+    // ---- attributionJoin: stream-stream interval join with watermark
+    // state eviction, replaying the real sf0.1 click/purchase streams in
+    // event-time order (so watermarks advance the way a live source's
+    // would and join state actually evicts between triggers) ----
+    val ev = graft.Tables.events(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("event_type")
+        .isin("click", "purchase"))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .orderBy("ts").collect()
+    for (rate <- Seq(2000, 10000)) {
+      val root = Files.createTempDirectory(s"sb_attr_$rate").toString
+      val clicks = MemoryStream[BenchEvent]
+      val purchases = MemoryStream[BenchEvent]
+      val q = StreamingTelemetry.attributionJoin(
+          clicks.toDF(), purchases.toDF())
+        .writeStream.format("noop")
+        .option("checkpointLocation", s"$root/ckpt")
+        .outputMode("append").start()
+      try {
+        val trig = timeTriggers[org.apache.spark.sql.Row](
+          ev.iterator.grouped(rate).map(_.toSeq),
+          { c =>
+            def side(t: String) = c.filter(_.getString(3) == t).map(r =>
+              BenchEvent(r.getLong(0), r.getTimestamp(1), r.getLong(2),
+                if (r.isNullAt(4)) null else java.lang.Double.valueOf(r.getDouble(4))))
+            val cl = side("click"); val pu = side("purchase")
+            if (cl.nonEmpty) clicks.addData(cl: _*)
+            if (pu.nonEmpty) purchases.addData(pu: _*)
+            q.processAllAvailable()
+          })
+        report("stream_attribution", rate, trig, ev.length.toLong)
       } finally q.stop()
     }
     spark.stop()
