@@ -109,29 +109,41 @@ object StreamingBench {
         .isin("click", "purchase"))
       .select("event_id", "ts", "user_id", "event_type", "value")
       .orderBy("ts").collect()
-    for (rate <- Seq(2000, 10000)) {
-      val root = Files.createTempDirectory(s"sb_attr_$rate").toString
-      val clicks = MemoryStream[BenchEvent]
-      val purchases = MemoryStream[BenchEvent]
-      val q = StreamingTelemetry.attributionJoin(
-          clicks.toDF(), purchases.toDF())
-        .writeStream.format("noop")
-        .option("checkpointLocation", s"$root/ckpt")
-        .outputMode("append").start()
-      try {
-        val trig = timeTriggers[org.apache.spark.sql.Row](
-          ev.iterator.grouped(rate).map(_.toSeq),
-          { c =>
-            def side(t: String) = c.filter(_.getString(3) == t).map(r =>
-              BenchEvent(r.getLong(0), r.getTimestamp(1), r.getLong(2),
-                if (r.isNullAt(4)) null else java.lang.Double.valueOf(r.getDouble(4))))
-            val cl = side("click"); val pu = side("purchase")
-            if (cl.nonEmpty) clicks.addData(cl: _*)
-            if (pu.nonEmpty) purchases.addData(pu: _*)
-            q.processAllAvailable()
-          })
-        report("stream_attribution", rate, trig, ev.length.toLong)
-      } finally q.stop()
+    // Two state-store providers: the default HDFS-backed store commits a
+    // full snapshot/delta per store per trigger; RocksDB (in-box since
+    // Spark 3.2) amortizes via native changelog. The join keeps FOUR
+    // stores per shuffle partition, so the provider choice IS the
+    // trigger-floor knob at low rates (partition count is the other —
+    // see BASELINE.md).
+    for (provider <- Seq(
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")) {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
+      val tag = if (provider.contains("RocksDB")) "rocksdb" else "hdfs"
+      for (rate <- Seq(2000, 10000)) {
+        val root = Files.createTempDirectory(s"sb_attr_${tag}_$rate").toString
+        val clicks = MemoryStream[BenchEvent]
+        val purchases = MemoryStream[BenchEvent]
+        val q = StreamingTelemetry.attributionJoin(
+            clicks.toDF(), purchases.toDF())
+          .writeStream.format("noop")
+          .option("checkpointLocation", s"$root/ckpt")
+          .outputMode("append").start()
+        try {
+          val trig = timeTriggers[org.apache.spark.sql.Row](
+            ev.iterator.grouped(rate).map(_.toSeq),
+            { c =>
+              def side(t: String) = c.filter(_.getString(3) == t).map(r =>
+                BenchEvent(r.getLong(0), r.getTimestamp(1), r.getLong(2),
+                  if (r.isNullAt(4)) null else java.lang.Double.valueOf(r.getDouble(4))))
+              val cl = side("click"); val pu = side("purchase")
+              if (cl.nonEmpty) clicks.addData(cl: _*)
+              if (pu.nonEmpty) purchases.addData(pu: _*)
+              q.processAllAvailable()
+            })
+          report(s"stream_attribution_$tag", rate, trig, ev.length.toLong)
+        } finally q.stop()
+      }
     }
     spark.stop()
   }
