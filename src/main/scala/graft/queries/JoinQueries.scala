@@ -735,7 +735,10 @@ object JoinQueries extends QueryPack {
     // EXISTS would be vacuous; "no order since 2000" keeps the same
     // shape with a date residual that pushes into the orders scan). At
     // 100 TB orders shuffles once on o_custkey and the probe side is a
-    // fraction of customers.
+    // fraction of customers. The customer scan DOES run twice — the
+    // balance-average branch filters c_acctbal > 0, so the subtrees
+    // differ and nothing is reusable — but the second scan is pruned to
+    // two columns and collapses map-side into the 1-row aggregate.
     "q_tpch_q22_shape" -> ((s, d) => {
       val cust = Tables.customer(s, d)
         .withColumn("cntrycode", substring(col("c_name"), -1, 1))

@@ -381,6 +381,18 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("tpch q20: shipped subtree shared — ReusedExchange, one reduced-fact scan") {
+    // the per-(part,supplier) aggregate feeds BOTH the per-part total
+    // and the qualifying filter; like q11, pin that the static planner
+    // computes it once (AQE reuses at runtime via its stage cache)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = plan(q("q_tpch_q20_shape"))
+      assert(p.contains("ReusedExchange"),
+        "shipped subtree must be computed once and reused\n" + p.take(1500))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("tpch q22: anti-join against date-cut orders; scalar filter is broadcast") {
     val p = plan(q("q_tpch_q22_shape"))
     assert(p.contains("LeftAnti"), "dormant-customer check must be anti-join")

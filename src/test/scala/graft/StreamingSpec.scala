@@ -255,6 +255,50 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("attributionJoin under the RocksDB state store matches the default provider") {
+    // BASELINE.md round 9 benches the provider knob; this pins that the
+    // swap is RESULT-invisible — same join state semantics, same output —
+    // so the tuning choice never becomes a correctness choice.
+    implicit val sql = spark.sqlContext
+    def tm(h: Int, m: Int) = Timestamp.valueOf(f"2024-03-01 $h%02d:$m%02d:00")
+    val clicks = Seq(
+      StreamEvent(1L, tm(10, 0), 1L, "click", null),
+      StreamEvent(4L, tm(10, 0), 2L, "click", null))
+    val purchases = Seq(
+      StreamEvent(2L, tm(10, 10), 1L, "purchase", 9.99),
+      StreamEvent(3L, tm(11, 0), 1L, "purchase", 5.00),
+      StreamEvent(5L, tm(10, 20), 2L, "purchase", 1.00),
+      StreamEvent(6L, tm(10, 5), 3L, "purchase", 2.00))
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val cIn = MemoryStream[StreamEvent]
+    val pIn = MemoryStream[StreamEvent]
+    val q = StreamingTelemetry.attributionJoin(cIn.toDF(), pIn.toDF(),
+        horizon = "30 minutes", watermark = "1 hour")
+      .writeStream.format("memory").queryName("attributed_rocks")
+      .outputMode("append").start()
+    try {
+      cIn.addData(clicks: _*)
+      pIn.addData(purchases: _*)
+      q.processAllAvailable()
+      val got = spark.table("attributed_rocks")
+        .select("click_id", "purchase_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((1L, 2L), (4L, 5L)),
+        s"RocksDB-backed join diverged: $got")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("dedupStream drops same-id rows within the watermark horizon") {
     implicit val sql = spark.sqlContext
     val in = MemoryStream[(Timestamp, String, String)]
