@@ -322,9 +322,46 @@ object AnalyticQueries extends QueryPack {
       o.filter(col("o_totalprice") > 400000).select(col("o_custkey"))
         .except(o.filter(col("o_totalprice") < 50000).select(col("o_custkey")))
         .orderBy("o_custkey")
-    }))
+    }),
+
+    // Persisted-sketch rollup (DataSketches HLL): per-(day, event_type)
+    // sketch mart unioned up to per-event_type distinct users — the
+    // two-level plan is exactly the 100-TB shape (raw data aggregated
+    // ONCE at fine grain; every coarser rollup reads sketches, not
+    // events). Estimates are engine-specific → rows-only at the driver;
+    // q_sketch_rollup_exact is the hash-checked twin and SketchSpec pins
+    // the parquet round-trip, merge-vs-direct equality and error bound.
+    "q_sketch_rollup" -> ((s, d) => {
+      val mart = graft.operators.Sketches.hllMart(
+        Tables.events(s, d)
+          .withColumn("dt", to_date(date_trunc("day", col("ts")))),
+        Seq("dt", "event_type"), "user_id")
+      graft.operators.Sketches.rollupMart(mart, Seq("event_type"))
+        .select(
+          col("event_type"),
+          graft.operators.Sketches.estimate(col("hll")).as("users_est"),
+          col("n_rows").as("n_events"))
+        .orderBy("event_type")
+    }),
+
+    // Exact twin of q_sketch_rollup: same grouping, exact distinct — the
+    // deterministic surface DuckDB can hash-check (and the accuracy
+    // baseline the sketch estimate is bounded against in SketchSpec).
+    "q_sketch_rollup_exact" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy("event_type")))
 
   val oracle: Map[String, String] = Map(
+    "q_sketch_rollup_exact" ->
+      """SELECT event_type,
+        |       count(DISTINCT user_id) AS n_users,
+        |       count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     // Twin of q_graph_triangles: same co-order edges, id-ordered triangle
     // enumeration (orientation changes which node enumerates a wedge,
     // never the triangle set), same per-node explode.

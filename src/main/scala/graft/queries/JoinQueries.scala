@@ -758,9 +758,45 @@ object JoinQueries extends QueryPack {
           round(sum(col("c_acctbal").cast("decimal(18,2)")).cast("double"), 2)
             .as("totacctbal"))
         .orderBy(col("cntrycode"))
+    }),
+
+    // Runtime bloom-filter join pruning: when the dim side is too big to
+    // broadcast (forced here via autoBroadcastJoinThreshold=-1, standing
+    // in for a 100-TB dim), Spark's InjectRuntimeFilter builds a Bloom
+    // filter from the SELECTIVE dim keys and pushes
+    // bloom_filter_might_contain(o_custkey) into the fact scan — fact rows
+    // that can't join die BEFORE the shuffle, which at scale is the
+    // difference between shuffling the whole fact table and shuffling the
+    // ~1/5 that survives the segment cut. False positives die in the join
+    // itself, so the result is semantics-identical (hash-checked vs the
+    // plain-SQL oracle); PlanSpec pins the filter's presence in the plan.
+    "q_join_runtime_bloom" -> ((s, d) => {
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      s2.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val cust = Tables.customer(s2, d)
+        .filter(col("c_mktsegment") === "BUILDING")
+      Tables.orders(s2, d)
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("revenue"))
+        .orderBy(col("c_nationkey"))
     }))
 
   val oracle: Map[String, String] = Map(
+    "q_join_runtime_bloom" ->
+      """SELECT c_nationkey,
+        |       count(*) AS n_orders,
+        |       round(sum(o_totalprice), 2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
     "q_join_broadcast_dim" ->
       """SELECT p_brand,
         |       round(sum(l_quantity), 4) AS sum_qty,

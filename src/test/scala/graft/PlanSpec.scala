@@ -699,4 +699,18 @@ class PlanSpec extends SparkSpecBase {
       s"partial+final TopKPerKeyExec pair missing\n${p.take(900)}")
     assert(!p.contains("Window"), "per-key Window survived")
   }
+
+  test("runtime bloom filter from the selective dim reaches the fact side") {
+    val df = q("q_join_runtime_bloom")
+    val p = plan(df)
+    // InjectRuntimeFilter must have planted might_contain(bloom_filter_agg
+    // subquery) on the orders (application) side — the pre-shuffle
+    // row-level cut
+    assert(p.contains("might_contain") && p.contains("bloom_filter_agg"),
+      s"no runtime bloom filter in the plan\n${p.take(1500)}")
+    // and the join itself must be the forced shuffle join the filter
+    // exists for (broadcast would make the bloom filter pointless)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      "expected a shuffle join on the application side")
+  }
 }

@@ -69,4 +69,46 @@ class SketchSpec extends SparkSpecBase {
     assert(math.abs(r.getDouble(3) - r.getDouble(2)) <= spread * 0.02,
       s"p50 approx ${r.getDouble(3)} vs exact ${r.getDouble(2)}")
   }
+
+  test("HLL sketch mart: parquet round-trip is bit-exact and rollup " +
+    "estimates match the direct single-pass sketch") {
+    import graft.operators.Sketches
+    val ev = graft.Tables.events(spark, sfDir)
+      .withColumn("dt", to_date(date_trunc("day", col("ts"))))
+    val mart = Sketches.hllMart(ev, Seq("dt", "event_type"), "user_id")
+
+    // persistence: the binary sketch column round-trips parquet untouched
+    val dir = java.nio.file.Files.createTempDirectory("graft-hll-mart").toString
+    mart.write.mode("overwrite").parquet(dir)
+    val reread = spark.read.parquet(dir)
+    val inMem = mart.select(col("dt"), col("event_type"), md5(col("hll")))
+      .orderBy("dt", "event_type").collect().toSeq
+    val onDisk = reread.select(col("dt"), col("event_type"), md5(col("hll")))
+      .orderBy("dt", "event_type").collect().toSeq
+    assert(inMem == onDisk, "sketch binary changed across the parquet round-trip")
+
+    // merge-vs-direct: union of per-day sketches must estimate the same as
+    // one sketch built over the whole period (register-wise max is lossless)
+    val rolled = Sketches.rollupMart(reread, Seq("event_type"))
+      .select(col("event_type"), Sketches.estimate(col("hll")).as("est"))
+      .orderBy("event_type").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = ev.groupBy("event_type")
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("hll"))
+      .select(col("event_type"), Sketches.estimate(col("hll")).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rolled == direct,
+      s"merged-sketch estimates diverge from direct: $rolled vs $direct")
+
+    // accuracy: within 3x the HLL relative standard error (1.04/sqrt(2^12))
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tol = 3 * 1.04 / math.sqrt(1 << 12)
+    exact.foreach { case (k, n) =>
+      val est = rolled(k).toDouble
+      assert(math.abs(est - n) <= math.max(1.0, tol * n),
+        s"$k: estimate $est vs exact $n breaks the ${tol * 100}%% bound")
+    }
+  }
 }
