@@ -350,6 +350,25 @@ object TextQueries extends QueryPack {
         .select(col("doc_id"), posexplode(col("pieces")).as(Seq("pos", "piece")))
         .orderBy("doc_id", "pos")),
 
+    // BPE TRAINING itself: one corpus pass for the word-frequency
+    // dictionary (the only corpus-sized work), then the classic
+    // pair-frequency merge loop driver-side over the vocab-sized state —
+    // the sentencepiece/HF split of the problem. Training is iterative
+    // argmax-dependent (not SQL-expressible → rows-only at the driver);
+    // BpeSpec pins that this exact trainer reproduces the committed
+    // bpe_merges.txt bit-for-bit on its sf0.1 training corpus, and that
+    // fixture is itself DuckDB-refold-oracled via q_text_bpe_tokens —
+    // trainer → merges → replay → oracle, the loop closed.
+    "q_text_bpe_train" -> ((s, d) => {
+      import s.implicits._
+      val merges = graft.text.Bpe.trainMerges(
+        graft.text.Bpe.wordFrequencies(Tables.documents(s, d), "text"), 32)
+      merges.zipWithIndex
+        .map { case ((l, r), i) => (i, l, r) }
+        .toDF("rank", "left", "right")
+        .orderBy("rank")
+    }),
+
     // Trainer token IDS: pieces mapped through the merges-induced
     // vocabulary (base symbols then merge products, id = position) —
     // the final surface a training pipeline exports. Oracle maps the

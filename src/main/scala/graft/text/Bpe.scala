@@ -82,6 +82,78 @@ object Bpe {
             base: Seq[String] = defaultBase): Seq[String] =
     base ++ merges.map { case (a, b) => a + b }
 
+  /** One corpus pass → the word-frequency dictionary BPE training runs
+    * on. This is the ONLY corpus-sized work in training: the dictionary
+    * is vocabulary-sized (≤ ~10⁷ rows at web scale, vs 10¹² corpus
+    * tokens), which is exactly how sentencepiece/HF trainers split the
+    * problem — aggregate distributed, iterate local. `minCount` drops
+    * hapax noise AND bounds the collect for 100-TB vocabularies.
+    */
+  def wordFrequencies(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                      minCount: Long = 1L): Seq[(String, Long)] = {
+    import org.apache.spark.sql.functions._
+    docs.select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+  }
+
+  /** Classic pair-frequency BPE training (Sennrich et al., ACL'16) over a
+    * word-frequency dictionary: each round counts adjacent symbol pairs
+    * weighted by word frequency, merges the most frequent pair everywhere
+    * (ties → lexicographically smallest (left, right)), and records the
+    * rule. Deterministic by construction — the committed fixture
+    * resources/graft/bpe_merges.txt is exactly `trainMerges(
+    * wordFrequencies(documents, "text"), 32)` on the documents fixture,
+    * and BpeSpec pins that reproduction bit-for-bit, closing the loop:
+    * trainer → merges → replay (`bpeMergeCount`) → DuckDB refold oracle.
+    *
+    * Driver-side on purpose: rounds are sequential and the state is the
+    * vocabulary-sized segmentation table; distributing the inner loop
+    * would shuffle KBs per round. Stops early when no pair reaches
+    * `minPairFreq`.
+    */
+  def trainMerges(wordFreqs: Seq[(String, Long)], nMerges: Int,
+                  minPairFreq: Long = 2L): Seq[(String, String)] = {
+    var segs: Vector[(Vector[String], Long)] =
+      wordFreqs.sortBy(_._1).map { case (w, c) =>
+        (w.map(_.toString).toVector, c)
+      }.toVector
+    val merges = Vector.newBuilder[(String, String)]
+    var done = 0
+    var stop = false
+    while (done < nMerges && !stop) {
+      val pf = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      segs.foreach { case (sym, c) =>
+        var i = 0
+        while (i < sym.length - 1) {
+          val p = (sym(i), sym(i + 1))
+          pf(p) = pf.getOrElse(p, 0L) + c
+          i += 1
+        }
+      }
+      if (pf.isEmpty || pf.valuesIterator.max < minPairFreq) stop = true
+      else {
+        val best = pf.maxBy(_._2)._2
+        val p = pf.collect { case (k, v) if v == best => k }.min
+        merges += p
+        val joined = p._1 + p._2
+        segs = segs.map { case (sym, c) =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < sym.length) {
+            if (i < sym.length - 1 && sym(i) == p._1 && sym(i + 1) == p._2) {
+              out += joined; i += 2
+            } else { out += sym(i); i += 1 }
+          }
+          (out.result(), c)
+        }
+        done += 1
+      }
+    }
+    merges.result()
+  }
+
   /** Trainer token ids: the piece stream mapped through `vocab` (OOV →
     * `oovId`). The literal piece→id map rides the plan — right for
     * vocabularies up to a few thousand entries; a real 50k-entry

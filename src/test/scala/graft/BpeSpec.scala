@@ -78,4 +78,29 @@ class BpeSpec extends SparkSpecBase {
     assert(Bpe.loadMerges(spark, f.toString) ==
       Seq("e" -> "r", "t" -> "h", "th" -> "e"))
   }
+
+  test("trainMerges: hand-checked pair-frequency rounds and tie-break") {
+    // 'ab' pairs: (a,b) freq 3+2=5 beats (b,c) 3 -> first merge (a,b);
+    // then (ab,c) 3 beats (c,c)... no cc; second merge (ab,c)
+    val wf = Seq(("abc", 3L), ("ab", 2L))
+    assert(Bpe.trainMerges(wf, 2) == Seq("a" -> "b", "ab" -> "c"))
+    // tie: (a,b) and (c,d) both freq 2 -> lexicographically smallest wins
+    val tie = Seq(("ab", 2L), ("cd", 2L))
+    assert(Bpe.trainMerges(tie, 1) == Seq("a" -> "b"))
+    // stop: no pair reaches minPairFreq
+    assert(Bpe.trainMerges(Seq(("ab", 1L)), 5) == Nil)
+  }
+
+  test("trainer reproduces the committed fixture merges bit-for-bit") {
+    // the provenance loop closed: resources/graft/bpe_merges.txt IS
+    // trainMerges(wordFrequencies(documents, text), 32) on the sf0.1
+    // corpus it was trained on (the resource header's provenance) —
+    // trainer -> merges -> replay -> DuckDB refold oracle. sf0.001/sf0.01
+    // share the 31-word vocabulary but not the frequency ranking, so the
+    // reproduction is pinned at the training scale.
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.1")
+    val trained = Bpe.trainMerges(Bpe.wordFrequencies(docs, "text"), 32)
+    assert(trained == Bpe.defaultMerges,
+      s"trained ${trained.take(5)}... != committed ${Bpe.defaultMerges.take(5)}...")
+  }
 }
