@@ -32,6 +32,18 @@ object EventQueries extends QueryPack {
           max("k").as("max_k"))
         .orderBy("event_type")),
 
+    // Regular-grid resampling + forward fill (operators.TimeSeries): the
+    // dense hourly per-user timeline the sparse bucket aggregate drops —
+    // grid rows are SPAN-sized (720/key/month however big the raw volume
+    // gets), the fill is one per-key window, and the only corpus-sized
+    // pass is the bucket aggregate. 20 keys keep the fixture result
+    // compact; the operator is key-parallel by construction.
+    "q_ts_resample" -> ((s, d) =>
+      graft.operators.TimeSeries.resampleFill(
+          Tables.events(s, d).filter(col("user_id") < 20),
+          "user_id", "ts", "value", "hour", "INTERVAL 1 HOUR")
+        .orderBy("user_id", "bucket")),
+
     // Batch sessionization: per-user sessions split at >30-minute gaps;
     // one shuffle (user_id), both window passes reuse it.
     "q_sessionize" -> ((s, d) => {
@@ -184,6 +196,26 @@ object EventQueries extends QueryPack {
         .limit(100)))
 
   val oracle: Map[String, String] = Map(
+    "q_ts_resample" ->
+      """WITH b AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS bucket,
+        |         round(avg(value), 6) AS v_obs
+        |  FROM events WHERE user_id < 20 GROUP BY 1, 2),
+        |span AS (
+        |  SELECT user_id, min(bucket) AS mn, max(bucket) AS mx
+        |  FROM b GROUP BY 1),
+        |grid AS (
+        |  SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket
+        |  FROM span),
+        |j AS (
+        |  SELECT g.user_id, g.bucket, b.v_obs
+        |  FROM grid g LEFT JOIN b ON g.user_id = b.user_id AND g.bucket = b.bucket)
+        |SELECT user_id, bucket,
+        |       last_value(v_obs IGNORE NULLS) OVER (
+        |         PARTITION BY user_id ORDER BY bucket
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v,
+        |       CASE WHEN v_obs IS NOT NULL THEN 1 ELSE 0 END AS observed
+        |FROM j ORDER BY user_id, bucket""".stripMargin,
     "q_json_extract" ->
       """SELECT event_type, count(*) AS n_events,
         |  round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 6) AS avg_k,
