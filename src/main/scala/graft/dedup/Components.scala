@@ -358,4 +358,80 @@ object Components {
         round(lit(2.0) * col("n_triangles") /
           (col("deg") * (col("deg") - 1)), 6).as("clustering"))
   }
+
+  /** Fixed-point PageRank over a DIRECTED edge list (src, dst) — link
+    * analysis for corpus curation (domain authority from a crawl's link
+    * graph is the classic web-scale quality prior; Page et al. 1999).
+    *
+    * Arithmetic is integer fixed-point (ranks scaled by `scale`, damping
+    * as an integer percent, every division a floor `div`), NOT floating
+    * point — deliberately. A float power iteration sums contributions in
+    * shuffle-arrival order, so two runs (or two engines) can disagree in
+    * the last ulp and a rounded hash can flip; the integer recurrence
+    *
+    *   r0(id)  = scale div N
+    *   rK(id)  = ((100-dPct)*scale) div (100*N)
+    *           + (dPct * (sum_{src->id} (rK-1(src) div outdeg(src))
+    *                      + dangMass(K-1) div N)) div 100
+    *
+    * is exactly associative, so the result is bit-identical regardless of
+    * partitioning, AQE, or engine. Floor loss per iteration is bounded by
+    * |E| + 2N ulps of 1/scale — at the default 1e12 scale that is noise
+    * (and measured in ComponentsSpec against an independent driver-side
+    * recurrence). Dangling mass (nodes with no out-edge) is redistributed
+    * uniformly, the standard correction.
+    *
+    * Scale: per iteration one shuffle keyed on src (contribution join),
+    * one on dst (the sum), one on id (the left join back to nodes); the
+    * dangling mass and node count ride as 1-row broadcast crossJoins.
+    * Each iteration ends in a LAZY localCheckpoint — the rank frame is
+    * consumed twice per round (contributions + dangling mass), and
+    * without lineage truncation the logical plan doubles per round. No
+    * job runs at construction time. Iteration count is fixed (power
+    * iteration converges geometrically at rate dPct/100; 5-10 rounds
+    * ranks a web graph), so the plan depth is bounded.
+    */
+  def pageRank(edges: DataFrame, iters: Int = 5, dampingPct: Int = 85,
+               scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1 && iters <= 30, s"pageRank: iters $iters out of [1,30]")
+    require(dampingPct >= 0 && dampingPct <= 100,
+      s"pageRank: dampingPct $dampingPct out of [0,100]")
+    require(scale >= 1000000L && scale <= 1000000000000000L,
+      s"pageRank: scale $scale out of [1e6, 1e15] (headroom vs overflow)")
+    val e = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .localCheckpoint(false) // 4 consumers below — compute the edge list once
+    val nodes = e.select(col("src").as("id"))
+      .unionAll(e.select(col("dst").as("id")))
+      .distinct()
+      .localCheckpoint(false) // reused every iteration
+    // node count stays a 1-row frame (broadcast crossJoin), NOT a
+    // driver-side collect — construction stays lazy
+    val nn = nodes.agg(count(lit(1)).as("n"))
+    val outd = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val ew = e.join(outd, "src").localCheckpoint(false)
+    val dang = nodes
+      .join(e.select(col("src").as("id")).distinct(), Seq("id"), "left_anti")
+      .localCheckpoint(false)
+    var r = nodes.crossJoin(broadcast(nn))
+      .select(col("id"), expr(s"$scale div n").as("r"))
+      .localCheckpoint(false)
+    for (_ <- 1 to iters) {
+      val contrib = ew
+        .join(r.select(col("id").as("src"), col("r")), "src")
+        .select(col("dst"), expr("r div outdeg").as("c"))
+        .groupBy(col("dst").as("id")).agg(sum(col("c")).as("contrib"))
+      val dmass = dang.join(r, "id")
+        .agg(coalesce(sum(col("r")), lit(0L)).as("dmass"))
+      r = nodes.join(contrib, Seq("id"), "left")
+        .crossJoin(broadcast(nn))
+        .crossJoin(broadcast(dmass))
+        .select(col("id"),
+          (expr(s"((${100 - dampingPct} * $scale) div (100 * n))") +
+            expr(s"($dampingPct * (coalesce(contrib, CAST(0 AS BIGINT)) " +
+              s"+ (dmass div n))) div 100")).as("r"))
+        .localCheckpoint(false)
+    }
+    r.select(col("id"), col("r").as("rank_e12"))
+  }
 }

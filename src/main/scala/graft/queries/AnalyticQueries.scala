@@ -21,6 +21,23 @@ object AnalyticQueries extends QueryPack {
     .partitionBy(col("o_custkey"))
     .orderBy(col("o_orderdate"), col("o_orderkey"))
 
+  /** The parts-co-ordered-together graph shared by the graph-analytics
+    * queries: edge src→dst when two parts (src < dst) share >= 2 distinct
+    * orders. The co-order self-join reuses one orderkey exchange for
+    * both sides; DISTINCT orders (not co-occurrence rows) so an order
+    * listing a part on two lineitems doesn't double-count the edge.
+    */
+  private def coOrderPairs(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"))
+    li.join(li.select(col("l_orderkey").as("ok2"), col("l_partkey").as("pb")),
+        col("l_orderkey") === col("ok2") && col("l_partkey") < col("pb"))
+      .groupBy(col("l_partkey").as("src"), col("pb").as("dst"))
+      .agg(countDistinct(col("l_orderkey")).as("n_co"))
+      .filter(col("n_co") >= 2)
+      .select("src", "dst")
+  }
+
   val queries: Map[String, Q] = Map(
     // Per-node triangle counts on the parts-co-ordered-together graph
     // (edge = two parts sharing >= 2 orders): Components.triangleCounts
@@ -28,22 +45,19 @@ object AnalyticQueries extends QueryPack {
     // WWW'11) — out-degrees bounded O(sqrt(m)), so no hub node ever
     // owns a quadratic wedge set. The co-order self-join reuses one
     // orderkey exchange for both sides.
-    "q_graph_triangles" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_partkey"))
-      val pairs = li
-        .join(li.select(col("l_orderkey").as("ok2"),
-            col("l_partkey").as("pb")),
-          col("l_orderkey") === col("ok2") &&
-            col("l_partkey") < col("pb"))
-        // DISTINCT orders, not co-occurrence rows: an order listing a
-        // part on two lineitems must not count twice toward the edge
-        .groupBy(col("l_partkey").as("ida"), col("pb").as("idb"))
-        .agg(countDistinct(col("l_orderkey")).as("n_co"))
-        .filter(col("n_co") >= 2)
-        .select("ida", "idb")
-      graft.dedup.Components.triangleCounts(pairs).orderBy("id")
-    }),
+    "q_graph_triangles" -> ((s, d) =>
+      graft.dedup.Components.triangleCounts(
+        coOrderPairs(s, d).select(col("src").as("ida"), col("dst").as("idb")))
+        .orderBy("id")),
+
+    // Fixed-point PageRank over the same co-order graph, directed
+    // lower→higher part id (citation-style: max-id nodes never source an
+    // edge, so the dangling-mass redistribution is genuinely exercised).
+    // Integer arithmetic end to end — the result hashes bit-exact against
+    // the oracle's unrolled recurrence with zero float-rounding slack.
+    "q_graph_pagerank" -> ((s, d) =>
+      graft.dedup.Components.pageRank(coOrderPairs(s, d), iters = 5)
+        .orderBy("id")),
 
     // row_number / rank / dense_rank per customer by price.
     "q_window_rank" -> ((s, d) => {
@@ -355,7 +369,45 @@ object AnalyticQueries extends QueryPack {
           count(lit(1)).as("n_events"))
         .orderBy("event_type")))
 
+  /** Unrolled twin of Components.pageRank's integer recurrence (iters
+    * chained CTE rounds). Same floor `//` divisions, same op order —
+    * every value BIGINT, so the hash comparison has zero float slack.
+    * DuckDB widens sum(BIGINT) to HUGEINT; every sum is cast back so the
+    * schema hashes against Spark's longs.
+    */
+  private def pagerankOracleSql(iters: Int): String = {
+    val base =
+      """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+        |cp AS (
+        |  SELECT a.l_partkey AS src, b.l_partkey AS dst,
+        |         count(DISTINCT a.l_orderkey) AS n_co
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2),
+        |e AS (SELECT src, dst FROM cp WHERE n_co >= 2),
+        |nodes AS (SELECT DISTINCT id
+        |          FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |outd AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+        |ew AS (SELECT e.src, e.dst, outd.outdeg FROM e JOIN outd USING (src)),
+        |dang AS (SELECT id FROM nodes WHERE id NOT IN (SELECT src FROM e)),
+        |r0 AS (SELECT id, (1000000000000 // n) AS r FROM nodes, nn)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      val p = i - 1
+      s"""c$i AS (SELECT ew.dst AS id, sum(r$p.r // ew.outdeg)::BIGINT AS contrib
+        |  FROM ew JOIN r$p ON ew.src = r$p.id GROUP BY ew.dst),
+        |d$i AS (SELECT coalesce(sum(r$p.r), 0)::BIGINT AS dmass
+        |  FROM r$p JOIN dang USING (id)),
+        |r$i AS (SELECT nodes.id,
+        |    ((15 * 1000000000000) // (100 * n)) +
+        |    ((85 * (coalesce(c$i.contrib, 0) + (d$i.dmass // n))) // 100) AS r
+        |  FROM nodes LEFT JOIN c$i ON nodes.id = c$i.id, nn, d$i)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    s"$base$rounds\nSELECT id, r AS rank_e12 FROM r$iters ORDER BY id"
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_graph_pagerank" -> pagerankOracleSql(5),
     "q_sketch_rollup_exact" ->
       """SELECT event_type,
         |       count(DISTINCT user_id) AS n_users,

@@ -419,6 +419,24 @@ object TextQueries extends QueryPack {
         .orderBy("source", "rn")
     }),
 
+    // BM25 retrieval: fixed query set → top-5 documents each, over the
+    // inverted postings with the query terms broadcast (only postings of
+    // query terms are ever shuffled) and the ranked tail on TopKPerKey
+    // heaps. Scores are exact e9-scaled longs (see Bm25) so the ranking
+    // and the hash are bit-stable cross-engine; query 4 carries a term
+    // absent from the corpus (contributes nothing — the no-match path).
+    "q_text_bm25" -> ((s, d) => {
+      import s.implicits._
+      val q = Seq(
+        (1, "hash"), (1, "join"),
+        (2, "window"), (2, "sort"), (2, "spark"),
+        (3, "scan"), (3, "filter"), (3, "column"),
+        (4, "stream"), (4, "batch"), (4, "merge"), (4, "vector"),
+        (4, "zzz_unseen")).toDF("query_id", "term")
+      graft.text.Bm25.search(Tables.documents(s, d), q, topK = 5)
+        .orderBy("query_id", "rn")
+    }),
+
     // Gopher-style repetition signals: most-frequent-token share and
     // duplicate-bigram share per doc — the boilerplate/keyword-stuffing
     // detector that length/punct scoring misses. Distributed as explode +
@@ -1198,6 +1216,44 @@ object TextQueries extends QueryPack {
         |        ORDER BY score DESC, term) AS rn FROM scored)
         |SELECT source, rn, term, tf, df, score
         |FROM r WHERE rn <= 5 ORDER BY source, rn""".stripMargin,
+    // Twin of q_text_bm25: same postings, same ONE-expression BM25
+    // contribution with every fractional literal cast ::DOUBLE (DuckDB
+    // float literals are DECIMAL by default — decimal-exact tf*2.2 would
+    // convert to double differently than double-multiplying, flipping
+    // the e9 rounding), k1+1 SUMMED at query time exactly as the Scala
+    // side computes lit(k1 + 1.0), exact BIGINT score sum, same
+    // (score desc, doc) tie-break.
+    "q_text_bm25" ->
+      s"""WITH q(query_id, term) AS (VALUES
+        |    (1, 'hash'), (1, 'join'),
+        |    (2, 'window'), (2, 'sort'), (2, 'spark'),
+        |    (3, 'scan'), (3, 'filter'), (3, 'column'),
+        |    (4, 'stream'), (4, 'batch'), (4, 'merge'), (4, 'vector'),
+        |    (4, 'zzz_unseen')),
+        |toks AS (SELECT doc_id, $tokensSql AS w FROM documents),
+        |flat AS (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM toks),
+        |post AS (SELECT doc_id, dl, term, count(*) AS tf
+        |         FROM flat GROUP BY 1, 2, 3),
+        |dfx AS (SELECT term, count(*) AS df FROM post GROUP BY term),
+        |st AS (SELECT count(*) AS n_docs,
+        |              coalesce(sum(len(w)), 0)::BIGINT AS sum_dl FROM toks),
+        |contrib AS (
+        |  SELECT q.query_id, post.doc_id,
+        |    round(ln(1.0::DOUBLE + (st.n_docs - dfx.df + 0.5::DOUBLE)
+        |               / (dfx.df + 0.5::DOUBLE))
+        |      * (post.tf * (1.2::DOUBLE + 1.0::DOUBLE))
+        |      / (post.tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE
+        |          + 0.75::DOUBLE * post.dl
+        |            / (st.sum_dl::DOUBLE / st.n_docs)))
+        |      * 1000000000.0::DOUBLE)::BIGINT AS c
+        |  FROM q JOIN post USING (term) JOIN dfx USING (term), st),
+        |scored AS (SELECT query_id, doc_id, sum(c)::BIGINT AS score_e9
+        |           FROM contrib GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY score_e9 DESC, doc_id) AS rn FROM scored)
+        |SELECT query_id, rn, doc_id, score_e9,
+        |       round(score_e9 / 1000000000.0::DOUBLE, 6) AS score
+        |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
     // twin of q_text_normalize: identical decomposed plants (chr() =
     // the \u escapes), DuckDB's utf8proc NFC vs the JVM's — same spec,
     // same bytes; strlen is bytes on both sides

@@ -159,4 +159,65 @@ class ComponentsSpec extends SparkSpecBase {
       .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_triangles")).toMap
     assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
   }
+
+  /** Independent driver-side implementation of pageRank's exact integer
+    * recurrence — same floor divisions, same op order, written against
+    * plain Scala maps so it shares nothing with the Spark path.
+    */
+  private def refPageRank(edges: Seq[(Long, Long)], iters: Int,
+                          scale: Long = 1000000000000L): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.size
+    val outdeg = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    var r = nodes.map(_ -> scale / n).toMap
+    for (_ <- 1 to iters) {
+      val contrib = collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      for ((s, d) <- edges) contrib(d) += r(s) / outdeg(s)
+      val dmass = nodes.filterNot(outdeg.contains).map(r).sum
+      r = nodes.map(id => id ->
+        ((15L * scale) / (100L * n) +
+          (85L * (contrib(id) + dmass / n)) / 100L)).toMap
+    }
+    r
+  }
+
+  test("pageRank matches the independent integer recurrence exactly") {
+    // hub-and-spoke into 1, a 2-cycle, and a DANGLING node 9 (no
+    // out-edge) so the dangling-mass redistribution is exercised
+    val edges = Seq((2L, 1L), (3L, 1L), (4L, 1L), (1L, 2L), (2L, 3L),
+      (3L, 9L)).toDF("src", "dst")
+    val got = Components.pageRank(edges, iters = 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = refPageRank(Seq((2L, 1L), (3L, 1L), (4L, 1L), (1L, 2L),
+      (2L, 3L), (3L, 9L)), iters = 5)
+    assert(got == want, s"got $got want $want")
+    // node 4 sources an edge but receives only the dangling share — it
+    // must rank strictly below the hub (3 in-links)
+    assert(got(4L) < got(1L))
+  }
+
+  test("pageRank conserves mass up to bounded floor loss") {
+    val e = (1L to 20L).flatMap(i => Seq((i, i % 20 + 1), (i, (i + 6) % 20 + 1)))
+    val got = Components.pageRank(e.toDF("src", "dst"), iters = 8).collect()
+      .map(_.getLong(1))
+    val scale = 1000000000000L
+    val total = got.sum
+    // per iteration loss < |E| + 4N ulps (per-edge div remainders sum
+    // to < E; dangling share, base term, and the damped div-100 each
+    // lose < 1 per node) — microscopic at 1e12 scale
+    val bound = 8L * (e.size + 4 * 20)
+    assert(total <= scale && total >= scale - bound,
+      s"total $total vs scale $scale (bound $bound)")
+  }
+
+  test("pageRank: iteration zero state is uniform and lazy to build") {
+    // iters=1 on an edgeless-in-one-direction pair: 2 never sources an
+    // edge → dangling; exact values hand-derivable: n=2, r0=5e11 each;
+    // contrib(2)=5e11, dmass=5e11, share=2.5e11
+    val got = Components.pageRank(Seq((1L, 2L)).toDF("src", "dst"), iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val base = (15L * 1000000000000L) / 200L
+    assert(got(1L) == base + (85L * 250000000000L) / 100L)
+    assert(got(2L) == base + (85L * (500000000000L + 250000000000L)) / 100L)
+  }
 }
