@@ -384,12 +384,19 @@ object Components {
     * Scale: per iteration one shuffle keyed on src (contribution join),
     * one on dst (the sum), one on id (the left join back to nodes); the
     * dangling mass and node count ride as 1-row broadcast crossJoins.
-    * Each iteration ends in a LAZY localCheckpoint — the rank frame is
-    * consumed twice per round (contributions + dangling mass), and
-    * without lineage truncation the logical plan doubles per round. No
-    * job runs at construction time. Iteration count is fixed (power
-    * iteration converges geometrically at rate dPct/100; 5-10 rounds
-    * ranks a web graph), so the plan depth is bounded.
+    * Each round's rank frame is cache()'d: it has two consumers per
+    * round (contributions + dangling mass) and every later round builds
+    * on it, so the cache both stops recomputation and — via Spark's
+    * cached-plan substitution — keeps each round's effective plan one
+    * iteration deep. cache() rather than localCheckpoint DELIBERATELY:
+    * under AQE a "lazy" localCheckpoint is not lazy — toRdd finalizes
+    * the adaptive plan, which materializes every query stage and runs
+    * jobs at CONSTRUCTION time (measured: 24 jobs for a 3-round build;
+    * PlanSpec pins the zero-job construction this choice buys).
+    * Iteration count is fixed (power iteration converges geometrically
+    * at rate dPct/100; 5-10 rounds ranks a web graph), so plan depth is
+    * bounded; at petabyte scale swap the per-round cache for a real
+    * checkpoint to also truncate fault-recovery lineage.
     */
   def pageRank(edges: DataFrame, iters: Int = 5, dampingPct: Int = 85,
                scale: Long = 1000000000000L): DataFrame = {
@@ -400,37 +407,40 @@ object Components {
       s"pageRank: scale $scale out of [1e6, 1e15] (headroom vs overflow)")
     val e = edges
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
-      .localCheckpoint(false) // 4 consumers below — compute the edge list once
+      .cache() // 4 consumers below — compute the edge list once
     val nodes = e.select(col("src").as("id"))
       .unionAll(e.select(col("dst").as("id")))
       .distinct()
-      .localCheckpoint(false) // reused every iteration
+      .cache() // reused every iteration
     // node count stays a 1-row frame (broadcast crossJoin), NOT a
     // driver-side collect — construction stays lazy
     val nn = nodes.agg(count(lit(1)).as("n"))
     val outd = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val ew = e.join(outd, "src").localCheckpoint(false)
+    val ew = e.join(outd, "src").cache()
     val dang = nodes
       .join(e.select(col("src").as("id")).distinct(), Seq("id"), "left_anti")
-      .localCheckpoint(false)
+      .cache()
     var r = nodes.crossJoin(broadcast(nn))
       .select(col("id"), expr(s"$scale div n").as("r"))
-      .localCheckpoint(false)
-    for (_ <- 1 to iters) {
+      .cache()
+    for (i <- 1 to iters) {
       val contrib = ew
         .join(r.select(col("id").as("src"), col("r")), "src")
         .select(col("dst"), expr("r div outdeg").as("c"))
         .groupBy(col("dst").as("id")).agg(sum(col("c")).as("contrib"))
       val dmass = dang.join(r, "id")
         .agg(coalesce(sum(col("r")), lit(0L)).as("dmass"))
-      r = nodes.join(contrib, Seq("id"), "left")
+      val next = nodes.join(contrib, Seq("id"), "left")
         .crossJoin(broadcast(nn))
         .crossJoin(broadcast(dmass))
         .select(col("id"),
           (expr(s"((${100 - dampingPct} * $scale) div (100 * n))") +
             expr(s"($dampingPct * (coalesce(contrib, CAST(0 AS BIGINT)) " +
               s"+ (dmass div n))) div 100")).as("r"))
-        .localCheckpoint(false)
+      // the final round's frame is consumed once — leaving it uncached
+      // skips a useless materialization AND keeps one real iteration
+      // body visible to plan inspection (PlanSpec)
+      r = if (i < iters) next.cache() else next
     }
     r.select(col("id"), col("r").as("rank_e12"))
   }
