@@ -66,6 +66,39 @@ object SimilarityQueries extends QueryPack {
         .orderBy("qid", "rn")
     }),
 
+    // Hybrid retrieval: BM25 lexical top-20 and brute-cosine semantic
+    // top-20 fused by reciprocal-rank fusion (exact integer RRF —
+    // similarity.Fusion). Queries are (term set, anchor vector) pairs;
+    // vec_id k is the embedding of doc_id k on these fixtures. The
+    // semantic side excludes the anchor itself (the q_ann_* convention);
+    // the lexical side may rank it — fusion is defined over whatever the
+    // lists contain. Final cut is a row_number window: per-query
+    // candidates are bounded by 2×20 rows by construction, so a window
+    // sort here is a ≤40-row sort, not a corpus sort.
+    "q_hybrid_rrf" -> ((s, d) => {
+      import s.implicits._
+      val anchors = Seq((1, 0L), (2, 100L), (3, 250L))
+        .toDF("query_id", "anchor_id")
+      val terms = Seq((1, "hash"), (1, "join"), (2, "window"),
+        (2, "stream"), (3, "vector"), (3, "scan")).toDF("query_id", "term")
+      val c = corpus(s, d)
+      val lex = graft.text.Bm25.search(Tables.documents(s, d), terms, topK = 20)
+        .select(col("query_id"), col("doc_id"), col("rn"))
+      val qv = c.join(broadcast(anchors), col("id") === col("anchor_id"))
+        .select(col("id"), col("vec"))
+      val sem = topKBruteForce(qv, c, 20)
+        .join(broadcast(anchors), col("qid") === col("anchor_id"))
+        .select(col("query_id"), col("vec_id").as("doc_id"), col("rn"))
+      val fused = graft.similarity.Fusion.rrf(
+        Seq("lex" -> lex, "sem" -> sem), Seq("query_id"), "doc_id")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("rrf_e6").desc, col("doc_id"))
+      fused.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .select("query_id", "rn", "doc_id", "rrf_e6", "rn_lex", "rn_sem")
+        .orderBy("query_id", "rn")
+    }),
+
     // Approximate top-3 via sign-bit LSH buckets (8 bits).
     "q_ann_bucketed" -> ((s, d) => {
       val c = corpus(s, d)
@@ -237,6 +270,61 @@ object SimilarityQueries extends QueryPack {
       | x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '')""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // Twin of q_hybrid_rrf: the BM25 pipeline (same ::DOUBLE-cast
+    // op-order as q_text_bm25), the q_ann_topk_brute cosine ranking,
+    // and the exact-integer RRF fold — both rank lists cut at 20, fused
+    // on (query_id, doc_id), re-ranked by (rrf desc, doc).
+    "q_hybrid_rrf" ->
+      """WITH a(query_id, anchor_id) AS (VALUES (1, 0), (2, 100), (3, 250)),
+        |qt(query_id, term) AS (VALUES (1, 'hash'), (1, 'join'), (2, 'window'),
+        |    (2, 'stream'), (3, 'vector'), (3, 'scan')),
+        |toks AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                x -> x <> '') AS w
+        |  FROM documents),
+        |flat AS (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM toks),
+        |post AS (SELECT doc_id, dl, term, count(*) AS tf
+        |         FROM flat GROUP BY 1, 2, 3),
+        |dfx AS (SELECT term, count(*) AS df FROM post GROUP BY term),
+        |st AS (SELECT count(*) AS n_docs,
+        |              coalesce(sum(len(w)), 0)::BIGINT AS sum_dl FROM toks),
+        |lc AS (
+        |  SELECT qt.query_id, post.doc_id,
+        |    round(ln(1.0::DOUBLE + (st.n_docs - dfx.df + 0.5::DOUBLE)
+        |               / (dfx.df + 0.5::DOUBLE))
+        |      * (post.tf * (1.2::DOUBLE + 1.0::DOUBLE))
+        |      / (post.tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE
+        |          + 0.75::DOUBLE * post.dl
+        |            / (st.sum_dl::DOUBLE / st.n_docs)))
+        |      * 1000000000.0::DOUBLE)::BIGINT AS c
+        |  FROM qt JOIN post USING (term) JOIN dfx USING (term), st),
+        |lscored AS (SELECT query_id, doc_id, sum(c)::BIGINT AS score_e9
+        |            FROM lc GROUP BY 1, 2),
+        |lex AS (SELECT query_id, doc_id, rn FROM (
+        |    SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score_e9 DESC, doc_id) AS rn FROM lscored)
+        |  WHERE rn <= 20),
+        |emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |p AS (SELECT a.query_id, b.vec_id,
+        |        round(list_cosine_similarity(q.v, b.v), 6) AS cos
+        |      FROM a JOIN emb q ON q.vec_id = a.anchor_id
+        |             JOIN emb b ON b.vec_id <> q.vec_id),
+        |sem AS (SELECT query_id, doc_id, rn FROM (
+        |    SELECT query_id, vec_id AS doc_id,
+        |           row_number() OVER (PARTITION BY query_id
+        |             ORDER BY cos DESC, vec_id) AS rn FROM p)
+        |  WHERE rn <= 20),
+        |f AS (SELECT coalesce(l.query_id, s.query_id) AS query_id,
+        |        coalesce(l.doc_id, s.doc_id) AS doc_id,
+        |        coalesce(l.rn, 0) AS rn_lex, coalesce(s.rn, 0) AS rn_sem,
+        |        (coalesce(1000000 // (60 + l.rn), 0)
+        |         + coalesce(1000000 // (60 + s.rn), 0)) AS rrf_e6
+        |      FROM lex l FULL OUTER JOIN sem s
+        |        ON l.query_id = s.query_id AND l.doc_id = s.doc_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY rrf_e6 DESC, doc_id) AS rn FROM f)
+        |SELECT query_id, rn, doc_id, rrf_e6, rn_lex, rn_sem
+        |FROM r WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin,
     // Twin of semanticDecontam(θ=0.8) on the planted eval set: the ev CTE
     // rebuilds the md5("e:…")-parity ±0.05 perturbed copies of every 10th
     // corpus vector, then the same rounded-cosine ≥ 0.8 flag + count/max.
