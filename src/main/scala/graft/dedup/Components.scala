@@ -359,6 +359,7 @@ object Components {
           (col("deg") * (col("deg") - 1)), 6).as("clustering"))
   }
 
+
   /** Fixed-point PageRank over a DIRECTED edge list (src, dst) — link
     * analysis for corpus curation (domain authority from a crawl's link
     * graph is the classic web-scale quality prior; Page et al. 1999).
@@ -381,67 +382,131 @@ object Components {
     * recurrence). Dangling mass (nodes with no out-edge) is redistributed
     * uniformly, the standard correction.
     *
-    * Scale: per iteration one shuffle keyed on src (contribution join),
-    * one on dst (the sum), one on id (the left join back to nodes); the
-    * dangling mass and node count ride as 1-row broadcast crossJoins.
-    * Each round's rank frame is cache()'d: it has two consumers per
-    * round (contributions + dangling mass) and every later round builds
-    * on it, so the cache both stops recomputation and — via Spark's
-    * cached-plan substitution — keeps each round's effective plan one
-    * iteration deep. cache() rather than localCheckpoint DELIBERATELY:
-    * under AQE a "lazy" localCheckpoint is not lazy — toRdd finalizes
-    * the adaptive plan, which materializes every query stage and runs
-    * jobs at CONSTRUCTION time (measured: 24 jobs for a 3-round build;
-    * PlanSpec pins the zero-job construction this choice buys).
-    * Iteration count is fixed (power iteration converges geometrically
-    * at rate dPct/100; 5-10 rounds ranks a web graph), so plan depth is
-    * bounded; at petabyte scale swap the per-round cache for a real
-    * checkpoint to also truncate fault-recovery lineage.
+    * Execution follows the starLoop idiom, measured against the
+    * alternatives: each round is repartition(numPartitions)ed and EAGERLY
+    * localCheckpointed, and the two per-round scalars (node count once,
+    * dangling mass each round) are bounded 1-row driver collects. The
+    * tempting "fully lazy" formulations lose badly: a cache()-per-round
+    * chain leaves every round's plan live — the terminal action walks an
+    * exponentially-self-referencing logical plan and pays AQE
+    * re-planning per cached level (measured 111 s at sf0.1 where this
+    * form takes ~4 s), and a "lazy" localCheckpoint is not lazy at all
+    * under AQE (toRdd finalizes the adaptive plan and runs the jobs at
+    * construction). Eager rounds ARE construction-time work, like
+    * connectedComponents; the per-round job count is pinned by
+    * ComponentsSpec so overhead regressions fail loudly.
+    *
+    * Scale: per round one shuffle keyed on src (contribution join), one
+    * on dst (the sum), one on id (the left join back to nodes), all
+    * `numPartitions` wide — size it to the GRAPH (edge count / executor
+    * memory), not the cluster's core count; the rank/edge frames are
+    * tiny next to the corpus that produced them. Rounds are fixed (power
+    * iteration converges geometrically at rate dPct/100; 5-10 rounds
+    * ranks a web graph).
     */
   def pageRank(edges: DataFrame, iters: Int = 5, dampingPct: Int = 85,
-               scale: Long = 1000000000000L): DataFrame = {
-    require(iters >= 1 && iters <= 30, s"pageRank: iters $iters out of [1,30]")
+               scale: Long = 1000000000000L,
+               numPartitions: Int = 8): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"pageRank: iters $iters out of [1,50]")
     require(dampingPct >= 0 && dampingPct <= 100,
       s"pageRank: dampingPct $dampingPct out of [0,100]")
     require(scale >= 1000000L && scale <= 1000000000000000L,
       s"pageRank: scale $scale out of [1e6, 1e15] (headroom vs overflow)")
     val e = edges
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
-      .cache() // 4 consumers below — compute the edge list once
+      .repartition(numPartitions, col("src"))
+      .localCheckpoint(eager = true) // 4 consumers — computed exactly once
     val nodes = e.select(col("src").as("id"))
       .unionAll(e.select(col("dst").as("id")))
       .distinct()
-      .cache() // reused every iteration
-    // node count stays a 1-row frame (broadcast crossJoin), NOT a
-    // driver-side collect — construction stays lazy
-    val nn = nodes.agg(count(lit(1)).as("n"))
+      .repartition(numPartitions, col("id"))
+      .localCheckpoint(eager = true)
+    val n = nodes.count() // bounded driver scalar (node COUNT, not nodes)
+    require(n > 0, "pageRank: empty graph")
     val outd = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val ew = e.join(outd, "src").cache()
+    val ew = e.join(outd, "src").localCheckpoint(eager = true)
     val dang = nodes
       .join(e.select(col("src").as("id")).distinct(), Seq("id"), "left_anti")
-      .cache()
-    var r = nodes.crossJoin(broadcast(nn))
-      .select(col("id"), expr(s"$scale div n").as("r"))
-      .cache()
-    for (i <- 1 to iters) {
+      .localCheckpoint(eager = true) // dangling ids, fixed across rounds
+    val base = ((100 - dampingPct) * scale) / (100 * n)
+    var r = nodes.select(col("id"), lit(scale / n).as("r"))
+      .localCheckpoint(eager = true)
+    for (_ <- 1 to iters) {
+      // dangling mass: 1-row aggregate collected to the driver — the
+      // bounded-collect shape every round-scalar in this file uses
+      val dmass = dang.join(r, "id")
+        .agg(coalesce(sum(col("r")), lit(0L))).collect()(0).getLong(0)
       val contrib = ew
         .join(r.select(col("id").as("src"), col("r")), "src")
         .select(col("dst"), expr("r div outdeg").as("c"))
         .groupBy(col("dst").as("id")).agg(sum(col("c")).as("contrib"))
-      val dmass = dang.join(r, "id")
-        .agg(coalesce(sum(col("r")), lit(0L)).as("dmass"))
-      val next = nodes.join(contrib, Seq("id"), "left")
-        .crossJoin(broadcast(nn))
-        .crossJoin(broadcast(dmass))
+      r = nodes.join(contrib, Seq("id"), "left")
         .select(col("id"),
-          (expr(s"((${100 - dampingPct} * $scale) div (100 * n))") +
+          (lit(base) +
             expr(s"($dampingPct * (coalesce(contrib, CAST(0 AS BIGINT)) " +
-              s"+ (dmass div n))) div 100")).as("r"))
-      // the final round's frame is consumed once — leaving it uncached
-      // skips a useless materialization AND keeps one real iteration
-      // body visible to plan inspection (PlanSpec)
-      r = if (i < iters) next.cache() else next
+              s"+ ${dmass / n})) div 100")).as("r"))
+        .repartition(numPartitions, col("id"))
+        .localCheckpoint(eager = true)
     }
     r.select(col("id"), col("r").as("rank_e12"))
+  }
+
+  /** HITS hubs & authorities (Kleinberg, JACM'99) over a directed edge
+    * list — the two-sided link-analysis twin of pageRank: authorities
+    * are pages good links point AT, hubs are pages that point at good
+    * authorities (directory/spam-farm structure a single PageRank score
+    * conflates).
+    *
+    * Same integer fixed-point discipline as pageRank, with the L1
+    * normalization each half-step needs done as `v * scale div sum(v)`
+    * — exact, associative, engine-independent. `scale` is capped at 3e9
+    * (not pageRank's 1e12) because normalization multiplies two
+    * scale-bounded values: v <= sum <= ~scale, so v*scale must fit a
+    * long. Per Kleinberg: a_i = in-sum of h_{i-1}, normalize; h_i =
+    * out-sum of a_i, normalize. Execution is the same eager narrow
+    * round loop as pageRank (see there for why lazy chains lose); the
+    * per-half-step L1 total is a bounded 1-row driver collect.
+    */
+  def hits(edges: DataFrame, iters: Int = 5, scale: Long = 1000000000L,
+           numPartitions: Int = 8): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"hits: iters $iters out of [1,50]")
+    require(scale >= 1000000L && scale <= 3000000000L,
+      s"hits: scale $scale out of [1e6, 3e9] (scale^2 must fit a long)")
+    val e = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .repartition(numPartitions, col("src"))
+      .localCheckpoint(eager = true)
+    val nodes = e.select(col("src").as("id"))
+      .unionAll(e.select(col("dst").as("id")))
+      .distinct()
+      .repartition(numPartitions, col("id"))
+      .localCheckpoint(eager = true)
+    val n = nodes.count()
+    require(n > 0, "hits: empty graph")
+    // one normalized half-step: keyed raw sums, L1-normalize to `scale`
+    def halfStep(score: DataFrame, keyIn: String, keyOut: String): DataFrame = {
+      val raw = e
+        .join(score.select(col("id").as(keyIn), col("v")), keyIn)
+        .groupBy(col(keyOut).as("id")).agg(sum(col("v")).as("v"))
+        .localCheckpoint(eager = true) // feeds the total AND the normalize
+      val s = raw.agg(coalesce(sum(col("v")), lit(0L))).collect()(0).getLong(0)
+      require(s > 0, "hits: zero mass — disconnected direction")
+      nodes.join(raw, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(expr(s"(v * $scale) div $s"), lit(0L)).as("v"))
+        .repartition(numPartitions, col("id"))
+        .localCheckpoint(eager = true)
+    }
+    var h = nodes.select(col("id"), lit(scale / n).as("v"))
+      .localCheckpoint(eager = true)
+    var a = h // replaced in round 1
+    for (_ <- 1 to iters) {
+      a = halfStep(h, "src", "dst") // authority: in-links' hub mass
+      h = halfStep(a, "dst", "src") // hub: out-links' authority mass
+    }
+    nodes
+      .join(a.select(col("id"), col("v").as("authority_e9")), Seq("id"))
+      .join(h.select(col("id"), col("v").as("hub_e9")), Seq("id"))
+      .select("id", "authority_e9", "hub_e9")
   }
 }

@@ -59,6 +59,14 @@ object AnalyticQueries extends QueryPack {
       graft.dedup.Components.pageRank(coOrderPairs(s, d), iters = 5)
         .orderBy("id")),
 
+    // HITS on the same directed graph: authorities (in-link quality) and
+    // hubs (out-link quality) as exact e9 fixed-point longs — the L1
+    // normalization each half-step is `v * scale div sum`, so the oracle
+    // hash has zero float slack here too.
+    "q_graph_hits" -> ((s, d) =>
+      graft.dedup.Components.hits(coOrderPairs(s, d), iters = 5)
+        .orderBy("id")),
+
     // row_number / rank / dense_rank per customer by price.
     "q_window_rank" -> ((s, d) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -377,28 +385,28 @@ object AnalyticQueries extends QueryPack {
     */
   private def pagerankOracleSql(iters: Int): String = {
     val base =
-      """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
-        |cp AS (
+      """WITH li AS MATERIALIZED (SELECT l_orderkey, l_partkey FROM lineitem),
+        |cp AS MATERIALIZED (
         |  SELECT a.l_partkey AS src, b.l_partkey AS dst,
         |         count(DISTINCT a.l_orderkey) AS n_co
         |  FROM li a JOIN li b
         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         |  GROUP BY 1, 2),
-        |e AS (SELECT src, dst FROM cp WHERE n_co >= 2),
-        |nodes AS (SELECT DISTINCT id
+        |e AS MATERIALIZED (SELECT src, dst FROM cp WHERE n_co >= 2),
+        |nodes AS MATERIALIZED (SELECT DISTINCT id
         |          FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
-        |nn AS (SELECT count(*) AS n FROM nodes),
-        |outd AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
-        |ew AS (SELECT e.src, e.dst, outd.outdeg FROM e JOIN outd USING (src)),
-        |dang AS (SELECT id FROM nodes WHERE id NOT IN (SELECT src FROM e)),
-        |r0 AS (SELECT id, (1000000000000 // n) AS r FROM nodes, nn)""".stripMargin
+        |nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+        |outd AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+        |ew AS MATERIALIZED (SELECT e.src, e.dst, outd.outdeg FROM e JOIN outd USING (src)),
+        |dang AS MATERIALIZED (SELECT id FROM nodes WHERE id NOT IN (SELECT src FROM e)),
+        |r0 AS MATERIALIZED (SELECT id, (1000000000000 // n) AS r FROM nodes, nn)""".stripMargin
     val rounds = (1 to iters).map { i =>
       val p = i - 1
-      s"""c$i AS (SELECT ew.dst AS id, sum(r$p.r // ew.outdeg)::BIGINT AS contrib
+      s"""c$i AS MATERIALIZED (SELECT ew.dst AS id, sum(r$p.r // ew.outdeg)::BIGINT AS contrib
         |  FROM ew JOIN r$p ON ew.src = r$p.id GROUP BY ew.dst),
-        |d$i AS (SELECT coalesce(sum(r$p.r), 0)::BIGINT AS dmass
+        |d$i AS MATERIALIZED (SELECT coalesce(sum(r$p.r), 0)::BIGINT AS dmass
         |  FROM r$p JOIN dang USING (id)),
-        |r$i AS (SELECT nodes.id,
+        |r$i AS MATERIALIZED (SELECT nodes.id,
         |    ((15 * 1000000000000) // (100 * n)) +
         |    ((85 * (coalesce(c$i.contrib, 0) + (d$i.dmass // n))) // 100) AS r
         |  FROM nodes LEFT JOIN c$i ON nodes.id = c$i.id, nn, d$i)""".stripMargin
@@ -406,8 +414,44 @@ object AnalyticQueries extends QueryPack {
     s"$base$rounds\nSELECT id, r AS rank_e12 FROM r$iters ORDER BY id"
   }
 
+  /** Unrolled twin of Components.hits — per round: authority raw sums,
+    * 1-row L1 total, normalize; then the same for hubs off the fresh
+    * authorities. All BIGINT.
+    */
+  private def hitsOracleSql(iters: Int): String = {
+    val base =
+      """WITH li AS MATERIALIZED (SELECT l_orderkey, l_partkey FROM lineitem),
+        |cp AS MATERIALIZED (
+        |  SELECT a.l_partkey AS src, b.l_partkey AS dst,
+        |         count(DISTINCT a.l_orderkey) AS n_co
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2),
+        |e AS MATERIALIZED (SELECT src, dst FROM cp WHERE n_co >= 2),
+        |nodes AS MATERIALIZED (SELECT DISTINCT id
+        |          FROM (SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)),
+        |nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+        |h0 AS MATERIALIZED (SELECT id, (1000000000 // n) AS v FROM nodes, nn)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      val p = i - 1
+      s"""ar$i AS MATERIALIZED (SELECT e.dst AS id, sum(h$p.v)::BIGINT AS v
+        |  FROM e JOIN h$p ON e.src = h$p.id GROUP BY e.dst),
+        |sa$i AS MATERIALIZED (SELECT sum(v)::BIGINT AS s FROM ar$i),
+        |a$i AS MATERIALIZED (SELECT nodes.id, coalesce((ar$i.v * 1000000000) // sa$i.s, 0) AS v
+        |  FROM nodes LEFT JOIN ar$i ON nodes.id = ar$i.id, sa$i),
+        |hr$i AS MATERIALIZED (SELECT e.src AS id, sum(a$i.v)::BIGINT AS v
+        |  FROM e JOIN a$i ON e.dst = a$i.id GROUP BY e.src),
+        |sh$i AS MATERIALIZED (SELECT sum(v)::BIGINT AS s FROM hr$i),
+        |h$i AS MATERIALIZED (SELECT nodes.id, coalesce((hr$i.v * 1000000000) // sh$i.s, 0) AS v
+        |  FROM nodes LEFT JOIN hr$i ON nodes.id = hr$i.id, sh$i)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    s"$base$rounds\nSELECT id, a$iters.v AS authority_e9, " +
+      s"h$iters.v AS hub_e9 FROM a$iters JOIN h$iters USING (id) ORDER BY id"
+  }
+
   val oracle: Map[String, String] = Map(
     "q_graph_pagerank" -> pagerankOracleSql(5),
+    "q_graph_hits" -> hitsOracleSql(5),
     "q_sketch_rollup_exact" ->
       """SELECT event_type,
         |       count(DISTINCT user_id) AS n_users,
@@ -418,8 +462,8 @@ object AnalyticQueries extends QueryPack {
     // enumeration (orientation changes which node enumerates a wedge,
     // never the triangle set), same per-node explode.
     "q_graph_triangles" ->
-      """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
-        |cp AS (
+      """WITH li AS MATERIALIZED (SELECT l_orderkey, l_partkey FROM lineitem),
+        |cp AS MATERIALIZED (
         |  SELECT a.l_partkey AS ida, b.l_partkey AS idb,
         |         count(DISTINCT a.l_orderkey) AS n
         |  FROM li a JOIN li b
@@ -433,7 +477,7 @@ object AnalyticQueries extends QueryPack {
         |deg AS (
         |  SELECT id, count(*) AS deg
         |  FROM (SELECT unnest([ida, idb]) AS id FROM pairs) GROUP BY id),
-        |nodes AS (SELECT unnest([a, b, c]) AS id FROM tri),
+        |nodes AS MATERIALIZED (SELECT unnest([a, b, c]) AS id FROM tri),
         |tc AS (SELECT id, count(*) AS n_triangles FROM nodes GROUP BY id)
         |SELECT id, deg, n_triangles,
         |       round(2.0 * n_triangles / (deg * (deg - 1)), 6) AS clustering

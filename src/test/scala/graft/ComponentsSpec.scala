@@ -210,7 +210,50 @@ class ComponentsSpec extends SparkSpecBase {
       s"total $total vs scale $scale (bound $bound)")
   }
 
-  test("pageRank: iteration zero state is uniform and lazy to build") {
+  /** Independent driver-side twin of Components.hits' exact recurrence. */
+  private def refHits(edges: Seq[(Long, Long)], iters: Int,
+                      scale: Long = 1000000000L): Map[Long, (Long, Long)] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.size
+    var h = nodes.map(_ -> scale / n).toMap
+    var a = Map.empty[Long, Long]
+    for (_ <- 1 to iters) {
+      val ar = collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      for ((s, d) <- edges) ar(d) += h(s)
+      val sa = ar.values.sum
+      a = nodes.map(id => id -> ar(id) * scale / sa).toMap
+      val hr = collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      for ((s, d) <- edges) hr(s) += a(d)
+      val sh = hr.values.sum
+      h = nodes.map(id => id -> hr(id) * scale / sh).toMap
+    }
+    nodes.map(id => id -> ((a(id), h(id)))).toMap
+  }
+
+  test("hits matches the independent recurrence; hubs and authorities separate") {
+    // pure hubs 1,2,3 pointing into pure authorities 10,11,12 with
+    // nested out-sets: hub order 1>2>3, authority order 10>11>12
+    val raw = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 10L), (2L, 11L),
+      (3L, 10L))
+    val got = Components.hits(raw.toDF("src", "dst"), iters = 5).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == refHits(raw, 5), s"got $got want ${refHits(raw, 5)}")
+    // authorities: only the 10s; hubs: only the 1s
+    assert(got(10L)._1 > got(11L)._1 && got(11L)._1 > got(12L)._1)
+    assert(got(1L)._2 > got(2L)._2 && got(2L)._2 > got(3L)._2)
+    assert(got(1L)._1 == 0L && got(10L)._2 == 0L)
+  }
+
+  test("hits on a cycle converges to uniform scores") {
+    val raw = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    val got = Components.hits(raw.toDF("src", "dst"), iters = 4).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == refHits(raw, 4))
+    assert(got.values.map(_._1).toSet.size == 1, "cycle authorities uniform")
+    assert(got.values.map(_._2).toSet.size == 1, "cycle hubs uniform")
+  }
+
+  test("pageRank: one-round values are hand-derivable") {
     // iters=1 on an edgeless-in-one-direction pair: 2 never sources an
     // edge → dangling; exact values hand-derivable: n=2, r0=5e11 each;
     // contrib(2)=5e11, dmass=5e11, share=2.5e11

@@ -732,36 +732,53 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("Window"), "per-query Window survived in bm25")
   }
 
-  test("pageRank: construction is lazy (no job) and scalars broadcast") {
+  test("pageRank/hits: eager rounds run a BOUNDED job count (overhead guard)") {
+    // The iterative graph ops deliberately materialize each round
+    // (starLoop idiom) — the scale risk is quiet overhead growth: a
+    // regression back to a lazy cache-chain re-plans an exponentially
+    // self-referencing plan (measured 111 s vs ~4 s at sf0.1), and any
+    // accidental extra action per round multiplies at 50 rounds. Pin
+    // the job count: setup ≤ 6 jobs + a small constant per round, with
+    // slack for AQE stage jobs.
     import org.apache.spark.sql.functions.col
+    val edges = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select((col("o_orderkey") % 50).as("src"),
+        (col("o_custkey") % 50).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    edges.schema
     var jobs = 0
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
           j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
         jobs += 1
     }
-    // the parquet read itself may run a schema/footer job — build the
-    // input BEFORE listening; the claim under test is about pageRank
-    val edges = spark.read.parquet(s"$sfDir/orders.parquet")
-      .select((col("o_orderkey") % 50).as("src"),
-        (col("o_custkey") % 50).as("dst"))
-      .filter(col("src") =!= col("dst"))
-    edges.schema // force analysis of the input frame
     spark.sparkContext.addSparkListener(listener)
     try {
       val pr = graft.dedup.Components.pageRank(edges, iters = 3)
-      val p = plan(pr) // physical planning included — still no job
-      Thread.sleep(300) // let any stray job-start event drain
-      assert(jobs == 0,
-        s"pageRank construction launched $jobs job(s) — must stay lazy")
-      // the final (un-checkpointed) iteration body is visible in the
-      // plan: node count / dangling mass must ride 1-row broadcast NLJs,
-      // never a cartesian
-      assert(p.contains("BroadcastNestedLoopJoin"),
-        "pageRank scalar crossJoins lost their broadcast\n" + p.take(900))
-      assert(!p.contains("CartesianProduct"),
-        "pageRank scalar crossJoin degraded to cartesian")
-      assert(pr.count() > 0) // and it actually runs
+      // THE structural property: the returned frame reads the LAST
+      // round's checkpoint — no join/aggregate lineage survives. The
+      // 111 s regression mode (lazy per-round chain) shows up here as
+      // the full co-order/contribution tree re-appearing in this plan.
+      val pp = plan(pr)
+      assert(pp.contains("Scan ExistingRDD"),
+        "pageRank output no longer reads a materialized round\n" + pp.take(600))
+      assert(!pp.contains("Join"), "pageRank rounds left a live join chain")
+      Thread.sleep(300)
+      val build = jobs
+      // generous ceiling (AQE runs stage jobs): catches runaway actions
+      assert(build <= 25 + 12 * 3,
+        s"pageRank(3 rounds) ran $build jobs — per-round overhead grew")
+      jobs = 0
+      val hh = graft.dedup.Components.hits(edges, iters = 3)
+      val hp = plan(hh)
+      assert(hp.contains("Scan ExistingRDD"),
+        "hits output no longer reads materialized half-steps")
+      assert("Join".r.findAllIn(hp).length <= 4,
+        "hits output grew a join chain beyond the a⋈h assembly")
+      Thread.sleep(300)
+      assert(jobs <= 25 + 20 * 3,
+        s"hits(3 rounds) ran $jobs jobs — per-half-step overhead grew")
+      assert(pr.count() > 0 && hh.count() > 0)
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 }
