@@ -375,7 +375,52 @@ object AnalyticQueries extends QueryPack {
         .agg(
           countDistinct(col("user_id")).as("n_users"),
           count(lit(1)).as("n_events"))
-        .orderBy("event_type")))
+        .orderBy("event_type")),
+
+    // KMV sketch mart → rollup → estimate, END-TO-END HASH-ORACLED: the
+    // daily-active (user, day) audience per event type, sketched at
+    // (dt, event_type) grain and rolled up to event_type. The oracle
+    // computes the k-mins DIRECTLY from raw rows — hash equality is the
+    // proof the mart merge is lossless (operators/Kmv.scala). Contrast
+    // q_sketch_rollup: the HLL estimate is engine-internal (rows-only);
+    // the integer KMV estimate is exactly reproducible.
+    "q_sketch_kmv" -> ((s, d) => {
+      val mart = graft.operators.Kmv.mart(
+        Tables.events(s, d).withColumn("dt", to_date(col("ts"))),
+        Seq("dt", "event_type"),
+        concat(col("user_id").cast("string"), lit(":"),
+          col("dt").cast("string")),
+        k = 128)
+      graft.operators.Kmv.rollup(mart, Seq("event_type"), k = 128)
+        .select(
+          col("event_type"),
+          graft.operators.Kmv.estimate("kmv", 128).as("user_days_est"),
+          size(col("kmv")).cast("long").as("n_mins"))
+        .orderBy("event_type")
+    }),
+
+    // What HLL cannot do: pairwise AUDIENCE OVERLAP between event types
+    // (user-days active in X ∩ Y) from the same 128-hash sketches — no
+    // raw-data rescan, no distinct-join. Sketch frames are k longs per
+    // type, so the pair join is a broadcast over kilobytes; union and
+    // intersection estimates are exact integer arithmetic, hash-checked
+    // against DuckDB's list-algebra twin.
+    "q_sketch_kmv_overlap" -> ((s, d) => {
+      val mart = graft.operators.Kmv.mart(
+        Tables.events(s, d).withColumn("dt", to_date(col("ts"))),
+        Seq("dt", "event_type"),
+        concat(col("user_id").cast("string"), lit(":"),
+          col("dt").cast("string")),
+        k = 128)
+      val sk = graft.operators.Kmv.rollup(mart, Seq("event_type"), k = 128)
+      val a = sk.select(col("event_type").as("ta"), col("kmv").as("ka"))
+      val b = sk.select(col("event_type").as("tb"), col("kmv").as("kb"))
+      graft.operators.Kmv
+        .withOverlap(a.join(broadcast(b), col("ta") < col("tb")),
+          "ka", "kb", k = 128)
+        .select("ta", "tb", "union_est", "inter_est")
+        .orderBy("ta", "tb")
+    }))
 
   /** Unrolled twin of Components.pageRank's integer recurrence (iters
     * chained CTE rounds). Same floor `//` divisions, same op order —
@@ -457,6 +502,48 @@ object AnalyticQueries extends QueryPack {
         |       count(DISTINCT user_id) AS n_users,
         |       count(*) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // KMV twins: the oracle computes k-mins DIRECTLY from raw rows (no
+    // mart level) with the same 52-bit md5-prefix hash and the same
+    // integer estimator — hash equality proves the Spark-side two-level
+    // mart→rollup merge lossless. 127 * 2^52 = 571957152676052992.
+    "q_sketch_kmv" ->
+      """WITH h AS (SELECT DISTINCT event_type,
+        |    ('0x' || substr(md5(user_id::VARCHAR || ':' || (ts::DATE)::VARCHAR),
+        |             1, 13))::BIGINT AS h FROM events),
+        |r AS (SELECT event_type, h,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM h),
+        |sk AS (SELECT event_type, count(*) AS n_mins, max(h) AS hk
+        |       FROM r WHERE rn <= 128 GROUP BY event_type)
+        |SELECT event_type,
+        |  (CASE WHEN n_mins < 128 THEN n_mins
+        |        ELSE 571957152676052992 // hk END)::BIGINT AS user_days_est,
+        |  n_mins::BIGINT AS n_mins
+        |FROM sk ORDER BY event_type""".stripMargin,
+    "q_sketch_kmv_overlap" ->
+      """WITH h AS (SELECT DISTINCT event_type,
+        |    ('0x' || substr(md5(user_id::VARCHAR || ':' || (ts::DATE)::VARCHAR),
+        |             1, 13))::BIGINT AS h FROM events),
+        |r AS (SELECT event_type, h,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM h),
+        |sk AS (SELECT event_type, list_sort(list(h)) AS kmv
+        |       FROM r WHERE rn <= 128 GROUP BY event_type),
+        |pr AS (SELECT a.event_type AS ta, b.event_type AS tb,
+        |              a.kmv AS ka, b.kmv AS kb
+        |       FROM sk a JOIN sk b ON a.event_type < b.event_type),
+        |u AS (SELECT ta, tb, ka, kb,
+        |        list_sort(list_distinct(list_concat(ka, kb)))[1:128] AS uu FROM pr),
+        |m AS (SELECT ta, tb, ka, kb, uu, len(uu) AS nu, uu[len(uu)] AS hku,
+        |        len(list_filter(uu, x -> list_contains(ka, x)
+        |              AND list_contains(kb, x))) AS nb FROM u),
+        |e2 AS (SELECT ta, tb, ka, kb, nu, nb,
+        |        (CASE WHEN nu < 128 THEN nu
+        |              ELSE 571957152676052992 // hku END)::BIGINT AS union_est
+        |       FROM m)
+        |SELECT ta, tb, union_est,
+        |  (CASE WHEN nu < 128 THEN len(list_intersect(ka, kb))
+        |        ELSE (nb * union_est) // 128 END)::BIGINT AS inter_est
+        |FROM e2 ORDER BY ta, tb""".stripMargin,
 
     // Twin of q_graph_triangles: same co-order edges, id-ordered triangle
     // enumeration (orientation changes which node enumerates a wedge,

@@ -781,4 +781,20 @@ class PlanSpec extends SparkSpecBase {
       assert(pr.count() > 0 && hh.count() > 0)
     } finally spark.sparkContext.removeSparkListener(listener)
   }
+
+  test("kmv: sketch heaps are TopKPerKey (no Window); overlap join broadcasts") {
+    // The mart build must ride the bounded-heap exec pair (partial +
+    // final), never a per-group Window sort — at 100 TB the k-mins
+    // state is k longs per group, a window sort is the whole hash set.
+    val pm = plan(q("q_sketch_kmv"))
+    assert("TopKPerKey".r.findAllIn(pm).length >= 2,
+      "partial+final TopKPerKeyExec pair missing from kmv mart\n" + pm.take(900))
+    assert(!pm.contains("Window"), "kmv sketch build fell back to a Window")
+    // The pairwise overlap joins kilobyte sketch frames on a non-equi
+    // (ta < tb) condition: broadcast NLJ by hint, never a cartesian.
+    val po = plan(q("q_sketch_kmv_overlap"))
+    assert(po.contains("BroadcastNestedLoopJoin"),
+      "sketch pair join lost its broadcast\n" + po.take(900))
+    assert(!po.contains("CartesianProduct"), "sketch pair join degraded")
+  }
 }
