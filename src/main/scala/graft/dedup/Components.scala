@@ -509,4 +509,69 @@ object Components {
       .join(h.select(col("id"), col("v").as("hub_e9")), Seq("id"))
       .select("id", "authority_e9", "hub_e9")
   }
+
+  /** Label-propagation community detection (Raghavan et al., Phys. Rev. E
+    * 2007) over an undirected edge list — the COMMUNITY twin of
+    * connectedComponents: where min-label propagation converges to
+    * connectivity (every connected subgraph one label), LPA converges to
+    * dense neighborhoods (each node adopts its neighbors' MAJORITY
+    * label), splitting a connected graph along its sparse cuts. No
+    * modularity objective, no parameters beyond round count — the
+    * standard near-linear-time community baseline.
+    *
+    * Determinism (the property the classic async formulation lacks):
+    * updates are SYNCHRONOUS (round i reads only round i-1's labels) and
+    * the majority vote tie-breaks totally — highest count, then SMALLEST
+    * label — so the result is a pure function of (edges, iters),
+    * independent of partitioning, scheduling, and engine: the oracle
+    * replays the identical recurrence as unrolled materialized CTEs and
+    * the hash must match bit-for-bit. Labels are node ids (longs);
+    * nothing here is floating point. Synchronous LPA can two-cycle on
+    * bipartite-ish structure instead of converging — with a FIXED round
+    * count that is still deterministic, and the standard mitigation
+    * (stop at a round bound, not a fixpoint) is exactly what the
+    * `iters` contract provides.
+    *
+    * Execution: the same eager narrow round loop as pageRank (see there
+    * for why lazy per-round chains lose): per round one shuffle keyed on
+    * src (label join), one keyed on (dst, label) for the vote counts,
+    * one keyed on dst for the argmax — all `numPartitions` wide, sized
+    * to the graph, not the cluster. The argmax is a keyed
+    * max(struct(cnt, -label)) — a partial-aggregable hash aggregate, NOT
+    * a per-node window sort.
+    *
+    * Input contract: one row per undirected edge (either direction;
+    * symmetrized here). Parallel edges are NOT deduped — a repeated
+    * edge weights its endpoint's vote, which is sometimes wanted
+    * (co-occurrence strength); dedupe upstream if not.
+    */
+  def labelPropagation(edges: DataFrame, iters: Int = 5,
+                       numPartitions: Int = 8): DataFrame = {
+    require(iters >= 1 && iters <= 50,
+      s"labelPropagation: iters $iters out of [1,50]")
+    val e0 = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val e = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(numPartitions, col("src"))
+      .localCheckpoint(eager = true) // consumed every round
+    var l = e.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl"))
+      .repartition(numPartitions, col("id"))
+      .localCheckpoint(eager = true)
+    for (_ <- 1 to iters) {
+      l = e
+        .join(l.select(col("id").as("src"), col("lbl")), "src")
+        .groupBy(col("dst"), col("lbl"))
+        .agg(count(lit(1)).as("cnt"))
+        // majority vote, ties to the SMALLEST label: lexicographic max of
+        // (cnt, -lbl). Node ids are non-negative, so -lbl cannot overflow.
+        .groupBy(col("dst").as("id"))
+        .agg(max(struct(col("cnt"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("id"), (-col("m.nl")).as("lbl"))
+        .repartition(numPartitions, col("id"))
+        .localCheckpoint(eager = true)
+    }
+    l.select(col("id"), col("lbl").as("community"))
+  }
 }

@@ -67,6 +67,16 @@ object AnalyticQueries extends QueryPack {
       graft.dedup.Components.hits(coOrderPairs(s, d), iters = 5)
         .orderBy("id")),
 
+    // Label-propagation communities on the same graph (symmetrized
+    // inside the operator): majority-vote label per node per round,
+    // ties to the smallest label — synchronous and integer-only, so the
+    // oracle's unrolled recurrence hashes bit-exact. Where
+    // connectedComponents gives connectivity islands, this splits the
+    // co-order graph along its sparse cuts into purchase communities.
+    "q_graph_communities" -> ((s, d) =>
+      graft.dedup.Components.labelPropagation(coOrderPairs(s, d), iters = 5)
+        .orderBy("id")),
+
     // row_number / rank / dense_rank per customer by price.
     "q_window_rank" -> ((s, d) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -494,9 +504,40 @@ object AnalyticQueries extends QueryPack {
       s"h$iters.v AS hub_e9 FROM a$iters JOIN h$iters USING (id) ORDER BY id"
   }
 
+  /** Unrolled twin of Components.labelPropagation: symmetrized co-order
+    * edges, then `iters` rounds of synchronous majority vote with the
+    * (cnt DESC, lbl ASC) tie order — all BIGINT, MATERIALIZED CTEs (the
+    * recurrence inlines exponentially otherwise, like pageRank's).
+    */
+  private def communitiesOracleSql(iters: Int): String = {
+    val base =
+      """WITH li AS MATERIALIZED (SELECT l_orderkey, l_partkey FROM lineitem),
+        |cp AS MATERIALIZED (
+        |  SELECT a.l_partkey AS src, b.l_partkey AS dst,
+        |         count(DISTINCT a.l_orderkey) AS n_co
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2),
+        |e0 AS MATERIALIZED (SELECT src, dst FROM cp WHERE n_co >= 2),
+        |e AS MATERIALIZED (SELECT src, dst FROM e0
+        |                   UNION ALL SELECT dst AS src, src AS dst FROM e0),
+        |l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS lbl FROM e)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      val p = i - 1
+      s"""c$i AS MATERIALIZED (SELECT e.dst AS id, l$p.lbl AS lbl, count(*)::BIGINT AS cnt
+        |  FROM e JOIN l$p ON e.src = l$p.id GROUP BY 1, 2),
+        |l$i AS MATERIALIZED (SELECT id, lbl FROM (
+        |  SELECT id, lbl,
+        |         row_number() OVER (PARTITION BY id ORDER BY cnt DESC, lbl ASC) AS rn
+        |  FROM c$i) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    s"$base$rounds\nSELECT id, lbl AS community FROM l$iters ORDER BY id"
+  }
+
   val oracle: Map[String, String] = Map(
     "q_graph_pagerank" -> pagerankOracleSql(5),
     "q_graph_hits" -> hitsOracleSql(5),
+    "q_graph_communities" -> communitiesOracleSql(5),
     "q_sketch_rollup_exact" ->
       """SELECT event_type,
         |       count(DISTINCT user_id) AS n_users,

@@ -253,6 +253,55 @@ class ComponentsSpec extends SparkSpecBase {
     assert(got.values.map(_._2).toSet.size == 1, "cycle hubs uniform")
   }
 
+  /** Independent driver-side twin of Components.labelPropagation:
+    * synchronous majority vote, ties (cnt desc, lbl asc).
+    */
+  private def refLpa(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val sym = (edges ++ edges.map(_.swap)).filter(e => e._1 != e._2).distinct
+    val adj = sym.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var l = adj.keys.map(id => id -> id).toMap
+    for (_ <- 1 to iters) {
+      l = adj.map { case (id, nbrs) =>
+        val votes = nbrs.groupBy(l).view.mapValues(_.size).toSeq
+        id -> votes.minBy { case (lbl, cnt) => (-cnt, lbl) }._1
+      }
+    }
+    l
+  }
+
+  test("labelPropagation matches the independent recurrence on a random graph") {
+    val rnd = new scala.util.Random(11)
+    // canonical a<b unique pairs (parallel edges would weight the vote)
+    val edges = (1 to 120).map(_ =>
+      (rnd.nextInt(30).toLong + 1, rnd.nextInt(30).toLong + 1))
+      .filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val got = Components.labelPropagation(
+        edges.toDF("src", "dst").repartition(7), iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == refLpa(edges, 5), s"diverged from reference recurrence")
+  }
+
+  test("labelPropagation splits bridged cliques where components cannot") {
+    // two 5-cliques joined by ONE bridge edge: connectivity sees one
+    // island; majority vote keeps each clique on its own min label
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    val edges = clique(1L to 5L) ++ clique(11L to 15L) :+ (5L, 11L)
+    val df = edges.toDF("src", "dst")
+    val lpa = Components.labelPropagation(df, iters = 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lpa == refLpa(edges, 5))
+    val c1 = (1L to 5L).map(lpa).toSet
+    val c2 = (11L to 15L).map(lpa).toSet
+    assert(c1.size == 1 && c2.size == 1 && c1 != c2,
+      s"cliques must land in two distinct communities, got $lpa")
+    val cc = Components.connectedComponents(
+        df.select($"src".as("ida"), $"dst".as("idb")))
+      .collect().map(_.getLong(1)).toSet
+    assert(cc.size == 1, "sanity: the bridge makes ONE connected component")
+  }
+
   test("pageRank: one-round values are hand-derivable") {
     // iters=1 on an edgeless-in-one-direction pair: 2 never sources an
     // edge → dangling; exact values hand-derivable: n=2, r0=5e11 each;

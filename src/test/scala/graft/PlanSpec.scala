@@ -778,7 +778,17 @@ class PlanSpec extends SparkSpecBase {
       Thread.sleep(300)
       assert(jobs <= 25 + 20 * 3,
         s"hits(3 rounds) ran $jobs jobs — per-half-step overhead grew")
-      assert(pr.count() > 0 && hh.count() > 0)
+      jobs = 0
+      val lp = graft.dedup.Components.labelPropagation(edges, iters = 3)
+      val lpp = plan(lp)
+      assert(lpp.contains("Scan ExistingRDD"),
+        "labelPropagation output no longer reads a materialized round")
+      assert(!lpp.contains("Join"),
+        "labelPropagation rounds left a live join chain")
+      Thread.sleep(300)
+      assert(jobs <= 25 + 12 * 3,
+        s"labelPropagation(3 rounds) ran $jobs jobs — per-round overhead grew")
+      assert(pr.count() > 0 && hh.count() > 0 && lp.count() > 0)
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
