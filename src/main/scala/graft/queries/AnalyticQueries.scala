@@ -409,6 +409,26 @@ object AnalyticQueries extends QueryPack {
         .orderBy("event_type")
     }),
 
+    // Third leg of the sketch-mart trio: QUANTILES off a persisted
+    // fixed-width histogram mart (operators/Quantiles.scala). Built at
+    // (dt, event_type) grain, merged to event_type by summing bin
+    // counts (trivially lossless — and the oracle proves it by
+    // computing the histogram directly from raw rows), quantile =
+    // smallest bin reaching ceil(q*total) via integer cross-multiply,
+    // reported at the bin's upper edge. At 100 TB every re-slice of the
+    // latency/utilization distribution reads this kilobyte mart, never
+    // the events table.
+    "q_quantile_mart" -> ((s, d) => {
+      val mart = graft.operators.Quantiles.histMart(
+        Tables.events(s, d).withColumn("dt", to_date(col("ts"))),
+        Seq("dt", "event_type"), col("value"), binWidth = 5.0)
+      graft.operators.Quantiles.quantiles(
+        graft.operators.Quantiles.rollup(mart, Seq("event_type")),
+        Seq("event_type"), binWidth = 5.0,
+        Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)))
+        .orderBy("event_type")
+    }),
+
     // What HLL cannot do: pairwise AUDIENCE OVERLAP between event types
     // (user-days active in X ∩ Y) from the same 128-hash sketches — no
     // raw-data rescan, no distinct-join. Sketch frames are k longs per
@@ -561,6 +581,22 @@ object AnalyticQueries extends QueryPack {
         |        ELSE 571957152676052992 // hk END)::BIGINT AS user_days_est,
         |  n_mins::BIGINT AS n_mins
         |FROM sk ORDER BY event_type""".stripMargin,
+    // Histogram-mart twin computed DIRECTLY from raw rows (no mart
+    // level): hash equality proves the bin-count merge lossless. Same
+    // integer ceil-threshold cross-multiply (cum*den >= num*total).
+    "q_quantile_mart" ->
+      """WITH h AS (SELECT event_type, CAST(floor(value / 5.0) AS BIGINT) AS bin,
+        |         count(*) AS n
+        |       FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |c AS (SELECT event_type, bin, n,
+        |        sum(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+        |        sum(n) OVER (PARTITION BY event_type) AS total FROM h)
+        |SELECT event_type,
+        |  round((min(CASE WHEN cum * 2 >= total * 1 THEN bin END) + 1) * 5.0, 6) AS p50,
+        |  round((min(CASE WHEN cum * 10 >= total * 9 THEN bin END) + 1) * 5.0, 6) AS p90,
+        |  round((min(CASE WHEN cum * 100 >= total * 99 THEN bin END) + 1) * 5.0, 6) AS p99,
+        |  max(total)::BIGINT AS n_values
+        |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_sketch_kmv_overlap" ->
       """WITH h AS (SELECT DISTINCT event_type,
         |    ('0x' || substr(md5(user_id::VARCHAR || ':' || (ts::DATE)::VARCHAR),
