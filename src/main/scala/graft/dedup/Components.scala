@@ -574,4 +574,53 @@ object Components {
     }
     l.select(col("id"), col("lbl").as("community"))
   }
+
+  /** Multi-landmark BFS hop distances over an undirected edge list
+    * (symmetrized here, like labelPropagation): for every (node,
+    * landmark) pair within `maxHops`, the exact unweighted shortest-path
+    * length. Landmark distances are the graph FEATURE the spectral ops
+    * don't give — k-hop reachability, "how far from a trusted seed",
+    * graph coordinates for embedding-free similarity (Potamias et al.,
+    * CIKM'09 landmark estimation: d(u,v) ≤ d(u,lm) + d(lm,v)).
+    *
+    * Semantics are bounded-round label-correcting (Bellman-Ford with
+    * unit weights): d_i = min(d_{i-1}, 1 + d_{i-1} of any in-neighbor),
+    * which after i rounds equals BFS distance for every node within i
+    * hops — exact integers, engine-independent, so the oracle replays
+    * the identical recurrence as unrolled CTEs. Unreached (node,
+    * landmark) pairs are ABSENT (not null/∞), keeping the frame sparse.
+    *
+    * Execution is the eager narrow round loop (see pageRank). Each
+    * round shuffles the settled table + its edge join — for bounded-hop
+    * features (the typical ask: ≤ 5 hops) that is the right plan; a
+    * long-diameter full BFS would want the delta-frontier refinement
+    * (relax only newly-settled rows), which this recurrence admits but
+    * the bounded-hop contract doesn't need.
+    */
+  def bfsDistances(edges: DataFrame, landmarks: Seq[Long], maxHops: Int = 5,
+                   numPartitions: Int = 8): DataFrame = {
+    require(landmarks.nonEmpty, "bfsDistances: no landmarks")
+    require(maxHops >= 1 && maxHops <= 30,
+      s"bfsDistances: maxHops $maxHops out of [1,30]")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e0 = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val e = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(numPartitions, col("src"))
+      .localCheckpoint(eager = true)
+    var d = landmarks.distinct.map(l => (l, l, 0L)).toDF("id", "lm", "dist")
+      .repartition(numPartitions, col("id"), col("lm"))
+      .localCheckpoint(eager = true)
+    for (_ <- 1 to maxHops) {
+      d = d.unionAll(
+          e.join(d.select(col("id").as("src"), col("lm"), col("dist")), "src")
+            .select(col("dst").as("id"), col("lm"), (col("dist") + 1L).as("dist")))
+        .groupBy("id", "lm").agg(min(col("dist")).as("dist"))
+        .repartition(numPartitions, col("id"), col("lm"))
+        .localCheckpoint(eager = true)
+    }
+    d.select(col("id"), col("lm").as("landmark"), col("dist").as("hops"))
+  }
 }

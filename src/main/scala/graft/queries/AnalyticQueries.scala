@@ -77,6 +77,21 @@ object AnalyticQueries extends QueryPack {
       graft.dedup.Components.labelPropagation(coOrderPairs(s, d), iters = 5)
         .orderBy("id")),
 
+    // Landmark BFS hop distances on the same graph from its 3 smallest
+    // node ids (a bounded 3-row collect — the landmark set is a chosen
+    // seed list in practice). Exact integer distances within 5 hops;
+    // unreached pairs absent. Hash-matches the unrolled bounded-round
+    // Bellman-Ford oracle.
+    "q_graph_distances" -> ((s, d) => {
+      val edges = coOrderPairs(s, d)
+      val lms = edges.select(col("src").as("id"))
+        .unionAll(edges.select(col("dst").as("id")))
+        .distinct().orderBy("id").limit(3)
+        .collect().map(_.getLong(0)).toSeq
+      graft.dedup.Components.bfsDistances(edges, lms, maxHops = 5)
+        .orderBy("id", "landmark")
+    }),
+
     // row_number / rank / dense_rank per customer by price.
     "q_window_rank" -> ((s, d) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -554,10 +569,41 @@ object AnalyticQueries extends QueryPack {
     s"$base$rounds\nSELECT id, lbl AS community FROM l$iters ORDER BY id"
   }
 
+  /** Unrolled twin of Components.bfsDistances: symmetrized edges, d0 =
+    * the 3 smallest node ids at distance 0 to themselves, then
+    * `maxHops` bounded Bellman-Ford rounds (min over settled ∪ relaxed).
+    */
+  private def distancesOracleSql(maxHops: Int): String = {
+    val base =
+      """WITH li AS MATERIALIZED (SELECT l_orderkey, l_partkey FROM lineitem),
+        |cp AS MATERIALIZED (
+        |  SELECT a.l_partkey AS src, b.l_partkey AS dst,
+        |         count(DISTINCT a.l_orderkey) AS n_co
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2),
+        |e0 AS MATERIALIZED (SELECT src, dst FROM cp WHERE n_co >= 2),
+        |e AS MATERIALIZED (SELECT src, dst FROM e0
+        |                   UNION ALL SELECT dst AS src, src AS dst FROM e0),
+        |lms AS MATERIALIZED (SELECT DISTINCT src AS id FROM e ORDER BY id LIMIT 3),
+        |d0 AS MATERIALIZED (SELECT id, id AS lm, 0::BIGINT AS dist FROM lms)""".stripMargin
+    val rounds = (1 to maxHops).map { i =>
+      val p = i - 1
+      s"""d$i AS MATERIALIZED (SELECT id, lm, min(dist)::BIGINT AS dist FROM (
+        |  SELECT id, lm, dist FROM d$p
+        |  UNION ALL
+        |  SELECT e.dst AS id, d.lm, d.dist + 1 AS dist
+        |  FROM e JOIN d$p d ON e.src = d.id) GROUP BY id, lm)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    s"$base$rounds\nSELECT id, lm AS landmark, dist AS hops " +
+      s"FROM d$maxHops ORDER BY id, landmark"
+  }
+
   val oracle: Map[String, String] = Map(
     "q_graph_pagerank" -> pagerankOracleSql(5),
     "q_graph_hits" -> hitsOracleSql(5),
     "q_graph_communities" -> communitiesOracleSql(5),
+    "q_graph_distances" -> distancesOracleSql(5),
     "q_sketch_rollup_exact" ->
       """SELECT event_type,
         |       count(DISTINCT user_id) AS n_users,

@@ -302,6 +302,42 @@ class ComponentsSpec extends SparkSpecBase {
     assert(cc.size == 1, "sanity: the bridge makes ONE connected component")
   }
 
+  test("bfsDistances: hand-checked chain bound + random-graph BFS parity") {
+    // chain 1-2-...-7, landmark 1, 3 hops: nodes 1..4 settle at 0..3,
+    // nodes 5..7 are ABSENT (beyond the bound), never null/infinite
+    val chain = (1L to 6L).map(i => (i, i + 1)).toDF("src", "dst")
+    val got = Components.bfsDistances(chain, Seq(1L), maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L), s"got $got")
+    // random graph, 2 landmarks: exact parity with driver-side BFS
+    val rnd = new scala.util.Random(23)
+    val edges = (1 to 80).map(_ =>
+      (rnd.nextInt(25).toLong + 1, rnd.nextInt(25).toLong + 1))
+      .filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val lms = Seq(1L, 7L)
+    val hops = 4
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    def bfs(lm: Long): Map[Long, Long] = {
+      var dist = Map(lm -> 0L)
+      var frontier = Set(lm)
+      for (h <- 1 to hops) {
+        val nxt = frontier.flatMap(adj.getOrElse(_, Set.empty))
+          .filterNot(dist.contains)
+        dist ++= nxt.map(_ -> h.toLong)
+        frontier = nxt
+      }
+      dist
+    }
+    val want = lms.flatMap(lm => bfs(lm).map { case (id, h) => (id, lm) -> h })
+      .toMap
+    val dd = Components.bfsDistances(
+        edges.toDF("src", "dst").repartition(5), lms, hops)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(dd == want, "diverged from driver-side BFS")
+  }
+
   test("pageRank: one-round values are hand-derivable") {
     // iters=1 on an edgeless-in-one-direction pair: 2 never sources an
     // edge → dangling; exact values hand-derivable: n=2, r0=5e11 each;
