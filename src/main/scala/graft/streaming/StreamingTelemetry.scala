@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -178,6 +178,53 @@ object StreamingTelemetry {
             .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
           b.write.mode("overwrite").parquet(s"$corpusDir/batch=$batchId")
         } finally b.unpersist()
+        ()
+      }
+      .start()
+
+  /** Incremental KMV sketch-mart maintenance: each micro-batch writes
+    * its OWN fine-grain k-min sketch rows (operators.Kmv.mart) to a
+    * `batch=<epoch>` partition with overwrite — the same idempotent
+    * epoch-partition contract as every sink here. There is NO
+    * read-modify-write: the mart is MERGE-ON-READ. Any later rollup
+    * over the partitioned dir is exactly the lossless k-min merge
+    * KmvSpec proves bit-equal to a raw build (per-epoch sketches are
+    * just one more fine grain), so the streamed mart answers distinct
+    * counts and set overlaps identically to one built in batch — while
+    * each epoch's work is linear in the BATCH, never the history.
+    * Empty micro-batches write nothing.
+    */
+  def streamKmvMart(rows: DataFrame, martDir: String, checkpointDir: String,
+                    grainCols: Seq[String], key: Column, k: Int = 128)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.Kmv.mart(batch, grainCols, key, k)
+            .write.mode("overwrite").parquet(s"$martDir/batch=$batchId")
+        ()
+      }
+      .start()
+
+  /** Incremental histogram-mart maintenance — the distribution twin of
+    * streamKmvMart: per epoch, the batch's fixed-width bin counts
+    * (operators.Quantiles.histMart) into `batch=<epoch>` with
+    * overwrite; merge-on-read, since bin counts ADD (Quantiles.rollup
+    * sums them regardless of how many epochs contributed). Streamed
+    * quantile read-offs are therefore bit-identical to batch ones.
+    */
+  def streamHistMart(rows: DataFrame, martDir: String, checkpointDir: String,
+                     grainCols: Seq[String], value: Column, binWidth: Double)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.Quantiles.histMart(batch, grainCols, value, binWidth)
+            .write.mode("overwrite").parquet(s"$martDir/batch=$batchId")
         ()
       }
       .start()

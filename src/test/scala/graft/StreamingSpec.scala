@@ -122,6 +122,58 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streamed KMV and histogram marts answer EXACTLY like batch builds") {
+    implicit val sql = spark.sqlContext
+    def tmp(p: String) = {
+      val d = java.nio.file.Files.createTempDirectory(p).toString
+      new java.io.File(d).delete(); d
+    }
+    val (kmvDir, kmvCk, histDir, histCk) =
+      (tmp("graft-skm-m"), tmp("graft-skm-k"), tmp("graft-shm-m"), tmp("graft-shm-k"))
+    val in = MemoryStream[StreamEvent]
+    val df = in.toDF()
+    val k = 32
+    val qk = StreamingTelemetry.streamKmvMart(df, kmvDir, kmvCk,
+      Seq("event_type"), col("user_id").cast("string"), k)
+    val qh = StreamingTelemetry.streamHistMart(df, histDir, histCk,
+      Seq("event_type"), col("value"), binWidth = 10.0)
+    val rnd = new scala.util.Random(31)
+    def ev(id: Long) = StreamEvent(id, ts(1 + (id % 9).toInt), rnd.nextInt(60),
+      if (id % 3 == 0) "click" else "view", rnd.nextDouble() * 100)
+    val all = (1L to 300L).map(ev)
+    try {
+      // three uneven epochs
+      Seq(all.slice(0, 40), all.slice(40, 250), all.slice(250, 300)).foreach {
+        b => in.addData(b: _*); qk.processAllAvailable(); qh.processAllAvailable()
+      }
+      val batchDf = all.toDF()
+      // KMV: merge-on-read rollup over epochs == one-shot batch mart
+      val streamedEst = graft.operators.Kmv.rollup(
+          spark.read.parquet(kmvDir).drop("batch"), Seq("event_type"), k)
+        .select(col("event_type"), graft.operators.Kmv.estimate("kmv", k))
+        .as[(String, Long)].collect().toMap
+      val batchEst = graft.operators.Kmv.mart(
+          batchDf, Seq("event_type"), col("user_id").cast("string"), k)
+        .select(col("event_type"), graft.operators.Kmv.estimate("kmv", k))
+        .as[(String, Long)].collect().toMap
+      assert(streamedEst == batchEst,
+        s"streamed $streamedEst != batch $batchEst")
+      // histogram: summed epoch bins == one-shot histogram, so quantile
+      // read-offs are bit-identical
+      val sq = graft.operators.Quantiles.quantiles(
+          graft.operators.Quantiles.rollup(
+            spark.read.parquet(histDir).drop("batch"), Seq("event_type")),
+          Seq("event_type"), 10.0, Seq(("p50", 1, 2), ("p95", 19, 20)))
+        .as[(String, Double, Double, Long)].collect().toSet
+      val bq = graft.operators.Quantiles.quantiles(
+          graft.operators.Quantiles.histMart(
+            batchDf, Seq("event_type"), col("value"), 10.0),
+          Seq("event_type"), 10.0, Seq(("p50", 1, 2), ("p95", 19, 20)))
+        .as[(String, Double, Double, Long)].collect().toSet
+      assert(sq == bq, s"streamed quantiles $sq != batch $bq")
+    } finally { qk.stop(); qh.stop() }
+  }
+
   test("streamDecontam: two-trigger union equals batch crossSpanMatches") {
     implicit val sql = spark.sqlContext
     def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
