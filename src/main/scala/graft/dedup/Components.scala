@@ -559,6 +559,13 @@ object Components {
       .select(col("id"), col("id").as("lbl"))
       .repartition(numPartitions, col("id"))
       .localCheckpoint(eager = true)
+    // the tie-break negates labels, which is only order-preserving for
+    // non-negative ids — validate with the file's bounded-collect shape
+    val minId = l.agg(coalesce(min(col("id")), lit(0L)))
+      .collect()(0).getLong(0)
+    require(minId >= 0,
+      s"labelPropagation: negative node id $minId — ids must be >= 0 " +
+        "(the (cnt, -lbl) tie-break negates labels)")
     for (_ <- 1 to iters) {
       l = e
         .join(l.select(col("id").as("src"), col("lbl")), "src")

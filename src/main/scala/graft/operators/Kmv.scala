@@ -48,8 +48,9 @@ object Kmv {
   /** Hash-space size: 52-bit hashes in [0, 2^52). */
   val MaxHash: Long = 1L << 52
 
-  /** First 13 md5 hex digits of the key as a 52-bit long — same salted
-    * md5 family as Sampling.hash32; DuckDB twin:
+  /** First 13 md5 hex digits of the key as a 52-bit long — the same
+    * md5-prefix hash family as Sampling.hash32, but UNSALTED (both this
+    * and the query oracles hash the bare key); DuckDB twin:
     * `('0x' || substr(md5(key), 1, 13))::BIGINT`.
     */
   def hash52(key: Column): Column =
@@ -62,13 +63,17 @@ object Kmv {
   /** Fine-grain KMV mart: one row per `grainCols` group with `kmv` =
     * sorted array of the k smallest distinct hashes of `key`. This is
     * the table you persist (array<long> round-trips parquet exactly);
-    * size ≤ #groups × k × 8 bytes.
+    * size ≤ #groups × k × 8 bytes. NULL keys are dropped (like
+    * Quantiles.histMart's null values): a null hash would win a heap
+    * slot (ascending = nulls first) but vanish from collect_list,
+    * leaving a k-1 sketch that estimate() would misread as exact.
     */
   def mart(df: DataFrame, grainCols: Seq[String], key: Column,
            k: Int = 128): DataFrame = {
     requireK(k)
     val hashed = df
       .select(grainCols.map(col) :+ hash52(key).as("h"): _*)
+      .filter(col("h").isNotNull)
       .distinct() // one shuffle, map-side combined — countDistinct's cost
     TopKPerKey.perKey(hashed, grainCols, Seq(("h", true)), k)
       .groupBy(grainCols.map(col): _*)
@@ -80,6 +85,15 @@ object Kmv {
     * survives into some input sketch — k-mins of the unioned sketch
     * rows equal k-mins computed from raw data (the property the oracle
     * hash-checks). Input is the mart: at 100 TB this reads kilobytes.
+    *
+    * `k` MUST be ≤ the k the mart was built with (losslessness needs
+    * every fine sketch to have retained at least the coarse top-k; a
+    * LARGER k here silently biases estimates low, because the rolled
+    * sketch fills its extra slots with hashes that are not the true
+    * minima). Same-k is the normal contract; the mart rows cannot
+    * carry their build-k per group without bloating the schema, so
+    * this is a documented caller obligation, like binWidth in
+    * Quantiles.
     */
   def rollup(mart: DataFrame, toCols: Seq[String], k: Int = 128): DataFrame = {
     requireK(k)
@@ -114,6 +128,10 @@ object Kmv {
   def withOverlap(pairs: DataFrame, aName: String, bName: String,
                   k: Int = 128): DataFrame = {
     requireK(k)
+    Seq("uu", "union_est", "inter_est").foreach(c =>
+      require(!pairs.columns.contains(c),
+        s"withOverlap: input already has a '$c' column — it would be " +
+          "silently overwritten"))
     pairs
       .withColumn("uu",
         slice(array_sort(array_distinct(concat(col(aName), col(bName)))), 1, k))

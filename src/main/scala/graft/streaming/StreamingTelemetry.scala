@@ -197,12 +197,23 @@ object StreamingTelemetry {
   def streamKmvMart(rows: DataFrame, martDir: String, checkpointDir: String,
                     grainCols: Seq[String], key: Column, k: Int = 128)
       : org.apache.spark.sql.streaming.StreamingQuery =
+    streamMart(rows, martDir, checkpointDir)(
+      graft.operators.Kmv.mart(_, grainCols, key, k))
+
+  /** The shared epoch-partition mart sink: per non-empty micro-batch,
+    * `build(batch)` overwritten into `batch=<epoch>` — ONE place owning
+    * the idempotence contract (replayed epochs rewrite their own
+    * partition; empty batches write nothing).
+    */
+  private def streamMart(rows: DataFrame, martDir: String,
+                         checkpointDir: String)(build: DataFrame => DataFrame)
+      : org.apache.spark.sql.streaming.StreamingQuery =
     rows.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty)
-          graft.operators.Kmv.mart(batch, grainCols, key, k)
+          build(batch)
             .write.mode("overwrite").parquet(s"$martDir/batch=$batchId")
         ()
       }
@@ -218,16 +229,8 @@ object StreamingTelemetry {
   def streamHistMart(rows: DataFrame, martDir: String, checkpointDir: String,
                      grainCols: Seq[String], value: Column, binWidth: Double)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    rows.writeStream
-      .outputMode(OutputMode.Append())
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty)
-          graft.operators.Quantiles.histMart(batch, grainCols, value, binWidth)
-            .write.mode("overwrite").parquet(s"$martDir/batch=$batchId")
-        ()
-      }
-      .start()
+    streamMart(rows, martDir, checkpointDir)(
+      graft.operators.Quantiles.histMart(_, grainCols, value, binWidth))
 
   /** Live distribution-drift monitoring: per micro-batch, the PSI of the
     * arriving batch against a FIXED reference distribution

@@ -78,6 +78,19 @@ class KmvSpec extends SparkSpecBase {
       s"intersection estimate $bi vs 3000 out of band")
   }
 
+  test("null keys are dropped, not sketch-poisoning") {
+    // a null key's null hash would win an ascending heap slot but
+    // vanish from collect_list, leaving a k-1 'exact-looking' sketch
+    val k = 16
+    val df = ((1 to 200).map(i => ("g", s"nk-$i")) :+ (("g", null)))
+      .toDF("g", "key")
+    val (sk, est) = Kmv.mart(df, Seq("g"), col("key"), k)
+      .select(col("kmv"), Kmv.estimate("kmv", k))
+      .as[(Seq[Long], Long)].head()
+    assert(sk.size == k, s"sketch lost a slot to a null key: ${sk.size}")
+    assert(est > 100, s"null key forced the below-k 'exact' branch: $est")
+  }
+
   test("sketches are partitioning-invariant and parquet round-trip") {
     val k = 32
     val df = (1 to 500).map(i => ("g", s"p-$i")).toDF("g", "key")
