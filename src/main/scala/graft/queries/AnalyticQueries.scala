@@ -77,6 +77,20 @@ object AnalyticQueries extends QueryPack {
       graft.dedup.Components.labelPropagation(coOrderPairs(s, d), iters = 5)
         .orderBy("id")),
 
+    // Modularity readout of that community partition: per community the
+    // EXACT integer numerator q_num = 4m*L_c - D_c^2 (= Q_c*4m^2), so
+    // the quality of the LPA split is itself hash-oracled — positive
+    // q_num means denser than the degree-preserving random expectation.
+    // The co-order edges are checkpointed once and feed BOTH the LPA
+    // rounds and the modularity joins (the co-order self-join is the
+    // expensive part; building it twice would double the query).
+    "q_graph_modularity" -> ((s, d) => {
+      val edges = coOrderPairs(s, d).localCheckpoint(true)
+      graft.dedup.Components.modularityParts(edges,
+        graft.dedup.Components.labelPropagation(edges, iters = 5))
+        .orderBy("community")
+    }),
+
     // Landmark BFS hop distances on the same graph from its 3 smallest
     // node ids (a bounded 3-row collect — the landmark set is a chosen
     // seed list in practice). Exact integer distances within 5 hops;
@@ -544,7 +558,15 @@ object AnalyticQueries extends QueryPack {
     * (cnt DESC, lbl ASC) tie order — all BIGINT, MATERIALIZED CTEs (the
     * recurrence inlines exponentially otherwise, like pageRank's).
     */
-  private def communitiesOracleSql(iters: Int): String = {
+  private def communitiesOracleSql(iters: Int): String =
+    s"${communitiesCtes(iters)}\n" +
+      s"SELECT id, lbl AS community FROM l$iters ORDER BY id"
+
+  /** The shared CTE prefix (graph build + `iters` LPA rounds ending at
+    * l<iters>) — communitiesOracleSql and the modularity oracle extend
+    * the same recurrence, so the two oracles cannot drift.
+    */
+  private def communitiesCtes(iters: Int): String = {
     val base =
       """WITH li AS MATERIALIZED (SELECT l_orderkey, l_partkey FROM lineitem),
         |cp AS MATERIALIZED (
@@ -566,8 +588,30 @@ object AnalyticQueries extends QueryPack {
         |         row_number() OVER (PARTITION BY id ORDER BY cnt DESC, lbl ASC) AS rn
         |  FROM c$i) WHERE rn = 1)""".stripMargin
     }.mkString(",\n", ",\n", "")
-    s"$base$rounds\nSELECT id, lbl AS community FROM l$iters ORDER BY id"
+    s"$base$rounds"
   }
+
+  /** Modularity oracle: the same LPA recurrence, then the exact-integer
+    * per-community decomposition q_num = 4m·L_c − D_c² off l<iters>.
+    */
+  private def modularityOracleSql(iters: Int): String =
+    s"""${communitiesCtes(iters)},
+      |deg AS MATERIALIZED (SELECT src AS id, count(*)::BIGINT AS deg
+      |  FROM e GROUP BY src),
+      |mm AS MATERIALIZED (SELECT count(*)::BIGINT AS m FROM e0),
+      |ea AS (SELECT la.lbl AS ca, lb.lbl AS cb FROM e0
+      |  JOIN l$iters la ON e0.src = la.id
+      |  JOIN l$iters lb ON e0.dst = lb.id),
+      |lc AS (SELECT ca AS community, count(*)::BIGINT AS intra
+      |  FROM ea WHERE ca = cb GROUP BY 1),
+      |dc AS (SELECT l$iters.lbl AS community, sum(deg)::BIGINT AS degree_sum,
+      |         count(*)::BIGINT AS n_nodes
+      |       FROM l$iters JOIN deg ON l$iters.id = deg.id GROUP BY 1)
+      |SELECT dc.community, n_nodes,
+      |  coalesce(intra, 0)::BIGINT AS intra_edges, degree_sum, m,
+      |  (4 * m * coalesce(intra, 0) - degree_sum * degree_sum)::BIGINT AS q_num_4m2
+      |FROM dc LEFT JOIN lc ON dc.community = lc.community, mm
+      |ORDER BY 1""".stripMargin
 
   /** Unrolled twin of Components.bfsDistances: symmetrized edges, d0 =
     * the 3 smallest node ids at distance 0 to themselves, then
@@ -603,6 +647,7 @@ object AnalyticQueries extends QueryPack {
     "q_graph_pagerank" -> pagerankOracleSql(5),
     "q_graph_hits" -> hitsOracleSql(5),
     "q_graph_communities" -> communitiesOracleSql(5),
+    "q_graph_modularity" -> modularityOracleSql(5),
     "q_graph_distances" -> distancesOracleSql(5),
     "q_sketch_rollup_exact" ->
       """SELECT event_type,

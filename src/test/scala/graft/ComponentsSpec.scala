@@ -1,6 +1,7 @@
 package graft
 
 import graft.dedup.Components
+import org.apache.spark.sql.functions.{col, lit}
 
 class ComponentsSpec extends SparkSpecBase {
   import spark.implicits._
@@ -300,6 +301,35 @@ class ComponentsSpec extends SparkSpecBase {
         df.select($"src".as("ida"), $"dst".as("idb")))
       .collect().map(_.getLong(1)).toSet
     assert(cc.size == 1, "sanity: the bridge makes ONE connected component")
+  }
+
+  test("modularityParts: hand-derived values on bridged cliques; bound holds") {
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    val edges = clique(1L to 5L) ++ clique(11L to 15L) :+ (5L, 11L)
+    val df = edges.toDF("src", "dst")
+    val comm = Components.labelPropagation(df, iters = 5)
+    val parts = Components.modularityParts(df, comm).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    // m = 21 edges; each community: 10 intra edges; degree sums: clique
+    // degrees 4 each + 1 bridge endpoint -> D_c = 5*4 + 1 = 21
+    // q_num = 4*21*10 - 21^2 = 840 - 441 = 399 per community
+    assert(parts.keySet == Set(1L, 11L), s"got ${parts.keySet}")
+    parts.values.foreach { case (n, intra, dsum, m, q) =>
+      assert(n == 5L && intra == 10L && dsum == 21L && m == 21L && q == 399L,
+        s"got ($n, $intra, $dsum, $m, $q)")
+    }
+    // global bound: Q <= 1 <=> sum(q_num) <= 4m^2; here Q = 798/1764
+    assert(parts.values.map(_._5).sum <= 4 * 21 * 21)
+    // degenerate partition (everything one community) scores LOWER than
+    // the LPA split: 4m*21 - (2m)^2 = 4*21*21 - 42^2 = 0 < 798
+    val one = comm.select(col("id"), lit(1L).as("community"))
+    val qOne = Components.modularityParts(df, one).collect()
+      .map(_.getLong(5)).sum
+    assert(qOne < parts.values.map(_._5).sum,
+      s"one-community partition must score below the split, got $qOne")
   }
 
   test("bfsDistances: hand-checked chain bound + random-graph BFS parity") {
