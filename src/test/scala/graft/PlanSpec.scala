@@ -807,4 +807,15 @@ class PlanSpec extends SparkSpecBase {
       "sketch pair join lost its broadcast\n" + po.take(900))
     assert(!po.contains("CartesianProduct"), "sketch pair join degraded")
   }
+
+  test("modularity: 1-row m scalar broadcasts; communities read materialized rounds") {
+    val p = plan(q("q_graph_modularity"))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "m-scalar crossJoin lost its broadcast hint\n" + p.take(900))
+    assert(!p.contains("CartesianProduct"), "m-scalar crossJoin degraded")
+    // the LPA side must enter as a materialized round (Scan ExistingRDD),
+    // not as a live replay of the vote-join chain
+    assert(p.contains("Scan ExistingRDD"),
+      "labelPropagation feed lost its checkpoint boundary")
+  }
 }
