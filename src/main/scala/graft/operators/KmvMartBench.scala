@@ -1,0 +1,131 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev measurement main for the KMV mart's OVERLAP payoff — the question
+  * HLL cannot answer at all: pairwise audience intersections
+  * (user-days active in event type X ∩ Y).
+  *
+  * The exact path is the honest competitor a lakehouse actually runs: a
+  * distinct self-join — build the distinct (type, key) set, join it with
+  * itself on key for ta < tb, count per pair. Its cost scales with DATA
+  * (distinct rows × avg types per key), and it RE-scans raw for every
+  * new pair question. The KMV path reads the persisted fine-grain mart
+  * (k longs per (dt, type) group), rolls up once per type, and answers
+  * ALL pairs from kilobyte arrays — cost scales with #groups × k,
+  * data-volume-independent.
+  *
+  * Same methodology as SketchMartBench: replica r shifts ts by r days
+  * and offsets user_id by r·10⁸ (more days AND more users — per-type
+  * audiences grow ~reps×), inputs materialized to parquet so every path
+  * reads real files, best-of-3 timings, plus an accuracy gate: every
+  * pair's inter_est within max(30%, 60 abs) of the exact intersection.
+  * The bench runs k=1024 (the operator max — still 8 KB/group): with a
+  * FIXED hash function each pair's error is one deterministic draw, and
+  * at k=256 this fixture actually lands a ~3σ pair (purchase×view at
+  * reps=10: the first 256 union hashes hold 79 intersection members vs
+  * 56.4 expected, while the next nine 256-windows hover at expectation
+  * — measured, estimator unbiased, draw unlucky). k=1024 averages the
+  * draw down to +7% on the same pair; the TIGHT statistical bounds
+  * live in KmvSpec on controlled sets.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=… runMain graft.operators.KmvMartBench
+  *   [reps…] (default 1 5 10); prints one JSON line.
+  */
+object KmvMartBench {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val repsList = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 5, 10)
+    val rounds = 3
+    val k = 1024
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", "16g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timed(f: => Unit): Double = {
+      var best = Double.MaxValue
+      (1 to rounds).foreach { _ =>
+        val t0 = System.nanoTime()
+        f
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      }
+      best
+    }
+    def dirMb(p: String): Double = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(walk).sum else f.length()
+      walk(new java.io.File(p)) / 1e6
+    }
+
+    val base = Tables.events(spark, sfDir)
+      .select(col("ts"), col("user_id"), col("event_type"))
+    val out = new StringBuilder
+    repsList.foreach { reps =>
+      val rawDir = s"/tmp/kmv_mart_bench/raw_$reps"
+      val martDir = s"/tmp/kmv_mart_bench/mart_$reps"
+      val scaled = (0 until reps).map { r =>
+        base
+          .withColumn("ts", col("ts") + expr(s"INTERVAL $r DAYS"))
+          .withColumn("user_id", col("user_id") + lit(r * 100000000L))
+      }.reduce(_ unionAll _)
+      scaled.write.mode("overwrite").parquet(rawDir)
+      val raw = spark.read.parquet(rawDir)
+        .withColumn("dt", to_date(col("ts")))
+      val key = concat(col("user_id").cast("string"), lit(":"),
+        col("dt").cast("string"))
+
+      // exact pairwise overlap: distinct self-join — the full-rescan
+      // baseline every new pair question pays without a mart
+      def exactPairs() = {
+        val d = raw.select(col("event_type"), key.as("k")).distinct()
+        d.join(d.select(col("event_type").as("tb"), col("k")), "k")
+          .filter(col("event_type") < col("tb"))
+          .groupBy(col("event_type").as("ta"), col("tb"))
+          .agg(count(lit(1)).as("n"))
+      }
+      val exactS = timed { exactPairs().collect() }
+
+      val martBuildS = timed {
+        Kmv.mart(raw, Seq("dt", "event_type"), key, k)
+          .write.mode("overwrite").parquet(martDir)
+      }
+      val mart = spark.read.parquet(martDir)
+      def sketchPairs() = {
+        val sk = Kmv.rollup(mart, Seq("event_type"), k)
+        val a = sk.select(col("event_type").as("ta"), col("kmv").as("ka"))
+        val b = sk.select(col("event_type").as("tb"), col("kmv").as("kb"))
+        Kmv.withOverlap(a.join(broadcast(b), col("ta") < col("tb")),
+          "ka", "kb", k)
+      }
+      val sketchS = timed { sketchPairs().collect() }
+
+      // accuracy gate (loose sanity bound — see scaladoc)
+      val exact = exactPairs().collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val est = sketchPairs().select("ta", "tb", "inter_est").collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      exact.foreach { case (pair, n) =>
+        require(math.abs(est(pair).toDouble - n) <= math.max(0.3 * n, 60),
+          s"reps=$reps $pair: inter_est ${est(pair)} vs exact $n out of band")
+      }
+
+      out.append(
+        f"""{"reps":$reps,"exact_overlap_s":$exactS%.3f,""" +
+        f""""mart_build_s":$martBuildS%.3f,"sketch_overlap_s":$sketchS%.3f,""" +
+        f""""raw_mb":${dirMb(rawDir)}%.1f,"mart_mb":${dirMb(martDir)}%.2f,""" +
+        f""""mart_rows":${mart.count()},"accuracy_gate":"pass"},""")
+    }
+    println(s"""{"bench":"kmv_mart","k":$k,"sf":"$sfDir","scales":[${out.dropRight(1)}]}""")
+    spark.stop()
+  }
+}

@@ -38,6 +38,22 @@ class QuantilesSpec extends SparkSpecBase {
     assert(p90 >= e90 && p90 <= e90 + w, s"p90 $p90 vs exact $e90")
   }
 
+  test("read-offs are monotone in q on random data") {
+    val rnd = new scala.util.Random(13)
+    val df = (1 to 2000).map(i =>
+      (if (i % 2 == 0) "a" else "b", rnd.nextDouble() * 500 - 100))
+      .toDF("g", "v")
+    val hist = Quantiles.histMart(df, Seq("g"), col("v"), 7.0)
+    Quantiles.quantiles(hist, Seq("g"), 7.0,
+        Seq(("p10", 1, 10), ("p50", 1, 2), ("p90", 9, 10), ("p100", 1, 1)))
+      .select("p10", "p50", "p90", "p100")
+      .as[(Double, Double, Double, Double)].collect().foreach {
+        case (a, b, c, d) =>
+          assert(a <= b && b <= c && c <= d,
+            s"quantile read-offs not monotone: $a $b $c $d")
+      }
+  }
+
   test("rollup of a fine mart equals the direct coarse histogram") {
     val rows = for (g <- Seq("x", "y"); d <- 1 to 20; i <- 1 to 50)
       yield (g, d, (i * d % 97).toDouble)
