@@ -631,6 +631,78 @@ object Components {
     d.select(col("id"), col("lm").as("landmark"), col("dist").as("hops"))
   }
 
+  /** Personalized PageRank (Jeh & Widom, WWW'03 / Page et al.'s
+    * teleport-set variant) — seed-biased relevance: random walks restart
+    * at the SEED SET instead of uniformly, so scores rank the whole
+    * graph by proximity-weighted connectivity TO the seeds (the
+    * "related items" / local-similarity primitive a global pageRank
+    * flattens). Same integer fixed-point discipline and eager narrow
+    * round loop as pageRank; the recurrence is
+    *   r_i(v) = [v∈S]·(1−d)·scale/|S|
+    *          + d·(Σ_{u→v} r_{i−1}(u)/outdeg(u) + [v∈S]·dang_{i−1}/|S|)
+    * — both the restart mass AND the dangling mass teleport to seeds,
+    * keeping total mass ≈ scale over the seeds' reachable set. Nodes
+    * unreachable from the seeds score exactly 0 and are still emitted
+    * (callers typically filter or top-k them away). All floor `div`s,
+    * bit-reproducible, oracle-replayable.
+    */
+  def personalizedPageRank(edges: DataFrame, seeds: Seq[Long],
+                           iters: Int = 5, dampingPct: Int = 85,
+                           scale: Long = 1000000000000L,
+                           numPartitions: Int = 8): DataFrame = {
+    require(seeds.nonEmpty, "personalizedPageRank: no seeds")
+    require(iters >= 1 && iters <= 50,
+      s"personalizedPageRank: iters $iters out of [1,50]")
+    require(dampingPct >= 0 && dampingPct <= 100,
+      s"personalizedPageRank: dampingPct $dampingPct out of [0,100]")
+    require(scale >= 1000000L && scale <= 1000000000000000L,
+      s"personalizedPageRank: scale $scale out of [1e6, 1e15]")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .repartition(numPartitions, col("src"))
+      .localCheckpoint(eager = true)
+    val nodes = e.select(col("src").as("id"))
+      .unionAll(e.select(col("dst").as("id")))
+      .distinct()
+      .repartition(numPartitions, col("id"))
+      .localCheckpoint(eager = true)
+    val sSet = seeds.distinct
+    val nS = sSet.size.toLong
+    val seedDf = sSet.map(Tuple1(_)).toDF("id")
+      .withColumn("is_seed", lit(1L))
+    val flagged = nodes.join(broadcast(seedDf), Seq("id"), "left")
+      .select(col("id"), coalesce(col("is_seed"), lit(0L)).as("is_seed"))
+      .repartition(numPartitions, col("id"))
+      .localCheckpoint(eager = true)
+    val outd = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val ew = e.join(outd, "src").localCheckpoint(eager = true)
+    val dang = nodes
+      .join(e.select(col("src").as("id")).distinct(), Seq("id"), "left_anti")
+      .localCheckpoint(eager = true)
+    val base = ((100 - dampingPct) * scale) / (100 * nS)
+    var r = flagged
+      .select(col("id"), (col("is_seed") * lit(scale / nS)).as("r"))
+      .localCheckpoint(eager = true)
+    for (_ <- 1 to iters) {
+      val dmass = dang.join(r, "id")
+        .agg(coalesce(sum(col("r")), lit(0L))).collect()(0).getLong(0)
+      val contrib = ew
+        .join(r.select(col("id").as("src"), col("r")), "src")
+        .select(col("dst"), expr("r div outdeg").as("c"))
+        .groupBy(col("dst").as("id")).agg(sum(col("c")).as("contrib"))
+      r = flagged.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (col("is_seed") * lit(base) +
+            expr(s"($dampingPct * (coalesce(contrib, CAST(0 AS BIGINT)) " +
+              s"+ is_seed * ${dmass / nS})) div 100")).as("r"))
+        .repartition(numPartitions, col("id"))
+        .localCheckpoint(eager = true)
+    }
+    r.select(col("id"), col("r").as("ppr_e12"))
+  }
+
   /** Per-community Newman modularity decomposition (Newman & Girvan,
     * Phys. Rev. E 2004) — the QUALITY readout for a community
     * partition: Q = Σ_c [L_c/m − (D_c/2m)²] with L_c the community's

@@ -77,6 +77,21 @@ object AnalyticQueries extends QueryPack {
       graft.dedup.Components.labelPropagation(coOrderPairs(s, d), iters = 5)
         .orderBy("id")),
 
+    // Personalized PageRank from the graph's 3 smallest node ids as the
+    // teleport set: seed-proximity relevance over the co-order graph
+    // (the "parts related to THESE parts" primitive a global pageRank
+    // flattens). Unreachable nodes score exactly 0. Integer end to end;
+    // hash-matches the unrolled seeded recurrence.
+    "q_graph_ppr" -> ((s, d) => {
+      val edges = coOrderPairs(s, d)
+      val seeds = edges.select(col("src").as("id"))
+        .unionAll(edges.select(col("dst").as("id")))
+        .distinct().orderBy("id").limit(3)
+        .collect().map(_.getLong(0)).toSeq
+      graft.dedup.Components.personalizedPageRank(edges, seeds, iters = 5)
+        .orderBy("id")
+    }),
+
     // Modularity readout of that community partition: per community the
     // EXACT integer numerator q_num = 4m*L_c - D_c^2 (= Q_c*4m^2), so
     // the quality of the LPA split is itself hash-oracled — positive
@@ -643,8 +658,50 @@ object AnalyticQueries extends QueryPack {
       s"FROM d$maxHops ORDER BY id, landmark"
   }
 
+  /** Unrolled twin of Components.personalizedPageRank: directed co-order
+    * edges, seeds = 3 smallest node ids, restart AND dangling mass
+    * teleporting to seeds, all floor `//` — every value BIGINT.
+    */
+  private def pprOracleSql(iters: Int): String = {
+    val base =
+      """WITH li AS MATERIALIZED (SELECT l_orderkey, l_partkey FROM lineitem),
+        |cp AS MATERIALIZED (
+        |  SELECT a.l_partkey AS src, b.l_partkey AS dst,
+        |         count(DISTINCT a.l_orderkey) AS n_co
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2),
+        |e AS MATERIALIZED (SELECT src, dst FROM cp WHERE n_co >= 2),
+        |nodes AS MATERIALIZED (SELECT DISTINCT id
+        |          FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+        |sd AS MATERIALIZED (SELECT id FROM nodes ORDER BY id LIMIT 3),
+        |ns AS MATERIALIZED (SELECT count(*) AS ns FROM sd),
+        |f AS MATERIALIZED (SELECT nodes.id,
+        |       CASE WHEN sd.id IS NOT NULL THEN 1 ELSE 0 END AS is_seed
+        |     FROM nodes LEFT JOIN sd ON nodes.id = sd.id),
+        |outd AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+        |ew AS MATERIALIZED (SELECT e.src, e.dst, outd.outdeg FROM e JOIN outd USING (src)),
+        |dang AS MATERIALIZED (SELECT id FROM nodes WHERE id NOT IN (SELECT src FROM e)),
+        |r0 AS MATERIALIZED (SELECT id, (is_seed * (1000000000000 // ns))::BIGINT AS r
+        |     FROM f, ns)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      val p = i - 1
+      s"""c$i AS MATERIALIZED (SELECT ew.dst AS id, sum(r$p.r // ew.outdeg)::BIGINT AS contrib
+        |  FROM ew JOIN r$p ON ew.src = r$p.id GROUP BY ew.dst),
+        |d$i AS MATERIALIZED (SELECT coalesce(sum(r$p.r), 0)::BIGINT AS dmass
+        |  FROM r$p JOIN dang USING (id)),
+        |r$i AS MATERIALIZED (SELECT f.id,
+        |    (f.is_seed * ((15 * 1000000000000) // (100 * ns)) +
+        |     (85 * (coalesce(c$i.contrib, 0) + f.is_seed * (d$i.dmass // ns))) // 100
+        |    )::BIGINT AS r
+        |  FROM f LEFT JOIN c$i ON f.id = c$i.id, ns, d$i)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    s"$base$rounds\nSELECT id, r AS ppr_e12 FROM r$iters ORDER BY id"
+  }
+
   val oracle: Map[String, String] = Map(
     "q_graph_pagerank" -> pagerankOracleSql(5),
+    "q_graph_ppr" -> pprOracleSql(5),
     "q_graph_hits" -> hitsOracleSql(5),
     "q_graph_communities" -> communitiesOracleSql(5),
     "q_graph_modularity" -> modularityOracleSql(5),

@@ -182,6 +182,49 @@ class ComponentsSpec extends SparkSpecBase {
     r
   }
 
+  /** Independent driver-side twin of Components.personalizedPageRank. */
+  private def refPpr(edges: Seq[(Long, Long)], seeds: Seq[Long], iters: Int,
+                     scale: Long = 1000000000000L): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val sSet = seeds.distinct.toSet
+    val nS = sSet.size
+    val outdeg = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    def seed(id: Long): Long = if (sSet(id)) 1L else 0L
+    var r = nodes.map(id => id -> seed(id) * (scale / nS)).toMap
+    for (_ <- 1 to iters) {
+      val contrib = collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      for ((s, d) <- edges) contrib(d) += r(s) / outdeg(s)
+      val dmass = nodes.filterNot(outdeg.contains).map(r).sum
+      r = nodes.map(id => id ->
+        (seed(id) * ((15L * scale) / (100L * nS)) +
+          (85L * (contrib(id) + seed(id) * (dmass / nS))) / 100L)).toMap
+    }
+    r
+  }
+
+  test("personalizedPageRank: recurrence parity, tail bound, unreachable zeros") {
+    // chain 1→2→3→4 plus a disconnected pair 10→11; seed {1}
+    val raw = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+    val got = Components.personalizedPageRank(
+        raw.toDF("src", "dst"), Seq(1L), iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == refPpr(raw, Seq(1L), 5), "diverged from reference")
+    // finite-iteration scores are a damped WAVE from the seed (not yet
+    // monotone near it), but the far end must sit strictly below the
+    // seed and total mass stays bounded by scale
+    assert(got(1L) > got(4L) && got(2L) > got(4L),
+      s"chain tail not below the seed region: $got")
+    assert(got.values.sum <= 1000000000000L, s"mass exceeds scale: $got")
+    // nodes unreachable from the seed score exactly 0
+    assert(got(10L) == 0L && got(11L) == 0L, s"unreachable not zero: $got")
+    // multi-seed: the union of walks — both components now score
+    val got2 = Components.personalizedPageRank(
+        raw.toDF("src", "dst"), Seq(1L, 10L), iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == refPpr(raw, Seq(1L, 10L), 5))
+    assert(got2(11L) > 0L, "second seed's component still dark")
+  }
+
   test("pageRank matches the independent integer recurrence exactly") {
     // hub-and-spoke into 1, a 2-cycle, and a DANGLING node 9 (no
     // out-edge) so the dangling-mass redistribution is exercised
