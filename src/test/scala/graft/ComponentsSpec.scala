@@ -223,6 +223,17 @@ class ComponentsSpec extends SparkSpecBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got2 == refPpr(raw, Seq(1L, 10L), 5))
     assert(got2(11L) > 0L, "second seed's component still dark")
+    // random directed graph with dangling nodes: exact parity again
+    val rnd = new scala.util.Random(41)
+    val edges = (1 to 100).map(_ =>
+      (rnd.nextInt(30).toLong + 1, rnd.nextInt(40).toLong + 1))
+      .filter(e => e._1 != e._2).distinct
+    val seeds = Seq(3L, 17L)
+    val gotR = Components.personalizedPageRank(
+        edges.toDF("src", "dst").repartition(7), seeds, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotR == refPpr(edges, seeds, 4),
+      "random-graph divergence from reference recurrence")
   }
 
   test("pageRank matches the independent integer recurrence exactly") {
