@@ -676,6 +676,14 @@ object Components {
       .select(col("id"), coalesce(col("is_seed"), lit(0L)).as("is_seed"))
       .repartition(numPartitions, col("id"))
       .localCheckpoint(eager = true)
+    // a seed absent from the graph injects no restart mass while still
+    // inflating every denominator — with NO present seed the result is
+    // silently all-zeros. Validate with the file's bounded-collect shape.
+    val present = flagged.agg(coalesce(sum(col("is_seed")), lit(0L)))
+      .collect()(0).getLong(0)
+    require(present == nS,
+      s"personalizedPageRank: ${nS - present} of $nS seeds are not nodes " +
+        "of the graph — restart mass would silently deflate")
     val outd = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val ew = e.join(outd, "src").localCheckpoint(eager = true)
     val dang = nodes
@@ -710,7 +718,11 @@ object Components {
     * here is the EXACT INTEGER numerator: q_num = 4m·L_c − D_c²  (=
     * Q_c·4m²), so the frame hashes bit-exact and the caller divides by
     * 4m² only at presentation time. Positive q_num = denser than the
-    * degree-preserving random expectation; Σ q_num ≤ 4m².
+    * degree-preserving random expectation; Σ q_num ≤ 4m². Overflow
+    * headroom: 4m·L_c and D_c² are bounded by 4m², which fits a long
+    * for m up to ~1.5e9 edges — beyond that, rescale (e.g. divide all
+    * counts by 4 first) or move the final products to DECIMAL; the
+    * same class of documented bound as pageRank's scale cap.
     *
     * `edges` is the canonical undirected list (one row per edge, either
     * direction; self-loops dropped); `communities` is (id, community)

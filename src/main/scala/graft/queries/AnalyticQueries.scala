@@ -21,6 +21,17 @@ object AnalyticQueries extends QueryPack {
     .partitionBy(col("o_custkey"))
     .orderBy(col("o_orderdate"), col("o_orderkey"))
 
+  /** The graph's `n` smallest node ids — the deterministic seed/landmark
+    * pick the PPR and BFS queries share (a bounded n-row collect; real
+    * callers pass a chosen seed list instead).
+    */
+  private def smallestNodeIds(edges: org.apache.spark.sql.DataFrame,
+                              n: Int): Seq[Long] =
+    edges.select(col("src").as("id"))
+      .unionAll(edges.select(col("dst").as("id")))
+      .distinct().orderBy("id").limit(n)
+      .collect().map(_.getLong(0)).toSeq
+
   /** The parts-co-ordered-together graph shared by the graph-analytics
     * queries: edge src→dst when two parts (src < dst) share >= 2 distinct
     * orders. The co-order self-join reuses one orderkey exchange for
@@ -81,14 +92,12 @@ object AnalyticQueries extends QueryPack {
     // teleport set: seed-proximity relevance over the co-order graph
     // (the "parts related to THESE parts" primitive a global pageRank
     // flattens). Unreachable nodes score exactly 0. Integer end to end;
-    // hash-matches the unrolled seeded recurrence.
+    // hash-matches the unrolled seeded recurrence. Edges checkpointed
+    // ONCE: the seed collect and the operator share one co-order build.
     "q_graph_ppr" -> ((s, d) => {
-      val edges = coOrderPairs(s, d)
-      val seeds = edges.select(col("src").as("id"))
-        .unionAll(edges.select(col("dst").as("id")))
-        .distinct().orderBy("id").limit(3)
-        .collect().map(_.getLong(0)).toSeq
-      graft.dedup.Components.personalizedPageRank(edges, seeds, iters = 5)
+      val edges = coOrderPairs(s, d).localCheckpoint(true)
+      graft.dedup.Components
+        .personalizedPageRank(edges, smallestNodeIds(edges, 3), iters = 5)
         .orderBy("id")
     }),
 
@@ -110,14 +119,11 @@ object AnalyticQueries extends QueryPack {
     // node ids (a bounded 3-row collect — the landmark set is a chosen
     // seed list in practice). Exact integer distances within 5 hops;
     // unreached pairs absent. Hash-matches the unrolled bounded-round
-    // Bellman-Ford oracle.
+    // Bellman-Ford oracle. Edges checkpointed once, like q_graph_ppr.
     "q_graph_distances" -> ((s, d) => {
-      val edges = coOrderPairs(s, d)
-      val lms = edges.select(col("src").as("id"))
-        .unionAll(edges.select(col("dst").as("id")))
-        .distinct().orderBy("id").limit(3)
-        .collect().map(_.getLong(0)).toSeq
-      graft.dedup.Components.bfsDistances(edges, lms, maxHops = 5)
+      val edges = coOrderPairs(s, d).localCheckpoint(true)
+      graft.dedup.Components
+        .bfsDistances(edges, smallestNodeIds(edges, 3), maxHops = 5)
         .orderBy("id", "landmark")
     }),
 

@@ -228,7 +228,10 @@ class ComponentsSpec extends SparkSpecBase {
     val edges = (1 to 100).map(_ =>
       (rnd.nextInt(30).toLong + 1, rnd.nextInt(40).toLong + 1))
       .filter(e => e._1 != e._2).distinct
-    val seeds = Seq(3L, 17L)
+    // seeds restricted to nodes actually present (the operator rejects
+    // absent seeds rather than silently deflating restart mass)
+    val present = (edges.map(_._1) ++ edges.map(_._2)).toSet
+    val seeds = Seq(3L, 17L).filter(present)
     val gotR = Components.personalizedPageRank(
         edges.toDF("src", "dst").repartition(7), seeds, iters = 4)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
