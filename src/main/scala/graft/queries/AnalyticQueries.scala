@@ -115,6 +115,17 @@ object AnalyticQueries extends QueryPack {
         .orderBy("community")
     }),
 
+    // 3-core of the co-order graph: the maximal subgraph where every
+    // part keeps >= 3 co-order partners INSIDE the subgraph — the dense
+    // purchase core that plain degree thresholding overstates (removing
+    // a weak node demotes neighbors transitively). The operator peels
+    // to the fixpoint; the oracle unrolls a fixed 40 rounds, exact
+    // because peeling is idempotent after convergence (11 rounds on the
+    // sf0.01 fixture — deep margin against fixture regeneration).
+    "q_graph_kcore" -> ((s, d) =>
+      graft.dedup.Components.kCore(coOrderPairs(s, d), k = 3)
+        .orderBy("id")),
+
     // Landmark BFS hop distances on the same graph from its 3 smallest
     // node ids (a bounded 3-row collect — the landmark set is a chosen
     // seed list in practice). Exact integer distances within 5 hops;
@@ -705,9 +716,39 @@ object AnalyticQueries extends QueryPack {
     s"$base$rounds\nSELECT id, r AS ppr_e12 FROM r$iters ORDER BY id"
   }
 
+  /** Unrolled twin of Components.kCore(k): symmetrized edges, `rounds`
+    * peel rounds (idempotent once converged — rounds is a deep margin,
+    * not a semantic), then the final in-core degree per survivor.
+    */
+  private def kcoreOracleSql(k: Int, rounds: Int): String = {
+    val base =
+      """WITH li AS MATERIALIZED (SELECT l_orderkey, l_partkey FROM lineitem),
+        |cp AS MATERIALIZED (
+        |  SELECT a.l_partkey AS src, b.l_partkey AS dst,
+        |         count(DISTINCT a.l_orderkey) AS n_co
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2),
+        |e0 AS MATERIALIZED (SELECT src, dst FROM cp WHERE n_co >= 2),
+        |e AS MATERIALIZED (SELECT src, dst FROM e0
+        |                   UNION ALL SELECT dst AS src, src AS dst FROM e0),
+        |n0 AS MATERIALIZED (SELECT DISTINCT src AS id FROM e)""".stripMargin
+    val rnds = (1 to rounds).map { i =>
+      val p = i - 1
+      s"""n$i AS MATERIALIZED (SELECT e.src AS id FROM e
+        |  JOIN n$p a ON e.src = a.id JOIN n$p b ON e.dst = b.id
+        |  GROUP BY e.src HAVING count(*) >= $k)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    s"""$base$rnds
+      |SELECT e.src AS id, count(*)::BIGINT AS core_degree FROM e
+      |JOIN n$rounds a ON e.src = a.id JOIN n$rounds b ON e.dst = b.id
+      |GROUP BY e.src ORDER BY id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q_graph_pagerank" -> pagerankOracleSql(5),
     "q_graph_ppr" -> pprOracleSql(5),
+    "q_graph_kcore" -> kcoreOracleSql(3, 40),
     "q_graph_hits" -> hitsOracleSql(5),
     "q_graph_communities" -> communitiesOracleSql(5),
     "q_graph_modularity" -> modularityOracleSql(5),

@@ -360,6 +360,46 @@ class ComponentsSpec extends SparkSpecBase {
     assert(cc.size == 1, "sanity: the bridge makes ONE connected component")
   }
 
+  test("kCore: transitive demotion, random-graph peel parity, round bound") {
+    // 4-clique with a pendant chain 4-100-101: plain degree>=3 keeps
+    // nothing of the chain anyway, but node 4 must KEEP its clique
+    // degree after the chain peels; k=3 core = exactly the clique
+    val clique = for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b)
+    val edges = clique ++ Seq((4L, 100L), (100L, 101L))
+    val got = Components.kCore(edges.toDF("src", "dst"), k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), s"got $got")
+    // transitive case at k=2: chain 1-2-3-4-5 peels COMPLETELY (each
+    // round demotes the new endpoints), even though 2,3,4 start at deg 2
+    val chain = (1L to 4L).map(i => (i, i + 1))
+    val got2 = Components.kCore(chain.toDF("src", "dst"), k = 2)
+      .collect()
+    assert(got2.isEmpty, s"chain must peel to nothing at k=2: ${got2.toSeq}")
+    // random graph: exact parity with a driver-side peel
+    val rnd = new scala.util.Random(59)
+    val re = (1 to 150).map(_ =>
+      (rnd.nextInt(40).toLong + 1, rnd.nextInt(40).toLong + 1))
+      .filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val sym = re ++ re.map(_.swap)
+    val adj = sym.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    var nodes = adj.keySet
+    var stable = false
+    while (!stable) {
+      val drop = nodes.filter(v => (adj(v) & nodes).size < 3)
+      stable = drop.isEmpty
+      nodes = nodes -- drop
+    }
+    val want = nodes.map(v => v -> (adj(v) & nodes).size.toLong).toMap
+    val gotR = Components.kCore(re.toDF("src", "dst").repartition(7), k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotR == want, s"diverged from driver peel: got $gotR want $want")
+    // an insufficient round bound fails loudly, never silently partial
+    intercept[IllegalArgumentException] {
+      Components.kCore(chain.toDF("src", "dst"), k = 2, maxRounds = 1)
+    }
+  }
+
   test("modularityParts: hand-derived values on bridged cliques; bound holds") {
     def clique(ids: Seq[Long]) =
       for (a <- ids; b <- ids if a < b) yield (a, b)
