@@ -631,6 +631,75 @@ object Components {
     d.select(col("id"), col("lm").as("landmark"), col("dist").as("hops"))
   }
 
+  /** Weight-proportional PageRank over (src, dst, w) edges: a node
+    * splits its rank over out-edges proportionally to edge WEIGHT
+    * (co-occurrence strength, link multiplicity) instead of uniformly —
+    * contribution = r·w div Σw(src), everything else identical to
+    * pageRank (same integer fixed-point discipline, dangling
+    * redistribution, eager narrow round loop). With all weights equal
+    * the two operators are BIT-IDENTICAL (r·w div (w·outdeg) = r div
+    * outdeg exactly — pinned in ComponentsSpec), so this is a strict
+    * generalization, kept separate because the unweighted path skips
+    * carrying and multiplying a weight column.
+    *
+    * Overflow headroom: r ≤ scale by mass conservation, so r·w needs
+    * w ≤ Long.Max/scale — validated with a bounded 1-row collect
+    * (9.2e6 at the default 1e12 scale; rescale to raise it).
+    */
+  def pageRankWeighted(edges: DataFrame, iters: Int = 5,
+                       dampingPct: Int = 85,
+                       scale: Long = 1000000000000L,
+                       numPartitions: Int = 8): DataFrame = {
+    require(iters >= 1 && iters <= 50,
+      s"pageRankWeighted: iters $iters out of [1,50]")
+    require(dampingPct >= 0 && dampingPct <= 100,
+      s"pageRankWeighted: dampingPct $dampingPct out of [0,100]")
+    require(scale >= 1000000L && scale <= 1000000000000000L,
+      s"pageRankWeighted: scale $scale out of [1e6, 1e15]")
+    val e = edges
+      .select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
+      .repartition(numPartitions, col("src"))
+      .localCheckpoint(eager = true)
+    val wBounds = e.agg(min(col("w")), max(col("w"))).collect()(0)
+    require(wBounds.getLong(0) >= 1,
+      s"pageRankWeighted: non-positive weight ${wBounds.getLong(0)}")
+    require(wBounds.getLong(1) <= Long.MaxValue / scale,
+      s"pageRankWeighted: weight ${wBounds.getLong(1)} overflows r*w at " +
+        s"scale $scale — rescale weights or lower scale")
+    val nodes = e.select(col("src").as("id"))
+      .unionAll(e.select(col("dst").as("id")))
+      .distinct()
+      .repartition(numPartitions, col("id"))
+      .localCheckpoint(eager = true)
+    val n = nodes.count()
+    require(n > 0, "pageRankWeighted: empty graph")
+    val outw = e.groupBy("src").agg(sum(col("w")).as("sw"))
+    val ew = e.join(outw, "src").localCheckpoint(eager = true)
+    val dang = nodes
+      .join(e.select(col("src").as("id")).distinct(), Seq("id"), "left_anti")
+      .localCheckpoint(eager = true)
+    val base = ((100 - dampingPct) * scale) / (100 * n)
+    var r = nodes.select(col("id"), lit(scale / n).as("r"))
+      .localCheckpoint(eager = true)
+    for (_ <- 1 to iters) {
+      val dmass = dang.join(r, "id")
+        .agg(coalesce(sum(col("r")), lit(0L))).collect()(0).getLong(0)
+      val contrib = ew
+        .join(r.select(col("id").as("src"), col("r")), "src")
+        .select(col("dst"), expr("(r * w) div sw").as("c"))
+        .groupBy(col("dst").as("id")).agg(sum(col("c")).as("contrib"))
+      r = nodes.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit(base) +
+            expr(s"($dampingPct * (coalesce(contrib, CAST(0 AS BIGINT)) " +
+              s"+ ${dmass / n})) div 100")).as("r"))
+        .repartition(numPartitions, col("id"))
+        .localCheckpoint(eager = true)
+    }
+    r.select(col("id"), col("r").as("rank_e12"))
+  }
+
   /** Personalized PageRank (Jeh & Widom, WWW'03 / Page et al.'s
     * teleport-set variant) — seed-biased relevance: random walks restart
     * at the SEED SET instead of uniformly, so scores rank the whole

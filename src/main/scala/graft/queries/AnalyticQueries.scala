@@ -38,7 +38,11 @@ object AnalyticQueries extends QueryPack {
     * both sides; DISTINCT orders (not co-occurrence rows) so an order
     * listing a part on two lineitems doesn't double-count the edge.
     */
-  private def coOrderPairs(s: org.apache.spark.sql.SparkSession, d: String) = {
+  private def coOrderPairs(s: org.apache.spark.sql.SparkSession, d: String) =
+    coOrderPairsW(s, d).select("src", "dst")
+
+  /** Weighted variant: keeps the co-order count as edge weight `w`. */
+  private def coOrderPairsW(s: org.apache.spark.sql.SparkSession, d: String) = {
     val li = Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_partkey"))
     li.join(li.select(col("l_orderkey").as("ok2"), col("l_partkey").as("pb")),
@@ -46,7 +50,7 @@ object AnalyticQueries extends QueryPack {
       .groupBy(col("l_partkey").as("src"), col("pb").as("dst"))
       .agg(countDistinct(col("l_orderkey")).as("n_co"))
       .filter(col("n_co") >= 2)
-      .select("src", "dst")
+      .select(col("src"), col("dst"), col("n_co").as("w"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -86,6 +90,15 @@ object AnalyticQueries extends QueryPack {
     // co-order graph along its sparse cuts into purchase communities.
     "q_graph_communities" -> ((s, d) =>
       graft.dedup.Components.labelPropagation(coOrderPairs(s, d), iters = 5)
+        .orderBy("id")),
+
+    // Weight-proportional PageRank: the SAME graph but rank splits over
+    // out-edges by co-order strength (n_co) instead of uniformly —
+    // frequently-co-bought pairs pull more mass. Strict generalization
+    // (uniform weights reproduce q_graph_pagerank bit-exactly, pinned
+    // in ComponentsSpec); hash-matches the weighted recurrence oracle.
+    "q_graph_pagerank_weighted" -> ((s, d) =>
+      graft.dedup.Components.pageRankWeighted(coOrderPairsW(s, d), iters = 5)
         .orderBy("id")),
 
     // Personalized PageRank from the graph's 3 smallest node ids as the
@@ -745,8 +758,44 @@ object AnalyticQueries extends QueryPack {
       |GROUP BY e.src ORDER BY id""".stripMargin
   }
 
+  /** Unrolled twin of Components.pageRankWeighted: contribution =
+    * (r·w) // Σw(src), weights = co-order counts; otherwise identical
+    * to pagerankOracleSql.
+    */
+  private def pagerankWeightedOracleSql(iters: Int): String = {
+    val base =
+      """WITH li AS MATERIALIZED (SELECT l_orderkey, l_partkey FROM lineitem),
+        |cp AS MATERIALIZED (
+        |  SELECT a.l_partkey AS src, b.l_partkey AS dst,
+        |         count(DISTINCT a.l_orderkey) AS n_co
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2),
+        |e AS MATERIALIZED (SELECT src, dst, n_co AS w FROM cp WHERE n_co >= 2),
+        |nodes AS MATERIALIZED (SELECT DISTINCT id
+        |          FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+        |nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+        |outw AS MATERIALIZED (SELECT src, sum(w)::BIGINT AS sw FROM e GROUP BY src),
+        |ew AS MATERIALIZED (SELECT e.src, e.dst, e.w, outw.sw FROM e JOIN outw USING (src)),
+        |dang AS MATERIALIZED (SELECT id FROM nodes WHERE id NOT IN (SELECT src FROM e)),
+        |r0 AS MATERIALIZED (SELECT id, (1000000000000 // n) AS r FROM nodes, nn)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      val p = i - 1
+      s"""c$i AS MATERIALIZED (SELECT ew.dst AS id, sum((r$p.r * ew.w) // ew.sw)::BIGINT AS contrib
+        |  FROM ew JOIN r$p ON ew.src = r$p.id GROUP BY ew.dst),
+        |d$i AS MATERIALIZED (SELECT coalesce(sum(r$p.r), 0)::BIGINT AS dmass
+        |  FROM r$p JOIN dang USING (id)),
+        |r$i AS MATERIALIZED (SELECT nodes.id,
+        |    ((15 * 1000000000000) // (100 * n)) +
+        |    ((85 * (coalesce(c$i.contrib, 0) + (d$i.dmass // n))) // 100) AS r
+        |  FROM nodes LEFT JOIN c$i ON nodes.id = c$i.id, nn, d$i)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    s"$base$rounds\nSELECT id, r AS rank_e12 FROM r$iters ORDER BY id"
+  }
+
   val oracle: Map[String, String] = Map(
     "q_graph_pagerank" -> pagerankOracleSql(5),
+    "q_graph_pagerank_weighted" -> pagerankWeightedOracleSql(5),
     "q_graph_ppr" -> pprOracleSql(5),
     "q_graph_kcore" -> kcoreOracleSql(3, 40),
     "q_graph_hits" -> hitsOracleSql(5),

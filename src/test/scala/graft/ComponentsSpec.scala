@@ -254,6 +254,41 @@ class ComponentsSpec extends SparkSpecBase {
     assert(got(4L) < got(1L))
   }
 
+  test("pageRankWeighted: uniform weights reproduce pageRank bit-exactly; weight shifts mass") {
+    val raw = Seq((2L, 1L), (3L, 1L), (4L, 1L), (1L, 2L), (2L, 3L), (3L, 9L))
+    // r·w div (w·outdeg) = r div outdeg exactly at any uniform w
+    for (w <- Seq(1L, 7L)) {
+      val wdf = raw.map { case (a, b) => (a, b, w) }.toDF("src", "dst", "w")
+      val got = Components.pageRankWeighted(wdf, iters = 5).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = Components.pageRank(raw.toDF("src", "dst"), iters = 5)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"uniform w=$w diverged from unweighted")
+    }
+    // node 1 splits to {2, 3}: weighting the 1→3 edge 9:1 must rank 3
+    // above its unweighted self and 2 below
+    val skew = Seq((1L, 2L, 1L), (1L, 3L, 9L), (2L, 1L, 1L), (3L, 1L, 1L))
+      .toDF("src", "dst", "w")
+    val sg = Components.pageRankWeighted(skew, iters = 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ug = Components.pageRank(
+        Seq((1L, 2L), (1L, 3L), (2L, 1L), (3L, 1L)).toDF("src", "dst"),
+        iters = 5).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ug(2L) == ug(3L), "sanity: unweighted splits evenly")
+    assert(sg(3L) > ug(3L) && sg(2L) < ug(2L),
+      s"weighted split did not shift mass: $sg vs $ug")
+    // non-positive and overflowing weights are rejected
+    intercept[IllegalArgumentException] {
+      Components.pageRankWeighted(
+        Seq((1L, 2L, 0L)).toDF("src", "dst", "w"), iters = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Components.pageRankWeighted(
+        Seq((1L, 2L, Long.MaxValue / 1000L)).toDF("src", "dst", "w"),
+        iters = 1)
+    }
+  }
+
   test("pageRank conserves mass up to bounded floor loss") {
     val e = (1L to 20L).flatMap(i => Seq((i, i % 20 + 1), (i, (i + 6) % 20 + 1)))
     val got = Components.pageRank(e.toDF("src", "dst"), iters = 8).collect()

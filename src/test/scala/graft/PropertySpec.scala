@@ -311,4 +311,46 @@ class PropertySpec extends SparkSpecBase {
         sweep.collect().map(_.getDouble(7)).max, "chosen row must be max F1")
     }
   }
+
+  test("graph family conservation laws hold on arbitrary random graphs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val graphGen: Gen[Seq[(Long, Long)]] = for {
+      n <- Gen.choose(8, 30)
+      m <- Gen.choose(n, 4 * n)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.choose(1L, n.toLong); b <- Gen.choose(1L, n.toLong)
+      } yield (a, b))
+    } yield es.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    cases(graphGen, 8).filter(_.nonEmpty).foreach { edges =>
+      val df = edges.toDF("src", "dst")
+      val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.size
+      val m = edges.size.toLong
+      // modularity conservation: Σ degree_sum = 2m, Σ n_nodes = |V|,
+      // Σ intra ≤ m, Σ q_num ≤ 4m²
+      val comm = graft.dedup.Components.labelPropagation(df, iters = 3)
+      val parts = graft.dedup.Components.modularityParts(df, comm)
+        .select("n_nodes", "intra_edges", "degree_sum", "q_num_4m2")
+        .as[(Long, Long, Long, Long)].collect()
+      assert(parts.map(_._3).sum == 2 * m, "Σ degree_sum != 2m")
+      assert(parts.map(_._1).sum == nodes, "Σ n_nodes != |V|")
+      assert(parts.map(_._2).sum <= m, "Σ intra_edges > m")
+      assert(parts.map(_._4).sum <= 4 * m * m, "Σ q_num > 4m²")
+      // k-core: the core is a subset of nodes with raw degree ≥ k, and
+      // every survivor's in-core degree honors the bound
+      val core = graft.dedup.Components.kCore(df, k = 2)
+        .as[(Long, Long)].collect().toMap
+      val rawDeg = (edges ++ edges.map(_.swap)).groupBy(_._1)
+        .view.mapValues(_.size).toMap
+      core.foreach { case (id, d) =>
+        assert(d >= 2, s"core node $id below k")
+        assert(rawDeg(id) >= d, s"core degree of $id exceeds raw degree")
+      }
+      // pageRank mass never exceeds scale (floor losses only shrink it)
+      val pr = graft.dedup.Components.pageRank(df, iters = 3)
+        .select(col("rank_e12")).as[Long].collect()
+      assert(pr.sum <= 1000000000000L, "pageRank mass exceeds scale")
+    }
+  }
 }
