@@ -406,50 +406,14 @@ object Components {
     */
   def pageRank(edges: DataFrame, iters: Int = 5, dampingPct: Int = 85,
                scale: Long = 1000000000000L,
-               numPartitions: Int = 8): DataFrame = {
-    require(iters >= 1 && iters <= 50, s"pageRank: iters $iters out of [1,50]")
-    require(dampingPct >= 0 && dampingPct <= 100,
-      s"pageRank: dampingPct $dampingPct out of [0,100]")
-    require(scale >= 1000000L && scale <= 1000000000000000L,
-      s"pageRank: scale $scale out of [1e6, 1e15] (headroom vs overflow)")
-    val e = edges
-      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
-      .repartition(numPartitions, col("src"))
-      .localCheckpoint(eager = true) // 4 consumers — computed exactly once
-    val nodes = e.select(col("src").as("id"))
-      .unionAll(e.select(col("dst").as("id")))
-      .distinct()
-      .repartition(numPartitions, col("id"))
-      .localCheckpoint(eager = true)
-    val n = nodes.count() // bounded driver scalar (node COUNT, not nodes)
-    require(n > 0, "pageRank: empty graph")
-    val outd = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val ew = e.join(outd, "src").localCheckpoint(eager = true)
-    val dang = nodes
-      .join(e.select(col("src").as("id")).distinct(), Seq("id"), "left_anti")
-      .localCheckpoint(eager = true) // dangling ids, fixed across rounds
-    val base = ((100 - dampingPct) * scale) / (100 * n)
-    var r = nodes.select(col("id"), lit(scale / n).as("r"))
-      .localCheckpoint(eager = true)
-    for (_ <- 1 to iters) {
-      // dangling mass: 1-row aggregate collected to the driver — the
-      // bounded-collect shape every round-scalar in this file uses
-      val dmass = dang.join(r, "id")
-        .agg(coalesce(sum(col("r")), lit(0L))).collect()(0).getLong(0)
-      val contrib = ew
-        .join(r.select(col("id").as("src"), col("r")), "src")
-        .select(col("dst"), expr("r div outdeg").as("c"))
-        .groupBy(col("dst").as("id")).agg(sum(col("c")).as("contrib"))
-      r = nodes.join(contrib, Seq("id"), "left")
-        .select(col("id"),
-          (lit(base) +
-            expr(s"($dampingPct * (coalesce(contrib, CAST(0 AS BIGINT)) " +
-              s"+ ${dmass / n})) div 100")).as("r"))
-        .repartition(numPartitions, col("id"))
-        .localCheckpoint(eager = true)
-    }
-    r.select(col("id"), col("r").as("rank_e12"))
-  }
+               numPartitions: Int = 8): DataFrame =
+    // ONE implementation of the subtle eager round loop: the unweighted
+    // walk is exactly the weighted one at unit weights (r·1 div
+    // (1·outdeg) = r div outdeg — bit-equality pinned in
+    // ComponentsSpec), so delegate rather than fork the idiom.
+    pageRankWeighted(
+      edges.select(col("src"), col("dst")).withColumn("w", lit(1L)),
+      iters, dampingPct, scale, numPartitions)
 
   /** HITS hubs & authorities (Kleinberg, JACM'99) over a directed edge
     * list — the two-sided link-analysis twin of pageRank: authorities
@@ -661,11 +625,21 @@ object Components {
         col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
       .repartition(numPartitions, col("src"))
       .localCheckpoint(eager = true)
-    val wBounds = e.agg(min(col("w")), max(col("w"))).collect()(0)
-    require(wBounds.getLong(0) >= 1,
-      s"pageRankWeighted: non-positive weight ${wBounds.getLong(0)}")
-    require(wBounds.getLong(1) <= Long.MaxValue / scale,
-      s"pageRankWeighted: weight ${wBounds.getLong(1)} overflows r*w at " +
+    // one bounded stats row validates everything at once: emptiness
+    // FIRST (min/max on an empty frame are null — getLong would NPE),
+    // then null weights (min/max SKIP nulls, so a failed weight cast
+    // would otherwise sail past the bounds checks and silently drop
+    // rank mass as null contributions), then the bounds themselves
+    val st = e.agg(count(lit(1)).as("m"), count(col("w")).as("mw"),
+      min(col("w")).as("lo"), max(col("w")).as("hi")).collect()(0)
+    require(st.getLong(0) > 0, "pageRank: empty graph")
+    require(st.getLong(1) == st.getLong(0),
+      s"pageRankWeighted: ${st.getLong(0) - st.getLong(1)} null weights " +
+        "(weight column failed to cast to long?)")
+    require(st.getLong(2) >= 1,
+      s"pageRankWeighted: non-positive weight ${st.getLong(2)}")
+    require(st.getLong(3) <= Long.MaxValue / scale,
+      s"pageRankWeighted: weight ${st.getLong(3)} overflows r*w at " +
         s"scale $scale — rescale weights or lower scale")
     val nodes = e.select(col("src").as("id"))
       .unionAll(e.select(col("dst").as("id")))
@@ -673,7 +647,6 @@ object Components {
       .repartition(numPartitions, col("id"))
       .localCheckpoint(eager = true)
     val n = nodes.count()
-    require(n > 0, "pageRankWeighted: empty graph")
     val outw = e.groupBy("src").agg(sum(col("w")).as("sw"))
     val ew = e.join(outw, "src").localCheckpoint(eager = true)
     val dang = nodes
@@ -797,9 +770,12 @@ object Components {
     * 1-row collect as every round scalar in this file). Output is
     * (id, core_degree) over the surviving core — exact integers.
     *
-    * Scale: per round two semi-joins of the (shrinking) live set onto
-    * the edge list + one keyed count — all `numPartitions` wide, the
-    * eager narrow round loop throughout. Rounds are data-dependent
+    * Scale: per round one keyed degree count over the LIVE subgraph's
+    * edges plus (only when nodes dropped) two semi-joins shrinking the
+    * edge working set to the survivors — the working set itself shrinks,
+    * so a long peel costs O(Σ live edges per round), never O(rounds ×
+    * |E|); all `numPartitions` wide, the eager narrow round loop
+    * throughout. Rounds are data-dependent
     * (a path graph peels O(n) rounds at k=2) but real co-occurrence
     * graphs converge in ~10 (sf0.01 fixture: 11 rounds at k=3);
     * `maxRounds` bounds the loop and convergence is asserted.
@@ -812,33 +788,39 @@ object Components {
     val e0 = edges
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
-    val e = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
+    // eLive: the symmetrized edge set among CURRENTLY-live nodes — the
+    // working set itself shrinks each round, so a long peel costs
+    // O(Σ live-edges per round), not O(rounds × |E|)
+    var eLive = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
       .repartition(numPartitions, col("src"))
       .localCheckpoint(eager = true)
-    var live = e.select(col("src").as("id")).distinct()
-      .repartition(numPartitions, col("id"))
-      .localCheckpoint(eager = true)
-    var n = live.count()
-    var converged = false
+    var n = eLive.select(col("src")).distinct().count()
+    var converged = n == 0
     var round = 0
-    def liveDegrees(l: DataFrame): DataFrame = e
-      .join(l.select(col("id").as("src")), "src")
-      .join(l.select(col("id").as("dst")), "dst")
-      .groupBy(col("src").as("id")).agg(count(lit(1)).as("core_degree"))
     while (!converged && round < maxRounds) {
       round += 1
-      live = liveDegrees(live)
+      // degrees within the live subgraph (eLive endpoints are all live)
+      val keep = eLive.groupBy(col("src").as("id"))
+        .agg(count(lit(1)).as("core_degree"))
         .filter(col("core_degree") >= k)
         .select("id")
         .repartition(numPartitions, col("id"))
         .localCheckpoint(eager = true)
-      val n2 = live.count()
+      val n2 = keep.count()
+      if (n2 != n) // shrink the edge working set to the surviving nodes
+        eLive = eLive
+          .join(keep.select(col("id").as("src")), "src")
+          .join(keep.select(col("id").as("dst")), "dst")
+          .repartition(numPartitions, col("src"))
+          .localCheckpoint(eager = true)
       converged = n2 == n || n2 == 0
       n = n2
     }
     require(converged,
       s"kCore: not converged after $maxRounds rounds (live $n) — raise maxRounds")
-    liveDegrees(live) // every survivor has core_degree >= k by fixpoint
+    // final degrees read the CORE's edges only (the converged round left
+    // eLive exactly at the fixpoint subgraph — no full-edge-list rejoin)
+    eLive.groupBy(col("src").as("id")).agg(count(lit(1)).as("core_degree"))
   }
 
   /** Per-community Newman modularity decomposition (Newman & Girvan,

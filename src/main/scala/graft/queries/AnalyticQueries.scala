@@ -135,8 +135,11 @@ object AnalyticQueries extends QueryPack {
     // to the fixpoint; the oracle unrolls a fixed 40 rounds, exact
     // because peeling is idempotent after convergence (11 rounds on the
     // sf0.01 fixture — deep margin against fixture regeneration).
+    // maxRounds is pinned to the ORACLE's round count: a fixture
+    // needing more must fail loudly here, never hash-mismatch a
+    // correct fixpoint against a still-mid-peel oracle.
     "q_graph_kcore" -> ((s, d) =>
-      graft.dedup.Components.kCore(coOrderPairs(s, d), k = 3)
+      graft.dedup.Components.kCore(coOrderPairs(s, d), k = 3, maxRounds = 40)
         .orderBy("id")),
 
     // Landmark BFS hop distances on the same graph from its 3 smallest
