@@ -510,15 +510,38 @@ object Components {
     * (co-occurrence strength); dedupe upstream if not.
     */
   def labelPropagation(edges: DataFrame, iters: Int = 5,
-                       numPartitions: Int = 8): DataFrame = {
+                       numPartitions: Int = 8): DataFrame =
+    labelPropagationWeighted(
+      edges.select(col("src"), col("dst")).withColumn("w", lit(1L)),
+      iters, numPartitions)
+
+  /** Weighted label propagation over (src, dst, w): the majority vote
+    * counts edge WEIGHT instead of edge multiplicity — a strongly
+    * co-occurring neighbor pulls harder than a marginal one. Strict
+    * generalization: unit weights reproduce labelPropagation exactly
+    * (the unweighted entry point above delegates here), and the same
+    * determinism contract holds — synchronous rounds, total (weight
+    * desc, label asc) tie order, pure integer function of (edges,
+    * iters). Weights must be positive longs; vote sums are bounded by
+    * Σw per node, so overflow needs a node with ~9e18 incident weight.
+    */
+  def labelPropagationWeighted(edges: DataFrame, iters: Int = 5,
+                               numPartitions: Int = 8): DataFrame = {
     require(iters >= 1 && iters <= 50,
       s"labelPropagation: iters $iters out of [1,50]")
     val e0 = edges
-      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
       .filter(col("src") =!= col("dst"))
-    val e = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
+    val e = e0.unionAll(
+        e0.select(col("dst").as("src"), col("src").as("dst"), col("w")))
       .repartition(numPartitions, col("src"))
       .localCheckpoint(eager = true) // consumed every round
+    val wStats = e.agg(count(lit(1)), count(col("w")), min(col("w")))
+      .collect()(0)
+    require(wStats.getLong(0) == 0 || (wStats.getLong(1) == wStats.getLong(0)
+        && wStats.getLong(2) >= 1),
+      "labelPropagationWeighted: weights must be non-null positive longs")
     var l = e.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("lbl"))
       .repartition(numPartitions, col("id"))
@@ -534,7 +557,7 @@ object Components {
       l = e
         .join(l.select(col("id").as("src"), col("lbl")), "src")
         .groupBy(col("dst"), col("lbl"))
-        .agg(count(lit(1)).as("cnt"))
+        .agg(sum(col("w")).as("cnt")) // weight-summed vote (1s = count)
         // majority vote, ties to the SMALLEST label: lexicographic max of
         // (cnt, -lbl). Node ids are non-negative, so -lbl cannot overflow.
         .groupBy(col("dst").as("id"))

@@ -114,6 +114,15 @@ object AnalyticQueries extends QueryPack {
         .orderBy("id")
     }),
 
+    // Weighted communities: the SAME recurrence but votes sum co-order
+    // strength (n_co) — a strongly co-bought neighbor pulls harder.
+    // Unit weights reproduce q_graph_communities exactly (delegation-
+    // pinned); hash-matches the weight-summed vote oracle.
+    "q_graph_communities_weighted" -> ((s, d) =>
+      graft.dedup.Components
+        .labelPropagationWeighted(coOrderPairsW(s, d), iters = 5)
+        .orderBy("id")),
+
     // Modularity readout of that community partition: per community the
     // EXACT integer numerator q_num = 4m*L_c - D_c^2 (= Q_c*4m^2), so
     // the quality of the LPA split is itself hash-oracled — positive
@@ -610,6 +619,34 @@ object AnalyticQueries extends QueryPack {
     s"${communitiesCtes(iters)}\n" +
       s"SELECT id, lbl AS community FROM l$iters ORDER BY id"
 
+  /** Unrolled twin of labelPropagationWeighted on the co-order graph:
+    * identical recurrence to communitiesCtes but votes sum n_co.
+    */
+  private def communitiesWeightedOracleSql(iters: Int): String = {
+    val base =
+      """WITH li AS MATERIALIZED (SELECT l_orderkey, l_partkey FROM lineitem),
+        |cp AS MATERIALIZED (
+        |  SELECT a.l_partkey AS src, b.l_partkey AS dst,
+        |         count(DISTINCT a.l_orderkey) AS n_co
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2),
+        |e0 AS MATERIALIZED (SELECT src, dst, n_co AS w FROM cp WHERE n_co >= 2),
+        |e AS MATERIALIZED (SELECT src, dst, w FROM e0
+        |  UNION ALL SELECT dst AS src, src AS dst, w FROM e0),
+        |l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS lbl FROM e)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      val p = i - 1
+      s"""c$i AS MATERIALIZED (SELECT e.dst AS id, l$p.lbl AS lbl, sum(e.w)::BIGINT AS cnt
+        |  FROM e JOIN l$p ON e.src = l$p.id GROUP BY 1, 2),
+        |l$i AS MATERIALIZED (SELECT id, lbl FROM (
+        |  SELECT id, lbl,
+        |         row_number() OVER (PARTITION BY id ORDER BY cnt DESC, lbl ASC) AS rn
+        |  FROM c$i) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    s"$base$rounds\nSELECT id, lbl AS community FROM l$iters ORDER BY id"
+  }
+
   /** The shared CTE prefix (graph build + `iters` LPA rounds ending at
     * l<iters>) — communitiesOracleSql and the modularity oracle extend
     * the same recurrence, so the two oracles cannot drift.
@@ -803,6 +840,7 @@ object AnalyticQueries extends QueryPack {
     "q_graph_kcore" -> kcoreOracleSql(3, 40),
     "q_graph_hits" -> hitsOracleSql(5),
     "q_graph_communities" -> communitiesOracleSql(5),
+    "q_graph_communities_weighted" -> communitiesWeightedOracleSql(5),
     "q_graph_modularity" -> modularityOracleSql(5),
     "q_graph_distances" -> distancesOracleSql(5),
     "q_sketch_rollup_exact" ->

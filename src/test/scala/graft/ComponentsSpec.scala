@@ -375,6 +375,32 @@ class ComponentsSpec extends SparkSpecBase {
     assert(got == refLpa(edges, 5), s"diverged from reference recurrence")
   }
 
+  test("labelPropagationWeighted: unit weights delegate; weight flips a vote") {
+    // path 1-2, 2-3 with node 2 voting between labels 1 and 3: at unit
+    // weights the tie goes to the SMALLER label (1); weighting the 2-3
+    // edge 5x flips node 2's community to 3's side
+    val raw = Seq((1L, 2L), (2L, 3L))
+    val unit = Components.labelPropagation(raw.toDF("src", "dst"), iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(unit(2L) == 1L, s"tie must break to the smaller label: $unit")
+    val weighted = Components.labelPropagationWeighted(
+        Seq((1L, 2L, 1L), (2L, 3L, 5L)).toDF("src", "dst", "w"), iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(weighted(2L) == 3L, s"5x weight must win the vote: $weighted")
+    // random graph: unit-weight call == unweighted call exactly
+    val rnd = new scala.util.Random(67)
+    val edges = (1 to 90).map(_ =>
+      (rnd.nextInt(25).toLong + 1, rnd.nextInt(25).toLong + 1))
+      .filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val a = Components.labelPropagation(edges.toDF("src", "dst"), iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Components.labelPropagationWeighted(
+        edges.map(e => (e._1, e._2, 1L)).toDF("src", "dst", "w"), iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b, "unit-weight LPA diverged from unweighted")
+  }
+
   test("labelPropagation splits bridged cliques where components cannot") {
     // two 5-cliques joined by ONE bridge edge: connectivity sees one
     // island; majority vote keeps each clique on its own min label
