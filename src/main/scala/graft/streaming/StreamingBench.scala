@@ -100,6 +100,48 @@ object StreamingBench {
       } finally q.stop()
     }
 
+    // ---- sketch-mart maintenance: per-epoch fine-grain sketch build +
+    // parquet write, real sf0.1 events replayed in event-time order.
+    // Per-trigger cost must stay FLAT in history length (each epoch
+    // touches only its batch — merge-on-read pays at query time), which
+    // the first/last trigger split verifies. ----
+    val evAll = graft.Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .orderBy("ts").collect()
+    def benchEv(r: org.apache.spark.sql.Row) = BenchEvent(
+      r.getLong(0), r.getTimestamp(1), r.getLong(2),
+      if (r.isNullAt(4)) null else java.lang.Double.valueOf(r.getDouble(4)))
+    for (rate <- Seq(5000, 20000)) {
+      val root = Files.createTempDirectory(s"sb_kmv_$rate").toString
+      val in = MemoryStream[BenchEvent]
+      val q = StreamingTelemetry.streamKmvMart(
+        in.toDF().withColumn("event_type",
+          org.apache.spark.sql.functions.lit("all")),
+        s"$root/mart", s"$root/ckpt", Seq("event_type"),
+        org.apache.spark.sql.functions.col("user_id").cast("string"), 128)
+      try {
+        val trig = timeTriggers[org.apache.spark.sql.Row](
+          evAll.iterator.grouped(rate).map(_.toSeq),
+          c => { in.addData(c.map(benchEv): _*); q.processAllAvailable() })
+        report("stream_kmv_mart", rate, trig, evAll.length.toLong)
+      } finally q.stop()
+    }
+    for (rate <- Seq(5000, 20000)) {
+      val root = Files.createTempDirectory(s"sb_hist_$rate").toString
+      val in = MemoryStream[BenchEvent]
+      val q = StreamingTelemetry.streamHistMart(
+        in.toDF().withColumn("event_type",
+          org.apache.spark.sql.functions.lit("all")),
+        s"$root/mart", s"$root/ckpt", Seq("event_type"),
+        org.apache.spark.sql.functions.col("value"), 5.0)
+      try {
+        val trig = timeTriggers[org.apache.spark.sql.Row](
+          evAll.iterator.grouped(rate).map(_.toSeq),
+          c => { in.addData(c.map(benchEv): _*); q.processAllAvailable() })
+        report("stream_hist_mart", rate, trig, evAll.length.toLong)
+      } finally q.stop()
+    }
+
     // ---- attributionJoin: stream-stream interval join with watermark
     // state eviction, replaying the real sf0.1 click/purchase streams in
     // event-time order (so watermarks advance the way a live source's
