@@ -411,9 +411,9 @@ object Components {
     // walk is exactly the weighted one at unit weights (r·1 div
     // (1·outdeg) = r div outdeg — bit-equality pinned in
     // ComponentsSpec), so delegate rather than fork the idiom.
-    pageRankWeighted(
+    pageRankImpl(
       edges.select(col("src"), col("dst")).withColumn("w", lit(1L)),
-      iters, dampingPct, scale, numPartitions)
+      iters, dampingPct, scale, numPartitions, validateWeights = false)
 
   /** HITS hubs & authorities (Kleinberg, JACM'99) over a directed edge
     * list — the two-sided link-analysis twin of pageRank: authorities
@@ -511,9 +511,8 @@ object Components {
     */
   def labelPropagation(edges: DataFrame, iters: Int = 5,
                        numPartitions: Int = 8): DataFrame =
-    labelPropagationWeighted(
-      edges.select(col("src"), col("dst")).withColumn("w", lit(1L)),
-      iters, numPartitions)
+    lpaImpl(edges.select(col("src"), col("dst")).withColumn("w", lit(1L)),
+      iters, numPartitions, validateWeights = false)
 
   /** Weighted label propagation over (src, dst, w): the majority vote
     * counts edge WEIGHT instead of edge multiplicity — a strongly
@@ -526,7 +525,16 @@ object Components {
     * Σw per node, so overflow needs a node with ~9e18 incident weight.
     */
   def labelPropagationWeighted(edges: DataFrame, iters: Int = 5,
-                               numPartitions: Int = 8): DataFrame = {
+                               numPartitions: Int = 8): DataFrame =
+    lpaImpl(edges, iters, numPartitions, validateWeights = true)
+
+  /** Shared vote loop; `validateWeights=false` only on the delegated
+    * unweighted entry (lit(1L) weights cannot fail the checks, and the
+    * stats job would tax every unweighted call).
+    */
+  private def lpaImpl(edges: DataFrame, iters: Int,
+                      numPartitions: Int,
+                      validateWeights: Boolean): DataFrame = {
     require(iters >= 1 && iters <= 50,
       s"labelPropagation: iters $iters out of [1,50]")
     val e0 = edges
@@ -537,11 +545,13 @@ object Components {
         e0.select(col("dst").as("src"), col("src").as("dst"), col("w")))
       .repartition(numPartitions, col("src"))
       .localCheckpoint(eager = true) // consumed every round
-    val wStats = e.agg(count(lit(1)), count(col("w")), min(col("w")))
-      .collect()(0)
-    require(wStats.getLong(0) == 0 || (wStats.getLong(1) == wStats.getLong(0)
-        && wStats.getLong(2) >= 1),
-      "labelPropagationWeighted: weights must be non-null positive longs")
+    if (validateWeights) {
+      val wStats = e.agg(count(lit(1)), count(col("w")), min(col("w")))
+        .collect()(0)
+      require(wStats.getLong(0) == 0 || (wStats.getLong(1) == wStats.getLong(0)
+          && wStats.getLong(2) >= 1),
+        "labelPropagationWeighted: weights must be non-null positive longs")
+    }
     var l = e.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("lbl"))
       .repartition(numPartitions, col("id"))
@@ -636,40 +646,53 @@ object Components {
   def pageRankWeighted(edges: DataFrame, iters: Int = 5,
                        dampingPct: Int = 85,
                        scale: Long = 1000000000000L,
-                       numPartitions: Int = 8): DataFrame = {
+                       numPartitions: Int = 8): DataFrame =
+    pageRankImpl(edges, iters, dampingPct, scale, numPartitions,
+      validateWeights = true)
+
+  /** Shared round loop. `validateWeights=false` only on the delegated
+    * unweighted entry (its weights are lit(1L) — the checks cannot
+    * fail, and the stats job would tax every unweighted call).
+    */
+  private def pageRankImpl(edges: DataFrame, iters: Int, dampingPct: Int,
+                           scale: Long, numPartitions: Int,
+                           validateWeights: Boolean): DataFrame = {
     require(iters >= 1 && iters <= 50,
-      s"pageRankWeighted: iters $iters out of [1,50]")
+      s"pageRank: iters $iters out of [1,50]")
     require(dampingPct >= 0 && dampingPct <= 100,
-      s"pageRankWeighted: dampingPct $dampingPct out of [0,100]")
+      s"pageRank: dampingPct $dampingPct out of [0,100]")
     require(scale >= 1000000L && scale <= 1000000000000000L,
-      s"pageRankWeighted: scale $scale out of [1e6, 1e15]")
+      s"pageRank: scale $scale out of [1e6, 1e15]")
     val e = edges
       .select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
       .repartition(numPartitions, col("src"))
       .localCheckpoint(eager = true)
-    // one bounded stats row validates everything at once: emptiness
-    // FIRST (min/max on an empty frame are null — getLong would NPE),
-    // then null weights (min/max SKIP nulls, so a failed weight cast
-    // would otherwise sail past the bounds checks and silently drop
-    // rank mass as null contributions), then the bounds themselves
-    val st = e.agg(count(lit(1)).as("m"), count(col("w")).as("mw"),
-      min(col("w")).as("lo"), max(col("w")).as("hi")).collect()(0)
-    require(st.getLong(0) > 0, "pageRank: empty graph")
-    require(st.getLong(1) == st.getLong(0),
-      s"pageRankWeighted: ${st.getLong(0) - st.getLong(1)} null weights " +
-        "(weight column failed to cast to long?)")
-    require(st.getLong(2) >= 1,
-      s"pageRankWeighted: non-positive weight ${st.getLong(2)}")
-    require(st.getLong(3) <= Long.MaxValue / scale,
-      s"pageRankWeighted: weight ${st.getLong(3)} overflows r*w at " +
-        s"scale $scale — rescale weights or lower scale")
+    if (validateWeights) {
+      // one bounded stats row validates everything at once: emptiness
+      // FIRST (min/max on an empty frame are null — getLong would NPE),
+      // then null weights (min/max SKIP nulls, so a failed weight cast
+      // would otherwise sail past the bounds checks and silently drop
+      // rank mass as null contributions), then the bounds themselves
+      val st = e.agg(count(lit(1)).as("m"), count(col("w")).as("mw"),
+        min(col("w")).as("lo"), max(col("w")).as("hi")).collect()(0)
+      require(st.getLong(0) > 0, "pageRank: empty graph")
+      require(st.getLong(1) == st.getLong(0),
+        s"pageRankWeighted: ${st.getLong(0) - st.getLong(1)} null weights " +
+          "(weight column failed to cast to long?)")
+      require(st.getLong(2) >= 1,
+        s"pageRankWeighted: non-positive weight ${st.getLong(2)}")
+      require(st.getLong(3) <= Long.MaxValue / scale,
+        s"pageRankWeighted: weight ${st.getLong(3)} overflows r*w at " +
+          s"scale $scale — rescale weights or lower scale")
+    }
     val nodes = e.select(col("src").as("id"))
       .unionAll(e.select(col("dst").as("id")))
       .distinct()
       .repartition(numPartitions, col("id"))
       .localCheckpoint(eager = true)
     val n = nodes.count()
+    require(n > 0, "pageRank: empty graph")
     val outw = e.groupBy("src").agg(sum(col("w")).as("sw"))
     val ew = e.join(outw, "src").localCheckpoint(eager = true)
     val dang = nodes

@@ -146,9 +146,13 @@ object AnalyticQueries extends QueryPack {
     // sf0.01 fixture — deep margin against fixture regeneration).
     // maxRounds is pinned to the ORACLE's round count: a fixture
     // needing more must fail loudly here, never hash-mismatch a
-    // correct fixpoint against a still-mid-peel oracle.
+    // correct fixpoint against a still-mid-peel oracle. 41, not 40:
+    // convergence DETECTION needs one no-drop iteration beyond the
+    // peel, so a fixture peeling in exactly 40 rounds (which the
+    // 40-round oracle unroll already has at fixpoint) must be allowed
+    // its 41st observing round.
     "q_graph_kcore" -> ((s, d) =>
-      graft.dedup.Components.kCore(coOrderPairs(s, d), k = 3, maxRounds = 40)
+      graft.dedup.Components.kCore(coOrderPairs(s, d), k = 3, maxRounds = 41)
         .orderBy("id")),
 
     // Landmark BFS hop distances on the same graph from its 3 smallest
@@ -620,38 +624,24 @@ object AnalyticQueries extends QueryPack {
       s"SELECT id, lbl AS community FROM l$iters ORDER BY id"
 
   /** Unrolled twin of labelPropagationWeighted on the co-order graph:
-    * identical recurrence to communitiesCtes but votes sum n_co.
+    * the SAME shared CTE builder, weighted vote selected by flag — the
+    * anti-drift rule communitiesCtes exists for applies here too.
     */
-  private def communitiesWeightedOracleSql(iters: Int): String = {
-    val base =
-      """WITH li AS MATERIALIZED (SELECT l_orderkey, l_partkey FROM lineitem),
-        |cp AS MATERIALIZED (
-        |  SELECT a.l_partkey AS src, b.l_partkey AS dst,
-        |         count(DISTINCT a.l_orderkey) AS n_co
-        |  FROM li a JOIN li b
-        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-        |  GROUP BY 1, 2),
-        |e0 AS MATERIALIZED (SELECT src, dst, n_co AS w FROM cp WHERE n_co >= 2),
-        |e AS MATERIALIZED (SELECT src, dst, w FROM e0
-        |  UNION ALL SELECT dst AS src, src AS dst, w FROM e0),
-        |l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS lbl FROM e)""".stripMargin
-    val rounds = (1 to iters).map { i =>
-      val p = i - 1
-      s"""c$i AS MATERIALIZED (SELECT e.dst AS id, l$p.lbl AS lbl, sum(e.w)::BIGINT AS cnt
-        |  FROM e JOIN l$p ON e.src = l$p.id GROUP BY 1, 2),
-        |l$i AS MATERIALIZED (SELECT id, lbl FROM (
-        |  SELECT id, lbl,
-        |         row_number() OVER (PARTITION BY id ORDER BY cnt DESC, lbl ASC) AS rn
-        |  FROM c$i) WHERE rn = 1)""".stripMargin
-    }.mkString(",\n", ",\n", "")
-    s"$base$rounds\nSELECT id, lbl AS community FROM l$iters ORDER BY id"
-  }
+  private def communitiesWeightedOracleSql(iters: Int): String =
+    s"${communitiesCtes(iters, weighted = true)}\n" +
+      s"SELECT id, lbl AS community FROM l$iters ORDER BY id"
 
   /** The shared CTE prefix (graph build + `iters` LPA rounds ending at
-    * l<iters>) — communitiesOracleSql and the modularity oracle extend
-    * the same recurrence, so the two oracles cannot drift.
+    * l<iters>) — communitiesOracleSql, the weighted twin and the
+    * modularity oracle all extend the same recurrence, so none can
+    * drift. `weighted` carries n_co as `w` and sums it into the vote
+    * (count(*) ≡ sum of 1s otherwise).
     */
-  private def communitiesCtes(iters: Int): String = {
+  private def communitiesCtes(iters: Int,
+                              weighted: Boolean = false): String = {
+    val wSel = if (weighted) ", n_co AS w" else ""
+    val wSym = if (weighted) ", w" else ""
+    val vote = if (weighted) "sum(e.w)::BIGINT" else "count(*)::BIGINT"
     val base =
       """WITH li AS MATERIALIZED (SELECT l_orderkey, l_partkey FROM lineitem),
         |cp AS MATERIALIZED (
@@ -660,13 +650,14 @@ object AnalyticQueries extends QueryPack {
         |  FROM li a JOIN li b
         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         |  GROUP BY 1, 2),
-        |e0 AS MATERIALIZED (SELECT src, dst FROM cp WHERE n_co >= 2),
-        |e AS MATERIALIZED (SELECT src, dst FROM e0
-        |                   UNION ALL SELECT dst AS src, src AS dst FROM e0),
+        |e0 AS MATERIALIZED (SELECT src, dst""".stripMargin +
+      s"""$wSel FROM cp WHERE n_co >= 2),
+        |e AS MATERIALIZED (SELECT src, dst$wSym FROM e0
+        |                   UNION ALL SELECT dst AS src, src AS dst$wSym FROM e0),
         |l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS lbl FROM e)""".stripMargin
     val rounds = (1 to iters).map { i =>
       val p = i - 1
-      s"""c$i AS MATERIALIZED (SELECT e.dst AS id, l$p.lbl AS lbl, count(*)::BIGINT AS cnt
+      s"""c$i AS MATERIALIZED (SELECT e.dst AS id, l$p.lbl AS lbl, $vote AS cnt
         |  FROM e JOIN l$p ON e.src = l$p.id GROUP BY 1, 2),
         |l$i AS MATERIALIZED (SELECT id, lbl FROM (
         |  SELECT id, lbl,

@@ -146,11 +146,7 @@ object StreamingBench {
     // state eviction, replaying the real sf0.1 click/purchase streams in
     // event-time order (so watermarks advance the way a live source's
     // would and join state actually evicts between triggers) ----
-    val ev = graft.Tables.events(spark, sfDir)
-      .filter(org.apache.spark.sql.functions.col("event_type")
-        .isin("click", "purchase"))
-      .select("event_id", "ts", "user_id", "event_type", "value")
-      .orderBy("ts").collect()
+    val ev = evAll.filter(r => Set("click", "purchase")(r.getString(3)))
     // Two state-store providers: the default HDFS-backed store commits a
     // full snapshot/delta per store per trigger; RocksDB (in-box since
     // Spark 3.2) amortizes via native changelog. The join keeps FOUR
@@ -175,9 +171,8 @@ object StreamingBench {
           val trig = timeTriggers[org.apache.spark.sql.Row](
             ev.iterator.grouped(rate).map(_.toSeq),
             { c =>
-              def side(t: String) = c.filter(_.getString(3) == t).map(r =>
-                BenchEvent(r.getLong(0), r.getTimestamp(1), r.getLong(2),
-                  if (r.isNullAt(4)) null else java.lang.Double.valueOf(r.getDouble(4))))
+              def side(t: String) =
+                c.filter(_.getString(3) == t).map(benchEv)
               val cl = side("click"); val pu = side("purchase")
               if (cl.nonEmpty) clicks.addData(cl: _*)
               if (pu.nonEmpty) purchases.addData(pu: _*)

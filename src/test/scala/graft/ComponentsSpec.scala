@@ -256,14 +256,16 @@ class ComponentsSpec extends SparkSpecBase {
 
   test("pageRankWeighted: uniform weights reproduce pageRank bit-exactly; weight shifts mass") {
     val raw = Seq((2L, 1L), (3L, 1L), (4L, 1L), (1L, 2L), (2L, 3L), (3L, 9L))
-    // r·w div (w·outdeg) = r div outdeg exactly at any uniform w
+    // r·w div (w·outdeg) = r div outdeg exactly at any uniform w — the
+    // comparison target is the INDEPENDENT driver recurrence (pageRank
+    // itself now delegates to the weighted impl, so comparing the two
+    // operators would test one code path against itself)
     for (w <- Seq(1L, 7L)) {
       val wdf = raw.map { case (a, b) => (a, b, w) }.toDF("src", "dst", "w")
       val got = Components.pageRankWeighted(wdf, iters = 5).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
-      val want = Components.pageRank(raw.toDF("src", "dst"), iters = 5)
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(got == want, s"uniform w=$w diverged from unweighted")
+      assert(got == refPageRank(raw, 5),
+        s"uniform w=$w diverged from the independent recurrence")
     }
     // node 1 splits to {2, 3}: weighting the 1→3 edge 9:1 must rank 3
     // above its unweighted self and 2 below
@@ -387,18 +389,19 @@ class ComponentsSpec extends SparkSpecBase {
         Seq((1L, 2L, 1L), (2L, 3L, 5L)).toDF("src", "dst", "w"), iters = 1)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(weighted(2L) == 3L, s"5x weight must win the vote: $weighted")
-    // random graph: unit-weight call == unweighted call exactly
+    // random graph: the unit-weight WEIGHTED path must match the
+    // INDEPENDENT driver recurrence (comparing it to labelPropagation
+    // would be vacuous — the unweighted entry now delegates here)
     val rnd = new scala.util.Random(67)
     val edges = (1 to 90).map(_ =>
       (rnd.nextInt(25).toLong + 1, rnd.nextInt(25).toLong + 1))
       .filter(e => e._1 != e._2)
       .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
-    val a = Components.labelPropagation(edges.toDF("src", "dst"), iters = 4)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val b = Components.labelPropagationWeighted(
         edges.map(e => (e._1, e._2, 1L)).toDF("src", "dst", "w"), iters = 4)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(a == b, "unit-weight LPA diverged from unweighted")
+    assert(b == refLpa(edges, 4),
+      "unit-weight LPA diverged from the independent recurrence")
   }
 
   test("labelPropagation splits bridged cliques where components cannot") {
