@@ -692,7 +692,8 @@ object Components {
       .repartition(numPartitions, col("id"))
       .localCheckpoint(eager = true)
     val n = nodes.count()
-    require(n > 0, "pageRank: empty graph")
+    if (!validateWeights) // the stats row already proved non-emptiness
+      require(n > 0, "pageRank: empty graph")
     val outw = e.groupBy("src").agg(sum(col("w")).as("sw"))
     val ew = e.join(outw, "src").localCheckpoint(eager = true)
     val dang = nodes

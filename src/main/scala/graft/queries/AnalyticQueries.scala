@@ -144,13 +144,13 @@ object AnalyticQueries extends QueryPack {
     // to the fixpoint; the oracle unrolls a fixed 40 rounds, exact
     // because peeling is idempotent after convergence (11 rounds on the
     // sf0.01 fixture — deep margin against fixture regeneration).
-    // maxRounds is pinned to the ORACLE's round count: a fixture
-    // needing more must fail loudly here, never hash-mismatch a
-    // correct fixpoint against a still-mid-peel oracle. 41, not 40:
-    // convergence DETECTION needs one no-drop iteration beyond the
-    // peel, so a fixture peeling in exactly 40 rounds (which the
-    // 40-round oracle unroll already has at fixpoint) must be allowed
-    // its 41st observing round.
+    // maxRounds is pinned to the ORACLE's unroll (both 41) so every
+    // case is a hash MATCH or a LOUD operator failure, never a silent
+    // mismatch: peels of <= 40 dropping rounds converge and match the
+    // fixpoint; a 41-round peel to EMPTY converges via the n2==0 arm
+    // and matches the oracle's (also empty) n41; a 41-round peel to a
+    // nonzero fixpoint (or anything longer) throws not-converged
+    // before a row is emitted.
     "q_graph_kcore" -> ((s, d) =>
       graft.dedup.Components.kCore(coOrderPairs(s, d), k = 3, maxRounds = 41)
         .orderBy("id")),
@@ -828,7 +828,7 @@ object AnalyticQueries extends QueryPack {
     "q_graph_pagerank" -> pagerankOracleSql(5),
     "q_graph_pagerank_weighted" -> pagerankWeightedOracleSql(5),
     "q_graph_ppr" -> pprOracleSql(5),
-    "q_graph_kcore" -> kcoreOracleSql(3, 40),
+    "q_graph_kcore" -> kcoreOracleSql(3, 41),
     "q_graph_hits" -> hitsOracleSql(5),
     "q_graph_communities" -> communitiesOracleSql(5),
     "q_graph_communities_weighted" -> communitiesWeightedOracleSql(5),

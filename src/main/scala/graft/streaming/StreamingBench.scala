@@ -146,7 +146,8 @@ object StreamingBench {
     // state eviction, replaying the real sf0.1 click/purchase streams in
     // event-time order (so watermarks advance the way a live source's
     // would and join state actually evicts between triggers) ----
-    val ev = evAll.filter(r => Set("click", "purchase")(r.getString(3)))
+    val attrTypes = Set("click", "purchase")
+    val ev = evAll.filter(r => attrTypes(r.getString(3)))
     // Two state-store providers: the default HDFS-backed store commits a
     // full snapshot/delta per store per trigger; RocksDB (in-box since
     // Spark 3.2) amortizes via native changelog. The join keeps FOUR
