@@ -870,6 +870,70 @@ object Components {
     eLive.groupBy(col("src").as("id")).agg(count(lit(1)).as("core_degree"))
   }
 
+  /** Shortest-path COUNTS from each landmark (σ in Brandes' notation,
+    * Algorithmica 2001) — bfsDistances' multiplicity twin: not just how
+    * FAR a node is from a seed but how MANY distinct shortest paths
+    * reach it (connection robustness; a node reached by one bridge vs
+    * by hundreds of parallel routes scores very differently, which
+    * plain distance cannot see).
+    *
+    * Recurrence per round over state (id, lm, dist, sigma): candidates
+    * = the landmark seed rows ∪ every edge-relaxation of the previous
+    * state; per (id, lm) collapse to min dist and SUM of sigma over
+    * relaxed rows achieving it. Sigma is REGENERATED from predecessor
+    * relaxations each round rather than carried — a carried row would
+    * double-count against its own relaxations (σ + Σσ_pred = 2σ once
+    * settled); predecessors are settled one level earlier, so their
+    * relaxations reproduce σ exactly every round and the value is
+    * stable. After i rounds every node within i hops holds the exact
+    * BFS (dist, σ) — integers, engine-independent, oracle-replayable.
+    * σ grows like degree^dist; within the bounded-hop contract (≤ 5)
+    * that is ≤ ~deg⁵ — far inside a long for any real co-occurrence
+    * graph (overflow needs ~10⁴ parallel shortest paths per hop).
+    *
+    * Execution: the eager narrow round loop; per round one edge join +
+    * one (id, lm, dist) partial-agg + one (id, lm) argmin — the same
+    * cost class as bfsDistances with one extra keyed aggregate.
+    */
+  def bfsPathCounts(edges: DataFrame, landmarks: Seq[Long], maxHops: Int = 5,
+                    numPartitions: Int = 8): DataFrame = {
+    require(landmarks.nonEmpty, "bfsPathCounts: no landmarks")
+    require(maxHops >= 1 && maxHops <= 30,
+      s"bfsPathCounts: maxHops $maxHops out of [1,30]")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e0 = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val e = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(numPartitions, col("src"))
+      .localCheckpoint(eager = true)
+    val seeds = landmarks.distinct.map(l => (l, l, 0L, 1L))
+      .toDF("id", "lm", "dist", "sigma")
+    var s = seeds
+      .repartition(numPartitions, col("id"), col("lm"))
+      .localCheckpoint(eager = true)
+    for (_ <- 1 to maxHops) {
+      val relaxed = e
+        .join(s.select(col("id").as("src"), col("lm"),
+          col("dist"), col("sigma")), "src")
+        .select(col("dst").as("id"), col("lm"),
+          (col("dist") + 1L).as("dist"), col("sigma"))
+      s = relaxed.unionAll(seeds)
+        .groupBy("id", "lm", "dist").agg(sum(col("sigma")).as("sigma"))
+        // argmin by dist: one row per (id, lm, dist) after the agg, so
+        // min(struct(dist, sigma)) IS the min-dist row — no window
+        .groupBy("id", "lm")
+        .agg(min(struct(col("dist"), col("sigma"))).as("m"))
+        .select(col("id"), col("lm"),
+          col("m.dist").as("dist"), col("m.sigma").as("sigma"))
+        .repartition(numPartitions, col("id"), col("lm"))
+        .localCheckpoint(eager = true)
+    }
+    s.select(col("id"), col("lm").as("landmark"),
+      col("dist").as("hops"), col("sigma").as("n_paths"))
+  }
+
   /** Per-community Newman modularity decomposition (Newman & Girvan,
     * Phys. Rev. E 2004) — the QUALITY readout for a community
     * partition: Q = Σ_c [L_c/m − (D_c/2m)²] with L_c the community's

@@ -167,6 +167,18 @@ object AnalyticQueries extends QueryPack {
         .orderBy("id", "landmark")
     }),
 
+    // Shortest-path MULTIPLICITY from the same 3 landmarks: how many
+    // distinct shortest routes reach each part (connection robustness —
+    // a one-bridge connection vs hundreds of parallel routes), exact
+    // integer sigma per Brandes. Shares the distances query's shape and
+    // the checkpointed-edges posture.
+    "q_graph_path_counts" -> ((s, d) => {
+      val edges = coOrderPairs(s, d).localCheckpoint(true)
+      graft.dedup.Components
+        .bfsPathCounts(edges, smallestNodeIds(edges, 3), maxHops = 5)
+        .orderBy("id", "landmark")
+    }),
+
     // row_number / rank / dense_rank per customer by price.
     "q_window_rank" -> ((s, d) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -824,9 +836,43 @@ object AnalyticQueries extends QueryPack {
     s"$base$rounds\nSELECT id, r AS rank_e12 FROM r$iters ORDER BY id"
   }
 
+  /** Unrolled twin of Components.bfsPathCounts: per round, seed rows ∪
+    * edge relaxations, (id,lm,dist) sigma sums, then argmin by dist.
+    */
+  private def pathCountsOracleSql(maxHops: Int): String = {
+    val base =
+      """WITH li AS MATERIALIZED (SELECT l_orderkey, l_partkey FROM lineitem),
+        |cp AS MATERIALIZED (
+        |  SELECT a.l_partkey AS src, b.l_partkey AS dst,
+        |         count(DISTINCT a.l_orderkey) AS n_co
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2),
+        |e0 AS MATERIALIZED (SELECT src, dst FROM cp WHERE n_co >= 2),
+        |e AS MATERIALIZED (SELECT src, dst FROM e0
+        |                   UNION ALL SELECT dst AS src, src AS dst FROM e0),
+        |lms AS MATERIALIZED (SELECT DISTINCT src AS id FROM e ORDER BY id LIMIT 3),
+        |s0 AS MATERIALIZED (SELECT id, id AS lm, 0::BIGINT AS dist,
+        |                           1::BIGINT AS sigma FROM lms)""".stripMargin
+    val rounds = (1 to maxHops).map { i =>
+      val p = i - 1
+      s"""g$i AS MATERIALIZED (SELECT id, lm, dist, sum(sigma)::BIGINT AS sigma FROM (
+        |  SELECT e.dst AS id, s.lm, s.dist + 1 AS dist, s.sigma
+        |  FROM e JOIN s$p s ON e.src = s.id
+        |  UNION ALL SELECT id, lm, dist, sigma FROM s0) GROUP BY 1, 2, 3),
+        |s$i AS MATERIALIZED (SELECT id, lm, dist, sigma FROM (
+        |  SELECT id, lm, dist, sigma,
+        |         row_number() OVER (PARTITION BY id, lm ORDER BY dist) AS rn
+        |  FROM g$i) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    s"$base$rounds\nSELECT id, lm AS landmark, dist AS hops, " +
+      s"sigma AS n_paths FROM s$maxHops ORDER BY id, landmark"
+  }
+
   val oracle: Map[String, String] = Map(
     "q_graph_pagerank" -> pagerankOracleSql(5),
     "q_graph_pagerank_weighted" -> pagerankWeightedOracleSql(5),
+    "q_graph_path_counts" -> pathCountsOracleSql(5),
     "q_graph_ppr" -> pprOracleSql(5),
     "q_graph_kcore" -> kcoreOracleSql(3, 41),
     "q_graph_hits" -> hitsOracleSql(5),

@@ -464,6 +464,54 @@ class ComponentsSpec extends SparkSpecBase {
     }
   }
 
+  test("bfsPathCounts: diamond multiplicity, chain stability, random parity") {
+    // diamond 1-{2,3}-4 plus tail 4-5: sigma(4)=2 via two routes,
+    // sigma(5)=2 inherited; distances match bfsDistances
+    val raw = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+    val got = Components.bfsPathCounts(raw.toDF("src", "dst"), Seq(1L), 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == Map(1L -> ((0L, 1L)), 2L -> ((1L, 1L)), 3L -> ((1L, 1L)),
+      4L -> ((2L, 2L)), 5L -> ((3L, 2L))), s"got $got")
+    // stability: extra rounds beyond the diameter must not inflate sigma
+    // (the carried-row double-count bug this recurrence avoids)
+    val more = Components.bfsPathCounts(raw.toDF("src", "dst"), Seq(1L), 12)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(more == got, s"sigma not stable under extra rounds: $more")
+    // random graph: parity with a driver-side BFS sigma computation
+    val rnd = new scala.util.Random(83)
+    val edges = (1 to 120).map(_ =>
+      (rnd.nextInt(30).toLong + 1, rnd.nextInt(30).toLong + 1))
+      .filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2)).toMap
+    def bfsSigma(lm: Long, hops: Int): Map[Long, (Long, Long)] = {
+      var dist = Map(lm -> 0L); var sigma = Map(lm -> 1L)
+      var frontier = Seq(lm)
+      for (h <- 1 to hops) {
+        val nxt = collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+        frontier.foreach(u =>
+          adj.getOrElse(u, Seq.empty).foreach { v =>
+            if (!dist.contains(v)) nxt(v) += sigma(u)
+          })
+        nxt.foreach { case (v, s) => dist += v -> h.toLong; sigma += v -> s }
+        frontier = nxt.keys.toSeq
+      }
+      dist.map { case (v, d) => v -> ((d, sigma(v))) }
+    }
+    val lms = Seq(2L, 9L)
+    val want = lms.flatMap(lm =>
+      bfsSigma(lm, 4).map { case (v, ds) => (v, lm) -> ds }).toMap
+    val gotR = Components.bfsPathCounts(
+        edges.toDF("src", "dst").repartition(7), lms, 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(gotR == want, "diverged from driver-side BFS sigma")
+  }
+
   test("modularityParts: hand-derived values on bridged cliques; bound holds") {
     def clique(ids: Seq[Long]) =
       for (a <- ids; b <- ids if a < b) yield (a, b)
