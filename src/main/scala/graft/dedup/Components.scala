@@ -579,6 +579,29 @@ object Components {
     l.select(col("id"), col("lbl").as("community"))
   }
 
+  /** Shared undirected-edge preparation: cast to long, drop self-loops,
+    * double both orientations, repartition on src and eagerly
+    * checkpoint (every round loop consumes the result repeatedly).
+    * `dedupe` canonicalizes (least, greatest) and distincts FIRST — for
+    * multiplicity-sensitive ops (path counts) where a duplicate or
+    * already-bidirected input would silently inflate results; the
+    * distance/peel ops are idempotent to duplicates and skip the extra
+    * shuffle.
+    */
+  private def bidirectedEdges(edges: DataFrame, numPartitions: Int,
+                              dedupe: Boolean = false): DataFrame = {
+    val base = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val canon = if (dedupe)
+      base.select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst")).distinct()
+    else base
+    canon.unionAll(canon.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(numPartitions, col("src"))
+      .localCheckpoint(eager = true)
+  }
+
   /** Multi-landmark BFS hop distances over an undirected edge list
     * (symmetrized here, like labelPropagation): for every (node,
     * landmark) pair within `maxHops`, the exact unweighted shortest-path
@@ -608,12 +631,7 @@ object Components {
       s"bfsDistances: maxHops $maxHops out of [1,30]")
     val spark = edges.sparkSession
     import spark.implicits._
-    val e0 = edges
-      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
-      .filter(col("src") =!= col("dst"))
-    val e = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .repartition(numPartitions, col("src"))
-      .localCheckpoint(eager = true)
+    val e = bidirectedEdges(edges, numPartitions)
     var d = landmarks.distinct.map(l => (l, l, 0L)).toDF("id", "lm", "dist")
       .repartition(numPartitions, col("id"), col("lm"))
       .localCheckpoint(eager = true)
@@ -832,15 +850,10 @@ object Components {
     require(k >= 1 && k <= 1000000, s"kCore: k $k out of [1, 1e6]")
     require(maxRounds >= 1 && maxRounds <= 200,
       s"kCore: maxRounds $maxRounds out of [1,200]")
-    val e0 = edges
-      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
-      .filter(col("src") =!= col("dst"))
     // eLive: the symmetrized edge set among CURRENTLY-live nodes — the
     // working set itself shrinks each round, so a long peel costs
     // O(Σ live-edges per round), not O(rounds × |E|)
-    var eLive = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .repartition(numPartitions, col("src"))
-      .localCheckpoint(eager = true)
+    var eLive = bidirectedEdges(edges, numPartitions)
     var n = eLive.select(col("src")).distinct().count()
     var converged = n == 0
     var round = 0
@@ -902,12 +915,17 @@ object Components {
       s"bfsPathCounts: maxHops $maxHops out of [1,30]")
     val spark = edges.sparkSession
     import spark.implicits._
-    val e0 = edges
-      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
-      .filter(col("src") =!= col("dst"))
-    val e = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .repartition(numPartitions, col("src"))
-      .localCheckpoint(eager = true)
+    // dedupe=true: sigma is MULTIPLICITY-sensitive — a duplicate or
+    // already-bidirected input would silently double paths per hop
+    val e = bidirectedEdges(edges, numPartitions, dedupe = true)
+    // sigma <= maxDeg^dist; guard the long against silent wrap (Spark's
+    // non-ANSI sum) with the same bounded-collect shape pageRankWeighted
+    // uses for its r*w headroom
+    val maxDeg = e.groupBy("src").agg(count(lit(1)).as("d"))
+      .agg(coalesce(max(col("d")), lit(0L))).collect()(0).getLong(0)
+    require(maxDeg <= 1L || maxHops * math.log(maxDeg.toDouble) <= 62 * math.log(2.0),
+      s"bfsPathCounts: sigma can overflow a long (maxDeg $maxDeg ^ " +
+        s"$maxHops hops) — lower maxHops or prune hub degrees first")
     val seeds = landmarks.distinct.map(l => (l, l, 0L, 1L))
       .toDF("id", "lm", "dist", "sigma")
     var s = seeds
