@@ -883,6 +883,56 @@ object Components {
     eLive.groupBy(col("src").as("id")).agg(count(lit(1)).as("core_degree"))
   }
 
+  /** WEIGHTED landmark distances — bfsDistances' cost twin and the last
+    * weighted sibling (weighted PageRank ranks, weighted LPA groups,
+    * this MEASURES): minimum total edge weight from each landmark
+    * within `maxHops` edges, as bounded-round weighted Bellman-Ford
+    * (d_i = min(d_{i-1}, min over in-edges d_{i-1}(u) + w)). With unit
+    * weights this is exactly bfsDistances' hop count. The bounded-hop
+    * contract matters more here than in the unit case: a cheaper path
+    * using MORE than maxHops edges is not seen — the bound is part of
+    * the semantics (cost-within-h-hops), not an approximation knob.
+    * Exact integers; min is idempotent, so duplicate/bidirected inputs
+    * are tolerated like bfsDistances (no dedupe shuffle needed).
+    * Weights validated non-null positive (the weighted-LPA check);
+    * cost ≤ maxHops·maxW keeps a long trivially.
+    */
+  def bfsDistancesWeighted(edges: DataFrame, landmarks: Seq[Long],
+                           maxHops: Int = 5,
+                           numPartitions: Int = 8): DataFrame = {
+    require(landmarks.nonEmpty, "bfsDistancesWeighted: no landmarks")
+    require(maxHops >= 1 && maxHops <= 30,
+      s"bfsDistancesWeighted: maxHops $maxHops out of [1,30]")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e0 = edges
+      .select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
+      .filter(col("src") =!= col("dst"))
+    val e = e0.unionAll(
+        e0.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      .repartition(numPartitions, col("src"))
+      .localCheckpoint(eager = true)
+    val wStats = e.agg(count(lit(1)), count(col("w")), min(col("w")))
+      .collect()(0)
+    require(wStats.getLong(0) == 0 || (wStats.getLong(1) == wStats.getLong(0)
+        && wStats.getLong(2) >= 1),
+      "bfsDistancesWeighted: weights must be non-null positive longs")
+    var d = landmarks.distinct.map(l => (l, l, 0L)).toDF("id", "lm", "cost")
+      .repartition(numPartitions, col("id"), col("lm"))
+      .localCheckpoint(eager = true)
+    for (_ <- 1 to maxHops) {
+      d = d.unionAll(
+          e.join(d.select(col("id").as("src"), col("lm"), col("cost")), "src")
+            .select(col("dst").as("id"), col("lm"),
+              (col("cost") + col("w")).as("cost")))
+        .groupBy("id", "lm").agg(min(col("cost")).as("cost"))
+        .repartition(numPartitions, col("id"), col("lm"))
+        .localCheckpoint(eager = true)
+    }
+    d.select(col("id"), col("lm").as("landmark"), col("cost"))
+  }
+
   /** Shortest-path COUNTS from each landmark (σ in Brandes' notation,
     * Algorithmica 2001) — bfsDistances' multiplicity twin: not just how
     * FAR a node is from a seed but how MANY distinct shortest paths

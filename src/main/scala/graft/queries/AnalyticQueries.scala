@@ -167,6 +167,22 @@ object AnalyticQueries extends QueryPack {
         .orderBy("id", "landmark")
     }),
 
+    // WEIGHTED distances from the same 3 landmarks: minimum total edge
+    // cost within 5 hops, with cost = the standard similarity→distance
+    // flip of co-order strength (greatest(1, 11 − least(n_co, 10)) —
+    // strong ties are SHORT edges), so the metric reads "how closely
+    // co-purchased", not hop count. A cheap 2-hop route through strong
+    // ties beats a weak direct edge — what unit-hop distance can't see.
+    "q_graph_distances_weighted" -> ((s, d) => {
+      val edges = coOrderPairsW(s, d)
+        .withColumn("w",
+          greatest(lit(1L), lit(11L) - least(col("w"), lit(10L))))
+        .localCheckpoint(true)
+      graft.dedup.Components
+        .bfsDistancesWeighted(edges, smallestNodeIds(edges, 3), maxHops = 5)
+        .orderBy("id", "landmark")
+    }),
+
     // Shortest-path MULTIPLICITY from the same 3 landmarks: how many
     // distinct shortest routes reach each part (connection robustness —
     // a one-bridge connection vs hundreds of parallel routes), exact
@@ -836,6 +852,38 @@ object AnalyticQueries extends QueryPack {
     s"$base$rounds\nSELECT id, r AS rank_e12 FROM r$iters ORDER BY id"
   }
 
+  /** Unrolled twin of Components.bfsDistancesWeighted: symmetrized
+    * co-order edges with the similarity→distance cost flip, d0 = 3
+    * smallest node ids at cost 0, bounded weighted Bellman-Ford rounds.
+    */
+  private def distancesWeightedOracleSql(maxHops: Int): String = {
+    val base =
+      """WITH li AS MATERIALIZED (SELECT l_orderkey, l_partkey FROM lineitem),
+        |cp AS MATERIALIZED (
+        |  SELECT a.l_partkey AS src, b.l_partkey AS dst,
+        |         count(DISTINCT a.l_orderkey) AS n_co
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2),
+        |e0 AS MATERIALIZED (SELECT src, dst,
+        |         GREATEST(1, 11 - LEAST(n_co, 10))::BIGINT AS w
+        |       FROM cp WHERE n_co >= 2),
+        |e AS MATERIALIZED (SELECT src, dst, w FROM e0
+        |  UNION ALL SELECT dst AS src, src AS dst, w FROM e0),
+        |lms AS MATERIALIZED (SELECT DISTINCT src AS id FROM e ORDER BY id LIMIT 3),
+        |d0 AS MATERIALIZED (SELECT id, id AS lm, 0::BIGINT AS cost FROM lms)""".stripMargin
+    val rounds = (1 to maxHops).map { i =>
+      val p = i - 1
+      s"""d$i AS MATERIALIZED (SELECT id, lm, min(cost)::BIGINT AS cost FROM (
+        |  SELECT id, lm, cost FROM d$p
+        |  UNION ALL
+        |  SELECT e.dst AS id, d.lm, d.cost + e.w AS cost
+        |  FROM e JOIN d$p d ON e.src = d.id) GROUP BY id, lm)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    s"$base$rounds\nSELECT id, lm AS landmark, cost " +
+      s"FROM d$maxHops ORDER BY id, landmark"
+  }
+
   /** Unrolled twin of Components.bfsPathCounts: per round, seed rows ∪
     * edge relaxations, (id,lm,dist) sigma sums, then argmin by dist.
     */
@@ -873,6 +921,7 @@ object AnalyticQueries extends QueryPack {
     "q_graph_pagerank" -> pagerankOracleSql(5),
     "q_graph_pagerank_weighted" -> pagerankWeightedOracleSql(5),
     "q_graph_path_counts" -> pathCountsOracleSql(5),
+    "q_graph_distances_weighted" -> distancesWeightedOracleSql(5),
     "q_graph_ppr" -> pprOracleSql(5),
     "q_graph_kcore" -> kcoreOracleSql(3, 41),
     "q_graph_hits" -> hitsOracleSql(5),

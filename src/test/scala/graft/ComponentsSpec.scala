@@ -464,6 +464,40 @@ class ComponentsSpec extends SparkSpecBase {
     }
   }
 
+  test("bfsDistancesWeighted: cheap detour beats direct edge; unit = hops") {
+    // 1→3 direct costs 10; 1→2→3 costs 2+3=5 — the weighted metric
+    // must pick the 2-hop detour that unit-hop distance cannot see
+    val w = Seq((1L, 3L, 10L), (1L, 2L, 2L), (2L, 3L, 3L))
+    val got = Components.bfsDistancesWeighted(
+        w.toDF("src", "dst", "w"), Seq(1L), maxHops = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 2L, 3L -> 5L), s"got $got")
+    // a 1-hop bound can only see the direct edge
+    val h1 = Components.bfsDistancesWeighted(
+        w.toDF("src", "dst", "w"), Seq(1L), maxHops = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(h1(3L) == 10L, s"hop bound must exclude the detour: $h1")
+    // unit weights reproduce bfsDistances' hop counts exactly
+    val rnd = new scala.util.Random(97)
+    val edges = (1 to 80).map(_ =>
+      (rnd.nextInt(25).toLong + 1, rnd.nextInt(25).toLong + 1))
+      .filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val unit = Components.bfsDistancesWeighted(
+        edges.map(e => (e._1, e._2, 1L)).toDF("src", "dst", "w"),
+        Seq(1L, 7L), maxHops = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val hops = Components.bfsDistances(
+        edges.toDF("src", "dst"), Seq(1L, 7L), maxHops = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(unit == hops, "unit-weight costs diverged from hop counts")
+    // null/non-positive weights rejected
+    intercept[IllegalArgumentException] {
+      Components.bfsDistancesWeighted(
+        Seq((1L, 2L, 0L)).toDF("src", "dst", "w"), Seq(1L))
+    }
+  }
+
   test("bfsPathCounts: diamond multiplicity, chain stability, random parity") {
     // diamond 1-{2,3}-4 plus tail 4-5: sigma(4)=2 via two routes,
     // sigma(5)=2 inherited; distances match bfsDistances
