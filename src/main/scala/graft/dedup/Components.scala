@@ -588,6 +588,23 @@ object Components {
     * distance/peel ops are idempotent to duplicates and skip the extra
     * shuffle.
     */
+  /** Reject fractional weight columns up front: cast("long") would
+    * silently TRUNCATE (w=1.9 → 1) and no downstream check can see it —
+    * the one weight corruption the null-count validation can't catch.
+    */
+  private def requireIntegralWeights(edges: DataFrame): Unit = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, FloatType}
+    val t = edges.select(col("w")).schema.head.dataType
+    val fractional = t match {
+      case DoubleType | FloatType => true
+      case d: DecimalType => d.scale > 0
+      case _ => false
+    }
+    require(!fractional,
+      s"weight column is $t — fractional weights would silently truncate; " +
+        "scale to integers first")
+  }
+
   private def bidirectedEdges(edges: DataFrame, numPartitions: Int,
                               dedupe: Boolean = false): DataFrame = {
     val base = edges
@@ -625,26 +642,13 @@ object Components {
     * the bounded-hop contract doesn't need.
     */
   def bfsDistances(edges: DataFrame, landmarks: Seq[Long], maxHops: Int = 5,
-                   numPartitions: Int = 8): DataFrame = {
-    require(landmarks.nonEmpty, "bfsDistances: no landmarks")
-    require(maxHops >= 1 && maxHops <= 30,
-      s"bfsDistances: maxHops $maxHops out of [1,30]")
-    val spark = edges.sparkSession
-    import spark.implicits._
-    val e = bidirectedEdges(edges, numPartitions)
-    var d = landmarks.distinct.map(l => (l, l, 0L)).toDF("id", "lm", "dist")
-      .repartition(numPartitions, col("id"), col("lm"))
-      .localCheckpoint(eager = true)
-    for (_ <- 1 to maxHops) {
-      d = d.unionAll(
-          e.join(d.select(col("id").as("src"), col("lm"), col("dist")), "src")
-            .select(col("dst").as("id"), col("lm"), (col("dist") + 1L).as("dist")))
-        .groupBy("id", "lm").agg(min(col("dist")).as("dist"))
-        .repartition(numPartitions, col("id"), col("lm"))
-        .localCheckpoint(eager = true)
-    }
-    d.select(col("id"), col("lm").as("landmark"), col("dist").as("hops"))
-  }
+                   numPartitions: Int = 8): DataFrame =
+    // ONE weighted round loop serves both twins: hop count IS min cost
+    // at unit weights (spec-pinned) — delegate rather than fork.
+    landmarkCostsImpl(
+      edges.select(col("src"), col("dst")).withColumn("w", lit(1L)),
+      landmarks, maxHops, numPartitions, validateWeights = false)
+      .select(col("id"), col("lm").as("landmark"), col("cost").as("hops"))
 
   /** Weight-proportional PageRank over (src, dst, w) edges: a node
     * splits its rank over out-edges proportionally to edge WEIGHT
@@ -899,12 +903,26 @@ object Components {
     */
   def bfsDistancesWeighted(edges: DataFrame, landmarks: Seq[Long],
                            maxHops: Int = 5,
-                           numPartitions: Int = 8): DataFrame = {
-    require(landmarks.nonEmpty, "bfsDistancesWeighted: no landmarks")
+                           numPartitions: Int = 8): DataFrame =
+    landmarkCostsImpl(edges, landmarks, maxHops, numPartitions,
+      validateWeights = true)
+      .select(col("id"), col("lm").as("landmark"), col("cost"))
+
+  /** ONE weighted round loop for both landmark-distance twins
+    * (bfsDistances delegates at unit weights — same posture as
+    * pageRank/labelPropagation). validateWeights additionally enforces
+    * overflow headroom: cost ≤ (maxHops+1)·maxW must fit a long, or a
+    * wrapped-negative cost would WIN the min and silently corrupt.
+    */
+  private def landmarkCostsImpl(edges: DataFrame, landmarks: Seq[Long],
+                                maxHops: Int, numPartitions: Int,
+                                validateWeights: Boolean): DataFrame = {
+    require(landmarks.nonEmpty, "bfsDistances: no landmarks")
     require(maxHops >= 1 && maxHops <= 30,
-      s"bfsDistancesWeighted: maxHops $maxHops out of [1,30]")
+      s"bfsDistances: maxHops $maxHops out of [1,30]")
     val spark = edges.sparkSession
     import spark.implicits._
+    if (validateWeights) requireIntegralWeights(edges)
     val e0 = edges
       .select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
@@ -913,11 +931,17 @@ object Components {
         e0.select(col("dst").as("src"), col("src").as("dst"), col("w")))
       .repartition(numPartitions, col("src"))
       .localCheckpoint(eager = true)
-    val wStats = e.agg(count(lit(1)), count(col("w")), min(col("w")))
-      .collect()(0)
-    require(wStats.getLong(0) == 0 || (wStats.getLong(1) == wStats.getLong(0)
-        && wStats.getLong(2) >= 1),
-      "bfsDistancesWeighted: weights must be non-null positive longs")
+    if (validateWeights) {
+      val st = e.agg(count(lit(1)), count(col("w")),
+        min(col("w")), max(col("w"))).collect()(0)
+      require(st.getLong(0) == 0 || (st.getLong(1) == st.getLong(0)
+          && st.getLong(2) >= 1),
+        "bfsDistancesWeighted: weights must be non-null positive longs")
+      require(st.getLong(0) == 0 ||
+          st.getLong(3) <= Long.MaxValue / (maxHops + 1),
+        s"bfsDistancesWeighted: max weight ${st.getLong(3)} can overflow " +
+          s"the cost accumulator within $maxHops hops — rescale weights")
+    }
     var d = landmarks.distinct.map(l => (l, l, 0L)).toDF("id", "lm", "cost")
       .repartition(numPartitions, col("id"), col("lm"))
       .localCheckpoint(eager = true)
@@ -930,8 +954,9 @@ object Components {
         .repartition(numPartitions, col("id"), col("lm"))
         .localCheckpoint(eager = true)
     }
-    d.select(col("id"), col("lm").as("landmark"), col("cost"))
+    d
   }
+
 
   /** Shortest-path COUNTS from each landmark (σ in Brandes' notation,
     * Algorithmica 2001) — bfsDistances' multiplicity twin: not just how

@@ -491,10 +491,24 @@ class ComponentsSpec extends SparkSpecBase {
         edges.toDF("src", "dst"), Seq(1L, 7L), maxHops = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(unit == hops, "unit-weight costs diverged from hop counts")
-    // null/non-positive weights rejected
+    // null, non-positive, overflowing, and fractional weights rejected
     intercept[IllegalArgumentException] {
       Components.bfsDistancesWeighted(
         Seq((1L, 2L, 0L)).toDF("src", "dst", "w"), Seq(1L))
+    }
+    intercept[IllegalArgumentException] { // null weight (failed cast path)
+      Components.bfsDistancesWeighted(
+        Seq((1L, 2L, null.asInstanceOf[java.lang.Long]))
+          .toDF("src", "dst", "w"), Seq(1L))
+    }
+    intercept[IllegalArgumentException] { // cost would wrap long
+      Components.bfsDistancesWeighted(
+        Seq((1L, 2L, Long.MaxValue / 2)).toDF("src", "dst", "w"), Seq(1L),
+        maxHops = 3)
+    }
+    intercept[IllegalArgumentException] { // fractional weights truncate
+      Components.bfsDistancesWeighted(
+        Seq((1L, 2L, 1.9)).toDF("src", "dst", "w"), Seq(1L))
     }
   }
 
