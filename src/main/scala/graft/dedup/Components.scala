@@ -537,6 +537,7 @@ object Components {
                       validateWeights: Boolean): DataFrame = {
     require(iters >= 1 && iters <= 50,
       s"labelPropagation: iters $iters out of [1,50]")
+    if (validateWeights) requireIntegralWeights(edges)
     val e0 = edges
       .select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
@@ -583,9 +584,11 @@ object Components {
     * double both orientations, repartition on src and eagerly
     * checkpoint (every round loop consumes the result repeatedly).
     * `dedupe` canonicalizes (least, greatest) and distincts FIRST — for
-    * multiplicity-sensitive ops (path counts) where a duplicate or
-    * already-bidirected input would silently inflate results; the
-    * distance/peel ops are idempotent to duplicates and skip the extra
+    * multiplicity-sensitive ops (path counts, DEGREE counts: the k-core
+    * peel counts incident edges, so a duplicated or pre-symmetrized
+    * input edge would inflate degrees and let nodes survive a peel they
+    * shouldn't) where duplicates silently corrupt; the min-based
+    * distance ops are idempotent to duplicates and skip the extra
     * shuffle.
     */
   /** Reject fractional weight columns up front: cast("long") would
@@ -685,6 +688,7 @@ object Components {
       s"pageRank: dampingPct $dampingPct out of [0,100]")
     require(scale >= 1000000L && scale <= 1000000000000000L,
       s"pageRank: scale $scale out of [1e6, 1e15]")
+    if (validateWeights) requireIntegralWeights(edges)
     val e = edges
       .select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
@@ -856,8 +860,13 @@ object Components {
       s"kCore: maxRounds $maxRounds out of [1,200]")
     // eLive: the symmetrized edge set among CURRENTLY-live nodes — the
     // working set itself shrinks each round, so a long peel costs
-    // O(Σ live-edges per round), not O(rounds × |E|)
-    var eLive = bidirectedEdges(edges, numPartitions)
+    // O(Σ live-edges per round), not O(rounds × |E|).
+    // dedupe=true: the peel's degree count is MULTIPLICITY-sensitive — a
+    // duplicated or already-symmetrized input edge inflates degrees
+    // (edges [(1,2),(1,2)] would give both nodes degree 2 and survive
+    // k=2, though the simple-graph 2-core is empty), so canonicalize to
+    // the simple graph first, same as bfsPathCounts.
+    var eLive = bidirectedEdges(edges, numPartitions, dedupe = true)
     var n = eLive.select(col("src")).distinct().count()
     var converged = n == 0
     var round = 0
@@ -1042,7 +1051,13 @@ object Components {
     *
     * `edges` is the canonical undirected list (one row per edge, either
     * direction; self-loops dropped); `communities` is (id, community)
-    * as labelPropagation emits. Scale: two label joins on the edge list
+    * as labelPropagation emits. Contract: `communities` must cover every
+    * edge endpoint (LPA output does by construction) — an endpoint with
+    * no label would count in m but be silently excluded from every
+    * community's intra_edges, skewing q_num low. Nodes in `communities`
+    * with NO incident edge are legal (an external/partial partition may
+    * label isolates): they count in n_nodes with degree 0 rather than
+    * being dropped. Scale: two label joins on the edge list
     * + two keyed aggregates; the 1-row m aggregate rides a broadcast-
     * hinted crossJoin (the repo's scalar posture — never a driver
     * collect inside a lazy query).
@@ -1062,7 +1077,12 @@ object Components {
     val deg = e.select(col("src").as("id"))
       .unionAll(e.select(col("dst").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))
-    val dc = communities.join(deg, "id")
+    // LEFT join + coalesce: an isolated (degree-0) node present in the
+    // partition still counts in n_nodes — an inner join would silently
+    // drop it (fine for LPA input, wrong for external partitions).
+    val dc = communities
+      .join(deg, Seq("id"), "left")
+      .select(col("community"), coalesce(col("deg"), lit(0L)).as("deg"))
       .groupBy("community")
       .agg(sum(col("deg")).as("degree_sum"), count(lit(1)).as("n_nodes"))
     val mRow = broadcast(e.agg(count(lit(1)).as("m")))

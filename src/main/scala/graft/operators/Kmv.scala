@@ -61,12 +61,15 @@ object Kmv {
       s"Kmv: k $k out of [2, 1024] ((k-1)*2^52 must fit a long)")
 
   /** Fine-grain KMV mart: one row per `grainCols` group with `kmv` =
-    * sorted array of the k smallest distinct hashes of `key`. This is
-    * the table you persist (array<long> round-trips parquet exactly);
-    * size ≤ #groups × k × 8 bytes. NULL keys are dropped (like
-    * Quantiles.histMart's null values): a null hash would win a heap
-    * slot (ascending = nulls first) but vanish from collect_list,
-    * leaving a k-1 sketch that estimate() would misread as exact.
+    * sorted array of the k smallest distinct hashes of `key`, plus
+    * `kmv_k` = the build-k (4 bytes/row next to the k×8-byte sketch) —
+    * persisted so rollup() can ENFORCE its k ≤ build-k contract instead
+    * of documenting it: a mismatched caller would otherwise get
+    * plausible-looking under-estimates with no error. NULL keys are
+    * dropped (like Quantiles.histMart's null values): a null hash would
+    * win a heap slot (ascending = nulls first) but vanish from
+    * collect_list, leaving a k-1 sketch that estimate() would misread
+    * as exact. array<long> round-trips parquet exactly.
     */
   def mart(df: DataFrame, grainCols: Seq[String], key: Column,
            k: Int = 128): DataFrame = {
@@ -78,6 +81,7 @@ object Kmv {
     TopKPerKey.perKey(hashed, grainCols, Seq(("h", true)), k)
       .groupBy(grainCols.map(col): _*)
       .agg(sort_array(collect_list(col("h"))).as("kmv"))
+      .withColumn("kmv_k", lit(k))
   }
 
   /** Roll a KMV mart to a coarser grain. LOSSLESS: every hash in the
@@ -90,19 +94,40 @@ object Kmv {
     * every fine sketch to have retained at least the coarse top-k; a
     * LARGER k here silently biases estimates low, because the rolled
     * sketch fills its extra slots with hashes that are not the true
-    * minima). Same-k is the normal contract; the mart rows cannot
-    * carry their build-k per group without bloating the schema, so
-    * this is a documented caller obligation, like binWidth in
-    * Quantiles.
+    * minima). ENFORCED when the mart carries its build-k (`kmv_k`,
+    * present since mart() started emitting it) by a LAZY per-row guard
+    * (`raise_error` on the explode input — query fails loudly at
+    * execution), not an eager aggregate: rollup often runs on a
+    * still-lazy mart frame (the q_sketch_* queries) or a streaming one,
+    * where a validation action would double the mart build / be
+    * illegal. A legacy mart without the column gets the weaker
+    * observable guard size(kmv) ≤ k (any full sketch from a bigger
+    * build-k trips it; an all-small-groups mart passes vacuously — such
+    * a mart is exact at any k, so no estimate can be biased by it).
     */
   def rollup(mart: DataFrame, toCols: Seq[String], k: Int = 128): DataFrame = {
     requireK(k)
+    val guarded =
+      if (mart.columns.contains("kmv_k"))
+        when(col("kmv_k") >= k, col("kmv"))
+          .otherwise(raise_error(format_string(
+            s"Kmv.rollup: k $k exceeds the mart's build-k %s — the rolled " +
+              "sketch would silently under-estimate; rebuild the mart " +
+              "with a larger k or roll up at k <= build-k",
+            col("kmv_k"))))
+      else
+        when(size(col("kmv")) <= k, col("kmv"))
+          .otherwise(raise_error(format_string(
+            s"Kmv.rollup: mart sketch of %s hashes exceeds k $k — built " +
+              "with a larger k; roll up at k >= the mart's build-k",
+            size(col("kmv")))))
     val exploded = mart
-      .select(toCols.map(col) :+ explode(col("kmv")).as("h"): _*)
+      .select(toCols.map(col) :+ explode(guarded).as("h"): _*)
       .distinct() // same hash can sit in several fine-grain sketches
     TopKPerKey.perKey(exploded, toCols, Seq(("h", true)), k)
       .groupBy(toCols.map(col): _*)
       .agg(sort_array(collect_list(col("h"))).as("kmv"))
+      .withColumn("kmv_k", lit(k))
   }
 
   /** Distinct-count estimate off a sketch COLUMN NAME (name-based so the

@@ -625,6 +625,56 @@ class ComponentsSpec extends SparkSpecBase {
     assert(dd == want, "diverged from driver-side BFS")
   }
 
+  test("weighted ops reject fractional weight columns (silent truncation)") {
+    // cast("long") would floor 1.9 → 1 and corrupt ranks/votes with no
+    // downstream symptom — every weighted entry point must intercept
+    val frac = Seq((1L, 2L, 1.9)).toDF("src", "dst", "w")
+    intercept[IllegalArgumentException] {
+      Components.pageRankWeighted(frac, iters = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Components.labelPropagationWeighted(frac, iters = 1)
+    }
+    // integral weights of non-long type are fine (cast is lossless)
+    val ints = Seq((1, 2, 3), (2, 3, 1)).toDF("src", "dst", "w")
+    assert(Components.pageRankWeighted(ints, iters = 1).count() == 3)
+    assert(Components.labelPropagationWeighted(ints, iters = 1).count() == 3)
+  }
+
+  test("kCore: duplicate and pre-symmetrized edges do not inflate degrees") {
+    // simple-graph 2-core of a single edge is EMPTY; a multiplicity-
+    // sensitive degree count would give both nodes degree 2 and keep them
+    val dup = Seq((1L, 2L), (1L, 2L)).toDF("src", "dst")
+    assert(Components.kCore(dup, k = 2).count() == 0,
+      "duplicated edge survived the 2-core peel")
+    val sym = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    assert(Components.kCore(sym, k = 2).count() == 0,
+      "pre-symmetrized edge survived the 2-core peel")
+    // and a real triangle still survives k=2 with in-core degree 2
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 3L)).toDF("src", "dst")
+    val got = Components.kCore(tri, k = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L), s"got $got")
+  }
+
+  test("modularityParts: isolated labeled nodes count in n_nodes, degree 0") {
+    // an external partition may label a node with no incident edge: it
+    // must appear in its community's n_nodes (degree 0), not be dropped
+    val df = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    val comm = Seq((1L, 1L), (2L, 1L), (3L, 1L), (99L, 7L))
+      .toDF("id", "community")
+    val parts = Components.modularityParts(df, comm).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(5))))
+      .toMap
+    // community 1: the triangle (3 nodes, 3 intra, degree sum 6,
+    // q_num = 4*3*3 - 36 = 0); community 7: the isolate (1 node, 0
+    // intra, degree 0, q_num = 0)
+    assert(parts == Map(
+      1L -> ((3L, 3L, 6L, 0L)),
+      7L -> ((1L, 0L, 0L, 0L))), s"got $parts")
+  }
+
   test("pageRank: one-round values are hand-derivable") {
     // iters=1 on an edgeless-in-one-direction pair: 2 never sources an
     // edge → dangling; exact values hand-derivable: n=2, r0=5e11 each;

@@ -91,6 +91,31 @@ class KmvSpec extends SparkSpecBase {
     assert(est > 100, s"null key forced the below-k 'exact' branch: $est")
   }
 
+  test("rollup above the mart's build-k fails loudly, not silently biased") {
+    // a rolled sketch with k > build-k would fill its extra slots with
+    // non-minima and under-estimate with no symptom — the mart carries
+    // kmv_k so the guard can fire at execution time
+    val df = keys(300, "bk").map(k => (k.hashCode % 3, k)).toDF("g", "key")
+    val mart = Kmv.mart(df, Seq("g"), col("key"), k = 64)
+    assert(mart.columns.contains("kmv_k"))
+    assert(mart.select("kmv_k").distinct().collect().map(_.getInt(0)).toSeq
+      == Seq(64))
+    // same-k and smaller-k roll up fine (and smaller-k is still lossless)
+    assert(Kmv.rollup(mart, Seq.empty, k = 64).count() == 1)
+    assert(Kmv.rollup(mart, Seq.empty, k = 32).count() == 1)
+    val bad = Kmv.rollup(mart, Seq.empty, k = 128)
+    val ex = intercept[Exception] { bad.collect() }
+    assert(ex.getMessage.contains("build-k") ||
+      Option(ex.getCause).exists(_.getMessage.contains("build-k")),
+      s"wrong failure: ${ex.getMessage}")
+    // a legacy mart without kmv_k gets the weaker size-based guard
+    val legacy = mart.drop("kmv_k")
+    val ex2 = intercept[Exception] { Kmv.rollup(legacy, Seq.empty, 32).collect() }
+    assert(ex2.getMessage.contains("exceeds k") ||
+      Option(ex2.getCause).exists(_.getMessage.contains("exceeds k")),
+      s"wrong failure: ${ex2.getMessage}")
+  }
+
   test("sketches are partitioning-invariant and parquet round-trip") {
     val k = 32
     val df = (1 to 500).map(i => ("g", s"p-$i")).toDF("g", "key")
