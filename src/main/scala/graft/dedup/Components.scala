@@ -896,6 +896,44 @@ object Components {
     eLive.groupBy(col("src").as("id")).agg(count(lit(1)).as("core_degree"))
   }
 
+  /** BENCH-mode peel: the same synchronous peel as kCore but pinned to
+    * EXACTLY `rounds` rounds (no early stop — idempotence makes the
+    * post-convergence rounds semantic no-ops), returning driver-side
+    * per-round (round, liveNodes, liveEdges, seconds). This is the
+    * diagnostic that separates round COUNT (data-dependent: a path
+    * graph peels O(n) rounds) from per-round COST (the thing that must
+    * stay linear at 10×) — the one number kCore's end-to-end wall
+    * clock conflates. Not a query operator: the returned Seq is
+    * `rounds` tuples; the peel work itself stays distributed.
+    */
+  def kCorePeelTrace(edges: DataFrame, k: Int, rounds: Int,
+                     numPartitions: Int = 8): Seq[(Int, Long, Long, Double)] = {
+    require(k >= 1 && k <= 1000000, s"kCorePeelTrace: k $k out of [1, 1e6]")
+    require(rounds >= 1 && rounds <= 200,
+      s"kCorePeelTrace: rounds $rounds out of [1,200]")
+    var eLive = bidirectedEdges(edges, numPartitions, dedupe = true)
+    var n = eLive.select(col("src")).distinct().count()
+    (1 to rounds).map { round =>
+      val t0 = System.nanoTime()
+      val keep = eLive.groupBy(col("src").as("id"))
+        .agg(count(lit(1)).as("core_degree"))
+        .filter(col("core_degree") >= k)
+        .select("id")
+        .repartition(numPartitions, col("id"))
+        .localCheckpoint(eager = true)
+      val n2 = keep.count()
+      if (n2 != n)
+        eLive = eLive
+          .join(keep.select(col("id").as("src")), "src")
+          .join(keep.select(col("id").as("dst")), "dst")
+          .repartition(numPartitions, col("src"))
+          .localCheckpoint(eager = true)
+      n = n2
+      val m = eLive.count()
+      (round, n, m, (System.nanoTime() - t0) / 1e9)
+    }
+  }
+
   /** WEIGHTED landmark distances — bfsDistances' cost twin and the last
     * weighted sibling (weighted PageRank ranks, weighted LPA groups,
     * this MEASURES): minimum total edge weight from each landmark
@@ -997,8 +1035,6 @@ object Components {
     require(landmarks.nonEmpty, "bfsPathCounts: no landmarks")
     require(maxHops >= 1 && maxHops <= 30,
       s"bfsPathCounts: maxHops $maxHops out of [1,30]")
-    val spark = edges.sparkSession
-    import spark.implicits._
     // dedupe=true: sigma is MULTIPLICITY-sensitive — a duplicate or
     // already-bidirected input would silently double paths per hop
     val e = bidirectedEdges(edges, numPartitions, dedupe = true)
@@ -1010,6 +1046,20 @@ object Components {
     require(maxDeg <= 1L || maxHops * math.log(maxDeg.toDouble) <= 62 * math.log(2.0),
       s"bfsPathCounts: sigma can overflow a long (maxDeg $maxDeg ^ " +
         s"$maxHops hops) — lower maxHops or prune hub degrees first")
+    sigmaLevels(e, landmarks, maxHops, numPartitions)
+      .select(col("id"), col("lm").as("landmark"),
+        col("dist").as("hops"), col("sigma").as("n_paths"))
+  }
+
+  /** The shared forward Brandes phase — bounded-round BFS state
+    * (id, lm, dist, sigma) over an already-prepared symmetrized simple
+    * edge set: bfsPathCounts renames it for output; bfsBetweenness
+    * back-propagates dependencies over it. Eager narrow round loop.
+    */
+  private def sigmaLevels(e: DataFrame, landmarks: Seq[Long], maxHops: Int,
+                          numPartitions: Int): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
     val seeds = landmarks.distinct.map(l => (l, l, 0L, 1L))
       .toDF("id", "lm", "dist", "sigma")
     var s = seeds
@@ -1032,8 +1082,90 @@ object Components {
         .repartition(numPartitions, col("id"), col("lm"))
         .localCheckpoint(eager = true)
     }
-    s.select(col("id"), col("lm").as("landmark"),
-      col("dist").as("hops"), col("sigma").as("n_paths"))
+    s
+  }
+
+  /** Landmark-sampled betweenness centrality (Brandes, J. Math. Sociol.
+    * 2001 §4; subset/pivot sampling à la Riondato & Kornaropoulos) —
+    * the completion of the Brandes machinery bfsPathCounts started: σ
+    * counts the shortest paths REACHING a node; the dependency
+    * back-propagation counts the shortest paths PASSING THROUGH it.
+    * Exact betweenness sums over every source; at scale one samples
+    * landmark sources and sums their dependencies — the estimator whose
+    * per-landmark term is EXACT, so a deterministic landmark set makes
+    * the whole result integer-reproducible and oracle-replayable.
+    *
+    * Per landmark s the recurrence is Brandes':
+    *   δ_s(v) = Σ_{w : v ∈ pred_s(w)} σ_sv/σ_sw · (1 + δ_s(w))
+    * computed level-by-level DOWN the BFS DAG (w one hop further than
+    * v), in fixed point: delta is carried ×`scale` and every term is
+    *   (σ_v · (scale + δ_w)) div σ_w
+    * — a single floor division per DAG edge, so the value is an exact
+    * integer function of (edges, landmarks, maxHops, scale): the oracle
+    * unrolls the same backward levels as materialized CTEs. Output is
+    * (id, betweenness_scaled) = Σ_landmarks δ·scale over nodes with
+    * δ > 0 that are not landmarks themselves (Brandes excludes the
+    * source; zero-dependency nodes are ABSENT, keeping the frame
+    * sparse like bfsDistances).
+    *
+    * The bounded-hop contract truncates the DAG at `maxHops` — paths
+    * longer than the bound contribute nothing, making this "betweenness
+    * within h hops" exactly as bfsDistances is "distance within h hops".
+    *
+    * Overflow headroom (guarded with the file's bounded-collect shape):
+    * σ_v ≤ maxDeg^maxHops and δ_w ≤ scale·n (a dependency cannot exceed
+    * the number of reachable targets), so the per-term product needs
+    * maxHops·log₂(maxDeg) + log₂(scale·(n+1)) ≤ 62.
+    *
+    * Execution: forward = the shared sigmaLevels loop; backward = one
+    * round per level h (maxHops−1 … 0), each an edge join between the
+    * settled level-h rows and level-h+1 rows carrying the previous
+    * round's deltas — the eager narrow round loop, all (id, lm)-keyed,
+    * same cost class as the forward phase.
+    */
+  def bfsBetweenness(edges: DataFrame, landmarks: Seq[Long],
+                     maxHops: Int = 4, scale: Long = 100000L,
+                     numPartitions: Int = 8): DataFrame = {
+    require(landmarks.nonEmpty, "bfsBetweenness: no landmarks")
+    require(maxHops >= 1 && maxHops <= 30,
+      s"bfsBetweenness: maxHops $maxHops out of [1,30]")
+    require(scale >= 100L && scale <= 1000000000L,
+      s"bfsBetweenness: scale $scale out of [1e2, 1e9]")
+    val e = bidirectedEdges(edges, numPartitions, dedupe = true)
+    val maxDeg = e.groupBy("src").agg(count(lit(1)).as("d"))
+      .agg(coalesce(max(col("d")), lit(0L))).collect()(0).getLong(0)
+    val n = e.select(col("src")).distinct().count()
+    require(maxDeg <= 1L ||
+      maxHops * math.log(maxDeg.toDouble) +
+        math.log(scale.toDouble * (n + 1)) <= 62 * math.log(2.0),
+      s"bfsBetweenness: sigma*delta can overflow a long (maxDeg $maxDeg, " +
+        s"$maxHops hops, scale $scale, $n nodes) — lower maxHops or scale")
+    val s = sigmaLevels(e, landmarks, maxHops, numPartitions)
+    var dl: DataFrame = null // deltas of level h+1 (previous round)
+    var acc: DataFrame = null
+    for (h <- (maxHops - 1) to 0 by -1) {
+      val vs = s.filter(col("dist") === h)
+        .select(col("id").as("src"), col("lm"), col("sigma").as("sv"))
+      val us0 = s.filter(col("dist") === h + 1)
+        .select(col("id").as("dst"), col("lm"), col("sigma").as("su"))
+      // level-h+1 successors carry last round's delta (0 at the deepest
+      // level, and for nodes that accumulated none — absent row = 0)
+      val us = if (dl == null) us0.withColumn("du", lit(0L))
+        else us0.join(
+          dl.select(col("id").as("dst"), col("lm"), col("delta").as("du")),
+          Seq("dst", "lm"), "left")
+          .select(col("dst"), col("lm"), col("su"),
+            coalesce(col("du"), lit(0L)).as("du"))
+      dl = e.join(vs, "src")
+        .join(us, Seq("dst", "lm"))
+        .groupBy(col("src").as("id"), col("lm"))
+        .agg(sum(expr(s"(sv * ($scale + du)) div su")).as("delta"))
+        .repartition(numPartitions, col("id"), col("lm"))
+        .localCheckpoint(eager = true)
+      acc = if (acc == null) dl else acc.unionAll(dl)
+    }
+    acc.filter(col("id") =!= col("lm"))
+      .groupBy("id").agg(sum(col("delta")).as("betweenness_scaled"))
   }
 
   /** Per-community Newman modularity decomposition (Newman & Girvan,

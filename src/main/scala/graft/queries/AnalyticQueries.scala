@@ -34,35 +34,34 @@ object AnalyticQueries extends QueryPack {
 
   /** The parts-co-ordered-together graph shared by the graph-analytics
     * queries: edge src→dst when two parts (src < dst) share >= 2 distinct
-    * orders. The co-order self-join reuses one orderkey exchange for
-    * both sides; DISTINCT orders (not co-occurrence rows) so an order
-    * listing a part on two lineitems doesn't double-count the edge.
+    * orders. Served by the co-order edge MART (operators.GraphMart):
+    * built from lineitem ONCE per (session, dir), eagerly checkpointed,
+    * and read by every graph query — the lineitem self-join that
+    * dominated each query now runs once per session instead of 12
+    * times. q_graph_triangles deliberately bypasses the cache as the
+    * build-cost witness.
     */
   private def coOrderPairs(s: org.apache.spark.sql.SparkSession, d: String) =
     coOrderPairsW(s, d).select("src", "dst")
 
   /** Weighted variant: keeps the co-order count as edge weight `w`. */
-  private def coOrderPairsW(s: org.apache.spark.sql.SparkSession, d: String) = {
-    val li = Tables.lineitem(s, d)
-      .select(col("l_orderkey"), col("l_partkey"))
-    li.join(li.select(col("l_orderkey").as("ok2"), col("l_partkey").as("pb")),
-        col("l_orderkey") === col("ok2") && col("l_partkey") < col("pb"))
-      .groupBy(col("l_partkey").as("src"), col("pb").as("dst"))
-      .agg(countDistinct(col("l_orderkey")).as("n_co"))
-      .filter(col("n_co") >= 2)
-      .select(col("src"), col("dst"), col("n_co").as("w"))
-  }
+  private def coOrderPairsW(s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.operators.GraphMart.cachedEdges(s, d)
 
   val queries: Map[String, Q] = Map(
     // Per-node triangle counts on the parts-co-ordered-together graph
     // (edge = two parts sharing >= 2 orders): Components.triangleCounts
     // with the degree-ordered wedge orientation (Suri & Vassilvitskii,
     // WWW'11) — out-degrees bounded O(sqrt(m)), so no hub node ever
-    // owns a quadratic wedge set. The co-order self-join reuses one
-    // orderkey exchange for both sides.
+    // owns a quadratic wedge set. DELIBERATELY bypasses the session
+    // edge-mart cache: this is the graph family's build-cost WITNESS —
+    // the one query whose bench time always includes the cold lineitem
+    // self-join, so mart-fed read times stay honest next to it.
     "q_graph_triangles" -> ((s, d) =>
       graft.dedup.Components.triangleCounts(
-        coOrderPairs(s, d).select(col("src").as("ida"), col("dst").as("idb")))
+        graft.operators.GraphMart
+          .edges(graft.operators.GraphMart.coOrderCounts(Tables.lineitem(s, d)))
+          .select(col("src").as("ida"), col("dst").as("idb")))
         .orderBy("id")),
 
     // Fixed-point PageRank over the same co-order graph, directed
@@ -105,10 +104,10 @@ object AnalyticQueries extends QueryPack {
     // teleport set: seed-proximity relevance over the co-order graph
     // (the "parts related to THESE parts" primitive a global pageRank
     // flattens). Unreachable nodes score exactly 0. Integer end to end;
-    // hash-matches the unrolled seeded recurrence. Edges checkpointed
-    // ONCE: the seed collect and the operator share one co-order build.
+    // hash-matches the unrolled seeded recurrence. The seed collect and
+    // the operator share the session mart's one checkpointed build.
     "q_graph_ppr" -> ((s, d) => {
-      val edges = coOrderPairs(s, d).localCheckpoint(true)
+      val edges = coOrderPairs(s, d)
       graft.dedup.Components
         .personalizedPageRank(edges, smallestNodeIds(edges, 3), iters = 5)
         .orderBy("id")
@@ -127,11 +126,11 @@ object AnalyticQueries extends QueryPack {
     // EXACT integer numerator q_num = 4m*L_c - D_c^2 (= Q_c*4m^2), so
     // the quality of the LPA split is itself hash-oracled — positive
     // q_num means denser than the degree-preserving random expectation.
-    // The co-order edges are checkpointed once and feed BOTH the LPA
-    // rounds and the modularity joins (the co-order self-join is the
-    // expensive part; building it twice would double the query).
+    // The session mart's checkpointed edges feed BOTH the LPA rounds
+    // and the modularity joins (the co-order self-join is the expensive
+    // part; building it twice would double the query).
     "q_graph_modularity" -> ((s, d) => {
-      val edges = coOrderPairs(s, d).localCheckpoint(true)
+      val edges = coOrderPairs(s, d)
       graft.dedup.Components.modularityParts(edges,
         graft.dedup.Components.labelPropagation(edges, iters = 5))
         .orderBy("community")
@@ -159,9 +158,9 @@ object AnalyticQueries extends QueryPack {
     // node ids (a bounded 3-row collect — the landmark set is a chosen
     // seed list in practice). Exact integer distances within 5 hops;
     // unreached pairs absent. Hash-matches the unrolled bounded-round
-    // Bellman-Ford oracle. Edges checkpointed once, like q_graph_ppr.
+    // Bellman-Ford oracle. Edges come checkpointed from the session mart.
     "q_graph_distances" -> ((s, d) => {
-      val edges = coOrderPairs(s, d).localCheckpoint(true)
+      val edges = coOrderPairs(s, d)
       graft.dedup.Components
         .bfsDistances(edges, smallestNodeIds(edges, 3), maxHops = 5)
         .orderBy("id", "landmark")
@@ -174,10 +173,10 @@ object AnalyticQueries extends QueryPack {
     // co-purchased", not hop count. A cheap 2-hop route through strong
     // ties beats a weak direct edge — what unit-hop distance can't see.
     "q_graph_distances_weighted" -> ((s, d) => {
+      // the cost flip is a narrow map over the mart's checkpointed rows
       val edges = coOrderPairsW(s, d)
         .withColumn("w",
           greatest(lit(1L), lit(11L) - least(col("w"), lit(10L))))
-        .localCheckpoint(true)
       graft.dedup.Components
         .bfsDistancesWeighted(edges, smallestNodeIds(edges, 3), maxHops = 5)
         .orderBy("id", "landmark")
@@ -187,12 +186,28 @@ object AnalyticQueries extends QueryPack {
     // distinct shortest routes reach each part (connection robustness —
     // a one-bridge connection vs hundreds of parallel routes), exact
     // integer sigma per Brandes. Shares the distances query's shape and
-    // the checkpointed-edges posture.
+    // the session mart's checkpointed edges.
     "q_graph_path_counts" -> ((s, d) => {
-      val edges = coOrderPairs(s, d).localCheckpoint(true)
+      val edges = coOrderPairs(s, d)
       graft.dedup.Components
         .bfsPathCounts(edges, smallestNodeIds(edges, 3), maxHops = 5)
         .orderBy("id", "landmark")
+    }),
+
+    // Landmark-sampled betweenness centrality from the same 3 landmarks
+    // — the Brandes completion: sigma counted paths REACHING a part;
+    // the dependency back-propagation scores paths THROUGH it (broker
+    // parts whose removal disconnects co-purchase routes — what degree
+    // and pagerank both miss: a low-degree bridge can carry every
+    // shortest route). Fixed-point integers (delta scaled 1e5), exact
+    // per landmark, summed over the sample; hash-matches the unrolled
+    // backward-level oracle. maxHops=4 keeps sigma*delta inside long
+    // headroom (operator-guarded).
+    "q_graph_betweenness" -> ((s, d) => {
+      val edges = coOrderPairs(s, d)
+      graft.dedup.Components
+        .bfsBetweenness(edges, smallestNodeIds(edges, 3), maxHops = 4)
+        .orderBy("id")
     }),
 
     // row_number / rank / dense_rank per customer by price.
@@ -884,10 +899,13 @@ object AnalyticQueries extends QueryPack {
       s"FROM d$maxHops ORDER BY id, landmark"
   }
 
-  /** Unrolled twin of Components.bfsPathCounts: per round, seed rows ∪
-    * edge relaxations, (id,lm,dist) sigma sums, then argmin by dist.
+  /** The shared forward-Brandes CTE prefix (graph build + landmark seeds
+    * + `maxHops` sigma rounds ending at s<maxHops> with columns (id, lm,
+    * dist, sigma)) — pathCountsOracleSql and betweennessOracleSql both
+    * extend the same recurrence so neither can drift, the
+    * communitiesCtes anti-drift rule.
     */
-  private def pathCountsOracleSql(maxHops: Int): String = {
+  private def sigmaCtes(maxHops: Int): String = {
     val base =
       """WITH li AS MATERIALIZED (SELECT l_orderkey, l_partkey FROM lineitem),
         |cp AS MATERIALIZED (
@@ -913,14 +931,51 @@ object AnalyticQueries extends QueryPack {
         |         row_number() OVER (PARTITION BY id, lm ORDER BY dist) AS rn
         |  FROM g$i) WHERE rn = 1)""".stripMargin
     }.mkString(",\n", ",\n", "")
-    s"$base$rounds\nSELECT id, lm AS landmark, dist AS hops, " +
+    s"$base$rounds"
+  }
+
+  /** Unrolled twin of Components.bfsPathCounts: per round, seed rows ∪
+    * edge relaxations, (id,lm,dist) sigma sums, then argmin by dist.
+    */
+  private def pathCountsOracleSql(maxHops: Int): String =
+    s"${sigmaCtes(maxHops)}\nSELECT id, lm AS landmark, dist AS hops, " +
       s"sigma AS n_paths FROM s$maxHops ORDER BY id, landmark"
+
+  /** Unrolled twin of Components.bfsBetweenness: the sigmaCtes forward
+    * phase, then one backward dependency level per hop (bl<h> computed
+    * off level h+1's deltas — fixed-point Brandes back-propagation,
+    * every term the same single floor `//` as the operator), then the
+    * per-node sum over landmarks excluding each landmark itself.
+    */
+  private def betweennessOracleSql(maxHops: Int, scale: Long): String = {
+    val levels = ((maxHops - 1) to 0 by -1).map { h =>
+      val (joinPrev, du) =
+        if (h == maxHops - 1) ("", "0")
+        else (s"\n  LEFT JOIN bl${h + 1} b ON b.id = u.id AND b.lm = u.lm",
+          "coalesce(b.delta, 0)")
+      s"""bl$h AS MATERIALIZED (
+        |  SELECT v.id, v.lm,
+        |         sum((v.sigma * ($scale + $du)) // u.sigma)::BIGINT AS delta
+        |  FROM s$maxHops v
+        |  JOIN e ON e.src = v.id
+        |  JOIN s$maxHops u ON u.id = e.dst AND u.lm = v.lm
+        |    AND u.dist = v.dist + 1$joinPrev
+        |  WHERE v.dist = $h
+        |  GROUP BY v.id, v.lm)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    val union = (0 until maxHops)
+      .map(h => s"SELECT id, lm, delta FROM bl$h")
+      .mkString(" UNION ALL ")
+    s"""${sigmaCtes(maxHops)}$levels
+      |SELECT id, sum(delta)::BIGINT AS betweenness_scaled
+      |FROM ($union) WHERE id <> lm GROUP BY id ORDER BY id""".stripMargin
   }
 
   val oracle: Map[String, String] = Map(
     "q_graph_pagerank" -> pagerankOracleSql(5),
     "q_graph_pagerank_weighted" -> pagerankWeightedOracleSql(5),
     "q_graph_path_counts" -> pathCountsOracleSql(5),
+    "q_graph_betweenness" -> betweennessOracleSql(4, 100000L),
     "q_graph_distances_weighted" -> distancesWeightedOracleSql(5),
     "q_graph_ppr" -> pprOracleSql(5),
     "q_graph_kcore" -> kcoreOracleSql(3, 41),

@@ -625,6 +625,76 @@ class ComponentsSpec extends SparkSpecBase {
     assert(dd == want, "diverged from driver-side BFS")
   }
 
+  test("bfsBetweenness: hand-derived path graph and diamond; landmark excluded") {
+    val S = 100000L
+    // path 1-2-3-4, landmark 1: delta(3) = (1*(S+0))div 1 = S;
+    // delta(2) = (1*(S+S))div 1 = 2S; landmark 1 itself excluded.
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val got = Components.bfsBetweenness(path, Seq(1L), maxHops = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(2L -> 2 * S, 3L -> S), s"got $got")
+    // diamond 1-{2,3}-4 with tail 4-5, landmark 1: sigma(4)=2;
+    // delta(4) = (2*(S+0)) div 2 = S (from 5);
+    // delta(2) = delta(3) = (1*(S+S)) div 2 = S
+    val dia = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val gd = Components.bfsBetweenness(dia, Seq(1L), maxHops = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gd == Map(2L -> S, 3L -> S, 4L -> S), s"got $gd")
+    // two landmarks sum their dependencies: path 1-2-3 from {1, 3} gives
+    // node 2 delta S from each side
+    val p3 = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val g2 = Components.bfsBetweenness(p3, Seq(1L, 3L), maxHops = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(g2 == Map(2L -> 2 * S), s"got $g2")
+  }
+
+  test("bfsBetweenness: random-graph parity with a driver-side recurrence") {
+    val S = 100000L
+    val hops = 4
+    val rnd = new scala.util.Random(41)
+    val edges = (1 to 90).map(_ =>
+      (rnd.nextInt(22).toLong + 1, rnd.nextInt(22).toLong + 1))
+      .filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val lms = Seq(1L, 5L, 9L)
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    // forward: BFS levels + sigma per landmark
+    def forward(lm: Long): (Map[Long, Long], Map[Long, Long]) = {
+      var dist = Map(lm -> 0L); var sigma = Map(lm -> 1L)
+      var frontier = Seq(lm)
+      for (h <- 1 to hops) {
+        val nxt = frontier.flatMap(adj.getOrElse(_, Set.empty))
+          .filterNot(dist.contains).distinct
+        val sg = nxt.map(v => v -> adj(v).filter(u =>
+          dist.get(u).contains(h - 1L)).toSeq.map(sigma).sum).toMap
+        dist ++= nxt.map(_ -> h.toLong); sigma ++= sg
+        frontier = nxt
+      }
+      (dist, sigma)
+    }
+    val want = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for (lm <- lms) {
+      val (dist, sigma) = forward(lm)
+      val delta = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for (h <- (hops - 1) to 0 by -1;
+           v <- dist.collect { case (v, d) if d == h => v }) {
+        val succ = adj.getOrElse(v, Set.empty)
+          .filter(u => dist.get(u).contains(h + 1L))
+        if (succ.nonEmpty)
+          delta(v) = succ.toSeq
+            .map(u => (sigma(v) * (S + delta(u))) / sigma(u)).sum
+      }
+      for ((v, d) <- delta if v != lm && d != 0L) want(v) += d
+    }
+    val got = Components.bfsBetweenness(
+        edges.toDF("src", "dst").repartition(5), lms, maxHops = hops)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want.toMap.filter(_._2 != 0L),
+      s"diverged from driver recurrence:\n got  $got\n want $want")
+  }
+
   test("weighted ops reject fractional weight columns (silent truncation)") {
     // cast("long") would floor 1.9 → 1 and corrupt ranks/votes with no
     // downstream symptom — every weighted entry point must intercept

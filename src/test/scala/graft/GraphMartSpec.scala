@@ -1,0 +1,83 @@
+package graft
+
+import graft.operators.GraphMart
+import org.apache.spark.sql.functions._
+
+/** The co-order edge mart: losslessness of the persisted/merged forms
+  * against a from-scratch build, the read-time minCo cut, the session
+  * cache's build-once identity, and the incremental merge contract.
+  */
+class GraphMartSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def edgeSet(df: org.apache.spark.sql.DataFrame) =
+    df.select("src", "dst", "w").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("counts match a hand-derived fixture; minCo cut applies at read") {
+    // orders: 10 -> parts {1,2,3}, 11 -> {1,2}, 12 -> {2,3} and a
+    // duplicate lineitem (order 10, part 1) that must NOT double-count
+    val li = Seq(
+      (10L, 1L), (10L, 2L), (10L, 3L), (10L, 1L),
+      (11L, 1L), (11L, 2L),
+      (12L, 2L), (12L, 3L))
+      .toDF("l_orderkey", "l_partkey")
+    val counts = edgeSet(GraphMart.coOrderCounts(li))
+    assert(counts == Set((1L, 2L, 2L), (1L, 3L, 1L), (2L, 3L, 2L)),
+      s"got $counts")
+    val cut = edgeSet(GraphMart.edges(GraphMart.coOrderCounts(li), minCo = 2))
+    assert(cut == Set((1L, 2L, 2L), (2L, 3L, 2L)), s"got $cut")
+  }
+
+  test("mart build off fixture lineitem equals the inline self-join") {
+    val li = Tables.lineitem(spark, sfDir)
+    val mart = GraphMart.edges(GraphMart.coOrderCounts(li))
+    // independent formulation: SQL over a temp view
+    li.select("l_orderkey", "l_partkey").createOrReplaceTempView("li_gm")
+    val want = spark.sql(
+      """SELECT a.l_partkey AS src, b.l_partkey AS dst,
+        |       count(DISTINCT a.l_orderkey) AS w
+        |FROM li_gm a JOIN li_gm b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= 2""".stripMargin)
+    assert(edgeSet(mart) == edgeSet(want))
+  }
+
+  test("order-complete incremental merge is bit-equal to a full rebuild") {
+    val li = Tables.lineitem(spark, sfDir)
+    // split by ORDER (the contract): each order's lineitems stay together
+    val a = li.filter(col("l_orderkey") % 3 =!= 0)
+    val b = li.filter(col("l_orderkey") % 3 === 0)
+    val merged = GraphMart.mergeCounts(
+      GraphMart.coOrderCounts(a), GraphMart.coOrderCounts(b))
+    assert(edgeSet(merged) == edgeSet(GraphMart.coOrderCounts(li)),
+      "merge-on-read diverged from the from-scratch build")
+  }
+
+  test("write/read round-trips exactly and prunes at the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graphmart").toString
+    val li = Tables.lineitem(spark, sfDir)
+    val counts = GraphMart.coOrderCounts(li)
+    GraphMart.write(counts, s"$dir/edges", numFiles = 3)
+    val back = GraphMart.read(spark, s"$dir/edges")
+    assert(edgeSet(back) == edgeSet(counts))
+    // the minCo cut must reach the parquet scan as a pushed filter
+    val plan = GraphMart.edges(back, minCo = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(w,2)"), s"no pushdown in:\n$plan")
+  }
+
+  test("cachedEdges builds once per (session, dir) and returns the cut graph") {
+    val e1 = GraphMart.cachedEdges(spark, sfDir)
+    val e2 = GraphMart.cachedEdges(spark, sfDir)
+    assert(e1 eq e2, "second call must return the SAME cached frame")
+    assert(edgeSet(e1) ==
+      edgeSet(GraphMart.edges(GraphMart.coOrderCounts(
+        Tables.lineitem(spark, sfDir)))))
+    // checkpointed: the plan must not contain the lineitem self-join
+    val plan = e1.queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("join"),
+      s"cached mart still re-plans the self-join:\n$plan")
+  }
+}
