@@ -1005,6 +1005,31 @@ object Components {
   }
 
 
+  /** Landmark harmonic closeness (Marchiori & Latora, Physica A 2000;
+    * Boldi & Vigna's preferred centrality for disconnected graphs) —
+    * the aggregate readout over the landmark-distance machinery:
+    * c(v) = Σ_{lm ≠ v, reached} scale div d(v, lm), within `maxHops`.
+    * Harmonic rather than classic closeness because unreached landmarks
+    * contribute 0 naturally (classic closeness needs an infinity
+    * convention); a node near many landmarks scores high, one hop
+    * contributing `scale`, h hops `scale div h`. Exact integers (one
+    * floor div per (node, landmark) pair — oracle-replayable), sparse
+    * output (nodes reaching no landmark are absent), and `n_reached`
+    * carries the support so callers can normalize by landmark coverage.
+    * Cost: bfsDistances + one keyed aggregate — nothing new shuffles.
+    */
+  def harmonicCloseness(edges: DataFrame, landmarks: Seq[Long],
+                        maxHops: Int = 5, scale: Long = 100000L,
+                        numPartitions: Int = 8): DataFrame = {
+    require(scale >= 100L && scale <= 1000000000000L,
+      s"harmonicCloseness: scale $scale out of [1e2, 1e12]")
+    bfsDistances(edges, landmarks, maxHops, numPartitions)
+      .filter(col("hops") > 0) // self-rows would divide by zero
+      .groupBy("id")
+      .agg(sum(expr(s"$scale div hops")).as("harmonic_scaled"),
+        count(lit(1)).as("n_reached"))
+  }
+
   /** Shortest-path COUNTS from each landmark (σ in Brandes' notation,
     * Algorithmica 2001) — bfsDistances' multiplicity twin: not just how
     * FAR a node is from a seed but how MANY distinct shortest paths

@@ -1,6 +1,6 @@
 package graft.dedup
 
-import graft.functions.TextHashExpressions.{charHist27, l1Dist, lshBandKeys, simhash60, wordShingles}
+import graft.functions.TextHashExpressions.{charHist27, l1Dist, lshBandKeys, simhash60, simhash60Tail, wordShingles}
 import graft.text.TextFunctions._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -630,15 +630,33 @@ object Dedup extends org.apache.spark.internal.Logging {
     * join as jaccardPairs but over the ~2/(w+1)-sparse fingerprint
     * stream — the posting lists the quadratic term feeds on are w+1
     * times shorter before any df-cut is even needed.
+    *
+    * `maxFpPop` > 0 drops STOP-FINGERPRINTS — fingerprints appearing in
+    * more than that many documents — before the pair join, the MOSS
+    * practice for boilerplate phrases (a fingerprint shared by hundreds
+    * of docs is template noise, not copy signal, and its posting list
+    * alone contributes pop²/2 candidate pairs: the quadratic term
+    * measured at 30× scale, BASELINE.md round-10). LOSSY by contract:
+    * a pair sharing ONLY stop-fingerprints is not reported, and
+    * n_shared counts non-stop fingerprints only. 0 (the default, and
+    * what the exact oracle query pins) disables the cut.
     */
   def winnowPairs(docs: DataFrame, textCol: String, idCol: String,
-                  minShared: Int = 2, k: Int = 3, w: Int = 4): DataFrame = {
+                  minShared: Int = 2, k: Int = 3, w: Int = 4,
+                  maxFpPop: Long = 0L): DataFrame = {
     // one fp-keyed exchange BOTH self-join sides reuse (ReuseExchange —
     // same trick as jaccardPairsPrefix): tokenize+hash runs once per
     // doc, not once per side, and the join is co-partitioned on fp
-    val e = winnowFingerprints(docs, textCol, idCol, k, w)
+    val e0 = winnowFingerprints(docs, textCol, idCol, k, w)
       .select(col("id"), explode(col("fps")).as("fp"))
       .repartition(col("fp"))
+    val e =
+      if (maxFpPop <= 0) e0
+      else { // co-partitioned count + anti-join: no extra exchange on e0
+        val hot = e0.groupBy("fp").agg(count(lit(1)).as("pop"))
+          .filter(col("pop") > maxFpPop).select("fp")
+        e0.join(hot, Seq("fp"), "left_anti")
+      }
     e.select(col("id").as("ida"), col("fp"))
       .join(e.select(col("id").as("idb"), col("fp").as("fp_b")),
         col("fp") === col("fp_b") && col("ida") < col("idb"))
@@ -830,6 +848,59 @@ object Dedup extends org.apache.spark.internal.Logging {
       .dropDuplicates("ida", "idb")
     cand
       .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("ida", "idb", "hamming")
+  }
+
+  /** WIDE-chunk SimHash near-dup pairs — the 100-TB twin of simhashPairs.
+    *
+    * simhashPairs' 4×15-bit chunk LSH has 2^15 = 32,768 buckets per
+    * chunk position; on a same-vocabulary corpus the buckets SATURATE
+    * once docs ≫ bucket space and candidate volume goes quadratic
+    * (measured on the 30× scaled fixture: EVERY 15-bit bucket holds
+    * > 20 docs and total candidates hit 2.6e8 — BASELINE.md round-10).
+    * Capping hot buckets is wrong here: the pigeonhole guarantee
+    * (hamming ≤ 3 ⇒ some chunk exact) means a dropped bucket is a hard
+    * recall hole, not a tail cut. The scale-correct fix is MORE BITS:
+    * a 120-bit SimHash (simhash60 ∥ simhash60Tail — the two md5 hex
+    * halves, one vote loop each) banded as 4×30-bit chunks. Bucket
+    * space per chunk becomes 2^30 ≈ 1.07e9 — saturation moves from
+    * ~10⁵ docs to ~10⁹ per chunk value, with the SAME pigeonhole
+    * guarantee (4 chunks, ≤ 3 mismatched bits ⇒ one chunk exact) and a
+    * FINER similarity semantic (3 flipped bits of 120 ≈ 97.5% bitwise
+    * agreement vs 95% at 60 — near-dup thresholds tighten as signature
+    * width grows, the standard SimHash tradeoff).
+    *
+    * Same shapes as simhashPairs otherwise: one chunk-exploded
+    * equi-join (never a theta join), dropDuplicates on the pair,
+    * exact 120-bit Hamming verify as two codegen'd bit_counts.
+    */
+  def simhashPairsWide(docs: DataFrame, textCol: String, idCol: String,
+                       maxHamming: Int = 3): DataFrame = {
+    val mask30 = (1L << 30) - 1
+    val sh = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("id"), simhash60(col("toks")).as("h1"),
+        simhash60Tail(col("toks")).as("h2"))
+    val chunks = array(
+      col("h1").bitwiseAND(lit(mask30)),
+      shiftright(col("h1"), 30).bitwiseAND(lit(mask30)),
+      col("h2").bitwiseAND(lit(mask30)),
+      shiftright(col("h2"), 30).bitwiseAND(lit(mask30)))
+    val e = sh.select(col("id"), col("h1"), col("h2"),
+      posexplode(chunks).as(Seq("c", "v")))
+    val cand = e.select(col("id").as("ida"), col("h1").as("ha1"),
+        col("h2").as("ha2"), col("c"), col("v"))
+      .join(e.select(col("id").as("idb"), col("h1").as("hb1"),
+          col("h2").as("hb2"), col("c").as("cb"), col("v").as("vb")),
+        col("c") === col("cb") && col("v") === col("vb") &&
+          col("ida") < col("idb"))
+      .select("ida", "idb", "ha1", "ha2", "hb1", "hb2")
+      .dropDuplicates("ida", "idb")
+    cand
+      .withColumn("hamming",
+        bit_count(col("ha1").bitwiseXOR(col("hb1"))) +
+          bit_count(col("ha2").bitwiseXOR(col("hb2"))))
       .filter(col("hamming") <= maxHamming)
       .select("ida", "idb", "hamming")
   }

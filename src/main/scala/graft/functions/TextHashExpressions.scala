@@ -75,6 +75,42 @@ object TextHashOps {
     h
   }
 
+  /** The TAIL 60 SimHash bits: the same strict-majority vote over md5
+    * hex digits 16-30 (the half simhash60 doesn't read). Together the
+    * two form a 120-bit SimHash whose 4×30-bit chunk LSH
+    * (Dedup.simhashPairsWide) has 2^30-sized bucket space — the scale
+    * fix for the 15-bit chunks' bucket saturation (measured: at ~66k
+    * same-vocabulary docs EVERY 15-bit bucket exceeds pop 20 and
+    * candidate volume goes quadratic).
+    */
+  def simhash60Tail(tokens: ArrayData): Long = {
+    val n = tokens.numElements()
+    val votes = new Array[Int](60)
+    var t = 0
+    while (t < n) {
+      val hex = md5Hex(tokens.getUTF8String(t).getBytes)
+      var d = 0
+      while (d < 15) {
+        val c = hex.charAt(15 + d)
+        val v = if (c <= '9') c - '0' else c - 'a' + 10
+        val base = d * 4
+        votes(base) += (v >> 3) & 1
+        votes(base + 1) += (v >> 2) & 1
+        votes(base + 2) += (v >> 1) & 1
+        votes(base + 3) += v & 1
+        d += 1
+      }
+      t += 1
+    }
+    var h = 0L
+    var b = 0
+    while (b < 60) {
+      if (votes(b) * 2 > n) h |= 1L << (59 - b)
+      b += 1
+    }
+    h
+  }
+
   /** k-component MinHash signature: component i = lexicographic min over
     * shingles of md5Hex(i + ":" + shingle). Identical to
     * TextFunctions.minhashSignature and the DuckDB oracle's
@@ -460,6 +496,25 @@ case class SimHash60(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** simhash60_tail(tokens: array<string>): bigint — the md5-digit-16-30
+  * half of the 120-bit wide SimHash (see TextHashOps.simhash60Tail).
+  */
+case class SimHash60Tail(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"simhash60_tail requires array<string>, got ${dt.catalogString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash60_tail"
+  override def nullSafeEval(a: Any): Any =
+    TextHashOps.simhash60Tail(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashOps.simhash60Tail($c)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** minhash_sig(shingles: array<string>, k): array<string>. */
 case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -788,6 +843,8 @@ object TextHashExpressions {
       GraftSqlBridge.expression(tokens), merges))
   def simhash60(tokens: Column): Column =
     GraftSqlBridge.column(SimHash60(GraftSqlBridge.expression(tokens)))
+  def simhash60Tail(tokens: Column): Column =
+    GraftSqlBridge.column(SimHash60Tail(GraftSqlBridge.expression(tokens)))
   def deflateRatio(text: Column): Column =
     GraftSqlBridge.column(DeflateRatio(GraftSqlBridge.expression(text)))
   def nfcNormalize(text: Column): Column =

@@ -92,6 +92,16 @@ object GraphMart {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Merge-on-read over an epoch-partitioned STREAMED mart dir (the
+    * StreamingTelemetry.streamEdgeMart sink): pair counts add across
+    * epochs, so one keyed sum reconstitutes the exact batch-built mart
+    * (mergeCounts generalized to n inputs — same order-complete
+    * contract).
+    */
+  def readMerged(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+      .groupBy("src", "dst").agg(sum(col("w")).as("w"))
+
   /** Metastore-table variant: bucketBy(src) registers the clustering in
     * the catalog, so Catalyst elides the exchange for src-keyed joins
     * and aggregations over the mart (the bucketed-layout posture

@@ -55,4 +55,38 @@ object Sketches {
     */
   def estimate(sketchCol: Column): Column =
     hll_sketch_estimate(sketchCol).cast("long")
+
+  /** UNIFIED mart rollup — the one entry point over all three sketch
+    * mart families, dispatched on the mart's signature column:
+    *
+    *  - `hll` (binary)          → HLL union ([[rollupMart]])
+    *  - `kmv` (array<long>)     → k-min merge ([[Kmv.rollup]]) at the
+    *    mart's own build-k, read from the persisted `kmv_k` column via
+    *    a bounded 1-row aggregate — the one eager action here, reading
+    *    a group-sized mart, and the reason KMV marts carry their k;
+    *  - `bin` + `n`             → histogram bin-count sum
+    *    ([[Quantiles.rollup]]).
+    *
+    * Anything else fails loudly. The family-specific entry points stay
+    * public (streaming sinks and k-overriding callers need them); this
+    * is the read-side abstraction that makes "a sketch mart" one
+    * concept at the query surface.
+    */
+  def rollup(mart: DataFrame, toCols: Seq[String]): DataFrame = {
+    val cols = mart.columns.toSet
+    if (cols.contains("hll")) rollupMart(mart, toCols)
+    else if (cols.contains("kmv")) {
+      require(cols.contains("kmv_k"),
+        "Sketches.rollup: KMV mart lacks its kmv_k build-k column — " +
+          "rebuilt marts carry it; for a legacy mart call Kmv.rollup " +
+          "with the build-k explicitly")
+      val k = mart.agg(coalesce(min(col("kmv_k")), lit(2)))
+        .collect()(0).getInt(0)
+      Kmv.rollup(mart, toCols, k)
+    } else if (cols.contains("bin") && cols.contains("n"))
+      Quantiles.rollup(mart, toCols)
+    else throw new IllegalArgumentException(
+      s"Sketches.rollup: unrecognized mart schema [${mart.columns.mkString(", ")}] " +
+        "— expected an hll, kmv(+kmv_k), or bin/n mart")
+  }
 }

@@ -194,6 +194,20 @@ object AnalyticQueries extends QueryPack {
         .orderBy("id", "landmark")
     }),
 
+    // Harmonic closeness from the same 3 landmarks: Σ scale div hops
+    // over reached landmarks — "how near the trusted seeds" as ONE
+    // number per part (near-many-landmarks ranks above near-one), with
+    // n_reached carrying the support. Unreached landmarks contribute 0
+    // naturally (the harmonic trick — classic closeness needs an ∞
+    // convention); pure composition over the distances machinery, one
+    // extra keyed aggregate.
+    "q_graph_closeness" -> ((s, d) => {
+      val edges = coOrderPairs(s, d)
+      graft.dedup.Components
+        .harmonicCloseness(edges, smallestNodeIds(edges, 3), maxHops = 5)
+        .orderBy("id")
+    }),
+
     // Landmark-sampled betweenness centrality from the same 3 landmarks
     // — the Brandes completion: sigma counted paths REACHING a part;
     // the dependency back-propagation scores paths THROUGH it (broker
@@ -732,11 +746,13 @@ object AnalyticQueries extends QueryPack {
       |FROM dc LEFT JOIN lc ON dc.community = lc.community, mm
       |ORDER BY 1""".stripMargin
 
-  /** Unrolled twin of Components.bfsDistances: symmetrized edges, d0 =
-    * the 3 smallest node ids at distance 0 to themselves, then
-    * `maxHops` bounded Bellman-Ford rounds (min over settled ∪ relaxed).
+  /** Shared CTE prefix for the unit-weight landmark-distance twins
+    * (bfsDistances and its harmonicCloseness aggregate): symmetrized
+    * edges, d0 = the 3 smallest node ids at distance 0 to themselves,
+    * then `maxHops` bounded Bellman-Ford rounds (min over settled ∪
+    * relaxed), ending at d<maxHops>.
     */
-  private def distancesOracleSql(maxHops: Int): String = {
+  private def distancesCtes(maxHops: Int): String = {
     val base =
       """WITH li AS MATERIALIZED (SELECT l_orderkey, l_partkey FROM lineitem),
         |cp AS MATERIALIZED (
@@ -758,9 +774,24 @@ object AnalyticQueries extends QueryPack {
         |  SELECT e.dst AS id, d.lm, d.dist + 1 AS dist
         |  FROM e JOIN d$p d ON e.src = d.id) GROUP BY id, lm)""".stripMargin
     }.mkString(",\n", ",\n", "")
-    s"$base$rounds\nSELECT id, lm AS landmark, dist AS hops " +
-      s"FROM d$maxHops ORDER BY id, landmark"
+    s"$base$rounds"
   }
+
+  /** Unrolled twin of Components.bfsDistances off the shared prefix. */
+  private def distancesOracleSql(maxHops: Int): String =
+    s"${distancesCtes(maxHops)}\nSELECT id, lm AS landmark, dist AS hops " +
+      s"FROM d$maxHops ORDER BY id, landmark"
+
+  /** Unrolled twin of Components.harmonicCloseness: the SAME bounded
+    * Bellman-Ford CTEs as distancesOracleSql (shared builder — the
+    * anti-drift rule), then one aggregate: Σ scale // dist over dist>0
+    * rows per node.
+    */
+  private def closenessOracleSql(maxHops: Int, scale: Long): String =
+    s"""${distancesCtes(maxHops)}
+      |SELECT id, sum($scale // dist)::BIGINT AS harmonic_scaled,
+      |       count(*)::BIGINT AS n_reached
+      |FROM d$maxHops WHERE dist > 0 GROUP BY id ORDER BY id""".stripMargin
 
   /** Unrolled twin of Components.personalizedPageRank: directed co-order
     * edges, seeds = 3 smallest node ids, restart AND dangling mass
@@ -976,6 +1007,7 @@ object AnalyticQueries extends QueryPack {
     "q_graph_pagerank_weighted" -> pagerankWeightedOracleSql(5),
     "q_graph_path_counts" -> pathCountsOracleSql(5),
     "q_graph_betweenness" -> betweennessOracleSql(4, 100000L),
+    "q_graph_closeness" -> closenessOracleSql(5, 100000L),
     "q_graph_distances_weighted" -> distancesWeightedOracleSql(5),
     "q_graph_ppr" -> pprOracleSql(5),
     "q_graph_kcore" -> kcoreOracleSql(3, 41),

@@ -95,6 +95,17 @@ object DedupQueries extends QueryPack {
           maxHamming = 3)
         .orderBy("ida", "idb")),
 
+    // The 100-TB simhash twin: 120-bit signature (both md5 hex halves),
+    // 4×30-bit chunk LSH — bucket space 2^30 per chunk vs 2^15, the
+    // scale fix for the bucket SATURATION measured at 30× (every 15-bit
+    // bucket > 20 docs, 2.6e8 candidates; BASELINE.md round-10). Same
+    // pigeonhole guarantee at hamming ≤ 3, finer similarity semantic
+    // (3/120 flipped bits vs 3/60). Full DuckDB twin oracle.
+    "q_dedup_simhash_wide" -> ((s, d) =>
+      Dedup.simhashPairsWide(Tables.documents(s, d), "text", "doc_id",
+          maxHamming = 3)
+        .orderBy("ida", "idb")),
+
     // Fuzzy (edit-distance) duplicate pairs: Levenshtein ≤ 8 found via
     // length blocking + lossless char-frequency L1 prefilter, verified
     // with the banded threshold DP (Dedup.editDistancePairs). dist cast
@@ -171,6 +182,17 @@ object DedupQueries extends QueryPack {
     "q_winnow_pairs" -> ((s, d) =>
       Dedup.winnowPairs(Tables.documents(s, d), "text", "doc_id",
           minShared = 2)
+        .orderBy("ida", "idb")),
+
+    // The production winnow twin: stop-fingerprints (df > 5) dropped
+    // before the pair join — the MOSS boilerplate cut, bounding the
+    // posting-list quadratic term the 30× run measured (pairs 347k →
+    // 3.1e8 uncapped; BASELINE.md round-10). Lossy by contract (pairs
+    // sharing ONLY stop-fps unreported, n_shared counts non-stop fps);
+    // the oracle reproduces the identical cut.
+    "q_winnow_pairs_capped" -> ((s, d) =>
+      Dedup.winnowPairs(Tables.documents(s, d), "text", "doc_id",
+          minShared = 2, maxFpPop = 5)
         .orderBy("ida", "idb")),
 
     // Span-level duplication profile (Lee-et-al-style substring dedup at
@@ -606,6 +628,36 @@ object DedupQueries extends QueryPack {
     // twin of winnowPairs(k=3, w=4): positional 3-gram md5-prefix
     // hashes, min per 4-window (global min under 4 windows), distinct
     // values, shared-fingerprint pairs at >= 2
+    "q_winnow_pairs_capped" ->
+      s"""WITH t AS (SELECT doc_id, $tokensSql AS tk FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(tk) >= 3 THEN
+        |      list_transform(generate_series(1, len(tk) - 2),
+        |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+        |    ELSE [] END AS grams
+        |  FROM t),
+        |h AS (
+        |  SELECT doc_id,
+        |    list_transform(grams,
+        |      g2 -> ('0x' || substr(md5(g2), 1, 8))::BIGINT) AS hs
+        |  FROM g WHERE len(grams) > 0),
+        |f AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(hs) >= 4 THEN
+        |      list_transform(generate_series(1, len(hs) - 3),
+        |        j -> list_min(hs[j:j+3]))
+        |      ELSE [list_min(hs)] END) AS fps
+        |  FROM h),
+        |e0 AS (SELECT doc_id AS id, unnest(fps) AS fp FROM f),
+        |pop AS (SELECT fp, count(*) AS p FROM e0 GROUP BY 1),
+        |e AS (SELECT e0.id, e0.fp FROM e0 JOIN pop USING (fp) WHERE pop.p <= 5),
+        |p AS (
+        |  SELECT a.id AS ida, b.id AS idb, count(*) AS n_shared
+        |  FROM e a JOIN e b ON a.fp = b.fp AND a.id < b.id
+        |  GROUP BY 1, 2)
+        |SELECT ida, idb, n_shared FROM p WHERE n_shared >= 2
+        |ORDER BY ida, idb""".stripMargin,
     "q_winnow_pairs" ->
       s"""WITH t AS (SELECT doc_id, $tokensSql AS tk FROM documents),
         |g AS (
@@ -1026,6 +1078,52 @@ object DedupQueries extends QueryPack {
     // the lossless result bit-for-bit at fixture scale, proving the
     // banding's recall rather than assuming it.
     "q_dedup_fuzzy_lsh" -> fuzzyOracleSql,
+    "q_dedup_simhash_wide" ->
+      s"""WITH t AS (
+        |  SELECT doc_id AS id, w, len(w) AS n
+        |  FROM (SELECT doc_id, $tokensSql AS w FROM documents)
+        |  WHERE len(w) > 0),
+        |tb1 AS (
+        |  SELECT id, n,
+        |    list_transform(w, tk -> flatten(list_transform(generate_series(1, 15), d -> [
+        |      (('0x' || substr(md5(tk), d, 1))::INT // 8) % 2,
+        |      (('0x' || substr(md5(tk), d, 1))::INT // 4) % 2,
+        |      (('0x' || substr(md5(tk), d, 1))::INT // 2) % 2,
+        |      ('0x' || substr(md5(tk), d, 1))::INT % 2 ]))) AS b1,
+        |    list_transform(w, tk -> flatten(list_transform(generate_series(1, 15), d -> [
+        |      (('0x' || substr(md5(tk), 15 + d, 1))::INT // 8) % 2,
+        |      (('0x' || substr(md5(tk), 15 + d, 1))::INT // 4) % 2,
+        |      (('0x' || substr(md5(tk), 15 + d, 1))::INT // 2) % 2,
+        |      ('0x' || substr(md5(tk), 15 + d, 1))::INT % 2 ]))) AS b2
+        |  FROM t),
+        |v AS (
+        |  SELECT id, n,
+        |    list_reduce(b1, (x, y) -> list_transform(generate_series(1, 60), i -> x[i] + y[i])) AS v1,
+        |    list_reduce(b2, (x, y) -> list_transform(generate_series(1, 60), i -> x[i] + y[i])) AS v2
+        |  FROM tb1),
+        |s AS (
+        |  SELECT id,
+        |    list_sum(list_transform(generate_series(1, 60), b ->
+        |      CASE WHEN v1[b] * 2 > n THEN (2.0 ** (60 - b))::BIGINT ELSE 0 END))::BIGINT AS h1,
+        |    list_sum(list_transform(generate_series(1, 60), b ->
+        |      CASE WHEN v2[b] * 2 > n THEN (2.0 ** (60 - b))::BIGINT ELSE 0 END))::BIGINT AS h2
+        |  FROM v),
+        |e AS (
+        |  SELECT id, h1, h2, c,
+        |    CASE c WHEN 0 THEN h1 & 1073741823
+        |           WHEN 1 THEN (h1 >> 30) & 1073741823
+        |           WHEN 2 THEN h2 & 1073741823
+        |           ELSE (h2 >> 30) & 1073741823 END AS cv
+        |  FROM s, unnest([0, 1, 2, 3]) u(c)),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS ida, b.id AS idb,
+        |         a.h1 AS ha1, a.h2 AS ha2, b.h1 AS hb1, b.h2 AS hb2
+        |  FROM e a JOIN e b ON a.c = b.c AND a.cv = b.cv AND a.id < b.id)
+        |SELECT ida, idb,
+        |  (bit_count(xor(ha1, hb1)) + bit_count(xor(ha2, hb2)))::INT AS hamming
+        |FROM cand
+        |WHERE bit_count(xor(ha1, hb1)) + bit_count(xor(ha2, hb2)) <= 3
+        |ORDER BY ida, idb""".stripMargin,
     "q_dedup_simhash" ->
       s"""WITH t AS (
         |  SELECT doc_id AS id, w, len(w) AS n

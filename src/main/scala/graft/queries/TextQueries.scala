@@ -353,12 +353,14 @@ object TextQueries extends QueryPack {
     // BPE TRAINING itself: one corpus pass for the word-frequency
     // dictionary (the only corpus-sized work), then the classic
     // pair-frequency merge loop driver-side over the vocab-sized state —
-    // the sentencepiece/HF split of the problem. Training is iterative
-    // argmax-dependent (not SQL-expressible → rows-only at the driver);
-    // BpeSpec pins that this exact trainer reproduces the committed
-    // bpe_merges.txt bit-for-bit on its sf0.1 training corpus, and that
-    // fixture is itself DuckDB-refold-oracled via q_text_bpe_tokens —
-    // trainer → merges → replay → oracle, the loop closed.
+    // the sentencepiece/HF split of the problem. HASH-ORACLED since
+    // round 10: the merge-argmax recurrence unrolls as 32 materialized
+    // CTE rounds (bpeTrainOracleSql — greedy non-overlap via the
+    // parity-within-run rule), the same discipline as the graph
+    // recurrences; BpeSpec additionally pins that this exact trainer
+    // reproduces the committed bpe_merges.txt bit-for-bit on its sf0.1
+    // training corpus, and that fixture is itself DuckDB-refold-oracled
+    // via q_text_bpe_tokens — trainer → merges → replay → oracle.
     "q_text_bpe_train" -> ((s, d) => {
       import s.implicits._
       val merges = graft.text.Bpe.trainMerges(
@@ -801,7 +803,74 @@ object TextQueries extends QueryPack {
   private val bpeCountSql: String =
     s"length($bpeFoldSql) - length(replace($bpeFoldSql, chr(1), '')) + 1"
 
+  /** Unrolled twin of Bpe.trainMerges: `nMerges` materialized CTE rounds
+    * of the pair-frequency argmax recurrence — the same anti-drift
+    * discipline as the graph oracles, applied to the one formerly
+    * rows-only query with an implementable oracle.
+    *
+    * Per round off seg<p> (one row per (word, pos, symbol), frequency c):
+    *  - pc: adjacent-pair frequencies (self-join pos+1, weight c);
+    *  - best: argmax with the trainer's exact total order (f DESC, then
+    *    lexicographically smallest (l, r)), gated on minPairFreq=2 — an
+    *    empty best makes every later round a no-op, reproducing the
+    *    trainer's early stop;
+    *  - mg: positions the GREEDY left-to-right merge takes. Overlaps
+    *    only arise when l = r (mergeable at i and i+1 needs sym(i+1) =
+    *    l = r); within each maximal run of consecutive mergeable
+    *    positions the greedy scan takes the 1st, 3rd, … — the
+    *    parity-within-run rule, expressed as gaps-and-islands (run id =
+    *    pos − row_number) + odd row_number within the run;
+    *  - seg<i>: rebuild — merged position concatenates its successor,
+    *    the consumed successor row drops, positions renumber.
+    * Output: (rank, left, right) over the non-empty bests.
+    */
+  private def bpeTrainOracleSql(nMerges: Int): String = {
+    val base =
+      """WITH toks AS MATERIALIZED (
+        |  SELECT w, count(*)::BIGINT AS c FROM (
+        |    SELECT unnest(""".stripMargin + tokensSql +
+        """) AS w
+        |    FROM documents) GROUP BY w),
+        |seg0 AS MATERIALIZED (
+        |  SELECT w, c, pos, substring(w, pos, 1) AS sym FROM (
+        |    SELECT w, c, unnest(range(1, length(w)+1)) AS pos FROM toks))""".stripMargin
+    val rounds = (1 to nMerges).map { i =>
+      val p = i - 1
+      s"""pc$i AS MATERIALIZED (
+        |  SELECT a.sym AS l, b.sym AS r, sum(a.c)::BIGINT AS f
+        |  FROM seg$p a JOIN seg$p b ON a.w = b.w AND b.pos = a.pos + 1
+        |  GROUP BY 1, 2),
+        |best$i AS MATERIALIZED (
+        |  SELECT l, r FROM pc$i WHERE f >= 2 ORDER BY f DESC, l ASC, r ASC LIMIT 1),
+        |mg$i AS MATERIALIZED (
+        |  SELECT w, pos FROM (
+        |    SELECT w, pos, row_number() OVER (PARTITION BY w, run ORDER BY pos) AS rr
+        |    FROM (
+        |      SELECT a.w, a.pos,
+        |             a.pos - row_number() OVER (PARTITION BY a.w ORDER BY a.pos) AS run
+        |      FROM seg$p a JOIN seg$p b ON a.w = b.w AND b.pos = a.pos + 1, best$i
+        |      WHERE a.sym = best$i.l AND b.sym = best$i.r))
+        |  WHERE rr % 2 = 1),
+        |seg$i AS MATERIALIZED (
+        |  SELECT w, c, row_number() OVER (PARTITION BY w ORDER BY opos) AS pos, sym FROM (
+        |    SELECT s.w, s.c, s.pos AS opos,
+        |           CASE WHEN m.pos IS NOT NULL THEN s.sym || nx.sym ELSE s.sym END AS sym
+        |    FROM seg$p s
+        |    LEFT JOIN mg$i m ON s.w = m.w AND s.pos = m.pos
+        |    LEFT JOIN mg$i m2 ON s.w = m2.w AND s.pos = m2.pos + 1
+        |    LEFT JOIN seg$p nx ON s.w = nx.w AND nx.pos = s.pos + 1
+        |    WHERE m2.pos IS NULL))""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    val union = (1 to nMerges)
+      .map(i => s"SELECT ${i - 1} AS rank, l, r FROM best$i")
+      .mkString("\n  UNION ALL ")
+    s"""$base$rounds
+      |SELECT rank::INT AS rank, l AS "left", r AS "right" FROM (
+      |  $union) ORDER BY rank""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_text_bpe_train" -> bpeTrainOracleSql(32),
     "q_text_bpe_tokens" ->
       s"""WITH t AS (SELECT doc_id, $tokensSql AS w FROM documents),
         |c AS (SELECT doc_id, len(w) AS n_words,

@@ -219,6 +219,26 @@ object StreamingTelemetry {
       }
       .start()
 
+  /** Incremental co-order EDGE-mart maintenance — the GRAPH leg of the
+    * mart family (operators.GraphMart): per epoch, the batch's OWN
+    * unfiltered co-order pair counts into `batch=<epoch>` with
+    * overwrite; merge-on-read, since pair counts ADD under the
+    * ORDER-COMPLETE contract (each l_orderkey's lineitems entirely in
+    * one epoch — new orders arrive whole, which is exactly how a CDC
+    * or append-only fact stream delivers them). GraphMart.readMerged
+    * over the partitioned dir is then bit-identical to a from-scratch
+    * batch build (GraphMartSpec's merge parity, StreamingSpec's epoch
+    * parity), so every graph operator runs off a STREAMED edge mart
+    * with unchanged results — while each epoch's self-join cost is
+    * quadratic only in the BATCH's per-order baskets, never the
+    * history's.
+    */
+  def streamEdgeMart(lineitems: DataFrame, martDir: String,
+                     checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    streamMart(lineitems, martDir, checkpointDir)(
+      graft.operators.GraphMart.coOrderCounts)
+
   /** Incremental histogram-mart maintenance — the distribution twin of
     * streamKmvMart: per epoch, the batch's fixed-width bin counts
     * (operators.Quantiles.histMart) into `batch=<epoch>` with

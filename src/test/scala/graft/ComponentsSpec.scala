@@ -695,6 +695,39 @@ class ComponentsSpec extends SparkSpecBase {
       s"diverged from driver recurrence:\n got  $got\n want $want")
   }
 
+  test("harmonicCloseness: hand-derived chain; parity with bfsDistances") {
+    val S = 100000L
+    // chain 1-2-3-4, landmarks {1, 4}: node 2 → S/1 + S/2; node 3 →
+    // S/2 + S/1; node 1 → only landmark 4 at d=3 (self-row excluded);
+    // landmark coverage counted in n_reached
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val got = Components.harmonicCloseness(chain, Seq(1L, 4L), maxHops = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got == Map(
+      1L -> ((S / 3, 1L)), 2L -> ((S + S / 2, 2L)),
+      3L -> ((S / 2 + S, 2L)), 4L -> ((S / 3, 1L))), s"got $got")
+    // disconnected node: absent, never an infinity convention
+    val disc = Seq((1L, 2L), (7L, 8L)).toDF("src", "dst")
+    val gd = Components.harmonicCloseness(disc, Seq(1L), maxHops = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gd == Map(2L -> S), s"got $gd")
+    // random graph: equals the aggregate recomputed off bfsDistances
+    val rnd = new scala.util.Random(53)
+    val edges = (1 to 70).map(_ =>
+      (rnd.nextInt(20).toLong + 1, rnd.nextInt(20).toLong + 1))
+      .filter(e => e._1 != e._2).distinct.toDF("src", "dst")
+    val want = Components.bfsDistances(edges, Seq(2L, 9L), maxHops = 4)
+      .collect().filter(_.getLong(2) > 0)
+      .groupBy(_.getLong(0))
+      .map { case (id, rows) =>
+        id -> ((rows.map(r => S / r.getLong(2)).sum, rows.size.toLong)) }
+    val g2 = Components.harmonicCloseness(edges, Seq(2L, 9L), maxHops = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(g2 == want, "diverged from the bfsDistances aggregate")
+  }
+
   test("weighted ops reject fractional weight columns (silent truncation)") {
     // cast("long") would floor 1.9 → 1 and corrupt ranks/votes with no
     // downstream symptom — every weighted entry point must intercept

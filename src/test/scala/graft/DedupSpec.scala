@@ -60,6 +60,44 @@ class DedupSpec extends SparkSpecBase {
     assert(p == Set((1L, 2L)))
   }
 
+  test("simhashPairsWide: exact dup at hamming 0; unrelated doc excluded") {
+    val p = Dedup.simhashPairsWide(docs, "body", "doc_id", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p == Set((1L, 2L)), s"got $p")
+    // at a loose bound the wide signature must stay a SUBSET of 60-bit
+    // candidates' semantics: 120-bit hamming >= 60-bit hamming for the
+    // same pair can differ, but the identical-doc pair survives both
+    val p3 = Dedup.simhashPairsWide(docs, "body", "doc_id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p3.contains((1L, 2L)))
+    assert(!p3.exists(t => t._1 == 4L || t._2 == 4L),
+      "unrelated doc paired by the wide signature")
+  }
+
+  test("winnowPairs maxFpPop drops stop-fingerprint-only pairs") {
+    // 6 docs sharing one identical LONG boilerplate block (so the
+    // window-min fingerprints land in the shared region, df=6) plus two
+    // docs sharing a rare longer overlap
+    val boiler = "this agreement is provided as is without warranty of " +
+      "any kind either express or implied including fitness for purpose"
+    val rows = (1L to 6L).map(i => (i, s"unique$i " + boiler)) ++
+      Seq((7L, "alpha beta gamma delta epsilon zeta eta theta"),
+        (8L, "alpha beta gamma delta epsilon zeta eta iota"))
+    val df = rows.toDF("doc_id", "body")
+    val uncapped = Dedup.winnowPairs(df, "body", "doc_id", minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // boilerplate docs pair up quadratically without the cut
+    assert(uncapped.count(t => t._1 <= 6 && t._2 <= 6) >= 10,
+      s"expected dense boilerplate pairs, got $uncapped")
+    val capped = Dedup.winnowPairs(df, "body", "doc_id", minShared = 1,
+        maxFpPop = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!capped.exists(t => t._1 <= 6 && t._2 <= 6),
+      s"stop-fingerprint pairs survived the cut: $capped")
+    assert(capped.contains((7L, 8L)),
+      s"rare-overlap pair lost by the cut: $capped")
+  }
+
   test("jaccardPairs with maxShingleFreq drops ubiquitous shingles") {
     // cap=1: every shared shingle is dropped, so no pairs survive
     val p = Dedup.jaccardPairs(docs, "body", "doc_id", threshold = 0.1,

@@ -70,6 +70,36 @@ class SketchSpec extends SparkSpecBase {
       s"p50 approx ${r.getDouble(3)} vs exact ${r.getDouble(2)}")
   }
 
+  test("unified Sketches.rollup dispatches to all three mart families") {
+    import graft.operators.{Kmv, Quantiles, Sketches}
+    val df = (1 to 400).map(i => (i % 4, s"k${i % 97}", (i % 50).toDouble))
+      .toDF("g", "key", "v")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toSeq.map {
+        case a: Array[_] => a.toSeq
+        case x => x
+      }).toSet
+    // HLL: dispatch == direct union rollup
+    val hm = Sketches.hllMart(df, Seq("g"), "key")
+    assert(rows(Sketches.rollup(hm, Seq.empty)) ==
+      rows(Sketches.rollupMart(hm, Seq.empty)))
+    // KMV: dispatch reads build-k from the mart
+    val km = Kmv.mart(df, Seq("g"), col("key"), k = 32)
+    assert(rows(Sketches.rollup(km, Seq.empty)) ==
+      rows(Kmv.rollup(km, Seq.empty, k = 32)))
+    // histogram: dispatch == bin-count sum
+    val qm = Quantiles.histMart(df, Seq("g"), col("v"), binWidth = 5.0)
+    assert(rows(Sketches.rollup(qm, Seq.empty)) ==
+      rows(Quantiles.rollup(qm, Seq.empty)))
+    // legacy KMV mart without kmv_k and unknown schemas fail loudly
+    intercept[IllegalArgumentException] {
+      Sketches.rollup(km.drop("kmv_k"), Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.rollup(df, Seq.empty)
+    }
+  }
+
   test("HLL sketch mart: parquet round-trip is bit-exact and rollup " +
     "estimates match the direct single-pass sketch") {
     import graft.operators.Sketches

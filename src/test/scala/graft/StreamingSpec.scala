@@ -174,6 +174,54 @@ class StreamingSpec extends SparkSpecBase {
     } finally { qk.stop(); qh.stop() }
   }
 
+  test("streamed edge mart: order-complete epochs answer like a batch build") {
+    implicit val sql = spark.sqlContext
+    def tmp(p: String) = {
+      val d = java.nio.file.Files.createTempDirectory(p).toString
+      new java.io.File(d).delete(); d
+    }
+    val (martDir, ckDir) = (tmp("graft-sem-m"), tmp("graft-sem-k"))
+    val in = MemoryStream[(Long, Long)]
+    val q = StreamingTelemetry.streamEdgeMart(
+      in.toDF().toDF("l_orderkey", "l_partkey"), martDir, ckDir)
+    // synthetic baskets: order o carries parts {o%7, o%5+10, o%3+20},
+    // plus a duplicate lineitem every 4th order (must not double-count)
+    val all = (1L to 120L).flatMap { o =>
+      val parts = Seq(o % 7, o % 5 + 10, o % 3 + 20) ++
+        (if (o % 4 == 0) Seq(o % 7) else Seq.empty)
+      parts.map(p => (o, p))
+    }
+    try {
+      // three uneven ORDER-COMPLETE epochs (split by order, never within)
+      val byOrder = all.groupBy(_._1)
+      val epochs = Seq(
+        byOrder.filter(_._1 <= 30).values.flatten.toSeq,
+        byOrder.filter(k => k._1 > 30 && k._1 <= 100).values.flatten.toSeq,
+        byOrder.filter(_._1 > 100).values.flatten.toSeq)
+      epochs.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+      val streamed = graft.operators.GraphMart.readMerged(spark, martDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val batch = graft.operators.GraphMart.coOrderCounts(
+          all.toDF("l_orderkey", "l_partkey"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(streamed == batch,
+        s"streamed mart diverged: ${streamed.size} vs ${batch.size} pairs")
+      // and the graph ops run identically off the streamed mart
+      val gs = graft.dedup.Components.pageRank(
+          graft.operators.GraphMart.edges(
+            graft.operators.GraphMart.readMerged(spark, martDir))
+            .select("src", "dst"), iters = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val gb = graft.dedup.Components.pageRank(
+          graft.operators.GraphMart.edges(
+            graft.operators.GraphMart.coOrderCounts(
+              all.toDF("l_orderkey", "l_partkey")))
+            .select("src", "dst"), iters = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gs == gb, "pageRank off streamed mart diverged from batch")
+    } finally q.stop()
+  }
+
   test("streamDecontam: two-trigger union equals batch crossSpanMatches") {
     implicit val sql = spark.sqlContext
     def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString

@@ -92,6 +92,36 @@ class TextHashExprSpec extends SparkSpecBase {
     assert(h.toSeq == h2.toSeq)
   }
 
+  test("simhash60Tail reads the OTHER md5 half; driver-side vote parity") {
+    import graft.functions.TextHashExpressions.simhash60Tail
+    val head = docs.select(simhash60(TextFunctions.tokens(col("t"))).as("h"))
+      .collect().map(_.getLong(0))
+    val tail = docs.select(simhash60Tail(TextFunctions.tokens(col("t"))).as("h"))
+      .collect().map(_.getLong(0))
+    assert(tail.forall(v => v >= 0 && v < (1L << 60)))
+    assert(head.toSeq != tail.toSeq, "tail must differ from head half")
+    // driver-side reference: md5 hex digits 16-30, strict-majority vote
+    def ref(tokens: Seq[String]): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val votes = new Array[Int](60)
+      tokens.foreach { tk =>
+        val hex = md.digest(tk.getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString
+        for (d <- 0 until 15) {
+          val v = Integer.parseInt(hex.charAt(15 + d).toString, 16)
+          for (b <- 0 until 4)
+            votes(d * 4 + b) += (v >> (3 - b)) & 1
+        }
+      }
+      (0 until 60).foldLeft(0L)((h, b) =>
+        if (votes(b) * 2 > tokens.size) h | (1L << (59 - b)) else h)
+    }
+    val texts = docs.select(col("t")).collect().map(_.getString(0))
+    val want = texts.map(t =>
+      ref(t.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSeq))
+    assert(tail.toSeq == want.toSeq, "diverged from the driver-side vote")
+  }
+
   test("sortedIntersectCount == size(array_intersect) on sorted inputs") {
     val pairs = Seq(
       (Seq("a", "b", "c", "d"), Seq("b", "d", "e")),
