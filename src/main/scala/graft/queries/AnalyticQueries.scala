@@ -194,6 +194,23 @@ object AnalyticQueries extends QueryPack {
         .orderBy("id", "landmark")
     }),
 
+    // The mart's READ-side answer query — "parts bought with THIS part":
+    // per part its top-3 strongest co-order partners by weight (ties →
+    // smallest partner id), the item-item recommendation primitive the
+    // whole edge mart exists to serve. Symmetrized read of the
+    // checkpointed mart into TopKPerKey heaps (bounded k-row state per
+    // part, never a window sort) — at 100 TB this query reads the
+    // persisted mart, not the fact table.
+    "q_graph_related" -> ((s, d) => {
+      val e = coOrderPairsW(s, d)
+      val sym = e.unionAll(
+          e.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+        .select(col("src").as("part"), col("dst").as("related"), col("w"))
+      graft.plans.TopKPerKey
+        .perKey(sym, Seq("part"), Seq(("w", false), ("related", true)), 3)
+        .orderBy("part", "related")
+    }),
+
     // Harmonic closeness from the same 3 landmarks: Σ scale div hops
     // over reached landmarks — "how near the trusted seeds" as ONE
     // number per part (near-many-landmarks ranks above near-one), with
@@ -1008,6 +1025,23 @@ object AnalyticQueries extends QueryPack {
     "q_graph_path_counts" -> pathCountsOracleSql(5),
     "q_graph_betweenness" -> betweennessOracleSql(4, 100000L),
     "q_graph_closeness" -> closenessOracleSql(5, 100000L),
+    "q_graph_related" ->
+      """WITH li AS MATERIALIZED (SELECT l_orderkey, l_partkey FROM lineitem),
+        |cp AS MATERIALIZED (
+        |  SELECT a.l_partkey AS src, b.l_partkey AS dst,
+        |         count(DISTINCT a.l_orderkey) AS n_co
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2),
+        |e0 AS MATERIALIZED (SELECT src, dst, n_co AS w FROM cp WHERE n_co >= 2),
+        |sym AS (SELECT src AS part, dst AS related, w FROM e0
+        |        UNION ALL SELECT dst AS part, src AS related, w FROM e0)
+        |SELECT part, related, w FROM (
+        |  SELECT part, related, w,
+        |         row_number() OVER (PARTITION BY part
+        |                            ORDER BY w DESC, related ASC) AS rn
+        |  FROM sym) WHERE rn <= 3
+        |ORDER BY part, related""".stripMargin,
     "q_graph_distances_weighted" -> distancesWeightedOracleSql(5),
     "q_graph_ppr" -> pprOracleSql(5),
     "q_graph_kcore" -> kcoreOracleSql(3, 41),

@@ -68,6 +68,28 @@ class GraphMartSpec extends SparkSpecBase {
       plan.contains("GreaterThanOrEqual(w,2)"), s"no pushdown in:\n$plan")
   }
 
+  test("bucketed mart table elides the exchange for src-keyed work") {
+    spark.sql("DROP TABLE IF EXISTS gm_edges_bk")
+    // in-memory catalog forgets tables across JVMs but warehouse dirs
+    // persist; a stale dir makes saveAsTable fail LOCATION_ALREADY_EXISTS
+    val dir = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+      "gm_edges_bk")
+    if (dir.exists()) { dir.listFiles().foreach(_.delete()); dir.delete() }
+    GraphMart.writeBucketed(
+      GraphMart.coOrderCounts(Tables.lineitem(spark, sfDir)),
+      "gm_edges_bk", buckets = 4)
+    // the degree/out-weight aggregation every graph op opens with must
+    // read the bucketing straight from the catalog — no Exchange
+    val agg = spark.table("gm_edges_bk")
+      .groupBy("src").agg(sum(col("w")).as("sw"))
+    assert(agg.count() > 0)
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "src-keyed aggregate over the bucketed mart still shuffled:\n" +
+        plan.take(1200))
+  }
+
   test("cachedEdges builds once per (session, dir) and returns the cut graph") {
     val e1 = GraphMart.cachedEdges(spark, sfDir)
     val e2 = GraphMart.cachedEdges(spark, sfDir)

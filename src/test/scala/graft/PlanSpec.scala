@@ -808,6 +808,40 @@ class PlanSpec extends SparkSpecBase {
     assert(!po.contains("CartesianProduct"), "sketch pair join degraded")
   }
 
+  test("mart-fed graph queries never rescan lineitem; the witness does") {
+    // THE structural property of the edge mart: a mart-fed query's plan
+    // reads checkpointed rounds (Scan ExistingRDD), never the lineitem
+    // parquet — the self-join ran once per session, not per query.
+    for (name <- Seq("q_graph_pagerank", "q_graph_betweenness",
+        "q_graph_closeness")) {
+      val p = plan(q(name))
+      assert(!p.contains("lineitem"),
+        s"$name re-plans the lineitem self-join — mart bypassed\n" + p.take(600))
+      assert(p.contains("Scan ExistingRDD"),
+        s"$name lost its checkpoint boundary\n" + p.take(600))
+    }
+    // the build-cost witness deliberately pays the scan every time
+    val w = plan(q("q_graph_triangles"))
+    assert(w.contains("lineitem"),
+      "q_graph_triangles no longer witnesses the cold build\n" + w.take(600))
+  }
+
+  test("wide simhash and capped winnow keep their scale shapes") {
+    // wide simhash: chunk candidates ride an EQUI-join (never a theta/
+    // cartesian) and both native signature halves are in the plan
+    val ps = plan(q("q_dedup_simhash_wide"))
+    assert(!ps.contains("CartesianProduct"),
+      "wide-simhash candidate join degraded to a cartesian")
+    assert(ps.contains("simhash60") && ps.contains("simhash60_tail"),
+      "native 120-bit signature expressions missing\n" + ps.take(900))
+    // capped winnow: the stop-fp cut is a LEFT ANTI join against the
+    // hot-posting set, upstream of the pair join
+    val pw = plan(q("q_winnow_pairs_capped"))
+    assert(pw.contains("LeftAnti"),
+      "stop-fingerprint anti-join missing from capped winnow\n" + pw.take(900))
+    assert(!pw.contains("CartesianProduct"), "winnow pair join degraded")
+  }
+
   test("modularity: 1-row m scalar broadcasts; communities read materialized rounds") {
     val p = plan(q("q_graph_modularity"))
     assert(p.contains("BroadcastNestedLoopJoin"),
