@@ -41,6 +41,28 @@ object Dedup extends org.apache.spark.internal.Logging {
       .groupBy("fp")
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
 
+  /** BAG-of-words exact-duplicate groups: fingerprint over the SORTED
+    * token multiset, so token-PERMUTED copies (template reorders,
+    * shuffled boilerplate, list-order churn) collapse into one group —
+    * the duplicates order-sensitive exactGroups cannot see, and the
+    * duplicates SimHash sees as hamming-0 (its votes are
+    * order-invariant). Same linear group-by cost class as exactGroups.
+    *
+    * This is the canonical PRE-PASS before any near-dup enumerator: a
+    * c-way permuted-copy cluster contributes c(c−1)/2 pairs to every
+    * downstream pairs query (measured: 24.8M identical-bag pairs on
+    * the 100× fixture — BASELINE.md round-10), but collapses here to
+    * one canonical row in one shuffle. Run bag dedup first, near-dup
+    * on canonicals.
+    */
+  def exactBagGroups(docs: DataFrame, textCol: String,
+                     idCol: String): DataFrame =
+    docs.select(
+        md5(concat_ws(" ", array_sort(tokens(col(textCol))))).as("fp"),
+        col(idCol))
+      .groupBy("fp")
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
+
   /** (id, shingles) with the shingle expression materialized exactly once.
     * wordShingles is the native codegen'd twin of TextFunctions.shingles
     * (bit-identical output; one JVM call per row instead of per-element

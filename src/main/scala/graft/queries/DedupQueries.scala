@@ -17,6 +17,15 @@ object DedupQueries extends QueryPack {
       Dedup.exactGroups(Tables.documents(s, d), "text", "doc_id")
         .orderBy("fp")),
 
+    // Bag-of-words exact groups: sorted-token fingerprint, so
+    // token-PERMUTED copies collapse — the linear pre-pass that defuses
+    // the c(c-1)/2 pair blow-up every near-dup enumerator pays on
+    // permuted-copy clusters (24.8M pairs on the 100x fixture;
+    // BASELINE.md round-10).
+    "q_dedup_exact_bag" -> ((s, d) =>
+      Dedup.exactBagGroups(Tables.documents(s, d), "text", "doc_id")
+        .orderBy("fp")),
+
     // Corpus dup-rate summary: total docs vs distinct fingerprints.
     "q_dedup_exact_stats" -> ((s, d) =>
       Tables.documents(s, d)
@@ -105,6 +114,22 @@ object DedupQueries extends QueryPack {
       Dedup.simhashPairsWide(Tables.documents(s, d), "text", "doc_id",
           maxHamming = 3)
         .orderBy("ida", "idb")),
+
+    // The PIPELINE-ORDER composition: bag-exact dedup FIRST, wide
+    // simhash near-dup on the canonical docs only. Permuted-copy
+    // clusters contribute c(c-1)/2 output pairs to any direct near-dup
+    // enumeration (the measured 100x blow-up) but collapse to one
+    // canonical each here — near-dup time becomes a function of
+    // DISTINCT content, not replication. Oracle restricts the wide
+    // twin to the same min-id canonicals.
+    "q_dedup_simhash_wide_canonical" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val canon = Dedup.exactBagGroups(docs, "text", "doc_id")
+        .select(col("canonical_id").as("doc_id"))
+      Dedup.simhashPairsWide(docs.join(canon, "doc_id"), "text", "doc_id",
+          maxHamming = 3)
+        .orderBy("ida", "idb")
+    }),
 
     // Fuzzy (edit-distance) duplicate pairs: Levenshtein ≤ 8 found via
     // length blocking + lossless char-frequency L1 prefilter, verified
@@ -730,6 +755,12 @@ object DedupQueries extends QueryPack {
         |       count(*) AS n_copies
         |FROM (SELECT doc_id, $tokensSql AS w FROM documents)
         |GROUP BY 1 ORDER BY fp""".stripMargin,
+    "q_dedup_exact_bag" ->
+      s"""SELECT md5(array_to_string(list_sort(w), ' ')) AS fp,
+        |       min(doc_id) AS canonical_id,
+        |       count(*) AS n_copies
+        |FROM (SELECT doc_id, $tokensSql AS w FROM documents)
+        |GROUP BY 1 ORDER BY fp""".stripMargin,
     "q_dedup_exact_stats" ->
       s"""SELECT count(*) AS n_docs,
         |       count(DISTINCT md5(array_to_string(w, ' '))) AS n_unique,
@@ -1078,6 +1109,56 @@ object DedupQueries extends QueryPack {
     // the lossless result bit-for-bit at fixture scale, proving the
     // banding's recall rather than assuming it.
     "q_dedup_fuzzy_lsh" -> fuzzyOracleSql,
+    "q_dedup_simhash_wide_canonical" ->
+      s"""WITH raw AS (SELECT doc_id, $tokensSql AS w FROM documents),
+        |canon AS (
+        |  SELECT min(doc_id) AS doc_id FROM raw
+        |  GROUP BY md5(array_to_string(list_sort(w), ' '))),
+        |t AS (
+        |  SELECT doc_id AS id, w, len(w) AS n
+        |  FROM raw JOIN canon USING (doc_id)
+        |  WHERE len(w) > 0),
+        |tb1 AS (
+        |  SELECT id, n,
+        |    list_transform(w, tk -> flatten(list_transform(generate_series(1, 15), d -> [
+        |      (('0x' || substr(md5(tk), d, 1))::INT // 8) % 2,
+        |      (('0x' || substr(md5(tk), d, 1))::INT // 4) % 2,
+        |      (('0x' || substr(md5(tk), d, 1))::INT // 2) % 2,
+        |      ('0x' || substr(md5(tk), d, 1))::INT % 2 ]))) AS b1,
+        |    list_transform(w, tk -> flatten(list_transform(generate_series(1, 15), d -> [
+        |      (('0x' || substr(md5(tk), 15 + d, 1))::INT // 8) % 2,
+        |      (('0x' || substr(md5(tk), 15 + d, 1))::INT // 4) % 2,
+        |      (('0x' || substr(md5(tk), 15 + d, 1))::INT // 2) % 2,
+        |      ('0x' || substr(md5(tk), 15 + d, 1))::INT % 2 ]))) AS b2
+        |  FROM t),
+        |v AS (
+        |  SELECT id, n,
+        |    list_reduce(b1, (x, y) -> list_transform(generate_series(1, 60), i -> x[i] + y[i])) AS v1,
+        |    list_reduce(b2, (x, y) -> list_transform(generate_series(1, 60), i -> x[i] + y[i])) AS v2
+        |  FROM tb1),
+        |s AS (
+        |  SELECT id,
+        |    list_sum(list_transform(generate_series(1, 60), b ->
+        |      CASE WHEN v1[b] * 2 > n THEN (2.0 ** (60 - b))::BIGINT ELSE 0 END))::BIGINT AS h1,
+        |    list_sum(list_transform(generate_series(1, 60), b ->
+        |      CASE WHEN v2[b] * 2 > n THEN (2.0 ** (60 - b))::BIGINT ELSE 0 END))::BIGINT AS h2
+        |  FROM v),
+        |e AS (
+        |  SELECT id, h1, h2, c,
+        |    CASE c WHEN 0 THEN h1 & 1073741823
+        |           WHEN 1 THEN (h1 >> 30) & 1073741823
+        |           WHEN 2 THEN h2 & 1073741823
+        |           ELSE (h2 >> 30) & 1073741823 END AS cv
+        |  FROM s, unnest([0, 1, 2, 3]) u(c)),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS ida, b.id AS idb,
+        |         a.h1 AS ha1, a.h2 AS ha2, b.h1 AS hb1, b.h2 AS hb2
+        |  FROM e a JOIN e b ON a.c = b.c AND a.cv = b.cv AND a.id < b.id)
+        |SELECT ida, idb,
+        |  (bit_count(xor(ha1, hb1)) + bit_count(xor(ha2, hb2)))::INT AS hamming
+        |FROM cand
+        |WHERE bit_count(xor(ha1, hb1)) + bit_count(xor(ha2, hb2)) <= 3
+        |ORDER BY ida, idb""".stripMargin,
     "q_dedup_simhash_wide" ->
       s"""WITH t AS (
         |  SELECT doc_id AS id, w, len(w) AS n

@@ -60,6 +60,25 @@ class DedupSpec extends SparkSpecBase {
     assert(p == Set((1L, 2L)))
   }
 
+  test("exactBagGroups collapses token-permuted copies; exactGroups cannot") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "delta gamma beta alpha"),  // permuted copy of 1
+      (3L, "alpha beta gamma delta"),  // exact copy of 1
+      (4L, "completely different text here"))
+      .toDF("doc_id", "body")
+    val bag = Dedup.exactBagGroups(df, "body", "doc_id")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(bag.size == 2, s"got $bag")
+    assert(bag.values.toSet == Set((1L, 3L), (4L, 1L)),
+      s"permuted copy not collapsed: $bag")
+    // order-sensitive exactGroups keeps the permuted doc separate
+    val exact = Dedup.exactGroups(df, "body", "doc_id")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(exact == Set((1L, 2L), (2L, 1L), (4L, 1L)), s"got $exact")
+  }
+
   test("simhashPairsWide: exact dup at hamming 0; unrelated doc excluded") {
     val p = Dedup.simhashPairsWide(docs, "body", "doc_id", maxHamming = 0)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -353,4 +353,41 @@ class PropertySpec extends SparkSpecBase {
       assert(pr.sum <= 1000000000000L, "pageRank mass exceeds scale")
     }
   }
+
+  test("betweenness on random trees equals scale × strict-descendant counts") {
+    import spark.implicits._
+    // On a TREE, every σ is 1 and Brandes' recurrence telescopes
+    // exactly: δ_s(v) = Σ_children (scale + δ_s(c)) = scale ×
+    // #strict descendants of v (within the hop bound) — the closed
+    // form that pins the whole fixed-point back-propagation with zero
+    // floor slack (every div is by σ = 1).
+    val S = 100000L
+    val hops = 6
+    val treeGen: Gen[Seq[(Long, Long)]] = for {
+      n <- Gen.choose(5, 28)
+      parents <- Gen.sequence[List[Long], Long](
+        (2 to n).map(i => Gen.choose(1L, (i - 1).toLong)))
+    } yield parents.zipWithIndex.map { case (p, idx) => (p, (idx + 2).toLong) }
+    cases(treeGen, 8).filter(_.nonEmpty).foreach { edges =>
+      val children = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      // depth-bounded strict-descendant counts from the root (node 1)
+      val want = {
+        val desc = collection.mutable.Map.empty[Long, Long]
+        def fill(v: Long, d: Int): Long = {
+          val cs = if (d >= hops) Seq.empty
+            else children.getOrElse(v, Seq.empty)
+          val tot = cs.map(c => 1L + fill(c, d + 1)).sum
+          desc(v) = tot; tot
+        }
+        fill(1L, 0)
+        desc.toMap.filter { case (v, d) => v != 1L && d > 0 }
+          .map { case (v, d) => v -> d * S }
+      }
+      val got = graft.dedup.Components.bfsBetweenness(
+          edges.toDF("src", "dst"), Seq(1L), maxHops = hops)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want,
+        s"tree law violated:\n got  $got\n want $want\n edges $edges")
+    }
+  }
 }
