@@ -872,20 +872,8 @@ object Components {
     var round = 0
     while (!converged && round < maxRounds) {
       round += 1
-      // degrees within the live subgraph (eLive endpoints are all live)
-      val keep = eLive.groupBy(col("src").as("id"))
-        .agg(count(lit(1)).as("core_degree"))
-        .filter(col("core_degree") >= k)
-        .select("id")
-        .repartition(numPartitions, col("id"))
-        .localCheckpoint(eager = true)
-      val n2 = keep.count()
-      if (n2 != n) // shrink the edge working set to the surviving nodes
-        eLive = eLive
-          .join(keep.select(col("id").as("src")), "src")
-          .join(keep.select(col("id").as("dst")), "dst")
-          .repartition(numPartitions, col("src"))
-          .localCheckpoint(eager = true)
+      val (e2, n2) = peelRound(eLive, k, n, numPartitions)
+      eLive = e2
       converged = n2 == n || n2 == 0
       n = n2
     }
@@ -894,6 +882,32 @@ object Components {
     // final degrees read the CORE's edges only (the converged round left
     // eLive exactly at the fixpoint subgraph — no full-edge-list rejoin)
     eLive.groupBy(col("src").as("id")).agg(count(lit(1)).as("core_degree"))
+  }
+
+  /** ONE synchronous peel round over the live edge set — degrees within
+    * the live subgraph, survivors kept, edge working set shrunk only
+    * when someone dropped. Shared by kCore and kCorePeelTrace so the
+    * bench diagnostic can never drift from the operator's semantics.
+    * Returns (survivingEdges, survivorCount).
+    */
+  private def peelRound(eLive: DataFrame, k: Int, prevN: Long,
+                        numPartitions: Int): (DataFrame, Long) = {
+    val keep = eLive.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("core_degree"))
+      .filter(col("core_degree") >= k)
+      .select("id")
+      .repartition(numPartitions, col("id"))
+      .localCheckpoint(eager = true)
+    val n2 = keep.count()
+    val e2 =
+      if (n2 != prevN) // shrink the working set to the surviving nodes
+        eLive
+          .join(keep.select(col("id").as("src")), "src")
+          .join(keep.select(col("id").as("dst")), "dst")
+          .repartition(numPartitions, col("src"))
+          .localCheckpoint(eager = true)
+      else eLive
+    (e2, n2)
   }
 
   /** BENCH-mode peel: the same synchronous peel as kCore but pinned to
@@ -915,19 +929,8 @@ object Components {
     var n = eLive.select(col("src")).distinct().count()
     (1 to rounds).map { round =>
       val t0 = System.nanoTime()
-      val keep = eLive.groupBy(col("src").as("id"))
-        .agg(count(lit(1)).as("core_degree"))
-        .filter(col("core_degree") >= k)
-        .select("id")
-        .repartition(numPartitions, col("id"))
-        .localCheckpoint(eager = true)
-      val n2 = keep.count()
-      if (n2 != n)
-        eLive = eLive
-          .join(keep.select(col("id").as("src")), "src")
-          .join(keep.select(col("id").as("dst")), "dst")
-          .repartition(numPartitions, col("src"))
-          .localCheckpoint(eager = true)
+      val (e2, n2) = peelRound(eLive, k, n, numPartitions)
+      eLive = e2
       n = n2
       val m = eLive.count()
       (round, n, m, (System.nanoTime() - t0) / 1e9)
