@@ -930,10 +930,14 @@ object Components {
     (1 to rounds).map { round =>
       val t0 = System.nanoTime()
       val (e2, n2) = peelRound(eLive, k, n, numPartitions)
+      // timing window closes BEFORE the liveEdges diagnostic count —
+      // that scan is instrumentation, not peel work, and at scale it
+      // would inflate exactly the per-round cost this trace isolates
+      val sec = (System.nanoTime() - t0) / 1e9
       eLive = e2
       n = n2
       val m = eLive.count()
-      (round, n, m, (System.nanoTime() - t0) / 1e9)
+      (round, n, m, sec)
     }
   }
 
@@ -1194,6 +1198,11 @@ object Components {
     }
     acc.filter(col("id") =!= col("lm"))
       .groupBy("id").agg(sum(col("delta")).as("betweenness_scaled"))
+      // enforce the sparse contract: a node whose every term floors to
+      // 0 (σ_w > σ_v·(scale+δ_w), possible within the overflow guard)
+      // must be ABSENT like any other zero-dependency node, not a
+      // spurious (id, 0) row; the oracle applies the same HAVING
+      .filter(col("betweenness_scaled") =!= 0L)
   }
 
   /** Per-community Newman modularity decomposition (Newman & Girvan,

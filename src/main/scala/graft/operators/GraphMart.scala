@@ -115,34 +115,41 @@ object GraphMart {
   // ---------------------------------------------------------------------
   // In-session cache: one build per (session, fixture dir).
 
-  private val cacheCap = 16
+  // WeakHashMap keyed by the SESSION OBJECT itself: identity semantics
+  // with no hash-collision risk (an identityHashCode key could collide
+  // across GC'd sessions and serve a frame bound to a stopped
+  // SparkContext), and a stopped session's entries vanish with it.
   private val cache =
-    new java.util.LinkedHashMap[(String, String), DataFrame](16, 0.75f, false) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, String), DataFrame]): Boolean =
-        size() > cacheCap
-    }
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.HashMap[String, DataFrame]]()
 
   /** The minCo=2 co-order edge list for a fixture dir, built from
     * `$dir/lineitem.parquet` ONCE per (session, dir) and eagerly
     * localCheckpointed (src-repartitioned, the layout every downstream
-    * op's first shuffle wants). All q_graph_* queries share this; the
-    * bounded LRU (16 entries) only matters to test suites cycling many
-    * sessions/dirs — evicted checkpoints are GC-reclaimed.
+    * op's first shuffle wants). All q_graph_* queries share this.
+    * Contract: the fixture dir is immutable for the session's lifetime
+    * (the cache is keyed by PATH — rewriting the file mid-session would
+    * silently serve the pre-rewrite graph; use a new path or session).
+    * The build runs OUTSIDE the cache lock (it is a multi-second Spark
+    * job — holding a global monitor across it would serialize unrelated
+    * callers); two racing first callers may both build, the first
+    * insert wins and the loser's checkpoint is GC-reclaimed.
     */
   def cachedEdges(spark: SparkSession, dir: String,
                   numPartitions: Int = 8): DataFrame = {
-    val key = (System.identityHashCode(spark).toString, dir)
-    cache.synchronized {
-      val hit = cache.get(key)
-      if (hit != null) hit
-      else {
-        val built = edges(
-            coOrderCounts(spark.read.parquet(s"$dir/lineitem.parquet")))
-          .repartition(numPartitions, col("src"))
-          .localCheckpoint(true)
-        cache.put(key, built)
-        built
+    val hit = cache.synchronized {
+      cache.computeIfAbsent(spark,
+        _ => scala.collection.mutable.HashMap.empty).get(dir)
+    }
+    hit.getOrElse {
+      val built = edges(
+          coOrderCounts(spark.read.parquet(s"$dir/lineitem.parquet")))
+        .repartition(numPartitions, col("src"))
+        .localCheckpoint(true)
+      cache.synchronized {
+        val perSession = cache.computeIfAbsent(spark,
+          _ => scala.collection.mutable.HashMap.empty)
+        perSession.getOrElseUpdate(dir, built)
       }
     }
   }

@@ -100,10 +100,12 @@ object Kmv {
     * execution), not an eager aggregate: rollup often runs on a
     * still-lazy mart frame (the q_sketch_* queries) or a streaming one,
     * where a validation action would double the mart build / be
-    * illegal. A legacy mart without the column gets the weaker
-    * observable guard size(kmv) ≤ k (any full sketch from a bigger
-    * build-k trips it; an all-small-groups mart passes vacuously — such
-    * a mart is exact at any k, so no estimate can be biased by it).
+    * illegal. A legacy mart without the column stays on the documented
+    * caller obligation, UNGUARDED: no sound observable check exists —
+    * a sketch of s hashes only proves build-k ≥ s, and the harmful
+    * direction (k > build-k) is indistinguishable from a mart of
+    * groups that simply had ≤ s distinct keys, while sketches LARGER
+    * than k indicate a k < build-k rollup, which is lossless.
     */
   def rollup(mart: DataFrame, toCols: Seq[String], k: Int = 128): DataFrame = {
     requireK(k)
@@ -115,12 +117,7 @@ object Kmv {
               "sketch would silently under-estimate; rebuild the mart " +
               "with a larger k or roll up at k <= build-k",
             col("kmv_k"))))
-      else
-        when(size(col("kmv")) <= k, col("kmv"))
-          .otherwise(raise_error(format_string(
-            s"Kmv.rollup: mart sketch of %s hashes exceeds k $k — built " +
-              "with a larger k; roll up at k >= the mart's build-k",
-            size(col("kmv")))))
+      else col("kmv")
     val exploded = mart
       .select(toCols.map(col) :+ explode(guarded).as("h"): _*)
       .distinct() // same hash can sit in several fine-grain sketches

@@ -62,20 +62,28 @@ object Sketches {
     *  - `hll` (binary)          → HLL union ([[rollupMart]])
     *  - `kmv` (array<long>)     → k-min merge ([[Kmv.rollup]]) at the
     *    mart's own build-k, read from the persisted `kmv_k` column via
-    *    a bounded 1-row aggregate — the one eager action here, reading
-    *    a group-sized mart, and the reason KMV marts carry their k;
+    *    a bounded 1-row aggregate — an EAGER action, which is why the
+    *    KMV arm requires a PERSISTED/MATERIALIZED mart: on a still-lazy
+    *    mart frame the read would re-run the whole mart build (call
+    *    Kmv.rollup with an explicit k there), and on a streaming frame
+    *    it is illegal (guarded below — streaming maintenance goes
+    *    through the StreamingTelemetry sinks);
     *  - `bin` + `n`             → histogram bin-count sum
     *    ([[Quantiles.rollup]]).
     *
     * Anything else fails loudly. The family-specific entry points stay
     * public (streaming sinks and k-overriding callers need them); this
-    * is the read-side abstraction that makes "a sketch mart" one
-    * concept at the query surface.
+    * is the read-side abstraction that makes "a persisted sketch mart"
+    * one concept at the query surface.
     */
   def rollup(mart: DataFrame, toCols: Seq[String]): DataFrame = {
     val cols = mart.columns.toSet
     if (cols.contains("hll")) rollupMart(mart, toCols)
     else if (cols.contains("kmv")) {
+      require(!mart.isStreaming,
+        "Sketches.rollup: the KMV arm reads the mart's build-k eagerly, " +
+          "which a streaming frame cannot do — use Kmv.rollup with an " +
+          "explicit k, or the StreamingTelemetry mart sinks")
       require(cols.contains("kmv_k"),
         "Sketches.rollup: KMV mart lacks its kmv_k build-k column — " +
           "rebuilt marts carry it; for a legacy mart call Kmv.rollup " +

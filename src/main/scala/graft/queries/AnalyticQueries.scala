@@ -1016,7 +1016,8 @@ object AnalyticQueries extends QueryPack {
       .mkString(" UNION ALL ")
     s"""${sigmaCtes(maxHops)}$levels
       |SELECT id, sum(delta)::BIGINT AS betweenness_scaled
-      |FROM ($union) WHERE id <> lm GROUP BY id ORDER BY id""".stripMargin
+      |FROM ($union) WHERE id <> lm GROUP BY id
+      |HAVING sum(delta) <> 0 ORDER BY id""".stripMargin
   }
 
   val oracle: Map[String, String] = Map(

@@ -108,12 +108,14 @@ class KmvSpec extends SparkSpecBase {
     assert(ex.getMessage.contains("build-k") ||
       Option(ex.getCause).exists(_.getMessage.contains("build-k")),
       s"wrong failure: ${ex.getMessage}")
-    // a legacy mart without kmv_k gets the weaker size-based guard
+    // a legacy mart without kmv_k is UNGUARDED (documented contract):
+    // a smaller-k rollup — provably lossless (sketch sizes > k prove
+    // k < build-k) — must NOT be blocked, and the harmful k > build-k
+    // direction is observably indistinguishable from small groups
     val legacy = mart.drop("kmv_k")
-    val ex2 = intercept[Exception] { Kmv.rollup(legacy, Seq.empty, 32).collect() }
-    assert(ex2.getMessage.contains("exceeds k") ||
-      Option(ex2.getCause).exists(_.getMessage.contains("exceeds k")),
-      s"wrong failure: ${ex2.getMessage}")
+    val small = Kmv.rollup(legacy, Seq.empty, 32)
+    assert(small.count() == 1)
+    assert(small.select(size(col("kmv"))).collect()(0).getInt(0) == 32)
   }
 
   test("sketches are partitioning-invariant and parquet round-trip") {

@@ -832,7 +832,10 @@ class PlanSpec extends SparkSpecBase {
     val ps = plan(q("q_dedup_simhash_wide"))
     assert(!ps.contains("CartesianProduct"),
       "wide-simhash candidate join degraded to a cartesian")
-    assert(ps.contains("simhash60") && ps.contains("simhash60_tail"),
+    // "simhash60(" with the paren: "simhash60_tail" contains
+    // "simhash60" as a substring, so the bare check could not detect
+    // losing the HEAD half while the tail survives
+    assert(ps.contains("simhash60(") && ps.contains("simhash60_tail("),
       "native 120-bit signature expressions missing\n" + ps.take(900))
     // capped winnow: the stop-fp cut is a LEFT ANTI join against the
     // hot-posting set, upstream of the pair join
