@@ -884,6 +884,68 @@ object Components {
     eLive.groupBy(col("src").as("id")).agg(count(lit(1)).as("core_degree"))
   }
 
+  /** FULL k-core decomposition — every node's CORENESS (the largest k
+    * such that the node survives the k-core peel), via the distributed
+    * h-index fixpoint (Montresor, De Pellegrini & Miorandi, IEEE TPDS
+    * 2013): estimates start at degree and each synchronous round
+    * replaces a node's estimate with the H-INDEX of its neighbors'
+    * estimates (the largest h with ≥ h neighbors valued ≥ h). The
+    * iteration is monotone non-increasing and bounded below by the true
+    * coreness, so it converges with no oscillation, and the fixpoint is
+    * idempotent — the property that lets the oracle unroll a FIXED deep
+    * round count while the operator stops at convergence (kCore's
+    * discipline). 10 rounds to converge on the sf0.01 co-order graph;
+    * maxRounds bounds the loop and convergence is asserted, never
+    * silently partial.
+    *
+    * Where kCore answers "the dense core at THIS k", coreness answers
+    * every k at once — the standard density STRATIFICATION (graph
+    * cleanup tiers, influence proxies). Cross-operator law, spec-pinned:
+    * {v : coreness(v) ≥ k} is exactly kCore(k)'s node set.
+    *
+    * Exact integers, deterministic: the h-index of a multiset does not
+    * depend on tie order, so the per-round row_number ranking is
+    * determinism-safe. Scale: per round one edge join + one per-node
+    * window over neighbor estimates (the sorted prefix the h-index
+    * needs — partition-keyed by node, cost linear in degree; a
+    * hub-heavy graph pays its hub degrees here, same class as any
+    * neighborhood aggregate) + a bounded 1-row changed-count scalar.
+    */
+  def coreness(edges: DataFrame, maxRounds: Int = 50,
+               numPartitions: Int = 8): DataFrame = {
+    require(maxRounds >= 1 && maxRounds <= 200,
+      s"coreness: maxRounds $maxRounds out of [1,200]")
+    // dedupe=true: degree (round 0) and neighbor multisets are
+    // multiplicity-sensitive, exactly like kCore's peel
+    val e = bidirectedEdges(edges, numPartitions, dedupe = true)
+    var est = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("c"))
+      .repartition(numPartitions, col("id"))
+      .localCheckpoint(eager = true)
+    var converged = est.isEmpty
+    var round = 0
+    val byId = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("cn").desc)
+    while (!converged && round < maxRounds) {
+      round += 1
+      val ne = e
+        .join(est.select(col("id").as("dst"), col("c").as("cn")), "dst")
+        .select(col("src").as("id"), col("cn"))
+        .withColumn("rn", row_number().over(byId))
+        .groupBy("id")
+        .agg(max(least(col("rn").cast("long"), col("cn"))).as("c"))
+        .repartition(numPartitions, col("id"))
+        .localCheckpoint(eager = true)
+      val changed = ne
+        .join(est.select(col("id"), col("c").as("pc")), "id")
+        .filter(col("c") =!= col("pc")).count()
+      est = ne
+      converged = changed == 0
+    }
+    require(converged,
+      s"coreness: not converged after $maxRounds rounds — raise maxRounds")
+    est.select(col("id"), col("c").as("coreness"))
+  }
+
   /** ONE synchronous peel round over the live edge set — degrees within
     * the live subgraph, survivors kept, edge working set shrunk only
     * when someone dropped. Shared by kCore and kCorePeelTrace so the

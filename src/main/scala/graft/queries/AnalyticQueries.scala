@@ -154,6 +154,18 @@ object AnalyticQueries extends QueryPack {
       graft.dedup.Components.kCore(coOrderPairs(s, d), k = 3, maxRounds = 41)
         .orderBy("id")),
 
+    // FULL core decomposition of the co-order graph: every part's
+    // coreness (largest k whose k-core keeps it) via the Montresor
+    // h-index fixpoint — the density stratification q_graph_kcore's
+    // single-k extraction can't give. maxRounds pinned to the ORACLE's
+    // unroll (both 30; 10 rounds converge on the fixture — deep margin)
+    // so every case is a hash MATCH or a LOUD not-converged failure,
+    // the kcore discipline. Spec-pinned law: {coreness >= k} ==
+    // kCore(k)'s node set.
+    "q_graph_coreness" -> ((s, d) =>
+      graft.dedup.Components.coreness(coOrderPairs(s, d), maxRounds = 30)
+        .orderBy("id")),
+
     // Landmark BFS hop distances on the same graph from its 3 smallest
     // node ids (a bounded 3-row collect — the landmark set is a chosen
     // seed list in practice). Exact integer distances within 5 hops;
@@ -794,6 +806,36 @@ object AnalyticQueries extends QueryPack {
     s"$base$rounds"
   }
 
+  /** Unrolled twin of Components.coreness: degree seeds, then `rounds`
+    * synchronous h-index rounds (per node: rank neighbor estimates
+    * desc, coreness = max(least(rank, value)) — tie order irrelevant to
+    * an h-index). Idempotent once converged, so the fixed unroll equals
+    * the operator's convergence stop (the kcore oracle discipline).
+    */
+  private def corenessOracleSql(rounds: Int): String = {
+    val base =
+      """WITH li AS MATERIALIZED (SELECT l_orderkey, l_partkey FROM lineitem),
+        |cp AS MATERIALIZED (
+        |  SELECT a.l_partkey AS src, b.l_partkey AS dst,
+        |         count(DISTINCT a.l_orderkey) AS n_co
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2),
+        |e0 AS MATERIALIZED (SELECT src, dst FROM cp WHERE n_co >= 2),
+        |e AS MATERIALIZED (SELECT src, dst FROM e0
+        |                   UNION ALL SELECT dst AS src, src AS dst FROM e0),
+        |c0 AS MATERIALIZED (SELECT src AS id, count(*)::BIGINT AS c
+        |                    FROM e GROUP BY 1)""".stripMargin
+    val rnds = (1 to rounds).map { i =>
+      val p = i - 1
+      s"""c$i AS MATERIALIZED (SELECT id, max(least(rn, cn))::BIGINT AS c FROM (
+        |  SELECT e.src AS id, pc.c AS cn,
+        |         row_number() OVER (PARTITION BY e.src ORDER BY pc.c DESC) AS rn
+        |  FROM e JOIN c$p pc ON e.dst = pc.id) GROUP BY id)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    s"$base$rnds\nSELECT id, c AS coreness FROM c$rounds ORDER BY id"
+  }
+
   /** Unrolled twin of Components.bfsDistances off the shared prefix. */
   private def distancesOracleSql(maxHops: Int): String =
     s"${distancesCtes(maxHops)}\nSELECT id, lm AS landmark, dist AS hops " +
@@ -1046,6 +1088,7 @@ object AnalyticQueries extends QueryPack {
     "q_graph_distances_weighted" -> distancesWeightedOracleSql(5),
     "q_graph_ppr" -> pprOracleSql(5),
     "q_graph_kcore" -> kcoreOracleSql(3, 41),
+    "q_graph_coreness" -> corenessOracleSql(30),
     "q_graph_hits" -> hitsOracleSql(5),
     "q_graph_communities" -> communitiesOracleSql(5),
     "q_graph_communities_weighted" -> communitiesWeightedOracleSql(5),

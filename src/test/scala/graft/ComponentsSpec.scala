@@ -695,6 +695,53 @@ class ComponentsSpec extends SparkSpecBase {
       s"diverged from driver recurrence:\n got  $got\n want $want")
   }
 
+  test("coreness: hand cases, h-index recurrence parity, kCore cross-law") {
+    // 4-clique {1..4} + pendant chain 4-5-6 + triangle {7,8,9}:
+    // clique nodes coreness 3, chain 1, triangle 2
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    val edges = clique(1L to 4L) ++ Seq((4L, 5L), (5L, 6L)) ++
+      clique(Seq(7L, 8L, 9L))
+    val got = Components.coreness(edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L,
+      5L -> 1L, 6L -> 1L, 7L -> 2L, 8L -> 2L, 9L -> 2L), s"got $got")
+    // random graph: parity with the driver-side h-index fixpoint AND
+    // the cross-operator law {coreness >= k} == kCore(k) node set
+    val rnd = new scala.util.Random(67)
+    val re = (1 to 120).map(_ =>
+      (rnd.nextInt(28).toLong + 1, rnd.nextInt(28).toLong + 1))
+      .filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val adj = (re ++ re.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    def hIndex(vals: Seq[Long]): Long = {
+      val s = vals.sorted.reverse
+      s.zipWithIndex.map { case (v, i) => math.min(v, i + 1L) }
+        .foldLeft(0L)(math.max)
+    }
+    var est = adj.map { case (v, ns) => v -> ns.size.toLong }
+    var stable = false
+    while (!stable) {
+      val ne = adj.map { case (v, ns) => v -> hIndex(ns.toSeq.map(est)) }
+      stable = ne == est; est = ne
+    }
+    val gr = Components.coreness(re.toDF("src", "dst").repartition(5))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gr == est, s"diverged from driver h-index fixpoint")
+    for (k <- Seq(2, 3)) {
+      val coreSet = Components.kCore(re.toDF("src", "dst"), k = k)
+        .collect().map(_.getLong(0)).toSet
+      assert(gr.filter(_._2 >= k).keySet == coreSet,
+        s"coreness >= $k diverged from kCore($k)")
+    }
+    // an insufficient round bound fails loudly, never silently partial
+    intercept[IllegalArgumentException] {
+      Components.coreness((1L to 40L).map(i => (i, i + 1)).toDF("src", "dst"),
+        maxRounds = 2)
+    }
+  }
+
   test("harmonicCloseness: hand-derived chain; parity with bfsDistances") {
     val S = 100000L
     // chain 1-2-3-4, landmarks {1, 4}: node 2 → S/1 + S/2; node 3 →
