@@ -113,11 +113,28 @@ object Bpe {
     * would shuffle KBs per round. Stops early when no pair reaches
     * `minPairFreq`.
     */
+  /** CODEPOINT segmentation — the same unit the native replay
+    * (TextHashExpressions.mergeWord) and the DuckDB oracle's
+    * substring/length both use. A per-UTF-16-code-unit split would
+    * halve astral-plane characters (emoji) into lone surrogates and
+    * silently diverge from both the moment a fixture contains one.
+    */
+  private def codePointSyms(w: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.result()
+  }
+
   def trainMerges(wordFreqs: Seq[(String, Long)], nMerges: Int,
                   minPairFreq: Long = 2L): Seq[(String, String)] = {
     var segs: Vector[(Vector[String], Long)] =
       wordFreqs.sortBy(_._1).map { case (w, c) =>
-        (w.map(_.toString).toVector, c)
+        (codePointSyms(w), c)
       }.toVector
     val merges = Vector.newBuilder[(String, String)]
     var done = 0

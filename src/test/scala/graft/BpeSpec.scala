@@ -91,6 +91,18 @@ class BpeSpec extends SparkSpecBase {
     assert(Bpe.trainMerges(Seq(("ab", 1L)), 5) == Nil)
   }
 
+  test("trainMerges segments by CODEPOINT, never by UTF-16 code unit") {
+    // an astral-plane char (U+1D11E, a surrogate pair in UTF-16) must be
+    // ONE symbol: with 3 copies of the 2-symbol word the only pair is
+    // (clef, x) — a code-unit split would instead produce lone
+    // surrogates and merge inside the character, diverging from both
+    // the native replay (codepoint-based mergeWord) and the DuckDB
+    // oracle (substring() counts codepoints)
+    val clef = new String(Character.toChars(0x1D11E))
+    val wf = Seq((clef + "x", 3L))
+    assert(Bpe.trainMerges(wf, 1) == Seq(clef -> "x"))
+  }
+
   test("trainer reproduces the committed fixture merges bit-for-bit") {
     // the provenance loop closed: resources/graft/bpe_merges.txt IS
     // trainMerges(wordFrequencies(documents, text), 32) on the sf0.1
