@@ -119,6 +119,15 @@ object Bpe {
     * halve astral-plane characters (emoji) into lone surrogates and
     * silently diverge from both the moment a fixture contains one.
     */
+  /** UTF-8 byte-order string comparison — DuckDB's default binary
+    * collation, and identical to codepoint order (unlike UTF-16
+    * code-unit order, which misplaces astral-plane chars).
+    */
+  private val utf8Order: java.util.Comparator[String] =
+    (a: String, b: String) => java.util.Arrays.compare(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
   private def codePointSyms(w: String): Vector[String] = {
     val out = Vector.newBuilder[String]
     var i = 0
@@ -152,7 +161,16 @@ object Bpe {
       if (pf.isEmpty || pf.valuesIterator.max < minPairFreq) stop = true
       else {
         val best = pf.maxBy(_._2)._2
-        val p = pf.collect { case (k, v) if v == best => k }.min
+        // ties break to the smallest pair in UTF-8 BYTE order — the
+        // collation DuckDB's l ASC, r ASC uses. Java String.compareTo
+        // is UTF-16 code-unit order, which disagrees for astral-plane
+        // symbols (surrogates sort below high-BMP chars); byte order
+        // keeps the trainer and its oracle aligned for any input.
+        val p = pf.collect { case (k, v) if v == best => k }
+          .min(Ordering.comparatorToOrdering(
+            java.util.Comparator
+              .comparing((t: (String, String)) => t._1, utf8Order)
+              .thenComparing((t: (String, String)) => t._2, utf8Order)))
         merges += p
         val joined = p._1 + p._2
         segs = segs.map { case (sym, c) =>

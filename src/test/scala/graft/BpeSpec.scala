@@ -101,6 +101,13 @@ class BpeSpec extends SparkSpecBase {
     val clef = new String(Character.toChars(0x1D11E))
     val wf = Seq((clef + "x", 3L))
     assert(Bpe.trainMerges(wf, 1) == Seq(clef -> "x"))
+    // ties break in UTF-8 BYTE order (DuckDB's collation): U+F900 (BMP,
+    // bytes EF A4 80) sorts BELOW the astral clef (bytes F0 9D 84 9E),
+    // though UTF-16 code-unit order would say the opposite
+    val bmp = "豈"
+    val tie = Seq((clef + "a", 2L), (bmp + "b", 2L))
+    assert(Bpe.trainMerges(tie, 1) == Seq(bmp -> "b"),
+      "tie must resolve in UTF-8 byte order, not UTF-16 code-unit order")
   }
 
   test("trainer reproduces the committed fixture merges bit-for-bit") {
