@@ -813,7 +813,7 @@ class PlanSpec extends SparkSpecBase {
     // reads checkpointed rounds (Scan ExistingRDD), never the lineitem
     // parquet — the self-join ran once per session, not per query.
     for (name <- Seq("q_graph_pagerank", "q_graph_betweenness",
-        "q_graph_closeness")) {
+        "q_graph_closeness", "q_graph_coreness", "q_graph_related")) {
       val p = plan(q(name))
       assert(!p.contains("lineitem"),
         s"$name re-plans the lineitem self-join — mart bypassed\n" + p.take(600))
