@@ -30,8 +30,11 @@ import org.apache.spark.sql.functions._
   * n_chars-vs-permuted-text drift are fine for wall-clock, not for
   * hashes).
   *
-  * Usage: runMain graft.ScaledFixture [reps] [srcDir] [outDir]
-  *   (defaults 3, /root/testdata/sf0.1, /tmp/sf0.3)
+  * Usage: runMain graft.ScaledFixture [reps] [srcDir] [outDir] [tables] [mode]
+  *   (defaults 3, /root/testdata/sf0.1, /tmp/sf0.3, all tables, permute)
+  *   mode "permute" (default): fixed vocabulary, word-permuted replicas;
+  *   mode "diversify": [[diversifyText]] — vocabulary and canonical set
+  *   grow with reps (the production-regime dedup probes).
   */
 object ScaledFixture {
   private val Off = 100000000L
@@ -48,6 +51,30 @@ object ScaledFixture {
     val keyed = transform(tokens(textCol), (t, i) => struct(
       md5(concat_ws(":", t, i.cast("string"), lit(r))).as("k"),
       t.as("t")))
+    array_join(transform(array_sort(keyed), x => x("t")), " ")
+  }
+
+  /** VOCABULARY-GROWING variant (mode "diversify"): permute like
+    * [[permuteText]], and additionally remap ~1/5 of the base vocabulary
+    * to a replica-tagged variant (`tok` → `tokxR` when md5(tok:R) picks
+    * it — keyed on (token, replica) so the remap is consistent within a
+    * replica, like real corpus drift coining new words). Consequences,
+    * and the reason this mode exists (round-10 verdict): every replica's
+    * token BAG is distinct, so the canonical set after exact-bag dedup
+    * GROWS ∝ reps instead of staying fixed at the base corpus — the
+    * production regime where near-dup cost must be bounded by bucket/df
+    * structure, not by a constant canonical set; distinct vocabulary
+    * (and so shingle/df tables, simhash bit votes, BM25 df) grows with
+    * scale too. Zipf SHAPE is preserved per replica (the remap is a
+    * rename, not a re-draw). md5-keyed like everything else so the
+    * fixture is bit-reproducible.
+    */
+  def diversifyText(textCol: org.apache.spark.sql.Column, r: Int):
+      org.apache.spark.sql.Column = {
+    val keyed = transform(tokens(textCol), (t, i) => struct(
+      md5(concat_ws(":", t, i.cast("string"), lit(r))).as("k"),
+      when(substring(md5(concat_ws(":", t, lit(r))), 1, 1).isin("0", "1", "2"),
+        concat(t, lit("x"), lit(r.toString))).otherwise(t).as("t")))
     array_join(transform(array_sort(keyed), x => x("t")), " ")
   }
 
@@ -98,9 +125,14 @@ object ScaledFixture {
     writeIf("lineitem", rep(load("lineitem"))(
       shiftKeys("l_orderkey", "l_partkey", "l_suppkey")))
     writeIf("events", rep(load("events"))(shiftKeys("event_id", "user_id")))
+    val mode = args.lift(4).getOrElse("permute")
+    require(mode == "permute" || mode == "diversify",
+      s"ScaledFixture: unknown mode '$mode' (permute | diversify)")
     writeIf("documents", rep(load("documents")) { (df, r) =>
       df.withColumn("doc_id", col("doc_id") + lit(r * Off))
-        .withColumn("text", permuteText(col("text"), r))
+        .withColumn("text",
+          if (mode == "diversify") diversifyText(col("text"), r)
+          else permuteText(col("text"), r))
     })
     writeIf("embeddings", rep(load("embeddings")) { (df, r) =>
       df.withColumn("vec_id", col("vec_id") + lit(r * Off))

@@ -213,6 +213,13 @@ object Dedup extends org.apache.spark.internal.Logging {
     *   20× (100k docs): naive 65.8 s, prefix 20.3 s — 3.2×.
     * The naive self-join grows ~quadratically with per-shingle df while
     * this path stays near-linear — the gap keeps widening at 100 TB.
+    *
+    * SCALE CAVEAT (measured later, 30× table in BASELINE.md round-10):
+    * lossless prefixing only DELAYS the df² term — once prefix shingles
+    * themselves grow dense (decade 2 on a fixed vocabulary) candidates
+    * re-quadratize (23.4× at 30×). This is the EXACTNESS BASELINE;
+    * production = jaccardPairs with a df cut (q_dedup_jaccard_capped,
+    * 4.1×/7.0× at 30×/100×), verified against this exact twin.
     */
   def jaccardPairsPrefix(docs: DataFrame, textCol: String, idCol: String,
                          threshold: Double, n: Int = 3,
@@ -661,7 +668,9 @@ object Dedup extends org.apache.spark.internal.Logging {
     * measured at 30× scale, BASELINE.md round-10). LOSSY by contract:
     * a pair sharing ONLY stop-fingerprints is not reported, and
     * n_shared counts non-stop fingerprints only. 0 (the default, and
-    * what the exact oracle query pins) disables the cut.
+    * what the exact oracle query pins) disables the cut — that uncapped
+    * form is the EXACTNESS BASELINE and is scale-unsafe; production
+    * sets maxFpPop (q_winnow_pairs_capped, BASELINE.md 30× table).
     */
   def winnowPairs(docs: DataFrame, textCol: String, idCol: String,
                   minShared: Int = 2, k: Int = 3, w: Int = 4,
@@ -849,6 +858,11 @@ object Dedup extends org.apache.spark.internal.Logging {
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, found via
     * 4×15-bit chunk LSH (pigeonhole: distance ≤ 3 ⇒ some chunk equal) —
     * an equi-join on (chunk_idx, chunk_value), never a cross product.
+    *
+    * EXACTNESS BASELINE, scale-unsafe: the 2^15 bucket space per chunk
+    * saturates once docs ≫ 32k and candidates go quadratic (measured at
+    * 30×, BASELINE.md round-10 table). Production = [[simhashPairsWide]]
+    * (4×30-bit chunks); this stays as the small-corpus oracle twin.
     */
   def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int = 3): DataFrame = {

@@ -29,12 +29,16 @@ import org.apache.spark.sql.functions._
   *    reads locality-friendly input; [[writeBucketed]] is the
   *    metastore-table variant whose bucketing survives into Catalyst
   *    (joins/aggs on src skip the exchange entirely).
-  *  - [[cachedEdges]] is the in-session form the driver-facing queries
-  *    share: built ONCE per (session, fixture dir) and eagerly
-  *    localCheckpointed — 12 graph queries, one self-join. One query
-  *    (q_graph_triangles) deliberately bypasses the cache as the
-  *    build-cost witness, so the bench always shows what a cold build
-  *    costs next to the mart-fed reads.
+  *  - [[diskCounts]] is the cross-session form: the unfiltered counts
+  *    persisted once per FIXTURE DIR under a fingerprint manifest, so a
+  *    fresh JVM (a new driver bench/verify run) reads a graph-sized
+  *    parquet file instead of re-paying the fact-table self-join.
+  *  - [[cachedEdges]] is the per-session memo over it the driver-facing
+  *    queries share: disk mart → minCo cut → src repartition → eager
+  *    localCheckpoint, once per (session, fixture dir) — 12 graph
+  *    queries, one read. One query (q_graph_triangles) deliberately
+  *    bypasses both layers as the build-cost witness, so the bench
+  *    always shows what a cold build costs next to the mart-fed reads.
   *
   * Correctness posture: the mart changes WHERE the edge list comes from,
   * never what it is — every graph oracle recomputes the same co-order
@@ -73,10 +77,18 @@ object GraphMart {
     * count a shared pair in both halves (double) or split it across
     * them (missed). With order-complete batches the merge is bit-equal
     * to rebuilding from the concatenated raw data (GraphMartSpec).
+    *
+    * Pairs are re-canonicalized (least/greatest) before the sum: a delta
+    * built outside [[coOrderCounts]] with reversed (dst, src) rows would
+    * otherwise split one edge into two rows and silently diverge from a
+    * rebuild. For already-canonical input (src < dst) the projection is
+    * the identity, so the rebuild-equality contract is unchanged.
     */
   def mergeCounts(mart: DataFrame, delta: DataFrame): DataFrame =
     mart.select("src", "dst", "w")
       .unionAll(delta.select("src", "dst", "w"))
+      .select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"), col("w"))
       .groupBy("src", "dst").agg(sum(col("w")).as("w"))
 
   /** Persist the mart as src-clustered parquet: repartitioned by src
@@ -113,43 +125,115 @@ object GraphMart {
       .format("parquet").saveAsTable(table)
 
   // ---------------------------------------------------------------------
-  // In-session cache: one build per (session, fixture dir).
+  // On-disk mart: one build per FIXTURE DIR, shared across sessions/JVMs.
 
-  // WeakHashMap keyed by the SESSION OBJECT itself: identity semantics
-  // with no hash-collision risk (an identityHashCode key could collide
-  // across GC'd sessions and serve a frame bound to a stopped
-  // SparkContext), and a stopped session's entries vanish with it.
+  /** Base directory holding persisted co-order marts (one subdir per
+    * fixture, named by a hash of the fixture's canonical path). Override
+    * with SPARK_GRAFT_MART_DIR; defaults under java.io.tmpdir so a
+    * rebuilt machine starts clean and nothing lands inside a fixture dir
+    * (fixtures are read-only by contract).
+    */
+  private def martBase: java.io.File =
+    new java.io.File(sys.env.getOrElse("SPARK_GRAFT_MART_DIR",
+      new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft-marts").getPath))
+
+  /** Source fingerprint: total bytes + max mtime over the lineitem
+    * parquet (file or part-file dir). A listing-only stat — cheap enough
+    * to run per read — that catches both ways a fixture changes under a
+    * persisted mart: in-place rewrite (mtime) and regeneration (length).
+    */
+  private def sourceFingerprint(f: java.io.File): String = {
+    def walk(f: java.io.File): (Long, Long) =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+          .map(walk).foldLeft((0L, f.lastModified))((a, b) =>
+            (a._1 + b._1, math.max(a._2, b._2)))
+      else (f.length, f.lastModified)
+    val (len, mtime) = walk(f)
+    s"len=$len;mtime=$mtime"
+  }
+
+  /** The lake-persisted UNFILTERED co-order counts for
+    * `$dir/lineitem.parquet` — the cross-SESSION form of the mart (the
+    * r10 mart was session-memoized, so every fresh JVM re-paid the
+    * lineitem self-join; this makes the build once-per-FIXTURE).
+    *
+    * Freshness is a manifest recording the source fingerprint: matching
+    * manifest → read the persisted parquet (a graph-sized scan, not a
+    * fact-table self-join); missing/stale → rebuild, persist
+    * src-clustered ([[write]]), then manifest. The manifest is deleted
+    * BEFORE the rewrite and written only after it succeeds, so a
+    * crashed half-write can never read as fresh. Writers are
+    * last-wins (the driver harness is serial; concurrent first-builders
+    * on one fixture would redo work, not corrupt — each write lands
+    * complete before its manifest appears).
+    */
+  def diskCounts(spark: SparkSession, dir: String): DataFrame = {
+    val canonical = new java.io.File(dir).getCanonicalFile
+    val src = new java.io.File(canonical, "lineitem.parquet")
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(canonical.getPath.getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
+    val home = new java.io.File(martBase, s"coorder_$digest")
+    val data = new java.io.File(home, "counts")
+    val manifest = new java.io.File(home, "MANIFEST")
+    val fp = s"src=${canonical.getPath};${sourceFingerprint(src)}"
+    val fresh = manifest.isFile && fp == new String(
+      java.nio.file.Files.readAllBytes(manifest.toPath), "UTF-8")
+    if (!fresh) {
+      manifest.delete()
+      home.mkdirs()
+      write(coOrderCounts(spark.read.parquet(src.getPath)), data.getPath)
+      java.nio.file.Files.write(manifest.toPath, fp.getBytes("UTF-8"))
+    }
+    read(spark, data.getPath)
+  }
+
+  // Per-session memo over the disk mart (skips even the parquet re-read
+  // for the 12 mart-fed queries of a run). WeakHashMap keyed by the
+  // SESSION OBJECT itself: identity semantics with no hash-collision
+  // risk (an identityHashCode key could collide across GC'd sessions
+  // and serve a frame bound to a stopped SparkContext), and a stopped
+  // session's entries vanish with it.
   private val cache =
     new java.util.WeakHashMap[SparkSession,
       scala.collection.mutable.HashMap[String, DataFrame]]()
 
-  /** The minCo=2 co-order edge list for a fixture dir, built from
-    * `$dir/lineitem.parquet` ONCE per (session, dir) and eagerly
-    * localCheckpointed (src-repartitioned, the layout every downstream
-    * op's first shuffle wants). All q_graph_* queries share this.
-    * Contract: the fixture dir is immutable for the session's lifetime
-    * (the cache is keyed by PATH — rewriting the file mid-session would
-    * silently serve the pre-rewrite graph; use a new path or session).
-    * The build runs OUTSIDE the cache lock (it is a multi-second Spark
-    * job — holding a global monitor across it would serialize unrelated
-    * callers); two racing first callers may both build, the first
-    * insert wins and the loser's checkpoint is GC-reclaimed.
+  /** The minCo=2 co-order edge list for a fixture dir: served from the
+    * per-session memo, else from the DISK mart ([[diskCounts]] — built
+    * once per fixture, read by every later session), cut at minCo=2,
+    * src-repartitioned (the layout every downstream op's first shuffle
+    * wants) and eagerly localCheckpointed. All q_graph_* queries share
+    * this; q_graph_triangles deliberately bypasses it as the
+    * build-cost witness.
+    *
+    * The memo key is the fixture's CANONICAL path, so "/x/sf0.1",
+    * "/x/sf0.1/" and a relative spelling share one entry (a raw-string
+    * key built and checkpointed the same mart once per spelling).
+    * Mid-session fixture rewrites are caught at the DISK layer (the
+    * fingerprint manifest) only on the first per-session read — the
+    * memoized frame itself is immutable for the session's lifetime.
+    * The build runs OUTSIDE the cache lock (it can be a multi-second
+    * Spark job — holding a global monitor across it would serialize
+    * unrelated callers); two racing first callers may both build, the
+    * first insert wins and the loser's checkpoint is GC-reclaimed.
     */
   def cachedEdges(spark: SparkSession, dir: String,
                   numPartitions: Int = 8): DataFrame = {
+    val key = new java.io.File(dir).getCanonicalPath
     val hit = cache.synchronized {
       cache.computeIfAbsent(spark,
-        _ => scala.collection.mutable.HashMap.empty).get(dir)
+        _ => scala.collection.mutable.HashMap.empty).get(key)
     }
     hit.getOrElse {
-      val built = edges(
-          coOrderCounts(spark.read.parquet(s"$dir/lineitem.parquet")))
+      val built = edges(diskCounts(spark, key))
         .repartition(numPartitions, col("src"))
         .localCheckpoint(true)
       cache.synchronized {
         val perSession = cache.computeIfAbsent(spark,
           _ => scala.collection.mutable.HashMap.empty)
-        perSession.getOrElseUpdate(dir, built)
+        perSession.getOrElseUpdate(key, built)
       }
     }
   }

@@ -38,7 +38,9 @@ object GraphMartBench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", "16g")
+      // NOTE: spark.driver.memory cannot be set here — the local JVM is
+      // already running; pass heap as a JVM option at launch instead
+      // (e.g. sbt -J-Xmx16g). A builder-set value is silently ignored.
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

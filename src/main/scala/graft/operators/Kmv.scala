@@ -100,7 +100,12 @@ object Kmv {
     * execution), not an eager aggregate: rollup often runs on a
     * still-lazy mart frame (the q_sketch_* queries) or a streaming one,
     * where a validation action would double the mart build / be
-    * illegal. A legacy mart without the column stays on the documented
+    * illegal. Per-row means ROLLED ROWS ONLY: a caller whose filter is
+    * pushed below the explode can prune the offending groups and the
+    * over-k rollup succeeds on the remainder — when every group must be
+    * validated regardless of downstream pruning, use Sketches.rollup,
+    * whose eager min(kmv_k) read is the strict entry point.
+    * A legacy mart without the column stays on the documented
     * caller obligation, UNGUARDED: no sound observable check exists —
     * a sketch of s hashes only proves build-k ≥ s, and the harmful
     * direction (k > build-k) is indistinguishable from a mart of

@@ -88,8 +88,12 @@ object Sketches {
         "Sketches.rollup: KMV mart lacks its kmv_k build-k column — " +
           "rebuilt marts carry it; for a legacy mart call Kmv.rollup " +
           "with the build-k explicitly")
+      // getAs[Number]: kmv_k is IntegerType when Kmv.mart built it, but
+      // an externally-written or schema-merged mart may have widened it
+      // to BIGINT — dispatch must tolerate integral widening, not throw
+      // ClassCastException where the k<=build-k contract would have held
       val k = mart.agg(coalesce(min(col("kmv_k")), lit(2)))
-        .collect()(0).getInt(0)
+        .collect()(0).getAs[Number](0).intValue()
       Kmv.rollup(mart, toCols, k)
     } else if (cols.contains("bin") && cols.contains("n"))
       Quantiles.rollup(mart, toCols)

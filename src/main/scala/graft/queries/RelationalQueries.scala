@@ -14,7 +14,56 @@ import org.apache.spark.sql.functions._
   */
 object RelationalQueries extends QueryPack {
 
+  /** silver_jobs-shaped bronze frame derived deterministically from the
+    * events table (the q_hot_gpus convention — events plays the raw
+    * telemetry, and the derivation is replayed bit-for-bit by the DuckDB
+    * oracle): each event is one job record. user_id is the submitting
+    * user; the job starts at ts (floor-second epoch); 'error' events
+    * Failed; NULL-value events are still Running (no end_time, so
+    * Silver.jobs leaves run_time_sec NULL); everything else Completed
+    * after floor(value·60) seconds. Feeds the Marts.* efficiency-mart
+    * queries through the REAL Silver.jobs projection, so the oracle
+    * hash covers the bronze→silver→mart chain, not a test double.
+    */
+  private def jobEvents(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.events(s, d).select(
+      concat(lit("job_"), col("event_id")).as("job_name"),
+      col("event_id").as("inst_id"),
+      col("user_id").as("user"),
+      when(col("value").isNull, lit("Running"))
+        .when(col("event_type") === "error", lit("Failed"))
+        .otherwise(lit("Completed")).as("status"),
+      unix_timestamp(col("ts")).as("start_time"),
+      when(col("value").isNotNull,
+        unix_timestamp(col("ts")) + floor(col("value") * 60).cast("long"))
+        .otherwise(lit(null).cast("long")).as("end_time"))
+
   val queries: Map[String, Q] = Map(
+    // The reference's future-work efficiency marts (README "Job- and
+    // User-Level Efficiency Marts") as first-class oracled queries:
+    // gold_user_gpu_usage_daily off the derived silver_jobs. Running
+    // jobs count as jobs but contribute zero hours (NULL run_time_sec
+    // coalesced) — the mart's load-bearing CASE, exercised because
+    // NULL-value events map to Running.
+    "q_user_usage_daily" -> ((s, d) =>
+      graft.telemetry.Marts.userUsageDaily(
+        graft.telemetry.Silver.jobs(jobEvents(s, d)))),
+
+    // gold_job_efficiency_daily: allocated hours from the jobs mart ×
+    // the day's average utilization from the REAL Gold.clusterUtilDaily
+    // (events.value plays gpu_util_pct) — the day-grain broadcast join
+    // the reference sketches. dt cast to DATE for the oracle compare.
+    "q_job_efficiency_daily" -> ((s, d) => {
+      val jobs = graft.telemetry.Silver.jobs(jobEvents(s, d))
+      val gold = graft.telemetry.Gold.clusterUtilDaily(
+        Tables.events(s, d).select(
+          unix_timestamp(col("ts")).as("ts"),
+          col("value").as("gpu_util_pct"),
+          col("value").as("cpu_util_pct")))
+      graft.telemetry.Marts.jobEfficiencyDaily(jobs, gold)
+        .withColumn("dt", to_date(col("dt")))
+    }),
+
     // P1-P4: rename projection + IS NOT NULL filter (reference
     // silver_gpu_timeseries.sql:7-37 shape) on the events table.
     "q_project_rename" -> ((s, d) =>
@@ -229,6 +278,37 @@ object RelationalQueries extends QueryPack {
     }))
 
   val oracle: Map[String, String] = Map(
+    "q_user_usage_daily" ->
+      """WITH jobs AS (
+        |  SELECT user_id,
+        |         CAST(date_trunc('day', ts) AS DATE) AS dt,
+        |         CASE WHEN value IS NULL THEN 'Running'
+        |              WHEN event_type = 'error' THEN 'Failed'
+        |              ELSE 'Completed' END AS job_status,
+        |         CASE WHEN value IS NULL THEN NULL
+        |              ELSE CAST(floor(value * 60) AS BIGINT) END AS run_time_sec
+        |  FROM events)
+        |SELECT user_id, dt,
+        |       count(*) AS n_jobs,
+        |       CAST(sum(CAST(job_status = 'Failed' AS BIGINT)) AS BIGINT) AS n_failed,
+        |       round(avg(CAST(job_status = 'Failed' AS DOUBLE)), 6) AS failure_rate,
+        |       round(sum(coalesce(run_time_sec, 0)) / 3600.0, 6) AS run_hours
+        |FROM jobs GROUP BY 1, 2 ORDER BY user_id, dt""".stripMargin,
+    "q_job_efficiency_daily" ->
+      """WITH j AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS dt,
+        |         count(*) AS n_jobs,
+        |         CAST(sum(CAST(floor(value * 60) AS BIGINT)) AS DOUBLE) AS alloc_sec
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |g AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS dt,
+        |         avg(value) AS avg_gpu_util
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1)
+        |SELECT j.dt AS dt, n_jobs,
+        |       round(alloc_sec / 3600.0, 6) AS gpu_hours_allocated,
+        |       round(alloc_sec / 3600.0 * avg_gpu_util / 100.0, 6) AS gpu_hours_active,
+        |       round(avg_gpu_util / 100.0, 6) AS efficiency
+        |FROM j LEFT JOIN g ON j.dt = g.dt ORDER BY dt""".stripMargin,
     "q_project_rename" ->
       """SELECT event_id AS metric_id, user_id AS machine_id,
         |       event_type AS metric_kind, value

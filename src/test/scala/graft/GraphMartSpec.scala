@@ -90,6 +90,61 @@ class GraphMartSpec extends SparkSpecBase {
         plan.take(1200))
   }
 
+  // A private writable fixture (lineitem only) so the disk-mart tests can
+  // mutate mtimes without touching the shared read-only testdata.
+  private def copyFixture(): java.io.File = {
+    val dir = java.nio.file.Files.createTempDirectory("gm_fixture").toFile
+    val src = java.nio.file.Paths.get(sfDir, "lineitem.parquet")
+    val dst = dir.toPath.resolve("lineitem.parquet")
+    if (java.nio.file.Files.isDirectory(src)) {
+      java.nio.file.Files.walk(src).forEach(p =>
+        java.nio.file.Files.copy(p, dst.resolve(src.relativize(p)),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING))
+    } else java.nio.file.Files.copy(src, dst)
+    dir
+  }
+
+  test("diskCounts persists once, re-reads across sessions, rebuilds on stale") {
+    val fixture = copyFixture()
+    val want = edgeSet(GraphMart.coOrderCounts(
+      spark.read.parquet(s"$fixture/lineitem.parquet")))
+
+    // first call: builds and persists
+    assert(edgeSet(GraphMart.diskCounts(spark, fixture.getPath)) == want)
+    // locate the manifest via a second call's no-rebuild property: a
+    // FRESH SESSION (cross-session path) must read, not rebuild — pin it
+    // by manifest mtime staying put
+    val base = new java.io.File(sys.env.getOrElse("SPARK_GRAFT_MART_DIR",
+      new java.io.File(System.getProperty("java.io.tmpdir"), "graft-marts").getPath))
+    val manifest = base.listFiles()
+      .filter(d => new java.io.File(d, "MANIFEST").isFile)
+      .map(d => new java.io.File(d, "MANIFEST"))
+      .filter(m => new String(java.nio.file.Files.readAllBytes(m.toPath), "UTF-8")
+        .contains(fixture.getCanonicalPath))
+      .maxBy(_.lastModified)
+    val builtAt = manifest.lastModified
+
+    val s2 = spark.newSession()
+    assert(edgeSet(GraphMart.diskCounts(s2, fixture.getPath)) == want)
+    assert(manifest.lastModified == builtAt,
+      "fresh-session read must NOT rebuild a fingerprint-fresh mart")
+
+    // stale fixture (mtime bumped) must rebuild — manifest rewritten,
+    // content unchanged (same bytes, newer fingerprint)
+    val li = new java.io.File(fixture, "lineitem.parquet")
+    assert(li.setLastModified(li.lastModified + 10000))
+    assert(edgeSet(GraphMart.diskCounts(spark, fixture.getPath)) == want)
+    assert(manifest.lastModified > builtAt,
+      "stale-fingerprint mart must rebuild (manifest not rewritten)")
+  }
+
+  test("cachedEdges normalizes the dir key (trailing slash = same entry)") {
+    val e1 = GraphMart.cachedEdges(spark, sfDir)
+    val e2 = GraphMart.cachedEdges(spark, sfDir + "/")
+    assert(e1 eq e2,
+      "path spellings of one fixture must share one cached mart")
+  }
+
   test("cachedEdges builds once per (session, dir) and returns the cut graph") {
     val e1 = GraphMart.cachedEdges(spark, sfDir)
     val e2 = GraphMart.cachedEdges(spark, sfDir)
