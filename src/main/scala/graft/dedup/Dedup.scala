@@ -98,21 +98,32 @@ object Dedup extends org.apache.spark.internal.Logging {
     */
   /** The inverted-index shingle stream (id, n_sh, s) with the df-cut
     * applied — the ONE definition of the cut (drop-list = FREQUENT
-    * shingles, tiny by Zipf, broadcast left_anti; broadcasting the rare
-    * set instead would ship nearly the whole vocabulary) shared by
-    * jaccardPairs and containmentPairs, which promise identical cut
-    * semantics.
+    * shingles; broadcasting the rare set instead would ship nearly the
+    * whole vocabulary) shared by jaccardPairs and containmentPairs,
+    * which promise identical cut semantics.
+    *
+    * The stream is repartitioned by SHINGLE, the winnowPairs layout:
+    * the df count, the anti-join, and both sides of the downstream
+    * pair self-join are all co-partitioned on s, so the cut adds no
+    * exchange beyond the one the self-join needs anyway. The drop list
+    * was previously a FORCED broadcast ("tiny by Zipf") — measured
+    * wrong in the diversifying-corpus regime (BASELINE.md round-11):
+    * the hot set grows with the corpus (Heaps' law — 1.08M shingles at
+    * 100×), and collecting it through the driver every run was the
+    * probe's GC outlier; at 100 TB it is a driver OOM. Hint-free, AQE
+    * still broadcasts it at runtime whenever it measures small.
     */
   private def indexedShingles(docs: DataFrame, textCol: String,
                               idCol: String, n: Int,
                               maxShingleFreq: Int): DataFrame = {
     val t = shingled(docs, textCol, idCol, n).withColumn("n_sh", size(col("sh")))
     val e0 = t.select(col("id"), col("n_sh"), explode(col("sh")).as("s"))
+      .repartition(col("s"))
     if (maxShingleFreq <= 0) e0
     else {
       val hot = e0.groupBy("s").agg(count(lit(1)).as("df"))
         .filter(col("df") > maxShingleFreq).select("s")
-      e0.join(broadcast(hot), Seq("s"), "left_anti")
+      e0.join(hot, Seq("s"), "left_anti")
     }
   }
 
