@@ -112,6 +112,11 @@ object ScaledFixture {
     // tables the run never reads). Default: all.
     val tables = args.lift(3)
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // Validate the mode BEFORE the first write: an invalid 5th arg must
+    // abort up front, not after seven tables of a partial fixture landed.
+    val mode = args.lift(4).getOrElse("permute")
+    require(mode == "permute" || mode == "diversify",
+      s"ScaledFixture: unknown mode '$mode' (permute | diversify)")
     def wanted(name: String) = tables.forall(_.contains(name))
     def writeIf(name: String, df: => DataFrame): Unit =
       if (wanted(name)) write(name, df)
@@ -125,9 +130,6 @@ object ScaledFixture {
     writeIf("lineitem", rep(load("lineitem"))(
       shiftKeys("l_orderkey", "l_partkey", "l_suppkey")))
     writeIf("events", rep(load("events"))(shiftKeys("event_id", "user_id")))
-    val mode = args.lift(4).getOrElse("permute")
-    require(mode == "permute" || mode == "diversify",
-      s"ScaledFixture: unknown mode '$mode' (permute | diversify)")
     writeIf("documents", rep(load("documents")) { (df, r) =>
       df.withColumn("doc_id", col("doc_id") + lit(r * Off))
         .withColumn("text",

@@ -138,6 +138,33 @@ object GraphMart {
       new java.io.File(System.getProperty("java.io.tmpdir"),
         "graft-marts").getPath))
 
+  /** Mart format/code version, embedded in the freshness fingerprint so
+    * a change to [[coOrderCounts]] or the persisted layout invalidates
+    * every on-disk mart built by prior code (a source-only fingerprint
+    * would keep serving them forever). Bump on any semantic or layout
+    * change to the persisted counts.
+    */
+  private val MartFormatVersion = 2
+
+  /** The on-disk home for one fixture's persisted mart (exposed for the
+    * spec's cleanup — tests build marts for throwaway fixture copies and
+    * must delete them, or every run leaks a parquet copy into tmpdir).
+    */
+  private[graft] def martHome(dir: String): java.io.File = {
+    val canonical = new java.io.File(dir).getCanonicalFile
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(canonical.getPath.getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
+    new java.io.File(martBase, s"coorder_$digest")
+  }
+
+  private[graft] def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+        .foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
   /** Source fingerprint: total bytes + max mtime over the lineitem
     * parquet (file or part-file dir). A listing-only stat — cheap enough
     * to run per read — that catches both ways a fixture changes under a
@@ -159,36 +186,62 @@ object GraphMart {
     * r10 mart was session-memoized, so every fresh JVM re-paid the
     * lineitem self-join; this makes the build once-per-FIXTURE).
     *
-    * Freshness is a manifest recording the source fingerprint: matching
-    * manifest → read the persisted parquet (a graph-sized scan, not a
-    * fact-table self-join); missing/stale → rebuild, persist
-    * src-clustered ([[write]]), then manifest. The manifest is deleted
-    * BEFORE the rewrite and written only after it succeeds, so a
-    * crashed half-write can never read as fresh. Writers are
-    * last-wins (the driver harness is serial; concurrent first-builders
-    * on one fixture would redo work, not corrupt — each write lands
-    * complete before its manifest appears).
+    * Freshness is a manifest recording a versioned source fingerprint
+    * (format version + path + bytes + mtime): matching manifest AND an
+    * existing counts dir → read the persisted parquet (a graph-sized
+    * scan, not a fact-table self-join); missing/stale → rebuild. The
+    * rebuild is crash- and CONCURRENCY-safe: builders serialize on an
+    * OS-level file lock (plus a JVM monitor — FileLock is per-process),
+    * re-check freshness under the lock, write to a UNIQUE temp dir and
+    * atomically rename it into place, and write the manifest only after
+    * the rename. Two processes racing the first build can therefore
+    * never interleave part-files in one Spark overwrite target (the
+    * failure mode a shared `counts` dir would allow: mixed or partial
+    * data under a matching manifest, served as fresh forever); the
+    * loser of the race re-checks, sees fresh, and reads.
     */
   def diskCounts(spark: SparkSession, dir: String): DataFrame = {
     val canonical = new java.io.File(dir).getCanonicalFile
     val src = new java.io.File(canonical, "lineitem.parquet")
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(canonical.getPath.getBytes("UTF-8"))
-      .take(6).map("%02x".format(_)).mkString
-    val home = new java.io.File(martBase, s"coorder_$digest")
+    val home = martHome(dir)
     val data = new java.io.File(home, "counts")
     val manifest = new java.io.File(home, "MANIFEST")
-    val fp = s"src=${canonical.getPath};${sourceFingerprint(src)}"
-    val fresh = manifest.isFile && fp == new String(
+    def fp = s"v=$MartFormatVersion;src=${canonical.getPath};" +
+      sourceFingerprint(src)
+    // A fresh manifest is only trusted alongside an existing counts dir:
+    // a manifest orphaned by a manual data delete must trigger a rebuild,
+    // not a read of nothing.
+    def fresh = manifest.isFile && data.isDirectory && fp == new String(
       java.nio.file.Files.readAllBytes(manifest.toPath), "UTF-8")
-    if (!fresh) {
-      manifest.delete()
+    if (!fresh) buildLock.synchronized {
       home.mkdirs()
-      write(coOrderCounts(spark.read.parquet(src.getPath)), data.getPath)
-      java.nio.file.Files.write(manifest.toPath, fp.getBytes("UTF-8"))
+      val ch = java.nio.channels.FileChannel.open(
+        new java.io.File(home, "LOCK").toPath,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val lock = ch.lock() // blocks until the other builder finishes
+        try if (!fresh) { // double-check: the lock holder may have built it
+          manifest.delete()
+          val tmp = new java.io.File(home,
+            s"counts_tmp_${java.util.UUID.randomUUID}")
+          write(coOrderCounts(spark.read.parquet(src.getPath)), tmp.getPath)
+          if (data.exists()) deleteRecursively(data)
+          if (!tmp.renameTo(data))
+            throw new java.io.IOException(
+              s"GraphMart.diskCounts: rename $tmp -> $data failed")
+          java.nio.file.Files.write(manifest.toPath, fp.getBytes("UTF-8"))
+        } finally lock.release()
+      } finally ch.close()
     }
     read(spark, data.getPath)
   }
+
+  // Serializes same-JVM builders (java.nio FileLock guards across
+  // processes but throws OverlappingFileLockException within one).
+  // Builds are rare (once per fixture per code version), so a single
+  // global monitor is fine.
+  private val buildLock = new Object
 
   // Per-session memo over the disk mart (skips even the parquet re-read
   // for the 12 mart-fed queries of a run). WeakHashMap keyed by the

@@ -106,6 +106,9 @@ class GraphMartSpec extends SparkSpecBase {
 
   test("diskCounts persists once, re-reads across sessions, rebuilds on stale") {
     val fixture = copyFixture()
+    // the fixture dir is unique per run, so its mart home is too — delete
+    // both afterwards or every run leaks a parquet copy into tmpdir
+    try {
     val want = edgeSet(GraphMart.coOrderCounts(
       spark.read.parquet(s"$fixture/lineitem.parquet")))
 
@@ -136,6 +139,38 @@ class GraphMartSpec extends SparkSpecBase {
     assert(edgeSet(GraphMart.diskCounts(spark, fixture.getPath)) == want)
     assert(manifest.lastModified > builtAt,
       "stale-fingerprint mart must rebuild (manifest not rewritten)")
+    } finally {
+      GraphMart.deleteRecursively(GraphMart.martHome(fixture.getPath))
+      GraphMart.deleteRecursively(fixture)
+    }
+  }
+
+  test("concurrent first-builders serialize; both read one complete mart") {
+    val fixture = copyFixture()
+    try {
+      val want = edgeSet(GraphMart.coOrderCounts(
+        spark.read.parquet(s"$fixture/lineitem.parquet")))
+      // two same-JVM racers on a never-built mart: the build lock must
+      // serialize them (no interleaved writes into one counts dir) and
+      // both must come back with the complete edge set
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration._
+      val sessions = Seq(spark.newSession(), spark.newSession())
+      val results = Await.result(Future.sequence(sessions.map(s =>
+        Future(edgeSet(GraphMart.diskCounts(s, fixture.getPath))))),
+        120.seconds)
+      assert(results.forall(_ == want),
+        "a racing first-builder read an incomplete mart")
+      // no stray temp/retired dirs left behind by the swap
+      val leftovers = Option(GraphMart.martHome(fixture.getPath).listFiles())
+        .getOrElse(Array.empty).map(_.getName)
+        .filter(_.startsWith("counts_tmp_"))
+      assert(leftovers.isEmpty, s"leaked temp build dirs: ${leftovers.toSeq}")
+    } finally {
+      GraphMart.deleteRecursively(GraphMart.martHome(fixture.getPath))
+      GraphMart.deleteRecursively(fixture)
+    }
   }
 
   test("cachedEdges normalizes the dir key (trailing slash = same entry)") {
