@@ -558,14 +558,27 @@ object Dedup extends org.apache.spark.internal.Logging {
     // definition as spanDupStats), not occurrences
     val sdf = spans.select("id", "s").distinct()
       .groupBy("s").agg(count(lit(1)).as("sdf"))
-    // no distinct here: the anti-join in the reassembly tail only tests
-    // EXISTENCE, so duplicate (id, pos) rows (overlapping duplicated
-    // spans) are harmless — deduping them would cost a full extra
-    // exchange
     val covered = spans.join(sdf.filter(col("sdf") >= 2), "s")
       .select(col("id"),
         explode(sequence(col("start"), col("start") + (w - 1))).as("pos"))
-    reassembleWithout(tok, covered)
+    // Per-doc ARRAY reassembly (round 12): collect each doc's dropped
+    // positions into one set (collect_set — the anti-join it replaces
+    // tested existence, so overlap duplicates collapse here the same
+    // way) and apply them with one native array op per row
+    // (keep_except). Only the dropped POSITIONS shuffle (∝ duplicated
+    // content); the token stream itself never leaves its scan — the
+    // shuffled formulation re-exchanged every token three more times
+    // (posexplode → anti-join → collect_list). Left join + empty-array
+    // coalesce keeps untouched and fully-covered docs' rows alike.
+    val dropArr = covered.groupBy("id")
+      .agg(collect_set(col("pos")).as("drop_ps"))
+    val kept = graft.functions.TextHashExpressions.keepExcept(col("tk"),
+      coalesce(col("drop_ps"), array().cast("array<int>")))
+    tok.join(dropArr, Seq("id"), "left")
+      .select(col("id"),
+        concat_ws(" ", kept).as("clean_text"),
+        size(col("tk")).as("n_tokens"),
+        size(kept).cast("long").as("n_kept_tokens"))
   }
 
   /** WITHIN-doc repetition stripping — the intra-document complement of
@@ -580,16 +593,46 @@ object Dedup extends org.apache.spark.internal.Logging {
     * (min-start) occurrence of each repeated span protects the kept
     * copy.
     *
-    * Shape: everything is per-doc — spans with starts ride one explode,
-    * the min-start per (id, span) is one keyed aggregation, covered
-    * positions are bounded explodes, and the kept/dropped decision is a
-    * position-level anti-join of later-occurrence coverage MINUS
-    * first-occurrence coverage. All shuffles id- or (id,pos)-keyed and
-    * linear; nothing crosses documents, so the operator trivially
-    * partitions at any scale.
+    * Shape: everything is per-doc, and since round 12 the operator
+    * exploits that literally — one native-expression MAP over the
+    * corpus (no explode, no aggregation, no join, no shuffle), the
+    * strongest possible 100-TB posture: embarrassingly parallel,
+    * partition-layout-indifferent, and immune to the planner join-mode
+    * flips that bent the shuffled formulation's cost curve at the 100×
+    * probe (BASELINE.md round 12).
     */
   def stripSelfRepeats(docs: DataFrame, textCol: String, idCol: String,
-                       w: Int = 5): DataFrame = {
+                       w: Int = 5): DataFrame =
+    // Everything is within-ONE-document, so the operator is a pure MAP:
+    // the native kernel (TextHashOps.selfRepeatKeep) does span hashing,
+    // first-occurrence detection and coverage in one JVM call per row —
+    // ZERO shuffles at any scale, where the DataFrame formulation below
+    // (kept as the parity reference) paid ~10 corpus-sized exchanges.
+    // Round-12 measurement: 3.65 s → sub-second at sf0.1; at the 100×
+    // diversify fixture the shuffled form wrote 3.2 GB of shuffle and
+    // its decade-2 cost bent super-linear purely from planner join-mode
+    // flips (BASELINE.md round 12) — a map cannot bend. One semantic
+    // note: rows with a DUPLICATE id are cleaned independently here
+    // (per-row), where the shuffled form's groupBy would have merged
+    // them; doc ids are unique by contract.
+    tokenized(docs, textCol, idCol)
+      .select(col("id"),
+        graft.functions.TextHashExpressions.selfRepeatKeep(col("tk"), w)
+          .as("kept"),
+        size(col("tk")).as("n_tokens"))
+      .select(col("id"),
+        concat_ws(" ", col("kept")).as("clean_text"),
+        col("n_tokens"),
+        size(col("kept")).cast("long").as("n_kept_tokens"))
+
+  /** The shuffled DataFrame formulation stripSelfRepeats replaced —
+    * kept as the independently-implemented parity reference for the
+    * native kernel (DedupSpec asserts frame equality on the planted
+    * fixture), exactly the winnowFingerprintsHof pattern.
+    */
+  private[graft] def stripSelfRepeatsShuffled(docs: DataFrame,
+                                              textCol: String, idCol: String,
+                                              w: Int = 5): DataFrame = {
     val tok = tokenized(docs, textCol, idCol)
     val spans = posSpans(tok, w)
     val firstStart = spans.groupBy("id", "s")

@@ -434,6 +434,106 @@ object TextHashOps {
     new GenericArrayData(arr)
   }
 
+  /** Within-doc self-repeat stripping kernel: tokens NOT dropped by the
+    * repeated-span rule — a position is dropped iff it is covered by a
+    * LATER occurrence of a w-token span that also occurs earlier in the
+    * SAME doc, and is not covered by any FIRST occurrence of its spans
+    * (first-occurrence coverage protects the kept copy). Bit-identical
+    * to the shuffled DataFrame formulation it replaces
+    * (Dedup.stripSelfRepeatsShuffled — parity-pinned in DedupSpec) and
+    * to the DuckDB oracle.
+    *
+    * Everything is per-document, so the whole operator is ONE map over
+    * the corpus: O(n·w) span hashing + O(n) coverage marking per doc,
+    * no shuffle at any scale — where the DataFrame formulation paid ~10
+    * corpus-sized exchanges (explode → groupBy → join → anti-join →
+    * collect_list). Docs under w tokens have no spans and pass through
+    * whole.
+    */
+  def selfRepeatKeep(tokens: ArrayData, w: Int): ArrayData = {
+    val n = tokens.numElements()
+    if (n < w) return tokens.copy() // no spans — every token kept
+    val ns = n - w + 1
+    val sep = UTF8String.fromString(" ")
+    val keys = new Array[UTF8String](ns)
+    var i = 0
+    while (i < ns) {
+      val parts = new Array[UTF8String](w)
+      var j = 0
+      while (j < w) { parts(j) = tokens.getUTF8String(i + j); j += 1 }
+      keys(i) = UTF8String.concatWs(sep, parts: _*)
+      i += 1
+    }
+    // span string -> (first start << 32 | occurrence count); starts
+    // ascend, so first insert pins the min start
+    val m = new java.util.HashMap[UTF8String, java.lang.Long](ns * 2)
+    i = 0
+    while (i < ns) {
+      val prev = m.get(keys(i))
+      if (prev == null) m.put(keys(i), (i.toLong << 32) | 1L)
+      else m.put(keys(i), prev + 1L)
+      i += 1
+    }
+    val laterCov = new Array[Boolean](n)
+    val firstCov = new Array[Boolean](n)
+    i = 0
+    while (i < ns) {
+      val packed = m.get(keys(i)).longValue()
+      if ((packed & 0xffffffffL) >= 2L) {
+        val cov = if (i == (packed >>> 32).toInt) firstCov else laterCov
+        var p = i
+        while (p < i + w) { cov(p) = true; p += 1 }
+      }
+      i += 1
+    }
+    var kept = 0
+    var p = 0
+    while (p < n) { if (!laterCov(p) || firstCov(p)) kept += 1; p += 1 }
+    val out = new Array[Any](kept)
+    p = 0
+    var o = 0
+    while (p < n) {
+      // clone: the input array may alias a reused row buffer
+      if (!laterCov(p) || firstCov(p)) {
+        out(o) = tokens.getUTF8String(p).clone(); o += 1
+      }
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Positional drop: tokens whose 0-based position is NOT in `drop` —
+    * the per-doc tail of cross-doc span removal (Dedup.stripDupSpans).
+    * Replaces the token-level posexplode → (id,pos) anti-join →
+    * collect_list reassembly with one array op per doc: the only rows
+    * that still shuffle are the dropped POSITIONS (∝ duplicated
+    * content), never the token stream. Out-of-range or repeated drop
+    * entries are ignored (the shuffled formulation's anti-join tested
+    * existence, so duplicates were harmless there too).
+    */
+  def keepExcept(tokens: ArrayData, drop: ArrayData): ArrayData = {
+    val n = tokens.numElements()
+    val nd = drop.numElements()
+    if (nd == 0 || n == 0) return tokens.copy()
+    val mask = new Array[Boolean](n)
+    var dropped = 0
+    var i = 0
+    while (i < nd) {
+      val p = drop.getInt(i)
+      if (p >= 0 && p < n && !mask(p)) { mask(p) = true; dropped += 1 }
+      i += 1
+    }
+    val out = new Array[Any](n - dropped)
+    var o = 0
+    i = 0
+    while (i < n) {
+      // clone: the input array may alias a reused row buffer
+      if (!mask(i)) { out(o) = tokens.getUTF8String(i).clone(); o += 1 }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   // Deflater construction does native zlib setup; reset() re-arms an
   // existing stream, so one per thread. Fixed level (6) pins the output
   // length for a given zlib — the ratio is deterministic per runtime.
@@ -592,6 +692,56 @@ case class WinnowFps(child: Expression, k: Int, w: Int)
     defineCodeGen(ctx, ev, c => s"graft.functions.TextHashOps.winnowFps($c, $k, $w)")
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
+}
+
+/** self_repeat_keep(tokens: array<string>, w): array<string> — tokens
+  * surviving within-doc repeated-span stripping (see
+  * TextHashOps.selfRepeatKeep). One JVM call per row replaces the
+  * explode/groupBy/anti-join pipeline — the operator that makes
+  * stripSelfRepeats shuffle-free.
+  */
+case class SelfRepeatKeep(child: Expression, w: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (w < 1) TypeCheckResult.TypeCheckFailure(
+      s"self_repeat_keep requires w >= 1, got w=$w")
+    else child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case dt => TypeCheckResult.TypeCheckFailure(
+        s"self_repeat_keep requires array<string>, got ${dt.catalogString}")
+    }
+  override def dataType: DataType = child.dataType
+  override def prettyName: String = "self_repeat_keep"
+  override def nullSafeEval(a: Any): Any =
+    TextHashOps.selfRepeatKeep(a.asInstanceOf[ArrayData], w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashOps.selfRepeatKeep($c, $w)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** keep_except(tokens: array<string>, drop: array<int>): array<string> —
+  * positional drop (see TextHashOps.keepExcept).
+  */
+case class KeepExcept(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"keep_except requires (array<string>, array<int>), got " +
+          s"${l.catalogString}, ${r.catalogString}")
+    }
+  override def dataType: DataType = left.dataType
+  override def prettyName: String = "keep_except"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextHashOps.keepExcept(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.TextHashOps.keepExcept($a, $b)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
 }
 
 /** text_stats(text): struct<n_tokens int, avg_word_len double, fp string>
@@ -859,4 +1009,9 @@ object TextHashExpressions {
     GraftSqlBridge.column(WordShingles(GraftSqlBridge.expression(tokens), n))
   def winnowFps(tokens: Column, k: Int, w: Int): Column =
     GraftSqlBridge.column(WinnowFps(GraftSqlBridge.expression(tokens), k, w))
+  def selfRepeatKeep(tokens: Column, w: Int): Column =
+    GraftSqlBridge.column(SelfRepeatKeep(GraftSqlBridge.expression(tokens), w))
+  def keepExcept(tokens: Column, drop: Column): Column =
+    GraftSqlBridge.column(KeepExcept(
+      GraftSqlBridge.expression(tokens), GraftSqlBridge.expression(drop)))
 }

@@ -218,6 +218,42 @@ class DedupSpec extends SparkSpecBase {
     assert(got(4L) == (("x y z w v", 5, 5L)))
   }
 
+  test("stripSelfRepeats native kernel matches the shuffled formulation") {
+    // parity on the real fixture WITH the planted repetition the driver
+    // query uses (docs id%4==1 repeat their own first six tokens), plus
+    // overlapping-repeat and all-covered shapes the synthetic rows add
+    import graft.text.TextFunctions.tokens
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sfDir)
+    val planted = docs.withColumn("text",
+      when(col("doc_id") % 4 === 1,
+        concat(col("text"), lit(" "),
+          concat_ws(" ", slice(tokens(col("text")), 1, 6))))
+      .otherwise(col("text")))
+    val extra = Seq(
+      (900001L, "a b c d e a b c d e a b c d e"),   // triple repeat
+      (900002L, "p q r s t u p q r s t u"),         // overlapping w-spans
+      (900003L, "m m m m m m m m m m m m")          // degenerate 1-token vocab
+    ).toDF("doc_id", "text")
+    val in = planted.select("doc_id", "text").unionByName(extra)
+    val fast = Dedup.stripSelfRepeats(in, "text", "doc_id", w = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2), r.getLong(3)))).toMap
+    val ref = Dedup.stripSelfRepeatsShuffled(in, "text", "doc_id", w = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2), r.getLong(3)))).toMap
+    assert(fast.keySet == ref.keySet)
+    val diff = fast.keys.filter(k => fast(k) != ref(k))
+    assert(diff.isEmpty,
+      s"native/shuffled divergence on ids ${diff.take(5).toSeq}: " +
+        diff.take(2).map(k => s"$k fast=${fast(k)} ref=${ref(k)}").mkString("; "))
+    // and the plan really is shuffle-free: no exchange anywhere
+    val plan = Dedup.stripSelfRepeats(in, "text", "doc_id", w = 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"stripSelfRepeats must be a pure map, found exchange in:\n${plan.take(800)}")
+  }
+
   test("winnowing: a shared w+k-1 token run guarantees a shared fingerprint") {
     val shared = "quick brown fox jumps over lazily" // 6 = w + k - 1 tokens
     val d = Seq(

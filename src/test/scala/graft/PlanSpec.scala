@@ -168,15 +168,18 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
-  test("span removal: anti-join on positions, never a pair self-join") {
+  test("span removal: array reassembly, never a pair self-join") {
     val p = plan(q("q_strip_spans"))
     assert(!p.contains("CartesianProduct"),
       "span removal must stay linear — no pair join")
-    // the only joins allowed are the position anti-join and the two
-    // id-keyed reassembly joins; a SortMergeJoin on the span string s
-    // against itself would mean a candidate-pair explosion crept in
-    assert("LeftAnti".r.findAllIn(p).length == 1,
-      "exactly one anti-join (covered positions) expected")
+    // round 12: the token-level (id, pos) anti-join reassembly became a
+    // per-doc keep_except array op — the token stream no longer
+    // re-exchanges at all, so no anti-join may reappear (one would mean
+    // the shuffled reassembly crept back)
+    assert(!p.contains("LeftAnti"),
+      "positional reassembly must be the keep_except array op, not an anti-join")
+    assert(p.contains("keep_except"),
+      "native keep_except missing from the reassembly projection")
   }
 
   test("script detection is a shuffle-free codegen projection") {
