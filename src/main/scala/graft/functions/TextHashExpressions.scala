@@ -202,6 +202,44 @@ object TextHashOps {
       toks.length, avg, UTF8String.fromString(fp))
   }
 
+  /** Per-doc repetition counts in one pass — (n_tokens, top token
+    * count, bigram count, distinct bigram count), the four inputs of
+    * the Gopher-style repetition signals. Replaces the explode + two
+    * keyed aggregations + join formulation (Curation
+    * .repetitionStatsShuffled, the parity reference): the signals are
+    * per-DOCUMENT, so they are a map, not a shuffle.
+    */
+  def repetitionCounts(tokens: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = tokens.numElements()
+    val cnt = new java.util.HashMap[UTF8String, Integer](n * 2)
+    var top = 0
+    var i = 0
+    while (i < n) {
+      val t = tokens.getUTF8String(i)
+      val prev = cnt.get(t)
+      val c = if (prev == null) 1 else prev.intValue() + 1
+      cnt.put(t, Integer.valueOf(c))
+      if (c > top) top = c
+      i += 1
+    }
+    var nBi = 0L
+    var nDis = 0L
+    if (n >= 2) {
+      val bis = new java.util.HashSet[String](n * 2)
+      i = 0
+      while (i < n - 1) {
+        val sb = new java.lang.StringBuilder()
+        sb.append(tokens.getUTF8String(i)).append(' ')
+          .append(tokens.getUTF8String(i + 1))
+        bis.add(sb.toString)
+        i += 1
+      }
+      nBi = (n - 1).toLong
+      nDis = bis.size.toLong
+    }
+    org.apache.spark.sql.catalyst.InternalRow(n.toLong, top.toLong, nBi, nDis)
+  }
+
   /** Distinct word n-grams joined by single spaces, first-occurrence
     * order — identical to TextFunctions.shingles
     * (array_distinct(transform(sequence, concat_ws(slice)))).
@@ -720,6 +758,31 @@ case class SelfRepeatKeep(child: Expression, w: Int)
     copy(child = c)
 }
 
+/** repetition_counts(tokens: array<string>): struct<n_tokens bigint,
+  * top_cnt bigint, n_bigrams bigint, n_distinct bigint> — per-doc
+  * repetition count signals (see TextHashOps.repetitionCounts).
+  */
+case class RepetitionCounts(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"repetition_counts requires array<string>, got ${dt.catalogString}")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("top_cnt", LongType, nullable = false),
+    StructField("n_bigrams", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false)))
+  override def prettyName: String = "repetition_counts"
+  override def nullSafeEval(a: Any): Any =
+    TextHashOps.repetitionCounts(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHashOps.repetitionCounts($c)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** keep_except(tokens: array<string>, drop: array<int>): array<string> —
   * positional drop (see TextHashOps.keepExcept).
   */
@@ -1014,4 +1077,6 @@ object TextHashExpressions {
   def keepExcept(tokens: Column, drop: Column): Column =
     GraftSqlBridge.column(KeepExcept(
       GraftSqlBridge.expression(tokens), GraftSqlBridge.expression(drop)))
+  def repetitionCounts(tokens: Column): Column =
+    GraftSqlBridge.column(RepetitionCounts(GraftSqlBridge.expression(tokens)))
 }

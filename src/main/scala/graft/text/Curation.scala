@@ -10,10 +10,10 @@ import org.apache.spark.sql.functions._
   * standard stages of a training-data pipeline (filter → redact → chunk).
   *
   * Scale design:
-  *  - repetitionStats is explode + two keyed aggregations (token counts,
-  *    bigram counts), both hash-partitioned on (doc, term) with map-side
-  *    partial aggregation — linear shuffle in corpus token count, never a
-  *    per-row O(n²) in-array pass;
+  *  - repetitionStats is a pure per-row MAP since round 12 (native
+  *    repetition_counts kernel: one O(doc length) hash pass per row) —
+  *    zero shuffle at any scale; the explode + two-keyed-aggregation
+  *    formulation survives as the parity reference;
   *  - redact is a narrow per-row projection (codegen'd regexp_replace
   *    chain, no UDF, no shuffle);
   *  - chunkTokens is one generate-and-explode projection per doc — output
@@ -110,10 +110,41 @@ object Curation {
   def repetitionStats(docs: DataFrame, textCol: String, idCol: String,
                       topTokenThreshold: Double = 0.3,
                       dupBigramThreshold: Double = 0.08,
-                      minTokensForFlag: Int = 5): DataFrame = {
-    // one exchange materializes the tokenization; the token and bigram
-    // branches below both consume it (same CollapseProject trap as
-    // Dedup.shingled — see that scaladoc)
+                      minTokensForFlag: Int = 5): DataFrame =
+    // The signals are per-DOCUMENT, so since round 12 this is a pure
+    // map: the native repetition_counts kernel computes all four count
+    // inputs in one pass per row — zero exchanges, where the shuffled
+    // formulation below (kept as parity reference) paid an id
+    // repartition, two keyed aggregations and a join. Kernel references
+    // inline per consuming field (the accepted q_text_stats trade — the
+    // kernel is O(doc length)).
+    docs.select(col(idCol).as("id"),
+        graft.functions.TextHashExpressions
+          .repetitionCounts(tokens(col(textCol))).as("rc"))
+      .filter(col("rc.n_tokens") > 0)
+      .select(
+        col("id"),
+        col("rc.n_tokens").as("n_tokens"),
+        round(col("rc.top_cnt").cast("double") / col("rc.n_tokens"), 6)
+          .as("top_token_frac"),
+        round((col("rc.n_bigrams") - col("rc.n_distinct")).cast("double") /
+          greatest(col("rc.n_bigrams"), lit(1L)), 6)
+          .as("dup_bigram_frac"))
+      .withColumn("is_repetitive",
+        (col("n_tokens") >= minTokensForFlag &&
+          (col("top_token_frac") > topTokenThreshold ||
+            col("dup_bigram_frac") > dupBigramThreshold)).cast("int"))
+
+  /** The shuffled formulation repetitionStats replaced — kept as the
+    * independently-implemented parity reference for the native kernel
+    * (CurationSpec asserts frame equality on the fixture), the
+    * stripSelfRepeatsShuffled pattern.
+    */
+  private[graft] def repetitionStatsShuffled(docs: DataFrame, textCol: String,
+                                             idCol: String,
+                                             topTokenThreshold: Double = 0.3,
+                                             dupBigramThreshold: Double = 0.08,
+                                             minTokensForFlag: Int = 5): DataFrame = {
     val t = docs
       .select(col(idCol).as("id"), tokens(col(textCol)).as("w"))
       .filter(size(col("w")) > 0)

@@ -37,6 +37,33 @@ class CurationSpec extends SparkSpecBase {
     assert(d5.getAs[Int]("is_repetitive") == 0) // long AND clean
   }
 
+  test("repetitionStats native kernel matches the shuffled formulation") {
+    // parity on the real fixture plus the hand-case shapes (repetitive,
+    // all-distinct, single-token, dropped-empty); the kernel must also
+    // leave the operator exchange-free
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .unionByName(Seq(
+        (910001L, "a a a a b"),
+        (910002L, "x y z"),
+        (910003L, "only"),
+        (910004L, "  ")).toDF("doc_id", "text"))
+    def key(r: org.apache.spark.sql.Row) = r.getLong(0) ->
+      ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getInt(4)))
+    val fast = Curation.repetitionStats(docs, "text", "doc_id")
+      .collect().map(key).toMap
+    val ref = Curation.repetitionStatsShuffled(docs, "text", "doc_id")
+      .collect().map(key).toMap
+    assert(fast.keySet == ref.keySet)
+    val diff = fast.keys.filter(k => fast(k) != ref(k))
+    assert(diff.isEmpty,
+      s"native/shuffled divergence: " +
+        diff.take(3).map(k => s"$k fast=${fast(k)} ref=${ref(k)}").mkString("; "))
+    val plan = Curation.repetitionStats(docs, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"repetitionStats must be a pure map, found exchange in:\n${plan.take(800)}")
+  }
+
   test("redact replaces every email/phone/ip occurrence with its tag") {
     val df = Seq(
       "mail a@b.co and c.d@e.org plus 555-1234 at 10.0.0.1 twice 555-0000"
