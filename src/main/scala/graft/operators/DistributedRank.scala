@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+
+/** Scalable rank-family window functions over a LOW-CARDINALITY
+  * partition key.
+  *
+  * `Window.partitionBy(k)` puts each key's ENTIRE partition in one
+  * task: fine when the key is high-cardinality (per-group rows bounded
+  * — q_window_rank's per-customer windows), a hard scale cliff when it
+  * is not. With 5 distinct keys, parallelism is 5 forever and per-task
+  * rows grow linearly with data — the round-12 100× probe measured
+  * q_window_rank_family at 17.9× (worst entry of 38) for exactly this
+  * reason, and at 1000 executors the cliff only deepens.
+  *
+  * [[withPositions]] removes the cliff for the functions that are
+  * derivable from a row's global POSITION within its key under a
+  * UNIQUE total order (rank/row_number, percent_rank, cume_dist,
+  * ntile, nth_value): the classic two-phase distributed ranking —
+  *
+  *  1. range-repartition on (key, order) and sort WITHIN partitions —
+  *     a parallel global sort, every partition bounded by
+  *     `spark.sql.shuffle.partitions` sizing, no per-key task;
+  *  2. count rows per (spark partition, key) — a BOUNDED aggregate
+  *     (numPartitions × |keys| rows, the contract of "low
+  *     cardinality") collected once, prefix-summed into per-(partition,
+  *     key) offsets on the driver;
+  *  3. within-partition row numbers (a window over (__pid, key) —
+  *     groups bounded by partition size, so this window has no cliff)
+  *     plus the broadcast offsets give each row its exact global
+  *     per-key position `pos` and key total `n`.
+  *
+  * The sorted frame is eagerly localCheckpointed between the count job
+  * and the position job so both read the SAME materialized partitions
+  * (range-boundary sampling must not re-run between passes).
+  *
+  * Determinism contract: `orderCols` must be a TOTAL order within each
+  * key (callers append a unique tiebreaker — the repo-wide posture).
+  * Under a total order, rank = row_number = pos, percent_rank =
+  * (pos−1)/(n−1), cume_dist = pos/n, and nth_value(v, i) over the full
+  * frame is the value at pos = i — which is how callers reconstruct
+  * the rank family without any per-key single-task window
+  * (AnalyticQueries.q_window_rank_family; DistributedRankSpec pins
+  * frame equality against the plain Window formulation).
+  */
+object DistributedRank {
+
+  /** Input columns plus `pos` (1-based global position of the row
+    * within its key under `orderCols`) and `n` (key row count).
+    */
+  def withPositions(df: DataFrame, keyCol: String, orderCols: Seq[Column],
+                    numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val p = if (numPartitions > 0) numPartitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val rangeCols = col(keyCol) +: orderCols
+    val sorted = df
+      .repartitionByRange(p, rangeCols: _*)
+      .sortWithinPartitions(rangeCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    // Bounded by contract: numPartitions × |distinct keys| rows.
+    val cnts = sorted.groupBy(col("__pid"), col(keyCol)).count()
+      .collect().map(r => (r.getInt(0), r.get(1), r.getLong(2)))
+    val byKey = cnts.groupBy(_._2)
+    val offRows = cnts.map { case (pid, k, _) =>
+      Row(pid, k, byKey(k).filter(_._1 < pid).map(_._3).sum)
+    }
+    val totRows = byKey.toSeq.map { case (k, rows) =>
+      Row(k, rows.map(_._3).sum)
+    }
+    val keyField = df.schema(keyCol)
+    val offDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(offRows.toSeq, 1),
+      StructType(Seq(StructField("__pid", IntegerType, nullable = false),
+        keyField, StructField("__off", LongType, nullable = false))))
+    val totDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(totRows, 1),
+      StructType(Seq(keyField,
+        StructField("n", LongType, nullable = false))))
+    // Window over (__pid, key): group size ≤ the range partition's row
+    // count — bounded by partition sizing, never by key cardinality.
+    val within = Window.partitionBy(col("__pid"), col(keyCol))
+      .orderBy(orderCols: _*)
+    sorted
+      .join(broadcast(offDf), Seq("__pid", keyCol))
+      .withColumn("pos", col("__off") + row_number().over(within))
+      .join(broadcast(totDf), Seq(keyCol))
+      .drop("__pid", "__off")
+  }
+
+  /** ntile(k) reconstructed from the [[withPositions]] output columns
+    * `pos` and `n` with the SQL-standard bucket fill (first n mod k
+    * buckets take one extra row) — bit-equal to `ntile(k).over(w)`
+    * under a unique ordering. Pure integer arithmetic (the exact
+    * integral `div`, via expr — Spark's Column API has no div operator,
+    * the Kmv.scala:136 precedent), so both engines agree exactly; the
+    * larger-bucket branch guards the ELSE's `div (n div k)` from the
+    * n < k case (where n div k = 0) because pos ≤ n = cut always takes
+    * the THEN branch there.
+    */
+  def ntileFromPos(k: Int): Column = {
+    require(k >= 1, s"ntileFromPos: k must be >= 1, got $k")
+    expr(s"""CAST(CASE
+      WHEN pos <= (n % $k) * ((n div $k) + 1)
+      THEN (pos - 1) div ((n div $k) + 1) + 1
+      ELSE (n % $k) + (pos - (n % $k) * ((n div $k) + 1) - 1) div (n div $k) + 1
+      END AS INT)""")
+  }
+}

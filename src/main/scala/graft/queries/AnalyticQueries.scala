@@ -290,24 +290,40 @@ object AnalyticQueries extends QueryPack {
             .as("avg_last3"))
         .orderBy("o_custkey", "o_orderkey")),
 
-    // The remaining rank-family window functions in one pass: quartile
-    // bucket, relative rank, cumulative distribution, and an
-    // absolute-position value (2nd-highest price per priority) over a
-    // full frame. Unique (price desc, orderkey) ordering keeps every
-    // one deterministic.
+    // The remaining rank-family window functions: quartile bucket,
+    // relative rank, cumulative distribution, and an absolute-position
+    // value (2nd-highest price per priority) over a full frame. Unique
+    // (price desc, orderkey) ordering keeps every one deterministic —
+    // and since round 12 makes them DERIVABLE: o_orderpriority has 5
+    // distinct values, so `Window.partitionBy(priority)` is a
+    // parallelism-5 cliff (each priority's full sort in ONE task — the
+    // worst entry of the 100× relational probe at 17.9×). The scalable
+    // form reconstructs all four functions from the two-phase global
+    // positions of operators.DistributedRank (range-sorted, offset-
+    // joined — every task bounded by partition sizing, not by key
+    // cardinality): rank-unique ⇒ percent_rank = (pos−1)/(n−1),
+    // cume_dist = pos/n, ntile via integral bucket math, nth_value(2) =
+    // the pos=2 row broadcast back. DistributedRankSpec pins frame
+    // equality against the plain Window formulation; the oracle is
+    // unchanged (DuckDB runs the actual window functions).
     "q_window_rank_family" -> ((s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("o_orderpriority"))
-        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-      val wFull = w.rowsBetween(
-        org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.unboundedFollowing)
-      Tables.orders(s, d)
+      val pos = graft.operators.DistributedRank.withPositions(
+        Tables.orders(s, d)
+          .select("o_orderpriority", "o_orderkey", "o_totalprice"),
+        "o_orderpriority",
+        Seq(col("o_totalprice").desc, col("o_orderkey")))
+      val second = pos.filter(col("pos") === 2)
+        .select(col("o_orderpriority").as("__p2"),
+          col("o_totalprice").as("second_highest"))
+      pos.join(broadcast(second),
+          col("o_orderpriority") === col("__p2"), "left")
         .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
-          ntile(4).over(w).as("quartile"),
-          round(percent_rank().over(w), 6).as("pct_rank"),
-          round(cume_dist().over(w), 6).as("cume"),
-          nth_value(col("o_totalprice"), 2).over(wFull).as("second_highest"))
+          graft.operators.DistributedRank.ntileFromPos(4).as("quartile"),
+          round(when(col("n") > 1,
+            (col("pos") - 1).cast("double") / (col("n") - 1))
+            .otherwise(0.0), 6).as("pct_rank"),
+          round(col("pos").cast("double") / col("n"), 6).as("cume"),
+          col("second_highest"))
         .orderBy("o_orderpriority", "o_orderkey")
     }),
 
