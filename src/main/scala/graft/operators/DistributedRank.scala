@@ -49,10 +49,17 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructTyp
 object DistributedRank {
 
   /** Input columns plus `pos` (1-based global position of the row
-    * within its key under `orderCols`) and `n` (key row count).
+    * within its key under `orderCols`) and `n` (key row count). With
+    * `sumCol` set (an INTEGRAL column), additionally `cum` — the exact
+    * inclusive global running sum of that column within the key under
+    * the same order: the two-phase prefix sum that replaces a
+    * single-task `sum().over(Window.orderBy(...))` (per-partition
+    * subtotals ride the same bounded count pass and prefix-sum into
+    * offsets on the driver).
     */
   def withPositions(df: DataFrame, keyCol: String, orderCols: Seq[Column],
-                    numPartitions: Int = 0): DataFrame = {
+                    numPartitions: Int = 0,
+                    sumCol: String = null): DataFrame = {
     val spark = df.sparkSession
     val p = if (numPartitions > 0) numPartitions
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
@@ -63,11 +70,16 @@ object DistributedRank {
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint(true)
     // Bounded by contract: numPartitions × |distinct keys| rows.
-    val cnts = sorted.groupBy(col("__pid"), col(keyCol)).count()
-      .collect().map(r => (r.getInt(0), r.get(1), r.getLong(2)))
+    val cnts = sorted.groupBy(col("__pid"), col(keyCol))
+      .agg(count(lit(1)).as("__c"),
+        (if (sumCol == null) lit(0L) else sum(col(sumCol))).as("__s"))
+      .collect()
+      .map(r => (r.getInt(0), r.get(1), r.getLong(2),
+        if (r.isNullAt(3)) 0L else r.getLong(3)))
     val byKey = cnts.groupBy(_._2)
-    val offRows = cnts.map { case (pid, k, _) =>
-      Row(pid, k, byKey(k).filter(_._1 < pid).map(_._3).sum)
+    val offRows = cnts.map { case (pid, k, _, _) =>
+      val before = byKey(k).filter(_._1 < pid)
+      Row(pid, k, before.map(_._3).sum, before.map(_._4).sum)
     }
     val totRows = byKey.toSeq.map { case (k, rows) =>
       Row(k, rows.map(_._3).sum)
@@ -76,7 +88,8 @@ object DistributedRank {
     val offDf = spark.createDataFrame(
       spark.sparkContext.parallelize(offRows.toSeq, 1),
       StructType(Seq(StructField("__pid", IntegerType, nullable = false),
-        keyField, StructField("__off", LongType, nullable = false))))
+        keyField, StructField("__off", LongType, nullable = false),
+        StructField("__soff", LongType, nullable = false))))
     val totDf = spark.createDataFrame(
       spark.sparkContext.parallelize(totRows, 1),
       StructType(Seq(keyField,
@@ -85,12 +98,31 @@ object DistributedRank {
     // count — bounded by partition sizing, never by key cardinality.
     val within = Window.partitionBy(col("__pid"), col(keyCol))
       .orderBy(orderCols: _*)
-    sorted
+    val positioned = sorted
       .join(broadcast(offDf), Seq("__pid", keyCol))
       .withColumn("pos", col("__off") + row_number().over(within))
+    val summed =
+      if (sumCol == null) positioned
+      else positioned.withColumn("cum",
+        col("__soff") + sum(col(sumCol)).over(
+          within.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    summed
       .join(broadcast(totDf), Seq(keyCol))
-      .drop("__pid", "__off")
+      .drop("__pid", "__off", "__soff")
   }
+
+  /** [[withPositions]] over the WHOLE frame (no partition key): exact
+    * global positions — and with `sumCol`, the exact global running
+    * sum — under a unique total order, without the single-task stage a
+    * partition-less `Window.orderBy` plans. The bounded driver pass is
+    * numPartitions rows.
+    */
+  def globalPositions(df: DataFrame, orderCols: Seq[Column],
+                      numPartitions: Int = 0,
+                      sumCol: String = null): DataFrame =
+    withPositions(df.withColumn("__gkey", lit(1)), "__gkey", orderCols,
+      numPartitions, sumCol)
+      .drop("__gkey")
 
   /** ntile(k) reconstructed from the [[withPositions]] output columns
     * `pos` and `n` with the SQL-standard bucket fill (first n mod k

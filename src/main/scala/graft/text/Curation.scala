@@ -217,11 +217,12 @@ object Curation {
     * ("how many entries cover 99% of the stream?").
     *
     * One explode → token-count aggregation (map-side partials, linear
-    * shuffle), then a global cumulative window over the VOCABULARY — a
-    * single-partition exchange of one row per distinct token, which is
-    * fine because vocabulary ≪ corpus (a 10M-entry vocab is ~100 MB; if
-    * that ever bounds, rank by range partitioner instead). Coverage is
-    * exact integer cum/total, so both engines agree bit-for-bit;
+    * shuffle), then global rank and cumulative count over the
+    * VOCABULARY — since round 12 via DistributedRank.globalPositions
+    * (two-phase range-sorted positions + prefix-summed offsets), so no
+    * single-task `Window.orderBy` stage remains even when a web-scale
+    * vocabulary (Heaps' law at 100 TB) outgrows one executor. Coverage
+    * is exact integer cum/total, so both engines agree bit-for-bit;
     * rank ties break by token string.
     */
   def vocabCoverage(docs: DataFrame, textCol: String = "text",
@@ -233,11 +234,11 @@ object Curation {
     import spark.implicits._
     val counts = docs.select(explode(tokens(col(textCol))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("c"))
-    val order = Window.orderBy(col("c").desc, col("tok"))
-    val ranked = counts
-      .withColumn("rank", row_number().over(order))
-      .withColumn("cum", sum("c").over(
-        order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val ranked = graft.operators.DistributedRank
+      .globalPositions(counts, Seq(col("c").desc, col("tok")), sumCol = "c")
+      // int like the row_number it replaces (schema parity with the
+      // oracle compare; a >2^31-entry vocab would outgrow it either way)
+      .withColumn("rank", col("pos").cast("int"))
       .crossJoin(broadcast(counts.agg(sum("c").as("total"))))
       .withColumn("coverage", col("cum").cast("double") / col("total"))
     ranked.join(broadcast(targets.toDF("target")),

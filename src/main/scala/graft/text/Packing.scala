@@ -18,17 +18,14 @@ import org.apache.spark.sql.functions._
   * counts, so it is expressible as ONE window cumsum: distributed,
   * deterministic, and oracle-checkable in any engine.
   *
-  * Scale note: the window below has no partition key, so Spark funnels
-  * the rows through a SINGLE partition (Exchange SinglePartition) — but
-  * only (id, n_tokens) pairs cross that wire; the text is tokenized away
-  * first (PlanSpec asserts both properties). That serialization point is
-  * the honest cost of a globally-contiguous pack order, fine up to
-  * billions of docs of metadata but NOT the 100-TB posture: you don't
-  * want global contiguity there anyway (packs are consumed
-  * shard-parallel), so pre-shard the corpus and pack within shards by
-  * passing each shard's frame here, or add the shard key to a
-  * `Window.partitionBy` — the arithmetic is unchanged and every shard
-  * packs in parallel.
+  * Scale note: the exclusive prefix sum is computed by
+  * DistributedRank.globalPositions since round 12 — a parallel range
+  * sort of (id, n_tokens) pairs (text is tokenized away first; PlanSpec
+  * asserts it) plus a bounded per-partition subtotal pass — so there is
+  * NO single-partition stage anywhere: the globally-contiguous pack
+  * order is now the 100-TB posture outright, not a documented
+  * trade-off. (Sharded packing still composes: pass each shard's frame
+  * here and every shard packs independently.)
   */
 object Packing {
 
@@ -43,15 +40,17 @@ object Packing {
                  packTokens: Int,
                  tokenCounter: Column => Column = tokenCount): DataFrame = {
     require(packTokens > 0, s"packTokens must be positive, got $packTokens")
-    val w = Window.orderBy(col(idCol))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    docs
-      .select(col(idCol), tokenCounter(col(textCol)).cast("long").as("n_tokens"))
-      .withColumn("tokens_before",
-        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+    graft.operators.DistributedRank.globalPositions(
+        docs.select(col(idCol),
+          tokenCounter(col(textCol)).cast("long").as("n_tokens")),
+        Seq(col(idCol)), sumCol = "n_tokens")
+      // exclusive prefix = inclusive running sum minus own count
+      .withColumn("tokens_before", col("cum") - col("n_tokens"))
       // integral `div`, not floor(double /): exact for every budget, and
       // bit-identical to the oracle's `//`
       .withColumn("pack_id", expr(s"tokens_before div $packTokens"))
+      .select(col(idCol), col("n_tokens"), col("tokens_before"),
+        col("pack_id"))
   }
 
   /** Pack-level summary: docs per pack, token fill, id span. A full pack

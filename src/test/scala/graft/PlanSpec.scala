@@ -89,21 +89,19 @@ class PlanSpec extends SparkSpecBase {
       "tf/df aggregations lost their partial pass")
   }
 
-  test("sequence packing funnels only (id, n_tokens) into the single-partition window") {
+  test("sequence packing has no single-partition stage and sheds text first") {
     val p = plan(q("q_seq_packing"))
-    // an unpartitioned window is a SinglePartition exchange in Spark —
-    // the documented cost of global pack contiguity (shard to scale);
-    // there must be exactly one, and the text column must be tokenized
-    // away BEFORE it so only (doc_id, n_tokens) pairs cross the wire
-    assert("Exchange SinglePartition".r.findAllIn(p).length == 1,
-      s"expected exactly one single-partition exchange, plan:\n${p.take(1200)}")
-    // tree printing puts an operator's CONSUMERS before it: everything
-    // above the exchange line reads its output, so none of it may touch
-    // the raw text column (the tokenizing Project is the exchange's
-    // child, printed below — that is where text is allowed)
-    val exIdx = p.indexOf("Exchange SinglePartition")
+    // round 12: the global prefix sum runs through DistributedRank's
+    // two-phase range sort — the SinglePartition exchange the old
+    // unpartitioned window planned must never reappear
+    assert(!p.contains("Exchange SinglePartition"),
+      s"packing regressed to a single-partition window, plan:\n${p.take(1200)}")
+    // the text column must be tokenized away before the range exchange
+    // so only (doc_id, n_tokens) pairs cross the wire
+    val exIdx = p.indexOf("Exchange rangepartitioning")
+    assert(exIdx >= 0, s"expected a range exchange, plan:\n${p.take(1200)}")
     assert(!p.substring(0, exIdx).contains("text#"),
-      "an operator above the window exchange still reads the text column")
+      "an operator above the range exchange still reads the text column")
   }
 
   test("FK relationship check broadcasts the parent side of the anti-join") {
@@ -122,8 +120,16 @@ class PlanSpec extends SparkSpecBase {
     assert(!plan(red).contains("Exchange"))
   }
 
-  test("repetition stats aggregate partially and join the tiny stats by broadcast") {
-    val p = plan(graft.text.Curation.repetitionStats(
+  test("repetition stats: native form maps, shuffled reference aggregates partially") {
+    // round 12: the production operator is a pure map (CurationSpec also
+    // pins frame parity and the exchange-free plan)
+    assert(!plan(graft.text.Curation.repetitionStats(
+        graft.Tables.documents(spark, sfDir), "text", "doc_id"))
+      .contains("Exchange"),
+      "repetitionStats must stay a pure map")
+    // the shuffled PARITY REFERENCE keeps the shape this test always
+    // pinned: map-side partial aggregation, tokens-only exchanges
+    val p = plan(graft.text.Curation.repetitionStatsShuffled(
       graft.Tables.documents(spark, sfDir), "text", "doc_id"))
     assert(p.contains("partial_count"),
       "term counts must aggregate map-side before the exchange")
