@@ -127,6 +127,20 @@ class CurationSpec extends SparkSpecBase {
     assert(got(0.5) == (1, 0.5))
     assert(got(0.8) == (2, 0.833333))
     assert(got(1.0) == (3, 1.0))
+    // round 12: rank + cumsum run through DistributedRank's two-phase
+    // range sort — the single-partition vocabulary WINDOW must not
+    // reappear (Heaps' law makes it unbounded at corpus scale). The
+    // ungrouped total-sum aggregate legitimately reduces through a
+    // SinglePartition exchange (one partial row per partition), so the
+    // guard is specifically: no Window consumes one.
+    val lines = Curation.vocabCoverage(docs, targets = Seq(0.5))
+      .queryExecution.executedPlan.toString.linesIterator.toSeq
+    lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition"))
+      .foreach { case (_, i) =>
+        val consumers = lines.slice(math.max(0, i - 3), i).mkString("\n")
+        assert(!consumers.contains("Window"),
+          s"vocabCoverage regressed to a single-partition window:\n$consumers")
+      }
   }
 
   test("vocabCoverage rejects out-of-range targets") {
