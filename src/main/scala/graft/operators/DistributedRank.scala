@@ -48,6 +48,23 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructTyp
   */
 object DistributedRank {
 
+  // Output + working column names the two-phase plumbing claims. An
+  // input frame already carrying one would hit an ambiguous-reference
+  // failure (or a silently wrong join on __pid/__off) deep in the
+  // plan; reject it at the API edge with the contract spelled out.
+  // Matching is case-insensitive, like Spark's default resolution.
+  private val Reserved = Seq("pos", "n", "cum", "__pid", "__off", "__soff")
+  private val GlobalReserved = Reserved :+ "__gkey"
+
+  private def requireNoReserved(df: DataFrame, reserved: Seq[String],
+                                method: String): Unit = {
+    val clash = df.columns.filter(c => reserved.contains(c.toLowerCase))
+    require(clash.isEmpty,
+      s"DistributedRank.$method: input columns ${clash.mkString(", ")} " +
+        s"collide with reserved output/working columns " +
+        s"(${reserved.mkString(", ")}); rename them before calling")
+  }
+
   /** Input columns plus `pos` (1-based global position of the row
     * within its key under `orderCols`) and `n` (key row count). With
     * `sumCol` set (an INTEGRAL column), additionally `cum` — the exact
@@ -60,6 +77,7 @@ object DistributedRank {
   def withPositions(df: DataFrame, keyCol: String, orderCols: Seq[Column],
                     numPartitions: Int = 0,
                     sumCol: String = null): DataFrame = {
+    requireNoReserved(df, Reserved, "withPositions")
     val spark = df.sparkSession
     val p = if (numPartitions > 0) numPartitions
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
@@ -119,10 +137,12 @@ object DistributedRank {
     */
   def globalPositions(df: DataFrame, orderCols: Seq[Column],
                       numPartitions: Int = 0,
-                      sumCol: String = null): DataFrame =
+                      sumCol: String = null): DataFrame = {
+    requireNoReserved(df, GlobalReserved, "globalPositions")
     withPositions(df.withColumn("__gkey", lit(1)), "__gkey", orderCols,
       numPartitions, sumCol)
       .drop("__gkey")
+  }
 
   /** ntile(k) reconstructed from the [[withPositions]] output columns
     * `pos` and `n` with the SQL-standard bucket fill (first n mod k

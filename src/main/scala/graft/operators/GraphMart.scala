@@ -142,9 +142,25 @@ object GraphMart {
     * a change to [[coOrderCounts]] or the persisted layout invalidates
     * every on-disk mart built by prior code (a source-only fingerprint
     * would keep serving them forever). Bump on any semantic or layout
-    * change to the persisted counts.
+    * change to the persisted counts. v3: fingerprint-versioned data
+    * dirs (counts_<digest>) retired lazily instead of one shared
+    * `counts` dir deleted in place on rebuild.
     */
-  private val MartFormatVersion = 2
+  private val MartFormatVersion = 3
+
+  /** How long a superseded versioned counts dir survives after a
+    * rebuild before [[retireStale]] reclaims it. The grace window is
+    * what makes rebuilds safe for concurrent READERS: `read` returns a
+    * lazy DataFrame, so a reader that resolved the then-current dir may
+    * still be scanning it when another process detects a newer
+    * fingerprint and rebuilds — deleting the old dir immediately (the
+    * pre-v3 behavior) would fail that in-flight scan. Any reader's
+    * resolution-to-scan gap is bounded by job runtime, far under an
+    * hour; dirs older than that are garbage.
+    */
+  private[graft] val RetireGraceMs: Long =
+    sys.env.get("SPARK_GRAFT_MART_RETIRE_GRACE_MS").map(_.toLong)
+      .getOrElse(60L * 60 * 1000)
 
   /** The on-disk home for one fixture's persisted mart (exposed for the
     * spec's cleanup — tests build marts for throwaway fixture copies and
@@ -186,34 +202,43 @@ object GraphMart {
     * r10 mart was session-memoized, so every fresh JVM re-paid the
     * lineitem self-join; this makes the build once-per-FIXTURE).
     *
-    * Freshness is a manifest recording a versioned source fingerprint
-    * (format version + path + bytes + mtime): matching manifest AND an
-    * existing counts dir → read the persisted parquet (a graph-sized
-    * scan, not a fact-table self-join); missing/stale → rebuild. The
-    * rebuild is crash- and CONCURRENCY-safe: builders serialize on an
-    * OS-level file lock (plus a JVM monitor — FileLock is per-process),
-    * re-check freshness under the lock, write to a UNIQUE temp dir and
-    * atomically rename it into place, and write the manifest only after
-    * the rename. Two processes racing the first build can therefore
-    * never interleave part-files in one Spark overwrite target (the
-    * failure mode a shared `counts` dir would allow: mixed or partial
-    * data under a matching manifest, served as fresh forever); the
-    * loser of the race re-checks, sees fresh, and reads.
+    * Freshness is STRUCTURAL: the data dir's name embeds a digest of
+    * the versioned source fingerprint (format version + path + bytes +
+    * mtime), so `counts_<digest>` existing IS fingerprint-match — read
+    * it (a graph-sized scan, not a fact-table self-join); missing →
+    * rebuild under that name. The MANIFEST records the current
+    * fingerprint in the clear (inspection + the spec's rebuild pin),
+    * but is never the freshness authority. The rebuild is crash- and
+    * CONCURRENCY-safe: builders serialize on an OS-level file lock
+    * (plus a JVM monitor — FileLock is per-process), re-resolve the
+    * fingerprint under the lock, write to a UNIQUE temp dir and
+    * atomically rename it into place (a failed build's temp dir is
+    * reclaimed in the same try). Two processes racing the first build
+    * can therefore never interleave part-files in one Spark overwrite
+    * target; the loser of the race re-resolves, sees the dir, reads.
+    *
+    * Superseded dirs are retired LAZILY ([[retireStale]], grace
+    * [[RetireGraceMs]]) rather than deleted at rebuild time: `read`
+    * hands back a lazy DataFrame, so a concurrent reader that resolved
+    * the previous fingerprint's dir may still have a scan in flight
+    * when this builder swaps in the new one — versioned names mean the
+    * rebuild never touches the directory that reader is using.
     */
   def diskCounts(spark: SparkSession, dir: String): DataFrame = {
     val canonical = new java.io.File(dir).getCanonicalFile
     val src = new java.io.File(canonical, "lineitem.parquet")
     val home = martHome(dir)
-    val data = new java.io.File(home, "counts")
     val manifest = new java.io.File(home, "MANIFEST")
     def fp = s"v=$MartFormatVersion;src=${canonical.getPath};" +
       sourceFingerprint(src)
-    // A fresh manifest is only trusted alongside an existing counts dir:
-    // a manifest orphaned by a manual data delete must trigger a rebuild,
-    // not a read of nothing.
-    def fresh = manifest.isFile && data.isDirectory && fp == new String(
-      java.nio.file.Files.readAllBytes(manifest.toPath), "UTF-8")
-    if (!fresh) buildLock.synchronized {
+    def dataFor(fingerprint: String): java.io.File = {
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(fingerprint.getBytes("UTF-8"))
+        .take(6).map("%02x".format(_)).mkString
+      new java.io.File(home, s"counts_$digest")
+    }
+    var data = dataFor(fp)
+    if (!data.isDirectory) buildLock.synchronized {
       home.mkdirs()
       val ch = java.nio.channels.FileChannel.open(
         new java.io.File(home, "LOCK").toPath,
@@ -221,20 +246,55 @@ object GraphMart {
         java.nio.file.StandardOpenOption.WRITE)
       try {
         val lock = ch.lock() // blocks until the other builder finishes
-        try if (!fresh) { // double-check: the lock holder may have built it
-          manifest.delete()
-          val tmp = new java.io.File(home,
-            s"counts_tmp_${java.util.UUID.randomUUID}")
-          write(coOrderCounts(spark.read.parquet(src.getPath)), tmp.getPath)
-          if (data.exists()) deleteRecursively(data)
-          if (!tmp.renameTo(data))
-            throw new java.io.IOException(
-              s"GraphMart.diskCounts: rename $tmp -> $data failed")
-          java.nio.file.Files.write(manifest.toPath, fp.getBytes("UTF-8"))
+        try {
+          // Re-resolve under the lock: the lock holder may have built
+          // it, or the fixture may have changed while we waited.
+          val fpNow = fp
+          data = dataFor(fpNow)
+          if (!data.isDirectory) {
+            val tmp = new java.io.File(home,
+              s"counts_tmp_${java.util.UUID.randomUUID}")
+            var renamed = false
+            try {
+              write(coOrderCounts(spark.read.parquet(src.getPath)),
+                tmp.getPath)
+              if (!tmp.renameTo(data))
+                throw new java.io.IOException(
+                  s"GraphMart.diskCounts: rename $tmp -> $data failed")
+              renamed = true
+            } finally if (!renamed && tmp.exists()) deleteRecursively(tmp)
+            java.nio.file.Files.write(manifest.toPath,
+              fpNow.getBytes("UTF-8"))
+            retireStale(home, keep = data.getName)
+          }
         } finally lock.release()
       } finally ch.close()
     }
     read(spark, data.getPath)
+  }
+
+  /** Reclaim superseded build artifacts under a mart home, called only
+    * with the build lock held (so no OTHER builder's temp dir can be
+    * in flight). `counts_tmp_*` leftovers are crashed builds — swept
+    * unconditionally. Versioned `counts_*` dirs other than `keep` (and
+    * the pre-v3 un-versioned `counts`) are swept only once older than
+    * `graceMs`, leaving any dir a concurrent reader recently resolved
+    * intact (see [[RetireGraceMs]]).
+    */
+  private[graft] def retireStale(home: java.io.File, keep: String,
+                                 graceMs: Long = RetireGraceMs): Unit = {
+    val now = System.currentTimeMillis
+    Option(home.listFiles()).getOrElse(Array.empty[java.io.File])
+      .foreach { f =>
+        val n = f.getName
+        val retire =
+          if (n == keep || !f.isDirectory) false
+          else if (n.startsWith("counts_tmp_")) true
+          else if (n == "counts" || n.startsWith("counts_"))
+            now - f.lastModified > graceMs
+          else false
+        if (retire) deleteRecursively(f)
+      }
   }
 
   // Serializes same-JVM builders (java.nio FileLock guards across

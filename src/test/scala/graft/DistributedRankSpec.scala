@@ -115,4 +115,23 @@ class DistributedRankSpec extends SparkSpecBase {
     assert(bad.isEmpty,
       s"rows diverged: ${bad.take(2).map { case ((x, y), i) => s"#$i $x vs $y" }.mkString("; ")}")
   }
+
+  test("reserved input columns are rejected at the API edge") {
+    val bad = Seq((1L, "a", 2L)).toDF("id", "k", "pos")
+    val e = intercept[IllegalArgumentException] {
+      DistributedRank.withPositions(bad, "k", Seq(col("id")))
+    }
+    assert(e.getMessage.contains("pos"), e.getMessage)
+    // the global variant additionally claims __gkey
+    val e2 = intercept[IllegalArgumentException] {
+      DistributedRank.globalPositions(
+        Seq((1L, 2L)).toDF("id", "__gkey"), Seq(col("id")))
+    }
+    assert(e2.getMessage.contains("__gkey"), e2.getMessage)
+    // case-insensitive, like Spark's default column resolution
+    intercept[IllegalArgumentException] {
+      DistributedRank.withPositions(
+        Seq((1L, "a", 2L)).toDF("id", "k", "N"), "k", Seq(col("id")))
+    }
+  }
 }

@@ -173,6 +173,48 @@ class GraphMartSpec extends SparkSpecBase {
     }
   }
 
+  test("retireStale: tmps always swept, superseded dirs only past grace") {
+    val home = java.nio.file.Files.createTempDirectory("gm_retire").toFile
+    def mk(name: String, ageMs: Long) = {
+      val d = new java.io.File(home, name); d.mkdirs()
+      new java.io.File(d, "part-0").createNewFile()
+      assert(d.setLastModified(System.currentTimeMillis - ageMs)); d
+    }
+    val grace = 5 * 60 * 1000L
+    val keep = mk("counts_aaa", 10 * grace)  // current (old is fine) → kept
+    val young = mk("counts_bbb", 0L)         // superseded, within grace → kept
+    val old = mk("counts_ccc", 2 * grace)    // superseded, past grace → swept
+    val legacy = mk("counts", 2 * grace)     // pre-v3 layout, past grace → swept
+    val tmp = mk("counts_tmp_x", 0L)         // crashed build → swept regardless
+    val manifest = new java.io.File(home, "MANIFEST")
+    java.nio.file.Files.write(manifest.toPath, "fp".getBytes("UTF-8"))
+    GraphMart.retireStale(home, keep = "counts_aaa", graceMs = grace)
+    assert(keep.isDirectory && young.isDirectory && manifest.isFile,
+      "retireStale must keep the current dir, in-grace dirs and the manifest")
+    assert(!old.exists && !legacy.exists && !tmp.exists,
+      "retireStale must sweep past-grace superseded dirs and crashed tmps")
+    GraphMart.deleteRecursively(home)
+  }
+
+  test("rebuild never deletes the dir a concurrent reader resolved") {
+    val fixture = copyFixture()
+    try {
+      val want = edgeSet(GraphMart.diskCounts(spark, fixture.getPath))
+      // a "concurrent reader": a lazy frame resolved against the
+      // CURRENT versioned dir, scanned only after the rebuild below
+      val resolved = GraphMart.diskCounts(spark, fixture.getPath)
+      val li = new java.io.File(fixture, "lineitem.parquet")
+      assert(li.setLastModified(li.lastModified + 10000))
+      // stale fingerprint → rebuild lands under a NEW versioned name
+      assert(edgeSet(GraphMart.diskCounts(spark, fixture.getPath)) == want)
+      assert(edgeSet(resolved) == want,
+        "the pre-rebuild frame must stay scannable (lazy retirement)")
+    } finally {
+      GraphMart.deleteRecursively(GraphMart.martHome(fixture.getPath))
+      GraphMart.deleteRecursively(fixture)
+    }
+  }
+
   test("cachedEdges normalizes the dir key (trailing slash = same entry)") {
     val e1 = GraphMart.cachedEdges(spark, sfDir)
     val e2 = GraphMart.cachedEdges(spark, sfDir + "/")
