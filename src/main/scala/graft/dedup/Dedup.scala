@@ -374,9 +374,27 @@ object Dedup extends org.apache.spark.internal.Logging {
   def minhashLshPairs(docs: DataFrame, textCol: String, idCol: String,
                       threshold: Double, n: Int = 3,
                       bands: Int = 4, r: Int = 3): DataFrame = {
-    val t = shingled(docs, textCol, idCol, n)
-    jaccardVerified(bandedCandidates(bandKeyRows(t, bands, r)),
-      t, t, "ida", "idb", threshold)
+    // Candidate generation materializes eagerly (this function is not
+    // purely lazy): the band index persists just long enough for the
+    // self-join's two sides to read ONE signing pass, and the candidate
+    // pairs persist so the verify stage prunes the corpus to candidate
+    // MEMBERS before re-shingling — the lazy formulation re-shingled the
+    // FULL corpus four times per call (band sides + verify sides; round-13
+    // plan audit, same systemic finding as LmScore). Candidate pairs are
+    // ∝ near-dup structure, the smallest frame in the pipeline — the
+    // right thing to pin, exactly as incrementalNearDups' stored-index
+    // probe already did.
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val banded = bandKeyRows(shingled(docs, textCol, idCol, n), bands, r)
+      .persist(lvl)
+    val cand = bandedCandidates(banded).persist(lvl)
+    cand.count() // one signing pass fills `banded`; the join reads it
+    banded.unpersist(false) // candidates are materialized; index can go
+    val candIds = cand
+      .select(explode(array(col("ida"), col("idb"))).as(idCol)).distinct()
+    val pruned = docs.join(candIds, Seq(idCol), "left_semi")
+    val t = shingled(pruned, textCol, idCol, n)
+    jaccardVerified(cand, t, t, "ida", "idb", threshold)
   }
 
   /** Distinct candidate pairs (ida < idb) from a banded frame — the one
@@ -1160,14 +1178,27 @@ object Dedup extends org.apache.spark.internal.Logging {
     * self-contained operator.
     *
     * `cands` needs (ida, idb) with ida < idb; output (ida, idb, dist).
+    *
+    * Candidates materialize eagerly (not purely lazy): the pair frame
+    * persists so the corpus can be pruned to candidate MEMBERS (one
+    * semi-join) before lengths/histograms/texts are computed — the lazy
+    * formulation scanned the FULL corpus four times per call (two
+    * feature joins + two text joins) and computed per-doc features on
+    * every row for a survivor-sparse pair set (round-13 plan audit).
     */
   def editDistanceVerify(cands: DataFrame, docs: DataFrame,
                          textCol: String, idCol: String,
                          maxDist: Int = 8): DataFrame = {
     require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
-    val t = docs.select(col(idCol).as("__vid"),
+    val c = cands.select("ida", "idb")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    c.count()
+    val candIds = c
+      .select(explode(array(col("ida"), col("idb"))).as(idCol)).distinct()
+    val pruned = docs.join(candIds, Seq(idCol), "left_semi")
+    val t = pruned.select(col(idCol).as("__vid"),
       length(col(textCol)).as("__vl"), charHist27(col(textCol)).as("__vh"))
-    val filtered = cands.select("ida", "idb")
+    val filtered = c
       .join(t, col("ida") === col("__vid"))
       .select(col("ida"), col("idb"),
         col("__vl").as("la"), col("__vh").as("ha"))
@@ -1175,20 +1206,28 @@ object Dedup extends org.apache.spark.internal.Logging {
       .filter(abs(col("la") - col("__vl")) <= maxDist)
       .filter(l1Dist(col("ha"), col("__vh")) <= lit(2 * maxDist))
       .select("ida", "idb")
-    verifyWithTexts(filtered, docs, textCol, idCol, maxDist)
+    verifyWithTexts(filtered, pruned, textCol, idCol, maxDist)
   }
 
   /** Shared fuzzy-dedup verify tail: fetch texts by id for the (already
     * length- and count-filtered) candidate pairs, then the banded
     * threshold Levenshtein. This is the ONLY place text pairs up, and by
-    * now candidates are survivor-sparse — AQE broadcasts the pair side,
-    * so the corpus text never shuffles at all.
+    * now candidates are survivor-sparse — the pair frame is pinned and
+    * the doc side semi-joined down to pair members before texts are
+    * read, so neither text join scans the full corpus; AQE broadcasts
+    * the pair side, so the (pruned) corpus text never shuffles at all.
     */
   private def verifyWithTexts(cands: DataFrame, docs: DataFrame,
                               textCol: String, idCol: String,
                               maxDist: Int): DataFrame = {
-    val t = docs.select(col(idCol).as("__tid"), col(textCol).as("__tt"))
-    cands
+    val c = cands
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    c.count()
+    val pairIds = c
+      .select(explode(array(col("ida"), col("idb"))).as(idCol)).distinct()
+    val pruned = docs.join(pairIds, Seq(idCol), "left_semi")
+    val t = pruned.select(col(idCol).as("__tid"), col(textCol).as("__tt"))
+    c
       .join(t, col("ida") === col("__tid"))
       .select(col("ida"), col("idb"), col("__tt").as("ta"))
       .join(t, col("idb") === col("__tid"))
