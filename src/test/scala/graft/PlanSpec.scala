@@ -578,13 +578,24 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("dsir weights: raw corpus exploded once, scalars broadcast") {
+  test("dsir weights: scoring pass scans the corpus once, scalars are literals") {
+    // Round 13: the bigram model trains once (persisted artifact) and the
+    // three normalizers (V, C_r, C_t) are collected and pinned as
+    // LITERALS — the scoring plan must carry no constants frame at all
+    // and explode the raw corpus exactly once (one scoring pass; the
+    // training pass lives behind the model's InMemoryRelation).
     val p = plan(q("q_dsir_weights"))
-    assert(!p.contains("CartesianProduct"),
-      "the 1-row constants frame must arrive as BroadcastNestedLoopJoin, " +
-        "never a cartesian")
-    assert(p.contains("BroadcastNestedLoopJoin"),
-      "constants cross-join must broadcast")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "normalizers must be literals, not a joined constants frame")
+    assert(p.contains("InMemoryTableScan"),
+      "scoring must read the persisted model")
+    // the model's own (cached) build plan prints under InMemoryRelation;
+    // everything before the first one is the scoring pass
+    assert("Generate explode".r.findAllIn(
+        p.split("InMemoryRelation").head).length == 1,
+      "the scoring pass must explode the raw corpus exactly once\n" +
+        p.take(800))
   }
 
   test("1-row constant crossJoins broadcast by HINT, not by AQE courtesy") {
@@ -599,8 +610,9 @@ class PlanSpec extends SparkSpecBase {
     try {
       conf.set("spark.sql.adaptive.enabled", "false")
       conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      for (name <- Seq("q_dsir_weights", "q_tfidf_top_terms",
-          "q_sample_weighted", "q_text_lm_score")) {
+      // (dsir/lm_score left this list in round 13: their scalars are now
+      // collected literals, so they have no constants crossJoin to pin)
+      for (name <- Seq("q_tfidf_top_terms", "q_sample_weighted")) {
         val p = plan(q(name))
         assert(!p.contains("CartesianProduct"),
           s"$name: unhinted scalar crossJoin degraded to cartesian with " +
