@@ -992,10 +992,17 @@ object Dedup extends org.apache.spark.internal.Logging {
   def simhashPairsWide(docs: DataFrame, textCol: String, idCol: String,
                        maxHamming: Int = 3): DataFrame = {
     val mask30 = (1L << 30) - 1
+    // The 120-bit sketch frame (id, h1, h2) is a 24 B/doc artifact: pin
+    // and fill it once so the chunk self-join's two sides read ONE
+    // tokenize+simhash pass (lazily each side re-hashed the corpus —
+    // round-13 plan audit; consumed within this call graph, so the
+    // eager fill is the tf-shaped case, not the band-index one).
     val sh = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) > 0)
       .select(col("id"), simhash60(col("toks")).as("h1"),
         simhash60Tail(col("toks")).as("h2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sh.count()
     val chunks = array(
       col("h1").bitwiseAND(lit(mask30)),
       shiftright(col("h1"), 30).bitwiseAND(lit(mask30)),
