@@ -447,7 +447,13 @@ object Components {
       .localCheckpoint(eager = true)
     val n = nodes.count()
     require(n > 0, "hits: empty graph")
-    // one normalized half-step: keyed raw sums, L1-normalize to `scale`
+    // one normalized half-step: keyed raw sums, L1-normalize to `scale`.
+    // The L1 total stays a bounded driver collect over the CHECKPOINTED
+    // raw frame: round 13 tried the broadcast-1-row-frame shape that
+    // paid off in pageRank/ppr and measured it ~1.6x SLOWER here — the
+    // raise_error zero-mass guard in the normalize projection knocks it
+    // out of codegen, and the collect it replaced was already reading a
+    // materialized checkpoint.
     def halfStep(score: DataFrame, keyIn: String, keyOut: String): DataFrame = {
       val raw = e
         .join(score.select(col("id").as(keyIn), col("v")), keyIn)
@@ -729,17 +735,23 @@ object Components {
     var r = nodes.select(col("id"), lit(scale / n).as("r"))
       .localCheckpoint(eager = true)
     for (_ <- 1 to iters) {
-      val dmass = dang.join(r, "id")
-        .agg(coalesce(sum(col("r")), lit(0L))).collect()(0).getLong(0)
+      // dangling mass rides the round's ONE job as a broadcast 1-row
+      // frame (round 13; the per-round driver collect doubled the job
+      // count for a value the plan can carry). `div` floors exactly as
+      // the old driver-side Long division did — dmass >= 0, n > 0.
+      val dm = dang.join(r, "id")
+        .agg(coalesce(sum(col("r")), lit(0L)).as("dmass"))
+        .select(expr(s"dmass div $n").as("dpn"))
       val contrib = ew
         .join(r.select(col("id").as("src"), col("r")), "src")
         .select(col("dst"), expr("(r * w) div sw").as("c"))
         .groupBy(col("dst").as("id")).agg(sum(col("c")).as("contrib"))
       r = nodes.join(contrib, Seq("id"), "left")
+        .crossJoin(broadcast(dm))
         .select(col("id"),
           (lit(base) +
             expr(s"($dampingPct * (coalesce(contrib, CAST(0 AS BIGINT)) " +
-              s"+ ${dmass / n})) div 100")).as("r"))
+              s"+ dpn)) div 100")).as("r"))
         .repartition(numPartitions, col("id"))
         .localCheckpoint(eager = true)
     }
@@ -809,17 +821,20 @@ object Components {
       .select(col("id"), (col("is_seed") * lit(scale / nS)).as("r"))
       .localCheckpoint(eager = true)
     for (_ <- 1 to iters) {
-      val dmass = dang.join(r, "id")
-        .agg(coalesce(sum(col("r")), lit(0L))).collect()(0).getLong(0)
+      // same broadcast-scalar round shape as pageRankImpl (round 13)
+      val dm = dang.join(r, "id")
+        .agg(coalesce(sum(col("r")), lit(0L)).as("dmass"))
+        .select(expr(s"dmass div $nS").as("dpn"))
       val contrib = ew
         .join(r.select(col("id").as("src"), col("r")), "src")
         .select(col("dst"), expr("r div outdeg").as("c"))
         .groupBy(col("dst").as("id")).agg(sum(col("c")).as("contrib"))
       r = flagged.join(contrib, Seq("id"), "left")
+        .crossJoin(broadcast(dm))
         .select(col("id"),
           (col("is_seed") * lit(base) +
             expr(s"($dampingPct * (coalesce(contrib, CAST(0 AS BIGINT)) " +
-              s"+ is_seed * ${dmass / nS})) div 100")).as("r"))
+              s"+ is_seed * dpn)) div 100")).as("r"))
         .repartition(numPartitions, col("id"))
         .localCheckpoint(eager = true)
     }
