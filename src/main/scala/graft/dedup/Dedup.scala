@@ -579,8 +579,16 @@ object Dedup extends org.apache.spark.internal.Logging {
     val tok = tokenized(docs, textCol, idCol)
     val spans = posSpans(tok, w)
     // df counts DOCS containing the span (per-doc distinct — same
-    // definition as spanDupStats), not occurrences
-    val sdf = spans.select("id", "s").distinct()
+    // definition as spanDupStats), not occurrences. wordShingles emits
+    // exactly posSpans' span strings deduped PER DOC (same space-join,
+    // same < w edge), so the count aggregates the explode directly with
+    // map-side partials — the (id, s) distinct formulation moved the
+    // full span stream through TWO exchanges (per-doc-unique keys give
+    // the distinct's partial pass nothing to collapse) where this
+    // moves per-partition-collapsed (s, cnt) partials through ONE.
+    val sdf = tok.select(explode(
+        graft.functions.TextHashExpressions.wordShingles(col("tk"), w))
+        .as("s"))
       .groupBy("s").agg(count(lit(1)).as("sdf"))
     val covered = spans.join(sdf.filter(col("sdf") >= 2), "s")
       .select(col("id"),
