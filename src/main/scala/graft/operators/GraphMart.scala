@@ -148,19 +148,42 @@ object GraphMart {
     */
   private val MartFormatVersion = 3
 
-  /** How long a superseded versioned counts dir survives after a
-    * rebuild before [[retireStale]] reclaims it. The grace window is
-    * what makes rebuilds safe for concurrent READERS: `read` returns a
-    * lazy DataFrame, so a reader that resolved the then-current dir may
-    * still be scanning it when another process detects a newer
-    * fingerprint and rebuilds — deleting the old dir immediately (the
-    * pre-v3 behavior) would fail that in-flight scan. Any reader's
-    * resolution-to-scan gap is bounded by job runtime, far under an
-    * hour; dirs older than that are garbage.
+  /** How long a superseded versioned counts dir survives after its
+    * SUPERSESSION (not its build — a dir built long ago would otherwise
+    * be reclaimed the instant a rebuild supersedes it, which is exactly
+    * the common steady state) before [[retireStale]] reclaims it. The
+    * grace window is what makes rebuilds safe for concurrent READERS:
+    * `read` returns a lazy DataFrame, so a reader that resolved the
+    * then-current dir may still be scanning it when another process
+    * detects a newer fingerprint and rebuilds — deleting the old dir
+    * immediately (the pre-v3 behavior) would fail that in-flight scan.
+    * Any reader's resolution-to-scan gap is bounded by job runtime, far
+    * under an hour; dirs superseded longer ago than that are garbage.
+    * Supersession time is recorded by a [[SupersededMarker]] tombstone
+    * dropped inside the dir on the first retire pass that sees it
+    * superseded; a malformed env override falls back to the default
+    * with a warning naming the variable (a bare `.toLong` here would
+    * surface as an opaque ExceptionInInitializerError on first touch).
     */
-  private[graft] val RetireGraceMs: Long =
-    sys.env.get("SPARK_GRAFT_MART_RETIRE_GRACE_MS").map(_.toLong)
-      .getOrElse(60L * 60 * 1000)
+  private[graft] val RetireGraceMs: Long = {
+    val env = "SPARK_GRAFT_MART_RETIRE_GRACE_MS"
+    val default = 60L * 60 * 1000
+    sys.env.get(env).map { v =>
+      scala.util.Try(v.toLong).getOrElse {
+        System.err.println(
+          s"GraphMart: $env='$v' is not a long; using default $default ms")
+        default
+      }
+    }.getOrElse(default)
+  }
+
+  /** Tombstone file dropped inside a superseded counts dir; its mtime IS
+    * the supersession time the grace window counts from. The leading
+    * underscore keeps it invisible to Spark's file index (like
+    * `_SUCCESS`), so a reader scanning the still-live dir never trips
+    * on a non-parquet file.
+    */
+  private[graft] val SupersededMarker = "_SUPERSEDED"
 
   /** The on-disk home for one fixture's persisted mart (exposed for the
     * spec's cleanup — tests build marts for throwaway fixture copies and
@@ -277,9 +300,15 @@ object GraphMart {
     * with the build lock held (so no OTHER builder's temp dir can be
     * in flight). `counts_tmp_*` leftovers are crashed builds — swept
     * unconditionally. Versioned `counts_*` dirs other than `keep` (and
-    * the pre-v3 un-versioned `counts`) are swept only once older than
-    * `graceMs`, leaving any dir a concurrent reader recently resolved
-    * intact (see [[RetireGraceMs]]).
+    * the pre-v3 un-versioned `counts`) follow a two-pass protocol so
+    * grace is counted from SUPERSESSION, not build time: the first pass
+    * that sees a dir superseded drops a [[SupersededMarker]] tombstone
+    * inside it (and keeps the dir — a concurrent reader may have just
+    * resolved it); a later pass deletes it only once the tombstone is
+    * older than `graceMs`. Counting from the dir's own lastModified
+    * (its BUILD time) would delete a long-lived mart the instant a
+    * rebuild supersedes it — the exact race the grace window exists to
+    * prevent.
     */
   private[graft] def retireStale(home: java.io.File, keep: String,
                                  graceMs: Long = RetireGraceMs): Unit = {
@@ -287,13 +316,16 @@ object GraphMart {
     Option(home.listFiles()).getOrElse(Array.empty[java.io.File])
       .foreach { f =>
         val n = f.getName
-        val retire =
-          if (n == keep || !f.isDirectory) false
-          else if (n.startsWith("counts_tmp_")) true
-          else if (n == "counts" || n.startsWith("counts_"))
-            now - f.lastModified > graceMs
-          else false
-        if (retire) deleteRecursively(f)
+        if (f.isDirectory && n != keep) {
+          if (n.startsWith("counts_tmp_")) deleteRecursively(f)
+          else if (n == "counts" || n.startsWith("counts_")) {
+            val tomb = new java.io.File(f, SupersededMarker)
+            if (!tomb.exists())
+              try java.nio.file.Files.write(tomb.toPath, Array.empty[Byte])
+              catch { case _: java.io.IOException => () } // retry next pass
+            else if (now - tomb.lastModified > graceMs) deleteRecursively(f)
+          }
+        }
       }
   }
 

@@ -173,26 +173,50 @@ class GraphMartSpec extends SparkSpecBase {
     }
   }
 
-  test("retireStale: tmps always swept, superseded dirs only past grace") {
+  test("retireStale: grace counts from supersession (tombstone), not build") {
     val home = java.nio.file.Files.createTempDirectory("gm_retire").toFile
-    def mk(name: String, ageMs: Long) = {
+    def mk(name: String, buildAgeMs: Long, tombAgeMs: Option[Long] = None) = {
       val d = new java.io.File(home, name); d.mkdirs()
       new java.io.File(d, "part-0").createNewFile()
-      assert(d.setLastModified(System.currentTimeMillis - ageMs)); d
+      tombAgeMs.foreach { age =>
+        val t = new java.io.File(d, GraphMart.SupersededMarker)
+        t.createNewFile()
+        assert(t.setLastModified(System.currentTimeMillis - age))
+      }
+      assert(d.setLastModified(System.currentTimeMillis - buildAgeMs)); d
     }
     val grace = 5 * 60 * 1000L
     val keep = mk("counts_aaa", 10 * grace)  // current (old is fine) → kept
-    val young = mk("counts_bbb", 0L)         // superseded, within grace → kept
-    val old = mk("counts_ccc", 2 * grace)    // superseded, past grace → swept
-    val legacy = mk("counts", 2 * grace)     // pre-v3 layout, past grace → swept
+    // superseded JUST NOW but built long ago — the r13 bug deleted this
+    // immediately (grace measured from build time); now it must survive
+    // the first pass and merely gain a tombstone
+    val fresh = mk("counts_bbb", 10 * grace)
+    // tombstoned within grace → kept (a reader may still be scanning)
+    val young = mk("counts_ccc", 10 * grace, tombAgeMs = Some(grace / 2))
+    // tombstoned past grace → swept
+    val old = mk("counts_ddd", 10 * grace, tombAgeMs = Some(2 * grace))
+    // pre-v3 layout follows the same protocol
+    val legacy = mk("counts", 10 * grace, tombAgeMs = Some(2 * grace))
     val tmp = mk("counts_tmp_x", 0L)         // crashed build → swept regardless
     val manifest = new java.io.File(home, "MANIFEST")
     java.nio.file.Files.write(manifest.toPath, "fp".getBytes("UTF-8"))
     GraphMart.retireStale(home, keep = "counts_aaa", graceMs = grace)
-    assert(keep.isDirectory && young.isDirectory && manifest.isFile,
-      "retireStale must keep the current dir, in-grace dirs and the manifest")
+    assert(keep.isDirectory && manifest.isFile,
+      "retireStale must keep the current dir and the manifest")
+    assert(fresh.isDirectory &&
+      new java.io.File(fresh, GraphMart.SupersededMarker).isFile,
+      "a newly superseded dir must be kept and tombstoned, however old " +
+        "its build time")
+    assert(young.isDirectory,
+      "a dir tombstoned within grace must be kept")
     assert(!old.exists && !legacy.exists && !tmp.exists,
-      "retireStale must sweep past-grace superseded dirs and crashed tmps")
+      "retireStale must sweep past-grace tombstoned dirs and crashed tmps")
+    // second pass, tombstone now past grace → the fresh dir is reclaimed
+    val t = new java.io.File(fresh, GraphMart.SupersededMarker)
+    assert(t.setLastModified(System.currentTimeMillis - 2 * grace))
+    GraphMart.retireStale(home, keep = "counts_aaa", graceMs = grace)
+    assert(!fresh.exists, "second pass past grace must reclaim the dir")
+    assert(keep.isDirectory)
     GraphMart.deleteRecursively(home)
   }
 
