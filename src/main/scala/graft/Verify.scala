@@ -45,6 +45,12 @@ object Verify {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Suite-end sweep of the pinned trained artifacts (LM model, LSH
+    // candidates, simhash sketch, tfidf tf, …): the session amortizes
+    // them across queries, the harness bounds their lifetime.
+    val released = graft.operators.Artifacts.releaseAll(spark)
+    if (released > 0)
+      System.err.println(s"[verify] released $released pinned artifacts")
     spark.stop()
   }
 }

@@ -384,17 +384,18 @@ object Dedup extends org.apache.spark.internal.Logging {
     // ∝ near-dup structure, the smallest frame in the pipeline — the
     // right thing to pin, exactly as incrementalNearDups' stored-index
     // probe already did.
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val banded = bandKeyRows(shingled(docs, textCol, idCol, n), bands, r)
-      .persist(lvl)
+      .persist(graft.operators.Artifacts.Level)
     // No eager fill of `banded`: the self-join's sides may race the lazy
     // cache on the FIRST build, but `cand` below stays cached for the
     // session (the canonical-plan lookup makes repeat calls no-ops), so
     // an eager banded.count() would re-sign the corpus on every repeat
     // call for a cache the repeat never reads (measured 3× slower in a
-    // 3-pass bench loop).
-    val cand = bandedCandidates(banded).persist(lvl)
-    cand.count() // one signing pass fills `banded`; the join reads it
+    // 3-pass bench loop). `cand` is the session-lived artifact →
+    // registered (release via Artifacts.releaseAll); `banded` is
+    // transient, dropped inline below.
+    val cand = graft.operators.Artifacts.pinEager(bandedCandidates(banded),
+      "lsh.candidates") // one signing pass fills `banded`; the join reads it
     banded.unpersist(false) // candidates are materialized; index can go
     val candIds = cand
       .select(explode(array(col("ida"), col("idb"))).as(idCol)).distinct()
@@ -1005,12 +1006,12 @@ object Dedup extends org.apache.spark.internal.Logging {
     // tokenize+simhash pass (lazily each side re-hashed the corpus —
     // round-13 plan audit; consumed within this call graph, so the
     // eager fill is the tf-shaped case, not the band-index one).
-    val sh = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
-      .filter(size(col("toks")) > 0)
-      .select(col("id"), simhash60(col("toks")).as("h1"),
-        simhash60Tail(col("toks")).as("h2"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    sh.count()
+    val sh = graft.operators.Artifacts.pinEager(
+      docs.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+        .filter(size(col("toks")) > 0)
+        .select(col("id"), simhash60(col("toks")).as("h1"),
+          simhash60Tail(col("toks")).as("h2")),
+      "simhash.sketch")
     val chunks = array(
       col("h1").bitwiseAND(lit(mask30)),
       shiftright(col("h1"), 30).bitwiseAND(lit(mask30)),
@@ -1211,9 +1212,8 @@ object Dedup extends org.apache.spark.internal.Logging {
                          textCol: String, idCol: String,
                          maxDist: Int = 8): DataFrame = {
     require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
-    val c = cands.select("ida", "idb")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    c.count()
+    val c = graft.operators.Artifacts.pinEager(cands.select("ida", "idb"),
+      "fuzzy.candidates")
     val candIds = c
       .select(explode(array(col("ida"), col("idb"))).as(idCol)).distinct()
     val pruned = docs.join(candIds, Seq(idCol), "left_semi")
@@ -1227,26 +1227,38 @@ object Dedup extends org.apache.spark.internal.Logging {
       .filter(abs(col("la") - col("__vl")) <= maxDist)
       .filter(l1Dist(col("ha"), col("__vh")) <= lit(2 * maxDist))
       .select("ida", "idb")
-    verifyWithTexts(filtered, pruned, textCol, idCol, maxDist)
+    // docs are already pruned to candidate MEMBERS above — the verify
+    // tail must not re-derive pair ids and semi-join a second time
+    // (filtered's members are a subset of c's, so `pruned` is a valid
+    // superset text source).
+    verifyWithTexts(filtered, pruned, textCol, idCol, maxDist,
+      docsPrePruned = true)
   }
 
   /** Shared fuzzy-dedup verify tail: fetch texts by id for the (already
     * length- and count-filtered) candidate pairs, then the banded
     * threshold Levenshtein. This is the ONLY place text pairs up, and by
-    * now candidates are survivor-sparse — the pair frame is pinned and
-    * the doc side semi-joined down to pair members before texts are
-    * read, so neither text join scans the full corpus; AQE broadcasts
-    * the pair side, so the (pruned) corpus text never shuffles at all.
+    * now candidates are survivor-sparse — the pair frame is pinned
+    * (two text-join consumers share one filter-chain run) and the doc
+    * side semi-joined down to pair members before texts are read, so
+    * neither text join scans the full corpus; AQE broadcasts the pair
+    * side, so the (pruned) corpus text never shuffles at all.
+    * `docsPrePruned = true` skips the semi-join when the CALLER already
+    * pruned docs to candidate members (editDistanceVerify does) — the
+    * filtered pairs' members are a subset of the caller's candidate
+    * members, so the caller's pruned frame is a valid text source and
+    * a second explode/distinct/semi-join per call is pure waste.
     */
   private def verifyWithTexts(cands: DataFrame, docs: DataFrame,
                               textCol: String, idCol: String,
-                              maxDist: Int): DataFrame = {
-    val c = cands
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    c.count()
-    val pairIds = c
-      .select(explode(array(col("ida"), col("idb"))).as(idCol)).distinct()
-    val pruned = docs.join(pairIds, Seq(idCol), "left_semi")
+                              maxDist: Int,
+                              docsPrePruned: Boolean = false): DataFrame = {
+    val c = graft.operators.Artifacts.pinEager(cands, "fuzzy.verify_pairs")
+    val pruned =
+      if (docsPrePruned) docs
+      else docs.join(
+        c.select(explode(array(col("ida"), col("idb"))).as(idCol)).distinct(),
+        Seq(idCol), "left_semi")
     val t = pruned.select(col(idCol).as("__tid"), col(textCol).as("__tt"))
     c
       .join(t, col("ida") === col("__tid"))

@@ -406,12 +406,12 @@ object TextQueries extends QueryPack {
     // rows growing with the vocabulary).
     "q_tfidf_top_terms" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val tf = docs
-        .select(col("source"), explode(tokens(col("text"))).as("term"))
-        .groupBy("source", "term")
-        .agg(count(lit(1)).as("tf"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      tf.count() // materialize once; both consumers read the cache
+      val tf = graft.operators.Artifacts.pinEager(
+        docs
+          .select(col("source"), explode(tokens(col("text"))).as("term"))
+          .groupBy("source", "term")
+          .agg(count(lit(1)).as("tf")),
+        "tfidf.tf") // materialize once; both consumers read the cache
       // tf has one row per (source, term), so counting rows per term IS
       // the number of sources containing the term
       val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))

@@ -83,9 +83,9 @@ object LmScore {
     val tc = target
       .select(explode(bigramsOf(TextFunctions.tokens(col(textCol)))).as("bg"))
       .groupBy("bg").agg(count(lit(1)).as("c_t"))
-    val model = rc.join(tc, Seq("bg"), "full_outer")
-      .na.fill(0L, Seq("c_r", "c_t"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val model = graft.operators.Artifacts.pin(
+      rc.join(tc, Seq("bg"), "full_outer").na.fill(0L, Seq("c_r", "c_t")),
+      "dsir.model") // lazy pin: the scalar head() below materializes it
     // One bounded read trains + materializes the model and yields the
     // three normalizers (joint vocab size V = model row count; total
     // masses C_r, C_t). Empty-input guard: sums are null over 0 rows.
@@ -126,13 +126,12 @@ object LmScore {
     // multi-million-row hash relation on the driver — 2× slower at
     // diversify-30× than the SMJ the true size calls for).
     // The interim bg cache exists only while the model builds.
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val bg = perDoc.groupBy("bg").agg(sum("m").as("c_bg"))
       .withColumn("w1", substring_index(col("bg"), " ", 1))
-      .persist(lvl)
-    val ctx = bg.groupBy("w1").agg(sum("c_bg").as("c_ctx"))
-    val model = bg.join(ctx, "w1").persist(lvl)
-    model.count() // train once; scoring below reads the cached model
+      .persist(graft.operators.Artifacts.Level)
+    val model = graft.operators.Artifacts.pinEager(
+      bg.join(bg.groupBy("w1").agg(sum("c_bg").as("c_ctx")), "w1"),
+      "lm.bigram_model") // train once; scoring below reads the cache
     bg.unpersist(false)
     perDoc.join(model, "bg")
       .withColumn("nll", -log(col("c_bg").cast("double") / col("c_ctx")))
