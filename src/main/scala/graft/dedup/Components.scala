@@ -447,23 +447,35 @@ object Components {
       .localCheckpoint(eager = true)
     val n = nodes.count()
     require(n > 0, "hits: empty graph")
-    // one normalized half-step: keyed raw sums, L1-normalize to `scale`.
-    // The L1 total stays a bounded driver collect over the CHECKPOINTED
-    // raw frame: round 13 tried the broadcast-1-row-frame shape that
-    // paid off in pageRank/ppr and measured it ~1.6x SLOWER here — the
-    // raise_error zero-mass guard in the normalize projection knocks it
-    // out of codegen, and the collect it replaced was already reading a
-    // materialized checkpoint.
+    // One normalized half-step: keyed raw sums, L1-normalize to `scale`,
+    // the L1 total riding the half-step's ONE job as a broadcast 1-row
+    // frame — the pageRank round-scalar shape. Round 13's first attempt
+    // at this measured ~1.6× SLOWER because it kept the raise_error
+    // zero-mass guard INSIDE the normalize projection, which knocks the
+    // stage out of codegen; round 14 hoists the guard out entirely: the
+    // normalize is branch-guarded with a plain CASE WHEN (codegen'd,
+    // short-circuiting — ANSI div never sees a zero divisor), a zeroed
+    // total floors the half-step to 0 and zero mass PROPAGATES (a
+    // zeroed half-step zeroes every later one), and one bounded
+    // post-loop collect checks the FINAL totals and fails loudly with
+    // the zero-mass message for a zero at any round. Codegen stays
+    // intact and
+    // the per-round driver round-trips (2 collects + 2 raw-checkpoint
+    // jobs per round) are gone — what remains per half-step is the one
+    // eager checkpoint every round loop pays (see pageRank's scaladoc
+    // for why lazy chains lose). `raw` feeds both the total and the
+    // normalize join; its groupBy exchange is canonically identical on
+    // both sides, so the shuffle is reused, not re-run.
     def halfStep(score: DataFrame, keyIn: String, keyOut: String): DataFrame = {
       val raw = e
         .join(score.select(col("id").as(keyIn), col("v")), keyIn)
         .groupBy(col(keyOut).as("id")).agg(sum(col("v")).as("v"))
-        .localCheckpoint(eager = true) // feeds the total AND the normalize
-      val s = raw.agg(coalesce(sum(col("v")), lit(0L))).collect()(0).getLong(0)
-      require(s > 0, "hits: zero mass — disconnected direction")
+      val tot = raw.agg(coalesce(sum(col("v")), lit(0L)).as("s"))
       nodes.join(raw, Seq("id"), "left")
+        .crossJoin(broadcast(tot))
         .select(col("id"),
-          coalesce(expr(s"(v * $scale) div $s"), lit(0L)).as("v"))
+          coalesce(when(col("s") > 0, expr(s"(v * $scale) div s")),
+            lit(0L)).as("v"))
         .repartition(numPartitions, col("id"))
         .localCheckpoint(eager = true)
     }
@@ -474,6 +486,14 @@ object Components {
       a = halfStep(h, "src", "dst") // authority: in-links' hub mass
       h = halfStep(a, "dst", "src") // hub: out-links' authority mass
     }
+    // the hoisted zero-mass guard: a zero L1 total at ANY half-step
+    // propagates to the final frames, so one bounded 1-row read over
+    // the checkpointed results detects it — loud failure preserved,
+    // off the per-round hot path.
+    val masses = a.agg(coalesce(sum(col("v")), lit(0L)))
+      .crossJoin(h.agg(coalesce(sum(col("v")), lit(0L)))).collect()(0)
+    require(masses.getLong(0) > 0 && masses.getLong(1) > 0,
+      "hits: zero mass — disconnected direction")
     nodes
       .join(a.select(col("id"), col("v").as("authority_e9")), Seq("id"))
       .join(h.select(col("id"), col("v").as("hub_e9")), Seq("id"))
