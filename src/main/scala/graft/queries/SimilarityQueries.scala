@@ -233,23 +233,34 @@ object SimilarityQueries extends QueryPack {
         .orderBy("qid", "rn")
     }),
 
-    // PQ-ADC approximate top-3: 8×16 product-quantized codes (64×
-    // smaller scan than the float vectors), per-query lookup tables,
-    // exact re-rank of the 50-candidate shortlist. Codebook training is
-    // driver-side k-means → rows-only check; PqSpec pins recall vs the
-    // brute-force baseline and code determinism.
+    // PQ-ADC top-3 (8×16 product-quantized codes, per-query LUTs, exact
+    // re-rank of the shortlist) run in EXACT-EQUIVALENCE mode: the
+    // corpus is capped at 39 candidates < the 50-row rerank shortlist,
+    // so every candidate reaches the exact re-rank and the output is
+    // provably the brute-force top-3 REGARDLESS of codebook values —
+    // which makes the full PQ pipeline (train → encode → ADC scan →
+    // shortlist → re-rank) hash-checkable against a DuckDB brute-force
+    // oracle even though the driver-side k-means itself is not
+    // SQL-expressible (round 14; previously rows-only). The
+    // approximate-at-scale behavior (shortlist < corpus) is pinned by
+    // PqSpec's recall floors and the 30× ANN probes (BASELINE.md r10).
     "q_ann_pq" -> ((s, d) => {
-      val c = corpus(s, d).select("id", "vec")
+      val c = corpus(s, d).select("id", "vec").filter(col("id") < 40)
       graft.similarity.Pq.topKPq(c.filter(col("id") < 10), c, 3)
         .orderBy("qid", "rn")
     }),
 
-    // IVFPQ approximate top-3: both scale levers composed — IVF cells
-    // bound candidate count, PQ codes bound bytes per candidate; cell
-    // equi-join, ADC lookups, exact re-rank. Rows-only like its parts.
+    // IVFPQ top-3 (IVF cells bound candidate count, PQ codes bound
+    // bytes per candidate) in the same exact-equivalence mode as
+    // q_ann_pq, plus nprobe = nlist so the cell layer is exhaustive —
+    // the composed pipeline (k-means cells + codebooks + cell equi-join
+    // + ADC + re-rank) must land on the identical brute-force top-3,
+    // proving BOTH scale levers preserve the exact re-rank contract.
+    // nprobe < nlist recall is pinned by PqSpec/IvfSpec.
     "q_ann_ivfpq" -> ((s, d) => {
-      val c = corpus(s, d).select("id", "vec")
-      graft.similarity.Pq.topKIvfPq(c.filter(col("id") < 10), c, 3)
+      val c = corpus(s, d).select("id", "vec").filter(col("id") < 40)
+      graft.similarity.Pq.topKIvfPq(c.filter(col("id") < 10), c, 3,
+        nlist = 4, nprobe = 4)
         .orderBy("qid", "rn")
     }),
 
@@ -265,6 +276,21 @@ object SimilarityQueries extends QueryPack {
 
   private val corpusSql =
     "SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings"
+
+  /** Brute-force cosine top-3 over the 40-vector exact-equivalence
+    * corpus — the shared oracle for q_ann_pq and q_ann_ivfpq (see the
+    * query comments: shortlist ≥ corpus makes the quantized paths
+    * provably exact, so brute force IS their answer).
+    */
+  private val annSmallExactSql =
+    s"""WITH c AS (SELECT * FROM ($corpusSql) WHERE vec_id < 40),
+      |p AS (
+      |  SELECT q.vec_id AS qid, b.vec_id AS vec_id,
+      |         round(list_cosine_similarity(q.v, b.v), 6) AS cos
+      |  FROM c q JOIN c b ON q.vec_id < 10 AND b.vec_id <> q.vec_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY qid
+      |        ORDER BY cos DESC, vec_id) AS rn FROM p)
+      |SELECT qid, rn, vec_id, cos FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
   private val bucketSql =
     """array_to_string(list_transform(v[1:8],
       | x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '')""".stripMargin
@@ -362,6 +388,14 @@ object SimilarityQueries extends QueryPack {
         |r AS (SELECT *, row_number() OVER (PARTITION BY qid
         |        ORDER BY cos DESC, vec_id) AS rn FROM p)
         |SELECT qid, rn, vec_id, cos FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
+    // q_ann_pq / q_ann_ivfpq run in exact-equivalence mode (corpus ≤
+    // rerank shortlist; ivfpq additionally nprobe = nlist), so the
+    // oracle for BOTH is plain brute-force cosine top-3 over the capped
+    // corpus — the quantizers must not change the answer when the
+    // shortlist is exhaustive. One SQL text, two queries, deliberately:
+    // two different physical pipelines, one exact result.
+    "q_ann_pq" -> annSmallExactSql,
+    "q_ann_ivfpq" -> annSmallExactSql,
     // twin of hardNegatives(k=3): brute-force cosine restricted to
     // different-label pairs, same rank/tiebreak
     "q_ann_hard_negatives" ->
