@@ -1,0 +1,136 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQueryListener
+
+import java.nio.file.Files
+
+/** Scale probe for the STREAMED legs (round 14): StreamingBench proved
+  * throughput at sf0.1; this replays a 30× corpus through
+  * [[StreamingTelemetry.streamNearDups]] and a 30× lineitem stream
+  * through [[StreamingTelemetry.streamEdgeMart]], each at TWO trigger
+  * sizes, and reports PER-EPOCH cost so the scale claim — each epoch's
+  * work tracks the BATCH's volume, not the accumulated history — is
+  * measured, not asserted.
+  *
+  * Where history CAN leak in: streamNearDups' incremental probe reads
+  * the accumulated band index and corpus dirs every epoch (merge-on-read
+  * partitions), so a per-epoch cost that grows with trigger NUMBER at
+  * fixed batch size is the signature of paying O(history) per epoch;
+  * the edge/sketch marts never read history at write time by
+  * construction. Per-epoch timing comes from the engine's own
+  * QueryProgress events (triggerExecution), not wall clocks around
+  * addData, so MemoryStream feeding cost is excluded.
+  *
+  * Inputs: $SPARK_GRAFT_D30_DIR/documents.parquet (the diversify-30×
+  * fixture — distinct texts, so the near-dup index takes real load) and
+  * $SPARK_GRAFT_LI30_DIR/lineitem.parquet (the 30× lineitem fixture),
+  * pre-partitioned by l_orderkey into files so a files-per-trigger
+  * stream respects the mart's ORDER-COMPLETE contract.
+  */
+object StreamingScaleBench {
+
+  /** (batchId, inputRows, triggerExecution seconds) per completed epoch
+    * of the CURRENTLY observed query; reset between runs.
+    */
+  private final class ProgressLog extends StreamingQueryListener {
+    val rows = scala.collection.mutable.ListBuffer.empty[(Long, Long, Double)]
+    override def onQueryStarted(
+        e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(
+        e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    override def onQueryProgress(
+        e: StreamingQueryListener.QueryProgressEvent): Unit = {
+      val p = e.progress
+      val ms = Option(p.durationMs.get("triggerExecution"))
+        .map(_.longValue).getOrElse(0L)
+      if (p.numInputRows > 0)
+        rows.synchronized { rows += ((p.batchId, p.numInputRows, ms / 1e3)) }
+    }
+  }
+
+  private def report(op: String, rate: String,
+                     log: Seq[(Long, Long, Double)]): Unit = {
+    val t = log.map(_._3)
+    if (t.isEmpty) {
+      println(s"""{"op":"$op","rate":"$rate","triggers":0}""")
+      return
+    }
+    val n = t.size
+    val rowsTotal = log.map(_._2).sum
+    // slope witness: mean of the first 3 vs last 3 NON-FIRST epochs
+    // (epoch 0 runs the self-dedup/cold path and is reported separately)
+    val steady = t.drop(1)
+    val head3 = steady.take(3)
+    val tail3 = steady.takeRight(3)
+    def mean(xs: Seq[Double]) = if (xs.isEmpty) 0.0 else xs.sum / xs.size
+    println(f"""{"op":"$op","rate":"$rate","triggers":$n,"rows":$rowsTotal,"total_sec":${t.sum}%.2f,"epoch0_sec":${t.headOption.getOrElse(0.0)}%.3f,"steady_first3_sec":${mean(head3)}%.3f,"steady_last3_sec":${mean(tail3)}%.3f,"max_sec":${t.max}%.3f}""")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val d30 = sys.env.getOrElse("SPARK_GRAFT_D30_DIR", "/tmp/sf3d")
+    val li30 = sys.env.getOrElse("SPARK_GRAFT_LI30_DIR", "/tmp/sf3.0")
+    val spark: SparkSession = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val log = new ProgressLog
+    spark.streams.addListener(log)
+
+    // ---- streamNearDups over the diversify-30× documents ----
+    val docs = spark.read.parquet(s"$d30/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    for (rate <- Seq(3000, 12000)) {
+      val root = Files.createTempDirectory(s"ssb_dedup_$rate").toString
+      val in = MemoryStream[(Long, String)]
+      val q = StreamingTelemetry.streamNearDups(
+        in.toDF().toDF("doc_id", "text"),
+        s"$root/corpus", s"$root/index", s"$root/pairs", s"$root/ckpt")
+      try {
+        log.rows.clear()
+        docs.grouped(rate).foreach { c =>
+          in.addData(c: _*); q.processAllAvailable()
+        }
+        report("stream_near_dups_30x", s"$rate docs/trigger", log.rows.toSeq)
+      } finally q.stop()
+      graft.operators.GraphMart.deleteRecursively(new java.io.File(root))
+    }
+
+    // ---- streamEdgeMart over the 30× lineitem, files-per-trigger ----
+    // Pre-split the fixture by l_orderkey into files so each trigger
+    // holds whole orders (the mart's order-complete contract); two
+    // trigger volumes = two files-per-trigger settings over one layout.
+    val liSrc = spark.read.parquet(s"$li30/lineitem.parquet")
+      .select("l_orderkey", "l_partkey")
+    val splitDir = Files.createTempDirectory("ssb_li_src").toString
+    liSrc.repartition(24, org.apache.spark.sql.functions.col("l_orderkey"))
+      .write.mode("overwrite").parquet(splitDir)
+    val liSchema = spark.read.parquet(splitDir).schema
+    for (filesPerTrigger <- Seq(1, 4)) {
+      val root = Files.createTempDirectory(s"ssb_edge_$filesPerTrigger").toString
+      val stream = spark.readStream.schema(liSchema)
+        .option("maxFilesPerTrigger", filesPerTrigger)
+        .parquet(splitDir)
+      val q = StreamingTelemetry.streamEdgeMart(stream,
+        s"$root/mart", s"$root/ckpt")
+      try {
+        log.rows.clear()
+        q.processAllAvailable()
+        report("stream_edge_mart_30x", s"$filesPerTrigger files/trigger",
+          log.rows.toSeq)
+      } finally q.stop()
+      graft.operators.GraphMart.deleteRecursively(new java.io.File(root))
+    }
+    graft.operators.GraphMart.deleteRecursively(new java.io.File(splitDir))
+    spark.stop()
+  }
+}

@@ -797,7 +797,11 @@ class PlanSpec extends SparkSpecBase {
       assert("Join".r.findAllIn(hp).length <= 4,
         "hits output grew a join chain beyond the a⋈h assembly")
       Thread.sleep(300)
-      assert(jobs <= 25 + 20 * 3,
+      // round 14: the L1 totals ride each half-step's one checkpoint
+      // job as broadcast 1-row frames (no per-round driver collects, no
+      // raw-frame checkpoints) — 2 checkpoints/round + AQE stage jobs.
+      // The old 6-job shape needed 20/round; regression to it trips this.
+      assert(jobs <= 25 + 12 * 3,
         s"hits(3 rounds) ran $jobs jobs — per-half-step overhead grew")
       jobs = 0
       val lp = graft.dedup.Components.labelPropagation(edges, iters = 3)
