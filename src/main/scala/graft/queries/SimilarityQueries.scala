@@ -222,14 +222,18 @@ object SimilarityQueries extends QueryPack {
         .orderBy("qid", "rn")
     }),
 
-    // The SCALE path for the same mining: IVF shortlist (nprobe of
-    // nlist cells) instead of the full corpus scan. k-means index →
-    // rows-only check; IvfSpec pins exact identity with hardNegatives
-    // at nprobe = nlist and the output shape.
+    // The SCALE path for the same mining: IVF shortlist instead of the
+    // full corpus scan, run in EXACT-EQUIVALENCE mode (round 14):
+    // nprobe = nlist probes every cell, and IVF-Flat scores candidates
+    // exactly, so the full pipeline — k-means fit, cell assign, cell
+    // equi-join, rank — must land on hardNegatives' brute-force answer
+    // bit-for-bit (the identity IvfSpec pins), making it hash-checkable
+    // against the same DuckDB oracle. The sub-linear nprobe < nlist
+    // recall stays pinned by IvfSpec and the 30× ANN probes.
     "q_ann_hard_negatives_ivf" -> ((s, d) => {
       val c = corpus(s, d)
       hardNegativesIvf(c.filter(col("id") < 10), c, 3, nlist = 8,
-          nprobe = 3)
+          nprobe = 8)
         .orderBy("qid", "rn")
     }),
 
@@ -264,13 +268,16 @@ object SimilarityQueries extends QueryPack {
         .orderBy("qid", "rn")
     }),
 
-    // IVF-Flat approximate top-3: data-adaptive coarse quantizer (16
-    // cells, 4 probes, deterministic k-means). The Lloyd iterations are
-    // not SQL-expressible in one query → rows-only check; IvfSpec pins
-    // recall vs the brute-force baseline.
+    // IVF-Flat top-3 in the same exact-equivalence mode: every cell
+    // probed (nprobe = nlist) and IVF-Flat scoring is exact, so the
+    // data-adaptive quantizer must reproduce brute-force top-3 over the
+    // FULL corpus — the k-means Lloyd iterations run in the plan but
+    // provably cannot change the answer. nprobe < nlist recall is
+    // IvfSpec's job (floor at 4/16 pinned there).
     "q_ann_ivf" -> ((s, d) => {
       val c = corpus(s, d).select("id", "vec")
-      graft.similarity.Ivf.topKIvf(c.filter(col("id") < 10), c, 3)
+      graft.similarity.Ivf.topKIvf(c.filter(col("id") < 10), c, 3,
+        nlist = 8, nprobe = 8)
         .orderBy("qid", "rn")
     }))
 
@@ -396,6 +403,29 @@ object SimilarityQueries extends QueryPack {
     // two different physical pipelines, one exact result.
     "q_ann_pq" -> annSmallExactSql,
     "q_ann_ivfpq" -> annSmallExactSql,
+    // q_ann_ivf probes every cell (nprobe = nlist) and IVF-Flat scores
+    // exactly → full-corpus brute-force top-3 is its provable answer.
+    "q_ann_ivf" ->
+      s"""WITH c AS ($corpusSql),
+        |p AS (
+        |  SELECT q.vec_id AS qid, b.vec_id AS vec_id,
+        |         round(list_cosine_similarity(q.v, b.v), 6) AS cos
+        |  FROM c q JOIN c b ON q.vec_id < 10 AND b.vec_id <> q.vec_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY qid
+        |        ORDER BY cos DESC, vec_id) AS rn FROM p)
+        |SELECT qid, rn, vec_id, cos FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
+    // q_ann_hard_negatives_ivf at nprobe = nlist ≡ hardNegatives
+    // (IvfSpec-pinned identity) → the same brute different-label oracle.
+    "q_ann_hard_negatives_ivf" ->
+      s"""WITH c AS ($corpusSql),
+        |p AS (
+        |  SELECT q.vec_id AS qid, b.vec_id AS neg_id, b.label AS neg_label,
+        |         round(list_cosine_similarity(q.v, b.v), 6) AS cos
+        |  FROM c q JOIN c b ON q.vec_id < 10 AND q.label <> b.label),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY qid
+        |        ORDER BY cos DESC, neg_id) AS rn FROM p)
+        |SELECT qid, rn, neg_id, neg_label, cos FROM r WHERE rn <= 3
+        |ORDER BY qid, rn""".stripMargin,
     // twin of hardNegatives(k=3): brute-force cosine restricted to
     // different-label pairs, same rank/tiebreak
     "q_ann_hard_negatives" ->
