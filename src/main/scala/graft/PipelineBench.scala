@@ -56,13 +56,18 @@ object PipelineBench {
     }
 
     // 1. Extract: per-doc features (token count, composite quality,
-    // n-gram language id) and the quality gate — narrow, one pass.
+    // n-gram language id) and the quality gate — ONE tokenize pass via
+    // the native profile expression (the composed HOF spelling
+    // re-tokenized 7×; values bit-identical, TextHashExprSpec parity).
     val extracted = stage("extract") {
       Tables.documents(spark, sfDir)
+        .withColumn("__p", graft.text.TextFunctions.textProfile(col("text")))
         .select(col("doc_id"), col("text"), col("source"),
-          graft.text.TextFunctions.tokenCount(col("text")).as("n_tokens"),
-          graft.text.TextFunctions.qualityScore(col("text")).as("quality"),
-          graft.text.TextFunctions.langIdHeuristic(col("text")).as("lang_id"))
+          col("__p.n_tokens").as("n_tokens"),
+          graft.text.TextFunctions.qualityFromProfile(col("__p"))
+            .as("quality"),
+          graft.text.TextFunctions.langIdFromProfile(col("__p"))
+            .as("lang_id"))
         .filter(col("n_tokens") >= 5 && col("quality") >= 0.2)
     }
 

@@ -202,6 +202,63 @@ object TextHashOps {
       toks.length, avg, UTF8String.fromString(fp))
   }
 
+  /** One-pass language/quality profile: every per-doc count the extract
+    * stage's composed HOF formulation needs — (n_chars, n_punct,
+    * n_tokens, en, fr, es, de marker hits). The HOF spelling
+    * (qualityScore + langIdHeuristic + tokenCount) re-tokenizes the
+    * text SEVEN times after CollapseProject inlining (codegen
+    * subexpression elimination does not rescue the repeated
+    * split+filter trees — measured 4.5× the single-tokenize cost at
+    * diversify-100×, BASELINE.md round 14); this is the same counts in
+    * ONE tokenize pass + one char scan. Semantics pinned to the HOF
+    * originals bit-for-bit: n_chars = length(text) (code points),
+    * n_punct = occurrences of [.,!?;:] (the explicit class punctRatio
+    * uses), tokens = [[tokenize]] (trim → UTF8String.toLowerCase →
+    * java-regex \s+ split → drop empties), marker hits = exact string
+    * equality against the lower-cased token (isin semantics).
+    */
+  def langQualityProfile(text: UTF8String)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val s = text.toString
+    var punct = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '.' || c == ',' || c == '!' || c == '?' || c == ';' ||
+        c == ':') punct += 1
+      i += 1
+    }
+    val nChars = s.codePointCount(0, s.length)
+    val toks = tokenize(text)
+    var en = 0; var fr = 0; var es = 0; var de = 0
+    i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      // the four marker sets are 6 short literals each — a chain of
+      // equality checks beats hashing for strings this short
+      t match {
+        case "the" | "and" | "of" | "to" | "a" | "in" => en += 1
+        case _ => ()
+      }
+      t match {
+        case "le" | "la" | "et" | "les" | "des" => fr += 1
+        case "un" => fr += 1; es += 1 // "un" is in BOTH marker lists
+        case _ => ()
+      }
+      t match {
+        case "el" | "los" | "que" | "y" | "de" => es += 1
+        case _ => ()
+      }
+      t match {
+        case "der" | "die" | "und" | "das" | "ein" | "zu" => de += 1
+        case _ => ()
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      nChars, punct, toks.length, en, fr, es, de)
+  }
+
   /** Per-doc repetition counts in one pass — (n_tokens, top token
     * count, bigram count, distinct bigram count), the four inputs of
     * the Gopher-style repetition signals. Replaces the explode + two
@@ -830,6 +887,35 @@ case class TextStats(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** lang_quality_profile(text): struct<n_chars int, n_punct int,
+  * n_tokens int, en int, fr int, es int, de int> — one tokenize pass
+  * feeding every extract-stage signal (see
+  * TextHashOps.langQualityProfile).
+  */
+case class LangQualityProfile(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"lang_quality_profile requires string, got ${dt.catalogString}")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_chars", IntegerType, nullable = false),
+    StructField("n_punct", IntegerType, nullable = false),
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("en", IntegerType, nullable = false),
+    StructField("fr", IntegerType, nullable = false),
+    StructField("es", IntegerType, nullable = false),
+    StructField("de", IntegerType, nullable = false)))
+  override def prettyName: String = "lang_quality_profile"
+  override def nullSafeEval(a: Any): Any =
+    TextHashOps.langQualityProfile(a.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHashOps.langQualityProfile($c)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** deflate_ratio(text: string): double — compression-ratio entropy
   * signal (see TextHashOps.deflateRatio). Not oracle-able: DuckDB ships
   * no zlib SQL surface, so queries over it are rows-only checked; the
@@ -1064,6 +1150,8 @@ object TextHashExpressions {
     GraftSqlBridge.column(NfcNormalize(GraftSqlBridge.expression(text)))
   def textStats(text: Column): Column =
     GraftSqlBridge.column(TextStats(GraftSqlBridge.expression(text)))
+  def langQualityProfile(text: Column): Column =
+    GraftSqlBridge.column(LangQualityProfile(GraftSqlBridge.expression(text)))
   def minhashSig(shingles: Column, k: Int): Column =
     GraftSqlBridge.column(MinHashSig(GraftSqlBridge.expression(shingles), k))
   def lshBandKeys(shingles: Column, bands: Int, r: Int): Column =

@@ -127,15 +127,20 @@ object TextQueries extends QueryPack {
         .orderBy("doc_id")),
 
     // Language-ID heuristic via marker-token counts, strict priority.
+    // One native tokenize pass (textProfile) instead of five markerCount
+    // re-tokenizations — round 14; values bit-identical (TextHashExprSpec
+    // parity + the unchanged DuckDB oracle hash).
     "q_text_langid" -> ((s, d) =>
       Tables.documents(s, d)
+        .withColumn("__p", graft.text.TextFunctions.textProfile(col("text")))
         .select(
           col("doc_id"),
-          markerCount(col("text"), enMarkers).as("en_hits"),
-          markerCount(col("text"), frMarkers).as("fr_hits"),
-          markerCount(col("text"), esMarkers).as("es_hits"),
-          markerCount(col("text"), deMarkers).as("de_hits"),
-          langIdHeuristic(col("text")).as("lang_pred"))
+          col("__p.en").as("en_hits"),
+          col("__p.fr").as("fr_hits"),
+          col("__p.es").as("es_hits"),
+          col("__p.de").as("de_hits"),
+          graft.text.TextFunctions.langIdFromProfile(col("__p"))
+            .as("lang_pred"))
         .orderBy("doc_id")),
 
     // Script detection over a deterministically multilingual-ized corpus
@@ -173,11 +178,16 @@ object TextQueries extends QueryPack {
         .orderBy("doc_id")),
 
     // Composite quality score (length/punct/stopword mix).
+    // qualityScore composes three tokenizations (length, punct,
+    // stopword legs); the profile derivation is one — bit-identical
+    // (TextHashExprSpec + unchanged oracle).
     "q_text_quality" -> ((s, d) =>
       Tables.documents(s, d)
         .select(
           col("doc_id"), col("lang"),
-          qualityScore(col("text")).as("quality"))
+          graft.text.TextFunctions.qualityFromProfile(
+            graft.text.TextFunctions.textProfile(col("text")))
+            .as("quality"))
         .orderBy("doc_id")),
 
     // fastText-style hashed-feature NB classifier (HashClassifier):
@@ -697,8 +707,10 @@ object TextQueries extends QueryPack {
     // Corpus-level quality profile per source.
     "q_text_quality_by_source" -> ((s, d) =>
       Tables.documents(s, d)
-        .select(col("source"), qualityScore(col("text")).as("q"),
-          tokenCount(col("text")).as("nt"))
+        .withColumn("__p", graft.text.TextFunctions.textProfile(col("text")))
+        .select(col("source"),
+          graft.text.TextFunctions.qualityFromProfile(col("__p")).as("q"),
+          col("__p.n_tokens").as("nt"))
         .groupBy("source")
         .agg(
           round(avg("q"), 6).as("avg_quality"),

@@ -101,6 +101,48 @@ object TextFunctions {
     round(lenScore * 0.5 + (lit(1.0) - punctPen) * 0.2 + stopScore * 0.3, 6)
   }
 
+  /** One-pass per-doc profile struct (n_chars, n_punct, n_tokens, en,
+    * fr, es, de) — the native-expression route to every signal above
+    * when a pipeline needs SEVERAL of them: the composed HOF spelling
+    * re-tokenizes per signal (CollapseProject inlines the shared
+    * `tokens` subtree and codegen subexpression elimination does not
+    * recover it — measured 4.5× one tokenize at diversify-100×).
+    * [[qualityFromProfile]] / [[langIdFromProfile]] derive the EXACT
+    * same values as [[qualityScore]] / [[langIdHeuristic]] (parity
+    * pinned in TextHashExprSpec); single-signal callers should keep the
+    * HOF forms — they are oracle-mirrorable 1:1 in DuckDB SQL.
+    */
+  def textProfile(text: Column): Column =
+    graft.functions.TextHashExpressions.langQualityProfile(text)
+
+  /** [[qualityScore]] recomputed from a [[textProfile]] struct —
+    * bit-identical, including punctRatio's intermediate round(…, 6)
+    * BEFORE the ×10 clamp (skipping it shifts the 6th decimal of the
+    * composite for some texts).
+    */
+  def qualityFromProfile(p: Column): Column = {
+    val lenScore = least(p.getField("n_tokens").cast("double") / 100.0,
+      lit(1.0))
+    val pr = round(p.getField("n_punct").cast("double") /
+      greatest(p.getField("n_chars"), lit(1)), 6)
+    val punctPen = least(pr * 10.0, lit(1.0))
+    val stopScore = least(p.getField("en").cast("double") / 5.0, lit(1.0))
+    round(lenScore * 0.5 + (lit(1.0) - punctPen) * 0.2 + stopScore * 0.3, 6)
+  }
+
+  /** [[langIdHeuristic]] recomputed from a [[textProfile]] struct —
+    * same strict priority order, same tie-breaks.
+    */
+  def langIdFromProfile(p: Column): Column = {
+    val en = p.getField("en"); val fr = p.getField("fr")
+    val es = p.getField("es"); val de = p.getField("de")
+    when(en > 0 && en >= greatest(fr, es, de), "en")
+      .when(fr > 0 && fr >= greatest(es, de), "fr")
+      .when(es > 0 && es >= de, "es")
+      .when(de > 0, "de")
+      .otherwise("und")
+  }
+
   /** Normalized content fingerprint: md5 over lower-cased,
     * whitespace-collapsed text. Equal fingerprint ⇔ exact duplicate modulo
     * case/whitespace.

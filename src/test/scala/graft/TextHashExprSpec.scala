@@ -82,6 +82,40 @@ class TextHashExprSpec extends SparkSpecBase {
     }
   }
 
+  test("langQualityProfile derivations == HOF qualityScore/langIdHeuristic/" +
+    "tokenCount on tricky inputs") {
+    val tricky = Seq(
+      "the quick brown fox and the lazy dog in a field of rye",
+      "le chat et la souris dans les des un jardin",
+      "el que los y de un dia", "der die und das ein zu haus",
+      "un mot", // "un" counts for BOTH fr and es — the overlap case
+      " \t tabs\tand\nnewlines  vertical \f feed \r cr ",
+      "UPPER Case MiXeD tHe AnD", "único über naïve café à côté",
+      "", "   ", "a", "punct. heavy, text! here? lots; of: marks....",
+      "....,,,!!!???", "𝕬 non-bmp 𝖙𝖊𝖝𝖙 the and of",
+      "the the the the the and and of to a in").toDF("t")
+    val cmp = tricky.select(
+      TextFunctions.textProfile(col("t")).as("p"),
+      TextFunctions.qualityFromProfile(
+        TextFunctions.textProfile(col("t"))).as("q_prof"),
+      TextFunctions.langIdFromProfile(
+        TextFunctions.textProfile(col("t"))).as("l_prof"),
+      TextFunctions.tokenCount(col("t")).as("nt"),
+      TextFunctions.qualityScore(col("t")).as("q_hof"),
+      TextFunctions.langIdHeuristic(col("t")).as("l_hof"),
+      length(col("t")).as("len"),
+      (length(col("t")) - length(regexp_replace(col("t"), "[.,!?;:]", "")))
+        .as("np")).collect()
+    cmp.foreach { r =>
+      val p = r.getStruct(0)
+      assert(p.getInt(2) == r.getInt(3), s"n_tokens mismatch: $r")
+      assert(r.getDouble(1) == r.getDouble(4), s"quality mismatch: $r")
+      assert(r.getString(2) == r.getString(5), s"lang mismatch: $r")
+      assert(p.getInt(0) == r.getInt(6), s"n_chars mismatch: $r")
+      assert(p.getInt(1) == r.getInt(7), s"n_punct mismatch: $r")
+    }
+  }
+
   test("simhash60 is deterministic, content-sensitive, and 60-bit") {
     val h = docs.select(simhash60(TextFunctions.tokens(col("t"))).as("h"))
       .collect().map(_.getLong(0))
