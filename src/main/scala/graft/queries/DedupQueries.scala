@@ -381,10 +381,14 @@ object DedupQueries extends QueryPack {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val pairs = Dedup.minhashLshPairs(docs, "text", "doc_id",
         threshold = 0.7)
+      // one native tokenize pass for the lang+quality gate (round 14;
+      // the HOF pair re-tokenized 7× — values bit-identical,
+      // TextHashExprSpec parity, oracle unchanged)
       val kept = graft.dedup.Components
         .cleanCorpus(docs, pairs.select("ida", "idb"), "doc_id")
-        .filter(langIdHeuristic(col("text")) === "en")
-        .filter(qualityScore(col("text")) >= 0.4)
+        .withColumn("__p", graft.text.TextFunctions.textProfile(col("text")))
+        .filter(graft.text.TextFunctions.langIdFromProfile(col("__p")) === "en"
+          && graft.text.TextFunctions.qualityFromProfile(col("__p")) >= 0.4)
       graft.sampling.Sampling.deterministicSample(kept, "doc_id", 0.5)
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"))
@@ -421,11 +425,13 @@ object DedupQueries extends QueryPack {
         .select(col("source").as("__src"), col("thr_pct"))
       val pairs = Dedup.minhashLshPairs(docs, "text", "doc_id",
         threshold = 0.7)
+      // same one-pass gate as q_corpus_funnel (round 14)
       val kept = graft.dedup.Components
         .cleanCorpus(docs, pairs.select("ida", "idb"), "doc_id")
-        .filter(langIdHeuristic(col("text")) === "en")
+        .withColumn("__p", graft.text.TextFunctions.textProfile(col("text")))
+        .filter(graft.text.TextFunctions.langIdFromProfile(col("__p")) === "en")
         .join(broadcast(thr), col("source") === col("__src"), "left")
-        .filter(qualityScore(col("text")) >=
+        .filter(graft.text.TextFunctions.qualityFromProfile(col("__p")) >=
           coalesce(col("thr_pct").cast("double") / lit(100.0), lit(0.4)))
       graft.sampling.Sampling.deterministicSample(kept, "doc_id", 0.5)
         .groupBy("source")

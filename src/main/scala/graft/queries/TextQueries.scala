@@ -291,8 +291,11 @@ object TextQueries extends QueryPack {
       import graft.text.TextFunctions._
       val docs = Tables.documents(s, d)
       val ref = docs.select(tokenCount(col("text")).cast("double").as("v"))
-      val cur = docs.filter(qualityScore(col("text")) >= 0.4)
-        .select(tokenCount(col("text")).cast("double").as("v"))
+      // cur needs quality + token count — one profile pass (round 14)
+      val cur = docs
+        .withColumn("__p", graft.text.TextFunctions.textProfile(col("text")))
+        .filter(graft.text.TextFunctions.qualityFromProfile(col("__p")) >= 0.4)
+        .select(col("__p.n_tokens").cast("double").as("v"))
       graft.operators.Drift.psiBins(ref, cur, "v",
         Seq(20.0, 40.0, 60.0, 80.0, 100.0))
     }),
@@ -689,10 +692,12 @@ object TextQueries extends QueryPack {
     // a single scan + single exchange at any corpus size.
     "q_corpus_report" -> ((s, d) =>
       Tables.documents(s, d)
+        .withColumn("__p", graft.text.TextFunctions.textProfile(col("text")))
         .select(col("source"),
-          tokenCount(col("text")).as("nt"),
-          qualityScore(col("text")).as("q"),
-          (langIdHeuristic(col("text")) === "en").cast("int").as("is_en"))
+          col("__p.n_tokens").cast("int").as("nt"),
+          graft.text.TextFunctions.qualityFromProfile(col("__p")).as("q"),
+          (graft.text.TextFunctions.langIdFromProfile(col("__p")) === "en")
+            .cast("int").as("is_en"))
         .groupBy("source")
         .agg(
           count(lit(1)).as("n_docs"),
