@@ -372,13 +372,15 @@ object DedupQueries extends QueryPack {
       // (doc_id, source, text) the funnel consumes, read by both
       // branches. The query fn cannot see the final action, so the
       // cache's lifetime is the session's (MBs at bench scale; LRU
-      // evicts under pressure) — callers embedding the funnel in a
-      // long-lived session own clearCache/unpersist, as PlanSpec does.
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), col("source"),
-          graft.text.Curation.extractMainText(TextQueries.plantedHtml)
-            .as("text"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // evicts under pressure) — registered in the Artifacts registry
+      // (round 14) so the harness sweep (or any embedding caller)
+      // releases it explicitly instead of relying on LRU.
+      val docs = graft.operators.Artifacts.pin(
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            graft.text.Curation.extractMainText(TextQueries.plantedHtml)
+              .as("text")),
+        "funnel.extract")
       val pairs = Dedup.minhashLshPairs(docs, "text", "doc_id",
         threshold = 0.7)
       // one native tokenize pass for the lang+quality gate (round 14;
@@ -409,11 +411,15 @@ object DedupQueries extends QueryPack {
     // step drives the pipeline it was built for.
     "q_corpus_funnel_calibrated" -> ((s, d) => {
       import graft.text.TextFunctions._
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), col("source"),
-          graft.text.Curation.extractMainText(TextQueries.plantedHtml)
-            .as("text"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // same registered extraction boundary as q_corpus_funnel — the
+      // canonical plan is identical, so the two queries share ONE cache
+      // entry and the registry holds one releasable handle each
+      val docs = graft.operators.Artifacts.pin(
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            graft.text.Curation.extractMainText(TextQueries.plantedHtml)
+              .as("text")),
+        "funnel.extract")
       val holdout = graft.sampling.Sampling
         .trainEvalSplit(docs, "doc_id", 0.2)._2
       val calib = holdout.select(col("source"),

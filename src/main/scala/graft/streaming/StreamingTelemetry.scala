@@ -271,9 +271,12 @@ object StreamingTelemetry {
   def streamDrift(stream: DataFrame, ref: DataFrame, valueCol: String,
                   splits: Seq[Double], outDir: String, checkpointDir: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    val refFracs = graft.operators.Drift
-      .binFracs(ref, valueCol, splits, "rf").persist()
-    refFracs.count() // materialize once; epochs reuse the tiny table
+    // materialize once; epochs reuse the tiny table. Registered so the
+    // harness (or the embedding session) can sweep it after the query
+    // stops — a bare persist had no release handle (round 14).
+    val refFracs = graft.operators.Artifacts.pinEager(
+      graft.operators.Drift.binFracs(ref, valueCol, splits, "rf"),
+      "stream.drift_ref")
     stream.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
@@ -311,8 +314,11 @@ object StreamingTelemetry {
                      checkpointDir: String, textCol: String = "text",
                      idCol: String = "doc_id", w: Int = 13)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    val spans = graft.dedup.Dedup.evalSpans(evalSet, textCol, w).persist()
-    spans.count() // materialize once; epochs reuse the cached index
+    // materialize once; epochs reuse the cached index (registered —
+    // same release-handle reasoning as streamDrift's ref table)
+    val spans = graft.operators.Artifacts.pinEager(
+      graft.dedup.Dedup.evalSpans(evalSet, textCol, w),
+      "stream.decontam_spans")
     docs.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
