@@ -60,7 +60,12 @@ import org.apache.spark.sql.SparkSession
   *    A query with any outlier pass gets up to MaxReruns extra timed
   *    executions appended to its sample set; the reported figure is the
   *    median of the CLEAN samples (the fastest pass is clean by
-  *    definition, so the clean set is never empty). Outlier samples
+  *    definition, so the clean set is never empty). Degenerate guard:
+  *    a clean set of ONE means the minimum itself was the anomaly (one
+  *    fluke-fast pass demoting every normal pass) — there the median
+  *    of ALL samples is reported instead. A rerun execution that FAILS
+  *    marks the query failed (an observed failure must never vanish
+  *    just because its sample was discarded). Outlier samples
   *    stay visible in "passes", and "outlier_reruns" records how many
   *    extra executions each affected query got — nothing is silently
   *    discarded; the artifact shows exactly what was excluded and why.
@@ -291,15 +296,21 @@ object Bench {
     if (needsRerun.nonEmpty) {
       timedSweep("rerun") {
         needsRerun.flatMap { case (name, dfOpt, eager) =>
-          val (xs, _) = samples(name)
+          val (xs, wasOk) = samples(name)
           var granted = 0
+          var rerunsOk = true
           while (granted < MaxReruns && xs.exists(x => isOutlier(x, xs.min))) {
             val t0 = System.nanoTime()
             val ok = runOnce(name, dfOpt, eager)
             val sec = (System.nanoTime() - t0) / 1e9
-            if (ok) xs += sec
+            if (ok) xs += sec else rerunsOk = false
             granted += 1
           }
+          // a rerun FAILURE is an observed execution failure — it must
+          // mark the query failed, not vanish into stderr (the sample
+          // is dropped, so nothing else would record it)
+          if (!rerunsOk) samples(name) = (xs, false)
+          else samples(name) = (xs, wasOk)
           rerunCounts(name) = granted
           Nil
         }
@@ -316,7 +327,13 @@ object Bench {
     val byName = built.map { case (name, _, _) =>
       val (xs, ok) = samples(name)
       val mn = xs.min
-      val clean = xs.filterNot(x => isOutlier(x, mn)).toSeq
+      val clean0 = xs.filterNot(x => isOutlier(x, mn)).toSeq
+      // a clean set of ONE means every other sample was judged an
+      // outlier against a single anomalously-fast pass (e.g. a cache
+      // hit later evicted) — there the minimum is the fluke, and
+      // reporting it would UNDER-state the query; fall back to the
+      // median of all samples (spikes are one-sided, flukes are not)
+      val clean = if (clean0.size >= 2) clean0 else xs.toSeq
       (name, median(clean), ok, xs.toSeq)
     }
     val failed = byName.collect { case (k, _, ok, _) if !ok => "\"" + k + "\"" }

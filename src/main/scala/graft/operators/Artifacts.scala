@@ -21,10 +21,20 @@ import org.apache.spark.storage.StorageLevel
   * sweep at suite end) release through it.
   *
   * Registration is keyed WEAKLY by the session object (identity
-  * semantics, same idiom as GraphMart's memo): a GC'd session's entries
-  * vanish with it, so the registry itself can never pin a stopped
-  * session. Duplicate pins of one canonical plan are harmless — Spark
-  * dedupes the cache entry, and unpersist is idempotent on the plan.
+  * semantics, same idiom as GraphMart's memo) and the frames are held
+  * through WeakReferences: a DataFrame strongly references its session
+  * (Dataset → QueryExecution → SparkSession), so strong values would
+  * void the weak keys — the exact value-refers-to-key case the
+  * WeakHashMap contract warns about — and the registry itself would
+  * pin every dropped session forever. With weak values, releaseAll
+  * frees every artifact the caller can still reach; an artifact whose
+  * LAST handle was dropped without release is beyond anyone's
+  * unpersist (the plan handle is gone) and falls to the session cache's
+  * LRU — spill-safe at MEMORY_AND_DISK — dying with the session. The
+  * property the weakness buys is the important one: the registry never
+  * keeps a dead session (or its cached data) alive. Duplicate pins of
+  * one canonical plan are harmless — Spark dedupes the cache entry,
+  * and unpersist is idempotent on the plan.
   */
 object Artifacts {
 
@@ -35,7 +45,8 @@ object Artifacts {
 
   private val reg =
     new java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.ListBuffer[(String, DataFrame)]]()
+      scala.collection.mutable.ListBuffer[
+        (String, java.lang.ref.WeakReference[DataFrame])]]()
 
   /** Persist `df` at [[Level]] and register it under `label` for its
     * session. LAZY: the cache fills on first action — right when a
@@ -47,7 +58,8 @@ object Artifacts {
   def pin(df: DataFrame, label: String): DataFrame = reg.synchronized {
     df.persist(Level)
     reg.computeIfAbsent(df.sparkSession,
-      _ => scala.collection.mutable.ListBuffer.empty) += ((label, df))
+      _ => scala.collection.mutable.ListBuffer.empty) +=
+      ((label, new java.lang.ref.WeakReference(df)))
     df
   }
 
@@ -68,18 +80,21 @@ object Artifacts {
     Option(reg.get(spark)).map(_.map(_._1).toSeq).getOrElse(Seq.empty)
   }
 
-  /** Unpersist every artifact registered for `spark` and clear its
-    * registry; returns how many were released. Non-blocking unpersist:
-    * the sweep is a lifetime bound, not a latency-critical path.
-    * Idempotent — a released frame's second unpersist is a no-op.
+  /** Unpersist every still-reachable artifact registered for `spark`
+    * and clear its registry; returns how many were released (GC-cleared
+    * references are dropped silently — their plan handle is gone, see
+    * the class docs). Non-blocking unpersist: the sweep is a lifetime
+    * bound, not a latency-critical path. Idempotent — a released
+    * frame's second unpersist is a no-op.
     */
   def releaseAll(spark: SparkSession): Int = reg.synchronized {
     val entries = Option(reg.remove(spark))
       .map(_.toList).getOrElse(List.empty)
-    entries.foreach { case (_, df) =>
+    val live = entries.flatMap { case (_, ref) => Option(ref.get) }
+    live.foreach { df =>
       try df.unpersist(blocking = false)
       catch { case _: Throwable => () } // a stopped context has nothing to free
     }
-    entries.size
+    live.size
   }
 }

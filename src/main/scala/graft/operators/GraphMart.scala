@@ -261,6 +261,17 @@ object GraphMart {
       new java.io.File(home, s"counts_$digest")
     }
     var data = dataFor(fp)
+    // A fingerprint can flip BACK to a dir that was tombstoned while
+    // superseded (A → B → A): this read makes it current again, so the
+    // stale tombstone goes now — left in place, the next supersession
+    // would count grace from the OLD mtime and reclaim the dir with
+    // zero grace under a concurrent reader. Delete is atomic; a racing
+    // retireStale holds the build lock but tombstone re-creation there
+    // is idempotent either way.
+    if (data.isDirectory) {
+      val tomb = new java.io.File(data, SupersededMarker)
+      if (tomb.exists()) { tomb.delete(); () }
+    }
     if (!data.isDirectory) buildLock.synchronized {
       home.mkdirs()
       val ch = java.nio.channels.FileChannel.open(
@@ -316,7 +327,15 @@ object GraphMart {
     Option(home.listFiles()).getOrElse(Array.empty[java.io.File])
       .foreach { f =>
         val n = f.getName
-        if (f.isDirectory && n != keep) {
+        if (f.isDirectory && n == keep) {
+          // A fixture can flip BACK to a fingerprint whose dir was
+          // already tombstoned (A → B → A): the dir is current again,
+          // so its stale tombstone must go — otherwise the NEXT
+          // supersession would read the old mtime and delete it with
+          // zero grace, reintroducing the in-flight-reader race.
+          val tomb = new java.io.File(f, SupersededMarker)
+          if (tomb.exists()) { tomb.delete(); () }
+        } else if (f.isDirectory) {
           if (n.startsWith("counts_tmp_")) deleteRecursively(f)
           else if (n == "counts" || n.startsWith("counts_")) {
             val tomb = new java.io.File(f, SupersededMarker)

@@ -31,11 +31,22 @@ import java.nio.file.Files
   */
 object StreamingScaleBench {
 
-  /** (batchId, inputRows, triggerExecution seconds) per completed epoch
-    * of the CURRENTLY observed query; reset between runs.
+  /** (queryId, batchId, inputRows, triggerExecution seconds) per
+    * completed epoch of EVERY query. Progress events are delivered
+    * ASYNCHRONOUSLY on the listener bus, so attribution must ride the
+    * event's own query id (a current-run flag set after start would
+    * race batch 0 and a late event from the previous run could land in
+    * the next run's window); [[of]] selects one query's epochs, and
+    * callers drain the bus before reading (see main).
     */
   private final class ProgressLog extends StreamingQueryListener {
-    val rows = scala.collection.mutable.ListBuffer.empty[(Long, Long, Double)]
+    private val rows = scala.collection.mutable.ListBuffer
+      .empty[(java.util.UUID, Long, Long, Double)]
+    def of(id: java.util.UUID): Seq[(Long, Long, Double)] =
+      rows.synchronized {
+        rows.collect { case (q, b, n, s) if q == id => (b, n, s) }
+          .sortBy(_._1).toSeq
+      }
     override def onQueryStarted(
         e: StreamingQueryListener.QueryStartedEvent): Unit = ()
     override def onQueryTerminated(
@@ -46,7 +57,9 @@ object StreamingScaleBench {
       val ms = Option(p.durationMs.get("triggerExecution"))
         .map(_.longValue).getOrElse(0L)
       if (p.numInputRows > 0)
-        rows.synchronized { rows += ((p.batchId, p.numInputRows, ms / 1e3)) }
+        rows.synchronized {
+          rows += ((p.id, p.batchId, p.numInputRows, ms / 1e3)); ()
+        }
     }
   }
 
@@ -96,11 +109,13 @@ object StreamingScaleBench {
         in.toDF().toDF("doc_id", "text"),
         s"$root/corpus", s"$root/index", s"$root/pairs", s"$root/ckpt")
       try {
-        log.rows.clear()
         docs.grouped(rate).foreach { c =>
           in.addData(c: _*); q.processAllAvailable()
         }
-        report("stream_near_dups_30x", s"$rate docs/trigger", log.rows.toSeq)
+        // deliver every queued progress event before reading the log
+        org.apache.spark.sql.GraftSqlBridge.drainListenerBus(
+          spark.sparkContext)
+        report("stream_near_dups_30x", s"$rate docs/trigger", log.of(q.id))
       } finally q.stop()
       graft.operators.GraphMart.deleteRecursively(new java.io.File(root))
     }
@@ -123,10 +138,11 @@ object StreamingScaleBench {
       val q = StreamingTelemetry.streamEdgeMart(stream,
         s"$root/mart", s"$root/ckpt")
       try {
-        log.rows.clear()
         q.processAllAvailable()
+        org.apache.spark.sql.GraftSqlBridge.drainListenerBus(
+          spark.sparkContext)
         report("stream_edge_mart_30x", s"$filesPerTrigger files/trigger",
-          log.rows.toSeq)
+          log.of(q.id))
       } finally q.stop()
       graft.operators.GraphMart.deleteRecursively(new java.io.File(root))
     }

@@ -217,6 +217,15 @@ class GraphMartSpec extends SparkSpecBase {
     GraphMart.retireStale(home, keep = "counts_aaa", graceMs = grace)
     assert(!fresh.exists, "second pass past grace must reclaim the dir")
     assert(keep.isDirectory)
+    // a dir that becomes CURRENT again after being tombstoned (fixture
+    // flips A → B → A) must shed the stale tombstone — otherwise its
+    // NEXT supersession counts grace from the old mtime and deletes it
+    // immediately
+    val back = mk("counts_eee", 10 * grace, tombAgeMs = Some(2 * grace))
+    GraphMart.retireStale(home, keep = "counts_eee", graceMs = grace)
+    assert(back.isDirectory &&
+      !new java.io.File(back, GraphMart.SupersededMarker).exists,
+      "a re-current dir must be kept and its stale tombstone removed")
     GraphMart.deleteRecursively(home)
   }
 
