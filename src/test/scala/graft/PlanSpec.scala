@@ -880,4 +880,21 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("Scan ExistingRDD"),
       "labelPropagation feed lost its checkpoint boundary")
   }
+
+  test("multi-signal text queries ride ONE native profile pass, not HOF " +
+    "re-tokenization") {
+    // The round-14 rework: tokenCount + qualityScore + langIdHeuristic
+    // composed re-tokenize per signal (split+filter trees are NOT
+    // recovered by codegen subexpression elimination — measured 4.5× at
+    // d100); the profile expression is the one-pass route. A regression
+    // re-introduces `split(` trees next to the profile call.
+    for (name <- Seq("q_text_langid", "q_text_quality", "q_corpus_report")) {
+      val p = plan(q(name))
+      assert(p.contains("lang_quality_profile"),
+        s"$name lost the native profile expression\n" + p.take(600))
+      assert(!p.contains("split("),
+        s"$name re-grew an HOF tokenization beside the profile\n" +
+          p.take(600))
+    }
+  }
 }
