@@ -390,4 +390,48 @@ class PropertySpec extends SparkSpecBase {
         s"tree law violated:\n got  $got\n want $want\n edges $edges")
     }
   }
+
+  test("lang_quality_profile derivations == HOF forms on random text " +
+    "(whitespace variants, markers, punct, unicode)") {
+    // the HOF forms define the DuckDB-oracle semantics; the one-pass
+    // native profile must match them on ARBITRARY strings, not just the
+    // hand-picked tricky list in TextHashExprSpec
+    import spark.implicits._
+    val piece: Gen[String] = Gen.frequency(
+      6 -> Gen.oneOf("the", "and", "of", "to", "a", "in", "le", "la", "et",
+        "les", "des", "un", "el", "los", "que", "y", "de", "der", "die",
+        "und", "das", "ein", "zu"),
+      4 -> Gen.alphaNumStr.map(_.take(6)),
+      2 -> Gen.oneOf(".", ",", "!", "?", ";", ":", "...", "?!"),
+      1 -> Gen.oneOf("über", "naïve", "café", "𝖙𝖊𝖝𝖙", "ЖЗИ", "一二三"),
+      1 -> Gen.oneOf("THE", "And", "uN", "Des", "zU"))
+    val sep: Gen[String] = Gen.oneOf(" ", "  ", "\t", "\n", "\r", " \t ",
+      "", "\f")
+    val textGen: Gen[String] = for {
+      n <- Gen.choose(0, 25)
+      ps <- Gen.listOfN(n, piece)
+      ss <- Gen.listOfN(n + 1, sep)
+    } yield (ss.head +: ps.zip(ss.tail).flatMap { case (p, s) => Seq(p, s) })
+      .mkString
+    val texts = cases(textGen, 120)
+    val df = texts.toDF("t")
+    import graft.text.TextFunctions
+    import org.apache.spark.sql.functions._
+    val bad = df.select(
+        TextFunctions.textProfile(col("t")).getField("n_tokens").as("np"),
+        TextFunctions.tokenCount(col("t")).as("nh"),
+        TextFunctions.qualityFromProfile(
+          TextFunctions.textProfile(col("t"))).as("qp"),
+        TextFunctions.qualityScore(col("t")).as("qh"),
+        TextFunctions.langIdFromProfile(
+          TextFunctions.textProfile(col("t"))).as("lp"),
+        TextFunctions.langIdHeuristic(col("t")).as("lh"),
+        col("t"))
+      .filter(col("np") =!= col("nh") || col("qp") =!= col("qh") ||
+        col("lp") =!= col("lh"))
+      .collect()
+    assert(bad.isEmpty,
+      s"profile/HOF divergence on ${bad.length} random texts, first: " +
+        bad.headOption.map(_.toString).getOrElse(""))
+  }
 }
