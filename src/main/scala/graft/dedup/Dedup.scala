@@ -1035,6 +1035,70 @@ object Dedup extends org.apache.spark.internal.Logging {
       .select("ida", "idb", "hamming")
   }
 
+  /** The CLUSTERING-ROUTE twin of [[simhashPairsWide]]: a SPANNING pair
+    * set instead of all pairs — per (chunk, value) bucket every member
+    * pairs with the bucket's MIN id only (a star), then the same exact
+    * 120-bit Hamming verify. Candidate volume per bucket drops from
+    * n(n−1)/2 to n−1.
+    *
+    * Why it exists (round 14, found by the d300 pipeline probe): bucket
+    * candidates on a dup-heavy corpus grow QUADRATICALLY in cluster
+    * size — a genuine 972-doc near-dup cluster is 472k all-pairs
+    * candidates from one bucket (measured: 4.19M → 31.1M candidates for
+    * 3× the docs, diversify-100× → 300×; BASELINE.md). More signature
+    * bits cannot help — near-identical docs share chunks BY DESIGN.
+    * But downstream CLUSTERING (dupClusters / cleanCorpus*) only needs
+    * connectivity, and for that an all-pairs enumeration is pure waste:
+    * Σ nᵢ−1 spanning candidates connect exactly the same tight clusters.
+    *
+    * The trade, stated precisely: the verified star is a SUBGRAPH of the
+    * verified all-pairs graph, so components can only split, never
+    * merge wrongly. A cluster whose members all sit within `maxHamming`
+    * of the bucket-min (replica/template dups — the blow-up case this
+    * exists for) connects IDENTICALLY; a hamming-chain a−b−c where only
+    * the through-b links pass can lose the a−c component link if b is
+    * never a bucket min (DedupSpec pins both behaviors). Use
+    * [[simhashPairsWide]] when the PAIR SET is the product; use this
+    * when feeding connected components at scale.
+    */
+  def simhashStarPairsWide(docs: DataFrame, textCol: String, idCol: String,
+                           maxHamming: Int = 3): DataFrame = {
+    val mask30 = (1L << 30) - 1
+    val sh = graft.operators.Artifacts.pinEager(
+      docs.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+        .filter(size(col("toks")) > 0)
+        .select(col("id"), simhash60(col("toks")).as("h1"),
+          simhash60Tail(col("toks")).as("h2")),
+      "simhash.sketch") // same sketch artifact as the all-pairs route
+    val chunks = array(
+      col("h1").bitwiseAND(lit(mask30)),
+      shiftright(col("h1"), 30).bitwiseAND(lit(mask30)),
+      col("h2").bitwiseAND(lit(mask30)),
+      shiftright(col("h2"), 30).bitwiseAND(lit(mask30)))
+    val e = sh.select(col("id"), col("h1"), col("h2"),
+      posexplode(chunks).as(Seq("c", "v")))
+    // the bucket min rides a window-free keyed aggregate, then one
+    // equi-join back picks up each member — n−1 star pairs per bucket
+    val mins = e.groupBy("c", "v").agg(min(col("id")).as("ida"))
+    val cand = e.join(mins, Seq("c", "v"))
+      .filter(col("id") =!= col("ida"))
+      .select(col("ida"), col("id").as("idb"))
+      .dropDuplicates("ida", "idb")
+    // hashes re-joined from the pinned sketch (tiny, id-keyed) rather
+    // than carried through the explode — the star join stays 3 columns
+    val withA = cand
+      .join(sh.select(col("id").as("ida"), col("h1").as("ha1"),
+        col("h2").as("ha2")), "ida")
+      .join(sh.select(col("id").as("idb"), col("h1").as("hb1"),
+        col("h2").as("hb2")), "idb")
+    withA
+      .withColumn("hamming",
+        bit_count(col("ha1").bitwiseXOR(col("hb1"))) +
+          bit_count(col("ha2").bitwiseXOR(col("hb2"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("ida", "idb", "hamming")
+  }
+
   /** Fuzzy-duplicate pairs under a Levenshtein edit-distance threshold —
     * the entity-resolution-style dedup for corpora where near-dups differ
     * by small in-place edits (OCR noise, template fills, typo variants)

@@ -115,6 +115,19 @@ object DedupQueries extends QueryPack {
           maxHamming = 3)
         .orderBy("ida", "idb")),
 
+    // The CLUSTERING route at dup-heavy scale: spanning-star candidates
+    // (each bucket member pairs with the bucket MIN only — n−1 per
+    // bucket instead of n(n−1)/2), same exact 120-bit hamming verify.
+    // Exists because all-pairs candidates grow quadratically in GENUINE
+    // cluster size (d300 probe: 31.1M candidates, hottest bucket 972
+    // docs — BASELINE.md round 14); downstream connected components
+    // only needs connectivity. Full DuckDB twin sharing the signature
+    // CTE prefix with q_dedup_simhash_wide.
+    "q_dedup_simhash_wide_star" -> ((s, d) =>
+      Dedup.simhashStarPairsWide(Tables.documents(s, d), "text", "doc_id",
+          maxHamming = 3)
+        .orderBy("ida", "idb")),
+
     // The PIPELINE-ORDER composition: bag-exact dedup FIRST, wide
     // simhash near-dup on the canonical docs only. Permuted-copy
     // clusters contribute c(c-1)/2 output pairs to any direct near-dup
@@ -475,6 +488,49 @@ object DedupQueries extends QueryPack {
 
   private val tokensSql =
     """list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')"""
+
+  /** Shared 120-bit simhash CTE prefix (tokens → per-token md5 bit
+    * matrices → vote sums → (h1, h2) signatures → 4×30-bit chunk
+    * explode `e`) for q_dedup_simhash_wide and its spanning-star twin —
+    * one text, so the two oracles cannot drift in signature semantics.
+    */
+  private lazy val wideSimhashCtes =
+    s"""t AS (
+      |  SELECT doc_id AS id, w, len(w) AS n
+      |  FROM (SELECT doc_id, $tokensSql AS w FROM documents)
+      |  WHERE len(w) > 0),
+      |tb1 AS (
+      |  SELECT id, n,
+      |    list_transform(w, tk -> flatten(list_transform(generate_series(1, 15), d -> [
+      |      (('0x' || substr(md5(tk), d, 1))::INT // 8) % 2,
+      |      (('0x' || substr(md5(tk), d, 1))::INT // 4) % 2,
+      |      (('0x' || substr(md5(tk), d, 1))::INT // 2) % 2,
+      |      ('0x' || substr(md5(tk), d, 1))::INT % 2 ]))) AS b1,
+      |    list_transform(w, tk -> flatten(list_transform(generate_series(1, 15), d -> [
+      |      (('0x' || substr(md5(tk), 15 + d, 1))::INT // 8) % 2,
+      |      (('0x' || substr(md5(tk), 15 + d, 1))::INT // 4) % 2,
+      |      (('0x' || substr(md5(tk), 15 + d, 1))::INT // 2) % 2,
+      |      ('0x' || substr(md5(tk), 15 + d, 1))::INT % 2 ]))) AS b2
+      |  FROM t),
+      |v AS (
+      |  SELECT id, n,
+      |    list_reduce(b1, (x, y) -> list_transform(generate_series(1, 60), i -> x[i] + y[i])) AS v1,
+      |    list_reduce(b2, (x, y) -> list_transform(generate_series(1, 60), i -> x[i] + y[i])) AS v2
+      |  FROM tb1),
+      |s AS (
+      |  SELECT id,
+      |    list_sum(list_transform(generate_series(1, 60), b ->
+      |      CASE WHEN v1[b] * 2 > n THEN (2.0 ** (60 - b))::BIGINT ELSE 0 END))::BIGINT AS h1,
+      |    list_sum(list_transform(generate_series(1, 60), b ->
+      |      CASE WHEN v2[b] * 2 > n THEN (2.0 ** (60 - b))::BIGINT ELSE 0 END))::BIGINT AS h2
+      |  FROM v),
+      |e AS (
+      |  SELECT id, h1, h2, c,
+      |    CASE c WHEN 0 THEN h1 & 1073741823
+      |           WHEN 1 THEN (h1 >> 30) & 1073741823
+      |           WHEN 2 THEN h2 & 1073741823
+      |           ELSE (h2 >> 30) & 1073741823 END AS cv
+      |  FROM s, unnest([0, 1, 2, 3]) u(c))""".stripMargin
   // Twin of editDistancePairs(maxDist=8): same length block (|Δlen| ≤ 8),
   // same 27-bin char-frequency L1 ≤ 16 prefilter, same final
   // levenshtein ≤ 8 verify. AS MATERIALIZED is load-bearing twice: it
@@ -1172,42 +1228,7 @@ object DedupQueries extends QueryPack {
         |WHERE bit_count(xor(ha1, hb1)) + bit_count(xor(ha2, hb2)) <= 3
         |ORDER BY ida, idb""".stripMargin,
     "q_dedup_simhash_wide" ->
-      s"""WITH t AS (
-        |  SELECT doc_id AS id, w, len(w) AS n
-        |  FROM (SELECT doc_id, $tokensSql AS w FROM documents)
-        |  WHERE len(w) > 0),
-        |tb1 AS (
-        |  SELECT id, n,
-        |    list_transform(w, tk -> flatten(list_transform(generate_series(1, 15), d -> [
-        |      (('0x' || substr(md5(tk), d, 1))::INT // 8) % 2,
-        |      (('0x' || substr(md5(tk), d, 1))::INT // 4) % 2,
-        |      (('0x' || substr(md5(tk), d, 1))::INT // 2) % 2,
-        |      ('0x' || substr(md5(tk), d, 1))::INT % 2 ]))) AS b1,
-        |    list_transform(w, tk -> flatten(list_transform(generate_series(1, 15), d -> [
-        |      (('0x' || substr(md5(tk), 15 + d, 1))::INT // 8) % 2,
-        |      (('0x' || substr(md5(tk), 15 + d, 1))::INT // 4) % 2,
-        |      (('0x' || substr(md5(tk), 15 + d, 1))::INT // 2) % 2,
-        |      ('0x' || substr(md5(tk), 15 + d, 1))::INT % 2 ]))) AS b2
-        |  FROM t),
-        |v AS (
-        |  SELECT id, n,
-        |    list_reduce(b1, (x, y) -> list_transform(generate_series(1, 60), i -> x[i] + y[i])) AS v1,
-        |    list_reduce(b2, (x, y) -> list_transform(generate_series(1, 60), i -> x[i] + y[i])) AS v2
-        |  FROM tb1),
-        |s AS (
-        |  SELECT id,
-        |    list_sum(list_transform(generate_series(1, 60), b ->
-        |      CASE WHEN v1[b] * 2 > n THEN (2.0 ** (60 - b))::BIGINT ELSE 0 END))::BIGINT AS h1,
-        |    list_sum(list_transform(generate_series(1, 60), b ->
-        |      CASE WHEN v2[b] * 2 > n THEN (2.0 ** (60 - b))::BIGINT ELSE 0 END))::BIGINT AS h2
-        |  FROM v),
-        |e AS (
-        |  SELECT id, h1, h2, c,
-        |    CASE c WHEN 0 THEN h1 & 1073741823
-        |           WHEN 1 THEN (h1 >> 30) & 1073741823
-        |           WHEN 2 THEN h2 & 1073741823
-        |           ELSE (h2 >> 30) & 1073741823 END AS cv
-        |  FROM s, unnest([0, 1, 2, 3]) u(c)),
+      s"""WITH $wideSimhashCtes,
         |cand AS (
         |  SELECT DISTINCT a.id AS ida, b.id AS idb,
         |         a.h1 AS ha1, a.h2 AS ha2, b.h1 AS hb1, b.h2 AS hb2
@@ -1215,6 +1236,25 @@ object DedupQueries extends QueryPack {
         |SELECT ida, idb,
         |  (bit_count(xor(ha1, hb1)) + bit_count(xor(ha2, hb2)))::INT AS hamming
         |FROM cand
+        |WHERE bit_count(xor(ha1, hb1)) + bit_count(xor(ha2, hb2)) <= 3
+        |ORDER BY ida, idb""".stripMargin,
+    // the spanning-star clustering twin: per (chunk, value) bucket every
+    // member pairs with the bucket MIN only, same exact hamming verify —
+    // shares the signature/explode CTE prefix with the all-pairs oracle
+    // so the two cannot drift
+    "q_dedup_simhash_wide_star" ->
+      s"""WITH $wideSimhashCtes,
+        |mn AS (SELECT c, cv, min(id) AS ida FROM e GROUP BY c, cv),
+        |cand AS (
+        |  SELECT DISTINCT mn.ida, e.id AS idb
+        |  FROM e JOIN mn ON e.c = mn.c AND e.cv = mn.cv AND e.id <> mn.ida),
+        |j AS (
+        |  SELECT cand.ida, cand.idb, a.h1 AS ha1, a.h2 AS ha2,
+        |         b.h1 AS hb1, b.h2 AS hb2
+        |  FROM cand JOIN s a ON a.id = cand.ida JOIN s b ON b.id = cand.idb)
+        |SELECT ida, idb,
+        |  (bit_count(xor(ha1, hb1)) + bit_count(xor(ha2, hb2)))::INT AS hamming
+        |FROM j
         |WHERE bit_count(xor(ha1, hb1)) + bit_count(xor(ha2, hb2)) <= 3
         |ORDER BY ida, idb""".stripMargin,
     "q_dedup_simhash" ->

@@ -93,6 +93,46 @@ class DedupSpec extends SparkSpecBase {
       "unrelated doc paired by the wide signature")
   }
 
+  test("simhashStarPairsWide: subset of all-pairs; tight clusters get " +
+    "identical components; verify values match the all-pairs route") {
+    // a planted 4-copy cluster (identical bodies → hamming 0 throughout)
+    // plus the base docs: the star route must (a) emit a SUBSET of the
+    // all-pairs output with identical hamming values on shared pairs,
+    // and (b) produce the SAME connected components for the tight
+    // cluster — the blow-up case it exists for, where all members sit
+    // within maxHamming of the bucket min.
+    val clustered = docs.unionByName(Seq(
+      (10L, "stamped template body shared by every replica of this doc"),
+      (11L, "stamped template body shared by every replica of this doc"),
+      (12L, "stamped template body shared by every replica of this doc"),
+      (13L, "stamped template body shared by every replica of this doc"))
+      .toDF("doc_id", "body"))
+    def pairSet(df: DataFrame) = df.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    val all = pairSet(
+      Dedup.simhashPairsWide(clustered, "body", "doc_id", maxHamming = 3))
+    val star = pairSet(
+      Dedup.simhashStarPairsWide(clustered, "body", "doc_id", maxHamming = 3))
+    assert(star.keySet.subsetOf(all.keySet),
+      s"star emitted a pair all-pairs did not: ${star.keySet -- all.keySet}")
+    star.foreach { case (k, h) =>
+      assert(all(k) == h, s"hamming disagreement on $k: star $h vs ${all(k)}")
+    }
+    // star candidates for the 4-copy cluster: 3 pairs (min 10 ↔ each),
+    // vs 6 all-pairs — and identical components either way
+    val clusterStar = star.keySet.filter(_._1 >= 10L)
+    assert(clusterStar == Set((10L, 11L), (10L, 12L), (10L, 13L)),
+      s"got $clusterStar")
+    def comps(pairs: Set[(Long, Long)]) = {
+      import graft.dedup.Components
+      Components.connectedComponents(
+          pairs.toSeq.toDF("ida", "idb")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    assert(comps(star.keySet) == comps(all.keySet),
+      "tight-cluster components must not differ between star and all-pairs")
+  }
+
   test("winnowPairs maxFpPop drops stop-fingerprint-only pairs") {
     // 6 docs sharing one identical LONG boilerplate block (so the
     // window-min fingerprints land in the shared region, df=6) plus two
