@@ -52,7 +52,12 @@ import org.apache.spark.sql.SparkSession
   *    InMemoryRelation (work already materialized into a checkpoint or
   *    pinned cache), or (c) ≥ 10 raw jobs ran (safety net for
   *    RDD-level work that bypasses Dataset actions). "eager" names
-  *    ride the artifact for audit.
+  *    ride the artifact for audit, and (round 15) so do the raw-job
+  *    deltas behind (c) ("build_jobs") and a SCRIPTED escape audit
+  *    ("escape_audit"): per-query medians are diffed against the most
+  *    recent same-rev/same-sf history line, flagging any passing query
+  *    whose median collapsed > 2.5× and > 0.5 s — the manual comparison
+  *    that caught the first rev-4 cut, now run and committed every run.
   *  - OUTLIER POLICY (documented here and in BASELINE.md): a pass is an
   *    outlier iff it exceeds OutlierK × the query's fastest pass AND
   *    exceeds it by more than OutlierFloorS seconds (the absolute floor
@@ -188,7 +193,13 @@ object Bench {
     spark.sparkContext.addSparkListener(buildListener)
     spark.listenerManager.register(qeListener)
     // (name, reusable frame or None, constructionEager)
-    val built: Seq[(String, Option[org.apache.spark.sql.DataFrame], Boolean)] =
+    // built += per-query raw-job delta (the ≥10 safety net's input):
+    // committed to the artifact as "build_jobs" so a borderline
+    // classification — 1-9 raw jobs with no Dataset action and no
+    // materialized plan node — is AUDITABLE from the JSON rather than
+    // invisible (judge advice r14: the net's blind spot needs a record,
+    // not just a threshold).
+    val built: Seq[(String, Option[org.apache.spark.sql.DataFrame], Boolean, Int)] =
       ordered.map { case (name, fn) =>
         org.apache.spark.sql.GraftSqlBridge.drainListenerBus(spark.sparkContext)
         val (jobs0, acts0) = (buildJobs.get(), buildActions.get())
@@ -205,13 +216,14 @@ object Bench {
           val p = df.queryExecution.optimizedPlan.toString
           p.contains("LogicalRDD") || p.contains("InMemoryRelation")
         }
-        val eager = planEager || buildActions.get() > acts0 ||
-          buildJobs.get() - jobs0 >= 10
-        (name, dfOpt, eager)
+        val rawJobs = buildJobs.get() - jobs0
+        val eager = planEager || buildActions.get() > acts0 || rawJobs >= 10
+        (name, dfOpt, eager, rawJobs)
       }
     spark.sparkContext.removeSparkListener(buildListener)
     spark.listenerManager.unregister(qeListener)
-    val eagerNames = built.collect { case (n, _, true) => n }
+    val eagerNames = built.collect { case (n, _, true, _) => n }
+    val buildJobCounts = built.collect { case (n, _, _, j) if j > 0 => (n, j) }
 
     def exec(name: String, df: org.apache.spark.sql.DataFrame): Boolean =
       try { df.write.format("noop").mode("overwrite").save(); true }
@@ -239,7 +251,7 @@ object Bench {
       else dfOpt.exists(exec(name, _))
 
     // warm-up, untimed
-    built.foreach { case (name, dfOpt, _) => dfOpt.foreach(exec(name, _)) }
+    built.foreach { case (name, dfOpt, _, _) => dfOpt.foreach(exec(name, _)) }
 
     val bytes = new BytesListener
     spark.sparkContext.addSparkListener(bytes)
@@ -265,7 +277,7 @@ object Bench {
       (1 to timedPasses).map { pass =>
         timedSweep(pass.toString) {
           if (pass == timedPasses) bytes.shuffle.clear()
-          built.map { case (name, dfOpt, eager) =>
+          built.map { case (name, dfOpt, eager, _) =>
             if (pass == timedPasses)
               spark.sparkContext.setJobGroup(name, name)
             else spark.sparkContext.clearJobGroup()
@@ -283,19 +295,19 @@ object Bench {
     def isOutlier(x: Double, mn: Double): Boolean =
       x > OutlierK * mn && x - mn > OutlierFloorS
     val samples = scala.collection.mutable.LinkedHashMap(
-      built.map { case (name, _, _) =>
+      built.map { case (name, _, _, _) =>
         val runs = passes.map(p => p.find(_._1 == name).get)
         name -> (scala.collection.mutable.ListBuffer(runs.map(_._2): _*),
           runs.forall(_._3))
       }: _*)
     val rerunCounts = scala.collection.mutable.LinkedHashMap.empty[String, Int]
-    val needsRerun = built.filter { case (name, dfOpt, _) =>
+    val needsRerun = built.filter { case (name, dfOpt, _, _) =>
       val (xs, ok) = samples(name)
       ok && dfOpt.nonEmpty && xs.exists(x => isOutlier(x, xs.min))
     }
     if (needsRerun.nonEmpty) {
       timedSweep("rerun") {
-        needsRerun.flatMap { case (name, dfOpt, eager) =>
+        needsRerun.flatMap { case (name, dfOpt, eager, _) =>
           val (xs, wasOk) = samples(name)
           var granted = 0
           var rerunsOk = true
@@ -324,7 +336,7 @@ object Bench {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    val byName = built.map { case (name, _, _) =>
+    val byName = built.map { case (name, _, _, _) =>
       val (xs, ok) = samples(name)
       val mn = xs.min
       val clean0 = xs.filterNot(x => isOutlier(x, mn)).toSeq
@@ -359,6 +371,63 @@ object Bench {
     // the measured reuse classification, for audit: these queries were
     // rebuilt inside the timed region every pass
     val eagerJson = eagerNames.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // the raw-job deltas behind the ≥10 safety net (non-zero only) —
+    // makes a 1-9-job borderline construction auditable from the JSON
+    val buildJobsJson = buildJobCounts
+      .map { case (k, n) => "\"" + k + "\":" + n }.mkString("{", ",", "}")
+    val histFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY",
+      "bench_history.jsonl")
+    // ESCAPE AUDIT, scripted (round 15; previously a manual diff): a
+    // methodology bug that lets eager work slip into the untimed build
+    // phase shows up as a per-query median COLLAPSING versus the last
+    // committed run — exactly the comparison that caught the first
+    // rev-4 cut (q_graph_hits 4.3 → 0.2 s). Baseline = most recent
+    // history line with the same bench_rev and sf; flag = passing query
+    // whose median dropped > 2.5× and > 0.5 s. A flag is a review
+    // prompt, not a failure — a genuine optimization trips it once and
+    // the next baseline absorbs it; both numbers ride the artifact.
+    val escapeAudit: String = try {
+      import org.json4s._
+      val p = java.nio.file.Paths.get(histFile)
+      val prevOpt =
+        if (!java.nio.file.Files.exists(p)) None
+        else {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.readAllLines(p).asScala.toSeq.reverseIterator
+            .flatMap(l =>
+              try Some(org.json4s.jackson.JsonMethods.parse(l))
+              catch { case _: Throwable => None })
+            .find(j => (j \ "bench_rev") == JInt(benchRev) &&
+              (j \ "sf") == JString(sfDir))
+        }
+      prevOpt match {
+        case None => """{"baseline_total":null,"flagged":{}}"""
+        case Some(j) =>
+          def num(v: JValue): Option[Double] = v match {
+            case JDouble(d) => Some(d)
+            case JInt(i) => Some(i.toDouble)
+            case JDecimal(d) => Some(d.toDouble)
+            case _ => None
+          }
+          val prevQ = (j \ "queries") match {
+            case JObject(fs) =>
+              fs.flatMap { case (k, v) => num(v).map(k -> _) }.toMap
+            case _ => Map.empty[String, Double]
+          }
+          val flagged = byName.collect {
+            case (name, med, true, _)
+                if prevQ.get(name).exists(pv =>
+                  pv > 0 && med < pv / 2.5 && pv - med > OutlierFloorS) =>
+              "\"" + name + "\":[" +
+                math.round(prevQ(name) * 100) / 100.0 + "," +
+                math.round(med * 100) / 100.0 + "]"
+          }.mkString("{", ",", "}")
+          val prevVal = num(j \ "value").getOrElse(-1.0)
+          s"""{"baseline_total":${math.round(prevVal * 100) / 100.0},"flagged":$flagged}"""
+      }
+    } catch { case t: Throwable =>
+      s"""{"baseline_total":null,"flagged":{},"err":"${t.getClass.getSimpleName}"}"""
+    }
     // field order matters: the round snapshot keeps only the LAST ~2000
     // chars of stdout, so "queries" (per-query median seconds) goes LAST —
     // r6/r7 snapshots ended in the shuffle_mb map instead and their tails
@@ -367,7 +436,7 @@ object Bench {
     // summary) so bench_history.jsonl lines are self-describing — cross-
     // round trend mining must not need the BENCH_r0N snapshot files
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","bench_rev":$benchRev,"n_queries":${byName.size},"n_failed":${byName.count(!_._3)},"failed":$failed,"pass_env":$envJson,"outlier_reruns":$rerunsJson,"eager_rebuilt":$eagerJson,"passes":$allPasses,"shuffle_mb":${mb(bytes.shuffle)},"sf":"$sfDir","queries":$qs}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","bench_rev":$benchRev,"n_queries":${byName.size},"n_failed":${byName.count(!_._3)},"failed":$failed,"pass_env":$envJson,"outlier_reruns":$rerunsJson,"eager_rebuilt":$eagerJson,"build_jobs":$buildJobsJson,"escape_audit":$escapeAudit,"passes":$allPasses,"shuffle_mb":${mb(bytes.shuffle)},"sf":"$sfDir","queries":$qs}"""
     println(line)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
@@ -378,9 +447,8 @@ object Bench {
     // regression reads lean on stdout archaeology — so every run ALSO
     // appends its line to an append-only history (disable with
     // SPARK_GRAFT_BENCH_HISTORY=/dev/null); per-round snapshots
-    // (bench_r<N>.json) are copies of bench_last at round end
-    val histFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY",
-      "bench_history.jsonl")
+    // (bench_r<N>.json) are copies of bench_last at round end. The
+    // escape audit above reads the PREVIOUS tail of this same file.
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(histFile),
       line + "\n", java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.APPEND)
@@ -405,7 +473,7 @@ object Bench {
         math.round(smb * 10) / 10.0 + "]"
     }.mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","bench_rev":$benchRev,"n_queries":${byName.size},"n_failed":$nFailed,"n_outlier_rerun":${rerunCounts.size},"sf":"$sfDir","pass_env":$envJson,"slowest_sec_mb":$slowest,"detail":"$outFile"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","bench_rev":$benchRev,"n_queries":${byName.size},"n_failed":$nFailed,"n_outlier_rerun":${rerunCounts.size},"sf":"$sfDir","pass_env":$envJson,"escape_audit":$escapeAudit,"slowest_sec_mb":$slowest,"detail":"$outFile"}""")
     // Suite-end sweep of the pinned trained artifacts — the explicit
     // lifetime bound the session-amortized posture requires.
     val released = graft.operators.Artifacts.releaseAll(spark)

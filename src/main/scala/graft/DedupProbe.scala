@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The star-vs-all-pairs dedup probe: the committed evidence run behind
+  * [[graft.dedup.Dedup.simhashStarPairsWide]] (round 14 measured it ad
+  * hoc; round 15 makes it reproducible — VERDICT r14 required the d300
+  * A/B to live in BASELINE.md, and a measurement justifying a shipped
+  * operator needs a rerunnable producer).
+  *
+  * Mirrors PipelineBench stages 1-2 exactly (extract + quality gate +
+  * bag-exact dedup — the corpus the pipeline's near-dup stage actually
+  * sees), then measures, for `$SPARK_GRAFT_SF_DIR/documents.parquet`:
+  *
+  *  - bucket stats off the pinned 120-bit sketch: candidate volume each
+  *    route would enumerate (Σ n(n−1)/2 vs Σ (n−1) per (chunk, value)
+  *    bucket) and the hottest bucket's population — the quadratic-vs-
+  *    linear shape, read directly from the bucket histogram;
+  *  - wall time per route (star cold = includes the shared sketch
+  *    build; all-pairs and star warm read the pinned sketch — the
+  *    comparable pair);
+  *  - verified pair counts, component counts, and the DOWNSTREAM
+  *    contract: cleanCorpusBest survivor sets under each route, with
+  *    set equality checked both directions (the star subgraph can only
+  *    SPLIT components, so survivors can only grow; equality here means
+  *    the fixture's clusters are star-connected — the replica/template
+  *    case the operator exists for).
+  *
+  * Output: one JSON line, also written to $SPARK_GRAFT_PROBE_OUT
+  * (default dedup_probe_last.json).
+  */
+object DedupProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timed[A](body: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = body
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+
+    // PipelineBench stages 1-2, verbatim: the near-dup stage's input.
+    val extracted = graft.operators.Artifacts.pinEager(
+      Tables.documents(spark, sfDir)
+        .withColumn("__p", graft.text.TextFunctions.textProfile(col("text")))
+        .select(col("doc_id"), col("text"), col("source"),
+          col("__p.n_tokens").as("n_tokens"),
+          graft.text.TextFunctions.qualityFromProfile(col("__p"))
+            .as("quality"))
+        .filter(col("n_tokens") >= 5 && col("quality") >= 0.2),
+      "probe.extract")
+    val canonicals = graft.operators.Artifacts.pinEager(
+      extracted.join(
+        graft.dedup.Dedup.exactBagGroups(extracted, "text", "doc_id")
+          .select(col("canonical_id").as("doc_id")),
+        Seq("doc_id"), "left_semi"),
+      "probe.canonicals")
+    val nDocs = canonicals.count()
+
+    def starPairs() = graft.dedup.Dedup.simhashStarPairsWide(
+      canonicals, "text", "doc_id", maxHamming = 3)
+    def allPairs() = graft.dedup.Dedup.simhashPairsWide(
+      canonicals, "text", "doc_id", maxHamming = 3)
+
+    // Leg 1: star cold — pays the shared sketch pinEager build.
+    val (starN1, tStarCold) = timed(starPairs().count())
+    // Bucket histogram off the (now pinned) sketch: what each route
+    // ENUMERATES before the hamming verify, plus the hot-bucket shape.
+    // Recomputes the chunk explode (cheap: 4 rows per sketch row).
+    val mask30 = (1L << 30) - 1
+    val sketch = graft.operators.Artifacts.pin(
+      canonicals.select(col("doc_id").as("id"),
+          graft.text.TextFunctions.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) > 0)
+        .select(col("id"),
+          graft.functions.TextHashExpressions.simhash60(col("toks"))
+            .as("h1"),
+          graft.functions.TextHashExpressions.simhash60Tail(col("toks"))
+            .as("h2")),
+      "probe.sketch")
+    val buckets = sketch
+      .select(col("id"), posexplode(array(
+        col("h1").bitwiseAND(lit(mask30)),
+        shiftright(col("h1"), 30).bitwiseAND(lit(mask30)),
+        col("h2").bitwiseAND(lit(mask30)),
+        shiftright(col("h2"), 30).bitwiseAND(lit(mask30))))
+        .as(Seq("c", "v")))
+      .groupBy("c", "v").agg(count(lit(1)).as("n"))
+    val stats = buckets.agg(
+      sum(col("n") * (col("n") - 1) / 2).cast("long").as("cand_all"),
+      sum(when(col("n") > 1, col("n") - 1).otherwise(0L)).cast("long")
+        .as("cand_star"),
+      max("n").as("hottest"),
+      count(lit(1)).as("n_buckets")).head()
+    val (candAll, candStar, hottest, nBuckets) =
+      (stats.getLong(0), stats.getLong(1), stats.getLong(2), stats.getLong(3))
+
+    // Leg 2: all-pairs (sketch warm). Leg 3: star warm — the fair pair.
+    val (allN, tAll) = timed(allPairs().count())
+    val (starN2, tStarWarm) = timed(starPairs().count())
+    require(starN1 == starN2, "star route not deterministic across runs")
+
+    // Downstream contract: same consumers as the pipeline's clean stage.
+    val starP = graft.operators.Artifacts.pinEager(
+      starPairs().select("ida", "idb"), "probe.star_pairs")
+    val allP = graft.operators.Artifacts.pinEager(
+      allPairs().select("ida", "idb"), "probe.all_pairs")
+    def survivors(p: DataFrame) = graft.dedup.Components.cleanCorpusBest(
+      canonicals, p, "doc_id", score = col("n_tokens")).select("doc_id")
+    val (starSurv, tCleanStar) = timed(graft.operators.Artifacts.pinEager(
+      survivors(starP), "probe.surv_star"))
+    val (allSurv, tCleanAll) = timed(graft.operators.Artifacts.pinEager(
+      survivors(allP), "probe.surv_all"))
+    val nStarSurv = starSurv.count()
+    val nAllSurv = allSurv.count()
+    val onlyStar = starSurv.exceptAll(allSurv).count()
+    val onlyAll = allSurv.exceptAll(starSurv).count()
+    val nCompStar = graft.dedup.Components
+      .connectedComponents(starP).select("component").distinct().count()
+    val nCompAll = graft.dedup.Components
+      .connectedComponents(allP).select("component").distinct().count()
+
+    def r2(x: Double) = math.round(x * 100) / 100.0
+    val line =
+      s"""{"metric":"dedup_probe","sf":"$sfDir","n_canonicals":$nDocs,""" +
+        s""""n_buckets":$nBuckets,"hottest_bucket":$hottest,""" +
+        s""""cand_all_pairs":$candAll,"cand_star":$candStar,""" +
+        s""""pairs_all":$allN,"pairs_star":$starN1,""" +
+        s""""sec_star_cold":${r2(tStarCold)},"sec_all_pairs":${r2(tAll)},""" +
+        s""""sec_star_warm":${r2(tStarWarm)},""" +
+        s""""sec_clean_star":${r2(tCleanStar)},""" +
+        s""""sec_clean_all":${r2(tCleanAll)},""" +
+        s""""components_star":$nCompStar,"components_all":$nCompAll,""" +
+        s""""survivors_star":$nStarSurv,"survivors_all":$nAllSurv,""" +
+        s""""survivors_only_star":$onlyStar,"survivors_only_all":$onlyAll}"""
+    println(line)
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_PROBE_OUT",
+      "dedup_probe_last.json")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(outFile), line + "\n")
+    catch { case t: Throwable =>
+      System.err.println(s"PROBE: could not write $outFile: ${t.getMessage}")
+    }
+    val released = graft.operators.Artifacts.releaseAll(spark)
+    System.err.println(s"PROBE released $released pinned artifacts")
+    spark.stop()
+  }
+}

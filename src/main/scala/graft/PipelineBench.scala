@@ -82,10 +82,22 @@ object PipelineBench {
     }
 
     // 3. Near-dup pairs: 120-bit simhash over the canonicals (pins the
-    // (id,h1,h2) sketch frame — the cross-stage shared artifact).
+    // (id,h1,h2) sketch frame — the cross-stage shared artifact). The
+    // only consumer here is the CLUSTERING stage, which needs
+    // connectivity, not the pair product — so the default route is the
+    // spanning-star enumeration (n−1 candidates per bucket instead of
+    // n(n−1)/2; the d300 probe measured all-pairs candidates quadratic
+    // in genuine cluster size — one 972-doc bucket = 472k candidates).
+    // SPARK_GRAFT_PIPE_ALLPAIRS=1 pins the all-pairs route for A/B
+    // probes (graft.DedupProbe commits the comparison per fixture).
+    val allPairsRoute = sys.env.get("SPARK_GRAFT_PIPE_ALLPAIRS").contains("1")
     val pairs = stage("neardup_pairs") {
-      graft.dedup.Dedup.simhashPairsWide(canonicals, "text", "doc_id",
-        maxHamming = 3)
+      if (allPairsRoute)
+        graft.dedup.Dedup.simhashPairsWide(canonicals, "text", "doc_id",
+          maxHamming = 3)
+      else
+        graft.dedup.Dedup.simhashStarPairsWide(canonicals, "text", "doc_id",
+          maxHamming = 3)
     }
 
     // 4. Clean: cluster the pairs, keep each cluster's BEST copy (by

@@ -679,6 +679,70 @@ object Components {
       landmarks, maxHops, numPartitions, validateWeights = false)
       .select(col("id"), col("lm").as("landmark"), col("cost").as("hops"))
 
+  /** DELTA-FRONTIER landmark BFS — the full-diameter twin of
+    * [[bfsDistances]] (round 15; the refinement its scaladoc named).
+    * Identical output contract: exact unit-weight hop distances for
+    * every (node, landmark) pair within `maxHops`, unreached pairs
+    * absent — so the two share one oracle at any common bound.
+    *
+    * Where they differ is ROUND COST. The bounded loop re-joins the
+    * WHOLE settled table with the edges and re-aggregates it every
+    * round — right for ≤5-hop features, but on a D-diameter graph the
+    * full BFS pays O(D · settled · deg) even though late rounds settle
+    * almost nothing. Level-synchronous BFS at unit weights needs
+    * neither re-relaxation nor the full re-join: a node's first
+    * discovery IS its distance, so each round expands only the
+    * FRONTIER (last round's newly settled rows), anti-joins the settled
+    * set to drop re-discoveries, and stops EARLY the round the
+    * frontier empties — total edge-join work Σ frontier·deg = one pass
+    * over each reached (edge, landmark) pair, independent of D. Settled
+    * rows accumulate as a union of per-round checkpoints (never
+    * rewritten); the anti-join re-scans them per round, which is the
+    * standard Spark frontier trade (scan is narrow; the expensive join
+    * touches only the frontier).
+    *
+    * maxHops is a safety BOUND, not a round budget: [1, 200] (a
+    * 200-hop unit-weight diameter means a path graph, not a co-order
+    * graph; the bound exists so a pathological input can't loop
+    * unbounded). Weighted distances stay on [[bfsDistancesWeighted]] —
+    * label-correcting needs re-relaxation, which the frontier cut
+    * would break.
+    */
+  def bfsDistancesFrontier(edges: DataFrame, landmarks: Seq[Long],
+                           maxHops: Int = 30,
+                           numPartitions: Int = 8): DataFrame = {
+    require(landmarks.nonEmpty, "bfsDistancesFrontier: no landmarks")
+    require(maxHops >= 1 && maxHops <= 200,
+      s"bfsDistancesFrontier: maxHops $maxHops out of [1,200]")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = bidirectedEdges(edges, numPartitions)
+    val d0 = landmarks.distinct.map(l => (l, l, 0L))
+      .toDF("id", "lm", "hops")
+      .repartition(numPartitions, col("id"), col("lm"))
+      .localCheckpoint(eager = true)
+    var settledParts = List(d0)
+    var frontier = d0
+    var hop = 0L
+    var drained = false
+    while (hop < maxHops && !drained) {
+      hop += 1
+      val settled = settledParts.reduce(_ unionAll _)
+      val next = e
+        .join(frontier.select(col("id").as("src"), col("lm")), "src")
+        .select(col("dst").as("id"), col("lm"))
+        .distinct()
+        .join(settled.select("id", "lm"), Seq("id", "lm"), "left_anti")
+        .select(col("id"), col("lm"), lit(hop).as("hops"))
+        .repartition(numPartitions, col("id"), col("lm"))
+        .localCheckpoint(eager = true)
+      if (next.isEmpty) drained = true
+      else { settledParts ::= next; frontier = next }
+    }
+    settledParts.reduce(_ unionAll _)
+      .select(col("id"), col("lm").as("landmark"), col("hops"))
+  }
+
   /** Weight-proportional PageRank over (src, dst, w) edges: a node
     * splits its rank over out-edges proportionally to edge WEIGHT
     * (co-occurrence strength, link multiplicity) instead of uniformly —

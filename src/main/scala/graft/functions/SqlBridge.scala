@@ -21,6 +21,17 @@ object GraftSqlBridge {
   /** The analyzed logical plan behind a DataFrame. */
   def analyzed(df: DataFrame): LogicalPlan = df.queryExecution.analyzed
 
+  /** Drop a cache entry by its logical plan — the release path for a
+    * pinned artifact whose Dataset handle was GC'd (graft.operators
+    * .Artifacts). cascade = false: dependents were pinned and are
+    * released by the same sweep; non-blocking, idempotent (no-op when
+    * the plan isn't cached).
+    */
+  def uncacheByPlan(spark: SparkSession, plan: LogicalPlan): Unit =
+    spark.asInstanceOf[classic.SparkSession].sharedState.cacheManager
+      .uncacheQuery(spark.asInstanceOf[classic.SparkSession], plan,
+        cascade = false, blocking = false)
+
   /** Block until the async listener bus has delivered every queued event
     * (`listenerBus` is private[spark]; metric listeners need a drain
     * point before their accumulations are read — a completed job's task

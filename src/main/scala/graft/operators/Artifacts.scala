@@ -20,21 +20,26 @@ import org.apache.spark.storage.StorageLevel
   * pin through it, callers (or the suite harness — Verify and Bench
   * sweep at suite end) release through it.
   *
-  * Registration is keyed WEAKLY by the session object (identity
-  * semantics, same idiom as GraphMart's memo) and the frames are held
-  * through WeakReferences: a DataFrame strongly references its session
-  * (Dataset → QueryExecution → SparkSession), so strong values would
-  * void the weak keys — the exact value-refers-to-key case the
-  * WeakHashMap contract warns about — and the registry itself would
-  * pin every dropped session forever. With weak values, releaseAll
-  * frees every artifact the caller can still reach; an artifact whose
-  * LAST handle was dropped without release is beyond anyone's
-  * unpersist (the plan handle is gone) and falls to the session cache's
-  * LRU — spill-safe at MEMORY_AND_DISK — dying with the session. The
-  * property the weakness buys is the important one: the registry never
-  * keeps a dead session (or its cached data) alive. Duplicate pins of
-  * one canonical plan are harmless — Spark dedupes the cache entry,
-  * and unpersist is idempotent on the plan.
+  * Release path (round 15 rework): each entry holds the frame's
+  * ANALYZED LOGICAL PLAN strongly, plus a WeakReference to the Dataset.
+  * Most operators pin frames as locals that are unreachable by sweep
+  * time, so the previous weak-value-only registry could silently lose
+  * the unpersist handle to a GC and fall back to cache LRU — the
+  * unbounded growth the registry exists to bound. The plan handle
+  * closes that hole: `CacheManager.uncacheQuery(session, plan)` drops
+  * the cache entry whether or not the Dataset survives (the live
+  * Dataset's `unpersist` is preferred when reachable — it also resets
+  * the frame's own storage level). Plans over file sources transitively
+  * reference their session, so entries are keyed STRONGLY and dead
+  * sessions are pruned explicitly: every registry touch drops sessions
+  * whose SparkContext has stopped (their cached blocks died with the
+  * context — nothing to free). The registry therefore holds, at most,
+  * live sessions plus already-stopped ones not yet touched over — the
+  * same "never keeps a dead session's data alive" property the old
+  * WeakHashMap bought, without the value-refers-to-key contradiction a
+  * strongly-held plan would introduce there. Duplicate pins of one
+  * canonical plan are harmless — Spark dedupes the cache entry, and
+  * uncache/unpersist are idempotent.
   */
 object Artifacts {
 
@@ -43,10 +48,19 @@ object Artifacts {
     */
   val Level: StorageLevel = StorageLevel.MEMORY_AND_DISK
 
-  private val reg =
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.ListBuffer[
-        (String, java.lang.ref.WeakReference[DataFrame])]]()
+  private val reg = scala.collection.mutable.LinkedHashMap
+    .empty[SparkSession, scala.collection.mutable.ListBuffer[
+      (String, java.lang.ref.WeakReference[DataFrame],
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)]]
+
+  /** Drop sessions whose context has stopped (call under reg's lock):
+    * their cached blocks were freed with the context, so the entries —
+    * and the session the plans pin — have nothing left to release.
+    */
+  private def pruneStopped(): Unit =
+    reg.filterInPlace((s, _) =>
+      try !s.sparkContext.isStopped
+      catch { case _: Throwable => false })
 
   /** Persist `df` at [[Level]] and register it under `label` for its
     * session. LAZY: the cache fills on first action — right when a
@@ -56,10 +70,12 @@ object Artifacts {
     * regression, BASELINE.md round 13).
     */
   def pin(df: DataFrame, label: String): DataFrame = reg.synchronized {
+    pruneStopped()
     df.persist(Level)
-    reg.computeIfAbsent(df.sparkSession,
-      _ => scala.collection.mutable.ListBuffer.empty) +=
-      ((label, new java.lang.ref.WeakReference(df)))
+    reg.getOrElseUpdate(df.sparkSession,
+      scala.collection.mutable.ListBuffer.empty) +=
+      ((label, new java.lang.ref.WeakReference(df),
+        org.apache.spark.sql.GraftSqlBridge.analyzed(df)))
     df
   }
 
@@ -77,24 +93,29 @@ object Artifacts {
 
   /** Labels currently registered for `spark` (diagnostics + specs). */
   def registered(spark: SparkSession): Seq[String] = reg.synchronized {
-    Option(reg.get(spark)).map(_.map(_._1).toSeq).getOrElse(Seq.empty)
+    reg.get(spark).map(_.map(_._1).toSeq).getOrElse(Seq.empty)
   }
 
-  /** Unpersist every still-reachable artifact registered for `spark`
-    * and clear its registry; returns how many were released (GC-cleared
-    * references are dropped silently — their plan handle is gone, see
-    * the class docs). Non-blocking unpersist: the sweep is a lifetime
-    * bound, not a latency-critical path. Idempotent — a released
-    * frame's second unpersist is a no-op.
+  /** Release every artifact registered for `spark` and clear its
+    * registry; returns how many were released. Still-reachable frames
+    * unpersist directly; GC-cleared ones release through their plan
+    * handle (`uncacheQuery` — see class docs), so an artifact pinned as
+    * a long-dropped local is freed too, not left to cache LRU.
+    * Non-blocking: the sweep is a lifetime bound, not a latency-
+    * critical path. Idempotent — a released entry's second pass is a
+    * no-op on the cache.
     */
   def releaseAll(spark: SparkSession): Int = reg.synchronized {
-    val entries = Option(reg.remove(spark))
-      .map(_.toList).getOrElse(List.empty)
-    val live = entries.flatMap { case (_, ref) => Option(ref.get) }
-    live.foreach { df =>
-      try df.unpersist(blocking = false)
-      catch { case _: Throwable => () } // a stopped context has nothing to free
+    val entries = reg.remove(spark).map(_.toList).getOrElse(List.empty)
+    pruneStopped()
+    entries.foreach { case (_, ref, plan) =>
+      try Option(ref.get) match {
+        case Some(df) => df.unpersist(blocking = false)
+        case None =>
+          org.apache.spark.sql.GraftSqlBridge.uncacheByPlan(spark, plan)
+      }
+      catch { case _: Throwable => () } // a stopped context: nothing to free
     }
-    live.size
+    entries.size
   }
 }

@@ -260,49 +260,61 @@ object GraphMart {
         .take(6).map("%02x".format(_)).mkString
       new java.io.File(home, s"counts_$digest")
     }
-    var data = dataFor(fp)
-    // A fingerprint can flip BACK to a dir that was tombstoned while
-    // superseded (A → B → A): this read makes it current again, so the
-    // stale tombstone goes now — left in place, the next supersession
-    // would count grace from the OLD mtime and reclaim the dir with
-    // zero grace under a concurrent reader. Delete is atomic; a racing
-    // retireStale holds the build lock but tombstone re-creation there
-    // is idempotent either way.
-    if (data.isDirectory) {
-      val tomb = new java.io.File(data, SupersededMarker)
-      if (tomb.exists()) { tomb.delete(); () }
-    }
-    if (!data.isDirectory) buildLock.synchronized {
+    // Every mutation below runs under the SAME cross-process file lock
+    // builders use (plus the JVM monitor — FileLock is per-process).
+    def withBuildLock[A](body: => A): A = buildLock.synchronized {
       home.mkdirs()
       val ch = java.nio.channels.FileChannel.open(
         new java.io.File(home, "LOCK").toPath,
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.WRITE)
       try {
-        val lock = ch.lock() // blocks until the other builder finishes
-        try {
-          // Re-resolve under the lock: the lock holder may have built
-          // it, or the fixture may have changed while we waited.
-          val fpNow = fp
-          data = dataFor(fpNow)
-          if (!data.isDirectory) {
-            val tmp = new java.io.File(home,
-              s"counts_tmp_${java.util.UUID.randomUUID}")
-            var renamed = false
-            try {
-              write(coOrderCounts(spark.read.parquet(src.getPath)),
-                tmp.getPath)
-              if (!tmp.renameTo(data))
-                throw new java.io.IOException(
-                  s"GraphMart.diskCounts: rename $tmp -> $data failed")
-              renamed = true
-            } finally if (!renamed && tmp.exists()) deleteRecursively(tmp)
-            java.nio.file.Files.write(manifest.toPath,
-              fpNow.getBytes("UTF-8"))
-            retireStale(home, keep = data.getName)
-          }
-        } finally lock.release()
+        val lock = ch.lock() // blocks until the other holder finishes
+        try body finally lock.release()
       } finally ch.close()
+    }
+    var data = dataFor(fp)
+    // A fingerprint can flip BACK to a dir that was tombstoned while
+    // superseded (A → B → A): this read makes it current again, so the
+    // stale tombstone goes now — left in place, the next supersession
+    // would count grace from the OLD mtime and reclaim the dir with
+    // zero grace under a concurrent reader. The delete runs UNDER the
+    // build lock (round 15): done lock-free, a retireStale in another
+    // process — which holds the lock and may have already stat'ed the
+    // old tombstone as past grace — could deleteRecursively the dir
+    // this reader just re-adopted; serializing on the same lock means
+    // the delete lands either before that retireStale's stat (dir is
+    // kept) or after its whole pass (re-created tombstone, full grace).
+    if (data.isDirectory &&
+        new java.io.File(data, SupersededMarker).exists())
+      withBuildLock {
+        val d = dataFor(fp) // re-resolve: may have flipped while waiting
+        if (d.isDirectory) {
+          val tomb = new java.io.File(d, SupersededMarker)
+          if (tomb.exists()) { tomb.delete(); () }
+        }
+      }
+    if (!data.isDirectory) withBuildLock {
+      // Re-resolve under the lock: the lock holder may have built
+      // it, or the fixture may have changed while we waited.
+      val fpNow = fp
+      data = dataFor(fpNow)
+      if (!data.isDirectory) {
+        val tmp = new java.io.File(home,
+          s"counts_tmp_${java.util.UUID.randomUUID}")
+        var renamed = false
+        try {
+          write(coOrderCounts(spark.read.parquet(src.getPath)),
+            tmp.getPath)
+          if (!tmp.renameTo(data))
+            throw new java.io.IOException(
+              s"GraphMart.diskCounts: rename $tmp -> $data failed")
+          renamed = true
+        } finally if (!renamed && tmp.exists()) deleteRecursively(tmp)
+        java.nio.file.Files.write(manifest.toPath,
+          fpNow.getBytes("UTF-8"))
+        retireStale(home, keep = data.getName)
+      }
     }
     read(spark, data.getPath)
   }

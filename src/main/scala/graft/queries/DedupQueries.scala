@@ -337,6 +337,21 @@ object DedupQueries extends QueryPack {
         .orderBy("eval_id", "corpus_id")
     }),
 
+    // The star route feeding its intended CONSUMER end-to-end: connected
+    // components over the spanning-star simhash pairs (round 15 — the
+    // d300 probe found all-pairs candidates quadratic in genuine cluster
+    // size; the clustering route only needs connectivity, and the star
+    // subgraph connects tight near-dup clusters identically). The oracle
+    // reproduces the star enumeration AND the reachability closure in
+    // DuckDB, so the component labels are cross-engine-proven on exactly
+    // the pair set the scale path emits.
+    "q_dedup_clusters_simhash_star" -> ((s, d) => {
+      val pairs = Dedup.simhashStarPairsWide(Tables.documents(s, d), "text",
+        "doc_id", maxHamming = 3)
+      graft.dedup.Components.dupClusters(pairs.select("ida", "idb"))
+        .orderBy("id")
+    }),
+
     // Duplicate clusters: connected components over the MinHash near-dup
     // pairs (min-label propagation), one canonical per cluster.
     "q_dedup_clusters" -> ((s, d) => {
@@ -1257,6 +1272,32 @@ object DedupQueries extends QueryPack {
         |FROM j
         |WHERE bit_count(xor(ha1, hb1)) + bit_count(xor(ha2, hb2)) <= 3
         |ORDER BY ida, idb""".stripMargin,
+    // star pair enumeration (shared signature CTEs) + the same recursive
+    // reachability closure the minhash cluster oracles use — the
+    // component labels over the SPANNING pair set, end to end in SQL
+    "q_dedup_clusters_simhash_star" ->
+      s"""WITH RECURSIVE $wideSimhashCtes,
+        |mn AS (SELECT c, cv, min(id) AS ida FROM e GROUP BY c, cv),
+        |cand AS (
+        |  SELECT DISTINCT mn.ida, e.id AS idb
+        |  FROM e JOIN mn ON e.c = mn.c AND e.cv = mn.cv AND e.id <> mn.ida),
+        |jh AS (
+        |  SELECT cand.ida, cand.idb, a.h1 AS ha1, a.h2 AS ha2,
+        |         b.h1 AS hb1, b.h2 AS hb2
+        |  FROM cand JOIN s a ON a.id = cand.ida JOIN s b ON b.id = cand.idb),
+        |vp AS (
+        |  SELECT ida, idb FROM jh
+        |  WHERE bit_count(xor(ha1, hb1)) + bit_count(xor(ha2, hb2)) <= 3),
+        |edges AS (
+        |  SELECT ida AS src, idb AS dst FROM vp
+        |  UNION SELECT idb, ida FROM vp),
+        |reach(id, root) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e2.dst, r.root FROM reach r JOIN edges e2 ON e2.src = r.id),
+        |cc AS (SELECT id, min(root) AS component FROM reach GROUP BY id)
+        |SELECT id, component, CAST(id = component AS INT) AS is_canonical
+        |FROM cc ORDER BY id""".stripMargin,
     "q_dedup_simhash" ->
       s"""WITH t AS (
         |  SELECT doc_id AS id, w, len(w) AS n

@@ -190,7 +190,27 @@ object Ivf {
               nlist: Int = 16, nprobe: Int = 4,
               kmeansIters: Int = 3): DataFrame = {
     val centroids = kmeansFit(corpus, nlist, kmeansIters)
-    val c = assignCells(corpus, centroids)
+    topKIvfIndexed(queries, assignCells(corpus, centroids), centroids, k,
+      nprobe)
+  }
+
+  /** Search against a FIXED pre-trained quantizer — the INCREMENTAL
+    * maintenance entry. `corpusCells` is the inverted index as data:
+    * (id, vec, cell) rows, which is exactly what lets arriving batches
+    * be appended without refitting — assign the new batch with
+    * [[assignCells]] against the loaded centroids and union it in; cell
+    * ids stay comparable because the geometry never moved
+    * ([[saveCentroids]] scaladoc). At nprobe = centroids.length every
+    * cell is probed and scoring is exact, so the result is provably the
+    * brute-force top-k over whatever the index currently holds — the
+    * exact-equivalence mode q_ann_ivf_incremental hash-checks; the
+    * assignment-stability and index-equivalence properties are
+    * IvfSpec's.
+    */
+  def topKIvfIndexed(queries: DataFrame, corpusCells: DataFrame,
+                     centroids: Array[Array[Double]], k: Int,
+                     nprobe: Int): DataFrame = {
+    val c = corpusCells
       .select(col("id").as("cid_"), col("vec").as("cvec"), col("cell"))
       .withColumn("cnrm", sqrt(vecDot(col("cvec"), col("cvec"))))
     val q = probeCells(queries, centroids, nprobe)

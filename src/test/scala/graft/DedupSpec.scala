@@ -133,6 +133,33 @@ class DedupSpec extends SparkSpecBase {
       "tight-cluster components must not differ between star and all-pairs")
   }
 
+  test("cleanCorpusBest over star pairs equals the all-pairs route on " +
+    "tight clusters — the downstream contract the pipeline swap relies on") {
+    // same planted replica cluster as above; the clean stage consumes
+    // pairs ONLY through connected components, so identical components
+    // must yield the identical survivor SET (round 15: PipelineBench's
+    // neardup_pairs stage defaults to the star route on this contract)
+    import graft.dedup.Components
+    val clustered = docs.unionByName(Seq(
+      (10L, "stamped template body shared by every replica of this doc"),
+      (11L, "stamped template body shared by every replica of this doc"),
+      (12L, "stamped template body shared by every replica of this doc"),
+      (13L, "stamped template body shared by every replica of this doc"))
+      .toDF("doc_id", "body"))
+    // score = id: keep-best must keep the HIGHEST id per cluster — the
+    // opposite of the min-id canonical, so a wrong winner is visible
+    def survivors(pairs: DataFrame) = Components.cleanCorpusBest(
+        clustered, pairs.select("ida", "idb"), "doc_id", score = $"doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val star = survivors(
+      Dedup.simhashStarPairsWide(clustered, "body", "doc_id", maxHamming = 3))
+    val all = survivors(
+      Dedup.simhashPairsWide(clustered, "body", "doc_id", maxHamming = 3))
+    assert(star == all, s"survivor sets diverged: star $star vs all $all")
+    // the best (highest-score) replica survives, not the min-id one
+    assert(star.contains(13L) && !star.contains(10L), s"got $star")
+  }
+
   test("winnowPairs maxFpPop drops stop-fingerprint-only pairs") {
     // 6 docs sharing one identical LONG boilerplate block (so the
     // window-min fingerprints land in the shared region, df=6) plus two

@@ -100,4 +100,32 @@ class IvfSpec extends SparkSpecBase {
       .select("id", "cell").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(a1 == a2)
   }
+
+  test("incremental index == full rebuild under fixed centroids; " +
+    "topKIvfIndexed at nprobe = nlist is brute force over the union") {
+    // fit on the BASE only, then append the batch incrementally — the
+    // (id, cell) set must equal assigning the whole union in one pass
+    // (cells are a pure function of (vec, centroids)), and searching the
+    // incremental index with every cell probed must land on the exact
+    // brute-force answer over base ∪ batch (q_ann_ivf_incremental's
+    // exact-equivalence contract).
+    val base = corpus.filter($"id" % 3 =!= 0)
+    val batch = corpus.filter($"id" % 3 === 0)
+    val cents = Ivf.kmeansFit(base, k = 3, iters = 4)
+    val incremental = Ivf.assignCells(base, cents)
+      .unionByName(Ivf.assignCells(batch, cents))
+    val rebuilt = Ivf.assignCells(corpus, cents)
+    def cellSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "cell").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(cellSet(incremental) == cellSet(rebuilt))
+    val queries = corpus.filter($"id" % 20 === 0)
+    val exact = VectorOps.topKBruteForce(queries, corpus, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val inc = Ivf.topKIvfIndexed(queries, incremental, cents, k = 5,
+        nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(inc == exact, "exhaustive probe over the incremental index " +
+      "must equal brute force")
+  }
 }
