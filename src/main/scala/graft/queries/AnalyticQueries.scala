@@ -178,6 +178,23 @@ object AnalyticQueries extends QueryPack {
         .orderBy("id", "landmark")
     }),
 
+    // FULL-DIAMETER distances from the same 3 landmarks via the
+    // delta-frontier loop (round 15): bound 30 is a safety net, not a
+    // round budget — the loop stops the round its frontier drains, so
+    // the result is the complete reachability closure. The oracle
+    // unrolls the SAME bounded Bellman-Ford to 30 rounds (idempotent
+    // once every reachable pair settles), so the hash match proves the
+    // early-stopped frontier expansion == the fixpoint of the full
+    // recurrence — cross-engine, at full diameter, which is exactly
+    // the contract the bounded 5-hop query can't exercise.
+    "q_graph_distances_frontier" -> ((s, d) => {
+      val edges = coOrderPairs(s, d)
+      graft.dedup.Components
+        .bfsDistancesFrontier(edges, smallestNodeIds(edges, 3),
+          maxHops = 30)
+        .orderBy("id", "landmark")
+    }),
+
     // WEIGHTED distances from the same 3 landmarks: minimum total edge
     // cost within 5 hops, with cost = the standard similarity→distance
     // flip of co-order strength (greatest(1, 11 − least(n_co, 10)) —
@@ -1110,6 +1127,10 @@ object AnalyticQueries extends QueryPack {
     "q_graph_communities_weighted" -> communitiesWeightedOracleSql(5),
     "q_graph_modularity" -> modularityOracleSql(5),
     "q_graph_distances" -> distancesOracleSql(5),
+    // same shared CTE builder, unrolled past the fixture diameter: the
+    // recurrence is idempotent once settled, so d30 == the fixpoint the
+    // early-stopping frontier loop computes
+    "q_graph_distances_frontier" -> distancesOracleSql(30),
     "q_sketch_rollup_exact" ->
       """SELECT event_type,
         |       count(DISTINCT user_id) AS n_users,

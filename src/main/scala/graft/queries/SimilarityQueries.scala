@@ -330,10 +330,52 @@ object SimilarityQueries extends QueryPack {
       graft.similarity.Pq.topKIvfPq(c.filter(col("id") < 10), c, 3,
         nlist = 16, nprobe = 4)
         .orderBy("qid", "rn")
-    }))
+    }),
+
+    // Diversity sampling (round 15): greedy k-center coreset over the
+    // embedding corpus — the fixed-budget "cover the embedding space"
+    // subset selection a fine-tuning pipeline runs before drawing
+    // training samples. Deterministic (smallest-id seed, round-6
+    // distances, id tiebreak) so the whole greedy trajectory — every
+    // selection AND its max-min distance — hash-checks against an
+    // unrolled DuckDB twin. See similarity.Coreset for the zero-
+    // exchange k-pass scale design.
+    "q_coreset_kcenter" -> ((s, d) =>
+      graft.similarity.Coreset.kCenterGreedy(
+          corpus(s, d).select("id", "vec"), k = 8)
+        .orderBy("rank")))
 
   private val corpusSql =
     "SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings"
+
+  /** Unrolled twin of Coreset.kCenterGreedy: s1 = smallest id; each
+    * round i carries md = min over chosen centers of the ROUND-6
+    * euclidean distance (`list_distance` — the same sequential double
+    * loop the Spark HOF runs) and picks the (md DESC, id) top-1.
+    */
+  private def coresetOracleSql(k: Int): String = {
+    val base =
+      """WITH c AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s1 AS (SELECT id, v FROM c ORDER BY id LIMIT 1),
+        |m1 AS (SELECT c.id, c.v, round(list_distance(c.v, s1.v), 6) AS md
+        |       FROM c, s1 WHERE c.id <> s1.id)""".stripMargin
+    val rounds = (2 to k).map { i =>
+      val p = i - 1
+      val pick =
+        s"s$i AS (SELECT id, v, md FROM m$p ORDER BY md DESC, id LIMIT 1)"
+      if (i == k) pick
+      else pick + ",\n" +
+        s"""m$i AS (SELECT m.id, m.v,
+          |  least(m.md, round(list_distance(m.v, s$i.v), 6)) AS md
+          |  FROM m$p m, s$i WHERE m.id <> s$i.id)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    val sel = (2 to k).map(i =>
+      s"UNION ALL SELECT $i AS rank, id, md AS dist FROM s$i").mkString("\n")
+    s"""$base$rounds
+      |SELECT * FROM (
+      |SELECT 1 AS rank, id, 0.0::DOUBLE AS dist FROM s1
+      |$sel) ORDER BY rank""".stripMargin
+  }
 
   /** Brute-force cosine top-3 over the 40-vector exact-equivalence
     * corpus — the shared oracle for q_ann_pq and q_ann_ivfpq (see the
@@ -478,6 +520,11 @@ object SimilarityQueries extends QueryPack {
         |r AS (SELECT *, row_number() OVER (PARTITION BY qid
         |        ORDER BY cos DESC, vec_id) AS rn FROM p)
         |SELECT qid, rn, vec_id, cos FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
+    // unrolled greedy k-center twin: per round, carry the rounded
+    // min-distance and take the (md DESC, id) top-1 — round commutes
+    // with min (monotone), so carrying rounded minima here equals the
+    // operator's recompute-then-round (Coreset scaladoc)
+    "q_coreset_kcenter" -> coresetOracleSql(8),
     // q_ann_hard_negatives_ivf at nprobe = nlist ≡ hardNegatives
     // (IvfSpec-pinned identity) → the same brute different-label oracle.
     "q_ann_hard_negatives_ivf" ->

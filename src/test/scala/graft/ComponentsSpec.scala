@@ -625,6 +625,41 @@ class ComponentsSpec extends SparkSpecBase {
     assert(dd == want, "diverged from driver-side BFS")
   }
 
+  test("bfsDistancesFrontier: full-diameter chain drains early; " +
+    "exact parity with the bounded loop at a shared bound") {
+    // chain 1-…-12, landmark 1, bound 200 (far past the diameter): the
+    // frontier drains after 11 rounds and every node settles at its
+    // exact hop count — the full-closure contract the bounded loop
+    // would pay 200 full-table rounds for
+    val chain = (1L to 11L).map(i => (i, i + 1)).toDF("src", "dst")
+    val got = Components.bfsDistancesFrontier(chain, Seq(1L), maxHops = 200)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == (1L to 12L).map(i => i -> (i - 1L)).toMap, s"got $got")
+    // random graph, 2 landmarks, SHARED bound: first-discovery depths
+    // must equal the bounded loop's min-relaxation distances row for
+    // row — the common-oracle contract q_graph_distances_frontier
+    // hash-checks cross-engine
+    val rnd = new scala.util.Random(31)
+    val edges = (1 to 90).map(_ =>
+      (rnd.nextInt(30).toLong + 1, rnd.nextInt(30).toLong + 1))
+      .filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val lms = Seq(1L, 9L)
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val bounded = canon(Components.bfsDistances(
+      edges.toDF("src", "dst").repartition(5), lms, maxHops = 4))
+    val frontier = canon(Components.bfsDistancesFrontier(
+      edges.toDF("src", "dst").repartition(5), lms, maxHops = 4))
+    assert(frontier == bounded,
+      "frontier diverged from the bounded loop at a shared bound")
+    // landmark isolated from part of the graph: unreached pairs ABSENT
+    val split = Seq((1L, 2L), (3L, 4L)).toDF("src", "dst")
+    val sp = Components.bfsDistancesFrontier(split, Seq(1L), maxHops = 10)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(sp == Set(1L, 2L), s"got $sp")
+  }
+
   test("bfsBetweenness: hand-derived path graph and diamond; landmark excluded") {
     val S = 100000L
     // path 1-2-3-4, landmark 1: delta(3) = (1*(S+0))div 1 = S;
