@@ -51,42 +51,53 @@ object BfsProbe {
     val edges = graft.operators.GraphMart.cachedEdges(spark, sfDir)
       .select("src", "dst")
     val nEdges = edges.count()
-    val landmarks = edges.select(col("src").as("id"))
+    // two landmark sets: the query posture (3 smallest ids — on the
+    // 100× fixture a near-isolated corner, eccentricity 4) and the
+    // full-diameter stressor (3 highest-degree hubs — the landmarks a
+    // real landmark-estimation deployment picks, reaching the giant
+    // component's whole closure)
+    val smallest = edges.select(col("src").as("id"))
       .unionAll(edges.select(col("dst").as("id")))
       .distinct().orderBy("id").limit(3)
       .collect().map(_.getLong(0)).toSeq
+    val hubs = edges.select(col("src").as("id"))
+      .unionAll(edges.select(col("dst").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+      .orderBy(col("deg").desc, col("id")).limit(3)
+      .collect().map(_.getLong(0)).toSeq
 
-    val (n5, t5) = timed(graft.dedup.Components
-      .bfsDistances(edges, landmarks, maxHops = 5).count())
-    val (b30, tB30) = timed {
-      val df = graft.dedup.Components
-        .bfsDistances(edges, landmarks, maxHops = 30)
-      (df, df.count())
+    def leg(landmarks: Seq[Long]) = {
+      val (n5, t5) = timed(graft.dedup.Components
+        .bfsDistances(edges, landmarks, maxHops = 5).count())
+      val (b30, tB30) = timed {
+        val df = graft.dedup.Components
+          .bfsDistances(edges, landmarks, maxHops = 30)
+        (df, df.count())
+      }
+      val (f30, tF30) = timed {
+        val df = graft.dedup.Components
+          .bfsDistancesFrontier(edges, landmarks, maxHops = 30)
+        (df, df.count())
+      }
+      // eccentricity = the frontier's actual round count; also the
+      // committed answer to "what IS the fixture diameter from here"
+      val ecc = f30._1.agg(max("hops")).head().getLong(0)
+      // the shared-oracle contract, asserted at scale both directions
+      val onlyB = b30._1.exceptAll(f30._1).count()
+      val onlyF = f30._1.exceptAll(b30._1).count()
+      require(onlyB == 0 && onlyF == 0,
+        s"bounded30/frontier30 diverged: bounded=$onlyB frontier=$onlyF")
+      def r2(x: Double) = math.round(x * 100) / 100.0
+      s""""landmarks":${landmarks.mkString("[", ",", "]")},""" +
+        s""""rows_hop5":$n5,"rows_full":${b30._2},"eccentricity":$ecc,""" +
+        s""""sec_bounded_hop5":${r2(t5)},"sec_bounded_30":${r2(tB30)},""" +
+        s""""sec_frontier_30":${r2(tF30)},""" +
+        s""""parity":"bounded30==frontier30""""
     }
-    val (f30, tF30) = timed {
-      val df = graft.dedup.Components
-        .bfsDistancesFrontier(edges, landmarks, maxHops = 30)
-      (df, df.count())
-    }
-    // eccentricity = the frontier's actual round count; also the
-    // committed answer to "what IS the fixture diameter from landmarks"
-    val ecc = f30._1.agg(max("hops")).head().getLong(0)
-    // the shared-oracle contract, asserted at scale in both directions
-    val onlyB = b30._1.exceptAll(f30._1).count()
-    val onlyF = f30._1.exceptAll(b30._1).count()
-    require(onlyB == 0 && onlyF == 0,
-      s"bounded30 and frontier30 diverged: onlyBounded=$onlyB onlyFrontier=$onlyF")
 
-    def r2(x: Double) = math.round(x * 100) / 100.0
     val line =
       s"""{"metric":"bfs_probe","sf":"$sfDir","n_edges":$nEdges,""" +
-        s""""landmarks":${landmarks.mkString("[", ",", "]")},""" +
-        s""""rows_hop5":$n5,"rows_full":${b30._2},""" +
-        s""""eccentricity":$ecc,""" +
-        s""""sec_bounded_hop5":${r2(t5)},""" +
-        s""""sec_bounded_30":${r2(tB30)},""" +
-        s""""sec_frontier_30":${r2(tF30)},""" +
-        s""""parity":"bounded30==frontier30"}"""
+        s""""smallest_ids":{${leg(smallest)}},"hubs":{${leg(hubs)}}}"""
     println(line)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_PROBE_OUT",
       "bfs_probe_last.json")
