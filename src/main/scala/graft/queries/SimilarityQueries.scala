@@ -314,6 +314,34 @@ object SimilarityQueries extends QueryPack {
         .orderBy("qid", "rn")
     }),
 
+    // INCREMENTAL PQ maintenance, end to end (round 15 — the PQ twin of
+    // q_ann_ivf_incremental): fit codebooks on the BASE slice only,
+    // persist, LOAD back, encode base and the ARRIVING batch separately
+    // under the loaded books (encode is a pure per-row map, so the
+    // incrementally-grown code table == a full re-encode by
+    // construction — PqSpec pins it), union into one index, ADC-search
+    // it. Exact-equivalence mode: corpus capped at 40 ≤ rerank 50, so
+    // the exact re-rank tail provably returns brute-force top-3 no
+    // matter where the base-trained codebooks sit — the same oracle as
+    // q_ann_pq proves the whole fit→save→load→incremental-encode→
+    // union→search pipeline.
+    "q_ann_pq_incremental" -> ((s, d) => {
+      val c = corpus(s, d).select("id", "vec").filter(col("id") < 40)
+      val base = c.filter(col("id") % 3 =!= 0)
+      val batch = c.filter(col("id") % 3 === 0)
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_pq_codebooks_" + Integer.toHexString(
+          new java.io.File(d).getAbsolutePath.hashCode)).getPath
+      val trained = graft.similarity.Pq.fitCodebooks(base, m = 8, ksub = 16)
+      graft.similarity.Pq.saveCodebooks(s, trained, dir)
+      val loaded = graft.similarity.Pq.loadCodebooks(s, dir)
+      val index = graft.similarity.Pq.encode(base, loaded)
+        .unionByName(graft.similarity.Pq.encode(batch, loaded))
+      graft.similarity.Pq.topKPqIndexed(c.filter(col("id") < 10), index,
+          c, loaded, 3)
+        .orderBy("qid", "rn")
+    }),
+
     // The UNCAPPED quantized-ANN run at production settings (round 15,
     // judge advice): q_ann_pq / q_ann_ivfpq cap the corpus for their
     // exact-equivalence oracles, which took the approximate path off the
@@ -496,6 +524,10 @@ object SimilarityQueries extends QueryPack {
     // two different physical pipelines, one exact result.
     "q_ann_pq" -> annSmallExactSql,
     "q_ann_ivfpq" -> annSmallExactSql,
+    // incremental PQ at rerank ≥ corpus: the exact tail makes the
+    // base-trained, load-round-tripped, union-grown index provably
+    // brute-force-equal — same 40-vector oracle
+    "q_ann_pq_incremental" -> annSmallExactSql,
     // q_ann_ivf probes every cell (nprobe = nlist) and IVF-Flat scores
     // exactly → full-corpus brute-force top-3 is its provable answer.
     "q_ann_ivf" ->

@@ -147,6 +147,39 @@ object Pq {
       acc
     })
 
+  /** Persist codebooks as (subspace, codeword, vec) parquet rows — the
+    * fit-once-assign-forever posture [[Ivf.saveCentroids]] established:
+    * codes stay comparable across batches only while the codebooks are
+    * fixed, which is what makes an incremental PQ index (encode the
+    * arriving batch, append to the code table) possible at all.
+    */
+  def saveCodebooks(spark: org.apache.spark.sql.SparkSession,
+                    codebooks: Array[Array[Array[Double]]],
+                    path: String): Unit = {
+    import spark.implicits._
+    (for {
+      (sub, s) <- codebooks.zipWithIndex
+      (v, c) <- sub.zipWithIndex
+    } yield (s, c, v.toSeq)).toSeq
+      .toDF("subspace", "codeword", "vec")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load codebooks written by [[saveCodebooks]], ordered (subspace,
+    * codeword) — bit-identical to what was saved (doubles round-trip
+    * parquet exactly), so encodings under the loaded books equal
+    * encodings under the trained ones.
+    */
+  def loadCodebooks(spark: org.apache.spark.sql.SparkSession,
+                    path: String): Array[Array[Array[Double]]] =
+    spark.read.parquet(path)
+      .orderBy("subspace", "codeword")
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](2).toArray))
+      .groupBy(_._1).toArray.sortBy(_._1)
+      .map(_._2.map(_._2))
+
   /** Approximate top-k by PQ-ADC with exact re-rank. Queries must be a
     * SMALL frame (it is broadcast with its LUTs); corpus is (id, vec).
     * Output (qid, rn, vec_id, cos) matches the other top-k operators.
@@ -155,9 +188,29 @@ object Pq {
              m: Int = 8, ksub: Int = 16, rerank: Int = 50,
              iters: Int = 3): DataFrame = {
     val cb = fitCodebooks(corpus, m, ksub, iters)
-    val codes = encode(corpus, cb).select(col("id").as("cid_"), col("code"))
+    topKPqIndexed(queries, encode(corpus, cb), corpus, cb, k, rerank)
+  }
+
+  /** ADC search against a FIXED pre-trained quantizer — the INCREMENTAL
+    * maintenance entry, mirroring [[Ivf.topKIvfIndexed]]. `corpusCodes`
+    * is the PQ index as data ((id, code) rows): arriving batches append
+    * via [[encode]] under the loaded codebooks + union — encode is a
+    * pure per-row map, so an incrementally-grown code table is
+    * trivially identical to a full re-encode (PqSpec pins it through
+    * the save/load round-trip). `corpusVecs` (id, vec) serves only the
+    * exact re-rank of the bounded shortlist. With rerank ≥ |corpus| the
+    * shortlist is everything and the result is provably brute-force —
+    * the exact-equivalence mode q_ann_pq_incremental hash-checks.
+    */
+  def topKPqIndexed(queries: DataFrame, corpusCodes: DataFrame,
+                    corpusVecs: DataFrame,
+                    codebooks: Array[Array[Array[Double]]], k: Int,
+                    rerank: Int = 50): DataFrame = {
+    val m = codebooks.length
+    val ksub = codebooks(0).length
+    val codes = corpusCodes.select(col("id").as("cid_"), col("code"))
     val qt = queries.select(col("id").as("qid"), col("vec").as("qvec"))
-      .withColumn("lut", lutFor(cb)(col("qvec")))
+      .withColumn("lut", lutFor(codebooks)(col("qvec")))
       .select("qid", "lut")
     // ADC scan: corpus codes stay distributed, queries broadcast; the
     // stream narrows to 3 columns immediately after the lookup sum, and
@@ -168,7 +221,7 @@ object Pq {
       .select(col("qid"), col("cid_"),
         adcFor(m, ksub)(col("code"), col("lut")).as("ascore"))
     val shortlist = Ranking.topKIds(scoredAll, "qid", "ascore", "cid_", rerank)
-    rerankExact(shortlist, queries, corpus, k)
+    rerankExact(shortlist, queries, corpusVecs, k)
   }
 
   /** FAISS-style IVFPQ: the two scale levers composed — IVF cells bound

@@ -48,4 +48,36 @@ class PqSpec extends SparkSpecBase {
     val recall = (exact intersect approx).size.toDouble / exact.size
     assert(recall >= 0.5, s"recall $recall below floor; got $approx")
   }
+
+  test("codebooks round-trip the lake bit-identically; incremental " +
+    "index == full re-encode; indexed search == topKPq") {
+    val base = corpus.filter(col("id") % 3 =!= 0)
+    val batch = corpus.filter(col("id") % 3 === 0)
+    val trained = Pq.fitCodebooks(base, m = 8, ksub = 16)
+    val dir = java.nio.file.Files.createTempDirectory("pq-books")
+      .resolve("cb").toString
+    Pq.saveCodebooks(spark, trained, dir)
+    val loaded = Pq.loadCodebooks(spark, dir)
+    assert(loaded.flatten.flatten.toSeq == trained.flatten.flatten.toSeq,
+      "doubles must round-trip parquet bit-identically")
+    // encode is a pure per-row map: base+batch under loaded books ==
+    // one-pass re-encode of the whole corpus under trained books
+    def codeSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val incremental = codeSet(Pq.encode(base, loaded)
+      .unionByName(Pq.encode(batch, loaded)))
+    val rebuilt = codeSet(Pq.encode(corpus, trained))
+    assert(incremental == rebuilt)
+    // searching the incrementally-grown index under loaded books ==
+    // topKPq given the same codebooks (one definition of the scan path)
+    val queries = corpus.filter(col("id") < 10)
+    def res(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val viaIndex = res(Pq.topKPqIndexed(queries,
+      Pq.encode(base, loaded).unionByName(Pq.encode(batch, loaded)),
+      corpus, loaded, k = 3))
+    val viaFit = res(Pq.topKPqIndexed(queries, Pq.encode(corpus, trained),
+      corpus, trained, k = 3))
+    assert(viaIndex == viaFit)
+  }
 }
