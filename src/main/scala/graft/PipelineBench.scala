@@ -87,7 +87,11 @@ object PipelineBench {
     // connectivity, not the pair product — so the default route is the
     // spanning-star enumeration (n−1 candidates per bucket instead of
     // n(n−1)/2; the d300 probe measured all-pairs candidates quadratic
-    // in genuine cluster size — one 972-doc bucket = 472k candidates).
+    // in genuine cluster size — one 967-doc bucket = 467k candidates).
+    // Measured trade (BASELINE.md round 15): this stage 2.7× faster at
+    // d300 (12.7 vs 34.4 s) at the cost of a strictly ONE-SIDED miss —
+    // the clean stage keeps +0.47% (d100) / +0.90% (d300) docs it
+    // would have merged, never deleting anything the exact route keeps.
     // SPARK_GRAFT_PIPE_ALLPAIRS=1 pins the all-pairs route for A/B
     // probes (graft.DedupProbe commits the comparison per fixture).
     val allPairsRoute = sys.env.get("SPARK_GRAFT_PIPE_ALLPAIRS").contains("1")

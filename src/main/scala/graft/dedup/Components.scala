@@ -1188,10 +1188,28 @@ object Components {
     */
   def harmonicCloseness(edges: DataFrame, landmarks: Seq[Long],
                         maxHops: Int = 5, scale: Long = 100000L,
-                        numPartitions: Int = 8): DataFrame = {
+                        numPartitions: Int = 8): DataFrame =
+    closenessAgg(bfsDistances(edges, landmarks, maxHops, numPartitions),
+      scale)
+
+  /** FULL-DIAMETER harmonic closeness: the same aggregate over the
+    * frontier BFS, so the centrality reads the COMPLETE reachability
+    * closure (untruncated — a node 7 hops out contributes scale/7
+    * instead of vanishing at the 5-hop feature bound) while the distance
+    * pass stops the round its frontier drains rather than paying the
+    * safety bound ([[bfsDistancesFrontier]]; bounded-vs-frontier A/B in
+    * BASELINE.md round 15).
+    */
+  def harmonicClosenessFull(edges: DataFrame, landmarks: Seq[Long],
+                            maxHops: Int = 30, scale: Long = 100000L,
+                            numPartitions: Int = 8): DataFrame =
+    closenessAgg(
+      bfsDistancesFrontier(edges, landmarks, maxHops, numPartitions), scale)
+
+  private def closenessAgg(dists: DataFrame, scale: Long): DataFrame = {
     require(scale >= 100L && scale <= 1000000000000L,
       s"harmonicCloseness: scale $scale out of [1e2, 1e12]")
-    bfsDistances(edges, landmarks, maxHops, numPartitions)
+    dists
       .filter(col("hops") > 0) // self-rows would divide by zero
       .groupBy("id")
       .agg(sum(expr(s"$scale div hops")).as("harmonic_scaled"),

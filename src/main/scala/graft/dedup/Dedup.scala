@@ -1057,9 +1057,14 @@ object Dedup extends org.apache.spark.internal.Logging {
     * of the bucket-min (replica/template dups — the blow-up case this
     * exists for) connects IDENTICALLY; a hamming-chain a−b−c where only
     * the through-b links pass can lose the a−c component link if b is
-    * never a bucket min (DedupSpec pins both behaviors). Use
-    * [[simhashPairsWide]] when the PAIR SET is the product; use this
-    * when feeding connected components at scale.
+    * never a bucket min (DedupSpec pins both behaviors). Measured
+    * (graft.DedupProbe, BASELINE.md round 15): the miss is strictly
+    * one-sided — cleanCorpusBest over star pairs keeps every doc the
+    * all-pairs route keeps plus 0.47% at d100 / 0.90% at d300 — while
+    * candidates drop 6.2× / 11.9× and grow ~linearly (3.8× per 3×
+    * docs) where all-pairs grows 7.4×. Use [[simhashPairsWide]] when
+    * the PAIR SET is the product; use this when feeding connected
+    * components at scale.
     */
   def simhashStarPairsWide(docs: DataFrame, textCol: String, idCol: String,
                            maxHamming: Int = 3): DataFrame = {

@@ -254,6 +254,20 @@ object AnalyticQueries extends QueryPack {
         .orderBy("id")
     }),
 
+    // UNTRUNCATED harmonic closeness (round 15): the same aggregate
+    // over the frontier BFS's full reachability closure — the real
+    // centrality (a node 7 hops out contributes scale/7 instead of
+    // vanishing at the 5-hop feature bound), at the early-drain cost
+    // profile the frontier A/B measured. Oracle = the shared distance
+    // CTEs unrolled past the diameter + the same aggregate.
+    "q_graph_closeness_full" -> ((s, d) => {
+      val edges = coOrderPairs(s, d)
+      graft.dedup.Components
+        .harmonicClosenessFull(edges, smallestNodeIds(edges, 3),
+          maxHops = 30)
+        .orderBy("id")
+    }),
+
     // Landmark-sampled betweenness centrality from the same 3 landmarks
     // — the Brandes completion: sigma counted paths REACHING a part;
     // the dependency back-propagation scores paths THROUGH it (broker
@@ -1101,6 +1115,9 @@ object AnalyticQueries extends QueryPack {
     "q_graph_path_counts" -> pathCountsOracleSql(5),
     "q_graph_betweenness" -> betweennessOracleSql(4, 100000L),
     "q_graph_closeness" -> closenessOracleSql(5, 100000L),
+    // shared CTE builder unrolled past the fixture diameter (the
+    // q_graph_distances_frontier idempotence argument) + one aggregate
+    "q_graph_closeness_full" -> closenessOracleSql(30, 100000L),
     "q_graph_related" ->
       """WITH li AS MATERIALIZED (SELECT l_orderkey, l_partkey FROM lineitem),
         |cp AS MATERIALIZED (

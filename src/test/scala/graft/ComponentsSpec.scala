@@ -658,6 +658,14 @@ class ComponentsSpec extends SparkSpecBase {
     val sp = Components.bfsDistancesFrontier(split, Seq(1L), maxHops = 10)
       .collect().map(r => r.getLong(0)).toSet
     assert(sp == Set(1L, 2L), s"got $sp")
+    // the closeness aggregate composes identically over either route
+    def cl(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val cb = cl(Components.harmonicCloseness(
+      edges.toDF("src", "dst"), lms, maxHops = 4))
+    val cf = cl(Components.harmonicClosenessFull(
+      edges.toDF("src", "dst"), lms, maxHops = 4))
+    assert(cf == cb, "closeness diverged between bounded and frontier")
   }
 
   test("bfsBetweenness: hand-derived path graph and diamond; landmark excluded") {
