@@ -53,9 +53,55 @@ object Coreset {
     */
   def kCenterGreedy(corpus: DataFrame, k: Int): DataFrame = {
     require(k >= 1 && k <= MaxK, s"kCenterGreedy: k $k out of [1,$MaxK]")
-    val spark = corpus.sparkSession
-    import spark.implicits._
     val base = corpus.select(col("id").cast("long").as("id"), col("vec"))
+    val seed = base.orderBy("id").select("id", "vec").head()
+    extend(base, List((seed.getLong(0),
+      seed.getSeq[Double](1).toArray, 0.0d)), k)
+  }
+
+  /** INCREMENTAL extension — the maintenance entry (the coreset twin of
+    * `Ivf.topKIvfIndexed` / `Pq.topKPqIndexed`): continue the greedy
+    * selection from an EXISTING center table (`centers`: rank, id, vec,
+    * dist — [[saveCenters]] output) up to `k` total. Greedy selection
+    * is a deterministic recurrence in its prefix: extending the first
+    * j centers of a run IS rounds j+1..k of the full run, so a grown
+    * budget (or a corpus-refresh re-cover) never re-pays the first j
+    * passes — and the exact-equivalence proof is free:
+    * extend(load(save(greedy(j))), k) ≡ greedy(k), which is what
+    * q_coreset_incremental hash-checks against the SAME oracle.
+    */
+  def kCenterGreedyExtend(corpus: DataFrame, centers: DataFrame,
+                          k: Int): DataFrame = {
+    require(k >= 1 && k <= MaxK,
+      s"kCenterGreedyExtend: k $k out of [1,$MaxK]")
+    val base = corpus.select(col("id").cast("long").as("id"), col("vec"))
+    val prior = centers.select("rank", "id", "vec", "dist")
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getSeq[Double](2).toArray,
+        r.getDouble(3)))
+      .toList
+    require(prior.nonEmpty && prior.size <= k,
+      s"kCenterGreedyExtend: ${prior.size} prior centers, k=$k")
+    extend(base, prior.reverse, k)
+  }
+
+  /** Persist a selection WITH its vectors (the reload-and-extend
+    * contract needs them; doubles round-trip parquet bit-identically).
+    */
+  def saveCenters(selection: DataFrame, corpus: DataFrame,
+                  path: String): Unit =
+    selection.join(corpus.select(col("id").cast("long").as("id"),
+        col("vec")), "id")
+      .select("rank", "id", "vec", "dist")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(path)
+
+  /** `chosenRev` is newest-first (id, vec, dist-at-selection). */
+  private def extend(base: DataFrame,
+                     chosenRev: List[(Long, Array[Double], Double)],
+                     k: Int): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
 
     def distTo(center: Array[Double]): Column = {
       val c = array(center.map(lit): _*)
@@ -63,10 +109,8 @@ object Coreset {
         (x, y) => (x - y) * (x - y)), lit(0.0d), _ + _))
     }
 
-    val seed = base.orderBy("id").select("id", "vec").head()
-    var chosen = List((seed.getLong(0),
-      seed.getSeq[Double](1).toArray, 0.0d))
-    for (_ <- 2 to k) {
+    var chosen = chosenRev
+    for (_ <- chosen.size + 1 to k) {
       val md = round(chosen.map(c => distTo(c._2)).reduce(least(_, _)), 6)
       val winner = base
         .filter(!col("id").isInCollection(chosen.map(_._1)))

@@ -54,6 +54,35 @@ class CoresetSpec extends SparkSpecBase {
     assert(got2 == want)
   }
 
+  test("save/load/extend == full greedy (prefix-deterministic " +
+    "recurrence); vectors round-trip bit-identically") {
+    val rnd = new scala.util.Random(53)
+    val pts = (1L to 40L).map(i => (i, Seq.fill(5)(rnd.nextGaussian())))
+      .toDF("id", "vec")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toList
+    val full = rows(Coreset.kCenterGreedy(pts, k = 9))
+    val dir = java.nio.file.Files.createTempDirectory("coreset")
+      .resolve("centers").toString
+    Coreset.saveCenters(Coreset.kCenterGreedy(pts, k = 4), pts, dir)
+    val loaded = spark.read.parquet(dir)
+    // persisted vectors round-trip exactly (the extend contract)
+    val lv = loaded.orderBy("rank").select("vec").collect()
+      .map(_.getSeq[Double](0).toList).toList
+    val direct = Coreset.kCenterGreedy(pts, k = 4).join(pts, "id")
+      .orderBy("rank").select("vec").collect()
+      .map(_.getSeq[Double](0).toList).toList
+    assert(lv == direct)
+    val extended = rows(Coreset.kCenterGreedyExtend(pts, loaded, k = 9)
+      .orderBy("rank"))
+    assert(extended == full,
+      s"extend diverged from full greedy:\n$extended\nvs\n$full")
+    // degenerate extension: k == prior size returns the prior as-is
+    val same = rows(Coreset.kCenterGreedyExtend(pts, loaded, k = 4)
+      .orderBy("rank"))
+    assert(same == full.take(4))
+  }
+
   test("bounds fail loudly: k > corpus, k > MaxK") {
     val tiny = Seq((1L, Seq(0.0)), (2L, Seq(1.0))).toDF("id", "vec")
     intercept[IllegalArgumentException] {
