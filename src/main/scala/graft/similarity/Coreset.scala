@@ -27,8 +27,9 @@ import org.apache.spark.sql.functions._
   * ≤1024-sample posture), injected into the plan as array LITERALS, so
   * every round is ONE job: a stateless map over the corpus scan
   * (distance to each center, least, round) feeding a partial-aggregable
-  * global `max(struct(dist, -id, vec))` — zero exchanges, zero
-  * checkpoints, nothing corpus-sized ever materialized or shuffled. The
+  * global `max(struct(dist, -id, vec))` — the only exchange is the
+  * 1-row-per-partition partial gather, zero checkpoints, nothing
+  * corpus-sized ever materialized or shuffled. The
   * winning vector rides the 1-row aggregate back to the driver (one
   * embedding, not a collect). Total cost = k linear passes ≈ n·k²/2
   * distance evaluations; the per-element HOF (`zip_with`+`aggregate`)
