@@ -25,7 +25,7 @@ import org.apache.spark.sql.functions._
   * "write the stage to the lake" cost a production pipeline pays.
   *
   * Output: one JSON line `{"metric":"pipeline_total","value":…,
-  * "stages":{name:[sec,rows],…}}`, also written to
+  * "stages":{name:[sec,rows,task_gc_ms,spill_mb],…}}`, also written to
   * $SPARK_GRAFT_PIPE_OUT (default pipeline_last.json).
   */
 object PipelineBench {
@@ -43,15 +43,43 @@ object PipelineBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val stages =
-      scala.collection.mutable.LinkedHashMap.empty[String, (Double, Long)]
+    // Per-stage attribution counters (round 15 — the d1000 pack/export
+    // runs varied 5-18× run-to-run under the 8 GiB heap with the route
+    // ruled out as the cause; gc/spill per stage makes the variance
+    // attributable from the artifact instead of adjudicated after):
+    // task-summed GC time and memory/disk spill via listener, plus the
+    // driver JVM's own GC delta.
+    val taskGc = new java.util.concurrent.atomic.AtomicLong
+    val spill = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = e.taskMetrics
+          if (m != null) {
+            taskGc.addAndGet(m.jvmGCTime)
+            spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+            ()
+          }
+        }
+      })
+    val stages = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Double, Long, Long, Double)]
     def stage(name: String)(body: => DataFrame): DataFrame = {
+      org.apache.spark.sql.GraftSqlBridge
+        .drainListenerBus(spark.sparkContext)
+      val (gc0, sp0) = (taskGc.get(), spill.get())
       val t0 = System.nanoTime()
       val df = graft.operators.Artifacts.pin(body, s"pipe.$name")
       val rows = df.count()
       val sec = (System.nanoTime() - t0) / 1e9
-      stages(name) = (sec, rows)
-      System.err.println(f"PIPELINE $name%-14s ${sec}%8.2f s  $rows%10d rows")
+      org.apache.spark.sql.GraftSqlBridge
+        .drainListenerBus(spark.sparkContext)
+      val gcMs = taskGc.get() - gc0
+      val spillMb = (spill.get() - sp0) / 1e6
+      stages(name) = (sec, rows, gcMs, spillMb)
+      System.err.println(f"PIPELINE $name%-14s ${sec}%8.2f s  $rows%10d rows" +
+        f"  gc=${gcMs}%d ms  spill=${spillMb}%.0f MB")
       df
     }
 
@@ -135,8 +163,10 @@ object PipelineBench {
     val nShards = manifest.count()
 
     val total = stages.values.map(_._1).sum
-    val stagesJson = stages.map { case (k, (sec, rows)) =>
-      "\"" + k + "\":[" + math.round(sec * 100) / 100.0 + "," + rows + "]"
+    // [sec, rows, task_gc_ms, spill_mb] per stage
+    val stagesJson = stages.map { case (k, (sec, rows, gcMs, spillMb)) =>
+      "\"" + k + "\":[" + math.round(sec * 100) / 100.0 + "," + rows +
+        "," + gcMs + "," + math.round(spillMb) + "]"
     }.mkString("{", ",", "}")
     val line =
       s"""{"metric":"pipeline_total","value":${math.round(total * 100) / 100.0},"unit":"sec","sf":"$sfDir","n_shards":$nShards,"stages":$stagesJson}"""
