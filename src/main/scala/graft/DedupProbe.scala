@@ -22,10 +22,12 @@ import org.apache.spark.sql.functions._
   *    comparable pair);
   *  - verified pair counts, component counts, and the DOWNSTREAM
   *    contract: cleanCorpusBest survivor sets under each route, with
-  *    set equality checked both directions (the star subgraph can only
-  *    SPLIT components, so survivors can only grow; equality here means
-  *    the fixture's clusters are star-connected — the replica/template
-  *    case the operator exists for).
+  *    the set difference counted in BOTH directions. The star subgraph
+  *    can only SPLIT components, so the exact contract is one-sided:
+  *    survivors_only_all must be 0 (star never deletes a doc the exact
+  *    route keeps) while survivors_only_star measures the under-merge —
+  *    +0.47% / +0.90% / +1.74% at d100/d300/d1000 on the diversify
+  *    fixtures (BASELINE.md round 15).
   *
   * Output: one JSON line, also written to $SPARK_GRAFT_PROBE_OUT
   * (default dedup_probe_last.json).
