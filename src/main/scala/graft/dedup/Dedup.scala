@@ -1057,7 +1057,10 @@ object Dedup extends org.apache.spark.internal.Logging {
     * of the bucket-min (replica/template dups — the blow-up case this
     * exists for) connects IDENTICALLY; a hamming-chain a−b−c where only
     * the through-b links pass can lose the a−c component link if b is
-    * never a bucket min (DedupSpec pins both behaviors). Measured
+    * never a bucket min (DedupSpec pins the subset/hamming-agreement/
+    * tight-cluster-equality properties; the chain under-merge is
+    * MEASURED, not planted — the survivors_only_* counts in
+    * graft.DedupProbe). Measured
     * (graft.DedupProbe, BASELINE.md round 15): the miss is strictly
     * one-sided — cleanCorpusBest over star pairs keeps every doc the
     * all-pairs route keeps plus 0.47% at d100 / 0.90% at d300 — while
