@@ -98,11 +98,20 @@ object StreamingScaleBench {
 
     val log = new ProgressLog
     spark.streams.addListener(log)
+    // Leg/rate selectors (round 15): bound a run to one leg or one
+    // trigger size — a d300 dedup leg at 3k/trigger is ~500 epochs, so
+    // deeper-fixture runs pick the leg and rate explicitly.
+    val legs = sys.env.getOrElse("SPARK_GRAFT_SSB_LEGS", "dedup,edge")
+      .split(",").map(_.trim).toSet
+    val rates = sys.env.getOrElse("SPARK_GRAFT_SSB_RATES", "3000,12000")
+      .split(",").map(_.trim.toInt).toSeq
+    val tag = sys.env.getOrElse("SPARK_GRAFT_SSB_TAG", "30x")
 
-    // ---- streamNearDups over the diversify-30× documents ----
-    val docs = spark.read.parquet(s"$d30/documents.parquet")
-      .select("doc_id", "text").as[(Long, String)].collect().toSeq
-    for (rate <- Seq(3000, 12000)) {
+    // ---- streamNearDups over the diversify documents ----
+    val docs = if (!legs("dedup")) Seq.empty else
+      spark.read.parquet(s"$d30/documents.parquet")
+        .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    for (rate <- rates if legs("dedup")) {
       val root = Files.createTempDirectory(s"ssb_dedup_$rate").toString
       val in = MemoryStream[(Long, String)]
       val q = StreamingTelemetry.streamNearDups(
@@ -115,15 +124,16 @@ object StreamingScaleBench {
         // deliver every queued progress event before reading the log
         org.apache.spark.sql.GraftSqlBridge.drainListenerBus(
           spark.sparkContext)
-        report("stream_near_dups_30x", s"$rate docs/trigger", log.of(q.id))
+        report(s"stream_near_dups_$tag", s"$rate docs/trigger", log.of(q.id))
       } finally q.stop()
       graft.operators.GraphMart.deleteRecursively(new java.io.File(root))
     }
 
-    // ---- streamEdgeMart over the 30× lineitem, files-per-trigger ----
+    // ---- streamEdgeMart over the lineitem fixture, files-per-trigger ----
     // Pre-split the fixture by l_orderkey into files so each trigger
     // holds whole orders (the mart's order-complete contract); two
     // trigger volumes = two files-per-trigger settings over one layout.
+    if (!legs("edge")) { spark.stop(); return }
     val liSrc = spark.read.parquet(s"$li30/lineitem.parquet")
       .select("l_orderkey", "l_partkey")
     val splitDir = Files.createTempDirectory("ssb_li_src").toString
@@ -141,7 +151,7 @@ object StreamingScaleBench {
         q.processAllAvailable()
         org.apache.spark.sql.GraftSqlBridge.drainListenerBus(
           spark.sparkContext)
-        report("stream_edge_mart_30x", s"$filesPerTrigger files/trigger",
+        report(s"stream_edge_mart_$tag", s"$filesPerTrigger files/trigger",
           log.of(q.id))
       } finally q.stop()
       graft.operators.GraphMart.deleteRecursively(new java.io.File(root))
