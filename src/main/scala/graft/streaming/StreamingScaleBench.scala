@@ -106,6 +106,13 @@ object StreamingScaleBench {
     val rates = sys.env.getOrElse("SPARK_GRAFT_SSB_RATES", "3000,12000")
       .split(",").map(_.trim.toInt).toSeq
     val tag = sys.env.getOrElse("SPARK_GRAFT_SSB_TAG", "30x")
+    // Round 15: periodic epoch-fold A/B knob (0 = off) — the committed
+    // 300× run measured a linear history term from epoch-partition
+    // accretion; this knob turns on Epochs.fold every K epochs inside
+    // the dedup leg so the with/without per-epoch tails are comparable
+    // on the same fixture and rate.
+    val compactEvery =
+      sys.env.getOrElse("SPARK_GRAFT_SSB_COMPACT_EVERY", "0").toInt
 
     // ---- streamNearDups over the diversify documents ----
     val docs = if (!legs("dedup")) Seq.empty else
@@ -116,7 +123,8 @@ object StreamingScaleBench {
       val in = MemoryStream[(Long, String)]
       val q = StreamingTelemetry.streamNearDups(
         in.toDF().toDF("doc_id", "text"),
-        s"$root/corpus", s"$root/index", s"$root/pairs", s"$root/ckpt")
+        s"$root/corpus", s"$root/index", s"$root/pairs", s"$root/ckpt",
+        compactEvery = compactEvery)
       try {
         docs.grouped(rate).foreach { c =>
           in.addData(c: _*); q.processAllAvailable()
@@ -124,7 +132,9 @@ object StreamingScaleBench {
         // deliver every queued progress event before reading the log
         org.apache.spark.sql.GraftSqlBridge.drainListenerBus(
           spark.sparkContext)
-        report(s"stream_near_dups_$tag", s"$rate docs/trigger", log.of(q.id))
+        val suffix = if (compactEvery > 0) s"_fold$compactEvery" else ""
+        report(s"stream_near_dups_$tag$suffix", s"$rate docs/trigger",
+          log.of(q.id))
       } finally q.stop()
       graft.operators.GraphMart.deleteRecursively(new java.io.File(root))
     }

@@ -144,11 +144,25 @@ object StreamingTelemetry {
     * read). Same local-filesystem rename caveat as Incremental
     * (Incremental.scala:94-104) — on S3-style stores, point the dirs at
     * a table format.
+    *
+    * `compactEvery` (0 = off): every that many epochs, fold the
+    * accumulated corpus/index epoch partitions into one
+    * ([[graft.sources.Epochs.fold]], keepLast = 1). Motivation is the
+    * measured round-15 linear history term (BASELINE.md, 300× leg:
+    * per-epoch cost drifting +3.4 s as 125 epoch partitions accrete —
+    * a listing/open floor per historical epoch, ~µs per indexed doc per
+    * epoch). The fold runs INSIDE foreachBatch after the epoch's own
+    * writes, so it is serialized with the only writer; replay stays
+    * correct because the current epoch's partition is never folded
+    * (keepLast = 1) and folded rows keep `batch` values strictly below
+    * any replayable epoch id, so the `=!= batchId` exclusion above is
+    * unaffected. Pairs partitions are results, not per-epoch re-read
+    * state, so they are left unfolded.
     */
   def streamNearDups(docs: DataFrame, corpusDir: String, indexDir: String,
                      pairsDir: String, checkpointDir: String,
                      textCol: String = "text", idCol: String = "doc_id",
-                     threshold: Double = 0.7)
+                     threshold: Double = 0.7, compactEvery: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .outputMode(OutputMode.Append())
@@ -177,6 +191,11 @@ object StreamingTelemetry {
           graft.dedup.Dedup.bandIndex(b, textCol, idCol)
             .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
           b.write.mode("overwrite").parquet(s"$corpusDir/batch=$batchId")
+          if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+            graft.sources.Epochs.fold(spark, indexDir)
+            graft.sources.Epochs.fold(spark, corpusDir)
+            ()
+          }
         } finally b.unpersist()
         ()
       }

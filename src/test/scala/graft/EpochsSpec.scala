@@ -1,0 +1,165 @@
+package graft
+
+import graft.sources.Epochs
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
+
+/** [[graft.sources.Epochs]] — epoch-partition folding for the
+  * merge-on-read streaming sinks: row parity, replay-watermark
+  * semantics (keepLast), idempotence, every crash-recovery branch of
+  * the swap protocol, and end-to-end streamed-pairs parity when
+  * streamNearDups compacts periodically.
+  */
+class EpochsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def tmpRoot(p: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(p).toString
+    new java.io.File(d).delete()
+    d
+  }
+
+  /** Write epochs 0..n-1, each with `perEpoch` (id, v) rows and 2 files. */
+  private def writeEpochs(dir: String, n: Int, perEpoch: Int = 10): Unit =
+    (0 until n).foreach { b =>
+      (0 until perEpoch)
+        .map(i => (b.toLong * 1000 + i, s"v${b}_$i"))
+        .toDF("id", "v")
+        .repartition(2)
+        .write.mode("overwrite").parquet(s"$dir/batch=$b")
+    }
+
+  private def readAll(dir: String): Set[(Long, String, Long)] =
+    spark.read.parquet(dir)
+      .select(col("id"), col("v"), col("batch").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+
+  private def batchDirNames(dir: String): Set[String] =
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+      .map(_.getName).toSet
+
+  test("fold collapses committed epochs, preserves rows, keeps the newest") {
+    val dir = tmpRoot("graft-epochs-fold")
+    writeEpochs(dir, 5)
+    val before = readAll(dir)
+    val stats = Epochs.fold(spark, dir)
+    assert(stats.foldedEpochs == 4)
+    assert(stats.dirsBefore == 5 && stats.dirsAfter == 2)
+    assert(stats.filesAfter < stats.filesBefore)
+    assert(batchDirNames(dir) == Set("batch=3", "batch=4"))
+    val after = readAll(dir)
+    // data columns identical; folded rows' batch collapsed to the cutoff
+    assert(after.map(r => (r._1, r._2)) == before.map(r => (r._1, r._2)))
+    assert(after.forall { case (id, _, b) =>
+      if (id >= 4000) b == 4 else b == 3
+    })
+  }
+
+  test("fold is a no-op below two foldable epochs; keepLast enforced >= 1") {
+    val dir = tmpRoot("graft-epochs-noop")
+    writeEpochs(dir, 2)
+    val stats = Epochs.fold(spark, dir) // 1 foldable — nothing to do
+    assert(stats.foldedEpochs == 0 && stats.dirsAfter == 2)
+    writeEpochs(dir, 4)
+    val first = Epochs.fold(spark, dir)
+    assert(first.foldedEpochs == 3)
+    val again = Epochs.fold(spark, dir) // batch=2, batch=3 left: 1 foldable
+    assert(again.foldedEpochs == 0)
+    assert(readAll(dir).size == 40)
+    intercept[IllegalArgumentException] {
+      Epochs.fold(spark, dir, keepLast = 0)
+    }
+  }
+
+  test("keepLast > 1 folds only the older tail") {
+    val dir = tmpRoot("graft-epochs-keep")
+    writeEpochs(dir, 6)
+    val stats = Epochs.fold(spark, dir, keepLast = 3)
+    assert(stats.foldedEpochs == 3)
+    assert(batchDirNames(dir) == Set("batch=2", "batch=3", "batch=4", "batch=5"))
+    assert(readAll(dir).size == 60)
+  }
+
+  test("recover discards an incomplete tmp (crash mid-write)") {
+    val dir = tmpRoot("graft-epochs-rec1")
+    writeEpochs(dir, 4)
+    // simulate a crash during step 1: partial tmp, no _SUCCESS
+    val tmp = new java.io.File(dir, ".batch=2.__fold_tmp")
+    tmp.mkdirs()
+    new java.io.File(tmp, "part-junk.parquet").createNewFile()
+    assert(Epochs.recover(dir))
+    assert(!tmp.exists())
+    assert(readAll(dir).size == 40) // originals untouched
+    assert(!Epochs.recover(dir))    // clean now
+  }
+
+  test("recover completes a fold whose tmp finished (crash before swap)") {
+    val dir = tmpRoot("graft-epochs-rec2")
+    writeEpochs(dir, 4)
+    // simulate a crash after step 1: complete tmp (with _SUCCESS), all
+    // source dirs still live
+    val expected = readAll(dir)
+    spark.read.parquet(s"$dir/batch=0", s"$dir/batch=1", s"$dir/batch=2")
+      .coalesce(1).write.parquet(s"$dir/.batch=2.__fold_tmp")
+    assert(Epochs.recover(dir))
+    assert(batchDirNames(dir) == Set("batch=2", "batch=3"))
+    val after = readAll(dir)
+    assert(after.map(r => (r._1, r._2)) == expected.map(r => (r._1, r._2)))
+    assert(Option(new java.io.File(dir).listFiles()).get
+      .forall(f => !f.getName.endsWith(".__fold_old")))
+  }
+
+  test("recover sweeps aside copies left after a completed swap") {
+    val dir = tmpRoot("graft-epochs-rec3")
+    writeEpochs(dir, 4)
+    Epochs.fold(spark, dir)
+    val expected = readAll(dir)
+    // simulate a crash between steps 3 and 4: swap done, asides remain
+    val aside = new java.io.File(dir, ".batch=0.__fold_old")
+    aside.mkdirs()
+    new java.io.File(aside, "stale.parquet").createNewFile()
+    assert(Epochs.recover(dir))
+    assert(!aside.exists())
+    assert(readAll(dir) == expected)
+  }
+
+  test("streamNearDups with compactEvery: identical pairs, bounded index dirs") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog near the river bank",
+      "the QUICK brown fox jumps over the lazy dog near the river bank",
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda",
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa mu",
+      "completely different content about gpu clusters and telemetry",
+      "yet another unrelated document mentioning parquet and shuffles")
+    // 6 epochs of 2 docs; near-dup structure spans epoch boundaries
+    val epochs: Seq[Seq[(Long, String)]] = (0 until 6).map { e =>
+      Seq((e * 2L, texts(e % texts.size)), (e * 2L + 1, texts((e + 3) % texts.size)))
+    }
+    def run(compactEvery: Int): (Set[(Long, Long)], Int) = {
+      val root = tmpRoot(s"graft-epochs-snd$compactEvery")
+      val in = MemoryStream[(Long, String)]
+      val q = graft.streaming.StreamingTelemetry.streamNearDups(
+        in.toDF().toDF("doc_id", "text"), s"$root/corpus", s"$root/index",
+        s"$root/pairs", s"$root/ckpt", compactEvery = compactEvery)
+      try {
+        epochs.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+      } finally q.stop()
+      val pairs = spark.read.parquet(s"$root/pairs")
+        .select("ida", "idb")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (pairs, batchDirNames(s"$root/index").size)
+    }
+    val (plainPairs, plainDirs) = run(0)
+    val (compactedPairs, compactedDirs) = run(2)
+    assert(compactedPairs == plainPairs,
+      s"compacted=$compactedPairs plain=$plainPairs")
+    assert(plainDirs == 6)
+    // folds at epochs 2 and 4 keep the dir count bounded: after the
+    // epoch-4 fold 2 dirs remain, epoch 5 appends one more
+    assert(compactedDirs == 3, s"dirs=$compactedDirs")
+    assert(plainPairs.nonEmpty)
+  }
+}
