@@ -445,21 +445,26 @@ object Dedup extends org.apache.spark.internal.Logging {
     * batch — exactly `minhashLshPairs(corpus ∪ newDocs)` minus the
     * old-old pairs already found when earlier batches arrived (ids must
     * be globally unique across batches). The new batch bands itself and
-    * probes the stored index; the historical corpus is touched ONLY via
-    * a candidate-id semi-join that re-shingles the handful of matched
-    * docs. Work per batch is linear in batch size + candidates, not in
-    * corpus size — the difference between an hourly job and re-running
+    * probes the stored index; the historical corpus is touched ONLY for
+    * the candidate members that must re-shingle for verification —
+    * normally via a LITERAL id predicate pushed to the parquet scan
+    * (candidates collected under `collectCandLimit`; row-group pruning
+    * skips the unmatched history), with a distributed candidate-id
+    * semi-join fallback for a pathological batch over the bound. Work
+    * per batch is linear in batch size + candidates, not in corpus
+    * size — the difference between an hourly job and re-running
     * corpus-wide dedup 24× a day.
     */
   def incrementalNearDups(corpus: DataFrame, newDocs: DataFrame,
                           index: DataFrame, textCol: String, idCol: String,
                           threshold: Double, n: Int = 3,
-                          bands: Int = 4, r: Int = 3): DataFrame = {
+                          bands: Int = 4, r: Int = 3,
+                          collectCandLimit: Int = 8192): DataFrame = {
     val nt = shingled(newDocs, textCol, idCol, n)
     val newBands = bandKeyRows(nt, bands, r)
     // new docs probe the union so new-new pairs surface too; ida < idb
     // canonicalization dedups the new-new candidates seen from both ends
-    val cand = newBands.select(col("id").as("ida"),
+    val candPlan = newBands.select(col("id").as("ida"),
         col("band"), col("key"))
       .join(index.unionByName(newBands)
           .select(col("id").as("idb"), col("band").as("band_b"),
@@ -469,9 +474,36 @@ object Dedup extends org.apache.spark.internal.Logging {
       .select(least(col("ida"), col("idb")).as("a"),
         greatest(col("ida"), col("idb")).as("b"))
       .distinct()
-    val candIds = cand
-      .select(explode(array(col("a"), col("b"))).as(idCol)).distinct()
-    val oldNeeded = corpus.join(candIds, Seq(idCol), "left_semi")
+    // Candidate pairs are ∝ ONE batch's near-dup structure against the
+    // index — hundreds of rows per epoch at the 300× scale leg, the
+    // smallest frame in the pipeline — while the lazy plan would be
+    // consumed TWICE below (member ids + verify input), running the
+    // index-probe join twice per epoch. When they fit the bound, land
+    // them on the driver once: the verify side becomes a broadcast-sized
+    // local relation, and the member ids become a LITERAL `isin`
+    // predicate the corpus scan can push to parquet — row-group pruning
+    // instead of re-reading every historical text byte per epoch (the
+    // residual linear term the round-15 300× fold A/B isolated after
+    // epoch folding bounded the partition floor: pairs/epoch flat at
+    // ~560-590 while steady cost still drifted 5.0 → 7.2 s). Over the
+    // bound (a pathological batch) the exact pre-round-15 distributed
+    // shape runs instead — same rows either way.
+    val firstRows = candPlan.limit(collectCandLimit + 1).collect()
+    val (cand, oldNeeded) =
+      if (firstRows.length <= collectCandLimit) {
+        val spark = corpus.sparkSession
+        val local = spark.createDataFrame(
+          java.util.Arrays.asList(firstRows: _*), candPlan.schema)
+        val ids = firstRows.flatMap(r => Seq(r.get(0), r.get(1))).distinct
+        val prunedOld =
+          if (ids.isEmpty) corpus.limit(0)
+          else corpus.filter(col(idCol).isin(ids.toIndexedSeq: _*))
+        (local, prunedOld)
+      } else {
+        val candIds = candPlan
+          .select(explode(array(col("a"), col("b"))).as(idCol)).distinct()
+        (candPlan, corpus.join(candIds, Seq(idCol), "left_semi"))
+      }
     val allSh = shingled(oldNeeded, textCol, idCol, n).unionByName(nt)
     jaccardVerified(
       cand.select(col("a").as("ida"), col("b").as("idb")),

@@ -15,9 +15,9 @@ import org.apache.spark.sql.SparkSession
   * re-lists and re-opens one directory (and ≥1 parquet footer) per
   * historical epoch, so the floor grows with epoch COUNT even though the
   * probe join itself prunes to matching band keys. The fix named in that
-  * measurement is this operator: periodically FOLD the committed epoch
-  * partitions into one consolidated partition — fewer, larger files, a
-  * bounded directory listing, identical rows.
+  * measurement is this operator: periodically FOLD committed epoch
+  * partitions together — fewer, larger files, a bounded directory
+  * listing, identical rows.
   *
   * Semantics contract: fold is valid exactly for MERGE-ON-READ consumers
   * that treat `batch` as an opaque replay watermark, never as data — a
@@ -25,46 +25,54 @@ import org.apache.spark.sql.SparkSession
   * those values collapsed to the fold cutoff. All sinks in this repo
   * qualify: streamNearDups' history reads drop `batch` after excluding
   * only the CURRENT epoch (`batch =!= batchId`), and the marts are
-  * order-independent unions/merges. Folding therefore never changes any
-  * downstream result (EpochsSpec pins streamed-pairs parity end-to-end).
+  * order-independent unions/merges (EpochsSpec pins streamed-pairs and
+  * edge-mart read-off parity). Replay stays safe because Structured
+  * Streaming replays at most the LAST uncommitted epoch and
+  * `keepLast ≥ 1` (enforced) never folds the newest partitions, so the
+  * one partition a replayed epoch must exclude (its own crashed attempt)
+  * is always intact, and folded rows keep `batch` values strictly below
+  * any replayable epoch id.
   *
-  * Replay safety: Structured Streaming replays at most the LAST
-  * uncommitted epoch, and `keepLast ≥ 1` (enforced) leaves the newest
-  * `keepLast` partitions untouched — so the one partition a replayed
-  * epoch must be able to exclude (its own crashed attempt) is never
-  * folded, and every folded epoch is final. The fold collapses batches
-  * 0..cutoff into the single partition `batch=<cutoff>`; cutoff is below
-  * any live or future batchId, so the `=!= batchId` exclusion can never
-  * match folded rows.
+  * Two fold policies, one mechanism:
+  *
+  *  - [[fold]] — collapse ALL committed partitions into one. Floor after
+  *    each fold: O(K) dirs when run every K epochs; lifetime rewrite
+  *    O(N²/K) over an N-epoch stream (each fold rewrites the whole
+  *    history). Right for bounded runs (pick K ≈ √N) and for one-shot
+  *    offline maintenance.
+  *  - [[foldTiered]] — the LSM/size-tiered policy for UNBOUNDED streams:
+  *    fold only the maximal SUFFIX of partitions whose oldest member is
+  *    no larger than `ratio` × the bytes of everything newer (the
+  *    binary-counter merge). Live partitions stay O(log N); each byte is
+  *    rewritten only into a run ≥ its own tier, so lifetime rewrite is
+  *    O(N log N). Call it every epoch — most calls are a listing stat
+  *    and a no-op.
   *
   * Crash-safe swap protocol (single maintenance writer — the foreachBatch
   * loop or an offline job; local/HDFS rename semantics, same discipline
   * as [[Layouts.compact]]):
-  *   1. write the folded copy to dot-prefixed `.batch=<cutoff>.__fold_tmp`
-  *      (invisible to Spark's listing; Spark's own `_SUCCESS` marks it
-  *      complete),
-  *   2. rename every source dir `batch=N` → `.batch=N.__fold_old`,
+  *   1. write the folded copy to the dot-prefixed
+  *      `.batch=<from>-<cutoff>.__fold_tmp` (invisible to Spark's
+  *      listing; Spark's own `_SUCCESS` marks it complete),
+  *   2. rename every source dir `batch=N`, from ≤ N ≤ cutoff, to
+  *      `.batch=N.__fold_old`,
   *   3. rename tmp into place as `batch=<cutoff>`,
   *   4. delete the aside copies.
   * Every crash point is recoverable from on-disk state alone, because
   * aside dirs are created only AFTER the tmp is complete and the fold
-  * set (all batches ≤ cutoff) is derivable from the tmp's name:
-  * [[recover]] runs first on every fold — an incomplete tmp (no
-  * `_SUCCESS`) is discarded; a complete tmp finishes steps 2-4; asides
-  * with no tmp mean step 3 completed, so they are swept. At no point can
-  * rows be lost: either the originals are live, or a complete folded
-  * copy plus the asides exist.
+  * RANGE is encoded in the tmp's name: [[recover]] runs first on every
+  * fold — an incomplete tmp (no `_SUCCESS`) is discarded; a complete tmp
+  * finishes steps 2-4; asides with no tmp mean step 3 completed, so they
+  * are swept. At no point can rows be lost: either the originals are
+  * live, or a complete folded copy plus the asides exist.
   *
-  * At 100 TB this is the standing compaction job of the streaming lake:
-  * run it every K epochs (streamNearDups' `compactEvery`) or nightly;
-  * cost is one linear read+write of the folded history, amortized over
-  * the K epochs whose floor it removes. On object stores (no atomic
-  * rename) use a table format's commit protocol instead — this is the
+  * On object stores (no atomic rename) use a table format's commit
+  * protocol and its tiered compaction instead — this is the
   * filesystem-native variant, exactly like [[Layouts.compact]].
   */
 object Epochs {
 
-  /** Outcome of one [[fold]]: epochs folded (0 = nothing to do), and
+  /** Outcome of one fold call: epochs folded (0 = nothing to do), and
     * the epoch-dir / data-file counts before and after.
     */
   final case class FoldStats(foldedEpochs: Int, dirsBefore: Int,
@@ -76,6 +84,21 @@ object Epochs {
 
   private def batchOf(name: String): Option[Long] =
     if (name.startsWith("batch=")) name.drop(6).toLongOption else None
+
+  /** (from, cutoff) encoded in a tmp dir's name, e.g.
+    * `.batch=3-7.__fold_tmp` → (3, 7).
+    */
+  private def rangeOf(tmpName: String): (Long, Long) = {
+    val core = tmpName.stripPrefix(".").stripSuffix(TmpSuffix)
+    val parts = core.stripPrefix("batch=").split("-", 2)
+    val r = for {
+      from <- parts.headOption.flatMap(_.toLongOption)
+      cutoff <- parts.lift(1).flatMap(_.toLongOption)
+      if core.startsWith("batch=") && from <= cutoff
+    } yield (from, cutoff)
+    r.getOrElse(throw new IllegalStateException(
+      s"Epochs: unparsable fold tmp name $tmpName"))
+  }
 
   private def batchDirs(root: java.io.File): Seq[(Long, java.io.File)] =
     Option(root.listFiles()).getOrElse(Array.empty)
@@ -93,9 +116,9 @@ object Epochs {
   }
 
   /** Complete or roll back a fold interrupted at any crash point; safe
-    * (and cheap) to call when no fold is pending. Called by [[fold]]
-    * before it looks at the layout, and callable directly after a
-    * restart. Returns true if any pending state was found.
+    * (and cheap) to call when no fold is pending. Called by the fold
+    * entry points before they look at the layout, and callable directly
+    * after a restart. Returns true if any pending state was found.
     */
   def recover(dir: String): Boolean = {
     val root = new java.io.File(dir)
@@ -115,25 +138,9 @@ object Epochs {
         require(olds.isEmpty, s"Epochs.recover: aside dirs next to an " +
           s"incomplete tmp in $dir — layout corrupted, refusing to guess")
       case Some(tmp) =>
-        // complete copy: finish steps 2-4. Fold set = every live batch
-        // dir at or below the cutoff encoded in the tmp's name.
-        val cutoff = batchOf(tmp.getName.stripPrefix(".")
-          .stripSuffix(TmpSuffix)).getOrElse(
-          throw new IllegalStateException(
-            s"Epochs.recover: unparsable fold tmp ${tmp.getName}"))
-        batchDirs(root).filter(_._1 <= cutoff).foreach { case (_, d) =>
-          val aside = new java.io.File(root, "." + d.getName + OldSuffix)
-          if (aside.exists()) deleteRec(aside)
-          if (!d.renameTo(aside)) throw new java.io.IOException(
-            s"Epochs.recover: rename $d aside failed")
-        }
-        val live = new java.io.File(root, s"batch=$cutoff")
-        if (!tmp.renameTo(live)) throw new java.io.IOException(
-          s"Epochs.recover: rename $tmp -> $live failed")
-        Option(root.listFiles()).getOrElse(Array.empty)
-          .filter(f => f.isDirectory && f.getName.startsWith(".") &&
-            f.getName.endsWith(OldSuffix))
-          .foreach(deleteRec)
+        // complete copy: finish steps 2-4 for the range in the tmp's name
+        val (from, cutoff) = rangeOf(tmp.getName)
+        finishSwap(root, tmp, from, cutoff)
       case None =>
         // asides but no tmp: the swap completed before the crash — the
         // folded partition is live, asides are redundant copies
@@ -142,49 +149,122 @@ object Epochs {
     true
   }
 
+  /** Steps 2-4 of the swap for fold range [from, cutoff]: rename live
+    * sources aside, rename the complete tmp in as `batch=<cutoff>`,
+    * sweep asides. Idempotent from any crash point given a complete tmp.
+    */
+  private def finishSwap(root: java.io.File, tmp: java.io.File,
+                         from: Long, cutoff: Long): Unit = {
+    batchDirs(root).filter(d => d._1 >= from && d._1 <= cutoff)
+      .foreach { case (_, d) =>
+        val aside = new java.io.File(root, "." + d.getName + OldSuffix)
+        if (aside.exists()) deleteRec(aside)
+        if (!d.renameTo(aside)) throw new java.io.IOException(
+          s"Epochs: rename $d aside failed")
+      }
+    val live = new java.io.File(root, s"batch=$cutoff")
+    if (!tmp.renameTo(live)) throw new java.io.IOException(
+      s"Epochs: rename $tmp -> $live failed")
+    Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(".") &&
+        f.getName.endsWith(OldSuffix))
+      .foreach(deleteRec)
+  }
+
+  /** Fold the contiguous partition run `range` (already sorted by epoch)
+    * into `batch=<max epoch of the range>`.
+    *
+    * File count: ⌈bytes / targetFileBytes⌉, FLOORED at the session's
+    * default parallelism (as long as each file stays ≥ ~4 MB). The floor
+    * is load-bearing, measured the hard way: the first 300× fold run
+    * used the byte target alone, folded the ~60 MB index into ONE file —
+    * and every subsequent epoch's history scan (plus the fold job
+    * itself, since coalesce fuses the read into the write tasks)
+    * serialized onto 1-2 tasks: steady epochs went 5.7 → 26 s and folds
+    * cost up to 137 s (BASELINE.md round 15). A sub-targetFileBytes
+    * folded partition must still scan at the session's width; at lake
+    * scale bytes/128 MB exceeds any parallelism and the floor is inert.
+    */
+  private def foldRange(spark: SparkSession, root: java.io.File,
+                        range: Seq[(Long, java.io.File)], dirsBefore: Int,
+                        filesBefore: Int, targetFileBytes: Long): FoldStats = {
+    val from = range.head._1
+    val cutoff = range.last._1
+    // read the fold set WITHOUT partition inference (paths point at the
+    // leaf dirs) — the batch value is carried by the directory name the
+    // tmp is renamed to, not by the file contents
+    val src = spark.read.parquet(range.map(_._2.toString): _*)
+    val bytes = range.flatMap(d => dataFiles(d._2)).map(_.length()).sum
+    val minUseful = 4L * 1024 * 1024 // don't shatter tiny folds
+    val parallelFloor = math.min(spark.sparkContext.defaultParallelism.toLong,
+      math.max(1L, bytes / minUseful)).toInt
+    val targetFiles = math.max(parallelFloor,
+      math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val tmp = new java.io.File(root, s".batch=$from-$cutoff$TmpSuffix")
+    if (tmp.exists()) deleteRec(tmp)
+    src.coalesce(targetFiles).write.mode("overwrite").parquet(tmp.toString)
+    finishSwap(root, tmp, from, cutoff)
+    val after = batchDirs(root)
+    FoldStats(range.length, dirsBefore, after.length, filesBefore,
+      after.map(d => dataFiles(d._2).length).sum)
+  }
+
+  private def checkKeepLast(keepLast: Int): Unit =
+    require(keepLast >= 1,
+      "Epochs: keepLast must be >= 1 — the newest epoch must stay " +
+        "unfolded so a replayed crashed attempt can exclude its own rows")
+
   /** Fold all but the newest `keepLast` epoch partitions of `dir` into
-    * the single partition `batch=<max folded epoch>`, rewritten as
-    * ⌈bytes / targetFileBytes⌉ files. No-op (foldedEpochs = 0) when
-    * fewer than two partitions are foldable — folding one partition
-    * into itself is [[Layouts.compact]]'s per-leaf job, not this one.
+    * the single partition `batch=<max folded epoch>`. No-op
+    * (foldedEpochs = 0) when fewer than two partitions are foldable —
+    * folding one partition into itself is [[Layouts.compact]]'s per-leaf
+    * job, not this one.
     */
   def fold(spark: SparkSession, dir: String, keepLast: Int = 1,
            targetFileBytes: Long = 128L * 1024 * 1024): FoldStats = {
-    require(keepLast >= 1,
-      "Epochs.fold: keepLast must be >= 1 — the newest epoch must stay " +
-        "unfolded so a replayed crashed attempt can exclude its own rows")
+    checkKeepLast(keepLast)
     recover(dir)
     val root = new java.io.File(dir)
     val dirs = batchDirs(root)
     val foldable = dirs.dropRight(keepLast)
     val filesBefore = dirs.map(d => dataFiles(d._2).length).sum
     if (foldable.length < 2)
-      return FoldStats(0, dirs.length, dirs.length, filesBefore, filesBefore)
-    val cutoff = foldable.last._1
-    // read the fold set WITHOUT partition inference (paths point at the
-    // leaf dirs) — the batch value is carried by the directory name the
-    // tmp is renamed to, not by the file contents
-    val src = spark.read.parquet(foldable.map(_._2.toString): _*)
-    val bytes = foldable.flatMap(d => dataFiles(d._2)).map(_.length()).sum
-    val targetFiles = math.max(1,
-      math.ceil(bytes.toDouble / targetFileBytes).toInt)
-    val tmp = new java.io.File(root, s".batch=$cutoff$TmpSuffix")
-    if (tmp.exists()) deleteRec(tmp)
-    src.coalesce(targetFiles).write.mode("overwrite").parquet(tmp.toString)
-    foldable.foreach { case (_, d) =>
-      val aside = new java.io.File(root, "." + d.getName + OldSuffix)
-      if (aside.exists()) deleteRec(aside)
-      if (!d.renameTo(aside))
-        throw new java.io.IOException(s"Epochs.fold: rename $d aside failed")
+      FoldStats(0, dirs.length, dirs.length, filesBefore, filesBefore)
+    else
+      foldRange(spark, root, foldable, dirs.length, filesBefore,
+        targetFileBytes)
+  }
+
+  /** Size-tiered fold (see object scaladoc): fold the MAXIMAL suffix of
+    * committed partitions whose oldest member's bytes are ≤ `ratio` ×
+    * the combined bytes of every newer committed partition. With equal
+    * epochs and ratio = 1 this is the binary-counter merge — partitions
+    * at least double in size going older, so the live count stays
+    * O(log N) and lifetime rewrite O(N log N). No-op when the staircase
+    * invariant already holds everywhere.
+    */
+  def foldTiered(spark: SparkSession, dir: String, ratio: Double = 1.0,
+                 keepLast: Int = 1,
+                 targetFileBytes: Long = 128L * 1024 * 1024): FoldStats = {
+    checkKeepLast(keepLast)
+    require(ratio > 0, "Epochs.foldTiered: ratio must be > 0")
+    recover(dir)
+    val root = new java.io.File(dir)
+    val dirs = batchDirs(root)
+    val foldable = dirs.dropRight(keepLast)
+    val filesBefore = dirs.map(d => dataFiles(d._2).length).sum
+    val noop = FoldStats(0, dirs.length, dirs.length, filesBefore,
+      filesBefore)
+    if (foldable.length < 2) return noop
+    val bytes = foldable.map(d => dataFiles(d._2).map(_.length()).sum)
+    val newerSums = bytes.scanRight(0L)(_ + _).tail // sum of strictly newer
+    val j = bytes.indices.find(i => bytes(i) <= ratio * newerSums(i))
+    j match {
+      // need ≥ 2 partitions in the suffix for a fold to mean anything
+      case Some(i) if foldable.length - i >= 2 =>
+        foldRange(spark, root, foldable.drop(i), dirs.length, filesBefore,
+          targetFileBytes)
+      case _ => noop
     }
-    val live = new java.io.File(root, s"batch=$cutoff")
-    if (!tmp.renameTo(live)) throw new java.io.IOException(
-      s"Epochs.fold: rename $tmp -> $live failed")
-    foldable.foreach { case (_, d) =>
-      deleteRec(new java.io.File(root, "." + d.getName + OldSuffix))
-    }
-    val after = batchDirs(root)
-    FoldStats(foldable.length, dirs.length, after.length, filesBefore,
-      after.map(d => dataFiles(d._2).length).sum)
   }
 }

@@ -113,6 +113,8 @@ object StreamingScaleBench {
     // on the same fixture and rate.
     val compactEvery =
       sys.env.getOrElse("SPARK_GRAFT_SSB_COMPACT_EVERY", "0").toInt
+    val tailRatio =
+      sys.env.getOrElse("SPARK_GRAFT_SSB_TAIL_RATIO", "0").toDouble
 
     // ---- streamNearDups over the diversify documents ----
     val docs = if (!legs("dedup")) Seq.empty else
@@ -124,7 +126,7 @@ object StreamingScaleBench {
       val q = StreamingTelemetry.streamNearDups(
         in.toDF().toDF("doc_id", "text"),
         s"$root/corpus", s"$root/index", s"$root/pairs", s"$root/ckpt",
-        compactEvery = compactEvery)
+        compactEvery = compactEvery, compactTailRatio = tailRatio)
       try {
         docs.grouped(rate).foreach { c =>
           in.addData(c: _*); q.processAllAvailable()
@@ -132,9 +134,29 @@ object StreamingScaleBench {
         // deliver every queued progress event before reading the log
         org.apache.spark.sql.GraftSqlBridge.drainListenerBus(
           spark.sparkContext)
-        val suffix = if (compactEvery > 0) s"_fold$compactEvery" else ""
+        val suffix =
+          if (compactEvery > 0) s"_fold$compactEvery"
+          else if (tailRatio > 0) s"_tiered$tailRatio"
+          else ""
         report(s"stream_near_dups_$tag$suffix", s"$rate docs/trigger",
           log.of(q.id))
+        // Output-volume witness (round 15): pairs found per epoch, from
+        // the pairs sink's own batch=N partitions — separates "later
+        // epochs cost more because the merge-on-read floor grows" from
+        // "later epochs cost more because they genuinely FIND more"
+        // (the diversify fixture accretes cross-epoch near-dups, so
+        // match volume growing with history is correct work, not
+        // overhead).
+        val perEpochPairs = spark.read.parquet(s"$root/pairs")
+          .groupBy("batch").count()
+          .collect().map(r => (r.getAs[Number]("batch").longValue,
+            r.getLong(1))).sortBy(_._1)
+        val pe = perEpochPairs.drop(1).map(_._2)
+        if (pe.nonEmpty) {
+          def m(xs: Seq[Long]) = if (xs.isEmpty) 0.0 else
+            xs.sum.toDouble / xs.size
+          println(f"""{"op":"pairs_per_epoch_$tag$suffix","rate":"$rate docs/trigger","total_pairs":${perEpochPairs.map(_._2).sum},"epoch0":${perEpochPairs.head._2},"first3_mean":${m(pe.take(3))}%.1f,"last3_mean":${m(pe.takeRight(3))}%.1f}""")
+        }
       } finally q.stop()
       graft.operators.GraphMart.deleteRecursively(new java.io.File(root))
     }

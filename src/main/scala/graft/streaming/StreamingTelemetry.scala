@@ -145,25 +145,35 @@ object StreamingTelemetry {
     * (Incremental.scala:94-104) — on S3-style stores, point the dirs at
     * a table format.
     *
-    * `compactEvery` (0 = off): every that many epochs, fold the
-    * accumulated corpus/index epoch partitions into one
-    * ([[graft.sources.Epochs.fold]], keepLast = 1). Motivation is the
-    * measured round-15 linear history term (BASELINE.md, 300× leg:
-    * per-epoch cost drifting +3.4 s as 125 epoch partitions accrete —
-    * a listing/open floor per historical epoch, ~µs per indexed doc per
-    * epoch). The fold runs INSIDE foreachBatch after the epoch's own
-    * writes, so it is serialized with the only writer; replay stays
-    * correct because the current epoch's partition is never folded
-    * (keepLast = 1) and folded rows keep `batch` values strictly below
-    * any replayable epoch id, so the `=!= batchId` exclusion above is
-    * unaffected. Pairs partitions are results, not per-epoch re-read
-    * state, so they are left unfolded.
+    * Compaction knobs (both off by default; at most one may be on).
+    * Motivation is the measured round-15 linear history term
+    * (BASELINE.md, 300× leg: per-epoch cost drifting +3.4 s as 125
+    * epoch partitions accrete — a listing/open floor per historical
+    * epoch, ~µs per indexed doc per epoch):
+    *  - `compactEvery` = K > 0: every K epochs, fold the accumulated
+    *    corpus/index partitions into one ([[graft.sources.Epochs.fold]]).
+    *    Bounded-run policy — floor ≤ K dirs, lifetime rewrite O(N²/K).
+    *  - `compactTailRatio` = r > 0: every epoch, apply the size-tiered
+    *    trigger ([[graft.sources.Epochs.foldTiered]], usually r = 1.0).
+    *    Unbounded-stream policy — O(log N) dirs, O(N log N) rewrite;
+    *    most epochs it is a directory stat and a no-op.
+    * Folds run INSIDE foreachBatch after the epoch's own writes, so they
+    * are serialized with the only writer; replay stays correct because
+    * the current epoch's partition is never folded (keepLast = 1) and
+    * folded rows keep `batch` values strictly below any replayable epoch
+    * id, so the `=!= batchId` exclusion above is unaffected. Pairs
+    * partitions are results, not per-epoch re-read state, so they are
+    * left unfolded.
     */
   def streamNearDups(docs: DataFrame, corpusDir: String, indexDir: String,
                      pairsDir: String, checkpointDir: String,
                      textCol: String = "text", idCol: String = "doc_id",
-                     threshold: Double = 0.7, compactEvery: Int = 0)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+                     threshold: Double = 0.7, compactEvery: Int = 0,
+                     compactTailRatio: Double = 0.0)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(compactEvery == 0 || compactTailRatio == 0.0,
+      "streamNearDups: pick ONE compaction policy — periodic " +
+        "(compactEvery) or size-tiered (compactTailRatio), not both")
     docs.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
@@ -195,11 +205,16 @@ object StreamingTelemetry {
             graft.sources.Epochs.fold(spark, indexDir)
             graft.sources.Epochs.fold(spark, corpusDir)
             ()
+          } else if (compactTailRatio > 0.0) {
+            graft.sources.Epochs.foldTiered(spark, indexDir, compactTailRatio)
+            graft.sources.Epochs.foldTiered(spark, corpusDir, compactTailRatio)
+            ()
           }
         } finally b.unpersist()
         ()
       }
       .start()
+  }
 
   /** Incremental KMV sketch-mart maintenance: each micro-batch writes
     * its OWN fine-grain k-min sketch rows (operators.Kmv.mart) to a

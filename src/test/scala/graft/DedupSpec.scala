@@ -438,6 +438,46 @@ class DedupSpec extends SparkSpecBase {
     assert(!incr.contains((1L, 2L)))
   }
 
+  test("incrementalNearDups: collected-candidate route == distributed fallback, and pushes ids to the scan") {
+    val old = Seq(
+      (1L, "The quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "the QUICK brown fox jumps over the lazy dog near the river bank"),
+      (4L, "completely different content about gpu clusters and telemetry data")
+    ).toDF("doc_id", "body")
+    val fresh = Seq(
+      (5L, "The quick brown fox jumps over the lazy dog near the river bank"),
+      (6L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"),
+      (7L, "alpha beta gamma delta epsilon zeta eta theta iota kappa mu")
+    ).toDF("doc_id", "body")
+    val idx = Dedup.bandIndex(old, "body", "doc_id")
+    def pairSet(df: DataFrame) = df.select("ida", "idb")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // collectCandLimit = 0 can never hold a nonempty candidate set →
+    // exercises the distributed semi-join fallback on the same input
+    val pushed = pairSet(Dedup.incrementalNearDups(
+      old, fresh, idx, "body", "doc_id", 0.7))
+    val fallback = pairSet(Dedup.incrementalNearDups(
+      old, fresh, idx, "body", "doc_id", 0.7, collectCandLimit = 0))
+    assert(pushed == fallback && pushed.contains((1L, 5L)))
+    // with a parquet-backed corpus the literal id predicate must reach
+    // the scan (row-group pruning is what converts the per-epoch corpus
+    // touch from O(history bytes) to O(candidate row groups))
+    val dir = java.nio.file.Files.createTempDirectory("graft-incr-push").toString
+    old.write.mode("overwrite").parquet(dir)
+    val lakeCorpus = spark.read.parquet(dir)
+    val out = Dedup.incrementalNearDups(
+      lakeCorpus, fresh, idx, "body", "doc_id", 0.7)
+    assert(pairSet(out) == pushed)
+    // AQE hides scan nodes from executedPlan.collect; the plan STRING
+    // renders the full tree (same technique as PlanSpec's q16/q6)
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [In(doc_id") ||
+      p.contains("PushedFilters: [IsNotNull(doc_id), In(doc_id"),
+      "candidate-id In predicate not pushed to the corpus scan\n" +
+        p.linesIterator.filter(_.contains("PushedFilters"))
+          .mkString("\n"))
+  }
+
   test("editDistancePairs finds pairs within threshold, with exact distances") {
     val fuzz = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),

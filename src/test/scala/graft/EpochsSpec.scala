@@ -86,7 +86,7 @@ class EpochsSpec extends SparkSpecBase {
     val dir = tmpRoot("graft-epochs-rec1")
     writeEpochs(dir, 4)
     // simulate a crash during step 1: partial tmp, no _SUCCESS
-    val tmp = new java.io.File(dir, ".batch=2.__fold_tmp")
+    val tmp = new java.io.File(dir, ".batch=0-2.__fold_tmp")
     tmp.mkdirs()
     new java.io.File(tmp, "part-junk.parquet").createNewFile()
     assert(Epochs.recover(dir))
@@ -102,13 +102,68 @@ class EpochsSpec extends SparkSpecBase {
     // source dirs still live
     val expected = readAll(dir)
     spark.read.parquet(s"$dir/batch=0", s"$dir/batch=1", s"$dir/batch=2")
-      .coalesce(1).write.parquet(s"$dir/.batch=2.__fold_tmp")
+      .coalesce(1).write.parquet(s"$dir/.batch=0-2.__fold_tmp")
     assert(Epochs.recover(dir))
     assert(batchDirNames(dir) == Set("batch=2", "batch=3"))
     val after = readAll(dir)
     assert(after.map(r => (r._1, r._2)) == expected.map(r => (r._1, r._2)))
     assert(Option(new java.io.File(dir).listFiles()).get
       .forall(f => !f.getName.endsWith(".__fold_old")))
+  }
+
+  test("recover completes a RANGE fold without touching older partitions") {
+    val dir = tmpRoot("graft-epochs-rec4")
+    writeEpochs(dir, 5)
+    val expected = readAll(dir)
+    // a tiered fold of [2, 3] crashed right after its tmp completed
+    spark.read.parquet(s"$dir/batch=2", s"$dir/batch=3")
+      .coalesce(1).write.parquet(s"$dir/.batch=2-3.__fold_tmp")
+    assert(Epochs.recover(dir))
+    assert(batchDirNames(dir) == Set("batch=0", "batch=1", "batch=3", "batch=4"))
+    val after = readAll(dir)
+    assert(after.map(r => (r._1, r._2)) == expected.map(r => (r._1, r._2)))
+    // rows of epoch 2 carry batch=3 now; 0/1/4 untouched
+    assert(after.forall { case (id, _, b) =>
+      if (id >= 2000 && id < 3000) b == 3 else b == id / 1000
+    })
+  }
+
+  test("foldTiered is the binary-counter merge: O(log N) dirs, bounded rewrite") {
+    val dir = tmpRoot("graft-epochs-tiered")
+    // epochs big enough that parquet bytes track row counts (KB-scale
+    // files would be footer-dominated and distort the size staircase)
+    val perEpoch = 5000
+    var folds = 0
+    var partitionMerges = 0L
+    (0 until 32).foreach { b =>
+      (0 until perEpoch).map(i => (b.toLong * 100000 + i, s"v${b}_$i"))
+        .toDF("id", "v").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/batch=$b")
+      val s = Epochs.foldTiered(spark, dir)
+      if (s.foldedEpochs > 0) { folds += 1; partitionMerges += s.foldedEpochs }
+    }
+    // 32 equal epochs: live partitions stay logarithmic, not linear
+    val dirs = batchDirNames(dir).size
+    assert(dirs <= 8, s"dirs=$dirs")
+    // binary-counter rewrite: each fold merges a small suffix — total
+    // partition merges stay O(N log N)-ish, far below the ~N^2/2 sum of
+    // history sizes that every-epoch full folding would rewrite
+    assert(partitionMerges <= 32 * 3, s"merges=$partitionMerges")
+    assert(folds >= 8) // it folded continually, not once at the end
+    assert(spark.read.parquet(dir).count() == 32L * perEpoch) // nothing lost
+    // staircase invariant holds on the committed prefix: each partition
+    // outweighs half the combined bytes of everything newer-but-committed
+    val sizes = batchDirNames(dir).toSeq
+      .map(n => n.drop(6).toLong -> new java.io.File(dir, n))
+      .sortBy(_._1)
+      .map { case (_, d) =>
+        Option(d.listFiles()).get.filter(_.getName.endsWith(".parquet"))
+          .map(_.length()).sum
+      }
+    sizes.dropRight(2).zipWithIndex.foreach { case (s, i) =>
+      assert(s > sizes.drop(i + 1).dropRight(1).sum * 0.5,
+        s"staircase broken at $i: $sizes")
+    }
   }
 
   test("recover sweeps aside copies left after a completed swap") {
@@ -123,6 +178,32 @@ class EpochsSpec extends SparkSpecBase {
     assert(Epochs.recover(dir))
     assert(!aside.exists())
     assert(readAll(dir) == expected)
+  }
+
+  test("offline fold of a streamed edge mart: readMerged is unchanged") {
+    // the marts are merge-on-read sums, so folding their epoch layout
+    // (the same batch=<epoch> contract as the dedup index) must leave
+    // every read-off bit-identical — this pins the "all sinks qualify"
+    // claim for the aggregating marts, not just the index/corpus
+    val dir = tmpRoot("graft-epochs-mart")
+    val epochs = Seq(
+      Seq((1L, 2L, 3L), (2L, 3L, 1L)),
+      Seq((1L, 2L, 2L), (4L, 5L, 7L)),
+      Seq((2L, 3L, 4L), (4L, 5L, 1L)),
+      Seq((1L, 2L, 1L)))
+    epochs.zipWithIndex.foreach { case (rows, b) =>
+      rows.toDF("src", "dst", "w")
+        .write.mode("overwrite").parquet(s"$dir/batch=$b")
+    }
+    def merged: Map[(Long, Long), Long] =
+      graft.operators.GraphMart.readMerged(spark, dir)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+        .toMap
+    val before = merged
+    val stats = Epochs.fold(spark, dir)
+    assert(stats.foldedEpochs == 3 && stats.dirsAfter == 2)
+    assert(merged == before)
+    assert(before((1L, 2L)) == 6L) // spans folded and kept epochs
   }
 
   test("streamNearDups with compactEvery: identical pairs, bounded index dirs") {
