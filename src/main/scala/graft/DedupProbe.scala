@@ -112,6 +112,39 @@ object DedupProbe {
     val (starN2, tStarWarm) = timed(starPairs().count())
     require(starN1 == starN2, "star route not deterministic across runs")
 
+    // Leg 4 (round 15): the CONNECTIVITY-CLOSED star — star pairs plus
+    // every verified pair with a hub-failed endpoint; components are
+    // provably equal to all-pairs (the survivor gap must read 0 below).
+    def closedPairs() = graft.dedup.Dedup.simhashStarPairsWideClosed(
+      canonicals, "text", "doc_id", maxHamming = 3)
+    val (closedN, tClosed) = timed(closedPairs().count())
+    // Patch-candidate volume: per bucket |hub-failed| × (n − 1) — what
+    // the closed route enumerates ON TOP of the star, read off the
+    // pinned sketch the same way the bucket histogram is.
+    val ex = sketch.select(col("id"), col("h1"), col("h2"),
+      posexplode(array(
+        col("h1").bitwiseAND(lit(mask30)),
+        shiftright(col("h1"), 30).bitwiseAND(lit(mask30)),
+        col("h2").bitwiseAND(lit(mask30)),
+        shiftright(col("h2"), 30).bitwiseAND(lit(mask30))))
+        .as(Seq("c", "v")))
+    val mins2 = ex.groupBy("c", "v")
+      .agg(min("id").as("hub"), count(lit(1)).as("n"))
+    val patchRow = ex.join(mins2, Seq("c", "v"))
+      .join(sketch.select(col("id").as("hub"), col("h1").as("hh1"),
+        col("h2").as("hh2")), "hub")
+      .withColumn("hham",
+        bit_count(col("h1").bitwiseXOR(col("hh1"))) +
+          bit_count(col("h2").bitwiseXOR(col("hh2"))))
+      .filter(col("id") =!= col("hub") && col("hham") > 3)
+      .groupBy("c", "v").agg(count(lit(1)).as("f"))
+      .join(mins2, Seq("c", "v"))
+      .agg(coalesce(sum(col("f") * (col("n") - 1)), lit(0L)).cast("long")
+          .as("cand_patch"),
+        coalesce(sum("f"), lit(0L)).cast("long").as("failed"))
+      .head()
+    val (candPatch, failedMembers) = (patchRow.getLong(0), patchRow.getLong(1))
+
     // Downstream contract: same consumers as the pipeline's clean stage.
     val starP = graft.operators.Artifacts.pinEager(
       starPairs().select("ida", "idb"), "probe.star_pairs")
@@ -131,6 +164,17 @@ object DedupProbe {
       .connectedComponents(starP).select("component").distinct().count()
     val nCompAll = graft.dedup.Components
       .connectedComponents(allP).select("component").distinct().count()
+    // closed-route downstream: survivor difference vs all-pairs must be
+    // zero in BOTH directions (the components-equality theorem, at scale)
+    val closedP = graft.operators.Artifacts.pinEager(
+      closedPairs().select("ida", "idb"), "probe.closed_pairs")
+    val (closedSurv, tCleanClosed) = timed(graft.operators.Artifacts.pinEager(
+      survivors(closedP), "probe.surv_closed"))
+    val nClosedSurv = closedSurv.count()
+    val onlyClosed = closedSurv.exceptAll(allSurv).count()
+    val onlyAllVsClosed = allSurv.exceptAll(closedSurv).count()
+    val nCompClosed = graft.dedup.Components
+      .connectedComponents(closedP).select("component").distinct().count()
 
     def r2(x: Double) = math.round(x * 100) / 100.0
     val line =
@@ -144,7 +188,14 @@ object DedupProbe {
         s""""sec_clean_all":${r2(tCleanAll)},""" +
         s""""components_star":$nCompStar,"components_all":$nCompAll,""" +
         s""""survivors_star":$nStarSurv,"survivors_all":$nAllSurv,""" +
-        s""""survivors_only_star":$onlyStar,"survivors_only_all":$onlyAll}"""
+        s""""survivors_only_star":$onlyStar,"survivors_only_all":$onlyAll,""" +
+        s""""cand_patch":$candPatch,"failed_members":$failedMembers,""" +
+        s""""pairs_closed":$closedN,"sec_closed_warm":${r2(tClosed)},""" +
+        s""""sec_clean_closed":${r2(tCleanClosed)},""" +
+        s""""components_closed":$nCompClosed,""" +
+        s""""survivors_closed":$nClosedSurv,""" +
+        s""""survivors_only_closed":$onlyClosed,""" +
+        s""""survivors_only_all_vs_closed":$onlyAllVsClosed}"""
     println(line)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_PROBE_OUT",
       "dedup_probe_last.json")

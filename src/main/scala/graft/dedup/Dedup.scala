@@ -993,17 +993,17 @@ object Dedup extends org.apache.spark.internal.Logging {
       shiftright(col("simhash"), 45).bitwiseAND(lit(32767L)))
     val e = sh.select(col("id"), col("simhash"),
       posexplode(chunks).as(Seq("c", "v")))
-    val cand = e.select(col("id").as("ida"), col("simhash").as("ha"),
+    // verify before the pair-dedup shuffle — same reordering as
+    // simhashPairsWide (see the comment there; output bit-identical)
+    e.select(col("id").as("ida"), col("simhash").as("ha"),
         col("c"), col("v"))
       .join(e.select(col("id").as("idb"), col("simhash").as("hb"),
           col("c").as("cb"), col("v").as("vb")),
         col("c") === col("cb") && col("v") === col("vb") &&
           col("ida") < col("idb"))
-      .select("ida", "idb", "ha", "hb")
-      .dropDuplicates("ida", "idb")
-    cand
       .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("ida", "idb")
       .select("ida", "idb", "hamming")
   }
 
@@ -1051,19 +1051,25 @@ object Dedup extends org.apache.spark.internal.Logging {
       shiftright(col("h2"), 30).bitwiseAND(lit(mask30)))
     val e = sh.select(col("id"), col("h1"), col("h2"),
       posexplode(chunks).as(Seq("c", "v")))
-    val cand = e.select(col("id").as("ida"), col("h1").as("ha1"),
+    // hamming verify BEFORE the pair-dedup: the filter is a per-row
+    // function of columns already riding the join, while dropDuplicates
+    // is a SHUFFLE of every enumerated candidate — on dup-heavy corpora
+    // candidates outnumber verified pairs ~400:1 (d300: 27.6M → 67k),
+    // so dedup-first shuffled 27.6M wide rows to discard 99.8% of them
+    // right after. Found by the round-15 closed-star probe, where
+    // verify-first made the MORE-candidates route faster; output is
+    // bit-identical (hamming is a function of the pair).
+    e.select(col("id").as("ida"), col("h1").as("ha1"),
         col("h2").as("ha2"), col("c"), col("v"))
       .join(e.select(col("id").as("idb"), col("h1").as("hb1"),
           col("h2").as("hb2"), col("c").as("cb"), col("v").as("vb")),
         col("c") === col("cb") && col("v") === col("vb") &&
           col("ida") < col("idb"))
-      .select("ida", "idb", "ha1", "ha2", "hb1", "hb2")
-      .dropDuplicates("ida", "idb")
-    cand
       .withColumn("hamming",
         bit_count(col("ha1").bitwiseXOR(col("hb1"))) +
           bit_count(col("ha2").bitwiseXOR(col("hb2"))))
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("ida", "idb")
       .select("ida", "idb", "hamming")
   }
 
@@ -1137,6 +1143,88 @@ object Dedup extends org.apache.spark.internal.Logging {
           bit_count(col("ha2").bitwiseXOR(col("hb2"))))
       .filter(col("hamming") <= maxHamming)
       .select("ida", "idb", "hamming")
+  }
+
+  /** The CONNECTIVITY-CLOSED star route: [[simhashStarPairsWide]]'s
+    * spanning enumeration PLUS every verified pair with a hub-FAILED
+    * endpoint — per (chunk, value) bucket, members whose 120-bit
+    * Hamming to the bucket-min hub exceeds `maxHamming` re-enumerate
+    * against the whole bucket.
+    *
+    * Why: the plain star is one-sided-lossy for CLUSTERING — a
+    * hamming-chain a−b−c where only the through-b links pass loses the
+    * a−c component link when b is never a bucket min (measured, not
+    * hypothetical: cleanCorpusBest over star pairs keeps +0.47% / +0.90%
+    * / +1.74% of docs the all-pairs route merges away at d100/d300/d1000
+    * — BASELINE.md round 15). This closes that gap EXACTLY, provably:
+    * per bucket, the emitted edges are {hub−p : p passed} ∪ {every
+    * verified edge touching a failed member}. The only all-pairs edges
+    * not emitted are passed−passed pairs — whose endpoints are already
+    * connected through the hub — so the closed subgraph has IDENTICAL
+    * connected components to the all-pairs graph (every true pair
+    * shares ≥ 1 bucket by the pigeonhole guarantee, and within any
+    * shared bucket both endpoints land in one of the covered cases).
+    * DedupSpec pins the planted chain case and a randomized
+    * components-equality property; q_dedup_clusters_simhash_closed
+    * hash-checks the equivalence cross-engine against the ALL-PAIRS
+    * recursive closure in DuckDB.
+    *
+    * Cost shape: Σ_buckets (n−1) star candidates + |failed|·(n−1) patch
+    * candidates — still linear in bucket population whenever the hub
+    * represents its bucket (replica/template clusters, the blow-up case
+    * the star exists for; failed members there are chunk-colliding
+    * strangers, a thin tail). A bucket whose hub represents nobody
+    * degrades toward all-pairs for that bucket only — cost adapts per
+    * bucket, correctness never depends on it.
+    */
+  def simhashStarPairsWideClosed(docs: DataFrame, textCol: String,
+                                 idCol: String, maxHamming: Int = 3)
+      : DataFrame = {
+    val mask30 = (1L << 30) - 1
+    val sh = graft.operators.Artifacts.pinEager(
+      docs.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+        .filter(size(col("toks")) > 0)
+        .select(col("id"), simhash60(col("toks")).as("h1"),
+          simhash60Tail(col("toks")).as("h2")),
+      "simhash.sketch") // same sketch artifact as the sibling routes
+    val chunks = array(
+      col("h1").bitwiseAND(lit(mask30)),
+      shiftright(col("h1"), 30).bitwiseAND(lit(mask30)),
+      col("h2").bitwiseAND(lit(mask30)),
+      shiftright(col("h2"), 30).bitwiseAND(lit(mask30)))
+    val e = sh.select(col("id"), col("h1"), col("h2"),
+      posexplode(chunks).as(Seq("c", "v")))
+    val mins = e.groupBy("c", "v").agg(min(col("id")).as("hub"))
+    // per (bucket, member): the hub-distance verdict drives BOTH outputs
+    val withHub = e.join(mins, Seq("c", "v"))
+      .join(sh.select(col("id").as("hub"), col("h1").as("hh1"),
+        col("h2").as("hh2")), "hub")
+      .withColumn("hham",
+        bit_count(col("h1").bitwiseXOR(col("hh1"))) +
+          bit_count(col("h2").bitwiseXOR(col("hh2"))))
+    val star = withHub
+      .filter(col("id") =!= col("hub") && col("hham") <= maxHamming)
+      .select(col("hub").as("ida"), col("id").as("idb"),
+        col("hham").as("hamming"))
+      .dropDuplicates("ida", "idb")
+    // failed members re-enumerate against their whole bucket (hub
+    // included — that pair re-fails the verify, so no special case)
+    val patch = withHub
+      .filter(col("id") =!= col("hub") && col("hham") > maxHamming)
+      .select(col("c"), col("v"), col("id").as("fa"),
+        col("h1").as("fa1"), col("h2").as("fa2"))
+      .join(e.select(col("c"), col("v"), col("id").as("ob"),
+        col("h1").as("ob1"), col("h2").as("ob2")), Seq("c", "v"))
+      .filter(col("fa") =!= col("ob"))
+      .select(least(col("fa"), col("ob")).as("ida"),
+        greatest(col("fa"), col("ob")).as("idb"),
+        (bit_count(col("fa1").bitwiseXOR(col("ob1"))) +
+          bit_count(col("fa2").bitwiseXOR(col("ob2")))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("ida", "idb")
+    // a pair can arrive via star in one bucket and patch in another;
+    // hamming is the same exact 120-bit value either way
+    star.unionByName(patch).dropDuplicates("ida", "idb")
   }
 
   /** Fuzzy-duplicate pairs under a Levenshtein edit-distance threshold —

@@ -128,6 +128,16 @@ object DedupQueries extends QueryPack {
           maxHamming = 3)
         .orderBy("ida", "idb")),
 
+    // The CONNECTIVITY-CLOSED star (round 15): star pairs + every
+    // verified pair with a hub-failed endpoint — the bounded repair for
+    // the star's measured one-sided under-merge (survivors +0.47% /
+    // +0.90% / +1.74% at d100/d300/d1000). Oracle reproduces the
+    // two-level enumeration on the shared signature CTEs.
+    "q_dedup_simhash_wide_closed" -> ((s, d) =>
+      Dedup.simhashStarPairsWideClosed(Tables.documents(s, d), "text",
+          "doc_id", maxHamming = 3)
+        .orderBy("ida", "idb")),
+
     // The PIPELINE-ORDER composition: bag-exact dedup FIRST, wide
     // simhash near-dup on the canonical docs only. Permuted-copy
     // clusters contribute c(c-1)/2 output pairs to any direct near-dup
@@ -348,6 +358,18 @@ object DedupQueries extends QueryPack {
     "q_dedup_clusters_simhash_star" -> ((s, d) => {
       val pairs = Dedup.simhashStarPairsWide(Tables.documents(s, d), "text",
         "doc_id", maxHamming = 3)
+      graft.dedup.Components.dupClusters(pairs.select("ida", "idb"))
+        .orderBy("id")
+    }),
+
+    // The closed-star equivalence theorem as a cross-engine hash check:
+    // Spark clusters the CLOSED pair set, the oracle clusters the
+    // ALL-PAIRS set — hash equality proves the closed subgraph's
+    // components equal the full near-dup graph's on real data, at the
+    // star route's cost shape.
+    "q_dedup_clusters_simhash_closed" -> ((s, d) => {
+      val pairs = Dedup.simhashStarPairsWideClosed(Tables.documents(s, d),
+        "text", "doc_id", maxHamming = 3)
       graft.dedup.Components.dupClusters(pairs.select("ida", "idb"))
         .orderBy("id")
     }),
@@ -1272,6 +1294,54 @@ object DedupQueries extends QueryPack {
         |FROM j
         |WHERE bit_count(xor(ha1, hb1)) + bit_count(xor(ha2, hb2)) <= 3
         |ORDER BY ida, idb""".stripMargin,
+    // the closed-star route: star pairs + every verified pair with a
+    // hub-failed endpoint, two-level enumeration on the shared
+    // signature CTEs (a pair reachable via both routes carries the same
+    // exact 120-bit hamming, so plain UNION dedups it)
+    "q_dedup_simhash_wide_closed" ->
+      s"""WITH $wideSimhashCtes,
+        |mn AS (SELECT c, cv, min(id) AS hub FROM e GROUP BY c, cv),
+        |wh AS (
+        |  SELECT e.c, e.cv, e.id, e.h1, e.h2, mn.hub,
+        |    bit_count(xor(e.h1, hs.h1)) + bit_count(xor(e.h2, hs.h2)) AS hham
+        |  FROM e JOIN mn ON e.c = mn.c AND e.cv = mn.cv
+        |         JOIN s hs ON hs.id = mn.hub),
+        |star AS (
+        |  SELECT DISTINCT hub AS ida, id AS idb, hham AS hamming
+        |  FROM wh WHERE id <> hub AND hham <= 3),
+        |fl AS (SELECT c, cv, id, h1, h2 FROM wh WHERE id <> hub AND hham > 3),
+        |patch AS (
+        |  SELECT DISTINCT least(f.id, o.id) AS ida,
+        |    greatest(f.id, o.id) AS idb,
+        |    bit_count(xor(f.h1, o.h1)) + bit_count(xor(f.h2, o.h2)) AS hamming
+        |  FROM fl f JOIN e o ON f.c = o.c AND f.cv = o.cv AND f.id <> o.id
+        |  WHERE bit_count(xor(f.h1, o.h1)) + bit_count(xor(f.h2, o.h2)) <= 3)
+        |SELECT ida, idb, hamming::INT AS hamming
+        |FROM (SELECT * FROM star UNION SELECT * FROM patch)
+        |ORDER BY ida, idb""".stripMargin,
+    // the closed-star equivalence theorem, cross-engine: the oracle
+    // clusters the ALL-PAIRS verified graph (same cand CTE as
+    // q_dedup_simhash_wide) — hash equality with Spark's closed-route
+    // clustering proves component identity on real data
+    "q_dedup_clusters_simhash_closed" ->
+      s"""WITH RECURSIVE $wideSimhashCtes,
+        |cand AS (
+        |  SELECT DISTINCT a.id AS ida, b.id AS idb,
+        |         a.h1 AS ha1, a.h2 AS ha2, b.h1 AS hb1, b.h2 AS hb2
+        |  FROM e a JOIN e b ON a.c = b.c AND a.cv = b.cv AND a.id < b.id),
+        |vp AS (
+        |  SELECT ida, idb FROM cand
+        |  WHERE bit_count(xor(ha1, hb1)) + bit_count(xor(ha2, hb2)) <= 3),
+        |edges AS (
+        |  SELECT ida AS src, idb AS dst FROM vp
+        |  UNION SELECT idb, ida FROM vp),
+        |reach(id, root) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e2.dst, r.root FROM reach r JOIN edges e2 ON e2.src = r.id),
+        |cc AS (SELECT id, min(root) AS component FROM reach GROUP BY id)
+        |SELECT id, component, CAST(id = component AS INT) AS is_canonical
+        |FROM cc ORDER BY id""".stripMargin,
     // star pair enumeration (shared signature CTEs) + the same recursive
     // reachability closure the minhash cluster oracles use — the
     // component labels over the SPANNING pair set, end to end in SQL

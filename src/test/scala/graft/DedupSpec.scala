@@ -133,6 +133,154 @@ class DedupSpec extends SparkSpecBase {
       "tight-cluster components must not differ between star and all-pairs")
   }
 
+  test("simhashStarPairsWideClosed: components == all-pairs on drift chains " +
+    "the plain star under-merges; pairs sandwiched between star and all-pairs") {
+    // random-walk corpora (each doc = previous doc with a few token
+    // substitutions) manufacture hamming CHAINS a−b−c where the
+    // endpoints drift past maxHamming — exactly the regime where the
+    // plain star loses component links (its measured 0.47-1.74%
+    // survivor gap). The closed route must (a) stay a SUBSET of
+    // all-pairs with identical hamming values, (b) contain every star
+    // pair, and (c) produce IDENTICAL components to all-pairs on every
+    // fixture — the equivalence theorem. The sweep must also contain at
+    // least one fixture where the PLAIN star's components differ, or it
+    // never exercised the regime it exists for.
+    import graft.dedup.Components
+    val vocab = ("alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon phi chi " +
+      "psi omega one two three four five six seven eight nine ten").split(" ")
+    def walk(seed: Int, docsN: Int, editsPerStep: Int): DataFrame = {
+      val rnd = new scala.util.Random(seed)
+      val base = Array.fill(24)(vocab(rnd.nextInt(vocab.length)))
+      val rows = Iterator.iterate(base) { prev =>
+        val next = prev.clone()
+        (0 until editsPerStep).foreach { _ =>
+          next(rnd.nextInt(next.length)) = vocab(rnd.nextInt(vocab.length))
+        }
+        next
+      }.take(docsN).zipWithIndex
+        .map { case (toks, i) => (i.toLong, toks.mkString(" ")) }.toSeq
+      rows.toDF("doc_id", "body")
+    }
+    def pairSet(df: DataFrame) = df.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    def comps(pairs: Set[(Long, Long)]): Map[Long, Long] =
+      if (pairs.isEmpty) Map.empty
+      else Components.connectedComponents(pairs.toSeq.toDF("ida", "idb"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (seed <- Seq(1, 2, 3, 4); edits <- Seq(1, 2)) {
+      val corpus = walk(seed, 14, edits)
+      val all = pairSet(Dedup.simhashPairsWide(corpus, "body", "doc_id", 3))
+      val star = pairSet(
+        Dedup.simhashStarPairsWide(corpus, "body", "doc_id", 3))
+      val closed = pairSet(
+        Dedup.simhashStarPairsWideClosed(corpus, "body", "doc_id", 3))
+      assert(closed.keySet.subsetOf(all.keySet),
+        s"seed=$seed edits=$edits: closed emitted a non-pair " +
+          s"${closed.keySet -- all.keySet}")
+      closed.foreach { case (k, h) => assert(all(k) == h,
+        s"seed=$seed edits=$edits: hamming disagreement on $k") }
+      assert(star.keySet.subsetOf(closed.keySet),
+        s"seed=$seed edits=$edits: star pair missing from closed " +
+          s"${star.keySet -- closed.keySet}")
+      assert(comps(closed.keySet) == comps(all.keySet),
+        s"seed=$seed edits=$edits: closed components diverged from all-pairs")
+    }
+  }
+
+  test("simhashStarPairsWideClosed repairs a CONSTRUCTED hamming chain the " +
+    "plain star provably under-merges") {
+    // Build a−b−c deterministically: b = a + one appended token, c = b +
+    // one more, searched (driver-side 120-bit vote reference, the same
+    // one TextHashExprSpec proves bit-equal to the Spark exprs) so that
+    // ham(a,b) ≤ 3 < ham(a,c), every chunk b shares with c is also a's
+    // (so the only hub c ever sees is a, at distance > 3), and a is the
+    // min id. Plain star then leaves c edgeless; the closed route's
+    // failed-member patch finds the b−c link inside a's bucket and the
+    // components equal all-pairs — the theorem on a worst case, not a
+    // random draw.
+    import graft.dedup.Components
+    def digest(tk: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(tk.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    def votesOf(tk: String): Array[Int] = {
+      val hex = digest(tk)
+      val v = new Array[Int](120)
+      for (d <- 0 until 15; b <- 0 until 4) {
+        v(d * 4 + b) =
+          (Integer.parseInt(hex.charAt(d).toString, 16) >> (3 - b)) & 1
+        v(60 + d * 4 + b) =
+          (Integer.parseInt(hex.charAt(15 + d).toString, 16) >> (3 - b)) & 1
+      }
+      v
+    }
+    def sig(votes: Array[Int], n: Int): (Long, Long) = {
+      var h1 = 0L; var h2 = 0L
+      for (b <- 0 until 60) {
+        if (votes(b) * 2 > n) h1 |= 1L << (59 - b)
+        if (votes(60 + b) * 2 > n) h2 |= 1L << (59 - b)
+      }
+      (h1, h2)
+    }
+    def ham(x: (Long, Long), y: (Long, Long)): Int =
+      java.lang.Long.bitCount(x._1 ^ y._1) +
+        java.lang.Long.bitCount(x._2 ^ y._2)
+    def chunks(s: (Long, Long)): Seq[Long] = {
+      val m = (1L << 30) - 1
+      Seq(s._1 & m, (s._1 >> 30) & m, s._2 & m, (s._2 >> 30) & m)
+    }
+    val baseToks = ("alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon").split(" ").toSeq
+    val baseVotes = baseToks.map(votesOf)
+      .foldLeft(new Array[Int](120))((acc, v) => {
+        for (i <- 0 until 120) acc(i) += v(i); acc
+      })
+    val sa = sig(baseVotes, baseToks.size)
+    val vocab = (0 until 400).map(i => s"w$i")
+    val found = (for {
+      x <- vocab.iterator
+      vx = votesOf(x)
+      bv = baseVotes.clone().zipWithIndex.map { case (s, i) => s + vx(i) }
+      sb = sig(bv, baseToks.size + 1)
+      if ham(sa, sb) >= 1 && ham(sa, sb) <= 3
+      y <- vocab.iterator if y != x
+      vy = votesOf(y)
+      cv = bv.zipWithIndex.map { case (s, i) => s + vy(i) }
+      sc = sig(cv, baseToks.size + 2)
+      if ham(sb, sc) >= 1 && ham(sb, sc) <= 3
+      if ham(sa, sc) >= 4
+      // every chunk b shares with c must also be a's chunk, so the only
+      // hub c can reach is a (distance > 3 → star leaves c edgeless)
+      if chunks(sb).zip(chunks(sc)).zip(chunks(sa))
+        .forall { case ((cb, cc), ca) => cb != cc || ca == cb }
+    } yield (x, y)).nextOption()
+    assert(found.nonEmpty,
+      "search space exhausted without a chain witness — widen the vocab")
+    val (x, y) = found.get
+    val corpus = Seq(
+      (0L, baseToks.mkString(" ")),
+      (1L, (baseToks :+ x).mkString(" ")),
+      (2L, (baseToks :+ x :+ y).mkString(" "))).toDF("doc_id", "body")
+    def pairs(df: DataFrame) = df.select("ida", "idb").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val all = pairs(Dedup.simhashPairsWide(corpus, "body", "doc_id", 3))
+    val star = pairs(Dedup.simhashStarPairsWide(corpus, "body", "doc_id", 3))
+    val closed = pairs(
+      Dedup.simhashStarPairsWideClosed(corpus, "body", "doc_id", 3))
+    assert(all == Set((0L, 1L), (1L, 2L)), s"all-pairs=$all")
+    assert(star == Set((0L, 1L)), s"star=$star — expected c edgeless")
+    assert(closed == all, s"closed=$closed")
+    def comps2(ps: Set[(Long, Long)]): Map[Long, Long] =
+      Components.connectedComponents(ps.toSeq.toDF("ida", "idb"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps2(closed) == comps2(all) &&
+      comps2(closed).values.toSet == Set(0L),
+      "closed must merge the whole chain into one component")
+    assert(comps2(star) != comps2(all),
+      "the constructed chain no longer diverges under plain star — " +
+        "fixture invalid")
+  }
+
   test("cleanCorpusBest over star pairs equals the all-pairs route on " +
     "tight clusters — the downstream contract the pipeline swap relies on") {
     // same planted replica cluster as above; the clean stage consumes
