@@ -110,26 +110,37 @@ object PipelineBench {
     }
 
     // 3. Near-dup pairs: 120-bit simhash over the canonicals (pins the
-    // (id,h1,h2) sketch frame — the cross-stage shared artifact). The
-    // only consumer here is the CLUSTERING stage, which needs
-    // connectivity, not the pair product — so the default route is the
-    // spanning-star enumeration (n−1 candidates per bucket instead of
-    // n(n−1)/2; the d300 probe measured all-pairs candidates quadratic
-    // in genuine cluster size — one 967-doc bucket = 467k candidates).
-    // Measured trade (BASELINE.md round 15): this stage 2.7× faster at
-    // d300 (12.7 vs 34.4 s) at the cost of a strictly ONE-SIDED miss —
-    // the clean stage keeps +0.47% (d100) / +0.90% (d300) docs it
-    // would have merged, never deleting anything the exact route keeps.
-    // SPARK_GRAFT_PIPE_ALLPAIRS=1 pins the all-pairs route for A/B
-    // probes (graft.DedupProbe commits the comparison per fixture).
-    val allPairsRoute = sys.env.get("SPARK_GRAFT_PIPE_ALLPAIRS").contains("1")
+    // (id,h1,h2) sketch frame — the cross-stage shared artifact).
+    // Route history, because the default CHANGED on evidence twice:
+    // the d300 probe (dedup-first enumerators) measured all-pairs at
+    // 335.6 s/d1000 and the spanning star became the default with a
+    // documented one-sided miss (+0.47%/+0.90%/+1.74% docs kept that
+    // the exact route merges). The round-15 closed-star work then
+    // showed most of that wall was the dropDuplicates-before-verify
+    // shuffle; with verify-first enumeration all-pairs runs 12.6 s at
+    // d1000 (probes/r15/dedup_probe_d1000_closed.json) — so the
+    // default is EXACT again (duplicate leakage into training data is
+    // a correctness cost, not a tuning knob). SPARK_GRAFT_PIPE_ROUTE
+    // picks the A/B legs: "star" (spanning star, fastest, one-sided
+    // miss) or "closed" (star + hub-failed patch — exact components,
+    // the insurance for Σn² enumeration blow-up in ultra-hot tight
+    // buckets, where its patch stays linear while all-pairs does not).
+    val route = sys.env.get("SPARK_GRAFT_PIPE_ROUTE")
+      .orElse(sys.env.get("SPARK_GRAFT_PIPE_ALLPAIRS")
+        .filter(_ == "1").map(_ => "allpairs"))
+      .getOrElse("allpairs")
     val pairs = stage("neardup_pairs") {
-      if (allPairsRoute)
-        graft.dedup.Dedup.simhashPairsWide(canonicals, "text", "doc_id",
-          maxHamming = 3)
-      else
-        graft.dedup.Dedup.simhashStarPairsWide(canonicals, "text", "doc_id",
-          maxHamming = 3)
+      route match {
+        case "star" =>
+          graft.dedup.Dedup.simhashStarPairsWide(canonicals, "text",
+            "doc_id", maxHamming = 3)
+        case "closed" =>
+          graft.dedup.Dedup.simhashStarPairsWideClosed(canonicals, "text",
+            "doc_id", maxHamming = 3)
+        case _ =>
+          graft.dedup.Dedup.simhashPairsWide(canonicals, "text", "doc_id",
+            maxHamming = 3)
+      }
     }
 
     // 4. Clean: cluster the pairs, keep each cluster's BEST copy (by
@@ -169,7 +180,7 @@ object PipelineBench {
         "," + gcMs + "," + math.round(spillMb) + "]"
     }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"pipeline_total","value":${math.round(total * 100) / 100.0},"unit":"sec","sf":"$sfDir","n_shards":$nShards,"stages":$stagesJson}"""
+      s"""{"metric":"pipeline_total","value":${math.round(total * 100) / 100.0},"unit":"sec","sf":"$sfDir","route":"$route","n_shards":$nShards,"stages":$stagesJson}"""
     println(line)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_PIPE_OUT",
       "pipeline_last.json")

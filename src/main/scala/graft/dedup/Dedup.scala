@@ -1106,6 +1106,15 @@ object Dedup extends org.apache.spark.internal.Logging {
     * docs) where all-pairs grows 7.4×. Use [[simhashPairsWide]] when
     * the PAIR SET is the product; use this when feeding connected
     * components at scale.
+    *
+    * Round-15 re-framing (BASELINE.md "the quadratic that was mostly a
+    * shuffle"): the WALL-clock gap those probes measured came largely
+    * from the enumerators' old dedup-before-verify shuffle, since
+    * fixed — verify-first all-pairs runs 12.6 s at d1000 vs 7.1 s
+    * here, so the exact route is the pipeline default again. The
+    * candidate-count asymmetry itself is unchanged and this route
+    * remains the Σn² insurance for ultra-hot tight buckets; for exact
+    * components at adaptive cost see [[simhashStarPairsWideClosed]].
     */
   def simhashStarPairsWide(docs: DataFrame, textCol: String, idCol: String,
                            maxHamming: Int = 3): DataFrame = {
