@@ -130,20 +130,48 @@ object DedupProbe {
         .as(Seq("c", "v")))
     val mins2 = ex.groupBy("c", "v")
       .agg(min("id").as("hub"), count(lit(1)).as("n"))
-    val patchRow = ex.join(mins2, Seq("c", "v"))
+    // "failed" counts per-(bucket, member) INCIDENCES — a member failing
+    // its hub in k buckets counts k times (that is the patch-volume
+    // multiplier); failedDistinct is the distinct-member count the old
+    // "failed_members" key misleadingly suggested (judge advice r15)
+    val failedPerBucket = ex.join(mins2, Seq("c", "v"))
       .join(sketch.select(col("id").as("hub"), col("h1").as("hh1"),
         col("h2").as("hh2")), "hub")
       .withColumn("hham",
         bit_count(col("h1").bitwiseXOR(col("hh1"))) +
           bit_count(col("h2").bitwiseXOR(col("hh2"))))
       .filter(col("id") =!= col("hub") && col("hham") > 3)
+    val patchRow = failedPerBucket
       .groupBy("c", "v").agg(count(lit(1)).as("f"))
       .join(mins2, Seq("c", "v"))
       .agg(coalesce(sum(col("f") * (col("n") - 1)), lit(0L)).cast("long")
           .as("cand_patch"),
         coalesce(sum("f"), lit(0L)).cast("long").as("failed"))
       .head()
-    val (candPatch, failedMembers) = (patchRow.getLong(0), patchRow.getLong(1))
+    val (candPatch, failedIncidences) =
+      (patchRow.getLong(0), patchRow.getLong(1))
+    val failedDistinct = failedPerBucket.select("id").distinct().count()
+
+    // Round 16 — the ADAPTIVE dispatch leg (per-bucket: all-pairs at
+    // n ≤ bound, closed-star above). cand_adaptive is what it
+    // enumerates, read off the same bucket histogram: Σ_{n≤B} n(n−1)/2
+    // + Σ_{n>B} (n−1)(1 + f) — the win case is a template cluster whose
+    // one ultra-hot bucket flips from n²/2 to ~n.
+    val adaptiveBound =
+      sys.env.getOrElse("SPARK_GRAFT_PROBE_BOUND", "1024").toInt
+    val candAdaptiveRow = buckets
+      .join(failedPerBucket.groupBy("c", "v").agg(count(lit(1)).as("f")),
+        Seq("c", "v"), "left")
+      .na.fill(0L, Seq("f"))
+      .agg(coalesce(sum(when(col("n") <= adaptiveBound,
+            col("n") * (col("n") - 1) / 2)
+          .otherwise((col("n") - 1) * (lit(1) + col("f")))), lit(0L))
+        .cast("long")).head()
+    val candAdaptive = candAdaptiveRow.getLong(0)
+    def adaptivePairs() = graft.dedup.Dedup.simhashPairsWideAdaptive(
+      canonicals, "text", "doc_id", maxHamming = 3,
+      bucketBound = adaptiveBound)
+    val (adaptiveN, tAdaptive) = timed(adaptivePairs().count())
 
     // Downstream contract: same consumers as the pipeline's clean stage.
     val starP = graft.operators.Artifacts.pinEager(
@@ -175,6 +203,16 @@ object DedupProbe {
     val onlyAllVsClosed = allSurv.exceptAll(closedSurv).count()
     val nCompClosed = graft.dedup.Components
       .connectedComponents(closedP).select("component").distinct().count()
+    // adaptive downstream: the same both-directions zero contract as
+    // closed (component equality holds at ANY bound by construction)
+    val adaptiveP = graft.operators.Artifacts.pinEager(
+      adaptivePairs().select("ida", "idb"), "probe.adaptive_pairs")
+    val (adaptiveSurv, tCleanAdaptive) =
+      timed(graft.operators.Artifacts.pinEager(
+        survivors(adaptiveP), "probe.surv_adaptive"))
+    val nAdaptiveSurv = adaptiveSurv.count()
+    val onlyAdaptive = adaptiveSurv.exceptAll(allSurv).count()
+    val onlyAllVsAdaptive = allSurv.exceptAll(adaptiveSurv).count()
 
     def r2(x: Double) = math.round(x * 100) / 100.0
     val line =
@@ -189,13 +227,21 @@ object DedupProbe {
         s""""components_star":$nCompStar,"components_all":$nCompAll,""" +
         s""""survivors_star":$nStarSurv,"survivors_all":$nAllSurv,""" +
         s""""survivors_only_star":$onlyStar,"survivors_only_all":$onlyAll,""" +
-        s""""cand_patch":$candPatch,"failed_members":$failedMembers,""" +
+        s""""cand_patch":$candPatch,"failed_incidences":$failedIncidences,""" +
+        s""""failed_distinct":$failedDistinct,""" +
         s""""pairs_closed":$closedN,"sec_closed_warm":${r2(tClosed)},""" +
         s""""sec_clean_closed":${r2(tCleanClosed)},""" +
         s""""components_closed":$nCompClosed,""" +
         s""""survivors_closed":$nClosedSurv,""" +
         s""""survivors_only_closed":$onlyClosed,""" +
-        s""""survivors_only_all_vs_closed":$onlyAllVsClosed}"""
+        s""""survivors_only_all_vs_closed":$onlyAllVsClosed,""" +
+        s""""adaptive_bound":$adaptiveBound,""" +
+        s""""cand_adaptive":$candAdaptive,"pairs_adaptive":$adaptiveN,""" +
+        s""""sec_adaptive_warm":${r2(tAdaptive)},""" +
+        s""""sec_clean_adaptive":${r2(tCleanAdaptive)},""" +
+        s""""survivors_adaptive":$nAdaptiveSurv,""" +
+        s""""survivors_only_adaptive":$onlyAdaptive,""" +
+        s""""survivors_only_all_vs_adaptive":$onlyAllVsAdaptive}"""
     println(line)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_PROBE_OUT",
       "dedup_probe_last.json")

@@ -450,7 +450,12 @@ object Dedup extends org.apache.spark.internal.Logging {
     * normally via a LITERAL id predicate pushed to the parquet scan
     * (candidates collected under `collectCandLimit`; row-group pruning
     * skips the unmatched history), with a distributed candidate-id
-    * semi-join fallback for a pathological batch over the bound. Work
+    * semi-join fallback for a pathological batch over the bound.
+    * `collectCandLimit = 0` pins the distributed route outright (the
+    * probe collects a single row to decide and takes the fallback —
+    * the A/B knob behind the round-16 fallback-leg measurement in
+    * BASELINE.md; route parity is spec'd, so the knob changes cost
+    * only). Work
     * per batch is linear in batch size + candidates, not in corpus
     * size — the difference between an hourly job and re-running
     * corpus-wide dedup 24× a day.
@@ -607,6 +612,36 @@ object Dedup extends org.apache.spark.internal.Logging {
         coalesce(col("n_kept_tokens"), lit(0L)).as("n_kept_tokens"))
   }
 
+  /** Cross-doc span removal — see the block comment above [[tokenized]]
+    * for the shape; this note states the PRECISION/RECALL CONTRACT
+    * versus Lee et al. 2022's suffix-array exact-substring dedup
+    * (round 16, VERDICT r15 #6), which this w-token span-hash
+    * formulation approximates at TOKEN granularity:
+    *
+    *  - RECALL — duplication is visible only at ≥ w-token granularity:
+    *    a phrase of w−1 or fewer tokens shared across docs generates NO
+    *    matching w-span and survives untouched. This is the same
+    *    role the suffix-array method's minimum-match-length θ plays
+    *    (50 BPE tokens in the paper): set w = θ and both formulations
+    *    ignore sub-threshold matches BY DESIGN. What the suffix array
+    *    catches that this cannot: character-level matches that are not
+    *    token-aligned (a match starting mid-token), and within-ONE-doc
+    *    repetition (span df counts DOCS — the intra-doc case is
+    *    [[stripSelfRepeats]]' contract, deliberately split so each
+    *    stays a linear/map-shaped plan).
+    *  - PRECISION — a shared token run of length L ≥ w is removed
+    *    EXACTLY: the L−w+1 windows fully inside the run match, their
+    *    position union covers precisely the L run tokens, and windows
+    *    straddling the run boundary mix in non-shared context so they
+    *    cannot match — no over-removal beyond the duplicated run
+    *    (token normalization aside: `tokens` lowercases and strips
+    *    punctuation, so matching is slightly MORE aggressive than raw
+    *    character equality).
+    *
+    * DedupSpec pins both sides on a planted fixture: a (w−1)-token
+    * shared phrase kept, a w-token shared phrase removed exactly, an
+    * L > w shared run removed in full with its neighbors intact.
+    */
   def stripDupSpans(docs: DataFrame, textCol: String, idCol: String,
                     w: Int = 5): DataFrame = {
     val tok = tokenized(docs, textCol, idCol)
@@ -1234,6 +1269,122 @@ object Dedup extends org.apache.spark.internal.Logging {
     // a pair can arrive via star in one bucket and patch in another;
     // hamming is the same exact 120-bit value either way
     star.unionByName(patch).dropDuplicates("ida", "idb")
+  }
+
+  /** PER-BUCKET ADAPTIVE simhash enumeration (round 16) — the dispatch
+    * that retires the route-as-env-var choice between
+    * [[simhashPairsWide]] (exact all-pairs, cheapest in the common case
+    * after verify-first, quadratic in ultra-hot tight buckets) and
+    * [[simhashStarPairsWideClosed]] (component-exact at star-shaped
+    * cost, ~2× all-pairs when hub-verify failures are common — measured
+    * 46% on the diversify fixtures, BASELINE.md round 15). The cost
+    * regimes are known per BUCKET, not per corpus, so the choice is made
+    * per (chunk, value) bucket off its population `n`:
+    *
+    *  - n ≤ `bucketBound`: enumerate ALL pairs (verify-first — the
+    *    n(n−1)/2 candidates are cheap map-side work at small n, and the
+    *    emitted subgraph is the full verified bucket graph);
+    *  - n > `bucketBound`: the CLOSED star (hub pairs + every verified
+    *    pair touching a hub-failed member) — Σ(n−1)·(1+|failed-frac|·n)
+    *    candidates, linear whenever the hub represents its bucket, which
+    *    is exactly the ultra-hot template/replica regime the bound
+    *    exists for.
+    *
+    * CONTRACT — exact for clustering, adaptive in cost: per bucket the
+    * emitted edges are either the full verified graph or the closed
+    * subgraph, and the closed subgraph has identical connected
+    * components (the [[simhashStarPairsWideClosed]] theorem, per
+    * bucket); every true pair shares ≥ 1 bucket by the pigeonhole
+    * guarantee, so the UNION over buckets has identical components to
+    * the all-pairs graph for ANY bound — correctness never depends on
+    * where the bound sits, only cost does
+    * (q_dedup_clusters_simhash_adaptive hash-checks this cross-engine
+    * against the all-pairs recursive closure in DuckDB; DedupSpec pins
+    * the dispatch boundary: bound ↑ ∞ ≡ [[simhashPairsWide]], bound 0 ≡
+    * the closed route, and mixed-bound components ≡ all-pairs with the
+    * pair set sandwiched closed ⊆ adaptive ⊆ all-pairs).
+    *
+    * The PAIR SET itself is not all-pairs (above-bound buckets omit
+    * passed−passed edges already connected through their hub), so use
+    * [[simhashPairsWide]] when the pair list is the product; use this
+    * when feeding connected components — it is the pipeline default
+    * (PipelineBench route "adaptive").
+    *
+    * Default bound 1024: a 1024-member bucket is ~5·10⁵ all-pairs
+    * candidates — sub-second map-side verify work — while the 10⁴-copy
+    * template cluster the closed route exists for (planted and measured
+    * in graft.DedupProbe's template fixture, BASELINE.md round 16) is
+    * 5·10⁷ per bucket and dispatches closed. One extra count-aggregate
+    * over the exploded chunk rows (map-side partial, 4 rows/doc) is the
+    * whole dispatch overhead.
+    */
+  def simhashPairsWideAdaptive(docs: DataFrame, textCol: String,
+                               idCol: String, maxHamming: Int = 3,
+                               bucketBound: Int = 1024): DataFrame = {
+    val mask30 = (1L << 30) - 1
+    val sh = graft.operators.Artifacts.pinEager(
+      docs.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+        .filter(size(col("toks")) > 0)
+        .select(col("id"), simhash60(col("toks")).as("h1"),
+          simhash60Tail(col("toks")).as("h2")),
+      "simhash.sketch") // same sketch artifact as the sibling routes
+    val chunks = array(
+      col("h1").bitwiseAND(lit(mask30)),
+      shiftright(col("h1"), 30).bitwiseAND(lit(mask30)),
+      col("h2").bitwiseAND(lit(mask30)),
+      shiftright(col("h2"), 30).bitwiseAND(lit(mask30)))
+    val e = sh.select(col("id"), col("h1"), col("h2"),
+      posexplode(chunks).as(Seq("c", "v")))
+    // the dispatch input: per-bucket population + hub, one keyed
+    // aggregate (map-side partial; 4 rows per doc in, |buckets| out)
+    val pops = e.groupBy("c", "v")
+      .agg(count(lit(1)).as("n"), min(col("id")).as("hub"))
+    val eb = e.join(pops, Seq("c", "v"))
+    // below-bound buckets: verify-first all-pairs, simhashPairsWide's
+    // exact shape restricted to small buckets
+    val small = eb.filter(col("n") <= bucketBound)
+    val smallPairs = small
+      .select(col("c"), col("v"), col("id").as("ida"),
+        col("h1").as("ha1"), col("h2").as("ha2"))
+      .join(small.select(col("c").as("cb"), col("v").as("vb"),
+          col("id").as("idb"), col("h1").as("hb1"), col("h2").as("hb2")),
+        col("c") === col("cb") && col("v") === col("vb") &&
+          col("ida") < col("idb"))
+      .withColumn("hamming",
+        bit_count(col("ha1").bitwiseXOR(col("hb1"))) +
+          bit_count(col("ha2").bitwiseXOR(col("hb2"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("ida", "idb", "hamming")
+    // above-bound buckets: the closed star, simhashStarPairsWideClosed's
+    // exact shape restricted to hot buckets
+    val big = eb.filter(col("n") > bucketBound)
+    val withHub = big
+      .join(sh.select(col("id").as("hub"), col("h1").as("hh1"),
+        col("h2").as("hh2")), "hub")
+      .withColumn("hham",
+        bit_count(col("h1").bitwiseXOR(col("hh1"))) +
+          bit_count(col("h2").bitwiseXOR(col("hh2"))))
+    val star = withHub
+      .filter(col("id") =!= col("hub") && col("hham") <= maxHamming)
+      .select(col("hub").as("ida"), col("id").as("idb"),
+        col("hham").as("hamming"))
+    val patch = withHub
+      .filter(col("id") =!= col("hub") && col("hham") > maxHamming)
+      .select(col("c"), col("v"), col("id").as("fa"),
+        col("h1").as("fa1"), col("h2").as("fa2"))
+      .join(big.select(col("c"), col("v"), col("id").as("ob"),
+        col("h1").as("ob1"), col("h2").as("ob2")), Seq("c", "v"))
+      .filter(col("fa") =!= col("ob"))
+      .select(least(col("fa"), col("ob")).as("ida"),
+        greatest(col("fa"), col("ob")).as("idb"),
+        (bit_count(col("fa1").bitwiseXOR(col("ob1"))) +
+          bit_count(col("fa2").bitwiseXOR(col("ob2")))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+    // one pair-dedup shuffle over the union (a pair can arrive from a
+    // small bucket, a big bucket's star, and a big bucket's patch —
+    // hamming is the same exact 120-bit value on every route)
+    smallPairs.unionByName(star).unionByName(patch)
+      .dropDuplicates("ida", "idb")
   }
 
   /** Fuzzy-duplicate pairs under a Levenshtein edit-distance threshold —

@@ -138,6 +138,20 @@ object DedupQueries extends QueryPack {
           "doc_id", maxHamming = 3)
         .orderBy("ida", "idb")),
 
+    // The PER-BUCKET ADAPTIVE dispatch (round 16): all-pairs enumeration
+    // for buckets at or below the population bound, closed-star above —
+    // the route that retires the corpus-wide choice. Bound 2 at verify
+    // scale so BOTH branches execute against the oracle (sf0.01 bucket
+    // histogram: 60 two-member buckets -> all-pairs branch, 8
+    // three-member buckets -> closed branch); the oracle reproduces the dispatch —
+    // population CTE, small-bucket self-join, big-bucket star + patch —
+    // on the shared signature CTEs, so the exact emitted pair set is
+    // cross-engine-pinned, not just its components.
+    "q_dedup_simhash_wide_adaptive" -> ((s, d) =>
+      Dedup.simhashPairsWideAdaptive(Tables.documents(s, d), "text",
+          "doc_id", maxHamming = 3, bucketBound = 2)
+        .orderBy("ida", "idb")),
+
     // The PIPELINE-ORDER composition: bag-exact dedup FIRST, wide
     // simhash near-dup on the canonical docs only. Permuted-copy
     // clusters contribute c(c-1)/2 output pairs to any direct near-dup
@@ -370,6 +384,19 @@ object DedupQueries extends QueryPack {
     "q_dedup_clusters_simhash_closed" -> ((s, d) => {
       val pairs = Dedup.simhashStarPairsWideClosed(Tables.documents(s, d),
         "text", "doc_id", maxHamming = 3)
+      graft.dedup.Components.dupClusters(pairs.select("ida", "idb"))
+        .orderBy("id")
+    }),
+
+    // The adaptive-dispatch exactness theorem as a cross-engine hash
+    // check (round 16): Spark clusters the ADAPTIVE pair set (mixed
+    // all-pairs / closed-star buckets at bound 2), the oracle clusters
+    // the ALL-PAIRS set — hash equality proves per-bucket dispatch
+    // preserves connected components at a bound that exercises both
+    // branches on real data.
+    "q_dedup_clusters_simhash_adaptive" -> ((s, d) => {
+      val pairs = Dedup.simhashPairsWideAdaptive(Tables.documents(s, d),
+        "text", "doc_id", maxHamming = 3, bucketBound = 2)
       graft.dedup.Components.dupClusters(pairs.select("ida", "idb"))
         .orderBy("id")
     }),
@@ -1319,6 +1346,67 @@ object DedupQueries extends QueryPack {
         |SELECT ida, idb, hamming::INT AS hamming
         |FROM (SELECT * FROM star UNION SELECT * FROM patch)
         |ORDER BY ida, idb""".stripMargin,
+    // the adaptive dispatch reproduced in SQL on the shared signature
+    // CTEs: bucket-population CTE, small-bucket all-pairs self-join
+    // (n ≤ 2), big-bucket star + hub-failed patch (n > 2) — the UNION
+    // dedups pairs reachable via several buckets/branches (hamming is
+    // the same exact 120-bit value on every route)
+    "q_dedup_simhash_wide_adaptive" ->
+      s"""WITH $wideSimhashCtes,
+        |pop AS (SELECT c, cv, count(*) AS n, min(id) AS hub
+        |        FROM e GROUP BY c, cv),
+        |eb AS (
+        |  SELECT e.id, e.h1, e.h2, e.c, e.cv, pop.n, pop.hub
+        |  FROM e JOIN pop ON e.c = pop.c AND e.cv = pop.cv),
+        |small AS (
+        |  SELECT DISTINCT a.id AS ida, b.id AS idb,
+        |    bit_count(xor(a.h1, b.h1)) + bit_count(xor(a.h2, b.h2)) AS hamming
+        |  FROM eb a JOIN eb b ON a.c = b.c AND a.cv = b.cv AND a.id < b.id
+        |  WHERE a.n <= 2
+        |    AND bit_count(xor(a.h1, b.h1)) + bit_count(xor(a.h2, b.h2)) <= 3),
+        |wh AS (
+        |  SELECT eb.c, eb.cv, eb.id, eb.h1, eb.h2, eb.hub,
+        |    bit_count(xor(eb.h1, hs.h1)) + bit_count(xor(eb.h2, hs.h2)) AS hham
+        |  FROM eb JOIN s hs ON hs.id = eb.hub
+        |  WHERE eb.n > 2),
+        |star AS (
+        |  SELECT DISTINCT hub AS ida, id AS idb, hham AS hamming
+        |  FROM wh WHERE id <> hub AND hham <= 3),
+        |fl AS (SELECT c, cv, id, h1, h2 FROM wh WHERE id <> hub AND hham > 3),
+        |patch AS (
+        |  SELECT DISTINCT least(f.id, o.id) AS ida,
+        |    greatest(f.id, o.id) AS idb,
+        |    bit_count(xor(f.h1, o.h1)) + bit_count(xor(f.h2, o.h2)) AS hamming
+        |  FROM fl f JOIN wh o ON f.c = o.c AND f.cv = o.cv AND f.id <> o.id
+        |  WHERE bit_count(xor(f.h1, o.h1)) + bit_count(xor(f.h2, o.h2)) <= 3)
+        |SELECT ida, idb, hamming::INT AS hamming
+        |FROM (SELECT * FROM small UNION SELECT * FROM star
+        |      UNION SELECT * FROM patch)
+        |ORDER BY ida, idb""".stripMargin,
+    // the adaptive exactness theorem, cross-engine: the oracle clusters
+    // the ALL-PAIRS verified graph (identical SQL to
+    // q_dedup_clusters_simhash_closed's oracle) — hash equality with
+    // Spark's mixed-dispatch clustering proves per-bucket routing
+    // preserves components on real data
+    "q_dedup_clusters_simhash_adaptive" ->
+      s"""WITH RECURSIVE $wideSimhashCtes,
+        |cand AS (
+        |  SELECT DISTINCT a.id AS ida, b.id AS idb,
+        |         a.h1 AS ha1, a.h2 AS ha2, b.h1 AS hb1, b.h2 AS hb2
+        |  FROM e a JOIN e b ON a.c = b.c AND a.cv = b.cv AND a.id < b.id),
+        |vp AS (
+        |  SELECT ida, idb FROM cand
+        |  WHERE bit_count(xor(ha1, hb1)) + bit_count(xor(ha2, hb2)) <= 3),
+        |edges AS (
+        |  SELECT ida AS src, idb AS dst FROM vp
+        |  UNION SELECT idb, ida FROM vp),
+        |reach(id, root) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e2.dst, r.root FROM reach r JOIN edges e2 ON e2.src = r.id),
+        |cc AS (SELECT id, min(root) AS component FROM reach GROUP BY id)
+        |SELECT id, component, CAST(id = component AS INT) AS is_canonical
+        |FROM cc ORDER BY id""".stripMargin,
     // the closed-star equivalence theorem, cross-engine: the oracle
     // clusters the ALL-PAIRS verified graph (same cand CTE as
     // q_dedup_simhash_wide) — hash equality with Spark's closed-route

@@ -342,6 +342,43 @@ object SimilarityQueries extends QueryPack {
         .orderBy("qid", "rn")
     }),
 
+    // INCREMENTAL IVFPQ maintenance (round 16 — closes the indexed
+    // family: every approximate index now has a fit-once-extend-forever
+    // entry). BOTH quantizers train on the BASE slice only, persist,
+    // LOAD back; the arriving batch is assigned + encoded under the
+    // loaded geometry and unioned into the inverted lists (both pure
+    // per-row maps ⇒ grown index ≡ full re-index by construction);
+    // topKIvfPqIndexed searches the combined index. Exact-equivalence
+    // mode on both levers (nprobe = nlist, corpus 40 ≤ rerank 50), so
+    // the composed fit→save→load→extend→search pipeline provably
+    // returns brute-force top-3 — same oracle as q_ann_ivfpq.
+    "q_ann_ivfpq_incremental" -> ((s, d) => {
+      val c = corpus(s, d).select("id", "vec").filter(col("id") < 40)
+      val base = c.filter(col("id") % 3 =!= 0)
+      val batch = c.filter(col("id") % 3 === 0)
+      val cdir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_ivfpq_centroids_" + Integer.toHexString(
+          new java.io.File(d).getAbsolutePath.hashCode)).getPath
+      val bdir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_ivfpq_codebooks_" + Integer.toHexString(
+          new java.io.File(d).getAbsolutePath.hashCode)).getPath
+      graft.similarity.Ivf.saveCentroids(s,
+        graft.similarity.Ivf.kmeansFit(base, 4), cdir)
+      graft.similarity.Pq.saveCodebooks(s,
+        graft.similarity.Pq.fitCodebooks(base, m = 8, ksub = 16), bdir)
+      val cents = graft.similarity.Ivf.loadCentroids(s, cdir)
+      val books = graft.similarity.Pq.loadCodebooks(s, bdir)
+      def indexSlice(slice: org.apache.spark.sql.DataFrame) =
+        graft.similarity.Pq.encode(slice, books).select(col("id"), col("code"))
+          .join(graft.similarity.Ivf.assignCells(slice, cents)
+            .select("id", "cell"), "id")
+          .select(col("id").as("cid_"), col("cell"), col("code"))
+      val index = indexSlice(base).unionByName(indexSlice(batch))
+      graft.similarity.Pq.topKIvfPqIndexed(c.filter(col("id") < 10), index,
+          c, cents, books, 3, nprobe = 4, rerank = 50)
+        .orderBy("qid", "rn")
+    }),
+
     // The UNCAPPED quantized-ANN run at production settings (round 15,
     // judge advice): q_ann_pq / q_ann_ivfpq cap the corpus for their
     // exact-equivalence oracles, which took the approximate path off the
@@ -545,6 +582,9 @@ object SimilarityQueries extends QueryPack {
     // two different physical pipelines, one exact result.
     "q_ann_pq" -> annSmallExactSql,
     "q_ann_ivfpq" -> annSmallExactSql,
+    // same brute-force oracle: exact-equivalence mode makes the whole
+    // incremental fit→save→load→extend→search pipeline provably exact
+    "q_ann_ivfpq_incremental" -> annSmallExactSql,
     // incremental PQ at rerank ≥ corpus: the exact tail makes the
     // base-trained, load-round-tripped, union-grown index provably
     // brute-force-equal — same 40-vector oracle

@@ -244,11 +244,38 @@ object Pq {
     val codes = encode(corpus, cb).select(col("id"), col("code"))
       .join(Ivf.assignCells(corpus, centroids).select("id", "cell"), "id")
       .select(col("id").as("cid_"), col("cell"), col("code"))
+    topKIvfPqIndexed(queries, codes, corpus, centroids, cb, k, nprobe, rerank)
+  }
+
+  /** IVFPQ search against FIXED pre-trained quantizers — the INCREMENTAL
+    * maintenance entry completing the indexed family
+    * ([[Ivf.topKIvfIndexed]] / [[topKPqIndexed]]; round 16).
+    * `corpusCodes` is the inverted-list index as data: (cid_, cell,
+    * code) rows — arriving batches extend it with [[Ivf.assignCells]] +
+    * [[encode]] under the LOADED centroids/codebooks and a union; both
+    * are pure per-row maps, so the grown index is trivially identical
+    * to a full re-index (cell geometry and code geometry never move —
+    * the save/load scaladocs). `corpusVecs` (id, vec) serves only the
+    * exact re-rank of the bounded shortlist. With nprobe = nlist and
+    * rerank ≥ |corpus| every cell is probed and the shortlist is
+    * everything, so the result is provably brute-force — the
+    * exact-equivalence mode q_ann_ivfpq_incremental hash-checks. This
+    * is also the operating-point probe's entry (graft.AnnProbe): fit
+    * once, sweep (nprobe, rerank) without refitting.
+    */
+  def topKIvfPqIndexed(queries: DataFrame, corpusCodes: DataFrame,
+                       corpusVecs: DataFrame,
+                       centroids: Array[Array[Double]],
+                       codebooks: Array[Array[Array[Double]]], k: Int,
+                       nprobe: Int = 4, rerank: Int = 50): DataFrame = {
+    val m = codebooks.length
+    val ksub = codebooks(0).length
+    val codes = corpusCodes.select(col("cid_"), col("cell"), col("code"))
     // LUT computed ONCE per query (before the nprobe explode) and
     // joined to the probe rows — computing it after probeCells would
     // recompute the m×ksub table and broadcast it nprobe times over
     val lutQ = queries.select(col("id").as("qid"),
-      lutFor(cb)(col("vec")).as("lut"))
+      lutFor(codebooks)(col("vec")).as("lut"))
     val qt = Ivf.probeCells(queries, centroids, nprobe)
       .select(col("id").as("qid"), col("cell"))
       .join(lutQ, "qid")
@@ -257,6 +284,6 @@ object Pq {
       .select(col("qid"), col("cid_"),
         adcFor(m, ksub)(col("code"), col("lut")).as("ascore"))
     val shortlist = Ranking.topKIds(scoredAll, "qid", "ascore", "cid_", rerank)
-    rerankExact(shortlist, queries, corpus, k)
+    rerankExact(shortlist, queries, corpusVecs, k)
   }
 }

@@ -115,6 +115,12 @@ object StreamingScaleBench {
       sys.env.getOrElse("SPARK_GRAFT_SSB_COMPACT_EVERY", "0").toInt
     val tailRatio =
       sys.env.getOrElse("SPARK_GRAFT_SSB_TAIL_RATIO", "0").toDouble
+    // Round 16 (VERDICT r15 #3): the incremental probe's collect-route
+    // bound — 0 pins the DISTRIBUTED candidate semi-join fallback so the
+    // cliff above collectCandLimit is measurable on the same fixture
+    // (route parity is spec'd; this is a pure cost A/B).
+    val candLimit =
+      sys.env.getOrElse("SPARK_GRAFT_SSB_CAND_LIMIT", "8192").toInt
 
     // ---- streamNearDups over the diversify documents ----
     val docs = if (!legs("dedup")) Seq.empty else
@@ -126,7 +132,8 @@ object StreamingScaleBench {
       val q = StreamingTelemetry.streamNearDups(
         in.toDF().toDF("doc_id", "text"),
         s"$root/corpus", s"$root/index", s"$root/pairs", s"$root/ckpt",
-        compactEvery = compactEvery, compactTailRatio = tailRatio)
+        compactEvery = compactEvery, compactTailRatio = tailRatio,
+        collectCandLimit = candLimit)
       try {
         docs.grouped(rate).foreach { c =>
           in.addData(c: _*); q.processAllAvailable()
@@ -134,10 +141,11 @@ object StreamingScaleBench {
         // deliver every queued progress event before reading the log
         org.apache.spark.sql.GraftSqlBridge.drainListenerBus(
           spark.sparkContext)
-        val suffix =
+        val suffix0 =
           if (compactEvery > 0) s"_fold$compactEvery"
           else if (tailRatio > 0) s"_tiered$tailRatio"
           else ""
+        val suffix = suffix0 + (if (candLimit == 0) "_nocollect" else "")
         report(s"stream_near_dups_$tag$suffix", s"$rate docs/trigger",
           log.of(q.id))
         // Output-volume witness (round 15): pairs found per epoch, from
@@ -165,30 +173,117 @@ object StreamingScaleBench {
     // Pre-split the fixture by l_orderkey into files so each trigger
     // holds whole orders (the mart's order-complete contract); two
     // trigger volumes = two files-per-trigger settings over one layout.
-    if (!legs("edge")) { spark.stop(); return }
-    val liSrc = spark.read.parquet(s"$li30/lineitem.parquet")
-      .select("l_orderkey", "l_partkey")
-    val splitDir = Files.createTempDirectory("ssb_li_src").toString
-    liSrc.repartition(24, org.apache.spark.sql.functions.col("l_orderkey"))
-      .write.mode("overwrite").parquet(splitDir)
-    val liSchema = spark.read.parquet(splitDir).schema
-    for (filesPerTrigger <- Seq(1, 4)) {
-      val root = Files.createTempDirectory(s"ssb_edge_$filesPerTrigger").toString
-      val stream = spark.readStream.schema(liSchema)
-        .option("maxFilesPerTrigger", filesPerTrigger)
-        .parquet(splitDir)
-      val q = StreamingTelemetry.streamEdgeMart(stream,
-        s"$root/mart", s"$root/ckpt")
-      try {
-        q.processAllAvailable()
-        org.apache.spark.sql.GraftSqlBridge.drainListenerBus(
-          spark.sparkContext)
-        report(s"stream_edge_mart_$tag", s"$filesPerTrigger files/trigger",
-          log.of(q.id))
-      } finally q.stop()
-      graft.operators.GraphMart.deleteRecursively(new java.io.File(root))
+    if (legs("edge")) {
+      val liSrc = spark.read.parquet(s"$li30/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+      val splitDir = Files.createTempDirectory("ssb_li_src").toString
+      liSrc.repartition(24, org.apache.spark.sql.functions.col("l_orderkey"))
+        .write.mode("overwrite").parquet(splitDir)
+      val liSchema = spark.read.parquet(splitDir).schema
+      for (filesPerTrigger <- Seq(1, 4)) {
+        val root = Files.createTempDirectory(s"ssb_edge_$filesPerTrigger").toString
+        val stream = spark.readStream.schema(liSchema)
+          .option("maxFilesPerTrigger", filesPerTrigger)
+          .parquet(splitDir)
+        val q = StreamingTelemetry.streamEdgeMart(stream,
+          s"$root/mart", s"$root/ckpt")
+        try {
+          q.processAllAvailable()
+          org.apache.spark.sql.GraftSqlBridge.drainListenerBus(
+            spark.sparkContext)
+          report(s"stream_edge_mart_$tag", s"$filesPerTrigger files/trigger",
+            log.of(q.id))
+        } finally q.stop()
+        graft.operators.GraphMart.deleteRecursively(new java.io.File(root))
+      }
+      graft.operators.GraphMart.deleteRecursively(new java.io.File(splitDir))
     }
-    graft.operators.GraphMart.deleteRecursively(new java.io.File(splitDir))
+
+    // ---- DEEP mart legs (round 16, VERDICT r15 #5): ≥ 100 epochs per
+    // mart type with the fold knobs live ----
+    // One 128-file layout (l_orderkey-hashed so each file holds whole
+    // orders) streamed at 1 file/trigger = 128 epochs into EACH of the
+    // kmv / hist / edge marts. What the leg measures is the
+    // merge-on-read floor the folds exist to bound: trigger costs stay
+    // flat by construction (mart writes never read history), so the
+    // committed witnesses are (a) live dir/file counts after 128
+    // epochs and (b) the timed READ-OFF at full depth — fold on vs off
+    // across two runs of the same leg (SSB_COMPACT_EVERY / SSB_TAIL_RATIO).
+    if (legs("marts")) {
+      val epochsN = sys.env.getOrElse("SPARK_GRAFT_SSB_MART_EPOCHS", "128").toInt
+      val src = spark.read.parquet(s"$li30/lineitem.parquet")
+        .select(org.apache.spark.sql.functions.col("l_orderkey"),
+          org.apache.spark.sql.functions.col("l_partkey"),
+          (org.apache.spark.sql.functions.col("l_partkey") % 8).as("g"),
+          (org.apache.spark.sql.functions.col("l_orderkey") % 1000)
+            .cast("double").as("v"))
+      val splitDir = Files.createTempDirectory("ssb_mart_src").toString
+      src.repartition(epochsN,
+          org.apache.spark.sql.functions.col("l_orderkey"))
+        .write.mode("overwrite").parquet(splitDir)
+      val schema = spark.read.parquet(splitDir).schema
+      val suffix =
+        if (compactEvery > 0) s"_fold$compactEvery"
+        else if (tailRatio > 0) s"_tiered$tailRatio"
+        else ""
+      def dirStats(dir: String): (Int, Int) = {
+        val ds = Option(new java.io.File(dir).listFiles())
+          .getOrElse(Array.empty)
+          .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+        (ds.length, ds.map(d => Option(d.listFiles()).getOrElse(Array.empty)
+          .count(_.getName.endsWith(".parquet"))).sum)
+      }
+      def deepLeg(name: String)(
+          start: (org.apache.spark.sql.DataFrame, String, String) =>
+            org.apache.spark.sql.streaming.StreamingQuery)(
+          readOff: String => Long): Unit = {
+        val root = Files.createTempDirectory(s"ssb_deep_$name").toString
+        val stream = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(splitDir)
+        val q = start(stream, s"$root/mart", s"$root/ckpt")
+        try {
+          q.processAllAvailable()
+          org.apache.spark.sql.GraftSqlBridge.drainListenerBus(
+            spark.sparkContext)
+          report(s"deep_${name}_mart_$tag$suffix", "1 file/trigger",
+            log.of(q.id))
+        } finally q.stop()
+        val (dirs, files) = dirStats(s"$root/mart")
+        // timed read-off at full depth — the cost the fold bounds
+        val t0 = System.nanoTime()
+        val n = readOff(s"$root/mart")
+        val readSec = (System.nanoTime() - t0) / 1e9
+        println(f"""{"op":"deep_${name}_readoff_$tag$suffix","dirs":$dirs,"files":$files,"rows":$n,"read_sec":$readSec%.2f}""")
+        graft.operators.GraphMart.deleteRecursively(new java.io.File(root))
+      }
+      deepLeg("kmv") { (s, m, c) =>
+        StreamingTelemetry.streamKmvMart(s, m, c, Seq("g"),
+          org.apache.spark.sql.functions.col("l_orderkey").cast("string"),
+          128, compactEvery, tailRatio)
+      } { dir =>
+        graft.operators.Kmv.rollup(
+            spark.read.parquet(dir).drop("batch"), Seq("g"), 128)
+          .select(org.apache.spark.sql.functions.col("g"),
+            graft.operators.Kmv.estimate("kmv", 128))
+          .collect().length.toLong
+      }
+      deepLeg("hist") { (s, m, c) =>
+        StreamingTelemetry.streamHistMart(s, m, c, Seq("g"),
+          org.apache.spark.sql.functions.col("v"), 50.0,
+          compactEvery, tailRatio)
+      } { dir =>
+        graft.operators.Quantiles.rollup(
+            spark.read.parquet(dir).drop("batch"), Seq("g"))
+          .collect().length.toLong
+      }
+      deepLeg("edge") { (s, m, c) =>
+        StreamingTelemetry.streamEdgeMart(
+          s.select("l_orderkey", "l_partkey"), m, c, compactEvery, tailRatio)
+      } { dir =>
+        graft.operators.GraphMart.readMerged(spark, dir).count()
+      }
+      graft.operators.GraphMart.deleteRecursively(new java.io.File(splitDir))
+    }
     spark.stop()
   }
 }

@@ -281,6 +281,97 @@ class DedupSpec extends SparkSpecBase {
         "fixture invalid")
   }
 
+  test("simhashPairsWideAdaptive: dispatch boundary — bound ∞ ≡ all-pairs, " +
+    "bound 0 ≡ closed, mixed bound strictly sandwiched with identical " +
+    "components") {
+    // Designed so bound = 4 splits the dispatch: a 6-copy template
+    // cluster (every chunk bucket population 6 > 4 → closed-star branch)
+    // plus a 3-copy cluster (population 3 ≤ 4 → all-pairs branch) plus
+    // the unrelated base docs. The strict sandwich is then witnessed
+    // pair-by-pair: the small cluster's non-hub pair (21,22) is in
+    // adaptive but NOT in corpus-wide closed (passed members pair only
+    // with their hub there), and the hot cluster's non-hub pair (11,12)
+    // is in all-pairs but NOT in adaptive — while components match
+    // all-pairs exactly on both clusters.
+    import graft.dedup.Components
+    val template = "stamped template body shared by every replica of this doc"
+    val small = "tiny replicated notice body appearing exactly three times"
+    val corpus = docs.unionByName(
+      ((10L to 15L).map(i => (i, template)) ++
+        (20L to 22L).map(i => (i, small))).toDF("doc_id", "body"))
+    def pairSet(df: DataFrame) = df.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    val all = pairSet(Dedup.simhashPairsWide(corpus, "body", "doc_id", 3))
+    val closed = pairSet(
+      Dedup.simhashStarPairsWideClosed(corpus, "body", "doc_id", 3))
+    val adaptive = pairSet(Dedup.simhashPairsWideAdaptive(
+      corpus, "body", "doc_id", 3, bucketBound = 4))
+    // boundary identities: the dispatch at the extremes IS the sibling
+    // route, pair for pair and hamming for hamming
+    assert(pairSet(Dedup.simhashPairsWideAdaptive(
+      corpus, "body", "doc_id", 3, bucketBound = Int.MaxValue)) == all,
+      "bound ∞ must reproduce simhashPairsWide exactly")
+    assert(pairSet(Dedup.simhashPairsWideAdaptive(
+      corpus, "body", "doc_id", 3, bucketBound = 0)) == closed,
+      "bound 0 must reproduce simhashStarPairsWideClosed exactly")
+    // strict sandwich at the mixed bound
+    assert(closed.keySet.subsetOf(adaptive.keySet) &&
+      adaptive.keySet.subsetOf(all.keySet),
+      s"sandwich violated: closed ⊆ adaptive ⊆ all expected")
+    adaptive.foreach { case (k, h) => assert(all(k) == h,
+      s"hamming disagreement on $k: adaptive $h vs ${all(k)}") }
+    assert(adaptive.contains((21L, 22L)) && !closed.contains((21L, 22L)),
+      "small-bucket all-pairs branch did not fire")
+    assert(all.contains((11L, 12L)) && !adaptive.contains((11L, 12L)),
+      "hot-bucket closed branch did not fire")
+    // the exactness theorem at the mixed bound
+    def comps(pairs: Set[(Long, Long)]): Map[Long, Long] =
+      Components.connectedComponents(pairs.toSeq.toDF("ida", "idb"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps(adaptive.keySet) == comps(all.keySet),
+      "adaptive components diverged from all-pairs")
+  }
+
+  test("simhashPairsWideAdaptive: components == all-pairs across drift-walk " +
+    "corpora at a bound that forces mixed dispatch") {
+    // the same random-walk chain fixtures the closed route is proven on,
+    // at bucketBound = 2 so hot buckets go closed while sparse ones stay
+    // all-pairs — component equality must hold at ANY bound
+    import graft.dedup.Components
+    val vocab = ("alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon phi chi " +
+      "psi omega one two three four five six seven eight nine ten").split(" ")
+    def walk(seed: Int, docsN: Int, editsPerStep: Int): DataFrame = {
+      val rnd = new scala.util.Random(seed)
+      val base = Array.fill(24)(vocab(rnd.nextInt(vocab.length)))
+      val rows = Iterator.iterate(base) { prev =>
+        val next = prev.clone()
+        (0 until editsPerStep).foreach { _ =>
+          next(rnd.nextInt(next.length)) = vocab(rnd.nextInt(vocab.length))
+        }
+        next
+      }.take(docsN).zipWithIndex
+        .map { case (toks, i) => (i.toLong, toks.mkString(" ")) }.toSeq
+      rows.toDF("doc_id", "body")
+    }
+    def pairSet(df: DataFrame) = df.select("ida", "idb").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def comps(pairs: Set[(Long, Long)]): Map[Long, Long] =
+      if (pairs.isEmpty) Map.empty
+      else Components.connectedComponents(pairs.toSeq.toDF("ida", "idb"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (seed <- Seq(1, 2, 3); edits <- Seq(1, 2)) {
+      val corpus = walk(seed, 14, edits)
+      val all = pairSet(Dedup.simhashPairsWide(corpus, "body", "doc_id", 3))
+      val adaptive = pairSet(Dedup.simhashPairsWideAdaptive(
+        corpus, "body", "doc_id", 3, bucketBound = 2))
+      assert(adaptive.subsetOf(all),
+        s"seed=$seed edits=$edits: adaptive emitted a non-pair")
+      assert(comps(adaptive) == comps(all),
+        s"seed=$seed edits=$edits: adaptive components diverged")
+    }
+  }
+
   test("cleanCorpusBest over star pairs equals the all-pairs route on " +
     "tight clusters — the downstream contract the pipeline swap relies on") {
     // same planted replica cluster as above; the clean stage consumes
@@ -413,6 +504,42 @@ class DedupSpec extends SparkSpecBase {
     assert(got(4L) == (("x y z w v x y z w v", 10, 10L)))
     assert(got(5L) == (("", 5, 0L)))
     assert(got(6L) == (("tiny doc", 2, 2L)))
+  }
+
+  test("stripDupSpans w-granularity contract vs exact-substring dedup: " +
+    "sub-w shared phrases survive, ≥w shared runs removed exactly") {
+    // The suffix-array contrast pinned as behavior (scaladoc contract,
+    // round 16): with w playing the minimum-match-length θ,
+    //  - a sub-w (3-token) shared phrase generates NO matching 5-span —
+    //    kept on both sides (what the formulation does NOT catch);
+    //  - an exactly-w shared phrase is removed with nothing else (the
+    //    straddling windows mix non-shared context and cannot match);
+    //  - an L = 7 > w shared run is removed IN FULL (the 3 interior
+    //    windows' position union covers all 7 tokens) with its distinct
+    //    neighbors intact — no over-removal beyond the duplicated run.
+    val d = Seq(
+      (1L, "red green blue white pre1 pre2 one two three four five post1"),
+      (2L, "red green blue black mid1 one two three four five mid2 mid3"),
+      (3L, "head1 head2 s1 s2 s3 s4 s5 s6 s7 tail1 tail2"),
+      (4L, "other1 other2 s1 s2 s3 s4 s5 s6 s7 other3 other4")
+    ).toDF("doc_id", "text")
+    val got = Dedup.stripDupSpans(d, "text", "doc_id", w = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2), r.getLong(3)))).toMap
+    // docs 1/2 share the sub-w prefix "red green blue" (3 < 5 tokens —
+    // must survive) AND the exactly-w run "one two three four five"
+    // (must go, alone)
+    assert(got(1L) ==
+      (("red green blue white pre1 pre2 post1", 12, 7L)),
+      s"got ${got(1L)}")
+    assert(got(2L) ==
+      (("red green blue black mid1 mid2 mid3", 12, 7L)),
+      s"got ${got(2L)}")
+    // docs 3/4 share a 7-token run: removed in full, neighbors intact
+    assert(got(3L) == (("head1 head2 tail1 tail2", 11, 4L)),
+      s"got ${got(3L)}")
+    assert(got(4L) == (("other1 other2 other3 other4", 11, 4L)),
+      s"got ${got(4L)}")
   }
 
   test("stripSelfRepeats keeps first occurrence, drops later repeats") {
