@@ -153,17 +153,33 @@ object DedupProbe {
     val failedDistinct = failedPerBucket.select("id").distinct().count()
 
     // Round 16 — the ADAPTIVE dispatch leg (per-bucket: all-pairs at
-    // n ≤ bound, closed-star above). cand_adaptive is what it
-    // enumerates, read off the same bucket histogram: Σ_{n≤B} n(n−1)/2
-    // + Σ_{n>B} (n−1)(1 + f) — the win case is a template cluster whose
-    // one ultra-hot bucket flips from n²/2 to ~n.
+    // n ≤ bound, closed-star above, MODE-SIGNATURE hub). cand_adaptive
+    // is what it enumerates, read off the bucket histogram with the
+    // mode-hub failure counts (NOT the closed route's min-id-hub
+    // counts — hub capture by a colliding low-id stranger is exactly
+    // what the mode hub eliminates): Σ_{n≤B} n(n−1)/2 + Σ_{n>B}
+    // (n−1)(1 + f_mode) — the win case is a template cluster whose one
+    // ultra-hot bucket flips from n²/2 to ~n.
     val adaptiveBound =
       sys.env.getOrElse("SPARK_GRAFT_PROBE_BOUND", "1024").toInt
+    val sigc2 = ex.groupBy("c", "v", "h1", "h2")
+      .agg(count(lit(1)).as("sc"), min("id").as("sid"))
+    val modeHub = sigc2.groupBy("c", "v")
+      .agg(max(struct(col("sc"), (-col("sid")).as("nsid"))).as("m"))
+      .select(col("c"), col("v"), (-col("m.nsid")).as("hub"))
+    val failedMode = ex.join(modeHub, Seq("c", "v"))
+      .join(sketch.select(col("id").as("hub"), col("h1").as("hh1"),
+        col("h2").as("hh2")), "hub")
+      .withColumn("hham",
+        bit_count(col("h1").bitwiseXOR(col("hh1"))) +
+          bit_count(col("h2").bitwiseXOR(col("hh2"))))
+      .filter(col("id") =!= col("hub") && col("hham") > 3)
+      .groupBy("c", "v").agg(count(lit(1)).as("f"))
     val candAdaptiveRow = buckets
-      .join(failedPerBucket.groupBy("c", "v").agg(count(lit(1)).as("f")),
-        Seq("c", "v"), "left")
+      .join(failedMode, Seq("c", "v"), "left")
       .na.fill(0L, Seq("f"))
-      .agg(coalesce(sum(when(col("n") <= adaptiveBound,
+      .agg(coalesce(sum(when(col("n") <= adaptiveBound ||
+              col("f") * 2 > col("n"),
             col("n") * (col("n") - 1) / 2)
           .otherwise((col("n") - 1) * (lit(1) + col("f")))), lit(0L))
         .cast("long")).head()
@@ -174,6 +190,42 @@ object DedupProbe {
     val (adaptiveN, tAdaptive) = timed(adaptivePairs().count())
 
     // Downstream contract: same consumers as the pipeline's clean stage.
+    // SPARK_GRAFT_PROBE_SKIP_DOWNSTREAM=1 (round 16) bounds the probe to
+    // the ENUMERATION legs — on the planted 10⁴-copy template fixture the
+    // all-pairs route alone verifies ~5·10⁷ pairs, and pinning that frame
+    // plus clustering it measures the blow-up twice more without adding
+    // information (survivor parity is proven by spec + the d100/d300
+    // probes); the template probe's question is enumeration COST.
+    val skipDownstream =
+      sys.env.get("SPARK_GRAFT_PROBE_SKIP_DOWNSTREAM").contains("1")
+    if (skipDownstream) {
+      def r2s(x: Double) = math.round(x * 100) / 100.0
+      val line =
+        s"""{"metric":"dedup_probe_enum","sf":"$sfDir","n_canonicals":$nDocs,""" +
+          s""""n_buckets":$nBuckets,"hottest_bucket":$hottest,""" +
+          s""""cand_all_pairs":$candAll,"cand_star":$candStar,""" +
+          s""""cand_patch":$candPatch,"failed_incidences":$failedIncidences,""" +
+          s""""failed_distinct":$failedDistinct,""" +
+          s""""adaptive_bound":$adaptiveBound,"cand_adaptive":$candAdaptive,""" +
+          s""""pairs_all":$allN,"pairs_star":$starN1,"pairs_closed":$closedN,""" +
+          s""""pairs_adaptive":$adaptiveN,""" +
+          s""""sec_star_cold":${r2s(tStarCold)},""" +
+          s""""sec_all_pairs":${r2s(tAll)},""" +
+          s""""sec_star_warm":${r2s(tStarWarm)},""" +
+          s""""sec_closed_warm":${r2s(tClosed)},""" +
+          s""""sec_adaptive_warm":${r2s(tAdaptive)}}"""
+      println(line)
+      val outFile = sys.env.getOrElse("SPARK_GRAFT_PROBE_OUT",
+        "dedup_probe_last.json")
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(outFile), line + "\n")
+      catch { case t: Throwable =>
+        System.err.println(s"PROBE: could not write $outFile: ${t.getMessage}")
+      }
+      graft.operators.Artifacts.releaseAll(spark)
+      spark.stop()
+      return
+    }
     val starP = graft.operators.Artifacts.pinEager(
       starPairs().select("ida", "idb"), "probe.star_pairs")
     val allP = graft.operators.Artifacts.pinEager(

@@ -130,12 +130,41 @@ object ScaledFixture {
     writeIf("lineitem", rep(load("lineitem"))(
       shiftKeys("l_orderkey", "l_partkey", "l_suppkey")))
     writeIf("events", rep(load("events"))(shiftKeys("event_id", "user_id")))
-    writeIf("documents", rep(load("documents")) { (df, r) =>
+    // Optional 6th arg "templates=N" (round 16): APPEND N near-copies of
+    // one template document — each copy carries a unique marker token so
+    // it survives BAG-exact dedup (distinct bags) while its 120-bit
+    // simhash stays within hamming ≤ 3 of the template's (one token of
+    // ~120 flips few majority votes) — i.e. ONE ultra-hot tight LSH
+    // bucket of N members, the enumeration regime the adaptive dispatch's
+    // closed branch exists for (graft.DedupProbe's template leg,
+    // BASELINE.md round 16). The template body is a fixed ~120-token
+    // natural-vocabulary paragraph so bucket membership is driven by the
+    // shared body, not by a degenerate vocabulary.
+    val templates = args.lift(5)
+      .filter(_.startsWith("templates="))
+      .map(_.drop("templates=".length).toInt).getOrElse(0)
+    def withTemplates(df: DataFrame): DataFrame =
+      if (templates == 0) df
+      else {
+        val body = ("the cluster telemetry agent records utilization " +
+          "samples for every accelerator and forwards them to the " +
+          "aggregation tier where daily marts summarize thermal and " +
+          "memory pressure for capacity planning and anomaly review ") * 3
+        val t = spark.range(templates)
+          .select((col("id") + lit(9L * Off)).as("doc_id"),
+            concat(lit(body), lit(" copymark"), col("id")).as("text"),
+            lit("template").as("source"),
+            lit("en").as("lang"))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+        val cols = df.columns
+        df.unionByName(t.select(cols.map(col): _*), allowMissingColumns = true)
+      }
+    writeIf("documents", withTemplates(rep(load("documents")) { (df, r) =>
       df.withColumn("doc_id", col("doc_id") + lit(r * Off))
         .withColumn("text",
           if (mode == "diversify") diversifyText(col("text"), r)
           else permuteText(col("text"), r))
-    })
+    }))
     writeIf("embeddings", rep(load("embeddings")) { (df, r) =>
       df.withColumn("vec_id", col("vec_id") + lit(r * Off))
         .withColumn("embedding", transform(col("embedding"), (e, i) =>

@@ -1285,10 +1285,18 @@ object Dedup extends org.apache.spark.internal.Logging {
     *    n(n−1)/2 candidates are cheap map-side work at small n, and the
     *    emitted subgraph is the full verified bucket graph);
     *  - n > `bucketBound`: the CLOSED star (hub pairs + every verified
-    *    pair touching a hub-failed member) — Σ(n−1)·(1+|failed-frac|·n)
-    *    candidates, linear whenever the hub represents its bucket, which
-    *    is exactly the ultra-hot template/replica regime the bound
-    *    exists for.
+    *    pair touching a hub-failed member), hardened twice over the
+    *    plain closed route (both measured on the planted template
+    *    fixture, BASELINE.md r16): the hub is the MODE-SIGNATURE member
+    *    (most frequent (h1,h2), min id within it — a low-id stranger
+    *    colliding into an exact-replica bucket can never capture it),
+    *    and a SECOND-LEVEL dispatch on the per-bucket hub-failure count
+    *    f (known before any patch is enumerated) reroutes majority-
+    *    failed buckets (f > n/2, where the patch's f·(n−1) would exceed
+    *    all-pairs' n(n−1)/2 — the 790 s vs 75 s degeneration) to
+    *    complete per-bucket enumeration. Per-bucket cost is bounded by
+    *    ~min(closed, all-pairs) for ANY hub quality; the linear win
+    *    holds whenever the hub represents its bucket.
     *
     * CONTRACT — exact for clustering, adaptive in cost: per bucket the
     * emitted edges are either the full verified graph or the closed
@@ -1314,9 +1322,19 @@ object Dedup extends org.apache.spark.internal.Logging {
     * candidates — sub-second map-side verify work — while the 10⁴-copy
     * template cluster the closed route exists for (planted and measured
     * in graft.DedupProbe's template fixture, BASELINE.md round 16) is
-    * 5·10⁷ per bucket and dispatches closed. One extra count-aggregate
-    * over the exploded chunk rows (map-side partial, 4 rows/doc) is the
-    * whole dispatch overhead.
+    * 5·10⁷ per bucket and dispatches closed.
+    *
+    * Dispatch overhead is itself guarded: one bounded histogram ACTION
+    * over the pinned sketch's chunk explode decides whether ANY bucket
+    * exceeds the bound — the common no-hot-bucket case then runs the
+    * plain verify-first all-pairs plan (bit-identical to
+    * [[simhashPairsWide]], zero extra shuffles), and only corpora that
+    * actually contain hot buckets pay the population join the mixed
+    * plan needs (measured 3.6× the stage at d100 when paid
+    * unconditionally — BASELINE.md round 16). Same probe-then-reroute
+    * posture as [[editDistancePairs]]' maxBandPop guard; the action
+    * makes the operator construction-eager, which the bench classifies
+    * and times accordingly.
     */
   def simhashPairsWideAdaptive(docs: DataFrame, textCol: String,
                                idCol: String, maxHamming: Int = 3,
@@ -1335,10 +1353,52 @@ object Dedup extends org.apache.spark.internal.Logging {
       shiftright(col("h2"), 30).bitwiseAND(lit(mask30)))
     val e = sh.select(col("id"), col("h1"), col("h2"),
       posexplode(chunks).as(Seq("c", "v")))
-    // the dispatch input: per-bucket population + hub, one keyed
-    // aggregate (map-side partial; 4 rows per doc in, |buckets| out)
-    val pops = e.groupBy("c", "v")
-      .agg(count(lit(1)).as("n"), min(col("id")).as("hub"))
+    // THE DISPATCH IS ITSELF GUARDED (round 16, measured): the mixed
+    // plan's population join re-shuffles the exploded sketch against
+    // the bucket aggregate, which cost 3.6× the plain all-pairs stage
+    // at d100 — where the hottest bucket was 242 and the closed branch
+    // would never fire. One bounded histogram ACTION (map-side partial
+    // over the pinned sketch's explode, a 1-row max back) decides up
+    // front: no bucket over the bound ⇒ the plain verify-first
+    // all-pairs plan, zero dispatch overhead — the same probe-then-
+    // reroute posture as editDistancePairs' maxBandPop guard. Only
+    // corpora that genuinely contain hot buckets pay the pops join.
+    val hottest = e.groupBy("c", "v").agg(count(lit(1)).as("n"))
+      .agg(coalesce(max(col("n")), lit(0L))).head().getLong(0)
+    if (hottest <= bucketBound) {
+      return e.select(col("id").as("ida"), col("h1").as("ha1"),
+          col("h2").as("ha2"), col("c"), col("v"))
+        .join(e.select(col("id").as("idb"), col("h1").as("hb1"),
+            col("h2").as("hb2"), col("c").as("cb"), col("v").as("vb")),
+          col("c") === col("cb") && col("v") === col("vb") &&
+            col("ida") < col("idb"))
+        .withColumn("hamming",
+          bit_count(col("ha1").bitwiseXOR(col("hb1"))) +
+            bit_count(col("ha2").bitwiseXOR(col("hb2"))))
+        .filter(col("hamming") <= maxHamming)
+        .dropDuplicates("ida", "idb")
+        .select("ida", "idb", "hamming")
+    }
+    // the dispatch input: per-bucket population + hub. The hub is the
+    // member carrying the bucket's MODE SIGNATURE (most frequent
+    // (h1,h2), min id within it, max-count min-id tiebreak) — NOT the
+    // bucket min id. Measured reason (the planted 10⁴-copy template
+    // fixture, BASELINE.md r16): one low-id STRANGER chunk-colliding
+    // into a hot bucket captures a min-id hub, every real member fails
+    // its verify, and the patch degenerates to 2× all-pairs (406M
+    // candidates, 197 s vs all-pairs 75 s). The mode signature is the
+    // template itself in exactly the replica regime the closed branch
+    // exists for, so capture is impossible there; hub choice never
+    // affects exactness (the closure argument is hub-independent), only
+    // the patch volume. Two keyed aggregates (signature counts →
+    // per-bucket argmax) replace the one min() — same key cardinality,
+    // map-side partials throughout.
+    val sigc = e.groupBy("c", "v", "h1", "h2")
+      .agg(count(lit(1)).as("sc"), min(col("id")).as("sid"))
+    val pops = sigc.groupBy("c", "v")
+      .agg(sum(col("sc")).as("n"),
+        max(struct(col("sc"), (-col("sid")).as("nsid"))).as("m"))
+      .select(col("c"), col("v"), col("n"), (-col("m.nsid")).as("hub"))
     val eb = e.join(pops, Seq("c", "v"))
     // below-bound buckets: verify-first all-pairs, simhashPairsWide's
     // exact shape restricted to small buckets
@@ -1355,8 +1415,20 @@ object Dedup extends org.apache.spark.internal.Logging {
           bit_count(col("ha2").bitwiseXOR(col("hb2"))))
       .filter(col("hamming") <= maxHamming)
       .select("ida", "idb", "hamming")
-    // above-bound buckets: the closed star, simhashStarPairsWideClosed's
-    // exact shape restricted to hot buckets
+    // above-bound buckets: the closed star, SECOND-LEVEL dispatched
+    // (round 16, measured on the planted template fixture). The closed
+    // patch costs |failed|·(n−1) per bucket, which DEGENERATES when the
+    // hub fails for a majority — the 10⁴-near-copy template bucket with
+    // a captured hub hit 400M patch candidates / 790 s where plain
+    // all-pairs was 75 s. But |failed| is known per bucket BEFORE any
+    // patch is enumerated (it is a count over the already-joined hub
+    // verdicts), so the branch dispatches again: f ≤ n/2 → star+patch
+    // (linear when the hub represents — exact-replica buckets, low-
+    // drift clusters); f > n/2 → per-bucket ALL-PAIRS (complete, cost
+    // n(n−1)/2 — which is ≤ the patch's f·(n−1) there by the dispatch
+    // inequality). Per-bucket cost is therefore ≤ ~min(closed,
+    // all-pairs) ALWAYS; no hub-quality pathology can exceed the
+    // all-pairs baseline by more than the bounded probe/count passes.
     val big = eb.filter(col("n") > bucketBound)
     val withHub = big
       .join(sh.select(col("id").as("hub"), col("h1").as("hh1"),
@@ -1364,15 +1436,21 @@ object Dedup extends org.apache.spark.internal.Logging {
       .withColumn("hham",
         bit_count(col("h1").bitwiseXOR(col("hh1"))) +
           bit_count(col("h2").bitwiseXOR(col("hh2"))))
-    val star = withHub
+    val fails = withHub
+      .filter(col("id") =!= col("hub") && col("hham") > maxHamming)
+      .groupBy("c", "v").agg(count(lit(1)).as("f"))
+    val wf = withHub.join(fails, Seq("c", "v"), "left")
+      .na.fill(0L, Seq("f"))
+    val closedSide = wf.filter(col("f") * 2 <= col("n"))
+    val star = closedSide
       .filter(col("id") =!= col("hub") && col("hham") <= maxHamming)
       .select(col("hub").as("ida"), col("id").as("idb"),
         col("hham").as("hamming"))
-    val patch = withHub
+    val patch = closedSide
       .filter(col("id") =!= col("hub") && col("hham") > maxHamming)
       .select(col("c"), col("v"), col("id").as("fa"),
         col("h1").as("fa1"), col("h2").as("fa2"))
-      .join(big.select(col("c"), col("v"), col("id").as("ob"),
+      .join(closedSide.select(col("c"), col("v"), col("id").as("ob"),
         col("h1").as("ob1"), col("h2").as("ob2")), Seq("c", "v"))
       .filter(col("fa") =!= col("ob"))
       .select(least(col("fa"), col("ob")).as("ida"),
@@ -1380,10 +1458,27 @@ object Dedup extends org.apache.spark.internal.Logging {
         (bit_count(col("fa1").bitwiseXOR(col("ob1"))) +
           bit_count(col("fa2").bitwiseXOR(col("ob2")))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+    // majority-failed buckets: complete per-bucket enumeration — the
+    // same verify-first all-pairs shape, restricted to these buckets
+    val quad = wf.filter(col("f") * 2 > col("n"))
+    val quadPairs = quad
+      .select(col("c"), col("v"), col("id").as("ida"),
+        col("h1").as("ha1"), col("h2").as("ha2"))
+      .join(quad.select(col("c").as("cb"), col("v").as("vb"),
+          col("id").as("idb"), col("h1").as("hb1"), col("h2").as("hb2")),
+        col("c") === col("cb") && col("v") === col("vb") &&
+          col("ida") < col("idb"))
+      .withColumn("hamming",
+        bit_count(col("ha1").bitwiseXOR(col("hb1"))) +
+          bit_count(col("ha2").bitwiseXOR(col("hb2"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("ida", "idb", "hamming")
     // one pair-dedup shuffle over the union (a pair can arrive from a
-    // small bucket, a big bucket's star, and a big bucket's patch —
-    // hamming is the same exact 120-bit value on every route)
-    smallPairs.unionByName(star).unionByName(patch)
+    // small bucket, a big bucket's star/patch, and a rerouted quad
+    // bucket — hamming is the same exact 120-bit value on every route;
+    // per-bucket the emitted subgraph is complete (small/quad) or
+    // connectivity-closed (star+patch), so components equal all-pairs)
+    smallPairs.unionByName(star).unionByName(patch).unionByName(quadPairs)
       .dropDuplicates("ida", "idb")
   }
 

@@ -1347,14 +1347,24 @@ object DedupQueries extends QueryPack {
         |FROM (SELECT * FROM star UNION SELECT * FROM patch)
         |ORDER BY ida, idb""".stripMargin,
     // the adaptive dispatch reproduced in SQL on the shared signature
-    // CTEs: bucket-population CTE, small-bucket all-pairs self-join
-    // (n ≤ 2), big-bucket star + hub-failed patch (n > 2) — the UNION
-    // dedups pairs reachable via several buckets/branches (hamming is
-    // the same exact 120-bit value on every route)
+    // CTEs: signature-count + MODE-HUB selection (most frequent (h1,h2)
+    // per bucket, min id within it — the capture-proof hub rule),
+    // small-bucket all-pairs self-join (n ≤ 2), big-bucket star +
+    // hub-failed patch under the SECOND-LEVEL f-dispatch (majority-
+    // failed buckets reroute to complete per-bucket enumeration, the
+    // quad CTE) — the UNION dedups pairs reachable via several
+    // buckets/branches (hamming is the same exact 120-bit value on
+    // every route)
     "q_dedup_simhash_wide_adaptive" ->
       s"""WITH $wideSimhashCtes,
-        |pop AS (SELECT c, cv, count(*) AS n, min(id) AS hub
-        |        FROM e GROUP BY c, cv),
+        |sigc AS (SELECT c, cv, h1, h2, count(*) AS sc, min(id) AS sid
+        |         FROM e GROUP BY c, cv, h1, h2),
+        |pop AS (
+        |  SELECT c, cv, n, sid AS hub FROM (
+        |    SELECT c, cv, sum(sc) OVER (PARTITION BY c, cv) AS n, sid,
+        |      row_number() OVER (PARTITION BY c, cv
+        |                         ORDER BY sc DESC, sid ASC) AS rn
+        |    FROM sigc) WHERE rn = 1),
         |eb AS (
         |  SELECT e.id, e.h1, e.h2, e.c, e.cv, pop.n, pop.hub
         |  FROM e JOIN pop ON e.c = pop.c AND e.cv = pop.cv),
@@ -1365,23 +1375,38 @@ object DedupQueries extends QueryPack {
         |  WHERE a.n <= 2
         |    AND bit_count(xor(a.h1, b.h1)) + bit_count(xor(a.h2, b.h2)) <= 3),
         |wh AS (
-        |  SELECT eb.c, eb.cv, eb.id, eb.h1, eb.h2, eb.hub,
+        |  SELECT eb.c, eb.cv, eb.id, eb.h1, eb.h2, eb.hub, eb.n,
         |    bit_count(xor(eb.h1, hs.h1)) + bit_count(xor(eb.h2, hs.h2)) AS hham
         |  FROM eb JOIN s hs ON hs.id = eb.hub
         |  WHERE eb.n > 2),
+        |fails AS (
+        |  SELECT c, cv, count(*) AS f FROM wh
+        |  WHERE id <> hub AND hham > 3 GROUP BY c, cv),
+        |wf AS (
+        |  SELECT wh.*, coalesce(fails.f, 0) AS f
+        |  FROM wh LEFT JOIN fails ON wh.c = fails.c AND wh.cv = fails.cv),
         |star AS (
         |  SELECT DISTINCT hub AS ida, id AS idb, hham AS hamming
-        |  FROM wh WHERE id <> hub AND hham <= 3),
-        |fl AS (SELECT c, cv, id, h1, h2 FROM wh WHERE id <> hub AND hham > 3),
+        |  FROM wf WHERE f * 2 <= n AND id <> hub AND hham <= 3),
+        |fl AS (SELECT c, cv, id, h1, h2 FROM wf
+        |       WHERE f * 2 <= n AND id <> hub AND hham > 3),
         |patch AS (
         |  SELECT DISTINCT least(f.id, o.id) AS ida,
         |    greatest(f.id, o.id) AS idb,
         |    bit_count(xor(f.h1, o.h1)) + bit_count(xor(f.h2, o.h2)) AS hamming
-        |  FROM fl f JOIN wh o ON f.c = o.c AND f.cv = o.cv AND f.id <> o.id
-        |  WHERE bit_count(xor(f.h1, o.h1)) + bit_count(xor(f.h2, o.h2)) <= 3)
+        |  FROM fl f JOIN (SELECT c, cv, id, h1, h2 FROM wf
+        |                  WHERE f * 2 <= n) o
+        |    ON f.c = o.c AND f.cv = o.cv AND f.id <> o.id
+        |  WHERE bit_count(xor(f.h1, o.h1)) + bit_count(xor(f.h2, o.h2)) <= 3),
+        |quad AS (
+        |  SELECT DISTINCT a.id AS ida, b.id AS idb,
+        |    bit_count(xor(a.h1, b.h1)) + bit_count(xor(a.h2, b.h2)) AS hamming
+        |  FROM wf a JOIN wf b ON a.c = b.c AND a.cv = b.cv AND a.id < b.id
+        |  WHERE a.f * 2 > a.n
+        |    AND bit_count(xor(a.h1, b.h1)) + bit_count(xor(a.h2, b.h2)) <= 3)
         |SELECT ida, idb, hamming::INT AS hamming
         |FROM (SELECT * FROM small UNION SELECT * FROM star
-        |      UNION SELECT * FROM patch)
+        |      UNION SELECT * FROM patch UNION SELECT * FROM quad)
         |ORDER BY ida, idb""".stripMargin,
     // the adaptive exactness theorem, cross-engine: the oracle clusters
     // the ALL-PAIRS verified graph (identical SQL to

@@ -6,6 +6,40 @@ import org.apache.spark.sql.DataFrame
 class DedupSpec extends SparkSpecBase {
   import spark.implicits._
 
+  // Driver-side 120-bit simhash reference (bit-equal to the Spark
+  // expressions per TextHashExprSpec) — shared by the constructed-chain
+  // and hub-capture fixtures, which SEARCH token space for signatures
+  // with specific hamming/chunk structure.
+  private def digest(tk: String): String = java.security.MessageDigest
+    .getInstance("MD5").digest(tk.getBytes("UTF-8"))
+    .map(b => f"$b%02x").mkString
+  private def votesOf(tk: String): Array[Int] = {
+    val hex = digest(tk)
+    val v = new Array[Int](120)
+    for (d <- 0 until 15; b <- 0 until 4) {
+      v(d * 4 + b) =
+        (Integer.parseInt(hex.charAt(d).toString, 16) >> (3 - b)) & 1
+      v(60 + d * 4 + b) =
+        (Integer.parseInt(hex.charAt(15 + d).toString, 16) >> (3 - b)) & 1
+    }
+    v
+  }
+  private def sig(votes: Array[Int], n: Int): (Long, Long) = {
+    var h1 = 0L; var h2 = 0L
+    for (b <- 0 until 60) {
+      if (votes(b) * 2 > n) h1 |= 1L << (59 - b)
+      if (votes(60 + b) * 2 > n) h2 |= 1L << (59 - b)
+    }
+    (h1, h2)
+  }
+  private def ham(x: (Long, Long), y: (Long, Long)): Int =
+    java.lang.Long.bitCount(x._1 ^ y._1) +
+      java.lang.Long.bitCount(x._2 ^ y._2)
+  private def chunks(s: (Long, Long)): Seq[Long] = {
+    val m = (1L << 30) - 1
+    Seq(s._1 & m, (s._1 >> 30) & m, s._2 & m, (s._2 >> 30) & m)
+  }
+
   // d1/d2 exact dups modulo case+whitespace; d3 near-dup of d1 (one word
   // changed); d4 unrelated.
   private lazy val docs: DataFrame = Seq(
@@ -200,35 +234,6 @@ class DedupSpec extends SparkSpecBase {
     // components equal all-pairs — the theorem on a worst case, not a
     // random draw.
     import graft.dedup.Components
-    def digest(tk: String): String = java.security.MessageDigest
-      .getInstance("MD5").digest(tk.getBytes("UTF-8"))
-      .map(b => f"$b%02x").mkString
-    def votesOf(tk: String): Array[Int] = {
-      val hex = digest(tk)
-      val v = new Array[Int](120)
-      for (d <- 0 until 15; b <- 0 until 4) {
-        v(d * 4 + b) =
-          (Integer.parseInt(hex.charAt(d).toString, 16) >> (3 - b)) & 1
-        v(60 + d * 4 + b) =
-          (Integer.parseInt(hex.charAt(15 + d).toString, 16) >> (3 - b)) & 1
-      }
-      v
-    }
-    def sig(votes: Array[Int], n: Int): (Long, Long) = {
-      var h1 = 0L; var h2 = 0L
-      for (b <- 0 until 60) {
-        if (votes(b) * 2 > n) h1 |= 1L << (59 - b)
-        if (votes(60 + b) * 2 > n) h2 |= 1L << (59 - b)
-      }
-      (h1, h2)
-    }
-    def ham(x: (Long, Long), y: (Long, Long)): Int =
-      java.lang.Long.bitCount(x._1 ^ y._1) +
-        java.lang.Long.bitCount(x._2 ^ y._2)
-    def chunks(s: (Long, Long)): Seq[Long] = {
-      val m = (1L << 30) - 1
-      Seq(s._1 & m, (s._1 >> 30) & m, s._2 & m, (s._2 >> 30) & m)
-    }
     val baseToks = ("alpha beta gamma delta epsilon zeta eta theta iota " +
       "kappa lambda mu nu xi omicron pi rho sigma tau upsilon").split(" ").toSeq
     val baseVotes = baseToks.map(votesOf)
@@ -369,6 +374,157 @@ class DedupSpec extends SparkSpecBase {
         s"seed=$seed edits=$edits: adaptive emitted a non-pair")
       assert(comps(adaptive) == comps(all),
         s"seed=$seed edits=$edits: adaptive components diverged")
+    }
+  }
+
+  test("simhashPairsWideAdaptive MODE hub resists low-id stranger capture: " +
+    "linear star where the min-id hub degenerates to quadratic patch") {
+    // The planted-template-fixture pathology (BASELINE.md r16), as a
+    // deterministic witness: 20 IDENTICAL template copies (high ids)
+    // share one tight bucket; ONE low-id stranger — searched so its
+    // signature fails the hamming verify (ham ≥ 4) yet shares ≥ 1
+    // 30-bit chunk with the template, i.e. it lands in the bucket. A
+    // min-id hub (the closed route's rule) is CAPTURED by the stranger:
+    // every copy fails its hub verify and the patch re-enumerates the
+    // whole bucket — the emitted pair count equals all-pairs (190).
+    // The adaptive route's MODE-signature hub is a template copy, so
+    // enumeration stays linear: exactly n−1 = 19 star pairs. Exactness
+    // is hub-independent — components equal all-pairs on every route.
+    import graft.dedup.Components
+    val baseToks = ("cluster telemetry agent records utilization samples " +
+      "for every accelerator and forwards them to the aggregation tier " +
+      "where daily marts summarize thermal pressure").split(" ").toSeq
+    val baseVotes = baseToks.map(votesOf)
+      .foldLeft(new Array[Int](120))((acc, v) => {
+        for (i <- 0 until 120) acc(i) += v(i); acc
+      })
+    val st = sig(baseVotes, baseToks.size)
+    val vocab = (0 until 400).map(i => s"q$i")
+    val found = (for {
+      x <- vocab.iterator
+      vx = votesOf(x)
+      y <- vocab.iterator if y != x
+      vy = votesOf(y)
+      sv = baseVotes.clone().zipWithIndex
+        .map { case (s0, i) => s0 + vx(i) + vy(i) }
+      ss = sig(sv, baseToks.size + 2)
+      if ham(st, ss) >= 4 && ham(st, ss) <= 10
+      if chunks(st).zip(chunks(ss)).exists { case (a, b) => a == b }
+    } yield (x, y)).nextOption()
+    assert(found.nonEmpty,
+      "search space exhausted without a capture witness — widen the vocab")
+    val (x, y) = found.get
+    val template = baseToks.mkString(" ")
+    val corpus = (Seq((0L, (baseToks :+ x :+ y).mkString(" "))) ++
+      (10L to 29L).map(i => (i, template))).toDF("doc_id", "body")
+    def pairs(df: DataFrame) = df.select("ida", "idb").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val all = pairs(Dedup.simhashPairsWide(corpus, "body", "doc_id", 3))
+    val closed = pairs(
+      Dedup.simhashStarPairsWideClosed(corpus, "body", "doc_id", 3))
+    val adaptive = pairs(Dedup.simhashPairsWideAdaptive(
+      corpus, "body", "doc_id", 3, bucketBound = 4))
+    assert(all.size == 190, s"all-pairs=${all.size}") // C(20,2), no stranger
+    assert(closed.size == 190,
+      s"closed=${closed.size} — the capture degradation witness moved")
+    assert(adaptive == (11L to 29L).map(j => (10L, j)).toSet,
+      s"adaptive=${adaptive.size} pairs — mode hub did not hold")
+    def comps(ps: Set[(Long, Long)]): Map[Long, Long] =
+      Components.connectedComponents(ps.toSeq.toDF("ida", "idb"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps(adaptive) == comps(all),
+      "adaptive components diverged under the capture fixture")
+  }
+
+  test("simhashPairsWideAdaptive quad branch: a provably majority-failed " +
+    "bucket executes the complete-enumeration reroute without spurious pairs") {
+    // Deterministic quad-branch execution: two single-token docs whose
+    // signatures COLLIDE on chunk 0 (single-token simhash = the token's
+    // md5 bit pattern exactly, so a birthday search over ~40k tokens
+    // finds a 30-bit chunk collision) but sit ~60 bits apart overall.
+    // At bucketBound = 1 their 2-member bucket takes the big branch;
+    // every member fails a hub verify against the other (f = 1, n = 2,
+    // f·2 > n) so the SECOND-LEVEL dispatch must reroute to complete
+    // enumeration — which verifies the pair, finds hamming ≫ 3, and
+    // emits NOTHING. A near-dup pair elsewhere in the corpus must
+    // still surface. This pins the reroute's execution and its
+    // no-spurious-pairs contract; the COST side of the reroute (the
+    // 790 s → all-pairs-scale collapse on the captured 10⁴ template
+    // bucket) is the committed t10k probe's evidence (BASELINE.md r16).
+    val collision = {
+      val seen = scala.collection.mutable.HashMap.empty[Long, String]
+      var found: Option[(String, String)] = None
+      var i = 0
+      while (found.isEmpty && i < 200000) {
+        val t = s"col$i"
+        val s0 = sig(votesOf(t), 1) // single-token sig = its md5 bits
+        val c0 = chunks(s0).head
+        seen.get(c0) match {
+          case Some(prev) if ham(sig(votesOf(prev), 1), s0) > 6 =>
+            found = Some((prev, t))
+          case None => seen(c0) = t
+          case _ => ()
+        }
+        i += 1
+      }
+      found
+    }
+    assert(collision.nonEmpty, "no chunk-0 collision within 200k tokens")
+    val (ta, tb) = collision.get
+    val corpus = Seq(
+      (0L, ta), (1L, tb), // the colliding far pair — quad bucket at bound 1
+      (10L, "shared near dup body alpha beta gamma delta"),
+      (11L, "shared near dup body alpha beta gamma delta")
+    ).toDF("doc_id", "body")
+    def pairs(df: DataFrame) = df.select("ida", "idb").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val all = pairs(Dedup.simhashPairsWide(corpus, "body", "doc_id", 3))
+    val adaptive = pairs(Dedup.simhashPairsWideAdaptive(
+      corpus, "body", "doc_id", 3, bucketBound = 1))
+    assert(all == Set((10L, 11L)), s"all=$all")
+    assert(adaptive == all,
+      s"quad reroute emitted spurious or missing pairs: $adaptive")
+  }
+
+  test("simhashPairsWideAdaptive at bound 1: every multi-member bucket " +
+    "takes the big branch and components still equal all-pairs") {
+    // bound 1 maximizes second-level dispatch coverage on the drift-walk
+    // corpora: 2-member buckets whose pair fails verify are majority-
+    // failed (f·2 > n) and reroute to complete enumeration, passing
+    // buckets stay closed-side — component equality must survive any
+    // branch mix the data produces.
+    import graft.dedup.Components
+    val vocab = ("alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon phi chi " +
+      "psi omega one two three four five six seven eight nine ten").split(" ")
+    def walk(seed: Int, docsN: Int, editsPerStep: Int): DataFrame = {
+      val rnd = new scala.util.Random(seed)
+      val base = Array.fill(24)(vocab(rnd.nextInt(vocab.length)))
+      val rows = Iterator.iterate(base) { prev =>
+        val next = prev.clone()
+        (0 until editsPerStep).foreach { _ =>
+          next(rnd.nextInt(next.length)) = vocab(rnd.nextInt(vocab.length))
+        }
+        next
+      }.take(docsN).zipWithIndex
+        .map { case (toks, i) => (i.toLong, toks.mkString(" ")) }.toSeq
+      rows.toDF("doc_id", "body")
+    }
+    def pairSet(df: DataFrame) = df.select("ida", "idb").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def comps(pairs: Set[(Long, Long)]): Map[Long, Long] =
+      if (pairs.isEmpty) Map.empty
+      else Components.connectedComponents(pairs.toSeq.toDF("ida", "idb"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (seed <- Seq(2, 5); edits <- Seq(2, 3)) {
+      val corpus = walk(seed, 12, edits)
+      val all = pairSet(Dedup.simhashPairsWide(corpus, "body", "doc_id", 3))
+      val adaptive = pairSet(Dedup.simhashPairsWideAdaptive(
+        corpus, "body", "doc_id", 3, bucketBound = 1))
+      assert(adaptive.subsetOf(all),
+        s"seed=$seed edits=$edits: adaptive emitted a non-pair")
+      assert(comps(adaptive) == comps(all),
+        s"seed=$seed edits=$edits: adaptive components diverged at bound 1")
     }
   }
 
