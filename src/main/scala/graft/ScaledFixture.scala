@@ -150,8 +150,16 @@ object ScaledFixture {
           "samples for every accelerator and forwards them to the " +
           "aggregation tier where daily marts summarize thermal and " +
           "memory pressure for capacity planning and anomaly review ") * 3
+        // id base BEYOND every replica range: replica r occupies
+        // r·Off + base ids, so 9·Off collided with replica 9 at reps ≥
+        // 10 — duplicate doc_ids that silently turned the template
+        // cluster into a mixed-signature bucket (found round 16: the
+        // "hub capture" first measured on this fixture was partly a
+        // duplicate-id artifact — the hub id resolved to TWO sketch
+        // rows, one per colliding doc)
+        val tBase = math.max(100L, reps.toLong + 1L) * Off
         val t = spark.range(templates)
-          .select((col("id") + lit(9L * Off)).as("doc_id"),
+          .select((col("id") + lit(tBase)).as("doc_id"),
             concat(lit(body), lit(" copymark"), col("id")).as("text"),
             lit("template").as("source"),
             lit("en").as("lang"))

@@ -1379,34 +1379,44 @@ object Dedup extends org.apache.spark.internal.Logging {
         .dropDuplicates("ida", "idb")
         .select("ida", "idb", "hamming")
     }
-    // the dispatch input: per-bucket population + hub. The hub is the
-    // member carrying the bucket's MODE SIGNATURE (most frequent
-    // (h1,h2), min id within it, max-count min-id tiebreak) — NOT the
-    // bucket min id. Measured reason (the planted 10⁴-copy template
-    // fixture, BASELINE.md r16): one low-id STRANGER chunk-colliding
-    // into a hot bucket captures a min-id hub, every real member fails
-    // its verify, and the patch degenerates to 2× all-pairs (406M
-    // candidates, 197 s vs all-pairs 75 s). The mode signature is the
-    // template itself in exactly the replica regime the closed branch
+    // the dispatch input: the HOT-BUCKET LIST — (c, v, n, hub) for
+    // buckets over the bound only, which is RARE BY DEFINITION (hot
+    // buckets are the exception the dispatch exists for). Carrying the
+    // population onto every exploded row via an e ⋈ pops join was the
+    // first cut; it shuffled the full explode once for the join and
+    // then RE-EVALUATED that chain in every branch that referenced it
+    // (the small self-join twice, the big-branch chain four more
+    // times) — measured 557 s vs 157 s plain all-pairs on the template
+    // fixture. Dispatching against the tiny hot list instead keeps
+    // per-row routing a hash anti/semi join (AQE broadcasts it at
+    // runtime) and re-evaluating `e` per branch costs only the pinned
+    // sketch scan + explode.
+    //
+    // The hub is the member carrying the bucket's MODE SIGNATURE (most
+    // frequent (h1,h2), min id within it) — NOT the bucket min id.
+    // Measured reason (same fixture): one low-id STRANGER
+    // chunk-colliding into a hot bucket captures a min-id hub, every
+    // real member fails its verify, and the patch degenerates to 2×
+    // all-pairs (406M candidates). The mode signature is the template
+    // itself in exactly the exact-replica regime the closed branch
     // exists for, so capture is impossible there; hub choice never
     // affects exactness (the closure argument is hub-independent), only
-    // the patch volume. Two keyed aggregates (signature counts →
-    // per-bucket argmax) replace the one min() — same key cardinality,
-    // map-side partials throughout.
+    // the patch volume.
     val sigc = e.groupBy("c", "v", "h1", "h2")
       .agg(count(lit(1)).as("sc"), min(col("id")).as("sid"))
-    val pops = sigc.groupBy("c", "v")
+    val hot = sigc.groupBy("c", "v")
       .agg(sum(col("sc")).as("n"),
         max(struct(col("sc"), (-col("sid")).as("nsid"))).as("m"))
       .select(col("c"), col("v"), col("n"), (-col("m.nsid")).as("hub"))
-    val eb = e.join(pops, Seq("c", "v"))
+      .filter(col("n") > bucketBound)
     // below-bound buckets: verify-first all-pairs, simhashPairsWide's
-    // exact shape restricted to small buckets
-    val small = eb.filter(col("n") <= bucketBound)
-    val smallPairs = small
+    // exact shape restricted to non-hot buckets (anti-join against the
+    // hot list — no population column needed on the small side)
+    val smallE = e.join(hot.select("c", "v"), Seq("c", "v"), "left_anti")
+    val smallPairs = smallE
       .select(col("c"), col("v"), col("id").as("ida"),
         col("h1").as("ha1"), col("h2").as("ha2"))
-      .join(small.select(col("c").as("cb"), col("v").as("vb"),
+      .join(smallE.select(col("c").as("cb"), col("v").as("vb"),
           col("id").as("idb"), col("h1").as("hb1"), col("h2").as("hb2")),
         col("c") === col("cb") && col("v") === col("vb") &&
           col("ida") < col("idb"))
@@ -1429,7 +1439,7 @@ object Dedup extends org.apache.spark.internal.Logging {
     // inequality). Per-bucket cost is therefore ≤ ~min(closed,
     // all-pairs) ALWAYS; no hub-quality pathology can exceed the
     // all-pairs baseline by more than the bounded probe/count passes.
-    val big = eb.filter(col("n") > bucketBound)
+    val big = e.join(hot, Seq("c", "v"))
     val withHub = big
       .join(sh.select(col("id").as("hub"), col("h1").as("hh1"),
         col("h2").as("hh2")), "hub")
