@@ -1402,17 +1402,30 @@ object Dedup extends org.apache.spark.internal.Logging {
     // exists for, so capture is impossible there; hub choice never
     // affects exactness (the closure argument is hub-independent), only
     // the patch volume.
+    // The hot list is PINNED (one computation — it is referenced by the
+    // small anti-join and the big semi-join, and a lazy plan re-ran its
+    // two aggregates over the full explode once per consumer: measured
+    // 327 s vs 22.6 s all-pairs at d1000 before the pin/broadcast) and
+    // BROADCAST into the routing joins. The broadcast is a stated
+    // contract, not a hope: hot buckets are the exception the dispatch
+    // exists for, so the list is driver-small by definition — a corpus
+    // where it is not (millions of over-bound buckets) is telling you
+    // the bound is below that corpus's NORMAL bucket population, and
+    // the bound, not the join strategy, is what must move.
     val sigc = e.groupBy("c", "v", "h1", "h2")
       .agg(count(lit(1)).as("sc"), min(col("id")).as("sid"))
-    val hot = sigc.groupBy("c", "v")
-      .agg(sum(col("sc")).as("n"),
-        max(struct(col("sc"), (-col("sid")).as("nsid"))).as("m"))
-      .select(col("c"), col("v"), col("n"), (-col("m.nsid")).as("hub"))
-      .filter(col("n") > bucketBound)
+    val hot = graft.operators.Artifacts.pinEager(
+      sigc.groupBy("c", "v")
+        .agg(sum(col("sc")).as("n"),
+          max(struct(col("sc"), (-col("sid")).as("nsid"))).as("m"))
+        .select(col("c"), col("v"), col("n"), (-col("m.nsid")).as("hub"))
+        .filter(col("n") > bucketBound),
+      "simhash.adaptive.hot")
     // below-bound buckets: verify-first all-pairs, simhashPairsWide's
     // exact shape restricted to non-hot buckets (anti-join against the
     // hot list — no population column needed on the small side)
-    val smallE = e.join(hot.select("c", "v"), Seq("c", "v"), "left_anti")
+    val smallE = e.join(broadcast(hot.select("c", "v")),
+      Seq("c", "v"), "left_anti")
     val smallPairs = smallE
       .select(col("c"), col("v"), col("id").as("ida"),
         col("h1").as("ha1"), col("h2").as("ha2"))
@@ -1439,7 +1452,7 @@ object Dedup extends org.apache.spark.internal.Logging {
     // inequality). Per-bucket cost is therefore ≤ ~min(closed,
     // all-pairs) ALWAYS; no hub-quality pathology can exceed the
     // all-pairs baseline by more than the bounded probe/count passes.
-    val big = e.join(hot, Seq("c", "v"))
+    val big = e.join(broadcast(hot), Seq("c", "v"))
     val withHub = big
       .join(sh.select(col("id").as("hub"), col("h1").as("hh1"),
         col("h2").as("hh2")), "hub")
@@ -1449,8 +1462,14 @@ object Dedup extends org.apache.spark.internal.Logging {
     val fails = withHub
       .filter(col("id") =!= col("hub") && col("hham") > maxHamming)
       .groupBy("c", "v").agg(count(lit(1)).as("f"))
-    val wf = withHub.join(fails, Seq("c", "v"), "left")
-      .na.fill(0L, Seq("f"))
+    // pinned for the same reason as the hot list: star/patch/quad
+    // reference this frame five times between them, and its chain holds
+    // two shuffles; it only ever holds hot-bucket MEMBERS, so the pin
+    // is bounded by the same exceptionality contract
+    val wf = graft.operators.Artifacts.pinEager(
+      withHub.join(fails, Seq("c", "v"), "left")
+        .na.fill(0L, Seq("f")),
+      "simhash.adaptive.wf")
     val closedSide = wf.filter(col("f") * 2 <= col("n"))
     val star = closedSide
       .filter(col("id") =!= col("hub") && col("hham") <= maxHamming)
