@@ -164,9 +164,12 @@ object DedupProbe {
       sys.env.getOrElse("SPARK_GRAFT_PROBE_BOUND", "1024").toInt
     val sigc2 = ex.groupBy("c", "v", "h1", "h2")
       .agg(count(lit(1)).as("sc"), min("id").as("sid"))
+    // min_by over (−count, id): id untouched (negating it nulls string
+    // ids under non-ANSI casts — the r16 ADVICE finding, fixed in the
+    // operator too), only the count (a long) is negated for the ordering
     val modeHub = sigc2.groupBy("c", "v")
-      .agg(max(struct(col("sc"), (-col("sid")).as("nsid"))).as("m"))
-      .select(col("c"), col("v"), (-col("m.nsid")).as("hub"))
+      .agg(min_by(col("sid"),
+        struct((-col("sc")).as("nsc"), col("sid").as("tid"))).as("hub"))
     val failedMode = ex.join(modeHub, Seq("c", "v"))
       .join(sketch.select(col("id").as("hub"), col("h1").as("hh1"),
         col("h2").as("hh2")), "hub")

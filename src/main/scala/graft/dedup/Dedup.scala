@@ -1308,9 +1308,29 @@ object Dedup extends org.apache.spark.internal.Logging {
     * where the bound sits, only cost does
     * (q_dedup_clusters_simhash_adaptive hash-checks this cross-engine
     * against the all-pairs recursive closure in DuckDB; DedupSpec pins
-    * the dispatch boundary: bound ↑ ∞ ≡ [[simhashPairsWide]], bound 0 ≡
-    * the closed route, and mixed-bound components ≡ all-pairs with the
-    * pair set sandwiched closed ⊆ adaptive ⊆ all-pairs).
+    * the dispatch boundary: bound ↑ ∞ ≡ [[simhashPairsWide]] pair for
+    * pair; bound 0 is COMPONENT-equal to
+    * [[simhashStarPairsWideClosed]] — pair-level identity additionally
+    * holds whenever each bucket's mode-signature hub IS the bucket min
+    * (true on exact-replica buckets, and on the spec fixtures), but not
+    * in general, because the two routes pick different hubs; and
+    * mixed-bound components ≡ all-pairs with the pair set sandwiched
+    * closed-shaped ⊆ adaptive ⊆ all-pairs).
+    *
+    * GUARDS (round 17): the hot-bucket list is pinned and BROADCAST, so
+    * its driver-smallness is now ENFORCED, not assumed — the same
+    * histogram action that routes the no-hot-bucket fast path also
+    * counts over-bound buckets and fails loudly (IllegalArgumentException
+    * naming `bucketBound` as the knob) when more than `maxHotBuckets`
+    * buckets exceed the bound: that regime means the bound sits below
+    * the corpus's NORMAL bucket population, and the bound — not the
+    * join strategy — is what must move. The histogram itself is
+    * memoized per (pinned sketch, bound) via
+    * [[graft.operators.Artifacts.memo]], so repeated adaptive calls in
+    * one session (bench passes, incremental batches over an unchanged
+    * corpus) pay the decision action once — the r16-measured dispatch
+    * premium (d300: 7.84 s guarded vs 3.31 s plain enumeration) applies
+    * to the FIRST call only.
     *
     * The PAIR SET itself is not all-pairs (above-bound buckets omit
     * passed−passed edges already connected through their hub), so use
@@ -1338,7 +1358,8 @@ object Dedup extends org.apache.spark.internal.Logging {
     */
   def simhashPairsWideAdaptive(docs: DataFrame, textCol: String,
                                idCol: String, maxHamming: Int = 3,
-                               bucketBound: Int = 1024): DataFrame = {
+                               bucketBound: Int = 1024,
+                               maxHotBuckets: Long = 65536L): DataFrame = {
     val mask30 = (1L << 30) - 1
     val sh = graft.operators.Artifacts.pinEager(
       docs.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
@@ -1358,13 +1379,43 @@ object Dedup extends org.apache.spark.internal.Logging {
     // the bucket aggregate, which cost 3.6× the plain all-pairs stage
     // at d100 — where the hottest bucket was 242 and the closed branch
     // would never fire. One bounded histogram ACTION (map-side partial
-    // over the pinned sketch's explode, a 1-row max back) decides up
+    // over the pinned sketch's explode, a 1-row pair back) decides up
     // front: no bucket over the bound ⇒ the plain verify-first
     // all-pairs plan, zero dispatch overhead — the same probe-then-
     // reroute posture as editDistancePairs' maxBandPop guard. Only
     // corpora that genuinely contain hot buckets pay the pops join.
-    val hottest = e.groupBy("c", "v").agg(count(lit(1)).as("n"))
-      .agg(coalesce(max(col("n")), lit(0L))).head().getLong(0)
+    //
+    // The action is MEMOIZED per (pinned sketch plan, bound) — round 17:
+    // the histogram is a pure function of the pinned `simhash.sketch`
+    // artifact, yet every adaptive call re-paid the explode + bucket
+    // aggregate (the measured decision premium: d300 enumeration 7.84 s
+    // guarded vs 3.31 s plain, BASELINE.md r16). Repeat calls in one
+    // session — bench passes, incremental pipeline batches over an
+    // unchanged corpus — now pay it once; the memo dies with the pin
+    // (Artifacts.releaseAll), so a re-pinned sketch re-measures.
+    //
+    // The same action also counts OVER-BOUND buckets, closing the
+    // round-16 "driver-small by definition" hole: the hot list is
+    // pinned AND BROADCAST into the routing joins, so a corpus whose
+    // NORMAL bucket population exceeds `bucketBound` would broadcast an
+    // unbounded frame and die opaquely in the broadcast exchange. The
+    // guard fails LOUDLY first, naming the knob.
+    val (hottest, hotBuckets) =
+      graft.operators.Artifacts.memo(sh, s"adaptive.hist.b=$bucketBound") {
+        val r = e.groupBy("c", "v").agg(count(lit(1)).as("n"))
+          .agg(coalesce(max(col("n")), lit(0L)),
+            count(when(col("n") > bucketBound, lit(1)))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+    require(hotBuckets <= maxHotBuckets,
+      s"simhashPairsWideAdaptive: $hotBuckets buckets exceed " +
+        s"bucketBound=$bucketBound (maxHotBuckets=$maxHotBuckets). The " +
+        "hot-bucket list is pinned and broadcast into the routing joins " +
+        "on a driver-small contract; a hot-list this large means the " +
+        "bound sits BELOW this corpus's normal bucket population. Raise " +
+        "bucketBound above the typical bucket size (hottest bucket seen: " +
+        s"$hottest), or raise maxHotBuckets if a broadcast of that many " +
+        "(chunk, value, n, hub) rows is genuinely affordable.")
     if (hottest <= bucketBound) {
       return e.select(col("id").as("ida"), col("h1").as("ha1"),
           col("h2").as("ha2"), col("c"), col("v"))
@@ -1406,19 +1457,29 @@ object Dedup extends org.apache.spark.internal.Logging {
     // small anti-join and the big semi-join, and a lazy plan re-ran its
     // two aggregates over the full explode once per consumer: measured
     // 327 s vs 22.6 s all-pairs at d1000 before the pin/broadcast) and
-    // BROADCAST into the routing joins. The broadcast is a stated
-    // contract, not a hope: hot buckets are the exception the dispatch
-    // exists for, so the list is driver-small by definition — a corpus
-    // where it is not (millions of over-bound buckets) is telling you
-    // the bound is below that corpus's NORMAL bucket population, and
-    // the bound, not the join strategy, is what must move.
+    // BROADCAST into the routing joins. The broadcast is an ENFORCED
+    // contract (round 17): hot buckets are the exception the dispatch
+    // exists for, so the list is driver-small by construction — and the
+    // guard histogram above has already required the over-bound bucket
+    // count under `maxHotBuckets`, failing loudly before this frame is
+    // built when a corpus's NORMAL bucket population sits above the
+    // bound (the regime where the bound, not the join strategy, is what
+    // must move).
+    // hub = min_by over (−count, id): max signature count, min id within
+    // it. The id is never arithmetically transformed — the first cut
+    // negated it (max(struct(sc, −sid))), which silently nulls the hub
+    // for a STRING idCol under non-ANSI implicit casts and the
+    // withHub join then drops every hot-bucket member; only the count
+    // (always a long) is negated. Ties cannot arise: an id belongs to
+    // exactly one (h1,h2) signature per bucket, so (−sc, sid) keys are
+    // distinct within a bucket.
     val sigc = e.groupBy("c", "v", "h1", "h2")
       .agg(count(lit(1)).as("sc"), min(col("id")).as("sid"))
     val hot = graft.operators.Artifacts.pinEager(
       sigc.groupBy("c", "v")
         .agg(sum(col("sc")).as("n"),
-          max(struct(col("sc"), (-col("sid")).as("nsid"))).as("m"))
-        .select(col("c"), col("v"), col("n"), (-col("m.nsid")).as("hub"))
+          min_by(col("sid"),
+            struct((-col("sc")).as("nsc"), col("sid").as("tid"))).as("hub"))
         .filter(col("n") > bucketBound),
       "simhash.adaptive.hot")
     // below-bound buckets: verify-first all-pairs, simhashPairsWide's
@@ -1471,9 +1532,17 @@ object Dedup extends org.apache.spark.internal.Logging {
         .na.fill(0L, Seq("f")),
       "simhash.adaptive.wf")
     val closedSide = wf.filter(col("f") * 2 <= col("n"))
+    // least/greatest, NOT (hub, id): the mode-signature hub is the min
+    // id within its SIGNATURE, not the bucket min, so a passing member
+    // with a lower id than the hub would otherwise emit ida > idb — and
+    // the same undirected pair arriving ordered from another bucket's
+    // small/quad branch would survive the final dropDuplicates as a
+    // duplicate, breaking the ida < idb invariant every sibling route
+    // guarantees (hham is symmetric, so the value is unaffected).
     val star = closedSide
       .filter(col("id") =!= col("hub") && col("hham") <= maxHamming)
-      .select(col("hub").as("ida"), col("id").as("idb"),
+      .select(least(col("hub"), col("id")).as("ida"),
+        greatest(col("hub"), col("id")).as("idb"),
         col("hham").as("hamming"))
     val patch = closedSide
       .filter(col("id") =!= col("hub") && col("hham") > maxHamming)

@@ -96,6 +96,65 @@ object Artifacts {
     reg.get(spark).map(_.map(_._1).toSeq).getOrElse(Seq.empty)
   }
 
+  // ------------------------------------------------------------------
+  // Scalar memo keyed by a pinned frame's CANONICALIZED plan (round 17).
+  //
+  // Why: some operators pay a small driver-side ACTION per call that is
+  // a pure function of a pinned artifact — the adaptive simhash
+  // dispatch's guard histogram re-ran the sketch explode + bucket
+  // aggregate on EVERY call even though the sketch itself was pinned
+  // (measured d300 enumeration 7.84 s guarded vs 3.31 s plain,
+  // BASELINE.md round 16 — the decision premium). The histogram's value
+  // is determined by the artifact's canonical plan, so repeat calls in
+  // one session can reuse the first answer. Canonicalized-plan equality
+  // is exactly Spark's own CacheManager lookup rule, so the memo hits
+  // precisely when the pin itself would dedupe.
+  //
+  // Lifetime mirrors the pins: session-scoped, swept by [[releaseAll]]
+  // and by stopped-session pruning — a memoized scalar must never
+  // outlive the artifact it summarizes (a re-pinned artifact after a
+  // release re-runs the action once). Values are tiny (histogram maxima,
+  // bucket counts), so holding them strongly until release is bounded
+  // by the same exceptionality contract as the pins.
+  private val memos = scala.collection.mutable.LinkedHashMap
+    .empty[SparkSession, scala.collection.mutable.HashMap[
+      (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String), Any]]
+
+  /** Memoize `compute` under (`df`'s canonicalized plan, `key`) for
+    * `df`'s session. First call runs the action; repeat calls on any
+    * frame with the SAME canonical plan return the stored value without
+    * touching the cluster. `key` disambiguates multiple scalars derived
+    * from one artifact (e.g. per-bound histograms).
+    */
+  def memo[T](df: DataFrame, key: String)(compute: => T): T = {
+    val plan = org.apache.spark.sql.GraftSqlBridge.analyzed(df).canonicalized
+    val k = (plan, key)
+    val hit = memos.synchronized {
+      pruneStoppedMemos()
+      memos.get(df.sparkSession).flatMap(_.get(k))
+    }
+    hit match {
+      case Some(v) => v.asInstanceOf[T]
+      case None =>
+        val v = compute // outside the lock: actions must not serialize on it
+        memos.synchronized {
+          memos.getOrElseUpdate(df.sparkSession,
+            scala.collection.mutable.HashMap.empty).update(k, v)
+        }
+        v
+    }
+  }
+
+  /** Memo entry count for `spark` (diagnostics + specs). */
+  def memoized(spark: SparkSession): Int = memos.synchronized {
+    memos.get(spark).map(_.size).getOrElse(0)
+  }
+
+  private def pruneStoppedMemos(): Unit =
+    memos.filterInPlace((s, _) =>
+      try !s.sparkContext.isStopped
+      catch { case _: Throwable => false })
+
   /** Release every artifact registered for `spark` and clear its
     * registry; returns how many were released. Still-reachable frames
     * unpersist directly; GC-cleared ones release through their plan
@@ -106,6 +165,7 @@ object Artifacts {
     * no-op on the cache.
     */
   def releaseAll(spark: SparkSession): Int = reg.synchronized {
+    memos.synchronized { memos.remove(spark) } // scalars die with their pins
     val entries = reg.remove(spark).map(_.toList).getOrElse(List.empty)
     pruneStopped()
     entries.foreach { case (_, ref, plan) =>

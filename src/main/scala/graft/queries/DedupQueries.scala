@@ -1386,7 +1386,8 @@ object DedupQueries extends QueryPack {
         |  SELECT wh.*, coalesce(fails.f, 0) AS f
         |  FROM wh LEFT JOIN fails ON wh.c = fails.c AND wh.cv = fails.cv),
         |star AS (
-        |  SELECT DISTINCT hub AS ida, id AS idb, hham AS hamming
+        |  SELECT DISTINCT least(hub, id) AS ida, greatest(hub, id) AS idb,
+        |    hham AS hamming
         |  FROM wf WHERE f * 2 <= n AND id <> hub AND hham <= 3),
         |fl AS (SELECT c, cv, id, h1, h2 FROM wf
         |       WHERE f * 2 <= n AND id <> hub AND hham > 3),

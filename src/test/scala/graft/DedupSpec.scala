@@ -311,14 +311,19 @@ class DedupSpec extends SparkSpecBase {
       Dedup.simhashStarPairsWideClosed(corpus, "body", "doc_id", 3))
     val adaptive = pairSet(Dedup.simhashPairsWideAdaptive(
       corpus, "body", "doc_id", 3, bucketBound = 4))
-    // boundary identities: the dispatch at the extremes IS the sibling
-    // route, pair for pair and hamming for hamming
+    // boundary identities: bound ∞ IS all-pairs, pair for pair. Bound 0
+    // is guaranteed COMPONENT-equal to the closed route in general (the
+    // two pick different hubs — mode-signature min id vs bucket min id);
+    // on THIS fixture the hubs coincide (exact-replica buckets put the
+    // mode's min id at the bucket min), so the stronger pair-level
+    // equality is assertable here — it is a property of the fixture,
+    // not of the operator (see the Scaladoc contract).
     assert(pairSet(Dedup.simhashPairsWideAdaptive(
       corpus, "body", "doc_id", 3, bucketBound = Int.MaxValue)) == all,
       "bound ∞ must reproduce simhashPairsWide exactly")
     assert(pairSet(Dedup.simhashPairsWideAdaptive(
       corpus, "body", "doc_id", 3, bucketBound = 0)) == closed,
-      "bound 0 must reproduce simhashStarPairsWideClosed exactly")
+      "bound 0 must reproduce the closed route on coinciding-hub fixtures")
     // strict sandwich at the mixed bound
     assert(closed.keySet.subsetOf(adaptive.keySet) &&
       adaptive.keySet.subsetOf(all.keySet),
@@ -526,6 +531,147 @@ class DedupSpec extends SparkSpecBase {
       assert(comps(adaptive) == comps(all),
         s"seed=$seed edits=$edits: adaptive components diverged at bound 1")
     }
+  }
+
+  test("simhashPairsWideAdaptive star pairs are canonically ordered when a " +
+    "passing member's id is LOWER than the mode-signature hub's") {
+    // The r16 ADVICE finding: the mode hub is the min id within its
+    // SIGNATURE, not the bucket min, so a verified member with a lower
+    // id used to emit (hub, id) with ida > idb — breaking the ida < idb
+    // invariant every sibling route guarantees. Fixture: 20 identical
+    // template copies at ids 10..29 (mode signature, hub = 10) plus 5
+    // identical one-token-appended near-dups at ids 1..5 whose signature
+    // sits 1-3 hamming bits from the template (searched; a shared chunk
+    // is then automatic — ≤ 3 flips over 4 chunks leaves one intact).
+    // In the shared buckets the near-dups PASS the hub verify with ids
+    // below the hub: the star branch must emit least/greatest, and the
+    // whole output must stay duplicate-free and component-exact.
+    import graft.dedup.Components
+    val baseToks = ("cluster telemetry agent records utilization samples " +
+      "for every accelerator and forwards them to the aggregation tier " +
+      "where daily marts summarize thermal pressure").split(" ").toSeq
+    val baseVotes = baseToks.map(votesOf)
+      .foldLeft(new Array[Int](120))((acc, v) => {
+        for (i <- 0 until 120) acc(i) += v(i); acc
+      })
+    val st = sig(baseVotes, baseToks.size)
+    val x = (0 until 5000).iterator.map(i => s"q$i").find { t =>
+      val vt = votesOf(t)
+      val sv = baseVotes.clone().zipWithIndex.map { case (s0, i) => s0 + vt(i) }
+      val h = ham(st, sig(sv, baseToks.size + 1))
+      h >= 1 && h <= 3
+    }
+    assert(x.nonEmpty, "no 1-3-hamming one-token append within 5k tokens")
+    val template = baseToks.mkString(" ")
+    val nearDup = (baseToks :+ x.get).mkString(" ")
+    val corpus = ((10L to 29L).map(i => (i, template)) ++
+      (1L to 5L).map(i => (i, nearDup))).toDF("doc_id", "body")
+    val rows = Dedup.simhashPairsWideAdaptive(
+      corpus, "body", "doc_id", 3, bucketBound = 4)
+      .select("ida", "idb").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.forall { case (a, b) => a < b },
+      s"unordered star pairs leaked: ${rows.filter(p => p._1 >= p._2).toSeq}")
+    assert(rows.length == rows.toSet.size,
+      "duplicate undirected pairs survived the final dedup")
+    assert(rows.exists { case (a, b) => a <= 5L && b == 10L },
+      "fixture regressed: no low-id member paired with the hub")
+    def comps(ps: Set[(Long, Long)]): Map[Long, Long] =
+      Components.connectedComponents(ps.toSeq.toDF("ida", "idb"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val all = Dedup.simhashPairsWide(corpus, "body", "doc_id", 3)
+      .select("ida", "idb").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(comps(rows.toSet) == comps(all),
+      "adaptive components diverged on the low-id-passer fixture")
+  }
+
+  test("simhashPairsWideAdaptive supports a STRING idCol end to end " +
+    "(mode-hub selection must not arithmetically transform the id)") {
+    // The r16 ADVICE finding: hub selection via max(struct(sc, -sid))
+    // implicitly cast a string sid to double under non-ANSI semantics,
+    // yielding a NULL hub — the withHub inner join then silently dropped
+    // every hot-bucket member, losing all pairs with no error. With the
+    // min_by rule the id is never transformed: a 20-copy template
+    // cluster keyed by string ids must come out fully connected.
+    val template = "stamped template body shared by every replica of this doc"
+    val corpus = ((10 to 29).map(i => (f"doc-$i%03d", template)) :+
+      (("doc-999", "completely unrelated body about accelerator thermals")))
+      .toDF("doc_id", "body")
+    val pairs = Dedup.simhashPairsWideAdaptive(
+      corpus, "body", "doc_id", 3, bucketBound = 4)
+      .select("ida", "idb").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(pairs.nonEmpty, "hot-bucket pairs vanished — null hub regression")
+    assert(pairs.forall { case (a, b) => a < b }, "ordering invariant broken")
+    // driver-side union-find: all 20 replicas must land in one component
+    val parent = scala.collection.mutable.HashMap.empty[String, String]
+    def find(u: String): String = {
+      val p = parent.getOrElseUpdate(u, u)
+      if (p == u) u else { val r = find(p); parent(u) = r; r }
+    }
+    pairs.foreach { case (a, b) => parent(find(a)) = find(b) }
+    val roots = (10 to 29).map(i => find(f"doc-$i%03d")).toSet
+    assert(roots.size == 1,
+      s"template cluster fragmented into ${roots.size} components")
+    assert(!parent.contains("doc-999") || find("doc-999") != roots.head,
+      "unrelated doc merged into the template cluster")
+  }
+
+  test("simhashPairsWideAdaptive fails loudly when the hot-bucket list " +
+    "would not be driver-small, naming bucketBound as the knob") {
+    // The broadcast contract, enforced (round 17): many distinct
+    // clusters each over the bound means the corpus's NORMAL bucket
+    // population exceeds bucketBound — the pinned+broadcast hot list
+    // would grow with the corpus. 8 distinct 2-copy clusters at
+    // bound 1 yield ~32 hot buckets (4 chunks each, md5-distinct
+    // values); maxHotBuckets = 10 must trip the guard BEFORE any
+    // routing join is built, and the default budget must accept it.
+    val corpus = (0 until 8).flatMap { c =>
+      val body = s"replicated notice body variant number $c for the guard " +
+        "fixture with enough tokens to hash"
+      Seq((c * 10L, body), (c * 10L + 1L, body))
+    }.toDF("doc_id", "body")
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.simhashPairsWideAdaptive(corpus, "body", "doc_id", 3,
+        bucketBound = 1, maxHotBuckets = 10L)
+    }
+    assert(ex.getMessage.contains("bucketBound=1") &&
+      ex.getMessage.contains("maxHotBuckets=10"),
+      s"guard message must name the knobs: ${ex.getMessage}")
+    // same corpus under the default budget: dispatch proceeds and each
+    // 2-copy cluster surfaces as one exact pair
+    val ok = Dedup.simhashPairsWideAdaptive(
+      corpus, "body", "doc_id", 3, bucketBound = 1)
+      .select("ida", "idb").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ok == (0 until 8).map(c => (c * 10L, c * 10L + 1L)).toSet,
+      s"guarded dispatch changed the emitted pairs: $ok")
+  }
+
+  test("adaptive guard histogram is memoized per (pinned sketch, bound): " +
+    "a repeat call re-uses the decision without a new entry") {
+    import graft.operators.Artifacts
+    val template = "memo fixture body replicated across the bucket bound"
+    val corpus = ((0 to 6).map(i => (i.toLong, template)) :+
+      ((9L, "some unrelated body text about thermal telemetry marts")))
+      .toDF("doc_id", "body")
+    def run() = Dedup.simhashPairsWideAdaptive(
+      corpus, "body", "doc_id", 3, bucketBound = 4).count()
+    val before = Artifacts.memoized(spark)
+    val first = run()
+    val afterFirst = Artifacts.memoized(spark)
+    assert(afterFirst == before + 1,
+      s"first call must add exactly one memo entry ($before -> $afterFirst)")
+    val second = run()
+    assert(Artifacts.memoized(spark) == afterFirst,
+      "repeat call with the same sketch plan + bound must hit the memo")
+    assert(first == second, "memoized dispatch changed the result")
+    // a DIFFERENT bound is a different decision: new entry
+    Dedup.simhashPairsWideAdaptive(
+      corpus, "body", "doc_id", 3, bucketBound = 2).count()
+    assert(Artifacts.memoized(spark) == afterFirst + 1,
+      "per-bound keying lost: a new bound must re-measure")
   }
 
   test("cleanCorpusBest over star pairs equals the all-pairs route on " +
