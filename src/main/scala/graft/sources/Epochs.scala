@@ -250,12 +250,33 @@ object Epochs {
     * at least double in size going older, so the live count stays
     * O(log N) and lifetime rewrite O(N log N). No-op when the staircase
     * invariant already holds everywhere.
+    *
+    * SIZE FLOOR (round 17 — the r16 hist-mart finding: a 128-epoch run
+    * of 160-row partitions paid +90% write premium on folds whose only
+    * product was churning KB-scale dirs into other KB-scale dirs;
+    * BASELINE.md r16 fold table): when `minFoldBytes` > 0 and the
+    * chosen suffix holds fewer combined bytes than the floor, the fold
+    * is SKIPPED — a merge that cannot produce a partition worth a
+    * tier is pure write amplification, since per-fold cost is
+    * job-launch/footer dominated at that size, not byte dominated. So
+    * tiny epochs ACCUMULATE instead — bounded by `maxSmallDirs`: once
+    * the committed-dir count reaches it, the suffix folds regardless
+    * (the large-K `compactEvery` behavior, emergent). Reader cost
+    * stays O(maxSmallDirs + log N) listings; write cost per byte
+    * drops to the plain tiered schedule of the FLOOR-SIZED tier.
+    * `minFoldBytes` = 0 (the default) disables the floor and is
+    * bit-identical to the round-16 policy.
     */
   def foldTiered(spark: SparkSession, dir: String, ratio: Double = 1.0,
                  keepLast: Int = 1,
-                 targetFileBytes: Long = 128L * 1024 * 1024): FoldStats = {
+                 targetFileBytes: Long = 128L * 1024 * 1024,
+                 minFoldBytes: Long = 0L,
+                 maxSmallDirs: Int = 32): FoldStats = {
     checkKeepLast(keepLast)
     require(ratio > 0, "Epochs.foldTiered: ratio must be > 0")
+    require(maxSmallDirs >= 2,
+      "Epochs.foldTiered: maxSmallDirs must be >= 2 — it is the " +
+        "dir-count escape that bounds accumulation under the size floor")
     recover(dir)
     val root = new java.io.File(dir)
     val dirs = batchDirs(root)
@@ -270,8 +291,12 @@ object Epochs {
     j match {
       // need ≥ 2 partitions in the suffix for a fold to mean anything
       case Some(i) if foldable.length - i >= 2 =>
-        foldRange(spark, root, foldable.drop(i), dirs.length, filesBefore,
-          targetFileBytes)
+        val suffixBytes = bytes.drop(i).sum
+        if (minFoldBytes > 0 && suffixBytes < minFoldBytes &&
+            foldable.length < maxSmallDirs) noop // under-floor: accumulate
+        else
+          foldRange(spark, root, foldable.drop(i), dirs.length, filesBefore,
+            targetFileBytes)
       case _ => noop
     }
   }

@@ -25,6 +25,19 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingTelemetry {
 
+  /** Default size floor for tiered mart folds (round 17): the r16 hist
+    * leg measured a +90% write premium folding 160-row (KB-scale)
+    * partitions — merges whose cost is job/footer overhead, not bytes.
+    * Below this floor [[graft.sources.Epochs.foldTiered]] lets tiny
+    * epochs accumulate (bounded by its maxSmallDirs escape, 32 dirs)
+    * instead of churning them every epoch; marts whose epochs are
+    * real-sized (MB+) behave exactly as before, since any 2-epoch
+    * suffix already clears 8 MiB. Override per sink with
+    * `minFoldBytes` (0 restores the unconditional r16 policy — the
+    * parity specs exercise both).
+    */
+  val DefaultMartFoldFloor: Long = 8L * 1024 * 1024
+
   /** Tumbling event-time utilization aggregate over a metric stream with
     * columns (ts: timestamp, machine_id, gpu_util_pct, cpu_util_pct).
     * Streaming analogue of Gold.clusterUtilDaily — exact percentile is not
@@ -170,7 +183,8 @@ object StreamingTelemetry {
                      textCol: String = "text", idCol: String = "doc_id",
                      threshold: Double = 0.7, compactEvery: Int = 0,
                      compactTailRatio: Double = 0.0,
-                     collectCandLimit: Int = 8192)
+                     collectCandLimit: Int = 8192,
+                     minFoldBytes: Long = DefaultMartFoldFloor)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(compactEvery == 0 || compactTailRatio == 0.0,
       "streamNearDups: pick ONE compaction policy — periodic " +
@@ -222,8 +236,10 @@ object StreamingTelemetry {
             graft.sources.Epochs.fold(spark, corpusDir)
             ()
           } else if (compactTailRatio > 0.0) {
-            graft.sources.Epochs.foldTiered(spark, indexDir, compactTailRatio)
-            graft.sources.Epochs.foldTiered(spark, corpusDir, compactTailRatio)
+            graft.sources.Epochs.foldTiered(spark, indexDir, compactTailRatio,
+              minFoldBytes = minFoldBytes)
+            graft.sources.Epochs.foldTiered(spark, corpusDir, compactTailRatio,
+              minFoldBytes = minFoldBytes)
             ()
           }
         } finally b.unpersist()
@@ -246,10 +262,11 @@ object StreamingTelemetry {
     */
   def streamKmvMart(rows: DataFrame, martDir: String, checkpointDir: String,
                     grainCols: Seq[String], key: Column, k: Int = 128,
-                    compactEvery: Int = 0, compactTailRatio: Double = 0.0)
+                    compactEvery: Int = 0, compactTailRatio: Double = 0.0,
+                    minFoldBytes: Long = DefaultMartFoldFloor)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    streamMart(rows, martDir, checkpointDir, compactEvery, compactTailRatio)(
-      graft.operators.Kmv.mart(_, grainCols, key, k))
+    streamMart(rows, martDir, checkpointDir, compactEvery, compactTailRatio,
+      minFoldBytes)(graft.operators.Kmv.mart(_, grainCols, key, k))
 
   /** The shared epoch-partition mart sink: per non-empty micro-batch,
     * `build(batch)` overwritten into `batch=<epoch>` — ONE place owning
@@ -275,7 +292,8 @@ object StreamingTelemetry {
     */
   private def streamMart(rows: DataFrame, martDir: String,
                          checkpointDir: String, compactEvery: Int = 0,
-                         compactTailRatio: Double = 0.0)
+                         compactTailRatio: Double = 0.0,
+                         minFoldBytes: Long = DefaultMartFoldFloor)
                         (build: DataFrame => DataFrame)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(compactEvery == 0 || compactTailRatio == 0.0,
@@ -295,7 +313,8 @@ object StreamingTelemetry {
           graft.sources.Epochs.fold(spark, martDir)
           ()
         } else if (compactTailRatio > 0.0) {
-          graft.sources.Epochs.foldTiered(spark, martDir, compactTailRatio)
+          graft.sources.Epochs.foldTiered(spark, martDir, compactTailRatio,
+            minFoldBytes = minFoldBytes)
           ()
         }
         ()
@@ -319,10 +338,11 @@ object StreamingTelemetry {
     */
   def streamEdgeMart(lineitems: DataFrame, martDir: String,
                      checkpointDir: String, compactEvery: Int = 0,
-                     compactTailRatio: Double = 0.0)
+                     compactTailRatio: Double = 0.0,
+                     minFoldBytes: Long = DefaultMartFoldFloor)
       : org.apache.spark.sql.streaming.StreamingQuery =
     streamMart(lineitems, martDir, checkpointDir, compactEvery,
-      compactTailRatio)(graft.operators.GraphMart.coOrderCounts)
+      compactTailRatio, minFoldBytes)(graft.operators.GraphMart.coOrderCounts)
 
   /** Incremental histogram-mart maintenance — the distribution twin of
     * streamKmvMart: per epoch, the batch's fixed-width bin counts
@@ -333,10 +353,12 @@ object StreamingTelemetry {
     */
   def streamHistMart(rows: DataFrame, martDir: String, checkpointDir: String,
                      grainCols: Seq[String], value: Column, binWidth: Double,
-                     compactEvery: Int = 0, compactTailRatio: Double = 0.0)
+                     compactEvery: Int = 0, compactTailRatio: Double = 0.0,
+                     minFoldBytes: Long = DefaultMartFoldFloor)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    streamMart(rows, martDir, checkpointDir, compactEvery, compactTailRatio)(
-      graft.operators.Quantiles.histMart(_, grainCols, value, binWidth))
+    streamMart(rows, martDir, checkpointDir, compactEvery, compactTailRatio,
+      minFoldBytes)(graft.operators.Quantiles.histMart(_, grainCols, value,
+      binWidth))
 
   /** Live distribution-drift monitoring: per micro-batch, the PSI of the
     * arriving batch against a FIXED reference distribution
