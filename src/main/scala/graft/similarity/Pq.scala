@@ -286,4 +286,77 @@ object Pq {
     val shortlist = Ranking.topKIds(scoredAll, "qid", "ascore", "cid_", rerank)
     rerankExact(shortlist, queries, corpusVecs, k)
   }
+
+  /** One (nprobe, rerank) operating point off a measured recall curve:
+    * the chooser that turns the committed probe evidence into an API.
+    *
+    * @param nprobe        IVF cells probed per query
+    * @param rerank        ADC shortlist re-scored exactly per query
+    * @param expectedRecall measured recall@k at this point on the curve
+    * @param expectedSec   measured sweep seconds at the curve's scale
+    *                      (RELATIVE guidance between points, not a
+    *                      latency promise at yours)
+    * @param meetsTarget   false when no curve point reached the target
+    *                      and this is the best available instead
+    */
+  final case class IvfPqOperatingPoint(nprobe: Int, rerank: Int,
+                                       expectedRecall: Double,
+                                       expectedSec: Double,
+                                       meetsTarget: Boolean)
+
+  /** Recommend (nprobe, rerank) for a target recall@k by reading a
+    * committed [[graft.AnnProbe]] curve artifact — the r16 sweep
+    * (probes/r16/ann_probe_100x.json, 200k-vector corpus, nlist 64)
+    * measured that RERANK SATURATES AT 256 (the exact re-rank recovers
+    * everything the shortlist holds; growing it past the true-neighbor
+    * count buys nothing) and NPROBE 2-4 IS THE KNEE (recall 0.988 →
+    * 0.999 for ~10% more scan); this chooser encodes that evidence
+    * instead of leaving it a table a user must re-derive.
+    *
+    * Selection: the LEAST-WORK curve point whose measured recall
+    * reaches `targetRecall` — minimal nprobe first (scan volume is
+    * linear in it), minimal rerank second (shortlist re-score size).
+    * Measured seconds are REPORTED, not used for ordering: probe-scale
+    * wall times are noisy at the ±0.1 s level, and ordering by them
+    * would pick rerank 1024 over the saturated 256 on a 0.07 s wobble.
+    * If NO point reaches the target (the curve tops out at its corpus's
+    * ceiling), the highest-recall point is returned with
+    * `meetsTarget = false` — callers wanting exactness should use
+    * nprobe = nlist / rerank ≥ |corpus| (the provable brute-force
+    * mode), not a curve lookup.
+    *
+    * The artifact is read DRIVER-SIDE (Jackson, on Spark's classpath;
+    * a few KB — no session needed). To regenerate the curve at your
+    * own scale/nlist, run `graft.AnnProbe` (SPARK_GRAFT_ANN_DIR /
+    * _QUERIES / _NLIST / _OUT knobs) and point `curvePath` at its
+    * output; the committed r16 artifact ships as the default so the
+    * chooser works out of the box and PqSpec pins the selection rule
+    * against it.
+    */
+  def recommendParams(targetRecall: Double,
+                      curvePath: String = "probes/r16/ann_probe_100x.json")
+      : IvfPqOperatingPoint = {
+    require(targetRecall > 0.0 && targetRecall <= 1.0,
+      s"recommendParams: targetRecall must be in (0, 1], got $targetRecall")
+    val f = new java.io.File(curvePath)
+    require(f.isFile, s"recommendParams: no curve artifact at $curvePath — " +
+      "regenerate with graft.AnnProbe (see scaladoc)")
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
+    val gridNode = root.path("grid")
+    require(gridNode.isArray && gridNode.size() > 0,
+      s"recommendParams: $curvePath has no grid[] — not an AnnProbe artifact")
+    val grid = (0 until gridNode.size()).map { i =>
+      val p = gridNode.get(i)
+      require(p.hasNonNull("nprobe") && p.hasNonNull("rerank") &&
+        p.hasNonNull("recall_at_10") && p.hasNonNull("sec"),
+        s"recommendParams: grid[$i] missing fields in $curvePath")
+      (p.get("nprobe").asInt(), p.get("rerank").asInt(),
+        p.get("recall_at_10").asDouble(), p.get("sec").asDouble())
+    }
+    val reaching = grid.filter(_._3 >= targetRecall)
+    val (np, rr, rec, sec) =
+      if (reaching.nonEmpty) reaching.minBy(p => (p._1, p._2))
+      else grid.maxBy(p => (p._3, -p._1, -p._2))
+    IvfPqOperatingPoint(np, rr, rec, sec, meetsTarget = reaching.nonEmpty)
+  }
 }

@@ -80,4 +80,50 @@ class PqSpec extends SparkSpecBase {
       corpus, trained, k = 3))
     assert(viaIndex == viaFit)
   }
+
+  test("recommendParams reads the committed r16 curve: least-work point " +
+    "reaching the target, saturation/knee evidence encoded") {
+    // pinned against probes/r16/ann_probe_100x.json — the committed
+    // 200k-corpus sweep whose measurements this chooser exists to
+    // operationalize (rerank saturates at 256; nprobe 2-4 is the knee).
+    // Regeneration recipe = graft.AnnProbe (the scaladoc points there).
+    assert(new java.io.File("probes/r16/ann_probe_100x.json").isFile,
+      "committed curve artifact moved — update the default curvePath")
+    val p95 = Pq.recommendParams(0.95)
+    assert(p95.nprobe == 2 && p95.rerank == 256 && p95.meetsTarget &&
+      p95.expectedRecall == 0.988, s"knee pick regressed: $p95")
+    val p99 = Pq.recommendParams(0.99)
+    assert(p99.nprobe == 4 && p99.rerank == 256 && p99.meetsTarget,
+      s"0.99 pick regressed: $p99")
+    val exact = Pq.recommendParams(1.0)
+    assert(exact.nprobe == 8 && exact.rerank == 256 && exact.meetsTarget,
+      s"1.0 pick regressed: $exact")
+    // a lax target takes the cheapest measured point, not a bigger one
+    val lax = Pq.recommendParams(0.5)
+    assert(lax.nprobe == 1 && lax.rerank == 64 && lax.meetsTarget,
+      s"lax pick regressed: $lax")
+    assert(intercept[IllegalArgumentException] {
+      Pq.recommendParams(0.0)
+    }.getMessage.contains("targetRecall"))
+    assert(intercept[IllegalArgumentException] {
+      Pq.recommendParams(0.9, curvePath = "/nonexistent/curve.json")
+    }.getMessage.contains("AnnProbe"))
+  }
+
+  test("recommendParams past the curve's ceiling returns best-available " +
+    "with meetsTarget = false") {
+    // a synthetic curve topping out below the target — the chooser must
+    // say so instead of silently under-delivering
+    val f = java.io.File.createTempFile("graft-curve", ".json")
+    f.deleteOnExit()
+    val json = """{"metric":"ann_probe","grid":[
+      {"nprobe":1,"rerank":64,"recall_at_10":0.7,"sec":1.0},
+      {"nprobe":4,"rerank":256,"recall_at_10":0.9,"sec":2.0},
+      {"nprobe":8,"rerank":256,"recall_at_10":0.9,"sec":3.0}]}"""
+    java.nio.file.Files.write(f.toPath, json.getBytes("UTF-8"))
+    val p = Pq.recommendParams(0.95, curvePath = f.getPath)
+    assert(!p.meetsTarget && p.expectedRecall == 0.9 &&
+      p.nprobe == 4 && p.rerank == 256, // least work among ceiling ties
+      s"ceiling fallback regressed: $p")
+  }
 }
