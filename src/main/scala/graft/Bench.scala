@@ -103,9 +103,19 @@ import org.apache.spark.sql.SparkSession
   * failed. The per-query outlier+rerun machinery runs unchanged on
   * the remaining samples.
   *
-  * Rerun executions run with the job group CLEARED so the shuffle_mb
-  * listener (attribution = last ordinary pass) never double-counts a
-  * rerun's bytes into the per-run map. The JSON line is also written to
+  * Shuffle_mb attribution (round 17): every ordinary pass tags its jobs
+  * with a "p<pass>:<query>" group, so per-pass byte maps all exist; the
+  * reported map is read off the LAST NON-DISCARDED pass ("shuffle_pass"
+  * names it) — previously only the final pass was attributed, so when
+  * rev 5 discarded that pass the bytes came from the one sweep the
+  * policy distrusts (ADVICE r16). Rerun executions run with the job
+  * group CLEARED so rerun bytes never pollute any pass's map.
+  * "build_seconds" (round 17) records each query's construction wall
+  * from the untimed build phase (≥ 10 ms only): for eager_rebuilt
+  * queries that construction is re-paid inside every timed pass, so
+  * median − build_seconds ≈ execution — the construction-vs-execution
+  * split the settled-creep attribution needs. The JSON line is also
+  * written to
   * bench_last.json (override: SPARK_GRAFT_BENCH_OUT) so a truncated
   * stdout capture can't lose the totals — round 3's committed artifact
   * lost its tail that way.
@@ -220,10 +230,19 @@ object Bench {
     // materialized plan node — is AUDITABLE from the JSON rather than
     // invisible (judge advice r14: the net's blind spot needs a record,
     // not just a threshold).
-    val built: Seq[(String, Option[org.apache.spark.sql.DataFrame], Boolean, Int)] =
+    // build_seconds (round 17 — the r16 settled-creep attribution ask):
+    // per-query CONSTRUCTION wall seconds, measured in this untimed
+    // build phase. For lazy queries it is one-time Scala/analysis cost;
+    // for eager-classified queries it is the construction work re-paid
+    // INSIDE every timed pass (eager_rebuilt names them), so a
+    // consumer can split each eager median into ~build_seconds of
+    // construction + the rest execution. First-build JIT/cache-cold
+    // effects make it an upper bound on the per-pass re-pay.
+    val built: Seq[(String, Option[org.apache.spark.sql.DataFrame], Boolean, Int, Double)] =
       ordered.map { case (name, fn) =>
         org.apache.spark.sql.GraftSqlBridge.drainListenerBus(spark.sparkContext)
         val (jobs0, acts0) = (buildJobs.get(), buildActions.get())
+        val t0 = System.nanoTime()
         val dfOpt =
           try Some(fn(spark, sfDir))
           catch {
@@ -232,6 +251,7 @@ object Bench {
                 s"BENCH BUILD FAIL $name: ${t.getClass.getName}: ${t.getMessage}")
               None
           }
+        val buildSec = (System.nanoTime() - t0) / 1e9
         org.apache.spark.sql.GraftSqlBridge.drainListenerBus(spark.sparkContext)
         val planEager = dfOpt.exists { df =>
           val p = df.queryExecution.optimizedPlan.toString
@@ -239,12 +259,16 @@ object Bench {
         }
         val rawJobs = buildJobs.get() - jobs0
         val eager = planEager || buildActions.get() > acts0 || rawJobs >= 10
-        (name, dfOpt, eager, rawJobs)
+        (name, dfOpt, eager, rawJobs, buildSec)
       }
     spark.sparkContext.removeSparkListener(buildListener)
     spark.listenerManager.unregister(qeListener)
-    val eagerNames = built.collect { case (n, _, true, _) => n }
-    val buildJobCounts = built.collect { case (n, _, _, j) if j > 0 => (n, j) }
+    val eagerNames = built.collect { case (n, _, true, _, _) => n }
+    val buildJobCounts = built.collect { case (n, _, _, j, _) if j > 0 => (n, j) }
+    // ≥ 10 ms only: sub-centisecond construction is pure Scala-object
+    // noise and would bloat the artifact without informing the split
+    val buildSecs = built.collect { case (n, _, _, _, s) if s >= 0.01 =>
+      (n, math.round(s * 1000) / 1000.0) }
 
     def exec(name: String, df: org.apache.spark.sql.DataFrame): Boolean =
       try { df.write.format("noop").mode("overwrite").save(); true }
@@ -272,7 +296,7 @@ object Bench {
       else dfOpt.exists(exec(name, _))
 
     // warm-up, untimed
-    built.foreach { case (name, dfOpt, _, _) => dfOpt.foreach(exec(name, _)) }
+    built.foreach { case (name, dfOpt, _, _, _) => dfOpt.foreach(exec(name, _)) }
 
     val bytes = new BytesListener
     spark.sparkContext.addSparkListener(bytes)
@@ -291,17 +315,17 @@ object Bench {
     }
 
     // passes(pass) = per-query (name, seconds, ok); the byte listener
-    // attributes only the LAST ordinary pass (map reset before it) so
-    // bytes are per-run, not per-3-runs; attribution rides the job
-    // group set per query
+    // attributes EVERY ordinary pass under a "p<pass>:<name>" job group
+    // (round 17 — previously only the LAST pass was attributed, so when
+    // the last pass was the one rev 5 discards, the artifact's
+    // shuffle bytes came from the very sweep the policy deems
+    // untrustworthy; the ADVICE r16 low). The reported map is read off
+    // the last NON-discarded pass after the discard decision below.
     val passes: Seq[Seq[(String, Double, Boolean)]] =
       (1 to timedPasses).map { pass =>
         timedSweep(pass.toString) {
-          if (pass == timedPasses) bytes.shuffle.clear()
-          built.map { case (name, dfOpt, eager, _) =>
-            if (pass == timedPasses)
-              spark.sparkContext.setJobGroup(name, name)
-            else spark.sparkContext.clearJobGroup()
+          built.map { case (name, dfOpt, eager, _, _) =>
+            spark.sparkContext.setJobGroup(s"p$pass:$name", name)
             val t0 = System.nanoTime()
             val ok = runOnce(name, dfOpt, eager)
             (name, (System.nanoTime() - t0) / 1e9, ok)
@@ -320,6 +344,13 @@ object Bench {
     val discardedJson =
       s"""{"pass":"${passEnv(worstPass)._1}","wall_s":${
         math.round(passEnv(worstPass)._5 * 100) / 100.0}}"""
+    // shuffle bytes will be reported from the last pass that SURVIVED
+    // the discard — per-pass "p<pass>:" job groups make every pass's
+    // bytes available, so the attribution can never ride the
+    // contaminated sweep (shuffle bytes are plan-determined, but
+    // spill-induced variance would otherwise be read off a pass the
+    // policy distrusts); extraction happens after the bus drain below
+    val attribPass = (1 to timedPasses).filter(_ != worstPass + 1).max
 
     // Outlier policy (rev 4, see header): flag, rerun, report the clean
     // median. Reruns are grouped into one extra instrumented sweep so
@@ -329,12 +360,12 @@ object Bench {
     // full per-query run record (for the "passes" audit field) vs the
     // median-eligible samples (worst pass excluded)
     val allRuns = scala.collection.mutable.LinkedHashMap(
-      built.map { case (name, _, _, _) =>
+      built.map { case (name, _, _, _, _) =>
         name -> scala.collection.mutable.ListBuffer(
           passes.map(p => p.find(_._1 == name).get._2): _*)
       }: _*)
     val samples = scala.collection.mutable.LinkedHashMap(
-      built.map { case (name, _, _, _) =>
+      built.map { case (name, _, _, _, _) =>
         val runs = passes.map(p => p.find(_._1 == name).get)
         val kept = runs.zipWithIndex.collect {
           case ((_, sec, _), i) if i != worstPass => sec
@@ -343,13 +374,13 @@ object Bench {
           runs.forall(_._3))
       }: _*)
     val rerunCounts = scala.collection.mutable.LinkedHashMap.empty[String, Int]
-    val needsRerun = built.filter { case (name, dfOpt, _, _) =>
+    val needsRerun = built.filter { case (name, dfOpt, _, _, _) =>
       val (xs, ok) = samples(name)
       ok && dfOpt.nonEmpty && xs.exists(x => isOutlier(x, xs.min))
     }
     if (needsRerun.nonEmpty) {
       timedSweep("rerun") {
-        needsRerun.flatMap { case (name, dfOpt, eager, _) =>
+        needsRerun.flatMap { case (name, dfOpt, eager, _, _) =>
           val (xs, wasOk) = samples(name)
           var granted = 0
           var rerunsOk = true
@@ -374,11 +405,18 @@ object Bench {
 
     // deliver every queued task event before reading the byte map
     org.apache.spark.sql.GraftSqlBridge.drainListenerBus(spark.sparkContext)
+    val shuffleByName: Map[String, Long] = {
+      import scala.jdk.CollectionConverters._
+      val prefix = s"p$attribPass:"
+      bytes.shuffle.asScala.collect {
+        case (k, v) if k.startsWith(prefix) => k.stripPrefix(prefix) -> v
+      }.toMap
+    }
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    val byName = built.map { case (name, _, _, _) =>
+    val byName = built.map { case (name, _, _, _, _) =>
       val (xs, ok) = samples(name)
       val mn = xs.min
       val clean0 = xs.filterNot(x => isOutlier(x, mn)).toSeq
@@ -399,9 +437,9 @@ object Bench {
       "\"" + k + "\":" + runs.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = byName.collect { case (_, med, true, _) => med }.sum
-    def mb(m: java.util.concurrent.ConcurrentHashMap[String, Long]) =
+    def mb(m: Map[String, Long]) =
       ordered.map { case (k, _) =>
-        val v = m.getOrDefault(k, 0L) / 1048576.0
+        val v = m.getOrElse(k, 0L) / 1048576.0
         "\"" + k + "\":" + math.round(v * 10) / 10.0
       }.mkString("{", ",", "}")
     val envJson = passEnv.map { case (label, l0, l1, gc, wall) =>
@@ -417,6 +455,8 @@ object Bench {
     // makes a 1-9-job borderline construction auditable from the JSON
     val buildJobsJson = buildJobCounts
       .map { case (k, n) => "\"" + k + "\":" + n }.mkString("{", ",", "}")
+    val buildSecsJson = buildSecs
+      .map { case (k, s) => "\"" + k + "\":" + s }.mkString("{", ",", "}")
     val histFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY",
       "bench_history.jsonl")
     // ESCAPE AUDIT, scripted (round 15; previously a manual diff): a
@@ -478,7 +518,7 @@ object Bench {
     // summary) so bench_history.jsonl lines are self-describing — cross-
     // round trend mining must not need the BENCH_r0N snapshot files
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","bench_rev":$benchRev,"n_queries":${byName.size},"n_failed":${byName.count(!_._3)},"failed":$failed,"pass_env":$envJson,"discarded_pass":$discardedJson,"outlier_reruns":$rerunsJson,"eager_rebuilt":$eagerJson,"build_jobs":$buildJobsJson,"escape_audit":$escapeAudit,"passes":$allPasses,"shuffle_mb":${mb(bytes.shuffle)},"sf":"$sfDir","queries":$qs}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","bench_rev":$benchRev,"n_queries":${byName.size},"n_failed":${byName.count(!_._3)},"failed":$failed,"pass_env":$envJson,"discarded_pass":$discardedJson,"shuffle_pass":$attribPass,"outlier_reruns":$rerunsJson,"eager_rebuilt":$eagerJson,"build_jobs":$buildJobsJson,"build_seconds":$buildSecsJson,"escape_audit":$escapeAudit,"passes":$allPasses,"shuffle_mb":${mb(shuffleByName)},"sf":"$sfDir","queries":$qs}"""
     println(line)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
@@ -509,7 +549,7 @@ object Bench {
     // carry the same negative-seconds convention as "queries": a
     // time-to-failure must never read as a slow-but-passing timing.
     val slowest = byName.sortBy(-_._2).take(15).map { case (k, med, ok, _) =>
-      val smb = bytes.shuffle.getOrDefault(k, 0L) / 1048576.0
+      val smb = shuffleByName.getOrElse(k, 0L) / 1048576.0
       val sec = math.round(med * 100) / 100.0
       "\"" + k + "\":[" + (if (ok) sec else -sec) + "," +
         math.round(smb * 10) / 10.0 + "]"
