@@ -191,6 +191,13 @@ object DedupProbe {
       canonicals, "text", "doc_id", maxHamming = 3,
       bucketBound = adaptiveBound)
     val (adaptiveN, tAdaptive) = timed(adaptivePairs().count())
+    // the memo A/B (round 17): an immediate REPEAT call — what every
+    // bench pass and every same-corpus incremental batch pays — hits
+    // the per-(sketch, bound) histogram memo, so the r16 decision
+    // premium (sec_adaptive_warm − sec_all_pairs) should collapse to
+    // the mixed plan's own cost here. pairs_adaptive_repeat rides the
+    // artifact as the identical-result audit.
+    val (adaptiveN2, tAdaptiveRepeat) = timed(adaptivePairs().count())
 
     // Downstream contract: same consumers as the pipeline's clean stage.
     // SPARK_GRAFT_PROBE_SKIP_DOWNSTREAM=1 (round 16) bounds the probe to
@@ -216,7 +223,9 @@ object DedupProbe {
           s""""sec_all_pairs":${r2s(tAll)},""" +
           s""""sec_star_warm":${r2s(tStarWarm)},""" +
           s""""sec_closed_warm":${r2s(tClosed)},""" +
-          s""""sec_adaptive_warm":${r2s(tAdaptive)}}"""
+          s""""sec_adaptive_warm":${r2s(tAdaptive)},""" +
+          s""""sec_adaptive_repeat":${r2s(tAdaptiveRepeat)},""" +
+          s""""pairs_adaptive_repeat":$adaptiveN2}"""
       println(line)
       val outFile = sys.env.getOrElse("SPARK_GRAFT_PROBE_OUT",
         "dedup_probe_last.json")
@@ -293,6 +302,8 @@ object DedupProbe {
         s""""adaptive_bound":$adaptiveBound,""" +
         s""""cand_adaptive":$candAdaptive,"pairs_adaptive":$adaptiveN,""" +
         s""""sec_adaptive_warm":${r2(tAdaptive)},""" +
+        s""""sec_adaptive_repeat":${r2(tAdaptiveRepeat)},""" +
+        s""""pairs_adaptive_repeat":$adaptiveN2,""" +
         s""""sec_clean_adaptive":${r2(tCleanAdaptive)},""" +
         s""""survivors_adaptive":$nAdaptiveSurv,""" +
         s""""survivors_only_adaptive":$onlyAdaptive,""" +

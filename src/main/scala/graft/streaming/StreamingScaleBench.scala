@@ -121,6 +121,12 @@ object StreamingScaleBench {
     // (route parity is spec'd; this is a pure cost A/B).
     val candLimit =
       sys.env.getOrElse("SPARK_GRAFT_SSB_CAND_LIMIT", "8192").toInt
+    // Round 17 (VERDICT r16 #4): the tiered-fold size floor A/B — the
+    // sinks' default (8 MiB) is the new behavior under test; 0 restores
+    // the unconditional r16 schedule so the premium is comparable on
+    // the same fixture.
+    val foldFloor = sys.env.getOrElse("SPARK_GRAFT_SSB_FOLD_FLOOR",
+      StreamingTelemetry.DefaultMartFoldFloor.toString).toLong
 
     // ---- streamNearDups over the diversify documents ----
     val docs = if (!legs("dedup")) Seq.empty else
@@ -133,7 +139,7 @@ object StreamingScaleBench {
         in.toDF().toDF("doc_id", "text"),
         s"$root/corpus", s"$root/index", s"$root/pairs", s"$root/ckpt",
         compactEvery = compactEvery, compactTailRatio = tailRatio,
-        collectCandLimit = candLimit)
+        collectCandLimit = candLimit, minFoldBytes = foldFloor)
       try {
         docs.grouped(rate).foreach { c =>
           in.addData(c: _*); q.processAllAvailable()
@@ -224,6 +230,8 @@ object StreamingScaleBench {
       val schema = spark.read.parquet(splitDir).schema
       val suffix =
         if (compactEvery > 0) s"_fold$compactEvery"
+        else if (tailRatio > 0 && foldFloor > 0)
+          s"_tiered${tailRatio}_floor${foldFloor / 1048576}m"
         else if (tailRatio > 0) s"_tiered$tailRatio"
         else ""
       def dirStats(dir: String): (Int, Int) = {
@@ -259,7 +267,7 @@ object StreamingScaleBench {
       deepLeg("kmv") { (s, m, c) =>
         StreamingTelemetry.streamKmvMart(s, m, c, Seq("g"),
           org.apache.spark.sql.functions.col("l_orderkey").cast("string"),
-          128, compactEvery, tailRatio)
+          128, compactEvery, tailRatio, foldFloor)
       } { dir =>
         graft.operators.Kmv.rollup(
             spark.read.parquet(dir).drop("batch"), Seq("g"), 128)
@@ -270,7 +278,7 @@ object StreamingScaleBench {
       deepLeg("hist") { (s, m, c) =>
         StreamingTelemetry.streamHistMart(s, m, c, Seq("g"),
           org.apache.spark.sql.functions.col("v"), 50.0,
-          compactEvery, tailRatio)
+          compactEvery, tailRatio, foldFloor)
       } { dir =>
         graft.operators.Quantiles.rollup(
             spark.read.parquet(dir).drop("batch"), Seq("g"))
@@ -278,7 +286,8 @@ object StreamingScaleBench {
       }
       deepLeg("edge") { (s, m, c) =>
         StreamingTelemetry.streamEdgeMart(
-          s.select("l_orderkey", "l_partkey"), m, c, compactEvery, tailRatio)
+          s.select("l_orderkey", "l_partkey"), m, c, compactEvery, tailRatio,
+          foldFloor)
       } { dir =>
         graft.operators.GraphMart.readMerged(spark, dir).count()
       }
