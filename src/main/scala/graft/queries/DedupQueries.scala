@@ -275,6 +275,21 @@ object DedupQueries extends QueryPack {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
 
+    // The round-17 exact-substring verify, oracle-checked END TO END:
+    // q_strip_spans' token path PLUS the char-level window-union over
+    // span-flagged star pairs (stripDupSpans exactVerify — runs
+    // beginning/ending mid-token and sub-w aligned runs ≥ 25 chars are
+    // caught on flagged docs). The oracle reproduces the whole verify
+    // in SQL: star pairs off the duplicated spans, 25-char gram match
+    // between the pair's joined token strings, per-token full-coverage
+    // check via window char offsets — so the UDF kernel's semantics
+    // are cross-engine-pinned, not just spec'd.
+    "q_strip_spans_verified" -> ((s, d) =>
+      Dedup.stripDupSpans(Tables.documents(s, d), "text", "doc_id", w = 5,
+          exactVerify = true, minMatchChars = 25)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
     // Eval-set decontamination: near-duplicate leakage between a
     // deterministic 15% eval split and the remaining training corpus —
     // MinHash band candidates (eval side drives the join), exact-Jaccard
@@ -874,6 +889,81 @@ object DedupQueries extends QueryPack {
         |  FROM tokpos tp
         |  WHERE NOT EXISTS (SELECT 1 FROM cov
         |                    WHERE cov.id = tp.id AND cov.pos = tp.pos)
+        |  GROUP BY tp.id)
+        |SELECT tok.id AS doc_id,
+        |       coalesce(kept.clean_text, '') AS clean_text,
+        |       len(tok.w)::BIGINT AS n_tokens,
+        |       coalesce(kept.n_kept, 0)::BIGINT AS n_kept_tokens
+        |FROM tok LEFT JOIN kept ON kept.id = tok.id
+        |ORDER BY doc_id""".stripMargin,
+    // the exact-substring verify reproduced in SQL on the same CTE
+    // skeleton as q_strip_spans: flagged spans → min-id hubs → star
+    // pairs (both directions via the sides UNION, mirroring the UDF's
+    // two-sided emit) → 25-char gram match windows between joined token
+    // strings → a token drops iff EVERY one of its chars (1-based
+    // offsets off a windowed prefix sum) falls inside a matched window
+    // — unioned with the token-level cov positions into one reassembly
+    "q_strip_spans_verified" ->
+      s"""WITH tok AS (SELECT doc_id AS id, $tokensSql AS w FROM documents),
+        |sp0 AS (
+        |  SELECT id, unnest(list_transform(generate_series(1, len(w) - 4),
+        |    i -> {'strt': i - 1,
+        |          's': w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]})) AS u
+        |  FROM tok WHERE len(w) >= 5),
+        |sp AS (SELECT id, u.strt AS strt, u.s AS s FROM sp0),
+        |sdf AS (
+        |  SELECT s, count(*) AS df
+        |  FROM (SELECT DISTINCT id, s FROM sp) GROUP BY s),
+        |cov AS (
+        |  SELECT DISTINCT sp.id, sp.strt + d AS pos
+        |  FROM sp JOIN sdf USING (s), generate_series(0, 4) AS gg(d)
+        |  WHERE sdf.df >= 2),
+        |fl AS (SELECT DISTINCT sp.id, sp.s
+        |       FROM sp JOIN sdf USING (s) WHERE sdf.df >= 2),
+        |hb AS (SELECT s, min(id) AS hub FROM fl GROUP BY s),
+        |pairs AS (SELECT DISTINCT hb.hub AS ida, fl.id AS idb
+        |          FROM fl JOIN hb USING (s) WHERE fl.id <> hb.hub),
+        |sides AS (SELECT ida AS self, idb AS other FROM pairs
+        |          UNION SELECT idb AS self, ida AS other FROM pairs),
+        |js AS (SELECT id, array_to_string(w, ' ') AS st FROM tok
+        |       WHERE id IN (SELECT self FROM sides)),
+        |gr0 AS (SELECT id, unnest(list_transform(
+        |          generate_series(1, len(st) - 24),
+        |          i -> {'i': i, 'g': substr(st, i, 25)})) AS u
+        |        FROM js WHERE len(st) >= 25),
+        |gr AS (SELECT id, u.i AS i, u.g AS g FROM gr0),
+        |wins AS (SELECT sd.self, sd.other, ga.i
+        |         FROM sides sd
+        |         JOIN gr ga ON ga.id = sd.self
+        |         JOIN (SELECT DISTINCT id, g FROM gr) gb
+        |           ON gb.id = sd.other AND gb.g = ga.g),
+        |tp0 AS (SELECT id, unnest(list_transform(generate_series(1, len(w)),
+        |          i -> {'pos': i - 1, 't': w[i]})) AS u
+        |        FROM tok WHERE len(w) > 0),
+        |tokpos AS (SELECT id, u.pos AS pos, u.t AS t FROM tp0),
+        |toff AS (SELECT id, pos, t, len(t) AS tl,
+        |           sum(len(t) + 1) OVER (PARTITION BY id ORDER BY pos)
+        |             - len(t) - 1 AS cs
+        |         FROM tokpos WHERE id IN (SELECT self FROM sides)),
+        |tokchar AS (SELECT sd.self, sd.other, toff.pos, toff.tl,
+        |              toff.cs + unnest(generate_series(1, toff.tl)) AS c
+        |            FROM sides sd JOIN toff ON toff.id = sd.self),
+        |covch AS (SELECT DISTINCT tc.self, tc.other, tc.pos, tc.tl, tc.c
+        |          FROM tokchar tc JOIN wins w
+        |            ON w.self = tc.self AND w.other = tc.other
+        |           AND tc.c BETWEEN w.i AND w.i + 24),
+        |vdrop AS (SELECT DISTINCT self AS id, pos
+        |          FROM (SELECT self, other, pos, tl, count(*) AS nc
+        |                FROM covch GROUP BY 1, 2, 3, 4)
+        |          WHERE nc = tl),
+        |allcov AS (SELECT id, pos FROM cov
+        |           UNION SELECT id, pos FROM vdrop),
+        |kept AS (
+        |  SELECT tp.id, string_agg(tp.t, ' ' ORDER BY tp.pos) AS clean_text,
+        |         count(*) AS n_kept
+        |  FROM tokpos tp
+        |  WHERE NOT EXISTS (SELECT 1 FROM allcov
+        |                    WHERE allcov.id = tp.id AND allcov.pos = tp.pos)
         |  GROUP BY tp.id)
         |SELECT tok.id AS doc_id,
         |       coalesce(kept.clean_text, '') AS clean_text,

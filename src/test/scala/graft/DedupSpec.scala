@@ -844,6 +844,56 @@ class DedupSpec extends SparkSpecBase {
       s"got ${got(4L)}")
   }
 
+  test("stripDupSpans exactVerify: a non-token-aligned char run the span " +
+    "hash misses is removed on the FLAGGED pair only") {
+    // The round-17 opt-in verify: docs 1/2 share (a) a 5-token span —
+    // the FLAG, removed by the token path in both modes — and (b) a
+    // 4-aligned-token run (below w = 5, invisible to the span hash)
+    // whose CHARACTER run clears minMatchChars because the left edge
+    // continues mid-token: doc1's "prefixed" sits whole inside doc2's
+    // "xprefixed", so the shared char run is
+    // "prefixed wonderful synthetic duplicated boilerplate fragment"
+    // (doc-1-token-aligned on the left, mid-token on both right edges).
+    // exactVerify = false keeps all of it; = true drops every token
+    // whose chars are FULLY covered (doc1: prefixed + the 4 interior;
+    // doc2: the 4 interior only — "xprefixed"/"fragmentb" are partially
+    // covered and must stay, the token-aligned output contract).
+    val flag = "alpha beta gamma delta epsilon"
+    val d = Seq(
+      (1L, s"one unique opening $flag middle prefixed wonderful synthetic " +
+        "duplicated boilerplate fragmenta closing words here"),
+      (2L, s"totally different start $flag then xprefixed wonderful " +
+        "synthetic duplicated boilerplate fragmentb other ending tokens"),
+      (3L, "completely unrelated prose about telemetry marts and shuffles")
+    ).toDF("doc_id", "body")
+    def cm(df: DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val off = cm(Dedup.stripDupSpans(d, "body", "doc_id", w = 5))
+    val on = cm(Dedup.stripDupSpans(d, "body", "doc_id", w = 5,
+      exactVerify = true, minMatchChars = 25))
+    // the flag span goes in BOTH modes (token path)
+    Seq(off, on).foreach { m =>
+      assert(!m(1L).contains("alpha") && !m(2L).contains("epsilon"), m(1L))
+    }
+    // OFF: the sub-w aligned run survives — the stated recall gap
+    Seq("wonderful", "synthetic", "duplicated", "boilerplate").foreach { t =>
+      assert(off(1L).contains(t) && off(2L).contains(t), s"$t missing OFF")
+    }
+    assert(off(1L).contains("prefixed"))
+    // ON: fully-covered tokens dropped on both sides of the pair
+    Seq("wonderful", "synthetic", "duplicated", "boilerplate").foreach { t =>
+      assert(!on(1L).contains(t) && !on(2L).contains(t), s"$t kept ON")
+    }
+    assert(!on(1L).contains("prefixed"),
+      "doc1's edge token sits whole inside doc2's — must drop")
+    assert(on(2L).contains("xprefixed") && on(2L).contains("fragmentb") &&
+      on(1L).contains("fragmenta"),
+      "partially-covered edge tokens must stay (token-aligned output)")
+    // unique prose and the unflagged doc untouched
+    assert(on(1L).contains("closing") && on(2L).contains("ending"))
+    assert(on(3L) == off(3L) && on(3L).contains("unrelated"))
+  }
+
   test("stripSelfRepeats keeps first occurrence, drops later repeats") {
     val d = Seq(
       (1L, "x y z w v x y z w v"),          // exact self-repeat → first kept
