@@ -188,6 +188,15 @@ class PlanSpec extends SparkSpecBase {
       "native keep_except missing from the reassembly projection")
   }
 
+  test("span verify (exactVerify): no cartesian product — pairs ride the " +
+    "star equi-join on the flagged span, reassembly stays keep_except") {
+    val p = plan(q("q_strip_spans_verified"))
+    assert(!p.contains("CartesianProduct"),
+      "char verify must pair via the span-hub equi-join, never a cross")
+    assert(p.contains("keep_except"),
+      "native keep_except missing from the verified reassembly")
+  }
+
   test("script detection is a shuffle-free codegen projection") {
     val p = plan(q("q_text_scripts"))
     // one exchange allowed: the final orderBy's range partitioning
