@@ -593,57 +593,92 @@ object Dedup extends org.apache.spark.internal.Logging {
     * (gram set of one side, slide the other; a "mark farthest" pointer
     * keeps total fill O(n)), and the emitted rows are (side, tokenPos)
     * for every token whose characters are FULLY covered — side 0 = the
-    * first argument, 1 = the second. O((n+m)·θ) per pair. A scalar UDF
-    * by necessity: per-pair substring hashing over two variable-length
-    * strings is not expressible in relational operators at this cost
-    * shape (a char-gram explode+join would shuffle n·θ chars per doc).
+    * hub argument, 1 = the member. O((n+m)·θ) per pair, with the HUB
+    * side's gram build amortized across its star pairs by
+    * [[HubCachedCharVerify]] (round 18). A scalar UDF by necessity:
+    * per-pair substring hashing over two variable-length strings is not
+    * expressible in relational operators at this cost shape (a
+    * char-gram explode+join would shuffle n·θ chars per doc).
     */
-  private def charDupTokenPositions(theta: Int) = udf(
-    (atk: Seq[String], btk: Seq[String]) => {
-      def joined(t: Seq[String]): String = t.mkString(" ")
-      def grams(s: String): java.util.HashSet[String] = {
-        val set = new java.util.HashSet[String]()
-        var i = 0
-        while (i + theta <= s.length) { set.add(s.substring(i, i + theta)); i += 1 }
-        set
-      }
-      def coveredTokens(s: String, toks: Seq[String],
-                        other: java.util.HashSet[String]): Seq[Int] = {
-        val n = s.length
-        if (n < theta || other.isEmpty) Seq.empty
-        else {
-          val cov = new Array[Boolean](n)
-          var filled = 0
-          var i = 0
-          while (i + theta <= n) {
-            if (other.contains(s.substring(i, i + theta))) {
-              val from = math.max(i, filled)
-              if (from < i + theta) {
-                java.util.Arrays.fill(cov, from, i + theta, true)
-                filled = i + theta
-              }
-            }
-            i += 1
+  /** θ-char gram set of `s` — the membership side of the verify kernel. */
+  private def charGrams(s: String, theta: Int): java.util.HashSet[String] = {
+    val set = new java.util.HashSet[String]()
+    var i = 0
+    while (i + theta <= s.length) { set.add(s.substring(i, i + theta)); i += 1 }
+    set
+  }
+
+  /** Token positions of `toks` (space-joined as `s`) whose every char is
+    * covered by some shared θ-window present in `other` — the sliding
+    * side of the verify kernel ("mark farthest" keeps fill O(n)).
+    */
+  private def coveredTokenPositions(s: String, toks: Seq[String],
+                                    other: java.util.HashSet[String],
+                                    theta: Int): Seq[Int] = {
+    val n = s.length
+    if (n < theta || other.isEmpty) Seq.empty
+    else {
+      val cov = new Array[Boolean](n)
+      var filled = 0
+      var i = 0
+      while (i + theta <= n) {
+        if (other.contains(s.substring(i, i + theta))) {
+          val from = math.max(i, filled)
+          if (from < i + theta) {
+            java.util.Arrays.fill(cov, from, i + theta, true)
+            filled = i + theta
           }
-          val out = scala.collection.mutable.ArrayBuffer.empty[Int]
-          var cs = 0
-          var p = 0
-          while (p < toks.length) {
-            val ce = cs + toks(p).length
-            var all = toks(p).nonEmpty
-            var j = cs
-            while (all && j < ce) { if (!cov(j)) all = false; j += 1 }
-            if (all) out += p
-            cs = ce + 1
-            p += 1
-          }
-          out.toSeq
         }
+        i += 1
       }
-      val sa = joined(atk); val sb = joined(btk)
-      coveredTokens(sa, atk, grams(sb)).map(p => (0, p)) ++
-        coveredTokens(sb, btk, grams(sa)).map(p => (1, p))
-    })
+      val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var cs = 0
+      var p = 0
+      while (p < toks.length) {
+        val ce = cs + toks(p).length
+        var all = toks(p).nonEmpty
+        var j = cs
+        while (all && j < ce) { if (!cov(j)) all = false; j += 1 }
+        if (all) out += p
+        cs = ce + 1
+        p += 1
+      }
+      out.toSeq
+    }
+  }
+
+  /** The per-pair verify function with the HUB gram set cached per
+    * task-thread (round 18, VERDICT r17 #2): the verify stream arrives
+    * clustered by hub (stripDupSpans repartitions + sorts on it), so
+    * consecutive rows share a hub and the O(n·θ) hub-gram build —
+    * BASELINE r17 named it the 3.4×'s main term, paid once per star
+    * PAIR — is paid once per (task, hub) run instead. The cache is a
+    * single-entry ThreadLocal keyed by the stringified hub id:
+    * `@transient lazy` so it never serializes, thread-confined so
+    * instance sharing across task threads cannot race, and purely a
+    * HIT-RATE optimization — output is identical for any row order or
+    * cache state, so correctness never depends on the layout.
+    */
+  private final class HubCachedCharVerify(theta: Int)
+      extends ((String, Seq[String], Seq[String]) => Seq[(Int, Int)])
+      with Serializable {
+    @transient private lazy val cache =
+      new ThreadLocal[(String, java.util.HashSet[String])]
+    def apply(hub: String, atk: Seq[String],
+              btk: Seq[String]): Seq[(Int, Int)] = {
+      val sa = atk.mkString(" "); val sb = btk.mkString(" ")
+      val hit = cache.get()
+      val hubGrams =
+        if (hit != null && hit._1 == hub) hit._2
+        else { val g = charGrams(sa, theta); cache.set((hub, g)); g }
+      coveredTokenPositions(sa, atk, charGrams(sb, theta), theta)
+        .map(p => (0, p)) ++
+        coveredTokenPositions(sb, btk, hubGrams, theta).map(p => (1, p))
+    }
+  }
+
+  private def charDupTokenPositions(theta: Int) =
+    udf(new HubCachedCharVerify(theta))
 
   /** Reassembly tail shared by the span strippers: drop the (id, pos)
     * rows in `droppedPos` from the token stream, rebuild clean_text in
@@ -721,7 +756,10 @@ object Dedup extends org.apache.spark.internal.Logging {
     * (b) the star pairing checks flagged docs against their span
     * hubs, not each other. Cost: O((|a|+|b|)·θ) per flagged pair,
     * char-gram hashing in one scalar UDF (not SQL-expressible — the
-    * same justification ledger as the IsolationForest scorer).
+    * same justification ledger as the IsolationForest scorer); the hub
+    * side's gram build is amortized across its star pairs by a
+    * hub-clustered layout + per-task cache (round 18, VERDICT r17 #2 —
+    * a hub of degree k paid k redundant O(n·θ) builds).
     */
   def stripDupSpans(docs: DataFrame, textCol: String, idCol: String,
                     w: Int = 5, exactVerify: Boolean = false,
@@ -759,10 +797,22 @@ object Dedup extends org.apache.spark.internal.Logging {
       val withTok = pairs
         .join(tok.select(col("id").as("ida"), col("tk").as("atk")), "ida")
         .join(tok.select(col("id").as("idb"), col("tk").as("btk")), "idb")
+      // HUB-CLUSTERED layout for the kernel's per-task hub-gram cache
+      // (round 18): one exchange of exactly the rows the UDF consumes
+      // once, keyed (hub, member-salt) — the salt keeps a mega-hub
+      // spread across tasks (its degree-linear verify work would
+      // otherwise serialize on one), bounding gram rebuilds per hub at
+      // the salt width while the within-partition sort makes same-hub
+      // rows consecutive. Output is order-independent; this buys only
+      // the cache hit rate.
+      val salt = pmod(xxhash64(col("idb")),
+        lit(tok.sparkSession.sparkContext.defaultParallelism.max(1)))
       val verified = withTok
+        .repartition(col("ida"), salt)
+        .sortWithinPartitions("ida")
         .select(col("ida"), col("idb"),
           explode(charDupTokenPositions(minMatchChars)(
-            col("atk"), col("btk"))).as("e"))
+            col("ida").cast("string"), col("atk"), col("btk"))).as("e"))
         .select(when(col("e._1") === 0, col("ida")).otherwise(col("idb"))
           .as("id"), col("e._2").as("pos"))
       covered.unionByName(verified)
@@ -1467,7 +1517,21 @@ object Dedup extends org.apache.spark.internal.Logging {
                                bucketBound: Int = 1024,
                                maxHotBuckets: Long = 65536L): DataFrame = {
     val mask30 = (1L << 30) - 1
-    val sh = graft.operators.Artifacts.pinEager(
+    // LAZY pin (round 18, VERDICT r17 #3): the guard histogram below is
+    // ALWAYS the first action over this frame (the memo runs before any
+    // branch is built), so the histogram job doubles as the cache fill —
+    // the sketch builds once, INSIDE the decision action, instead of a
+    // separate pinEager count() job paying the sketch build purely to
+    // warm the cache the histogram then re-scans. This is the first-call
+    // decision premium the r17 verdict measured at d1000 (23.97 s
+    // adaptive first call vs 13.43 s plain all-pairs): one of the two
+    // extra jobs was the eager count. The no-race contract pinEager
+    // exists for still holds — sequencing is by construction here
+    // (histogram action → require → branches), not by racing consumers.
+    // On a memo HIT the cache is already filled (the hit implies the
+    // same canonical sketch plan was pinned and measured this session;
+    // releaseAll clears memos with the pins, so hit ⇒ pin survived).
+    val sh = graft.operators.Artifacts.pin(
       docs.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
         .filter(size(col("toks")) > 0)
         .select(col("id"), simhash60(col("toks")).as("h1"),

@@ -114,11 +114,21 @@ object Artifacts {
   // and by stopped-session pruning — a memoized scalar must never
   // outlive the artifact it summarizes (a re-pinned artifact after a
   // release re-runs the action once). Values are tiny (histogram maxima,
-  // bucket counts), so holding them strongly until release is bounded
-  // by the same exceptionality contract as the pins.
+  // bucket counts), but the KEYS hold analyzed plans strongly, and a
+  // LocalRelation-backed plan embeds its driver-built rows (ADVICE r17)
+  // — so entries are CAPPED per session at [[MemoCap]], oldest-first
+  // eviction. Eviction is always safe: values are pure functions of the
+  // plan, so an evicted entry costs exactly one recomputed action.
   private val memos = scala.collection.mutable.LinkedHashMap
-    .empty[SparkSession, scala.collection.mutable.HashMap[
+    .empty[SparkSession, scala.collection.mutable.LinkedHashMap[
       (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String), Any]]
+
+  /** Max memo entries retained per session (oldest evicted beyond it).
+    * Sized for the real use — a handful of pinned artifacts × a few
+    * scalar keys each — while bounding the driver copies a long session
+    * over many DISTINCT driver-built corpora would otherwise accumulate.
+    */
+  val MemoCap: Int = 64
 
   /** Memoize `compute` under (`df`'s canonicalized plan, `key`) for
     * `df`'s session. First call runs the action; repeat calls on any
@@ -138,8 +148,10 @@ object Artifacts {
       case None =>
         val v = compute // outside the lock: actions must not serialize on it
         memos.synchronized {
-          memos.getOrElseUpdate(df.sparkSession,
-            scala.collection.mutable.HashMap.empty).update(k, v)
+          val m = memos.getOrElseUpdate(df.sparkSession,
+            scala.collection.mutable.LinkedHashMap.empty)
+          m.update(k, v)
+          while (m.size > MemoCap) m.remove(m.head._1) // oldest-first
         }
         v
     }

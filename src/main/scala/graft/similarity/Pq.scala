@@ -287,6 +287,12 @@ object Pq {
     rerankExact(shortlist, queries, corpusVecs, k)
   }
 
+  /** The committed r16 sweep — present both as a repo file and as the
+    * classpath resource graft/ann_probe_100x.json (same bytes), so the
+    * chooser works for library callers launched anywhere.
+    */
+  val DefaultCurvePath: String = "probes/r16/ann_probe_100x.json"
+
   /** One (nprobe, rerank) operating point off a measured recall curve:
     * the chooser that turns the committed probe evidence into an API.
     *
@@ -298,11 +304,18 @@ object Pq {
     *                      latency promise at yours)
     * @param meetsTarget   false when no curve point reached the target
     *                      and this is the best available instead
+    * @param provenanceMatch false when the caller declared an index
+    *                      (via `forNlist`/`forCorpusSize`) whose scale
+    *                      decade differs from the curve's stamp, or the
+    *                      curve carries no stamp to check — the pick is
+    *                      an EXTRAPOLATION and should be re-measured
+    *                      (run graft.AnnProbe at the caller's scale)
     */
   final case class IvfPqOperatingPoint(nprobe: Int, rerank: Int,
                                        expectedRecall: Double,
                                        expectedSec: Double,
-                                       meetsTarget: Boolean)
+                                       meetsTarget: Boolean,
+                                       provenanceMatch: Boolean = true)
 
   /** Recommend (nprobe, rerank) for a target recall@k by reading a
     * committed [[graft.AnnProbe]] curve artifact — the r16 sweep
@@ -329,19 +342,46 @@ object Pq {
     * a few KB — no session needed). To regenerate the curve at your
     * own scale/nlist, run `graft.AnnProbe` (SPARK_GRAFT_ANN_DIR /
     * _QUERIES / _NLIST / _OUT knobs) and point `curvePath` at its
-    * output; the committed r16 artifact ships as the default so the
-    * chooser works out of the box and PqSpec pins the selection rule
-    * against it.
+    * output; the committed r16 artifact ships both in probes/ and as a
+    * CLASSPATH RESOURCE (graft/ann_probe_100x.json), so library callers
+    * not launched from the repo root still get the default curve — the
+    * file path wins when it exists, the resource is the fallback for
+    * the DEFAULT path only (an explicit missing path stays an error).
+    *
+    * PROVENANCE (round 18, VERDICT r17 watch item): recall-vs-nprobe
+    * knees are corpus- and nlist-specific, and AnnProbe stamps both
+    * (`n_corpus`, `nlist`) into the artifact. Declare your index via
+    * `forNlist`/`forCorpusSize` and the chooser CHECKS instead of
+    * silently extrapolating: an nlist mismatch REFUSES (nprobe is a
+    * fraction of nlist — a pick carried across nlist is meaningless),
+    * and a corpus-size decade mismatch (or a stampless curve) returns
+    * `provenanceMatch = false` so the caller knows the pick is an
+    * extrapolation to re-measure. Omitting both keeps the advisory
+    * r16 behavior.
     */
   def recommendParams(targetRecall: Double,
-                      curvePath: String = "probes/r16/ann_probe_100x.json")
+                      curvePath: String = DefaultCurvePath,
+                      forNlist: Option[Int] = None,
+                      forCorpusSize: Option[Long] = None)
       : IvfPqOperatingPoint = {
     require(targetRecall > 0.0 && targetRecall <= 1.0,
       s"recommendParams: targetRecall must be in (0, 1], got $targetRecall")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val f = new java.io.File(curvePath)
-    require(f.isFile, s"recommendParams: no curve artifact at $curvePath — " +
-      "regenerate with graft.AnnProbe (see scaladoc)")
-    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
+    val root =
+      if (f.isFile) mapper.readTree(f)
+      else if (curvePath == DefaultCurvePath) {
+        // library caller outside the repo root: the committed default
+        // curve ships on the classpath (ADVICE r17 — a CWD-relative
+        // default made every non-repo-root caller fail spuriously)
+        val in = getClass.getResourceAsStream("/graft/ann_probe_100x.json")
+        require(in != null, "recommendParams: default curve resource " +
+          "graft/ann_probe_100x.json missing from the classpath — " +
+          "regenerate with graft.AnnProbe (see scaladoc)")
+        try mapper.readTree(in) finally in.close()
+      } else throw new IllegalArgumentException(
+        s"recommendParams: no curve artifact at $curvePath — " +
+          "regenerate with graft.AnnProbe (see scaladoc)")
     val gridNode = root.path("grid")
     require(gridNode.isArray && gridNode.size() > 0,
       s"recommendParams: $curvePath has no grid[] — not an AnnProbe artifact")
@@ -353,10 +393,35 @@ object Pq {
       (p.get("nprobe").asInt(), p.get("rerank").asInt(),
         p.get("recall_at_10").asDouble(), p.get("sec").asDouble())
     }
+    // provenance stamps (AnnProbe writes both; hand-built or pre-r16
+    // artifacts may lack them — then a declared index can't be checked)
+    val curveNlist =
+      if (root.hasNonNull("nlist")) Some(root.get("nlist").asInt()) else None
+    val curveCorpus =
+      if (root.hasNonNull("n_corpus")) Some(root.get("n_corpus").asLong())
+      else None
+    forNlist.foreach { n =>
+      curveNlist.foreach { cn =>
+        require(cn == n, s"recommendParams: curve $curvePath was measured " +
+          s"at nlist=$cn but the caller's index has nlist=$n — nprobe is " +
+          "a fraction of nlist, so the curve's picks do not transfer. " +
+          "Regenerate with graft.AnnProbe at your nlist.")
+      }
+    }
+    // true unless a declared index property can't be confirmed against
+    // the stamp: nlist needs a stamp to verify (mismatch already threw
+    // above); corpus size matches at DECADE granularity — knee shape is
+    // stable within a decade, not across one (the r16 curve is 2·10⁵)
+    def decade(n: Long): Long = math.floor(math.log10(n.toDouble)).toLong
+    val provenance =
+      forNlist.forall(_ => curveNlist.isDefined) &&
+        forCorpusSize.forall(n =>
+          curveCorpus.exists(c => decade(c) == decade(n)))
     val reaching = grid.filter(_._3 >= targetRecall)
     val (np, rr, rec, sec) =
       if (reaching.nonEmpty) reaching.minBy(p => (p._1, p._2))
       else grid.maxBy(p => (p._3, -p._1, -p._2))
-    IvfPqOperatingPoint(np, rr, rec, sec, meetsTarget = reaching.nonEmpty)
+    IvfPqOperatingPoint(np, rr, rec, sec, meetsTarget = reaching.nonEmpty,
+      provenanceMatch = provenance)
   }
 }

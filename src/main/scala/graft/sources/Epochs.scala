@@ -260,8 +260,12 @@ object Epochs {
     * tier is pure write amplification, since per-fold cost is
     * job-launch/footer dominated at that size, not byte dominated. So
     * tiny epochs ACCUMULATE instead — bounded by `maxSmallDirs`: once
-    * the committed-dir count reaches it, the suffix folds regardless
-    * (the large-K `compactEvery` behavior, emergent). Reader cost
+    * the UNDER-FLOOR SUFFIX itself reaches that many dirs, it folds
+    * regardless (the large-K `compactEvery` behavior, emergent). The
+    * escape counts the suffix, NOT all committed dirs (ADVICE r17): a
+    * long-lived mart carrying many LARGE tiers above the fold point
+    * must not have its floor silently disabled by tier count alone —
+    * only genuine tiny-dir accumulation trips the escape. Reader cost
     * stays O(maxSmallDirs + log N) listings; write cost per byte
     * drops to the plain tiered schedule of the FLOOR-SIZED tier.
     * `minFoldBytes` = 0 (the default) disables the floor and is
@@ -293,7 +297,7 @@ object Epochs {
       case Some(i) if foldable.length - i >= 2 =>
         val suffixBytes = bytes.drop(i).sum
         if (minFoldBytes > 0 && suffixBytes < minFoldBytes &&
-            foldable.length < maxSmallDirs) noop // under-floor: accumulate
+            foldable.length - i < maxSmallDirs) noop // under-floor: accumulate
         else
           foldRange(spark, root, foldable.drop(i), dirs.length, filesBefore,
             targetFileBytes)

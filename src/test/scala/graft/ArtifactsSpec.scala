@@ -80,6 +80,28 @@ class ArtifactsSpec extends SparkSpecBase {
       "cache entry must be gone even though the Dataset handle was collected")
   }
 
+  test("memo entries are capped per session, oldest evicted first, and an " +
+    "evicted key recomputes (ADVICE r17: plan keys hold driver rows)") {
+    Artifacts.releaseAll(spark)
+    val df = Seq(1, 2, 3).toDF("x")
+    var computes = 0
+    // distinct keys on ONE plan: fill to the cap, then one more
+    (0 to Artifacts.MemoCap).foreach { i =>
+      Artifacts.memo(df, s"spec.cap.$i") { computes += 1; i }
+    }
+    assert(computes == Artifacts.MemoCap + 1)
+    assert(Artifacts.memoized(spark) == Artifacts.MemoCap,
+      "cap not enforced")
+    // the OLDEST key (0) was evicted — recomputes; a young key does not
+    Artifacts.memo(df, "spec.cap.0") { computes += 1; 0 }
+    assert(computes == Artifacts.MemoCap + 2, "evicted key did not recompute")
+    val before = computes
+    Artifacts.memo(df, s"spec.cap.${Artifacts.MemoCap}") { computes += 1; 0 }
+    assert(computes == before, "young key lost to eviction")
+    Artifacts.releaseAll(spark)
+    assert(Artifacts.memoized(spark) == 0, "release must clear memos")
+  }
+
   test("operators register their artifacts through the registry " +
     "(lm model + lsh candidates appear, sweep releases them)") {
     Artifacts.releaseAll(spark)

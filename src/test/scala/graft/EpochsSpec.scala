@@ -206,6 +206,41 @@ class EpochsSpec extends SparkSpecBase {
     assert(s0.foldedEpochs >= 2, s"unfloored fold inert: $s0")
   }
 
+  test("size-floor escape counts the UNDER-FLOOR SUFFIX, not all committed " +
+    "dirs: large tiers above the fold point cannot disable the floor") {
+    // ADVICE r17: a long-lived mart with many LARGE tiers could reach
+    // maxSmallDirs total dirs with only 2 tiny dirs in the suffix; the
+    // old all-dirs gate then folded the KB-scale suffix anyway — the
+    // exact churn the floor exists to prevent.
+    val dir = tmpRoot("graft-epochs-floor-suffix")
+    val rnd = new scala.util.Random(7)
+    def pad(n: Int): String = rnd.alphanumeric.take(n).mkString
+    def write(b: Int, rows: Int): Unit =
+      (1 to rows).map(i => (i.toLong, pad(64))).toDF("id", "v").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/batch=$b")
+    // a proper staircase of large tiers (no big dir qualifies for a
+    // fold suffix on its own) + 2 tiny dirs + the kept newest
+    write(0, 6000); write(1, 2400); write(2, 1000)
+    write(3, 1); write(4, 1); write(5, 1)
+    val floor = 30L * 1024
+    val s1 = Epochs.foldTiered(spark, dir, minFoldBytes = floor,
+      maxSmallDirs = 4)
+    // 5 committed foldable dirs ≥ maxSmallDirs, but the under-floor
+    // suffix is only the 2 tiny dirs — the floor must hold
+    assert(s1.foldedEpochs == 0,
+      s"large tiers disabled the floor (all-dirs escape regression): $s1")
+    // genuine tiny-dir accumulation still trips the escape
+    write(6, 1); write(7, 1)
+    val s2 = Epochs.foldTiered(spark, dir, minFoldBytes = floor,
+      maxSmallDirs = 4)
+    assert(s2.foldedEpochs == 4,
+      s"suffix escape inert after real accumulation: $s2")
+    assert(batchDirNames(dir).size == 5, // 3 big tiers + collapsed + kept
+      s"dirs=${batchDirNames(dir)}")
+    assert(spark.read.parquet(dir).count() == 6000L + 2400 + 1000 + 5,
+      "rows lost across the suffix escape")
+  }
+
   test("streamed hist mart under the DEFAULT fold floor: tiny epochs stay " +
     "unfolded (no write churn) and read-offs still match batch") {
     // The default posture the r16 premium measurement argued for: a

@@ -126,4 +126,47 @@ class PqSpec extends SparkSpecBase {
       p.nprobe == 4 && p.rerank == 256, // least work among ceiling ties
       s"ceiling fallback regressed: $p")
   }
+
+  test("recommendParams provenance: stamped curve checked against the " +
+    "caller's index; mismatched nlist refuses, off-decade corpus flags") {
+    // the committed curve is stamped n_corpus=200000, nlist=64
+    val ok = Pq.recommendParams(0.95, forNlist = Some(64),
+      forCorpusSize = Some(450000L)) // same decade as 200k
+    assert(ok.provenanceMatch && ok.nprobe == 2 && ok.rerank == 256,
+      s"matching provenance regressed: $ok")
+    // nlist mismatch is a REFUSAL — nprobe is a fraction of nlist
+    val e = intercept[IllegalArgumentException] {
+      Pq.recommendParams(0.95, forNlist = Some(1024))
+    }
+    assert(e.getMessage.contains("nlist=64") &&
+      e.getMessage.contains("nlist=1024"), e.getMessage)
+    // corpus decade mismatch: pick still returned, flagged extrapolation
+    val far = Pq.recommendParams(0.95, forCorpusSize = Some(50000000L))
+    assert(!far.provenanceMatch && far.meetsTarget,
+      s"decade mismatch not flagged: $far")
+    // a STAMPLESS curve cannot confirm a declared nlist → flagged
+    val f = java.io.File.createTempFile("graft-curve-nostamp", ".json")
+    f.deleteOnExit()
+    java.nio.file.Files.write(f.toPath,
+      """{"metric":"ann_probe","grid":[
+        {"nprobe":1,"rerank":64,"recall_at_10":0.7,"sec":1.0}]}"""
+        .getBytes("UTF-8"))
+    val ns = Pq.recommendParams(0.5, curvePath = f.getPath,
+      forNlist = Some(64))
+    assert(!ns.provenanceMatch, s"stampless curve not flagged: $ns")
+    // declaring nothing keeps the advisory r16 behavior
+    assert(Pq.recommendParams(0.95).provenanceMatch)
+  }
+
+  test("default curve ships as a classpath resource identical to the " +
+    "committed file (library callers outside the repo root)") {
+    val in = getClass.getResourceAsStream("/graft/ann_probe_100x.json")
+    assert(in != null, "resource graft/ann_probe_100x.json missing")
+    val res = try in.readAllBytes() finally in.close()
+    val file = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(Pq.DefaultCurvePath))
+    assert(java.util.Arrays.equals(res, file),
+      "classpath curve diverged from the committed probe artifact — " +
+        "re-copy probes/r16/ann_probe_100x.json into resources")
+  }
 }
