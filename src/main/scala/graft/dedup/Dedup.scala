@@ -590,90 +590,185 @@ object Dedup extends org.apache.spark.internal.Logging {
   /** The char-level verify kernel behind stripDupSpans(exactVerify):
     * for one flagged pair, all shared character windows of length θ
     * over the two normalized space-joined token strings mark coverage
-    * (gram set of one side, slide the other; a "mark farthest" pointer
-    * keeps total fill O(n)), and the emitted rows are (side, tokenPos)
-    * for every token whose characters are FULLY covered — side 0 = the
-    * hub argument, 1 = the member. O((n+m)·θ) per pair, with the HUB
-    * side's gram build amortized across its star pairs by
-    * [[HubCachedCharVerify]] (round 18). A scalar UDF by necessity:
-    * per-pair substring hashing over two variable-length strings is not
-    * expressible in relational operators at this cost shape (a
-    * char-gram explode+join would shuffle n·θ chars per doc).
+    * (window set of one side, slide the other; a "mark farthest"
+    * pointer keeps total fill O(n)), and the emitted rows are (side,
+    * tokenPos) for every token whose characters are FULLY covered —
+    * side 0 = the hub argument, 1 = the member. A scalar UDF by
+    * necessity: per-pair substring hashing over two variable-length
+    * strings is not expressible in relational operators at this cost
+    * shape (a char-gram explode+join would shuffle n·θ chars per doc).
+    *
+    * Windows are compared by a 128-BIT ROLLING FINGERPRINT — two
+    * independent 64-bit polynomial hashes, O(1) per position — held in
+    * an open-addressed long-pair set (round 18). The first cut used
+    * java.util.HashSet[String] of materialized θ-char substrings,
+    * which allocated + hashed a 25-char String per position on BOTH
+    * the build and the probe side; at d100 (1.83M flagged star pairs ×
+    * ~450-char docs, measured by the degree probe) that is ~3·10⁹
+    * substring allocations per pass — the actual dominant term of the
+    * r17 3.4× price, not the hub rebuild alone (mean star degree is
+    * only 5.0, so amortizing the hub build alone caps at ~1/8 of the
+    * kernel). Fingerprint equality stands in for char equality with
+    * per-pair collision probability < 2⁻⁹⁰ (two independent 64-bit
+    * wraparound polynomial hashes over ≲10³ windows/doc) — the same
+    * posture as the winnowing/simhash sketches elsewhere in this file,
+    * stated here because the operator's name says "exact": on any
+    * non-adversarial corpus the output is bit-identical to literal
+    * substring comparison, and the DuckDB oracle (literal substrings)
+    * hash-pins exactly that on the gate fixture.
     */
-  /** θ-char gram set of `s` — the membership side of the verify kernel. */
-  private def charGrams(s: String, theta: Int): java.util.HashSet[String] = {
-    val set = new java.util.HashSet[String]()
-    var i = 0
-    while (i + theta <= s.length) { set.add(s.substring(i, i + theta)); i += 1 }
+  private object CharVerifyFp {
+    val B1 = 0x9E3779B97F4A7C15L // odd golden-ratio multiplier
+    val B2 = 0xC2B2AE3D27D4EB4FL // odd (xxhash64 prime)
+    /** B^(θ-1) mod 2⁶⁴ for dropping the outgoing char of a window. */
+    def pow(b: Long, e: Int): Long = {
+      var r = 1L; var i = 0
+      while (i < e) { r *= b; i += 1 }
+      r
+    }
+  }
+
+  /** Open-addressed set of 128-bit window fingerprints (linear probe,
+    * ≤50% load by construction). Hand-rolled because the hot loop must
+    * not box: HashSet[Long] allocates a wrapper per op.
+    */
+  private final class WindowFpSet(nWindows: Int) {
+    private val cap = java.lang.Integer.highestOneBit(
+      math.max(4, nWindows * 2) * 2 - 1)
+    private val mask = cap - 1
+    private val k1 = new Array[Long](cap)
+    private val k2 = new Array[Long](cap)
+    private val occ = new Array[Boolean](cap)
+    private var n = 0
+    def isEmpty: Boolean = n == 0
+    private def slot(h1: Long, h2: Long): Int = {
+      val m = (h1 * 0xFF51AFD7ED558CCDL) ^ java.lang.Long.rotateLeft(h2, 31)
+      (m ^ (m >>> 32)).toInt & mask
+    }
+    def add(h1: Long, h2: Long): Unit = {
+      var i = slot(h1, h2)
+      while (occ(i) && !(k1(i) == h1 && k2(i) == h2)) i = (i + 1) & mask
+      if (!occ(i)) { occ(i) = true; k1(i) = h1; k2(i) = h2; n += 1 }
+    }
+    def contains(h1: Long, h2: Long): Boolean = {
+      var i = slot(h1, h2)
+      while (occ(i)) {
+        if (k1(i) == h1 && k2(i) == h2) return true
+        i = (i + 1) & mask
+      }
+      false
+    }
+  }
+
+  /** All θ-window fingerprints of `s` — the membership side. */
+  private def windowFpSet(s: String, theta: Int,
+                          pw1: Long, pw2: Long): WindowFpSet = {
+    import CharVerifyFp.{B1, B2}
+    val set = new WindowFpSet(math.max(0, s.length - theta + 1))
+    if (s.length >= theta) {
+      var h1 = 0L; var h2 = 0L
+      var i = 0
+      while (i < theta) {
+        val c = s.charAt(i); h1 = h1 * B1 + c; h2 = h2 * B2 + c; i += 1
+      }
+      set.add(h1, h2)
+      var j = theta
+      while (j < s.length) {
+        val out = s.charAt(j - theta); val in = s.charAt(j)
+        h1 = (h1 - out * pw1) * B1 + in
+        h2 = (h2 - out * pw2) * B2 + in
+        set.add(h1, h2)
+        j += 1
+      }
+    }
     set
   }
 
-  /** Token positions of `toks` (space-joined as `s`) whose every char is
-    * covered by some shared θ-window present in `other` — the sliding
-    * side of the verify kernel ("mark farthest" keeps fill O(n)).
+  /** Token positions of the space-joined token string `s` whose every
+    * char is covered by some shared θ-window present in `other` — the
+    * sliding side of the verify kernel ("mark farthest" keeps fill
+    * O(n)). Token boundaries are the spaces of `s` itself: the joined
+    * string is exactly `tokens(text)` single-space-joined, and those
+    * tokens are non-empty and whitespace-free by construction
+    * (TextFunctions.tokens splits on \s+ and filters ""), so the walk
+    * reproduces the token array without shipping it.
     */
-  private def coveredTokenPositions(s: String, toks: Seq[String],
-                                    other: java.util.HashSet[String],
-                                    theta: Int): Seq[Int] = {
+  private def coveredTokenPositions(s: String, other: WindowFpSet,
+                                    theta: Int,
+                                    pw1: Long, pw2: Long): Seq[Int] = {
+    import CharVerifyFp.{B1, B2}
     val n = s.length
     if (n < theta || other.isEmpty) Seq.empty
     else {
       val cov = new Array[Boolean](n)
       var filled = 0
-      var i = 0
-      while (i + theta <= n) {
-        if (other.contains(s.substring(i, i + theta))) {
+      var h1 = 0L; var h2 = 0L
+      var j = 0
+      while (j < theta - 1) {
+        val c = s.charAt(j); h1 = h1 * B1 + c; h2 = h2 * B2 + c; j += 1
+      }
+      while (j < n) {
+        val c = s.charAt(j); h1 = h1 * B1 + c; h2 = h2 * B2 + c
+        val i = j - theta + 1 // window start
+        if (other.contains(h1, h2)) {
           val from = math.max(i, filled)
           if (from < i + theta) {
             java.util.Arrays.fill(cov, from, i + theta, true)
             filled = i + theta
           }
         }
-        i += 1
+        val out = s.charAt(i)
+        h1 -= out * pw1; h2 -= out * pw2
+        j += 1
       }
-      val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val outB = scala.collection.mutable.ArrayBuffer.empty[Int]
       var cs = 0
       var p = 0
-      while (p < toks.length) {
-        val ce = cs + toks(p).length
-        var all = toks(p).nonEmpty
-        var j = cs
-        while (all && j < ce) { if (!cov(j)) all = false; j += 1 }
-        if (all) out += p
-        cs = ce + 1
+      while (cs < n) {
+        var ce = cs
+        while (ce < n && s.charAt(ce) != ' ') ce += 1
+        var all = ce > cs
+        var k = cs
+        while (all && k < ce) { if (!cov(k)) all = false; k += 1 }
+        if (all) outB += p
         p += 1
+        cs = ce + 1
       }
-      out.toSeq
+      outB.toSeq
     }
   }
 
-  /** The per-pair verify function with the HUB gram set cached per
-    * task-thread (round 18, VERDICT r17 #2): the verify stream arrives
-    * clustered by hub (stripDupSpans repartitions + sorts on it), so
-    * consecutive rows share a hub and the O(n·θ) hub-gram build —
-    * BASELINE r17 named it the 3.4×'s main term, paid once per star
-    * PAIR — is paid once per (task, hub) run instead. The cache is a
-    * single-entry ThreadLocal keyed by the stringified hub id:
-    * `@transient lazy` so it never serializes, thread-confined so
-    * instance sharing across task threads cannot race, and purely a
-    * HIT-RATE optimization — output is identical for any row order or
-    * cache state, so correctness never depends on the layout.
+  /** The per-pair verify function with the HUB window set cached per
+    * task-thread (round 18, VERDICT r17 #2): stripDupSpans orders its
+    * text joins so the LAST join keys on the hub id, which clusters
+    * the verify stream by hub with ZERO extra exchange (a first cut
+    * added a repartition+sort of the widest frame and measured a net
+    * LOSS at d100 — the exchange cost more than the amortization
+    * saved). Consecutive rows then share a hub, so the O(n) hub-side
+    * fingerprint build — paid once per star PAIR before — is paid once
+    * per (task, hub) run. The cache is a single-entry ThreadLocal keyed
+    * by the stringified hub id: `@transient lazy` so it never
+    * serializes, thread-confined so instance sharing across task
+    * threads cannot race, and purely a HIT-RATE optimization — output
+    * is identical for any row order or cache state, so correctness
+    * never depends on the physical layout.
     */
   private final class HubCachedCharVerify(theta: Int)
-      extends ((String, Seq[String], Seq[String]) => Seq[(Int, Int)])
+      extends ((String, String, String) => Seq[(Int, Int)])
       with Serializable {
     @transient private lazy val cache =
-      new ThreadLocal[(String, java.util.HashSet[String])]
-    def apply(hub: String, atk: Seq[String],
-              btk: Seq[String]): Seq[(Int, Int)] = {
-      val sa = atk.mkString(" "); val sb = btk.mkString(" ")
+      new ThreadLocal[(String, WindowFpSet)]
+    @transient private lazy val pw1 = CharVerifyFp.pow(CharVerifyFp.B1, theta - 1)
+    @transient private lazy val pw2 = CharVerifyFp.pow(CharVerifyFp.B2, theta - 1)
+    def apply(hub: String, sa: String, sb: String): Seq[(Int, Int)] = {
       val hit = cache.get()
-      val hubGrams =
+      val hubFps =
         if (hit != null && hit._1 == hub) hit._2
-        else { val g = charGrams(sa, theta); cache.set((hub, g)); g }
-      coveredTokenPositions(sa, atk, charGrams(sb, theta), theta)
-        .map(p => (0, p)) ++
-        coveredTokenPositions(sb, btk, hubGrams, theta).map(p => (1, p))
+        else { val g = windowFpSet(sa, theta, pw1, pw2); cache.set((hub, g)); g }
+      coveredTokenPositions(sa, windowFpSet(sb, theta, pw1, pw2),
+          theta, pw1, pw2).map(p => (0, p)) ++
+        coveredTokenPositions(sb, hubFps, theta, pw1, pw2)
+          .map(p => (1, p))
     }
   }
 
@@ -789,30 +884,50 @@ object Dedup extends org.apache.spark.internal.Logging {
     val coveredAll = if (!exactVerify) covered else {
       require(minMatchChars >= 1,
         "stripDupSpans: minMatchChars must be >= 1")
-      val hubs = flagged.groupBy("s").agg(min(col("id")).as("hub"))
-      val pairs = flagged.join(hubs, "s")
+      // hub = min(id) per span, computed INLINE with a window over the
+      // partition-by-s stream (round 18): flagged leaves its sort-merge
+      // join already partitioned AND sorted by s, so the window's
+      // required distribution/ordering are both satisfied — no new
+      // exchange, no sort. The first cut's groupBy(s)+self-join re-ran
+      // the flagged join TWICE more over the (reused) span exchanges;
+      // the stage profile at d100 priced that second derivation at ~6 s
+      // of the verify premium. A PARTITIONED window — the ungrouped
+      // SinglePartition windows PlanSpec guards against elsewhere are a
+      // different shape.
+      val pairs = flagged
+        .withColumn("hub", min(col("id")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("s")))
         .filter(col("id") =!= col("hub"))
         .select(col("hub").as("ida"), col("id").as("idb"))
         .dropDuplicates("ida", "idb")
+      // JOIN ORDER IS THE CLUSTERING (round 18): member text joins
+      // first, hub text joins LAST, so the final exchange-bearing
+      // join keys on ida — its output arrives at the verify UDF
+      // clustered by hub (sort-merge: sorted by ida; broadcast-hash:
+      // each hub's text row emits its pairs consecutively), which is
+      // exactly what the kernel's per-task hub cache needs, for free.
+      // An explicit repartition(hub, salt)+sort of this frame measured
+      // a net LOSS at d100 (66 s vs 61.5 s) — it re-exchanged the
+      // widest rows purely to buy cache hits, and no salt is needed:
+      // the d100 star-degree histogram tops out at 59 (mean 5.0), so
+      // no hub can serialize a task. Output is order-independent;
+      // layout buys only the cache hit rate.
+      //
+      // Each side ships as ONE space-joined string (concat_ws once per
+      // doc, BEFORE the join replicates it), not the token array: the
+      // kernel re-derives boundaries from the spaces, so 1.8M pair
+      // rows × ~67-element arrays of per-element UTF8String→String
+      // conversions (~240M per pass at d100) collapse to one string
+      // conversion per side.
       val withTok = pairs
-        .join(tok.select(col("id").as("ida"), col("tk").as("atk")), "ida")
-        .join(tok.select(col("id").as("idb"), col("tk").as("btk")), "idb")
-      // HUB-CLUSTERED layout for the kernel's per-task hub-gram cache
-      // (round 18): one exchange of exactly the rows the UDF consumes
-      // once, keyed (hub, member-salt) — the salt keeps a mega-hub
-      // spread across tasks (its degree-linear verify work would
-      // otherwise serialize on one), bounding gram rebuilds per hub at
-      // the salt width while the within-partition sort makes same-hub
-      // rows consecutive. Output is order-independent; this buys only
-      // the cache hit rate.
-      val salt = pmod(xxhash64(col("idb")),
-        lit(tok.sparkSession.sparkContext.defaultParallelism.max(1)))
+        .join(tok.select(col("id").as("idb"),
+          concat_ws(" ", col("tk")).as("sb")), "idb")
+        .join(tok.select(col("id").as("ida"),
+          concat_ws(" ", col("tk")).as("sa")), "ida")
       val verified = withTok
-        .repartition(col("ida"), salt)
-        .sortWithinPartitions("ida")
         .select(col("ida"), col("idb"),
           explode(charDupTokenPositions(minMatchChars)(
-            col("ida").cast("string"), col("atk"), col("btk"))).as("e"))
+            col("ida").cast("string"), col("sa"), col("sb"))).as("e"))
         .select(when(col("e._1") === 0, col("ida")).otherwise(col("idb"))
           .as("id"), col("e._2").as("pos"))
       covered.unionByName(verified)
