@@ -371,10 +371,42 @@ object GraphMart {
   // SESSION OBJECT itself: identity semantics with no hash-collision
   // risk (an identityHashCode key could collide across GC'd sessions
   // and serve a frame bound to a stopped SparkContext), and a stopped
-  // session's entries vanish with it.
+  // session's entries vanish with it. The value carries the frame AND
+  // its measured edge count (one cheap scan of the checkpointed rows,
+  // paid at build), which [[edgePartitions]] derives the per-round
+  // shuffle width from.
   private val cache =
     new java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.HashMap[String, DataFrame]]()
+      scala.collection.mutable.HashMap[String, (DataFrame, Long)]]()
+
+  /** Edge rows per per-round shuffle partition for the iterative graph
+    * ops (round 18, guide §2.2 "fewer, larger partitions" / §2 scale-
+    * adaptive partitioning): an (src, dst, w) long-triple row costs
+    * ~50 B on the shuffle wire, so 2M rows ≈ 100 MB — the guide's
+    * lower bound for a healthy partition. The old constant 8 was tuned
+    * to neither end: at sf0.1 the minCo=2 edge list is 3,573 rows, so
+    * every one of a loop's 3-per-round exchanges paid 8 tasks of
+    * scheduling for ~450 rows each (measured: the graph family was the
+    * bench's largest block at 37.3 s settled, overhead-dominated),
+    * while a 100-TB co-order graph (billions of edges) would cram
+    * ~10 GB into each of 8 partitions and OOM. Deriving width from the
+    * measured edge count sizes the rounds to the GRAPH at every scale
+    * — exactly the "size to the graph, not the cluster's core count"
+    * contract the operators' scaladoc already states.
+    */
+  private[graft] val EdgeRowsPerPartition: Long = 2L * 1000 * 1000
+
+  /** Scale-adaptive per-round shuffle width for the iterative graph
+    * operators over this fixture's mart: ceil(edgeCount /
+    * [[EdgeRowsPerPartition]]), minimum 1. Served from the same
+    * per-session memo as [[cachedEdges]] (the count is measured once,
+    * on the frame's first build).
+    */
+  def edgePartitions(spark: SparkSession, dir: String): Int = {
+    val (_, n) = cachedEdgesWithCount(spark, dir)
+    math.max(1L, (n + EdgeRowsPerPartition - 1) / EdgeRowsPerPartition)
+      .min(Int.MaxValue).toInt
+  }
 
   /** The minCo=2 co-order edge list for a fixture dir: served from the
     * per-session memo, else from the DISK mart ([[diskCounts]] — built
@@ -396,7 +428,18 @@ object GraphMart {
     * first insert wins and the loser's checkpoint is GC-reclaimed.
     */
   def cachedEdges(spark: SparkSession, dir: String,
-                  numPartitions: Int = 8): DataFrame = {
+                  numPartitions: Int = 8): DataFrame =
+    cachedEdgesWithCount(spark, dir, numPartitions)._1
+
+  /** The memoized (edge frame, edge count) pair behind [[cachedEdges]]
+    * and [[edgePartitions]]. The count is one narrow job over the just-
+    * checkpointed partitions, paid once per (session, fixture) at build
+    * — the price of sizing every downstream round's shuffles to the
+    * data instead of a constant.
+    */
+  private def cachedEdgesWithCount(spark: SparkSession, dir: String,
+                                   numPartitions: Int = 8)
+      : (DataFrame, Long) = {
     val key = new java.io.File(dir).getCanonicalPath
     val hit = cache.synchronized {
       cache.computeIfAbsent(spark,
@@ -406,10 +449,11 @@ object GraphMart {
       val built = edges(diskCounts(spark, key))
         .repartition(numPartitions, col("src"))
         .localCheckpoint(true)
+      val entry = (built, built.count())
       cache.synchronized {
         val perSession = cache.computeIfAbsent(spark,
           _ => scala.collection.mutable.HashMap.empty)
-        perSession.getOrElseUpdate(key, built)
+        perSession.getOrElseUpdate(key, entry)
       }
     }
   }

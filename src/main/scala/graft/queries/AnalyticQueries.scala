@@ -48,6 +48,19 @@ object AnalyticQueries extends QueryPack {
   private def coOrderPairsW(s: org.apache.spark.sql.SparkSession, d: String) =
     graft.operators.GraphMart.cachedEdges(s, d)
 
+  /** Scale-adaptive per-round shuffle width for the iterative graph
+    * operators (round 18): derived from the mart's measured edge count
+    * (GraphMart.edgePartitions — ~2M edge rows ≈ 100 MB per partition)
+    * instead of the operators' constant-8 default, which paid 8 tasks
+    * of scheduling per exchange per round on the sf0.1 graph's 3,573
+    * edges and would under-partition a 100-TB graph. Pure execution
+    * width: every operator below is partitioning-independent by
+    * construction (integer keyed aggregations, synchronous rounds), so
+    * results are bit-identical at any width — the oracle hashes pin it.
+    */
+  private def graphParts(s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.operators.GraphMart.edgePartitions(s, d)
+
   val queries: Map[String, Q] = Map(
     // Per-node triangle counts on the parts-co-ordered-together graph
     // (edge = two parts sharing >= 2 orders): Components.triangleCounts
@@ -70,7 +83,8 @@ object AnalyticQueries extends QueryPack {
     // Integer arithmetic end to end — the result hashes bit-exact against
     // the oracle's unrolled recurrence with zero float-rounding slack.
     "q_graph_pagerank" -> ((s, d) =>
-      graft.dedup.Components.pageRank(coOrderPairs(s, d), iters = 5)
+      graft.dedup.Components.pageRank(coOrderPairs(s, d), iters = 5,
+        numPartitions = graphParts(s, d))
         .orderBy("id")),
 
     // HITS on the same directed graph: authorities (in-link quality) and
@@ -78,7 +92,8 @@ object AnalyticQueries extends QueryPack {
     // normalization each half-step is `v * scale div sum`, so the oracle
     // hash has zero float slack here too.
     "q_graph_hits" -> ((s, d) =>
-      graft.dedup.Components.hits(coOrderPairs(s, d), iters = 5)
+      graft.dedup.Components.hits(coOrderPairs(s, d), iters = 5,
+        numPartitions = graphParts(s, d))
         .orderBy("id")),
 
     // Label-propagation communities on the same graph (symmetrized
@@ -88,7 +103,8 @@ object AnalyticQueries extends QueryPack {
     // connectedComponents gives connectivity islands, this splits the
     // co-order graph along its sparse cuts into purchase communities.
     "q_graph_communities" -> ((s, d) =>
-      graft.dedup.Components.labelPropagation(coOrderPairs(s, d), iters = 5)
+      graft.dedup.Components.labelPropagation(coOrderPairs(s, d), iters = 5,
+        numPartitions = graphParts(s, d))
         .orderBy("id")),
 
     // Weight-proportional PageRank: the SAME graph but rank splits over
@@ -97,7 +113,8 @@ object AnalyticQueries extends QueryPack {
     // (uniform weights reproduce q_graph_pagerank bit-exactly, pinned
     // in ComponentsSpec); hash-matches the weighted recurrence oracle.
     "q_graph_pagerank_weighted" -> ((s, d) =>
-      graft.dedup.Components.pageRankWeighted(coOrderPairsW(s, d), iters = 5)
+      graft.dedup.Components.pageRankWeighted(coOrderPairsW(s, d), iters = 5,
+        numPartitions = graphParts(s, d))
         .orderBy("id")),
 
     // Personalized PageRank from the graph's 3 smallest node ids as the
@@ -109,7 +126,8 @@ object AnalyticQueries extends QueryPack {
     "q_graph_ppr" -> ((s, d) => {
       val edges = coOrderPairs(s, d)
       graft.dedup.Components
-        .personalizedPageRank(edges, smallestNodeIds(edges, 3), iters = 5)
+        .personalizedPageRank(edges, smallestNodeIds(edges, 3), iters = 5,
+          numPartitions = graphParts(s, d))
         .orderBy("id")
     }),
 
@@ -119,7 +137,8 @@ object AnalyticQueries extends QueryPack {
     // pinned); hash-matches the weight-summed vote oracle.
     "q_graph_communities_weighted" -> ((s, d) =>
       graft.dedup.Components
-        .labelPropagationWeighted(coOrderPairsW(s, d), iters = 5)
+        .labelPropagationWeighted(coOrderPairsW(s, d), iters = 5,
+          numPartitions = graphParts(s, d))
         .orderBy("id")),
 
     // Modularity readout of that community partition: per community the
@@ -132,7 +151,8 @@ object AnalyticQueries extends QueryPack {
     "q_graph_modularity" -> ((s, d) => {
       val edges = coOrderPairs(s, d)
       graft.dedup.Components.modularityParts(edges,
-        graft.dedup.Components.labelPropagation(edges, iters = 5))
+        graft.dedup.Components.labelPropagation(edges, iters = 5,
+          numPartitions = graphParts(s, d)))
         .orderBy("community")
     }),
 
@@ -151,7 +171,8 @@ object AnalyticQueries extends QueryPack {
     // nonzero fixpoint (or anything longer) throws not-converged
     // before a row is emitted.
     "q_graph_kcore" -> ((s, d) =>
-      graft.dedup.Components.kCore(coOrderPairs(s, d), k = 3, maxRounds = 41)
+      graft.dedup.Components.kCore(coOrderPairs(s, d), k = 3, maxRounds = 41,
+        numPartitions = graphParts(s, d))
         .orderBy("id")),
 
     // FULL core decomposition of the co-order graph: every part's
@@ -163,7 +184,8 @@ object AnalyticQueries extends QueryPack {
     // the kcore discipline. Spec-pinned law: {coreness >= k} ==
     // kCore(k)'s node set.
     "q_graph_coreness" -> ((s, d) =>
-      graft.dedup.Components.coreness(coOrderPairs(s, d), maxRounds = 30)
+      graft.dedup.Components.coreness(coOrderPairs(s, d), maxRounds = 30,
+        numPartitions = graphParts(s, d))
         .orderBy("id")),
 
     // Landmark BFS hop distances on the same graph from its 3 smallest
@@ -174,7 +196,8 @@ object AnalyticQueries extends QueryPack {
     "q_graph_distances" -> ((s, d) => {
       val edges = coOrderPairs(s, d)
       graft.dedup.Components
-        .bfsDistances(edges, smallestNodeIds(edges, 3), maxHops = 5)
+        .bfsDistances(edges, smallestNodeIds(edges, 3), maxHops = 5,
+          numPartitions = graphParts(s, d))
         .orderBy("id", "landmark")
     }),
 
@@ -191,7 +214,7 @@ object AnalyticQueries extends QueryPack {
       val edges = coOrderPairs(s, d)
       graft.dedup.Components
         .bfsDistancesFrontier(edges, smallestNodeIds(edges, 3),
-          maxHops = 30)
+          maxHops = 30, numPartitions = graphParts(s, d))
         .orderBy("id", "landmark")
     }),
 
@@ -207,7 +230,8 @@ object AnalyticQueries extends QueryPack {
         .withColumn("w",
           greatest(lit(1L), lit(11L) - least(col("w"), lit(10L))))
       graft.dedup.Components
-        .bfsDistancesWeighted(edges, smallestNodeIds(edges, 3), maxHops = 5)
+        .bfsDistancesWeighted(edges, smallestNodeIds(edges, 3), maxHops = 5,
+          numPartitions = graphParts(s, d))
         .orderBy("id", "landmark")
     }),
 
@@ -219,7 +243,8 @@ object AnalyticQueries extends QueryPack {
     "q_graph_path_counts" -> ((s, d) => {
       val edges = coOrderPairs(s, d)
       graft.dedup.Components
-        .bfsPathCounts(edges, smallestNodeIds(edges, 3), maxHops = 5)
+        .bfsPathCounts(edges, smallestNodeIds(edges, 3), maxHops = 5,
+          numPartitions = graphParts(s, d))
         .orderBy("id", "landmark")
     }),
 
@@ -250,7 +275,8 @@ object AnalyticQueries extends QueryPack {
     "q_graph_closeness" -> ((s, d) => {
       val edges = coOrderPairs(s, d)
       graft.dedup.Components
-        .harmonicCloseness(edges, smallestNodeIds(edges, 3), maxHops = 5)
+        .harmonicCloseness(edges, smallestNodeIds(edges, 3), maxHops = 5,
+          numPartitions = graphParts(s, d))
         .orderBy("id")
     }),
 
@@ -264,7 +290,7 @@ object AnalyticQueries extends QueryPack {
       val edges = coOrderPairs(s, d)
       graft.dedup.Components
         .harmonicClosenessFull(edges, smallestNodeIds(edges, 3),
-          maxHops = 30)
+          maxHops = 30, numPartitions = graphParts(s, d))
         .orderBy("id")
     }),
 
@@ -280,7 +306,8 @@ object AnalyticQueries extends QueryPack {
     "q_graph_betweenness" -> ((s, d) => {
       val edges = coOrderPairs(s, d)
       graft.dedup.Components
-        .bfsBetweenness(edges, smallestNodeIds(edges, 3), maxHops = 4)
+        .bfsBetweenness(edges, smallestNodeIds(edges, 3), maxHops = 4,
+          numPartitions = graphParts(s, d))
         .orderBy("id")
     }),
 
