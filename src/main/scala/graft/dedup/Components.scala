@@ -68,11 +68,28 @@ object Components {
     // bound.
     val isLongKeyed = e.schema.fields.forall(
       _.dataType == org.apache.spark.sql.types.LongType)
-    if (isLongKeyed && e.count() * 2 <= driverEdgeLimit)
+    val n = e.count()
+    if (isLongKeyed && n * 2 <= driverEdgeLimit)
       driverComponents(e, numPartitions)
     else
-      starLoop(e.select(col("src").as("u"), col("dst").as("v")),
-        maxIter, numPartitions)
+      // The canonical set is already checkpointed and its count already
+      // in hand (the dispatch needed both), so the star loop starts from
+      // it directly — round 18 removed a second repartition+checkpoint
+      // of the same rows here — and sizes its per-round shuffles to the
+      // measured edge count instead of the constant default (the
+      // GraphMart.edgePartitions rule; at 100 TB the dup graph dictates
+      // the width, not the caller's constant).
+      starLoopFrom(e.select(col("src").as("u"), col("dst").as("v")), n,
+        maxIter, adaptiveWidth(n))
+  }
+
+  /** Per-round shuffle width from a measured edge count — the shared
+    * scale-adaptive rule (~2M long-triple rows ≈ 100 MB per partition,
+    * guide §2.2), minimum 1.
+    */
+  private def adaptiveWidth(edgeCount: Long): Int = {
+    val per = graft.operators.GraphMart.EdgeRowsPerPartition
+    math.max(1L, (edgeCount + per - 1) / per).min(Int.MaxValue).toInt
   }
 
   private def bothDirections(e: DataFrame): DataFrame =
@@ -98,22 +115,30 @@ object Components {
     * is an exact set-equality check on the round's checkpointed output.
     */
   private[graft] def largeSmallStar(edges: DataFrame, maxIter: Int = 20,
-                                    numPartitions: Int = 8): DataFrame =
-    starLoop(
-      edges.select(col("src").as("u"), col("dst").as("v"))
-        .filter(col("u") =!= col("v"))
-        .distinct(),
-      maxIter, numPartitions)
-
-  /** The iteration itself; `edges` must already be self-loop-free and
-    * distinct (direction is irrelevant — round 1's large-star starts from
-    * the doubled adjacency it builds itself).
-    */
-  private def starLoop(edges: DataFrame, maxIter: Int,
-                       numPartitions: Int): DataFrame = {
-    var cur = edges
+                                    numPartitions: Int = 8): DataFrame = {
+    val cur = edges.select(col("src").as("u"), col("dst").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
       .repartition(numPartitions, col("u"))
       .localCheckpoint(eager = true)
+    starLoopFrom(cur, cur.count(), maxIter, numPartitions)
+  }
+
+  /** The iteration itself; `cur0` must be self-loop-free, distinct, and
+    * already MATERIALIZED (checkpointed) with `cur0Count` rows —
+    * callers have both in hand (the driver-dispatch count), so the loop
+    * never re-materializes or re-counts its input (round 18: the old
+    * entry re-checkpointed the just-checkpointed canonical set, and
+    * each round re-counted the previous round's output it had already
+    * counted — on the sf0.1 dup graph, 256 edges, the path spent 45
+    * jobs ≈ 3.9 s on what is ~30 jobs of real round structure).
+    * Direction is irrelevant — round 1's large-star starts from the
+    * doubled adjacency it builds itself.
+    */
+  private def starLoopFrom(cur0: DataFrame, cur0Count: Long, maxIter: Int,
+                           numPartitions: Int): DataFrame = {
+    var cur = cur0
+    var prevCount = cur0Count
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -139,7 +164,12 @@ object Components {
         .distinct()
         .repartition(numPartitions, col("u"))
         .localCheckpoint(eager = true)
-      converged = next.count() == cur.count() && next.exceptAll(cur).isEmpty
+      // set equality of two DISTINCT sets = equal counts + empty diff;
+      // prevCount carries across rounds so only the NEW round is counted,
+      // and the (2-shuffle) exceptAll runs only when the counts agree
+      val nextCount = next.count()
+      converged = nextCount == prevCount && next.exceptAll(cur).isEmpty
+      prevCount = nextCount
       cur = next
       iter += 1
     }

@@ -51,3 +51,47 @@ object GraphWidthProbe {
     spark.stop()
   }
 }
+
+/** Round-18 probe: the distributed star loop's cost structure on the
+  * sf0.1 LSH dup graph (the q_dedup_clusters_star path) — seconds +
+  * job count at widths, so the convergence-check and width changes are
+  * measured against the real pair set, not argued.
+  */
+object StarLoopProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_PROBE_AQE", "true"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = graft.Tables.documents(spark, sfDir)
+    val pairs = graft.dedup.Dedup.minhashLshPairs(docs, "text", "doc_id",
+      threshold = 0.7).select("ida", "idb")
+    pairs.write.format("noop").mode("overwrite").save() // pin warm
+    println(s"STARPROBE pairs=${pairs.count()}")
+    @volatile var jobs = 0
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(l)
+    for (r <- 1 to 3) {
+      jobs = 0
+      val t0 = System.nanoTime()
+      graft.dedup.Components.connectedComponents(pairs, driverEdgeLimit = 0L)
+        .write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300)
+      println(f"STARPROBE run=$r sec=$sec%6.2f jobs=$jobs")
+    }
+    spark.stop()
+  }
+}
