@@ -162,7 +162,6 @@ object Components {
         .union(smins.select(col("u"), col("m").as("v")))
         .filter(col("u") =!= col("v"))
         .distinct()
-        .repartition(numPartitions, col("u"))
         .localCheckpoint(eager = true)
       // set equality of two DISTINCT sets = equal counts + empty diff;
       // prevCount carries across rounds so only the NEW round is counted,
@@ -413,8 +412,13 @@ object Components {
     * uniformly, the standard correction.
     *
     * Execution follows the starLoop idiom, measured against the
-    * alternatives: each round is repartition(numPartitions)ed and EAGERLY
-    * localCheckpointed, and the two per-round scalars (node count once,
+    * alternatives: each round is EAGERLY localCheckpointed straight off
+    * its final exchange (round 18 dropped the per-round
+    * repartition(numPartitions) that used to precede the checkpoint —
+    * a checkpointed RDD reads back as UnknownPartitioning, so the extra
+    * exchange bought nothing downstream; AQE sizes the checkpointed
+    * partitions off the round's own shuffle, and numPartitions now only
+    * sizes the SETUP frames), and the two per-round scalars (node count once,
     * dangling mass each round) are bounded 1-row driver collects. The
     * tempting "fully lazy" formulations lose badly: a cache()-per-round
     * chain leaves every round's plan live — the terminal action walks an
@@ -496,17 +500,28 @@ object Components {
     // for why lazy chains lose). `raw` feeds both the total and the
     // normalize join; its groupBy exchange is canonically identical on
     // both sides, so the shuffle is reused, not re-run.
+    // Round 18: the loop carries only the SUPPORT of each score vector
+    // (nodes with a nonzero-summable in/out neighborhood this step).
+    // The old shape left-joined `nodes` every half-step purely to
+    // re-introduce zero-valued nodes — but a zero entry contributes 0
+    // to every in/out sum AND 0 to the L1 total, so dropping absent
+    // nodes from the iterate is algebraically the identity; the zeros
+    // are restored once, at the final readout's left joins. This
+    // removes one exchange + join per half-step (10 for the default 5
+    // iters). Zero-mass propagation is unchanged: s == 0 floors the
+    // half-step to an EMPTY frame, every later half-step stays empty,
+    // and the post-loop masses check still fails loudly.
     def halfStep(score: DataFrame, keyIn: String, keyOut: String): DataFrame = {
       val raw = e
         .join(score.select(col("id").as(keyIn), col("v")), keyIn)
         .groupBy(col(keyOut).as("id")).agg(sum(col("v")).as("v"))
       val tot = raw.agg(coalesce(sum(col("v")), lit(0L)).as("s"))
-      nodes.join(raw, Seq("id"), "left")
+      raw
         .crossJoin(broadcast(tot))
         .select(col("id"),
-          coalesce(when(col("s") > 0, expr(s"(v * $scale) div s")),
-            lit(0L)).as("v"))
-        .repartition(numPartitions, col("id"))
+          when(col("s") > 0, expr(s"(v * $scale) div s"))
+            .otherwise(lit(0L)).as("v"))
+        .filter(col("v") > 0)
         .localCheckpoint(eager = true)
     }
     var h = nodes.select(col("id"), lit(scale / n).as("v"))
@@ -524,10 +539,15 @@ object Components {
       .crossJoin(h.agg(coalesce(sum(col("v")), lit(0L)))).collect()(0)
     require(masses.getLong(0) > 0 && masses.getLong(1) > 0,
       "hits: zero mass — disconnected direction")
+    // left joins restore the zero-valued nodes the support-only iterate
+    // dropped (see halfStep) — output rows and values identical to the
+    // dense formulation
     nodes
-      .join(a.select(col("id"), col("v").as("authority_e9")), Seq("id"))
-      .join(h.select(col("id"), col("v").as("hub_e9")), Seq("id"))
-      .select("id", "authority_e9", "hub_e9")
+      .join(a.select(col("id"), col("v").as("authority_e9")), Seq("id"), "left")
+      .join(h.select(col("id"), col("v").as("hub_e9")), Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("authority_e9"), lit(0L)).as("authority_e9"),
+        coalesce(col("hub_e9"), lit(0L)).as("hub_e9"))
   }
 
   /** Label-propagation community detection (Raghavan et al., Phys. Rev. E
@@ -630,7 +650,6 @@ object Components {
         .groupBy(col("dst").as("id"))
         .agg(max(struct(col("cnt"), (-col("lbl")).as("nl"))).as("m"))
         .select(col("id"), (-col("m.nl")).as("lbl"))
-        .repartition(numPartitions, col("id"))
         .localCheckpoint(eager = true)
     }
     l.select(col("id"), col("lbl").as("community"))
@@ -764,7 +783,6 @@ object Components {
         .distinct()
         .join(settled.select("id", "lm"), Seq("id", "lm"), "left_anti")
         .select(col("id"), col("lm"), lit(hop).as("hops"))
-        .repartition(numPartitions, col("id"), col("lm"))
         .localCheckpoint(eager = true)
       if (next.isEmpty) drained = true
       else { settledParts ::= next; frontier = next }
@@ -866,7 +884,6 @@ object Components {
           (lit(base) +
             expr(s"($dampingPct * (coalesce(contrib, CAST(0 AS BIGINT)) " +
               s"+ dpn)) div 100")).as("r"))
-        .repartition(numPartitions, col("id"))
         .localCheckpoint(eager = true)
     }
     r.select(col("id"), col("r").as("rank_e12"))
@@ -949,7 +966,6 @@ object Components {
           (col("is_seed") * lit(base) +
             expr(s"($dampingPct * (coalesce(contrib, CAST(0 AS BIGINT)) " +
               s"+ is_seed * dpn)) div 100")).as("r"))
-        .repartition(numPartitions, col("id"))
         .localCheckpoint(eager = true)
     }
     r.select(col("id"), col("r").as("ppr_e12"))
@@ -1062,7 +1078,6 @@ object Components {
         .withColumn("rn", row_number().over(byId))
         .groupBy("id")
         .agg(max(least(col("rn").cast("long"), col("cn"))).as("c"))
-        .repartition(numPartitions, col("id"))
         .localCheckpoint(eager = true)
       val changed = ne
         .join(est.select(col("id"), col("c").as("pc")), "id")
@@ -1087,7 +1102,6 @@ object Components {
       .agg(count(lit(1)).as("core_degree"))
       .filter(col("core_degree") >= k)
       .select("id")
-      .repartition(numPartitions, col("id"))
       .localCheckpoint(eager = true)
     val n2 = keep.count()
     val e2 =
@@ -1095,7 +1109,6 @@ object Components {
         eLive
           .join(keep.select(col("id").as("src")), "src")
           .join(keep.select(col("id").as("dst")), "dst")
-          .repartition(numPartitions, col("src"))
           .localCheckpoint(eager = true)
       else eLive
     (e2, n2)
@@ -1196,7 +1209,6 @@ object Components {
             .select(col("dst").as("id"), col("lm"),
               (col("cost") + col("w")).as("cost")))
         .groupBy("id", "lm").agg(min(col("cost")).as("cost"))
-        .repartition(numPartitions, col("id"), col("lm"))
         .localCheckpoint(eager = true)
     }
     d
@@ -1320,7 +1332,6 @@ object Components {
         .agg(min(struct(col("dist"), col("sigma"))).as("m"))
         .select(col("id"), col("lm"),
           col("m.dist").as("dist"), col("m.sigma").as("sigma"))
-        .repartition(numPartitions, col("id"), col("lm"))
         .localCheckpoint(eager = true)
     }
     s
@@ -1401,7 +1412,6 @@ object Components {
         .join(us, Seq("dst", "lm"))
         .groupBy(col("src").as("id"), col("lm"))
         .agg(sum(expr(s"(sv * ($scale + du)) div su")).as("delta"))
-        .repartition(numPartitions, col("id"), col("lm"))
         .localCheckpoint(eager = true)
       acc = if (acc == null) dl else acc.unionAll(dl)
     }
