@@ -370,9 +370,26 @@ object AnalyticQueries extends QueryPack {
           .select("o_orderpriority", "o_orderkey", "o_totalprice"),
         "o_orderpriority",
         Seq(col("o_totalprice").desc, col("o_orderkey")))
-      val second = pos.filter(col("pos") === 2)
-        .select(col("o_orderpriority").as("__p2"),
-          col("o_totalprice").as("second_highest"))
+      // nth_value(2) == the pos=2 row under the total order. Deriving it
+      // by filtering `pos` re-executed the whole two-phase positioned
+      // plan a second time just to build this broadcast (round 18); the
+      // same row falls out of a bounded TopKPerKey(2) heap pass over the
+      // RAW input — partial-aggregable, no window, no second positioned
+      // run. Among the top-2 under (price DESC, okey ASC) the 2nd is the
+      // struct-min of (price, -okey); a group with fewer than 2 rows
+      // yields NULL, nth_value's contract.
+      val top2 = graft.plans.TopKPerKey.perKey(
+        Tables.orders(s, d)
+          .select("o_orderpriority", "o_orderkey", "o_totalprice"),
+        Seq("o_orderpriority"),
+        Seq(("o_totalprice", false), ("o_orderkey", true)), 2)
+      val second = top2
+        .groupBy(col("o_orderpriority").as("__p2"))
+        .agg(count(lit(1)).as("__n2"),
+          min(struct(col("o_totalprice").as("p"),
+            (-col("o_orderkey")).as("nk"))).as("__m"))
+        .select(col("__p2"),
+          when(col("__n2") >= 2, col("__m.p")).as("second_highest"))
       pos.join(broadcast(second),
           col("o_orderpriority") === col("__p2"), "left")
         .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
