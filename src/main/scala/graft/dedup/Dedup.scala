@@ -2047,8 +2047,16 @@ object Dedup extends org.apache.spark.internal.Logging {
     val candIds = c
       .select(explode(array(col("ida"), col("idb"))).as(idCol)).distinct()
     val pruned = docs.join(candIds, Seq(idCol), "left_semi")
-    val t = pruned.select(col(idCol).as("__vid"),
-      length(col(textCol)).as("__vl"), charHist27(col(textCol)).as("__vh"))
+    // pinned like the candidate frame above: the filter chain joins this
+    // per-doc feature table TWICE (ida side, idb side), and lazily each
+    // join re-ran the corpus semi-join + histogram subtree (round-18
+    // plan audit: the duplicated subtree was the largest block of
+    // q_dedup_fuzzy_lsh's 128-exchange plan). Features are candidate-
+    // member-sparse by the same argument as the candidates themselves.
+    val t = graft.operators.Artifacts.pinEager(
+      pruned.select(col(idCol).as("__vid"),
+        length(col(textCol)).as("__vl"), charHist27(col(textCol)).as("__vh")),
+      "fuzzy.features")
     val filtered = c
       .join(t, col("ida") === col("__vid"))
       .select(col("ida"), col("idb"),
@@ -2089,7 +2097,11 @@ object Dedup extends org.apache.spark.internal.Logging {
       else docs.join(
         c.select(explode(array(col("ida"), col("idb"))).as(idCol)).distinct(),
         Seq(idCol), "left_semi")
-    val t = pruned.select(col(idCol).as("__tid"), col(textCol).as("__tt"))
+    // pinned for the same reason as fuzzy.features: two text joins (ida,
+    // idb) otherwise each re-run the pruned-corpus subtree per call
+    val t = graft.operators.Artifacts.pinEager(
+      pruned.select(col(idCol).as("__tid"), col(textCol).as("__tt")),
+      "fuzzy.verify_texts")
     c
       .join(t, col("ida") === col("__tid"))
       .select(col("ida"), col("idb"), col("__tt").as("ta"))
