@@ -267,4 +267,17 @@ class GraphMartSpec extends SparkSpecBase {
     assert(!plan.toLowerCase.contains("join"),
       s"cached mart still re-plans the self-join:\n$plan")
   }
+
+  test("edgePartitions derives the round width from the measured edge count") {
+    // the scale-adaptive rule (round 18): ceil(edges / 2M rows), min 1 —
+    // the spec fixture's edge list is far under one 2M-row partition, so
+    // the iterative ops must run 1-wide here, and the rule must agree
+    // with the frame's own count at any scale
+    val n = GraphMart.cachedEdges(spark, sfDir).count()
+    val per = GraphMart.EdgeRowsPerPartition
+    val want = math.max(1L, (n + per - 1) / per).toInt
+    assert(GraphMart.edgePartitions(spark, sfDir) == want,
+      s"edgePartitions disagrees with ceil($n / $per)")
+    assert(want == 1, s"spec fixture unexpectedly large: $n edges")
+  }
 }
