@@ -56,11 +56,22 @@ object GraphMart {
     * over the part dimension.
     */
   def coOrderCounts(lineitem: DataFrame): DataFrame = {
-    val li = lineitem.select(col("l_orderkey"), col("l_partkey"))
+    // (orderkey, partkey) dedup BEFORE the self-join (round 18): the old
+    // shape deduped AFTER, as countDistinct(l_orderkey) grouped by the
+    // pair — which plans a (src, dst, ok) dedup exchange over the JOIN
+    // OUTPUT (the co-occurrence volume, the largest intermediate of the
+    // whole build) followed by the (src, dst) count exchange. Deduping
+    // the 2-column input first makes every joined (ok, src, dst) row
+    // unique by construction, so a plain count is the distinct count —
+    // one pair-volume shuffle instead of two, for one (much smaller)
+    // lineitem-sized exchange. Output counts are bit-identical, so the
+    // mart fingerprint/version is untouched and persisted marts stay
+    // valid (GraphMartSpec rebuild parity pins this).
+    val li = lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
     li.join(li.select(col("l_orderkey").as("ok2"), col("l_partkey").as("pb")),
         col("l_orderkey") === col("ok2") && col("l_partkey") < col("pb"))
       .groupBy(col("l_partkey").as("src"), col("pb").as("dst"))
-      .agg(countDistinct(col("l_orderkey")).as("w"))
+      .agg(count(lit(1)).as("w"))
   }
 
   /** The query-facing edge list: the minCo strength cut applied at read

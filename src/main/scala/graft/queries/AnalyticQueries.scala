@@ -70,12 +70,20 @@ object AnalyticQueries extends QueryPack {
     // edge-mart cache: this is the graph family's build-cost WITNESS —
     // the one query whose bench time always includes the cold lineitem
     // self-join, so mart-fed read times stay honest next to it.
-    "q_graph_triangles" -> ((s, d) =>
-      graft.dedup.Components.triangleCounts(
-        graft.operators.GraphMart
-          .edges(graft.operators.GraphMart.coOrderCounts(Tables.lineitem(s, d)))
-          .select(col("src").as("ida"), col("dst").as("idb")))
-        .orderBy("id")),
+    "q_graph_triangles" -> ((s, d) => {
+      // The witness contract is ONE cold mart build per execution — but
+      // the lazy edge frame was referenced 13× inside the wedge plan
+      // (round-18 plan dump), so every pass planned (and, where AQE
+      // stage reuse missed, re-ran) the lineitem self-join repeatedly.
+      // An eager checkpoint keeps the witness honest (the build still
+      // runs cold on every timed pass — this query stays eager_rebuilt)
+      // while the wedge enumeration reads the materialized edges once.
+      val edges = graft.operators.GraphMart
+        .edges(graft.operators.GraphMart.coOrderCounts(Tables.lineitem(s, d)))
+        .select(col("src").as("ida"), col("dst").as("idb"))
+        .localCheckpoint(true)
+      graft.dedup.Components.triangleCounts(edges).orderBy("id")
+    }),
 
     // Fixed-point PageRank over the same co-order graph, directed
     // lower→higher part id (citation-style: max-id nodes never source an
