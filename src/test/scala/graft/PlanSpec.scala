@@ -854,10 +854,39 @@ class PlanSpec extends SparkSpecBase {
       assert(p.contains("Scan ExistingRDD"),
         s"$name lost its checkpoint boundary\n" + p.take(600))
     }
-    // the build-cost witness deliberately pays the scan every time
-    val w = plan(q("q_graph_triangles"))
-    assert(w.contains("lineitem"),
-      "q_graph_triangles no longer witnesses the cold build\n" + w.take(600))
+    // The build-cost witness deliberately pays the self-join every
+    // EXECUTION. Since round 18 the edge build materializes at
+    // construction (one eager checkpoint — the wedge plan used to
+    // reference the lazy build 13×), so the witness property lives in
+    // construction behavior, not the terminal plan: building the frame
+    // must run Spark jobs every time (the cold self-join — never served
+    // from the session mart memo), and the wedge plan must read the
+    // materialized edges.
+    var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val w = try {
+      val frame = q("q_graph_triangles")
+      Thread.sleep(300)
+      assert(jobs > 0,
+        "q_graph_triangles construction ran no jobs — the cold build " +
+          "witness is being served from a cache")
+      jobs = 0
+      val frame2 = q("q_graph_triangles")
+      Thread.sleep(300)
+      assert(jobs > 0,
+        "q_graph_triangles REPEAT construction ran no jobs — the cold " +
+          "build got memoized; the witness must pay the self-join per run")
+      frame2.schema // silence unused warning
+      plan(frame)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(w.contains("Scan ExistingRDD"),
+      "q_graph_triangles wedge plan no longer reads the materialized " +
+        "edge build\n" + w.take(600))
   }
 
   test("wide simhash and capped winnow keep their scale shapes") {
