@@ -32,6 +32,68 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
+  /** Child sessions pinned to the NARROW-LOOP execution regime: AQE off
+    * + spark.sql.shuffle.partitions = the loop's measured width. The
+    * eager round loops in this file submit one Spark job per AQE query
+    * stage — 3-5 exchanges per round = 3-5 jobs per round — and on the
+    * small-rows/many-rounds shape that job orchestration IS the cost
+    * (LoopConfProbe r19, interleaved A/B on the fixture mart: pageRank
+    * 55→29 jobs 1.7→1.5 s, hits 68→42 jobs 2.9→1.7 s, betweenness
+    * 55→22 jobs 2.6→1.5 s, coreness 46→20 1.55→1.1 s, weighted LPA
+    * 30→15 1.1→0.54 s). AQE-off alone LOSES (r18 StarLoopProbe: every
+    * non-adaptive exchange then runs at the session's shuffle width);
+    * the win needs both knobs, and the width is the same measured
+    * edge-count rule the callers already pass (GraphMart.edgePartitions
+    * — ~2M rows ≈ 100 MB per partition), so the regime stays
+    * scale-adaptive: thousands of partitions on a 100-TB graph, 1 on
+    * the fixture. What AQE is given up INSIDE a round: runtime
+    * coalescing (replaced by the measured width — the same target its
+    * advisory sizing would reach) and skew-join splitting (a hub node's
+    * rows all carry one key, which AQE cannot split either; the loops'
+    * joins are node-id keyed). Results are partitioning-independent by
+    * construction — the oracle hashes pin that.
+    *
+    * Child sessions (the repo's scoped-conf idiom — q_join_runtime_bloom
+    * precedent) keep the regime RACE-FREE: nothing mutates the caller's
+    * session conf, so concurrently-running suites on a shared session
+    * never see it. Memoized per (parent, width): session state is not
+    * free to rebuild per call. The RESULT of every loop is rebound onto
+    * the parent session before returning, so callers compose and
+    * execute readouts under their own confs.
+    */
+  private val narrowSessions = scala.collection.mutable.LinkedHashMap
+    .empty[(org.apache.spark.sql.SparkSession, Int),
+      org.apache.spark.sql.SparkSession]
+
+  private def narrowSession(parent: org.apache.spark.sql.SparkSession,
+                            width: Int): org.apache.spark.sql.SparkSession =
+    narrowSessions.synchronized {
+      narrowSessions.filterInPlace((k, _) =>
+        try !k._1.sparkContext.isStopped
+        catch { case _: Throwable => false })
+      narrowSessions.getOrElseUpdate((parent, width), {
+        val s = parent.newSession()
+        s.conf.set("spark.sql.adaptive.enabled", "false")
+        s.conf.set("spark.sql.shuffle.partitions", width.toString)
+        s
+      })
+    }
+
+  /** Rebind `df` onto the narrow-loop session for `width` (plan already
+    * analyzed under the caller's session — resolution is unaffected).
+    */
+  private def narrowed(df: DataFrame, width: Int): DataFrame = {
+    val bridge = org.apache.spark.sql.GraftSqlBridge
+    bridge.ofRows(narrowSession(df.sparkSession, width), bridge.analyzed(df))
+  }
+
+  /** Rebind a loop result back onto the caller's session. */
+  private def onSession(parent: org.apache.spark.sql.SparkSession,
+                        df: DataFrame): DataFrame = {
+    val bridge = org.apache.spark.sql.GraftSqlBridge
+    bridge.ofRows(parent, bridge.analyzed(df))
+  }
+
   /** (id, component) for every node in `edges` (ida, idb); component =
     * min node id reachable. Deterministic.
     *
@@ -75,10 +137,12 @@ object Components {
       // The canonical set is already checkpointed and its count already
       // in hand (the dispatch needed both), so the star loop starts from
       // it directly — round 18 removed a second repartition+checkpoint
-      // of the same rows here — and sizes its per-round shuffles to the
-      // measured edge count instead of the constant default (the
-      // GraphMart.edgePartitions rule; at 100 TB the dup graph dictates
-      // the width, not the caller's constant).
+      // of the same rows here. Round 19: the loop runs on the narrow-
+      // loop session with shuffle width = adaptiveWidth(n) (the
+      // GraphMart.edgePartitions rule — at 100 TB the dup graph
+      // dictates the width, not a constant; at fixture scale, 1), which
+      // is what makes the width parameter LIVE inside the loop again
+      // (ADVICE r18: the per-round repartition removal had left it dead).
       starLoopFrom(e.select(col("src").as("u"), col("dst").as("v")), n,
         maxIter, adaptiveWidth(n))
   }
@@ -137,7 +201,11 @@ object Components {
     */
   private def starLoopFrom(cur0: DataFrame, cur0Count: Long, maxIter: Int,
                            numPartitions: Int): DataFrame = {
-    var cur = cur0
+    // the whole iteration runs on the narrow-loop session sized to the
+    // measured edge count (`numPartitions` from adaptiveWidth): few
+    // jobs per round AND few tasks per exchange — see narrowSession
+    val parent = cur0.sparkSession
+    var cur = narrowed(cur0, numPartitions)
     var prevCount = cur0Count
     var iter = 0
     var converged = false
@@ -176,10 +244,11 @@ object Components {
       s"largeSmallStar did not converge in $maxIter rounds — raise maxIter " +
         "(needed rounds grow with log(component diameter), so this " +
         "indicates a pathological graph or too small a bound)")
-    bothDirections(cur)
-      .groupBy(col("u").as("id"))
-      .agg(min("v").as("nmin"))
-      .select(col("id"), least(col("id"), col("nmin")).as("component"))
+    onSession(parent,
+      bothDirections(cur)
+        .groupBy(col("u").as("id"))
+        .agg(min("v").as("nmin"))
+        .select(col("id"), least(col("id"), col("nmin")).as("component")))
   }
 
   /** One-hop min-label propagation — O(graph diameter) rounds. Retained
@@ -490,7 +559,8 @@ object Components {
     require(iters >= 1 && iters <= 50, s"hits: iters $iters out of [1,50]")
     require(scale >= 1000000L && scale <= 3000000000L,
       s"hits: scale $scale out of [1e6, 3e9] (scale^2 must fit a long)")
-    val e = edges
+    val parent = edges.sparkSession
+    val e = narrowed(edges, numPartitions)
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .repartition(numPartitions, col("src"))
       .localCheckpoint(eager = true)
@@ -562,12 +632,12 @@ object Components {
     // left joins restore the zero-valued nodes the support-only iterate
     // dropped (see halfStep) — output rows and values identical to the
     // dense formulation
-    nodes
+    onSession(parent, nodes
       .join(a.select(col("id"), col("v").as("authority_e9")), Seq("id"), "left")
       .join(h.select(col("id"), col("v").as("hub_e9")), Seq("id"), "left")
       .select(col("id"),
         coalesce(col("authority_e9"), lit(0L)).as("authority_e9"),
-        coalesce(col("hub_e9"), lit(0L)).as("hub_e9"))
+        coalesce(col("hub_e9"), lit(0L)).as("hub_e9")))
   }
 
   /** Label-propagation community detection (Raghavan et al., Phys. Rev. E
@@ -634,7 +704,8 @@ object Components {
     require(iters >= 1 && iters <= 50,
       s"labelPropagation: iters $iters out of [1,50]")
     if (validateWeights) requireIntegralWeights(edges)
-    val e0 = edges
+    val parent = edges.sparkSession
+    val e0 = narrowed(edges, numPartitions)
       .select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
       .filter(col("src") =!= col("dst"))
@@ -672,7 +743,7 @@ object Components {
         .select(col("id"), (-col("m.nl")).as("lbl"))
         .localCheckpoint(eager = true)
     }
-    l.select(col("id"), col("lbl").as("community"))
+    onSession(parent, l.select(col("id"), col("lbl").as("community")))
   }
 
   /** Shared undirected-edge preparation: cast to long, drop self-loops,
@@ -705,7 +776,11 @@ object Components {
 
   private def bidirectedEdges(edges: DataFrame, numPartitions: Int,
                               dedupe: Boolean = false): DataFrame = {
-    val base = edges
+    // rebinds onto the narrow-loop session: every loop consuming this
+    // frame (kCore, coreness, path counts, betweenness, frontier BFS)
+    // derives its rounds from it and so runs narrow transitively; the
+    // public entries rebind their readouts back to the caller's session
+    val base = narrowed(edges, numPartitions)
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
     val canon = if (dedupe)
@@ -783,7 +858,8 @@ object Components {
     require(landmarks.nonEmpty, "bfsDistancesFrontier: no landmarks")
     require(maxHops >= 1 && maxHops <= 200,
       s"bfsDistancesFrontier: maxHops $maxHops out of [1,200]")
-    val spark = edges.sparkSession
+    val parent = edges.sparkSession
+    val spark = narrowSession(parent, numPartitions)
     import spark.implicits._
     val e = bidirectedEdges(edges, numPartitions)
     val d0 = landmarks.distinct.map(l => (l, l, 0L))
@@ -807,8 +883,9 @@ object Components {
       if (next.isEmpty) drained = true
       else { settledParts ::= next; frontier = next }
     }
-    settledParts.reduce(_ unionAll _)
-      .select(col("id"), col("lm").as("landmark"), col("hops"))
+    onSession(parent,
+      settledParts.reduce(_ unionAll _)
+        .select(col("id"), col("lm").as("landmark"), col("hops")))
   }
 
   /** Weight-proportional PageRank over (src, dst, w) edges: a node
@@ -847,7 +924,11 @@ object Components {
     require(scale >= 1000000L && scale <= 1000000000000000L,
       s"pageRank: scale $scale out of [1e6, 1e15]")
     if (validateWeights) requireIntegralWeights(edges)
-    val e = edges
+    // rounds run on the narrow-loop session (see narrowSession): the
+    // setup checkpoints, round scalars and per-round checkpoints below
+    // all execute there; the readout is rebound to the caller's session
+    val parent = edges.sparkSession
+    val e = narrowed(edges, numPartitions)
       .select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
       .repartition(numPartitions, col("src"))
@@ -906,7 +987,7 @@ object Components {
               s"+ dpn)) div 100")).as("r"))
         .localCheckpoint(eager = true)
     }
-    r.select(col("id"), col("r").as("rank_e12"))
+    onSession(parent, r.select(col("id"), col("r").as("rank_e12")))
   }
 
   /** Personalized PageRank (Jeh & Widom, WWW'03 / Page et al.'s
@@ -935,9 +1016,10 @@ object Components {
       s"personalizedPageRank: dampingPct $dampingPct out of [0,100]")
     require(scale >= 1000000L && scale <= 1000000000000000L,
       s"personalizedPageRank: scale $scale out of [1e6, 1e15]")
-    val spark = edges.sparkSession
+    val parent = edges.sparkSession
+    val spark = narrowSession(parent, numPartitions)
     import spark.implicits._
-    val e = edges
+    val e = narrowed(edges, numPartitions)
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .repartition(numPartitions, col("src"))
       .localCheckpoint(eager = true)
@@ -988,7 +1070,7 @@ object Components {
               s"+ is_seed * dpn)) div 100")).as("r"))
         .localCheckpoint(eager = true)
     }
-    r.select(col("id"), col("r").as("ppr_e12"))
+    onSession(parent, r.select(col("id"), col("r").as("ppr_e12")))
   }
 
   /** k-core extraction (Seidman, Social Networks 1983; distributed
@@ -1046,7 +1128,8 @@ object Components {
       s"kCore: not converged after $maxRounds rounds (live $n) — raise maxRounds")
     // final degrees read the CORE's edges only (the converged round left
     // eLive exactly at the fixpoint subgraph — no full-edge-list rejoin)
-    eLive.groupBy(col("src").as("id")).agg(count(lit(1)).as("core_degree"))
+    onSession(edges.sparkSession,
+      eLive.groupBy(col("src").as("id")).agg(count(lit(1)).as("core_degree")))
   }
 
   /** FULL k-core decomposition — every node's CORENESS (the largest k
@@ -1107,7 +1190,7 @@ object Components {
     }
     require(converged,
       s"coreness: not converged after $maxRounds rounds — raise maxRounds")
-    est.select(col("id"), col("c").as("coreness"))
+    onSession(edges.sparkSession, est.select(col("id"), col("c").as("coreness")))
   }
 
   /** ONE synchronous peel round over the live edge set — degrees within
@@ -1198,10 +1281,11 @@ object Components {
     require(landmarks.nonEmpty, "bfsDistances: no landmarks")
     require(maxHops >= 1 && maxHops <= 30,
       s"bfsDistances: maxHops $maxHops out of [1,30]")
-    val spark = edges.sparkSession
+    val parent = edges.sparkSession
+    val spark = narrowSession(parent, numPartitions)
     import spark.implicits._
     if (validateWeights) requireIntegralWeights(edges)
-    val e0 = edges
+    val e0 = narrowed(edges, numPartitions)
       .select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
       .filter(col("src") =!= col("dst"))
@@ -1231,7 +1315,7 @@ object Components {
         .groupBy("id", "lm").agg(min(col("cost")).as("cost"))
         .localCheckpoint(eager = true)
     }
-    d
+    onSession(parent, d)
   }
 
 
@@ -1319,9 +1403,10 @@ object Components {
     require(maxDeg <= 1L || maxHops * math.log(maxDeg.toDouble) <= 62 * math.log(2.0),
       s"bfsPathCounts: sigma can overflow a long (maxDeg $maxDeg ^ " +
         s"$maxHops hops) — lower maxHops or prune hub degrees first")
-    sigmaLevels(e, landmarks, maxHops, numPartitions)
-      .select(col("id"), col("lm").as("landmark"),
-        col("dist").as("hops"), col("sigma").as("n_paths"))
+    onSession(edges.sparkSession,
+      sigmaLevels(e, landmarks, maxHops, numPartitions)
+        .select(col("id"), col("lm").as("landmark"),
+          col("dist").as("hops"), col("sigma").as("n_paths")))
   }
 
   /** The shared forward Brandes phase — bounded-round BFS state
@@ -1435,13 +1520,14 @@ object Components {
         .localCheckpoint(eager = true)
       acc = if (acc == null) dl else acc.unionAll(dl)
     }
-    acc.filter(col("id") =!= col("lm"))
-      .groupBy("id").agg(sum(col("delta")).as("betweenness_scaled"))
-      // enforce the sparse contract: a node whose every term floors to
-      // 0 (σ_w > σ_v·(scale+δ_w), possible within the overflow guard)
-      // must be ABSENT like any other zero-dependency node, not a
-      // spurious (id, 0) row; the oracle applies the same HAVING
-      .filter(col("betweenness_scaled") =!= 0L)
+    onSession(edges.sparkSession,
+      acc.filter(col("id") =!= col("lm"))
+        .groupBy("id").agg(sum(col("delta")).as("betweenness_scaled"))
+        // enforce the sparse contract: a node whose every term floors to
+        // 0 (σ_w > σ_v·(scale+δ_w), possible within the overflow guard)
+        // must be ABSENT like any other zero-dependency node, not a
+        // spurious (id, 0) row; the oracle applies the same HAVING
+        .filter(col("betweenness_scaled") =!= 0L))
   }
 
   /** Per-community Newman modularity decomposition (Newman & Girvan,
