@@ -339,7 +339,18 @@ object Components {
     */
   private def memoizedComponents(pairs: DataFrame): DataFrame =
     graft.operators.Artifacts.memo(pairs, "components.labels") {
-      connectedComponents(pairs).localCheckpoint(eager = true)
+      // The memoized frame is PINNED through the registry rather than
+      // bare-localCheckpointed (ADVICE r18): a memo eviction only drops
+      // the reference, so a registry-less checkpoint would leave its
+      // blocks to GC and — worse — releaseAll would never free it. The
+      // pin gives the labels the same explicit lifetime as every other
+      // session artifact (swept by releaseAll; a memo eviction costs one
+      // recompute and re-pin, deduped by the CacheManager). Like any
+      // localCheckpoint-derived artifact this assumes local-mode /
+      // static executors: the labels' lineage bottoms out in the star
+      // loop's checkpointed RDDs, which executor loss would take out.
+      graft.operators.Artifacts.pinEager(
+        connectedComponents(pairs), "components.labels")
     }
 
   /** Cluster assignments for near-duplicate documents plus the canonical

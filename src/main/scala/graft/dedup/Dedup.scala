@@ -2042,6 +2042,18 @@ object Dedup extends org.apache.spark.internal.Logging {
                          textCol: String, idCol: String,
                          maxDist: Int = 8): DataFrame = {
     require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    // PIN GROWTH NOTE (ADVICE r18): each pinEager below registers one
+    // entry PER DISTINCT INPUT PLAN and pays one eager count() at call
+    // time — an incremental caller feeding distinct per-batch inputs
+    // accumulates session-lived pins until the suite-end releaseAll
+    // sweep (the documented artifact posture; repeat calls on the SAME
+    // input dedupe via the CacheManager). The pins cannot be released
+    // at the end of this call: the returned plan is LAZY and its
+    // InMemoryTableScans read these very cache entries when the caller
+    // finally acts — an unpersist here would silently re-run the
+    // corpus-sized subtrees once per downstream consumer, exactly the
+    // 2-4× the pins exist to prevent. Per-batch callers that never
+    // re-execute a batch's result should releaseAll between batches.
     val c = graft.operators.Artifacts.pinEager(cands.select("ida", "idb"),
       "fuzzy.candidates")
     val candIds = c

@@ -776,11 +776,19 @@ class PlanSpec extends SparkSpecBase {
         (col("o_custkey") % 50).as("dst"))
       .filter(col("src") =!= col("dst"))
     edges.schema
-    var jobs = 0
+    // AtomicInteger + listener-bus drain (ADVICE r18): the listener
+    // fires on Spark's async dispatch thread, so a plain var read after
+    // a fixed sleep can race a slow bus and flakily read stale counts
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    def drained: Int = {
+      org.apache.spark.sql.GraftSqlBridge.drainListenerBus(spark.sparkContext)
+      jobs.get()
+    }
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
-          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-        jobs += 1
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
     }
     spark.sparkContext.addSparkListener(listener)
     try {
@@ -793,35 +801,34 @@ class PlanSpec extends SparkSpecBase {
       assert(pp.contains("Scan ExistingRDD"),
         "pageRank output no longer reads a materialized round\n" + pp.take(600))
       assert(!pp.contains("Join"), "pageRank rounds left a live join chain")
-      Thread.sleep(300)
-      val build = jobs
+      val build = drained
       // generous ceiling (AQE runs stage jobs): catches runaway actions
       assert(build <= 25 + 12 * 3,
         s"pageRank(3 rounds) ran $build jobs — per-round overhead grew")
-      jobs = 0
+      jobs.set(0)
       val hh = graft.dedup.Components.hits(edges, iters = 3)
       val hp = plan(hh)
       assert(hp.contains("Scan ExistingRDD"),
         "hits output no longer reads materialized half-steps")
       assert("Join".r.findAllIn(hp).length <= 4,
         "hits output grew a join chain beyond the a⋈h assembly")
-      Thread.sleep(300)
       // round 14: the L1 totals ride each half-step's one checkpoint
       // job as broadcast 1-row frames (no per-round driver collects, no
       // raw-frame checkpoints) — 2 checkpoints/round + AQE stage jobs.
       // The old 6-job shape needed 20/round; regression to it trips this.
-      assert(jobs <= 25 + 12 * 3,
-        s"hits(3 rounds) ran $jobs jobs — per-half-step overhead grew")
-      jobs = 0
+      val hitsJobs = drained
+      assert(hitsJobs <= 25 + 12 * 3,
+        s"hits(3 rounds) ran $hitsJobs jobs — per-half-step overhead grew")
+      jobs.set(0)
       val lp = graft.dedup.Components.labelPropagation(edges, iters = 3)
       val lpp = plan(lp)
       assert(lpp.contains("Scan ExistingRDD"),
         "labelPropagation output no longer reads a materialized round")
       assert(!lpp.contains("Join"),
         "labelPropagation rounds left a live join chain")
-      Thread.sleep(300)
-      assert(jobs <= 25 + 12 * 3,
-        s"labelPropagation(3 rounds) ran $jobs jobs — per-round overhead grew")
+      val lpaJobs = drained
+      assert(lpaJobs <= 25 + 12 * 3,
+        s"labelPropagation(3 rounds) ran $lpaJobs jobs — per-round overhead grew")
       assert(pr.count() > 0 && hh.count() > 0 && lp.count() > 0)
     } finally spark.sparkContext.removeSparkListener(listener)
   }
@@ -862,23 +869,28 @@ class PlanSpec extends SparkSpecBase {
     // must run Spark jobs every time (the cold self-join — never served
     // from the session mart memo), and the wedge plan must read the
     // materialized edges.
-    var jobs = 0
+    // AtomicInteger + listener-bus drain (ADVICE r18): the async
+    // dispatch thread can deliver job-start events after a fixed sleep
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    def drained: Int = {
+      org.apache.spark.sql.GraftSqlBridge.drainListenerBus(spark.sparkContext)
+      jobs.get()
+    }
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
-          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-        jobs += 1
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
     }
     spark.sparkContext.addSparkListener(listener)
     val w = try {
       val frame = q("q_graph_triangles")
-      Thread.sleep(300)
-      assert(jobs > 0,
+      assert(drained > 0,
         "q_graph_triangles construction ran no jobs — the cold build " +
           "witness is being served from a cache")
-      jobs = 0
+      jobs.set(0)
       val frame2 = q("q_graph_triangles")
-      Thread.sleep(300)
-      assert(jobs > 0,
+      assert(drained > 0,
         "q_graph_triangles REPEAT construction ran no jobs — the cold " +
           "build got memoized; the witness must pay the self-join per run")
       frame2.schema // silence unused warning
