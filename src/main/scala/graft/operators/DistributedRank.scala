@@ -28,10 +28,16 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructTyp
   *     (numPartitions × |keys| rows, the contract of "low
   *     cardinality") collected once, prefix-summed into per-(partition,
   *     key) offsets on the driver;
-  *  3. within-partition row numbers (a window over (__pid, key) —
-  *     groups bounded by partition size, so this window has no cliff)
-  *     plus the broadcast offsets give each row its exact global
-  *     per-key position `pos` and key total `n`.
+  *  3. within-group row numbers WITHOUT a window (round 19): the
+  *     checkpoint freezes each partition in sorted order, so a row's
+  *     0-based in-partition index (monotonically_increasing_id's low
+  *     bits, stored at checkpoint time) minus its (partition, key)
+  *     group's minimum index — collected by the same bounded aggregate
+  *     as the offsets — IS row_number − 1. The broadcast offsets then
+  *     give each row its exact global per-key position `pos` and key
+  *     total `n` with no exchange after the checkpoint (the old
+  *     row_number window re-shuffled the whole frame per execution:
+  *     a checkpoint reads back as UnknownPartitioning under AQE).
   *
   * The sorted frame is eagerly localCheckpointed between the count job
   * and the position job so both read the SAME materialized partitions
@@ -53,7 +59,8 @@ object DistributedRank {
   // failure (or a silently wrong join on __pid/__off) deep in the
   // plan; reject it at the API edge with the contract spelled out.
   // Matching is case-insensitive, like Spark's default resolution.
-  private val Reserved = Seq("pos", "n", "cum", "__pid", "__off", "__soff")
+  private val Reserved =
+    Seq("pos", "n", "cum", "__pid", "__idx", "__off", "__soff", "__st")
   private val GlobalReserved = Reserved :+ "__gkey"
 
   private def requireNoReserved(df: DataFrame, reserved: Seq[String],
@@ -82,22 +89,39 @@ object DistributedRank {
     val p = if (numPartitions > 0) numPartitions
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
     val rangeCols = col(keyCol) +: orderCols
+    // __idx = the row's 0-based index within its (frozen) partition —
+    // monotonically_increasing_id's low 33 bits, computed on the sorted
+    // stage and STORED by the checkpoint, so every later read sees the
+    // same indices. Within a (partition, key) group the rows are
+    // consecutive in sort order, so row_number = __idx − min(__idx of
+    // the group) + 1 — which removes the row_number WINDOW (and its
+    // full (__pid, key) re-shuffle: the checkpoint reads back without
+    // partitioning info under AQE, so that window re-exchanged the
+    // whole frame on every execution — round 19, RankFamilyDecomp:
+    // the readout was 9 jobs / ~2.5 s, larger than the positioned
+    // build itself). The group minimum rides the SAME bounded
+    // per-(partition, key) aggregate the offsets already collect.
+    // Contract note: the 33-bit index bounds a partition at ~8.6e9
+    // rows — orders of magnitude past the 100 MB-1 GB partition sizing.
     val sorted = df
       .repartitionByRange(p, rangeCols: _*)
       .sortWithinPartitions(rangeCols: _*)
       .withColumn("__pid", spark_partition_id())
+      .withColumn("__idx",
+        monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)))
       .localCheckpoint(true)
     // Bounded by contract: numPartitions × |distinct keys| rows.
     val cnts = sorted.groupBy(col("__pid"), col(keyCol))
       .agg(count(lit(1)).as("__c"),
+        min(col("__idx")).as("__st"),
         (if (sumCol == null) lit(0L) else sum(col(sumCol))).as("__s"))
       .collect()
-      .map(r => (r.getInt(0), r.get(1), r.getLong(2),
-        if (r.isNullAt(3)) 0L else r.getLong(3)))
+      .map(r => (r.getInt(0), r.get(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) 0L else r.getLong(4)))
     val byKey = cnts.groupBy(_._2)
-    val offRows = cnts.map { case (pid, k, _, _) =>
+    val offRows = cnts.map { case (pid, k, _, st, _) =>
       val before = byKey(k).filter(_._1 < pid)
-      Row(pid, k, before.map(_._3).sum, before.map(_._4).sum)
+      Row(pid, k, before.map(_._3).sum, before.map(_._5).sum, st)
     }
     val totRows = byKey.toSeq.map { case (k, rows) =>
       Row(k, rows.map(_._3).sum)
@@ -107,26 +131,30 @@ object DistributedRank {
       spark.sparkContext.parallelize(offRows.toSeq, 1),
       StructType(Seq(StructField("__pid", IntegerType, nullable = false),
         keyField, StructField("__off", LongType, nullable = false),
-        StructField("__soff", LongType, nullable = false))))
+        StructField("__soff", LongType, nullable = false),
+        StructField("__st", LongType, nullable = false))))
     val totDf = spark.createDataFrame(
       spark.sparkContext.parallelize(totRows, 1),
       StructType(Seq(keyField,
         StructField("n", LongType, nullable = false))))
-    // Window over (__pid, key): group size ≤ the range partition's row
-    // count — bounded by partition sizing, never by key cardinality.
-    val within = Window.partitionBy(col("__pid"), col(keyCol))
-      .orderBy(orderCols: _*)
     val positioned = sorted
       .join(broadcast(offDf), Seq("__pid", keyCol))
-      .withColumn("pos", col("__off") + row_number().over(within))
+      .withColumn("pos", col("__off") + (col("__idx") - col("__st")) + 1L)
     val summed =
       if (sumCol == null) positioned
-      else positioned.withColumn("cum",
-        col("__soff") + sum(col(sumCol)).over(
-          within.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      else {
+        // the exact running sum still needs a per-group ordered pass —
+        // only the sumCol callers pay this window (group size ≤ the
+        // range partition's row count, never key cardinality)
+        val within = Window.partitionBy(col("__pid"), col(keyCol))
+          .orderBy(orderCols: _*)
+        positioned.withColumn("cum",
+          col("__soff") + sum(col(sumCol)).over(
+            within.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      }
     summed
       .join(broadcast(totDf), Seq(keyCol))
-      .drop("__pid", "__off", "__soff")
+      .drop("__pid", "__idx", "__off", "__soff", "__st")
   }
 
   /** [[withPositions]] over the WHOLE frame (no partition key): exact
