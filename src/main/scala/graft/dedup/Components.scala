@@ -32,67 +32,23 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
-  /** Child sessions pinned to the NARROW-LOOP execution regime: AQE off
-    * + spark.sql.shuffle.partitions = the loop's measured width. The
-    * eager round loops in this file submit one Spark job per AQE query
-    * stage — 3-5 exchanges per round = 3-5 jobs per round — and on the
-    * small-rows/many-rounds shape that job orchestration IS the cost
-    * (LoopConfProbe r19, interleaved A/B on the fixture mart: pageRank
-    * 55→29 jobs 1.7→1.5 s, hits 68→42 jobs 2.9→1.7 s, betweenness
-    * 55→22 jobs 2.6→1.5 s, coreness 46→20 1.55→1.1 s, weighted LPA
-    * 30→15 1.1→0.54 s). AQE-off alone LOSES (r18 StarLoopProbe: every
-    * non-adaptive exchange then runs at the session's shuffle width);
-    * the win needs both knobs, and the width is the same measured
-    * edge-count rule the callers already pass (GraphMart.edgePartitions
-    * — ~2M rows ≈ 100 MB per partition), so the regime stays
-    * scale-adaptive: thousands of partitions on a 100-TB graph, 1 on
-    * the fixture. What AQE is given up INSIDE a round: runtime
-    * coalescing (replaced by the measured width — the same target its
-    * advisory sizing would reach) and skew-join splitting (a hub node's
-    * rows all carry one key, which AQE cannot split either; the loops'
-    * joins are node-id keyed). Results are partitioning-independent by
-    * construction — the oracle hashes pin that.
-    *
-    * Child sessions (the repo's scoped-conf idiom — q_join_runtime_bloom
-    * precedent) keep the regime RACE-FREE: nothing mutates the caller's
-    * session conf, so concurrently-running suites on a shared session
-    * never see it. Memoized per (parent, width): session state is not
-    * free to rebuild per call. The RESULT of every loop is rebound onto
-    * the parent session before returning, so callers compose and
-    * execute readouts under their own confs.
+  /** The eager round loops in this file run on the NARROW-LOOP child
+    * session — AQE off + shuffle width = the loop's measured
+    * `numPartitions` — and rebind their readouts back to the caller's
+    * session before returning. Rationale, probe numbers and the
+    * race-freedom argument live at [[graft.operators.NarrowExec]]
+    * (shared with Coreset's greedy rounds).
     */
-  private val narrowSessions = scala.collection.mutable.LinkedHashMap
-    .empty[(org.apache.spark.sql.SparkSession, Int),
-      org.apache.spark.sql.SparkSession]
-
   private def narrowSession(parent: org.apache.spark.sql.SparkSession,
                             width: Int): org.apache.spark.sql.SparkSession =
-    narrowSessions.synchronized {
-      narrowSessions.filterInPlace((k, _) =>
-        try !k._1.sparkContext.isStopped
-        catch { case _: Throwable => false })
-      narrowSessions.getOrElseUpdate((parent, width), {
-        val s = parent.newSession()
-        s.conf.set("spark.sql.adaptive.enabled", "false")
-        s.conf.set("spark.sql.shuffle.partitions", width.toString)
-        s
-      })
-    }
+    graft.operators.NarrowExec.session(parent, width)
 
-  /** Rebind `df` onto the narrow-loop session for `width` (plan already
-    * analyzed under the caller's session — resolution is unaffected).
-    */
-  private def narrowed(df: DataFrame, width: Int): DataFrame = {
-    val bridge = org.apache.spark.sql.GraftSqlBridge
-    bridge.ofRows(narrowSession(df.sparkSession, width), bridge.analyzed(df))
-  }
+  private def narrowed(df: DataFrame, width: Int): DataFrame =
+    graft.operators.NarrowExec.narrowed(df, width)
 
-  /** Rebind a loop result back onto the caller's session. */
   private def onSession(parent: org.apache.spark.sql.SparkSession,
-                        df: DataFrame): DataFrame = {
-    val bridge = org.apache.spark.sql.GraftSqlBridge
-    bridge.ofRows(parent, bridge.analyzed(df))
-  }
+                        df: DataFrame): DataFrame =
+    graft.operators.NarrowExec.onSession(parent, df)
 
   /** (id, component) for every node in `edges` (ida, idb); component =
     * min node id reachable. Deterministic.
@@ -337,7 +293,7 @@ object Components {
     * connectedComponents DIRECTLY and stays un-memoized by design —
     * its job is to time the star loop every pass.
     */
-  private def memoizedComponents(pairs: DataFrame): DataFrame =
+  private[graft] def memoizedComponents(pairs: DataFrame): DataFrame =
     graft.operators.Artifacts.memo(pairs, "components.labels") {
       // The memoized frame is PINNED through the registry rather than
       // bare-localCheckpointed (ADVICE r18): a memo eviction only drops

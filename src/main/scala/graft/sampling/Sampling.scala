@@ -127,7 +127,12 @@ object Sampling {
   def leakageSafeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
                        evalFraction: Double, salt: String = "graft-split")
       : (DataFrame, DataFrame) = {
-    val comp = graft.dedup.Components.connectedComponents(pairs)
+    // memoized like every other clustering consumer (round 19): labels
+    // are a pure function of the pair frame, and the pair frames the
+    // split callers pass are pinned artifacts — a bench loop re-running
+    // this split was re-paying the whole component iteration per pass
+    // while the funnel/clean/cluster family read the session memo
+    val comp = graft.dedup.Components.memoizedComponents(pairs)
       .select(col("id").as(idCol), col("component").as("__grp0"))
     val originalCols = df.columns.toIndexedSeq.map(col)
     val labeled = df.join(comp, Seq(idCol), "left")

@@ -103,6 +103,13 @@ object Coreset {
                      k: Int): DataFrame = {
     val spark = base.sparkSession
     import spark.implicits._
+    // each greedy round is ONE global aggregate whose parallelism comes
+    // from the corpus scan's input partitions, not shuffle partitions —
+    // running the rounds on the narrow session (graft.operators
+    // .NarrowExec) removes AQE's extra stage job per round (k rounds =
+    // k fewer jobs; the 1-row final merge is single-partition either
+    // way, at any scale)
+    val nbase = graft.operators.NarrowExec.narrowed(base, 1)
 
     def distTo(center: Array[Double]): Column = {
       val c = array(center.map(lit): _*)
@@ -113,7 +120,7 @@ object Coreset {
     var chosen = chosenRev
     for (_ <- chosen.size + 1 to k) {
       val md = round(chosen.map(c => distTo(c._2)).reduce(least(_, _)), 6)
-      val winner = base
+      val winner = nbase
         .filter(!col("id").isInCollection(chosen.map(_._1)))
         .agg(max(struct(md.as("d"), (-col("id")).as("nid"),
           col("vec").as("v"))).as("m"))
