@@ -409,8 +409,19 @@ object Components {
     * hash-partitioned on node/pair keys; nothing is ever quadratic in a
     * hub's degree.
     */
-  def triangleCounts(pairs: DataFrame): DataFrame = {
-    val p = pairs.select(col("ida"), col("idb"))
+  def triangleCounts(pairs: DataFrame,
+                     numPartitions: Int = 8): DataFrame = {
+    // Unlike the round loops this operator is one LAZY plan, so the
+    // narrow regime only applies if the returned frame STAYS on the
+    // narrow session (rebinding to the caller would re-plan under its
+    // AQE confs) — the caller's composition and final action execute
+    // narrow. Worth it here: the wedge plan is 6 exchanges = 13 AQE
+    // stage jobs over the oriented edge stream (TrianglesDecomp r19:
+    // ~1.0 s of the query's ~2.8 s at sf0.1), all id-keyed and
+    // partitioning-independent; `numPartitions` should be the measured
+    // edge width (GraphMart.EdgeRowsPerPartition rule).
+    val p = graft.operators.NarrowExec.narrowed(
+      pairs.select(col("ida"), col("idb")), numPartitions)
     val deg = p.select(col("ida").as("id"))
       .unionAll(p.select(col("idb").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))

@@ -82,7 +82,14 @@ object AnalyticQueries extends QueryPack {
         .edges(graft.operators.GraphMart.coOrderCounts(Tables.lineitem(s, d)))
         .select(col("src").as("ida"), col("dst").as("idb"))
         .localCheckpoint(true)
-      graft.dedup.Components.triangleCounts(edges).orderBy("id")
+      // wedge width from the just-materialized witness build's own
+      // count (the mart's edgePartitions would force the session mart
+      // this query exists to bypass); one bounded count job on the
+      // checkpoint
+      val width = math.max(1L, (edges.count() +
+        graft.operators.GraphMart.EdgeRowsPerPartition - 1) /
+        graft.operators.GraphMart.EdgeRowsPerPartition).toInt
+      graft.dedup.Components.triangleCounts(edges, width).orderBy("id")
     }),
 
     // Fixed-point PageRank over the same co-order graph, directed
