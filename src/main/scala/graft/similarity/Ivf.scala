@@ -89,13 +89,19 @@ object Ivf {
     // entirely on the driver: k distributed argmax passes collapse to one
     // bounded collect (initSample × dim doubles). Lloyd then refines
     // distributed, so init only needs coverage, not optimality.
-    val sample = corpus.orderBy("id").limit(math.max(k, initSample))
+    // The fit's actions run on the narrow session (round 19): each
+    // Lloyd round is one k-row keyed aggregate whose parallelism comes
+    // from the corpus scan, so AQE's extra stage job per round (and
+    // per sample collect) buys nothing at any scale — the same
+    // argument as Coreset's greedy rounds.
+    val c = graft.operators.NarrowExec.narrowed(corpus, 1)
+    val sample = c.orderBy("id").limit(math.max(k, initSample))
       .select("vec").collect().map(_.getSeq[Double](0).toArray)
     require(sample.length >= k, s"corpus smaller than k=$k")
     var centroids: Array[Array[Double]] = farthestFirstInit(sample, k)
     var it = 0
     while (it < iters) {
-      val assigned = assignCells(corpus, centroids)
+      val assigned = assignCells(c, centroids)
       // update: element-wise mean per cell via the typed VectorAvg
       // aggregate — shuffle carries one (sums, count) buffer per task per
       // cell, not n×dim exploded rows; result is k rows (tiny collect).
