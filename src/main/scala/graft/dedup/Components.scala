@@ -65,8 +65,14 @@ object Components {
     // canonical undirected edge set: one row per edge, smaller id first
     // (both the union-find and the star iteration are direction-blind, so
     // materializing the doubled adjacency here would be a wasted shuffle
-    // of 2|E| rows on exactly the web-scale path that can't afford it)
-    val e = edges.select(col("ida").as("src"), col("idb").as("dst"))
+    // of 2|E| rows on exactly the web-scale path that can't afford it).
+    // Built narrow (round 19): the distinct + repartition + checkpoint
+    // is 3 AQE stage jobs of setup per clustering call; both consumers
+    // (driver union-find, star loop) read the checkpoint, and both
+    // readouts are rebound to the caller's session below.
+    val parent = edges.sparkSession
+    val e = narrowed(edges, numPartitions)
+      .select(col("ida").as("src"), col("idb").as("dst"))
       .filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("src"),
         greatest(col("src"), col("dst")).as("dst"))
@@ -88,7 +94,7 @@ object Components {
       _.dataType == org.apache.spark.sql.types.LongType)
     val n = e.count()
     if (isLongKeyed && n * 2 <= driverEdgeLimit)
-      driverComponents(e, numPartitions)
+      onSession(parent, driverComponents(e, numPartitions))
     else
       // The canonical set is already checkpointed and its count already
       // in hand (the dispatch needed both), so the star loop starts from
@@ -99,8 +105,12 @@ object Components {
       // dictates the width, not a constant; at fixture scale, 1), which
       // is what makes the width parameter LIVE inside the loop again
       // (ADVICE r18: the per-round repartition removal had left it dead).
-      starLoopFrom(e.select(col("src").as("u"), col("dst").as("v")), n,
-        maxIter, adaptiveWidth(n))
+      // starLoopFrom re-narrows to adaptiveWidth(n) and rebinds its
+      // readout to ITS caller's session — here the narrow build
+      // session, so rebind once more to the true caller
+      onSession(parent,
+        starLoopFrom(e.select(col("src").as("u"), col("dst").as("v")), n,
+          maxIter, adaptiveWidth(n)))
   }
 
   /** Per-round shuffle width from a measured edge count — the shared
